@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's TPC-H-ish testdata tier (`TESTDATA.md`):
+  * one parquet file per table under a scale-factor directory.
+  *
+  * Reads are plain `spark.read.parquet` scans so Catalyst can push
+  * filters and prune columns into the parquet reader (the staging
+  * cast-projections in [[graft.analog.Analog]] select only what they
+  * need, which shows up as a narrowed `ReadSchema` in `.explain`).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  def events: DataFrame     = table("events")
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

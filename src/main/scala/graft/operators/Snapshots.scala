@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CreditFunctions.monthOf
+
+/** Snapshot / time-series operators shared across the marts.
+  *
+  * The core idiom is the month-end dedup (reference W1: `row_number() over
+  * (partition by loan_id, date_trunc('month',as_of_date) order by
+  * as_of_date desc) ... where rn = 1`, duplicated verbatim in
+  * fct_roll_rate_monthly.sql:1-12, fct_cure_rate_monthly.sql:1-12 and
+  * fct_vintage_mob.sql:1-11). We build it ONCE and reuse the resulting
+  * DataFrame — Catalyst will not merge three textually separate
+  * window+shuffle subtrees, so sharing here removes two full shuffles
+  * (SURVEY.md §4.3). At 100 TB the window shuffle partitions by
+  * (loan_id, month), which is also the natural downstream join/agg key,
+  * so the exchange is reused by AQE rather than repeated.
+  */
+object Snapshots {
+
+  /** Keep the top-1 row per group under `orderBy` (descending-priority
+    * columns supplied by the caller, who must make the ordering TOTAL —
+    * nondeterministic ties would break oracle parity; SURVEY.md §4.3).
+    */
+  def topOnePerGroup(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Month-end snapshot: last row per (idCol, month(dateCol)).
+    * `tiebreakers` extend the `dateCol desc` ordering to a total order
+    * when (id, date) is not unique (the reference's arrears table is
+    * unique per (loan_id, as_of_date) so it needs none; the events-analog
+    * passes ts/event_id). Adds a `month` DateType column.
+    */
+  def monthEnd(df: DataFrame, idCol: Column, dateCol: Column, tiebreakers: Column*): DataFrame =
+    topOnePerGroup(
+      df.withColumn("month", monthOf(dateCol)),
+      partitionBy = Seq(idCol, col("month")),
+      orderBy = dateCol.desc +: tiebreakers.map(_.desc)
+    )
+
+  /** Reference W2: previous observed-month value per id —
+    * `lag(valueCol) over (partition by id order by month)`. A calendar gap
+    * makes "prev" the last OBSERVED month, faithfully to the reference
+    * (fct_roll_rate_monthly.sql:17; do not "fix" gaps — SURVEY.md §7.3.5).
+    */
+  def withPrev(df: DataFrame, idCol: Column, monthCol: Column, valueCol: Column, prevName: String): DataFrame =
+    df.withColumn(prevName, lag(valueCol, 1).over(Window.partitionBy(idCol).orderBy(monthCol)))
+
+  /** Daily densification (reference G8/D5: one row per day from `startCol`
+    * to `endCol` inclusive, generator loop pg_oltp_synth.py:667-692) as a
+    * relational explode — no driver-side loops, scales linearly with
+    * output rows. Caller guarantees endCol >= startCol.
+    */
+  def densifyDaily(df: DataFrame, startCol: Column, endCol: Column, dayName: String): DataFrame =
+    df.withColumn(dayName, explode(sequence(startCol, endCol)))
+}

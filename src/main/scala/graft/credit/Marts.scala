@@ -8,7 +8,7 @@ import graft.functions.CreditFunctions._
 import graft.operators.Snapshots
 
 /** The seven fact transforms of the reference mart layer
-  * (`dbt/credit_mart/models/marts/*.sql`), re-expressed as pure
+  * (dbt/credit_mart/models/marts/&#42;.sql), re-expressed as pure
   * DataFrame->DataFrame functions over canonical staging schemas:
   *
   *   arrears : loan_id, as_of_date date, days_past_due int,

@@ -43,9 +43,13 @@ object CreditFunctions {
       .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
 
   /** Whole calendar months between `asOf` and `origination` (Postgres
-    * `age()` year*12+month semantics): floor(months_between). */
+    * `age()` year*12+month semantics). age() truncates toward ZERO, not
+    * -inf: a loan observed month-start in its origination month with
+    * origination day > 1 has months_between in (-1, 0) and age() yields 0
+    * (kept by `mob >= 0`), where floor would give -1 and drop the mob=0
+    * cohort. Int cast truncates toward zero, matching age(). */
   def monthsOnBook(asOf: Column, origination: Column): Column =
-    floor(months_between(asOf, origination)).cast(IntegerType)
+    months_between(asOf, origination).cast(IntegerType)
 
   /** Month-start truncation returning DateType. */
   def monthOf(d: Column): Column = trunc(d, "month")

@@ -26,24 +26,31 @@ object Snapshots {
     * nondeterministic ties would break oracle parity; SURVEY.md §4.3).
     */
   def topOnePerGroup(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column]): DataFrame = {
+    // Collision-safe internal name: a caller-supplied `rn` column must
+    // survive the dedup untouched.
+    val rn = "__graft_rn"
+    require(!df.columns.contains(rn), s"input already has internal column $rn")
     val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Month-end snapshot: last row per (idCol, month(dateCol)).
     * `tiebreakers` extend the `dateCol desc` ordering to a total order
     * when (id, date) is not unique (the reference's arrears table is
     * unique per (loan_id, as_of_date) so it needs none; the events-analog
-    * passes ts/event_id). Adds a `month` DateType column.
+    * passes ts/event_id). Adds a `month` DateType column (fails fast if
+    * the input already carries one — silent overwrite would corrupt it).
     */
-  def monthEnd(df: DataFrame, idCol: Column, dateCol: Column, tiebreakers: Column*): DataFrame =
+  def monthEnd(df: DataFrame, idCol: Column, dateCol: Column, tiebreakers: Column*): DataFrame = {
+    require(!df.columns.contains("month"), "input already has a `month` column")
     topOnePerGroup(
       df.withColumn("month", monthOf(dateCol)),
       partitionBy = Seq(idCol, col("month")),
       orderBy = dateCol.desc +: tiebreakers.map(_.desc)
     )
+  }
 
   /** Reference W2: previous observed-month value per id —
     * `lag(valueCol) over (partition by id order by month)`. A calendar gap

@@ -34,10 +34,13 @@ object Analog {
   def arrears(td: Tables): DataFrame =
     td.events.select(
         col("user_id").as("loan_id"),
-        col("ts").cast(DateType).as("as_of_date"),
+        // ts is nanos-since-epoch (see Tables.events); `div` keeps the
+        // micros conversion exact (a double roundtrip would round >2^53).
+        to_date(timestamp_micros(expr("ts div 1000"))).as("as_of_date"),
         col("ts"),
         col("event_id"),
         floor(col("value")).cast(IntegerType).as("days_past_due"),
+        col("value").cast(Money).as("past_due_amount_total"),
         col("event_type"))
       .withColumn("dpd_bucket", dpdBucket(col("days_past_due")))
       .withColumn("npl_flag",
@@ -49,6 +52,7 @@ object Analog {
   def loans(td: Tables): DataFrame =
     td.customer.select(
       col("c_custkey").as("loan_id"),
+      (lit(10000L) + col("c_custkey")).as("borrower_id"),
       col("c_mktsegment").as("product_type"),
       concat(lit("C"), col("c_nationkey").cast(StringType)).as("currency"),
       date_add(to_date(lit("2015-01-01")), (col("c_custkey") * 7).cast(IntegerType))

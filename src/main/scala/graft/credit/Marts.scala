@@ -26,8 +26,10 @@ import graft.operators.Snapshots
   * inlining the reference's layered views (SURVEY.md §3 EP2).
   *
   * Scale posture (100 TB):
-  *  - the loans dim is small relative to the snapshot fact -> explicit
-  *    `broadcast()` on every fact×dim join (J1-J3), no shuffle of the fact;
+  *  - the loans dim is small relative to the snapshot fact, but broadcast
+  *    is left to AQE/`autoBroadcastJoinThreshold` (no forced hint): small
+  *    dim -> BHJ with no fact shuffle; oversized dim -> graceful shuffle
+  *    join instead of an OOM;
   *  - monthly aggregates group by (month, product, currency) — tiny result
   *    cardinality, partial aggregation map-side combines before the
   *    exchange;
@@ -41,13 +43,27 @@ import graft.operators.Snapshots
 object Marts {
 
   /** fct_dpd_daily.sql:1-14 — arrears snapshots enriched with the loan dim
-    * (inner equi-join USING(loan_id), J1 + rename projection P8). */
+    * (inner equi-join USING(loan_id), J1 + rename projection P8), matching
+    * the reference column set exactly: as_of_date, loan_id, borrower_id,
+    * product_type, currency, origination_date, exposure, days_past_due,
+    * dpd_bucket, npl_flag, past_due_amount_total.
+    *
+    * No forced `broadcast()`: at 100 TB the loan dim is not guaranteed to
+    * fit an executor, and an explicit hint bypasses AQE's size check —
+    * `autoBroadcastJoinThreshold`/AQE still picks BHJ when the dim is
+    * actually small, and degrades to a shuffle join instead of OOM when
+    * it is not. */
   def dpdDaily(arrears: DataFrame, loans: DataFrame): DataFrame =
     arrears.join(
-      broadcast(loans.select(
-        col("loan_id"), col("product_type"), col("currency"),
-        col("origination_date"), col("exposure"))),
+      loans.select(
+        col("loan_id"), col("borrower_id"), col("product_type"), col("currency"),
+        col("origination_date"), col("exposure")),
       Seq("loan_id"), "inner")
+      .select(
+        col("as_of_date"), col("loan_id"), col("borrower_id"),
+        col("product_type"), col("currency"), col("origination_date"),
+        col("exposure"), col("days_past_due"), col("dpd_bucket"),
+        col("npl_flag"), col("past_due_amount_total"))
 
   /** fct_npl_monthly.sql — monthly exposure + NPL exposure + guarded ratio
     * (A1/A2/A6, D1). Input is the dpdDaily fact. */
@@ -100,7 +116,7 @@ object Marts {
   def vintageMob(monthEnd: DataFrame, loans: DataFrame): DataFrame =
     monthEnd
       .select(col("loan_id"), col("month"), col("days_past_due"))
-      .join(broadcast(loans.select(col("loan_id"), col("origination_date"))), Seq("loan_id"), "inner")
+      .join(loans.select(col("loan_id"), col("origination_date")), Seq("loan_id"), "inner")
       .select(
         quarterOf(col("origination_date")).as("cohort_q"),
         monthsOnBook(col("month"), col("origination_date")).as("mob"),
@@ -137,7 +153,7 @@ object Marts {
     * monthly collected amount by (month, product_type, currency) (J3/A8). */
   def collectionsMonthly(payments: DataFrame, loans: DataFrame): DataFrame =
     payments
-      .join(broadcast(loans.select(col("loan_id"), col("product_type"))), Seq("loan_id"), "inner")
+      .join(loans.select(col("loan_id"), col("product_type")), Seq("loan_id"), "inner")
       .groupBy(
         monthOf(col("payment_date")).as("month"),
         col("product_type"), col("currency"))

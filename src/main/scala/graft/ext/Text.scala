@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All logic is native Column expressions (array higher-order functions,
+  * no UDFs) so it stays inside whole-stage codegen and is exactly
+  * reproducible by an ANSI-SQL oracle:
+  *  - counting/sums are exact integer arithmetic;
+  *  - the only doubles are final ratios = one IEEE division of exact ints;
+  *  - the document fingerprint is a position-weighted token hash whose
+  *    sum is order-independent integer math (engine-agnostic — no
+  *    engine-specific hash function involved).
+  *
+  * Scale: every operator is a per-row projection (narrow, no shuffle);
+  * the near-dup candidate generation shuffles once on the shingle value
+  * (equi-join), never materializing the n² pair space.
+  */
+object Text {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document stats: lengths, token counts, stopword ratio, a cheap
+    * language-ID heuristic, and an arithmetic fingerprint. */
+  def textStats(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tokenCnt = size(toks).cast(LongType)
+    val charCnt = length(col("text")).cast(LongType)
+    val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*))).cast(LongType)
+    val ratio = stopCnt.cast(DoubleType) / tokenCnt.cast(DoubleType)
+    val fp = aggregate(
+      zip_with(toks, sequence(lit(1), size(toks)),
+        (t, i) => i.cast(LongType) * lit(1000003L) + length(t).cast(LongType) * lit(31L) + ascii(t).cast(LongType)),
+      lit(0L), (acc, x) => acc + x) % lit(2147483647L)
+    documents.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      charCnt.as("char_cnt"),
+      tokenCnt.as("token_cnt"),
+      size(array_distinct(toks)).cast(LongType).as("distinct_tokens"),
+      stopCnt.as("stopword_cnt"),
+      ratio.as("stopword_ratio"),
+      ((charCnt - (tokenCnt - 1)).cast(DoubleType) / tokenCnt.cast(DoubleType)).as("avg_token_len"),
+      when(ratio >= 0.05, lit("en")).otherwise(lit("other")).as("lang_pred"),
+      fp.as("fingerprint"))
+  }
+
+  /** Word n-gram shingles of the space-tokenized text (empty array when
+    * the document is shorter than n tokens). */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+
+  /** N-gram-Jaccard near-duplicate candidates: pairs of documents sharing
+    * at least one n-gram shingle, scored by Jaccard over their distinct
+    * shingle sets. The candidate join is an equi-join on the shingle value
+    * (one shuffle, skew bounded by shingle frequency) — the n² pair space
+    * is never built. */
+  def ngramJaccardPairs(documents: DataFrame, n: Int): DataFrame = {
+    val docSh = documents
+      .select(col("doc_id"), array_distinct(shingles(split(col("text"), " "), n)).as("sh"))
+    val exploded = docSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("common_shingles"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)).as("jaccard"))
+  }
+}

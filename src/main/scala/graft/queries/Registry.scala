@@ -1,0 +1,387 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.analog.Analog
+import graft.credit.Marts
+import graft.operators.Snapshots
+import graft.dq.Checks
+import graft.ext.{Sim, Text}
+
+/** The driver-facing query registry: every implemented operator from
+  * SURVEY.md §2 (plus the LLM-pipeline extensions) exposed as a named
+  * DataFrame query over the testdata tier, each with an ANSI-SQL DuckDB
+  * twin in [[oracles]] producing identical columns, types and values.
+  *
+  * Oracle hash-parity rules applied throughout (SURVEY.md §7.3.1):
+  *  - money goes through DecimalType(18,2) at the scan (exact: the
+  *    testdata doubles are 2dp), sums stay decimal, and the FINAL
+  *    projection casts to double — one deterministic conversion;
+  *  - ratios are a single IEEE division of exact operands;
+  *  - no `pow`/`exp`/`ln` (not correctly-rounded, engine-divergent);
+  *    `+ - * / sqrt` only;
+  *  - array folds are sequential left-to-right in BOTH engines (Spark
+  *    `aggregate`, oracle left-associated `+` chains);
+  *  - every window ordering is total (ts/event_id tiebreakers).
+  */
+object Registry {
+
+  // ---------------------------------------------------------------- Spark
+
+  private def arrears(s: SparkSession, dir: String) = Analog.arrears(Tables(s, dir))
+  private def loans(s: SparkSession, dir: String)   = Analog.loans(Tables(s, dir))
+  private def tiebreak = Seq(col("ts"), col("event_id"))
+
+  private def monthEndDf(s: SparkSession, dir: String): DataFrame =
+    Snapshots.monthEnd(arrears(s, dir), col("loan_id"), col("as_of_date"), tiebreak: _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stg_arrears" -> ((s, dir) =>
+      arrears(s, dir).select(
+        col("event_id"), col("loan_id"), col("as_of_date"), col("days_past_due"),
+        col("past_due_amount_total").cast(DoubleType).as("past_due_amount_total"),
+        col("event_type"), col("dpd_bucket"), col("npl_flag"))),
+
+    "stg_loans" -> ((s, dir) =>
+      loans(s, dir).select(
+        col("loan_id"), col("borrower_id"), col("product_type"), col("currency"),
+        col("origination_date"), col("exposure").cast(DoubleType).as("exposure"))),
+
+    "dpd_daily" -> ((s, dir) =>
+      Marts.dpdDaily(arrears(s, dir), loans(s, dir))
+        .withColumn("exposure", col("exposure").cast(DoubleType))
+        .withColumn("past_due_amount_total", col("past_due_amount_total").cast(DoubleType))),
+
+    "npl_monthly" -> ((s, dir) =>
+      Marts.nplMonthly(Marts.dpdDaily(arrears(s, dir), loans(s, dir)))),
+
+    "month_end" -> ((s, dir) =>
+      monthEndDf(s, dir).select(
+        col("loan_id"), col("month"), col("as_of_date"),
+        col("days_past_due"), col("dpd_bucket"), col("npl_flag"))),
+
+    "bucket_transitions" -> ((s, dir) =>
+      Marts.bucketTransitions(arrears(s, dir), tiebreak: _*)),
+
+    "roll_rate_monthly" -> ((s, dir) =>
+      Marts.rollRateMonthly(Marts.bucketTransitions(arrears(s, dir), tiebreak: _*))),
+
+    "cure_rate_monthly" -> ((s, dir) =>
+      Marts.cureRateMonthly(Marts.bucketTransitions(arrears(s, dir), tiebreak: _*))),
+
+    "vintage_mob" -> ((s, dir) =>
+      Marts.vintageMob(monthEndDf(s, dir), loans(s, dir))),
+
+    "writeoff_recovery_monthly" -> ((s, dir) =>
+      Marts.writeoffRecoveryMonthly(Analog.writeoffs(Tables(s, dir)))),
+
+    "collections_monthly" -> ((s, dir) =>
+      Marts.collectionsMonthly(Analog.payments(Tables(s, dir)), loans(s, dir))),
+
+    "densify_daily" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select(
+          col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("start_date"))
+        .withColumn("end_date", date_add(col("start_date"), (col("o_orderkey") % 5).cast(IntegerType)))
+      Snapshots.densifyDaily(o, col("start_date"), col("end_date"), "day")
+        .select(col("o_orderkey"), col("day"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_id"), col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+        col("ts"), col("event_type"), col("value"))
+      Snapshots.topOnePerGroup(ev,
+          partitionBy = Seq(col("user_id"), col("day")),
+          orderBy = Seq(col("ts").asc, col("event_id").asc))
+        .select(col("event_id"), col("user_id"), col("day"), col("event_type"), col("value"))
+    }),
+
+    "text_stats" -> ((s, dir) => Text.textStats(Tables(s, dir).documents)),
+
+    "near_dup_ngram" -> ((s, dir) => Text.ngramJaccardPairs(Tables(s, dir).documents, 3)),
+
+    "knn_cosine_brute" -> ((s, dir) => Sim.bruteTopK(Tables(s, dir).embeddings, 5)),
+
+    "knn_cosine_lsh" -> ((s, dir) => Sim.lshTopK(Tables(s, dir).embeddings, 5, 6)),
+
+    "dq_suite" -> ((s, dir) =>
+      Checks.suite(arrears(s, dir), loans(s, dir), Analog.payments(Tables(s, dir))))
+  )
+
+  /** Flagship: monthly NPL ratios end-to-end (scan → cast-projection →
+    * bucket/flag derivation → dim join → conditional agg → guarded ratio). */
+  def entry(spark: SparkSession): DataFrame =
+    Marts.nplMonthly(Marts.dpdDaily(
+      arrears(spark, "/root/testdata/sf0.001"), loans(spark, "/root/testdata/sf0.001")))
+
+  // --------------------------------------------------------------- Oracle
+
+  private val arrearsCte =
+    """arrears AS (
+      |  SELECT user_id AS loan_id, CAST(ts AS DATE) AS as_of_date, ts, event_id,
+      |         CAST(floor(value) AS INTEGER) AS days_past_due,
+      |         CAST(value AS DECIMAL(18,2)) AS past_due_amount_total,
+      |         event_type,
+      |         CASE WHEN floor(value) <= 0 THEN '0'
+      |              WHEN floor(value) <= 30 THEN '1-30'
+      |              WHEN floor(value) <= 60 THEN '31-60'
+      |              WHEN floor(value) <= 90 THEN '61-90'
+      |              ELSE '90+' END AS dpd_bucket,
+      |         (COALESCE(event_type = 'error', false) OR floor(value) > 90) AS npl_flag
+      |  FROM events)""".stripMargin
+
+  private val loansCte =
+    """loans AS (
+      |  SELECT c_custkey AS loan_id,
+      |         10000 + c_custkey AS borrower_id,
+      |         c_mktsegment AS product_type,
+      |         'C' || CAST(c_nationkey AS VARCHAR) AS currency,
+      |         DATE '2015-01-01' + CAST(c_custkey * 7 AS INTEGER) AS origination_date,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS exposure
+      |  FROM customer)""".stripMargin
+
+  private val monthEndCte =
+    """month_end AS (
+      |  SELECT loan_id, month, as_of_date, days_past_due, dpd_bucket, npl_flag FROM (
+      |    SELECT a.*, CAST(date_trunc('month', as_of_date) AS DATE) AS month,
+      |           row_number() OVER (PARTITION BY loan_id, date_trunc('month', as_of_date)
+      |                              ORDER BY as_of_date DESC, ts DESC, event_id DESC) AS rn
+      |    FROM arrears a) t WHERE rn = 1)""".stripMargin
+
+  private val transCte =
+    """trans AS (
+      |  SELECT loan_id, month, prev_bucket, dpd_bucket AS curr_bucket FROM (
+      |    SELECT loan_id, month, dpd_bucket,
+      |           lag(dpd_bucket) OVER (PARTITION BY loan_id ORDER BY month) AS prev_bucket
+      |    FROM month_end) t
+      |  WHERE prev_bucket IS NOT NULL)""".stripMargin
+
+  private val payCte =
+    """pay AS (
+      |  SELECT o.o_custkey AS loan_id, CAST(l.l_shipdate AS DATE) AS payment_date,
+      |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS amount_received,
+      |         l.l_returnflag AS currency
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""".stripMargin
+
+  private val writeoffCte =
+    """wo AS (
+      |  SELECT o_orderkey AS loan_id,
+      |         CAST(o_orderdate AS DATE) AS writeoff_date,
+      |         CASE WHEN o_orderstatus = 'F' THEN CAST(o_orderdate AS DATE) + 30 END AS recovery_date,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.70 AS DECIMAL(4,2)) AS writeoff_amount_principal,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.20 AS DECIMAL(4,2)) AS writeoff_amount_interest,
+      |         NULLIF(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(4,2)), 0) AS writeoff_amount_fees,
+      |         CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(4,2)) END AS recovery_amount
+      |  FROM orders)""".stripMargin
+
+  private val embeddingDim = 64
+
+  private def dotChain(a: String, b: String): String =
+    (1 to embeddingDim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE").mkString(" + ")
+
+  private def nsqChain: String =
+    (1 to embeddingDim).map(i => s"embedding[$i]::DOUBLE * embedding[$i]::DOUBLE").mkString(" + ")
+
+  /** Hyperplane component constants mirror [[Sim.lshBucket]]'s integer
+    * arithmetic exactly; the SQL re-derives the double with the same IEEE
+    * ops (int::DOUBLE / 1000.0 - 0.5) instead of a decimal literal. */
+  private def lshProjChain(nBits: Int): Seq[String] =
+    (0 until nBits).map { j =>
+      (1 to embeddingDim).map { i =>
+        val k = (((i - 1).toLong * 2654435761L + j.toLong * 40503L + 97L) % 1000L)
+        s"embedding[$i]::DOUBLE * ($k::DOUBLE / 1000.0 - 0.5)"
+      }.mkString(" + ")
+    }
+
+  val oracles: Map[String, String] = Map(
+    "stg_arrears" ->
+      s"""WITH $arrearsCte
+         |SELECT event_id, loan_id, as_of_date, days_past_due,
+         |       CAST(past_due_amount_total AS DOUBLE) AS past_due_amount_total,
+         |       event_type, dpd_bucket, npl_flag
+         |FROM arrears""".stripMargin,
+
+    "stg_loans" ->
+      s"""WITH $loansCte
+         |SELECT loan_id, borrower_id, product_type, currency, origination_date,
+         |       CAST(exposure AS DOUBLE) AS exposure
+         |FROM loans""".stripMargin,
+
+    "dpd_daily" ->
+      s"""WITH $arrearsCte, $loansCte
+         |SELECT a.as_of_date, a.loan_id, l.borrower_id, l.product_type, l.currency,
+         |       l.origination_date, CAST(l.exposure AS DOUBLE) AS exposure,
+         |       a.days_past_due, a.dpd_bucket, a.npl_flag,
+         |       CAST(a.past_due_amount_total AS DOUBLE) AS past_due_amount_total
+         |FROM arrears a JOIN loans l ON a.loan_id = l.loan_id""".stripMargin,
+
+    "npl_monthly" ->
+      s"""WITH $arrearsCte, $loansCte
+         |SELECT month, product_type, currency,
+         |       CAST(total_exposure_dec AS DOUBLE) AS total_exposure,
+         |       CAST(npl_exposure_dec AS DOUBLE) AS npl_exposure,
+         |       CASE WHEN total_exposure_dec = 0 THEN NULL
+         |            ELSE CAST(npl_exposure_dec AS DOUBLE) / CAST(total_exposure_dec AS DOUBLE) END AS npl_ratio
+         |FROM (
+         |  SELECT CAST(date_trunc('month', a.as_of_date) AS DATE) AS month,
+         |         l.product_type, l.currency,
+         |         SUM(l.exposure) AS total_exposure_dec,
+         |         SUM(CASE WHEN a.npl_flag THEN l.exposure ELSE 0 END) AS npl_exposure_dec
+         |  FROM arrears a JOIN loans l ON a.loan_id = l.loan_id
+         |  GROUP BY 1, 2, 3) g""".stripMargin,
+
+    "month_end" ->
+      s"""WITH $arrearsCte, $monthEndCte
+         |SELECT loan_id, month, as_of_date, days_past_due, dpd_bucket, npl_flag
+         |FROM month_end""".stripMargin,
+
+    "bucket_transitions" ->
+      s"""WITH $arrearsCte, $monthEndCte, $transCte
+         |SELECT loan_id, month, prev_bucket, curr_bucket FROM trans""".stripMargin,
+
+    "roll_rate_monthly" ->
+      s"""WITH $arrearsCte, $monthEndCte, $transCte
+         |SELECT month, prev_bucket, curr_bucket, count(*) AS loans_cnt
+         |FROM trans GROUP BY 1, 2, 3""".stripMargin,
+
+    "cure_rate_monthly" ->
+      s"""WITH $arrearsCte, $monthEndCte, $transCte
+         |SELECT month, prev_delinquent_cnt, cured_cnt,
+         |       CASE WHEN prev_delinquent_cnt = 0 THEN NULL
+         |            ELSE CAST(cured_cnt AS DOUBLE) / CAST(prev_delinquent_cnt AS DOUBLE) END AS cure_rate
+         |FROM (
+         |  SELECT month,
+         |         count(*) FILTER (WHERE prev_bucket <> '0') AS prev_delinquent_cnt,
+         |         count(*) FILTER (WHERE prev_bucket <> '0' AND curr_bucket = '0') AS cured_cnt
+         |  FROM trans GROUP BY 1) g""".stripMargin,
+
+    "vintage_mob" ->
+      s"""WITH $arrearsCte, $loansCte, $monthEndCte
+         |SELECT cohort_q, mob, loans_cnt, delinquent_cnt, npl_cnt,
+         |       CASE WHEN loans_cnt = 0 THEN NULL
+         |            ELSE CAST(delinquent_cnt AS DOUBLE) / CAST(loans_cnt AS DOUBLE) END AS delinquent_rate,
+         |       CASE WHEN loans_cnt = 0 THEN NULL
+         |            ELSE CAST(npl_cnt AS DOUBLE) / CAST(loans_cnt AS DOUBLE) END AS npl_rate
+         |FROM (
+         |  SELECT cohort_q, mob, count(*) AS loans_cnt,
+         |         CAST(SUM(CASE WHEN days_past_due > 0 THEN 1 ELSE 0 END) AS BIGINT) AS delinquent_cnt,
+         |         CAST(SUM(CASE WHEN days_past_due > 90 THEN 1 ELSE 0 END) AS BIGINT) AS npl_cnt
+         |  FROM (
+         |    SELECT CAST(date_trunc('quarter', l.origination_date) AS DATE) AS cohort_q,
+         |           CAST(date_part('year', age(m.month, l.origination_date)) * 12
+         |                + date_part('month', age(m.month, l.origination_date)) AS INTEGER) AS mob,
+         |           m.days_past_due
+         |    FROM month_end m JOIN loans l ON m.loan_id = l.loan_id) p
+         |  WHERE mob >= 0
+         |  GROUP BY 1, 2) g""".stripMargin,
+
+    "writeoff_recovery_monthly" ->
+      s"""WITH $writeoffCte
+         |SELECT month,
+         |       CAST(writeoff_total_dec AS DOUBLE) AS writeoff_total,
+         |       CAST(recovery_total_dec AS DOUBLE) AS recovery_total
+         |FROM (
+         |  SELECT CAST(date_trunc('month', COALESCE(recovery_date, writeoff_date)) AS DATE) AS month,
+         |         SUM(COALESCE(writeoff_amount_principal, 0) + COALESCE(writeoff_amount_interest, 0)
+         |             + COALESCE(writeoff_amount_fees, 0)) AS writeoff_total_dec,
+         |         SUM(COALESCE(recovery_amount, 0)) AS recovery_total_dec
+         |  FROM wo GROUP BY 1) g""".stripMargin,
+
+    "collections_monthly" ->
+      s"""WITH $payCte, $loansCte
+         |SELECT month, product_type, currency, CAST(s AS DOUBLE) AS collected_amount
+         |FROM (
+         |  SELECT CAST(date_trunc('month', p.payment_date) AS DATE) AS month,
+         |         lo.product_type, p.currency, SUM(p.amount_received) AS s
+         |  FROM pay p JOIN loans lo ON p.loan_id = lo.loan_id
+         |  GROUP BY 1, 2, 3) g""".stripMargin,
+
+    "densify_daily" ->
+      """SELECT o_orderkey, CAST(d AS DATE) AS day FROM (
+        |  SELECT o_orderkey,
+        |         unnest(generate_series(CAST(o_orderdate AS DATE),
+        |                CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INTEGER),
+        |                INTERVAL 1 DAY)) AS d
+        |  FROM orders) t""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT event_id, user_id, day, event_type, value FROM (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS day, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT doc_id, lang, source, n_chars,
+         |       length(text) AS char_cnt,
+         |       len(string_split(text, ' ')) AS token_cnt,
+         |       len(list_distinct(string_split(text, ' '))) AS distinct_tokens,
+         |       len(list_filter(string_split(text, ' '), t -> t IN (${Text.Stopwords.map("'" + _ + "'").mkString(",")}))) AS stopword_cnt,
+         |       CAST(len(list_filter(string_split(text, ' '), t -> t IN (${Text.Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+         |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+         |       CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN (${Text.Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |                 / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+         |            THEN 'en' ELSE 'other' END AS lang_pred,
+         |       CAST(list_sum(list_transform(string_split(text, ' '),
+         |              (t, i) -> i * 1000003 + length(t) * 31 + ascii(t))) % 2147483647 AS BIGINT) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "near_dup_ngram" ->
+      """WITH docsh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN CAST([] AS VARCHAR[])
+        |              ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |                     s -> array_to_string(string_split(text, ' ')[s:s+2], ' ')) END) AS sh
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS common_shingles,
+        |       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |         / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
+        |FROM cand c JOIN docsh x ON c.doc_a = x.doc_id JOIN docsh y ON c.doc_b = y.doc_id""".stripMargin,
+
+    "knn_cosine_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ($nsqChain) AS nsq FROM embeddings)
+         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |         (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |            ORDER BY (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+         |WHERE rank <= 5""".stripMargin,
+
+    "knn_cosine_lsh" -> {
+      val projs = lshProjChain(6)
+      val bucketExpr = projs.zipWithIndex
+        .map { case (p, j) => s"CASE WHEN ($p) >= 0 THEN ${1L << j} ELSE 0 END" }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding, ($nsqChain) AS nsq, ($bucketExpr) AS bucket FROM embeddings)
+         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |         (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |            ORDER BY (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+         |WHERE rank <= 5""".stripMargin
+    },
+
+    "dq_suite" ->
+      s"""WITH $arrearsCte, $loansCte, $payCte
+         |SELECT 'loans_loan_id_not_null' AS check_name, count(*) AS violations FROM loans WHERE loan_id IS NULL
+         |UNION ALL SELECT 'loans_loan_id_unique', count(*) FROM (SELECT loan_id FROM loans GROUP BY loan_id HAVING count(*) > 1) t
+         |UNION ALL SELECT 'arrears_loan_id_not_null', count(*) FROM arrears WHERE loan_id IS NULL
+         |UNION ALL SELECT 'arrears_as_of_date_not_null', count(*) FROM arrears WHERE as_of_date IS NULL
+         |UNION ALL SELECT 'arrears_loan_fk', count(*) FROM arrears a WHERE NOT EXISTS (SELECT 1 FROM loans l WHERE l.loan_id = a.loan_id)
+         |UNION ALL SELECT 'payments_loan_fk', count(*) FROM pay p WHERE NOT EXISTS (SELECT 1 FROM loans l WHERE l.loan_id = p.loan_id)
+         |UNION ALL SELECT 'payments_amount_not_null', count(*) FROM pay WHERE amount_received IS NULL""".stripMargin
+  )
+}

@@ -38,7 +38,7 @@ object Registry {
   private def monthEndDf(s: SparkSession, dir: String): DataFrame =
     Snapshots.monthEnd(arrears(s, dir), col("loan_id"), col("as_of_date"), tiebreak: _*)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stg_arrears" -> ((s, dir) =>
       arrears(s, dir).select(
         col("event_id"), col("loan_id"), col("as_of_date"), col("days_past_due"),
@@ -112,6 +112,9 @@ object Registry {
     "dq_suite" -> ((s, dir) =>
       Checks.suite(arrears(s, dir), loans(s, dir), Analog.payments(Tables(s, dir))))
   )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ SynthRegistry.queries
 
   /** Flagship: monthly NPL ratios end-to-end (scan → cast-projection →
     * bucket/flag derivation → dim join → conditional agg → guarded ratio). */
@@ -198,7 +201,7 @@ object Registry {
       }.mkString(" + ")
     }
 
-  val oracles: Map[String, String] = Map(
+  private val coreOracles: Map[String, String] = Map(
     "stg_arrears" ->
       s"""WITH $arrearsCte
          |SELECT event_id, loan_id, as_of_date, days_past_due,
@@ -384,4 +387,6 @@ object Registry {
          |UNION ALL SELECT 'payments_loan_fk', count(*) FROM pay p WHERE NOT EXISTS (SELECT 1 FROM loans l WHERE l.loan_id = p.loan_id)
          |UNION ALL SELECT 'payments_amount_not_null', count(*) FROM pay WHERE amount_received IS NULL""".stripMargin
   )
+
+  val oracles: Map[String, String] = coreOracles ++ SynthRegistry.oracles
 }

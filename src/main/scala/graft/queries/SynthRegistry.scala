@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.synth.Synth
+import graft.synth.Synth.Rng.uSql
+
+/** Driver registrations for the synthesis pipeline (G1–G11): the Spark
+  * generator is pure deterministic arithmetic (see [[Synth]]), so the
+  * DuckDB oracle can re-derive the SAME world from `range()` + the same
+  * LCG formulas — the generator itself is correctness-checked, not just
+  * the queries over its output.
+  *
+  * The annuity schedule (typed flatMap, `math.pow`) has NO oracle entry
+  * on purpose: `pow` is not IEEE-correctly-rounded and engine-divergent,
+  * so it gets the driver's weaker rows-only check plus ScalaTest
+  * property tests (balance retires to 0, dues conserve principal).
+  */
+object SynthRegistry {
+
+  private def sl(s: SparkSession) = Synth.scheduleLinear(Synth.loans(s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "synth_loans" -> ((s, _) =>
+      Synth.loans(s).select(
+        col("loan_id"), col("borrower_id"), col("application_id"),
+        col("product_type"), col("currency"), col("origination_date"),
+        col("term_months"), col("principal"), col("annual_rate"),
+        col("is_default"), col("is_late"), col("is_partial"),
+        col("repayment_method"), col("interest_rate_type"),
+        col("created_hours_before"), col("maturity_date"))),
+
+    "synth_schedule" -> ((s, _) =>
+      sl(s).select(
+        col("loan_id"), col("installment_no"), col("due_date"),
+        col("principal_due"), col("interest_due"), col("total_due"),
+        col("opening_balance"), col("closing_balance"))),
+
+    "synth_payments" -> ((s, _) =>
+      Synth.payments(sl(s)).select(
+        col("loan_id"), col("installment_no"), col("due_date"), col("payment_date"),
+        col("delay_days"), col("late_inst"), col("partial_inst"), col("amount_received"))),
+
+    "synth_waterfall" -> ((s, _) => Synth.waterfall(Synth.payments(sl(s)))),
+
+    "synth_dpd_snapshots" -> ((s, _) => Synth.dpdSnapshots(Synth.payments(sl(s)))),
+
+    "synth_rate_schedule" -> ((s, _) => Synth.rateSchedule(Synth.loans(s))),
+
+    "synth_chronology_audit" -> ((s, _) => Synth.chronologyAudit(Synth.loans(s))),
+
+    // rows-only check (no oracle): sequential annuity recurrence uses pow
+    "synth_annuity_schedule" -> ((s, _) => Synth.scheduleAnnuity(Synth.loans(s)).toDF())
+  )
+
+  // --------------------------------------------------------------- SQL
+
+  private val id = "id"
+
+  private val loansCte =
+    s"""synth_loans AS (
+       |  SELECT id + 1 AS loan_id,
+       |         10000 + CAST(floor(${uSql(id, Synth.SaltBorrower)} * 2000) AS BIGINT) AS borrower_id,
+       |         100000000 + CAST(floor(${uSql(id, Synth.SaltApplication)} * 3000) AS BIGINT) AS application_id,
+       |         (['consumer','auto','mortgage','sme'])[CAST(floor(${uSql(id, Synth.SaltProduct)} * 4) AS INTEGER) + 1] AS product_type,
+       |         (['EUR','USD','GBP'])[CAST(floor(${uSql(id, Synth.SaltCurrency)} * 3) AS INTEGER) + 1] AS currency,
+       |         DATE '2015-01-01' + CAST(floor(${uSql(id, Synth.SaltOrigDate)} * 3652) AS INTEGER) AS origination_date,
+       |         6 + CAST(floor(${uSql(id, Synth.SaltTerm)} * 67) AS INTEGER) AS term_months,
+       |         50000 + CAST(floor(${uSql(id, Synth.SaltPrincipal)} * 4950000) AS BIGINT) AS principal_cents,
+       |         300 + CAST(floor(${uSql(id, Synth.SaltRate)} * 1900) AS BIGINT) AS rate_bp,
+       |         ${uSql(id, Synth.SaltDefault)} < 0.03 AS is_default,
+       |         ${uSql(id, Synth.SaltLate)} < 0.18 AS is_late,
+       |         ${uSql(id, Synth.SaltPartial)} < 0.10 AS is_partial,
+       |         CASE WHEN ${uSql(id, Synth.SaltMethod)} < 0.5 THEN 'linear' ELSE 'annuity' END AS repayment_method,
+       |         CASE WHEN ${uSql(id, Synth.SaltVariable)} < 0.35 THEN 'variable' ELSE 'fixed' END AS interest_rate_type,
+       |         3 + CAST(floor(${uSql(id, Synth.SaltCreatedH)} * 69) AS BIGINT) AS created_hours_before
+       |  FROM range(0, 1500) t(id))""".stripMargin
+
+  private val schedCte =
+    """sched AS (
+      |  SELECT *, principal_due_cents + interest_due_cents AS total_due_cents,
+      |         CAST(origination_date + INTERVAL (installment_no) MONTH AS DATE) AS due_date
+      |  FROM (
+      |    SELECT *, (opening_cents * rate_bp) // 120000 AS interest_due_cents
+      |    FROM (
+      |      SELECT *,
+      |             principal_cents - pd_cents_base * (installment_no - 1) AS opening_cents,
+      |             CASE WHEN installment_no = term_months
+      |                  THEN principal_cents - pd_cents_base * (term_months - 1)
+      |                  ELSE pd_cents_base END AS principal_due_cents
+      |      FROM (
+      |        SELECT l.*, CAST(unnest(generate_series(1, term_months)) AS INTEGER) AS installment_no,
+      |               principal_cents // term_months AS pd_cents_base
+      |        FROM synth_loans l) a) b) c)""".stripMargin
+
+  private val instKeySql = "(loan_id * 200 + installment_no)"
+
+  private val payCte =
+    s"""spay AS (
+       |  SELECT *, (owed_cents * frac_ppm) // 1000000 AS amount_cents
+       |  FROM (
+       |    SELECT *,
+       |           total_due_cents + fee_cents + penalty_cents AS owed_cents,
+       |           is_partial AND ${uSql(instKeySql, Synth.SaltInstPartial)} < 0.5 AS partial_inst,
+       |           CASE WHEN is_partial AND ${uSql(instKeySql, Synth.SaltInstPartial)} < 0.5
+       |                THEN 300000 + CAST(floor(${uSql(instKeySql, Synth.SaltInstFrac)} * 500001) AS BIGINT)
+       |                ELSE 1000000 END AS frac_ppm
+       |    FROM (
+       |      SELECT *,
+       |             due_date + delay_days AS payment_date,
+       |             CASE WHEN late_inst THEN 500 + CAST(floor(${uSql(instKeySql, Synth.SaltInstFee)} * 3500) AS BIGINT) ELSE 0 END AS fee_cents,
+       |             (total_due_cents * 12 * delay_days) // 36500 AS penalty_cents
+       |      FROM (
+       |        SELECT *,
+       |               is_late AND ${uSql(instKeySql, Synth.SaltInstLate)} < 0.5 AS late_inst,
+       |               CASE WHEN is_late AND ${uSql(instKeySql, Synth.SaltInstLate)} < 0.5
+       |                    THEN 1 + CAST(floor(${uSql(instKeySql, Synth.SaltInstDelay)} * 90) AS INTEGER)
+       |                    ELSE 0 END AS delay_days
+       |        FROM sched
+       |        WHERE NOT is_default OR installment_no <= (term_months * 3) // 10) d) e) f)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "synth_loans" ->
+      s"""WITH $loansCte
+         |SELECT loan_id, borrower_id, application_id, product_type, currency,
+         |       origination_date, term_months,
+         |       CAST(principal_cents AS DOUBLE) / 100.0 AS principal,
+         |       CAST(rate_bp AS DOUBLE) / 10000.0 AS annual_rate,
+         |       is_default, is_late, is_partial, repayment_method, interest_rate_type,
+         |       created_hours_before,
+         |       CAST(origination_date + INTERVAL (term_months) MONTH AS DATE) AS maturity_date
+         |FROM synth_loans""".stripMargin,
+
+    "synth_schedule" ->
+      s"""WITH $loansCte, $schedCte
+         |SELECT loan_id, installment_no, due_date,
+         |       CAST(principal_due_cents AS DOUBLE) / 100.0 AS principal_due,
+         |       CAST(interest_due_cents AS DOUBLE) / 100.0 AS interest_due,
+         |       CAST(total_due_cents AS DOUBLE) / 100.0 AS total_due,
+         |       CAST(opening_cents AS DOUBLE) / 100.0 AS opening_balance,
+         |       CAST(opening_cents - principal_due_cents AS DOUBLE) / 100.0 AS closing_balance
+         |FROM sched""".stripMargin,
+
+    "synth_payments" ->
+      s"""WITH $loansCte, $schedCte, $payCte
+         |SELECT loan_id, installment_no, due_date, payment_date, delay_days,
+         |       late_inst, partial_inst,
+         |       CAST(amount_cents AS DOUBLE) / 100.0 AS amount_received
+         |FROM spay""".stripMargin,
+
+    "synth_waterfall" ->
+      s"""WITH $loansCte, $schedCte, $payCte
+         |SELECT loan_id, installment_no,
+         |       CAST(amount_cents AS DOUBLE) / 100.0 AS amount,
+         |       CAST(alloc_penalty AS DOUBLE) / 100.0 AS alloc_penalty,
+         |       CAST(alloc_fees AS DOUBLE) / 100.0 AS alloc_fees,
+         |       CAST(alloc_interest AS DOUBLE) / 100.0 AS alloc_interest,
+         |       CAST(alloc_principal AS DOUBLE) / 100.0 AS alloc_principal,
+         |       CAST(rem3 - alloc_principal AS DOUBLE) / 100.0 AS alloc_other
+         |FROM (
+         |  SELECT *, LEAST(rem3, principal_due_cents) AS alloc_principal
+         |  FROM (
+         |    SELECT *, rem2 - alloc_interest AS rem3
+         |    FROM (
+         |      SELECT *, LEAST(rem2, interest_due_cents) AS alloc_interest
+         |      FROM (
+         |        SELECT *, rem1 - alloc_fees AS rem2
+         |        FROM (
+         |          SELECT *, LEAST(rem1, fee_cents) AS alloc_fees
+         |          FROM (
+         |            SELECT *, amount_cents - alloc_penalty AS rem1
+         |            FROM (
+         |              SELECT *, LEAST(amount_cents, penalty_cents) AS alloc_penalty
+         |              FROM spay) p1) p2) p3) p4) p5) p6) p7""".stripMargin,
+
+    "synth_dpd_snapshots" ->
+      s"""WITH $loansCte, $schedCte, $payCte
+         |SELECT loan_id, installment_no, CAST(d AS DATE) AS as_of_date,
+         |       CAST(date_diff('day', due_date, CAST(d AS DATE)) AS INTEGER) AS days_past_due,
+         |       CASE WHEN date_diff('day', due_date, CAST(d AS DATE)) <= 0 THEN '0'
+         |            WHEN date_diff('day', due_date, CAST(d AS DATE)) <= 30 THEN '1-30'
+         |            WHEN date_diff('day', due_date, CAST(d AS DATE)) <= 60 THEN '31-60'
+         |            WHEN date_diff('day', due_date, CAST(d AS DATE)) <= 90 THEN '61-90'
+         |            ELSE '90+' END AS dpd_bucket,
+         |       date_diff('day', due_date, CAST(d AS DATE)) BETWEEN 5 AND 30 AS early_arrears_flag,
+         |       date_diff('day', due_date, CAST(d AS DATE)) > 90 AS nonperforming_flag
+         |FROM (
+         |  SELECT *, unnest(generate_series(due_date, LEAST(payment_date, due_date + 180), INTERVAL 1 DAY)) AS d
+         |  FROM spay) s""".stripMargin,
+
+    "synth_rate_schedule" ->
+      s"""WITH $loansCte,
+         |v AS (SELECT *, 1 + CAST(floor(${uSql("loan_id", Synth.SaltNEvents)} * 3) AS INTEGER) AS n_events
+         |      FROM synth_loans WHERE interest_rate_type = 'variable'),
+         |ev AS (SELECT loan_id, term_months, origination_date, n_events,
+         |              CAST(unnest(generate_series(0, n_events - 1)) AS INTEGER) AS event_no
+         |       FROM v),
+         |ev2 AS (SELECT *,
+         |               CAST(origination_date + INTERVAL ((event_no * term_months) // n_events) MONTH AS DATE) AS effective_from,
+         |               300 + CAST(floor(${uSql("(loan_id * 10 + event_no)", Synth.SaltEvtRate)} * 1900) AS BIGINT) AS rate_bp_event
+         |        FROM ev)
+         |SELECT loan_id, event_no, effective_from,
+         |       lead(effective_from) OVER (PARTITION BY loan_id ORDER BY event_no) - 1 AS effective_to,
+         |       CAST(rate_bp_event AS DOUBLE) / 10000.0 AS annual_rate
+         |FROM ev2""".stripMargin,
+
+    "synth_chronology_audit" ->
+      s"""WITH $loansCte
+         |SELECT 'created_after_application' AS check_name, count(*) AS violations FROM synth_loans WHERE created_hours_before < 0
+         |UNION ALL SELECT 'origination_after_maturity', count(*) FROM synth_loans
+         |  WHERE origination_date > CAST(origination_date + INTERVAL (term_months) MONTH AS DATE)
+         |UNION ALL SELECT 'nonpositive_term', count(*) FROM synth_loans WHERE term_months <= 0""".stripMargin
+  )
+}

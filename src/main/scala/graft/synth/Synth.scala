@@ -1,0 +1,300 @@
+package graft.synth
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's OLTP synthesizer (`airflows/generator/pg_oltp_synth.py`,
+  * G1–G11 in SURVEY.md §2.9) re-expressed as a deterministic, fully
+  * relational Spark program: `spark.range` mints entities, column
+  * arithmetic replaces Python's `random`, `explode(sequence(...))`
+  * replaces the per-loan while-loops, and a window `lead` builds the
+  * SCD-2 rate intervals. No driver-side loops, no UDFs (the one stateful
+  * recurrence — the annuity balance — uses a typed `flatMap`, SURVEY.md
+  * §2.11).
+  *
+  * Determinism & oracle parity:
+  *  - randomness is [[Rng.u]], a two-round LCG over (id, salt) — pure
+  *    integer arithmetic reproducible bit-exactly in ANSI SQL (unlike
+  *    `rand(seed)`, which is partitioning-dependent and engine-private);
+  *  - money is integer CENTS end-to-end; division is integer `div` with
+  *    the remainder folded into the last installment, so conservation
+  *    laws (sum of principal dues == principal; waterfall allocations
+  *    sum to the payment) hold EXACTLY, not up-to-rounding;
+  *  - doubles appear only as final `cents/100.0` projections.
+  *
+  * Scale posture: generation is embarrassingly parallel over loan ids
+  * (`spark.range` partitions), the schedule/payment/snapshot expansions
+  * are narrow per-partition flatMaps/explodes (no shuffle until a
+  * downstream agg), and row counts grow linearly with `nLoans` — the
+  * same program shapes a 1000-executor 100 TB synthesis run.
+  *
+  * Reference sites: volumes `pg_oltp_synth.py:26-28`; behavior rates
+  * `:39-45`; schedule unrolling `:391-473`; payment derivation
+  * `:562-644`; waterfall `:647-661`; snapshot expansion `:667-692`;
+  * SCD-2 rates `:344-388`; chronology rules `README.MD:55-82`.
+  */
+object Synth {
+
+  /** Engine-agnostic deterministic uniform [0,1): two LCG rounds over a
+    * non-negative integer key plus a salt. All intermediates stay well
+    * below 2^63 (key < 2^31), so the same expression evaluates without
+    * overflow — and bit-identically — in any int64 SQL engine. */
+  object Rng {
+    val M = 2147483648L // 2^31
+    val A = 1103515245L
+    val C = 12345L
+    def u(key: Column, salt: Long): Column = {
+      val h1 = (key * lit(A) + lit(salt)) % lit(M)
+      val h2 = (h1 * lit(A) + lit(C)) % lit(M)
+      h2.cast(DoubleType) / lit(M.toDouble)
+    }
+    /** SQL twin of [[u]] for the DuckDB oracle. */
+    def uSql(key: String, salt: Long): String =
+      s"CAST((((($key) * $A + $salt) % $M) * $A + $C) % $M AS DOUBLE) / $M.0"
+  }
+
+  final case class Config(
+      nBorrowers: Int = 2000,
+      nApplications: Int = 3000,
+      nLoans: Int = 1500,
+      startDate: String = "2015-01-01",
+      spanDays: Int = 3652,      // -> 2024-12-31
+      minTerm: Int = 6,
+      maxTerm: Int = 72,
+      minPrincipalCents: Long = 50000L,       // 500.00
+      principalRangeCents: Long = 4950000L,   // ..50,000.00
+      minRateBp: Long = 300L,                 // 3%
+      rateRangeBp: Long = 1900L,              // ..22%
+      pLate: Double = 0.18,
+      pPartial: Double = 0.10,
+      pDefault: Double = 0.03,
+      pVariableRate: Double = 0.35,
+      snapshotCapDays: Int = 180)
+
+  import Rng.u
+
+  // Salts (one per independent draw — mirrored in the oracle SQL).
+  val SaltBorrower = 1L;  val SaltApplication = 2L; val SaltProduct = 3L
+  val SaltCurrency = 4L;  val SaltOrigDate = 5L;    val SaltTerm = 6L
+  val SaltPrincipal = 7L; val SaltRate = 8L;        val SaltDefault = 9L
+  val SaltLate = 10L;     val SaltPartial = 11L;    val SaltMethod = 12L
+  val SaltVariable = 13L; val SaltNEvents = 14L;    val SaltEvtRate = 15L
+  val SaltCreatedH = 16L
+  val SaltInstLate = 21L; val SaltInstDelay = 22L;  val SaltInstPartial = 23L
+  val SaltInstFrac = 24L; val SaltInstFee = 25L
+
+  /** G1–G4 + G11: the loan_contract dimension with behavior tags.
+    * Columns mirror `stg_loan_contract.sql` plus the generator's hidden
+    * behavior flags. */
+  def loans(spark: SparkSession, cfg: Config = Config()): DataFrame = {
+    val id = col("id")
+    val start = to_date(lit(cfg.startDate))
+    spark.range(cfg.nLoans).select(
+      (id + 1).as("loan_id"),
+      (lit(10000L) + floor(u(id, SaltBorrower) * cfg.nBorrowers).cast(LongType)).as("borrower_id"),
+      (lit(100000000L) + floor(u(id, SaltApplication) * cfg.nApplications).cast(LongType)).as("application_id"),
+      element_at(
+        array(lit("consumer"), lit("auto"), lit("mortgage"), lit("sme")),
+        (floor(u(id, SaltProduct) * 4) + 1).cast(IntegerType)).as("product_type"),
+      element_at(
+        array(lit("EUR"), lit("USD"), lit("GBP")),
+        (floor(u(id, SaltCurrency) * 3) + 1).cast(IntegerType)).as("currency"),
+      date_add(start, floor(u(id, SaltOrigDate) * cfg.spanDays).cast(IntegerType)).as("origination_date"),
+      (lit(cfg.minTerm) + floor(u(id, SaltTerm) * (cfg.maxTerm - cfg.minTerm + 1)).cast(IntegerType)).as("term_months"),
+      (lit(cfg.minPrincipalCents) + floor(u(id, SaltPrincipal) * cfg.principalRangeCents).cast(LongType)).as("principal_cents"),
+      (lit(cfg.minRateBp) + floor(u(id, SaltRate) * cfg.rateRangeBp).cast(LongType)).as("rate_bp"),
+      (u(id, SaltDefault) < cfg.pDefault).as("is_default"),
+      (u(id, SaltLate) < cfg.pLate).as("is_late"),
+      (u(id, SaltPartial) < cfg.pPartial).as("is_partial"),
+      when(u(id, SaltMethod) < 0.5, lit("linear")).otherwise(lit("annuity")).as("repayment_method"),
+      when(u(id, SaltVariable) < cfg.pVariableRate, lit("variable")).otherwise(lit("fixed")).as("interest_rate_type"),
+      (lit(3L) + floor(u(id, SaltCreatedH) * 69).cast(LongType)).as("created_hours_before"))
+      .withColumn("principal", col("principal_cents").cast(DoubleType) / 100.0)
+      .withColumn("annual_rate", col("rate_bp").cast(DoubleType) / 10000.0)
+      .withColumn("maturity_date", add_months(col("origination_date"), col("term_months")))
+  }
+
+  /** G5 (linear amortization, closed form — M2): one row per installment.
+    * `principal_due` is `principal div term` cents with the remainder on
+    * the final installment, so the dues sum EXACTLY to the principal;
+    * interest is declining-balance on the exact opening-balance closed
+    * form (M3 without recursion). */
+  def scheduleLinear(loans: DataFrame): DataFrame = {
+    val pdCents = expr("principal_cents div term_months")
+    loans
+      .withColumn("installment_no", explode(sequence(lit(1), col("term_months"))))
+      .withColumn("pd_cents_base", pdCents)
+      .withColumn("opening_cents", col("principal_cents") - col("pd_cents_base") * (col("installment_no") - 1))
+      .withColumn("principal_due_cents",
+        when(col("installment_no") === col("term_months"),
+          col("principal_cents") - col("pd_cents_base") * (col("term_months") - 1))
+          .otherwise(col("pd_cents_base")))
+      .withColumn("interest_due_cents", expr("(opening_cents * rate_bp) div 120000"))
+      .withColumn("total_due_cents", col("principal_due_cents") + col("interest_due_cents"))
+      .withColumn("due_date", add_months(col("origination_date"), col("installment_no")))
+      .select(
+        col("loan_id"), col("installment_no"), col("due_date"),
+        (col("principal_due_cents").cast(DoubleType) / 100.0).as("principal_due"),
+        (col("interest_due_cents").cast(DoubleType) / 100.0).as("interest_due"),
+        (col("total_due_cents").cast(DoubleType) / 100.0).as("total_due"),
+        (col("opening_cents").cast(DoubleType) / 100.0).as("opening_balance"),
+        ((col("opening_cents") - col("principal_due_cents")).cast(DoubleType) / 100.0).as("closing_balance"),
+        col("principal_due_cents"), col("interest_due_cents"), col("total_due_cents"),
+        col("is_default"), col("is_late"), col("is_partial"),
+        col("term_months"), col("rate_bp"))
+  }
+
+  /** Per-installment draw key: unique, < 2^31 for any realistic nLoans. */
+  private def instKey: Column = col("loan_id") * 200 + col("installment_no")
+
+  /** G6: payment events derived from the schedule + behavior tags —
+    * on-time/late (1–90d)/partial (30–80%)/skipped-after-default, plus a
+    * flat late fee and the M4 daily penalty accrual (both integer cents). */
+  def payments(schedule: DataFrame): DataFrame =
+    schedule
+      .withColumn("default_after", expr("(term_months * 3) div 10"))
+      .filter(!col("is_default") || col("installment_no") <= col("default_after"))
+      .withColumn("late_inst", col("is_late") && (u(instKey, SaltInstLate) < 0.5))
+      .withColumn("delay_days",
+        when(col("late_inst"), (lit(1) + floor(u(instKey, SaltInstDelay) * 90)).cast(IntegerType))
+          .otherwise(lit(0)))
+      .withColumn("payment_date", date_add(col("due_date"), col("delay_days")))
+      .withColumn("fee_cents",
+        when(col("late_inst"), lit(500L) + floor(u(instKey, SaltInstFee) * 3500).cast(LongType))
+          .otherwise(lit(0L)))
+      // M4: total_due * (12%/365) * days_late, in exact cents
+      .withColumn("penalty_cents", expr("(total_due_cents * 12 * delay_days) div 36500"))
+      .withColumn("owed_cents", col("total_due_cents") + col("fee_cents") + col("penalty_cents"))
+      .withColumn("partial_inst", col("is_partial") && (u(instKey, SaltInstPartial) < 0.5))
+      .withColumn("frac_ppm",
+        when(col("partial_inst"), lit(300000L) + floor(u(instKey, SaltInstFrac) * 500001).cast(LongType))
+          .otherwise(lit(1000000L)))
+      .withColumn("amount_cents", expr("(owed_cents * frac_ppm) div 1000000"))
+      .select(
+        col("loan_id"), col("installment_no"), col("due_date"), col("payment_date"),
+        col("delay_days"), col("late_inst"), col("partial_inst"),
+        col("principal_due_cents"), col("interest_due_cents"),
+        col("fee_cents"), col("penalty_cents"), col("amount_cents"),
+        (col("amount_cents").cast(DoubleType) / 100.0).as("amount_received"))
+
+  /** G7: the payment-allocation waterfall — penalty → fees → interest →
+    * principal → other, each `least(remaining, due)`, exact in cents so
+    * the allocations sum to the payment by construction
+    * (`pg_oltp_synth.py:647-661`; the reference's discarded careful
+    * waterfall is the real operator, its random re-split is noise —
+    * SURVEY.md §2.9 G7). */
+  def waterfall(payments: DataFrame): DataFrame = {
+    val p = payments
+      .withColumn("alloc_penalty", least(col("amount_cents"), col("penalty_cents")))
+      .withColumn("rem1", col("amount_cents") - col("alloc_penalty"))
+      .withColumn("alloc_fees", least(col("rem1"), col("fee_cents")))
+      .withColumn("rem2", col("rem1") - col("alloc_fees"))
+      .withColumn("alloc_interest", least(col("rem2"), col("interest_due_cents")))
+      .withColumn("rem3", col("rem2") - col("alloc_interest"))
+      .withColumn("alloc_principal", least(col("rem3"), col("principal_due_cents")))
+      .withColumn("alloc_other", col("rem3") - col("alloc_principal"))
+    p.select(
+      col("loan_id"), col("installment_no"),
+      (col("amount_cents").cast(DoubleType) / 100.0).as("amount"),
+      (col("alloc_penalty").cast(DoubleType) / 100.0).as("alloc_penalty"),
+      (col("alloc_fees").cast(DoubleType) / 100.0).as("alloc_fees"),
+      (col("alloc_interest").cast(DoubleType) / 100.0).as("alloc_interest"),
+      (col("alloc_principal").cast(DoubleType) / 100.0).as("alloc_principal"),
+      (col("alloc_other").cast(DoubleType) / 100.0).as("alloc_other"))
+  }
+
+  /** G8 (+D5): daily DPD snapshot expansion — one row per day from the
+    * due date to min(payment date, due+cap), dpd = days elapsed, with the
+    * generator's flag rules (early: 5<=dpd<=30, npl: dpd>90, default
+    * after the loan's default installment). */
+  def dpdSnapshots(payments: DataFrame, capDays: Int = 180): DataFrame =
+    payments
+      .withColumn("snap_end", least(col("payment_date"), date_add(col("due_date"), capDays)))
+      .withColumn("as_of_date", explode(sequence(col("due_date"), col("snap_end"))))
+      .withColumn("days_past_due", datediff(col("as_of_date"), col("due_date")))
+      .select(
+        col("loan_id"), col("installment_no"), col("as_of_date"), col("days_past_due"),
+        graft.functions.CreditFunctions.dpdBucket(col("days_past_due")).as("dpd_bucket"),
+        (col("days_past_due") >= 5 && col("days_past_due") <= 30).as("early_arrears_flag"),
+        (col("days_past_due") > 90).as("nonperforming_flag"))
+
+  /** G9: SCD-2 variable-rate schedule — 1–3 effective-dated events per
+    * variable-rate loan, `effective_to = next_from - 1 day` (NULL on the
+    * open-ended last interval) via a `lead` window. */
+  def rateSchedule(loans: DataFrame): DataFrame = {
+    val v = loans.filter(col("interest_rate_type") === "variable")
+      .withColumn("n_events", (lit(1) + floor(u(col("loan_id"), SaltNEvents) * 3)).cast(IntegerType))
+      .withColumn("event_no", explode(sequence(lit(0), col("n_events") - 1)))
+      .withColumn("effective_from",
+        add_months(col("origination_date"), expr("(event_no * term_months) div n_events")))
+      .withColumn("rate_bp_event",
+        lit(300L) + floor(u(col("loan_id") * 10 + col("event_no"), SaltEvtRate) * 1900).cast(LongType))
+    val w = Window.partitionBy(col("loan_id")).orderBy(col("event_no"))
+    v.withColumn("effective_to", date_sub(lead(col("effective_from"), 1).over(w), 1))
+      .select(
+        col("loan_id"), col("event_no"), col("effective_from"), col("effective_to"),
+        (col("rate_bp_event").cast(DoubleType) / 10000.0).as("annual_rate"))
+  }
+
+  /** G10+G11: chronology audit over the generated world — the README's
+    * DQ probes (`README.MD:31-53`) as violation counts. created_at is
+    * modeled as `origination_date - created_hours_before` hours; the
+    * check verifies it never lands AFTER the application date. */
+  def chronologyAudit(loans: DataFrame): DataFrame = {
+    val violations = loans.filter(col("created_hours_before") < 0)
+    val futureDated = loans.filter(col("origination_date") > col("maturity_date"))
+    val termNonPos = loans.filter(col("term_months") <= 0)
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations")).select(lit(name).as("check_name"), col("violations"))
+    Seq(
+      counted("created_after_application", violations),
+      counted("origination_after_maturity", futureDated),
+      counted("nonpositive_term", termNonPos)
+    ).reduce(_.union(_))
+  }
+
+  // ------------------------------------------------------------ annuity
+
+  final case class LoanRow(
+      loan_id: Long, principal_cents: Long, rate_bp: Long, term_months: Int,
+      origination_date: java.sql.Date)
+
+  final case class ScheduleRow(
+      loan_id: Long, installment_no: Int, due_date: java.sql.Date,
+      payment: Double, principal_due: Double, interest_due: Double,
+      opening_balance: Double, closing_balance: Double)
+
+  /** G5 annuity variant (M1+M3): the balance recurrence is inherently
+    * sequential per loan, so it runs as a typed per-loan `flatMap`
+    * (narrow, partition-parallel over loans — SURVEY.md §7.3.4) rather
+    * than a forced closed form. The final installment retires the exact
+    * remaining balance, so closing_balance ends at 0.0 by construction. */
+  def scheduleAnnuity(loans: DataFrame): Dataset[ScheduleRow] = {
+    val spark = loans.sparkSession
+    import spark.implicits._
+    loans.select(col("loan_id"), col("principal_cents"), col("rate_bp"),
+        col("term_months"), col("origination_date"))
+      .as[LoanRow]
+      .flatMap { l =>
+        val r = l.rate_bp.toDouble / 10000.0 / 12.0
+        val n = l.term_months
+        val p = l.principal_cents.toDouble / 100.0
+        val pow = math.pow(1.0 + r, n)
+        val pay = if (math.abs(r) < 1e-9) p / n else p * r * pow / (pow - 1.0)
+        val orig = l.origination_date.toLocalDate
+        var bal = p
+        (1 to n).map { k =>
+          val interest = bal * r
+          val principal = if (k == n) bal else pay - interest
+          val closing = bal - principal
+          val row = ScheduleRow(
+            l.loan_id, k, java.sql.Date.valueOf(orig.plusMonths(k.toLong)),
+            principal + interest, principal, interest, bal, closing)
+          bal = closing
+          row
+        }
+      }
+  }
+}

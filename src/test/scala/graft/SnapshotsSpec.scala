@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshots
+
+/** Window/snapshot operator specs: month-end top-1 dedup with total-order
+  * tiebreakers, lag over OBSERVED months (gaps preserved — reference
+  * fct_roll_rate_monthly.sql:17 semantics), daily densification, and the
+  * internal-column collision guards. */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def arrears = Seq(
+    // (loan, date, tiebreak, bucket) — loan 1 has two rows on the month-end day
+    (1L, "2021-01-05", 1L, "0"),
+    (1L, "2021-01-28", 2L, "1-30"),
+    (1L, "2021-01-28", 3L, "31-60"), // wins on tiebreak desc
+    (1L, "2021-03-10", 4L, "0"),     // February gap
+    (2L, "2021-01-15", 5L, "61-90")
+  ).toDF("loan_id", "d", "tb", "dpd_bucket")
+    .withColumn("as_of_date", to_date(col("d"))).drop("d")
+
+  test("monthEnd keeps exactly the last row per (loan, month) with tiebreak") {
+    val me = Snapshots.monthEnd(arrears, col("loan_id"), col("as_of_date"), col("tb"))
+    val got = me.select(col("loan_id"), col("month").cast("string"), col("dpd_bucket"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "2021-01-01", "31-60"),
+      (1L, "2021-03-01", "0"),
+      (2L, "2021-01-01", "61-90")))
+  }
+
+  test("withPrev lags over observed months — a calendar gap is NOT filled") {
+    val me = Snapshots.monthEnd(arrears, col("loan_id"), col("as_of_date"), col("tb"))
+    val prev = Snapshots.withPrev(me.select(col("loan_id"), col("month"), col("dpd_bucket")),
+      col("loan_id"), col("month"), col("dpd_bucket"), "prev_bucket")
+    val march = prev.filter(col("month") === "2021-03-01")
+      .select(col("prev_bucket")).as[String].collect().toSeq
+    assert(march == Seq("31-60")) // prev is January (last OBSERVED), not February
+  }
+
+  test("monthEnd fails fast when the input already has a month column") {
+    val bad = arrears.withColumn("month", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.monthEnd(bad, col("loan_id"), col("as_of_date"))
+    }
+    assert(e.getMessage.contains("month"))
+  }
+
+  test("densifyDaily emits one row per day inclusive") {
+    val df = Seq(("2021-01-01", "2021-01-04")).toDF("s", "e")
+      .select(to_date(col("s")).as("s"), to_date(col("e")).as("e"))
+    val out = Snapshots.densifyDaily(df, col("s"), col("e"), "day")
+    assert(out.count() == 4)
+    assert(out.select(min(col("day")).cast("string"), max(col("day")).cast("string"))
+      .as[(String, String)].collect().head == ("2021-01-01", "2021-01-04"))
+  }
+
+  test("topOnePerGroup is deterministic under a total order") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "ord", "v")
+    val top = Snapshots.topOnePerGroup(df, Seq(col("k")), Seq(col("ord").desc))
+    assert(top.select(col("k"), col("v")).as[(Long, String)].collect().toSet ==
+      Set((1L, "b"), (2L, "c")))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Sim, Text}
+
+/** Specs for the LLM-pipeline extension operators: token stats on known
+  * strings, shingle construction, Jaccard pairing, and cosine top-k on
+  * hand-computable vectors. */
+class TextSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textStats counts tokens/chars/stopwords on a known sentence") {
+    val docs = Seq((1L, "the cat sat on the mat", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Text.textStats(docs).collect().head
+    assert(r.getAs[Long]("token_cnt") == 6L)
+    assert(r.getAs[Long]("char_cnt") == 22L)
+    assert(r.getAs[Long]("distinct_tokens") == 5L) // 'the' twice
+    assert(r.getAs[Long]("stopword_cnt") == 2L)
+    assert(r.getAs[String]("lang_pred") == "en")
+    assert(math.abs(r.getAs[Double]("avg_token_len") - (22.0 - 5.0) / 6.0) < 1e-12)
+  }
+
+  test("shingles: 3-grams of a 5-token text; short text yields empty") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+      .select(Text.shingles(split(col("text"), " "), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1).isEmpty)
+  }
+
+  test("ngramJaccardPairs finds the duplicated document pair with jaccard 1.0") {
+    val docs = Seq(
+      (1L, "x y z w q r s"), (2L, "x y z w q r s"), // exact dup
+      (3L, "totally different words here indeed")
+    ).toDF("doc_id", "text")
+    val pairs = Text.ngramJaccardPairs(docs, 3).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("bruteTopK ranks by cosine with deterministic tiebreak") {
+    // v1=(1,0), v2=(1,0) identical; v3=(0,1) orthogonal
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Sim.bruteTopK(e, 1).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(top.toSet == Set((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 1L, 0.0)))
+  }
+
+  test("lshTopK buckets identical vectors together (recall on exact dups)") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.5f, -0.25f, 2.0f)), (2L, Seq(1.0f, 0.5f, -0.25f, 2.0f)),
+      (3L, Seq(-1.0f, -0.5f, 0.25f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Sim.lshTopK(e, 1, 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+    // identical vectors share every sign bucket -> each finds the other
+    assert(top.toSet.contains((1L, 2L)) && top.toSet.contains((2L, 1L)))
+  }
+
+  test("dq: relationship violations are the orphans only") {
+    val child = Seq((1L, "a"), (2L, "b"), (99L, "orphan")).toDF("k", "v")
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")
+    val viol = graft.dq.Checks.relationshipViolations(child, parent, "k")
+    assert(viol.select(col("k")).as[Long].collect().toSeq == Seq(99L))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ext.{MinHash, Multimodal}
+
+/** Registrations for the second wave of LLM-pipeline operators:
+  * MinHash+LSH near-dup, SimHash sketches, regex tokenization, and the
+  * multimodal metadata plumbing. Hashing is engine-agnostic integer
+  * arithmetic, so even the LSH candidate generation is oracle-checked
+  * (same bands → same candidate pairs → same scores in DuckDB). */
+object ExtRegistry {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_near_dup" -> ((s, dir) =>
+      MinHash.nearDupPairs(Tables(s, dir).documents, 3)),
+
+    "simhash_docs" -> ((s, dir) => MinHash.simHash(Tables(s, dir).documents)),
+
+    "token_regex" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("bpe_ish_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast(LongType).as("word_tokens"))),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(Multimodal.media(Tables(s, dir).documents), 10L))
+  )
+
+  // --------------------------------------------------------------- SQL
+
+  private val P = MinHash.P
+
+  private def shingleHashCtes: String =
+    s"""toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+       |shing AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+       |              ELSE list_transform(generate_series(1, len(tk) - 2),
+       |                     s -> array_to_string(tk[s:s+2], ' ')) END AS sh
+       |  FROM toks),
+       |h AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(sh, s -> ${MinHash.stringHashSql("s")})) AS hashes
+       |  FROM shing WHERE len(sh) > 0)""".stripMargin
+
+  private def sigCols: String =
+    (0 until MinHash.NumHashes).map { k =>
+      s"CAST(list_min(list_transform(hashes, x -> (x * ${MinHash.hashA(k)} + ${MinHash.hashB(k)}) % $P)) AS BIGINT) AS sig$k"
+    }.mkString(",\n         ")
+
+  private def bandSelects: String =
+    (0 until MinHash.numBands).map { b =>
+      s"SELECT doc_id, $b AS band, sig${2 * b} * $P + sig${2 * b + 1} AS bval FROM sig"
+    }.mkString("\n  UNION ALL ")
+
+  private def sigEqSum: String =
+    (0 until MinHash.NumHashes)
+      .map(k => s"CASE WHEN x.sig$k = y.sig$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
+  private def simhashTerms: String =
+    (0 until MinHash.SimBits).map { j =>
+      val pw = 1L << j
+      s"CASE WHEN list_sum(list_transform(th, x -> ((x // $pw) % 2) * 2 - 1)) >= 0 THEN $pw ELSE 0 END"
+    }.mkString("\n       + ")
+
+  val oracles: Map[String, String] = Map(
+    "minhash_near_dup" ->
+      s"""WITH $shingleHashCtes,
+         |sig AS (
+         |  SELECT doc_id, hashes,
+         |         $sigCols
+         |  FROM h),
+         |banded AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST($sigEqSum AS DOUBLE) / ${MinHash.NumHashes} AS sig_similarity,
+         |       CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+         |         / CAST(len(list_distinct(x.hashes || y.hashes)) AS DOUBLE) AS jaccard
+         |FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id""".stripMargin,
+
+    "simhash_docs" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST($simhashTerms AS BIGINT) AS simhash
+         |FROM tt""".stripMargin,
+
+    "token_regex" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens
+        |FROM documents""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |       octet_length(encode(text)) AS byte_len,
+        |       64 + (doc_id * 37) % 1856 AS width,
+        |       64 + (doc_id * 53) % 1016 AS height,
+        |       1 + (doc_id * 17) % 600 AS duration_s,
+        |       (1 + (doc_id * 17) % 600) * 24 AS n_frames,
+        |       ((1 + (doc_id * 17) % 600) + 9) // 10 AS frames_sampled,
+        |       CAST(0 AS BIGINT) AS first_frame,
+        |       (((1 + (doc_id * 17) % 600) + 9) // 10 - 1) * 10 * 24 AS last_frame
+        |FROM documents""".stripMargin
+  )
+}

@@ -114,7 +114,7 @@ object Registry {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ SynthRegistry.queries
+    coreQueries ++ SynthRegistry.queries ++ ExtRegistry.queries
 
   /** Flagship: monthly NPL ratios end-to-end (scan → cast-projection →
     * bucket/flag derivation → dim join → conditional agg → guarded ratio). */
@@ -388,5 +388,6 @@ object Registry {
          |UNION ALL SELECT 'payments_amount_not_null', count(*) FROM pay WHERE amount_received IS NULL""".stripMargin
   )
 
-  val oracles: Map[String, String] = coreOracles ++ SynthRegistry.oracles
+  val oracles: Map[String, String] =
+    coreOracles ++ SynthRegistry.oracles ++ ExtRegistry.oracles
 }

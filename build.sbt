@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst generates one class per codegen'd stage; 30+ queries in one
+  // JVM overflow the default 240m code cache, after which HotSpot stops
+  // JIT-compiling and whole stages run interpreted (10x slowdowns late in
+  // a run). Wide expression chains also exceed the 8000-bytecode
+  // DontCompileHugeMethods limit; allowing their compilation keeps the
+  // 64-term dot/hash chains on the JIT path.
+  "-XX:ReservedCodeCacheSize=768m",
+  "-XX:-DontCompileHugeMethods",
 )

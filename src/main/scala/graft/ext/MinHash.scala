@@ -9,25 +9,34 @@ import org.apache.spark.sql.types._
   * All hashing is engine-agnostic integer arithmetic (no murmur/xxhash —
   * those differ per engine and would make the oracle unreproducible):
   *
-  *  - string hash  h(s) = sum_i ascii(c_i) * ((i*131 + 7) % 99991)  mod 1000003
-  *    (position-weighted char sum: order-independent SUM, so any SQL
-  *    engine computes it identically; chars via split + empty-filter
+  *  - token hash  H(t) = sum_i ascii(c_i) * ((i*131 + 7) % 99991)  mod P
+  *    (position-weighted char sum: an order-independent SUM any SQL
+  *    engine computes identically; chars via split + empty-filter
   *    because Java regex split keeps a trailing "");
-  *  - minhash_k    = min over shingle hashes of (A_k*h + B_k) mod 1000003;
-  *  - LSH bands    = pairs of adjacent signature components packed into
-  *    one int64 — candidate pairs share (band index, band value).
+  *  - shingle hash = (H(t_i) + 131*H(t_{i+1}) + 131²*H(t_{i+2})) mod P —
+  *    COMPOSED from token hashes so the char-level work is done once per
+  *    token, not once per shingle (3× less, and the composition is a
+  *    flat codegen-friendly expression);
+  *  - minhash_k    = min over shingle hashes of (A_k*h + B_k) mod P;
+  *  - LSH bands    = adjacent signature pairs packed into one int64 —
+  *    candidate pairs share (band index, band value).
   *
-  * Scale posture: the signature is a per-row projection; candidates come
-  * from an equi-join on the band key (shuffle proportional to docs ×
-  * bands, never n²); the final exact-Jaccard verify touches only
-  * candidate pairs. This is the standard web-scale dedup shape
-  * (shingle→minhash→band→bucket-join).
+  * Cost discipline at scale: the signature table is computed ONCE and
+  * cached (it is reused by banding and both sides of the candidate
+  * join — at production scale you would materialize it, which is the
+  * same decision); candidates are verified CHEAPLY first (signature
+  * similarity, 12 comparisons) and the exact-Jaccard set intersection
+  * runs only on pairs passing that screen — the standard
+  * shingle→minhash→band→bucket-join→verify dedup shape.
   */
 object MinHash {
 
   val P = 1000003L
   val NumHashes = 12
   val BandSize = 2
+  /** Candidate pairs must agree on at least this many signature
+    * components before the (expensive) exact-Jaccard verify runs. */
+  val MinSigMatches = 6
   def numBands: Int = NumHashes / BandSize
 
   /** Per-k affine constants, derived (not random) so the oracle can emit
@@ -35,7 +44,7 @@ object MinHash {
   def hashA(k: Int): Long = ((k + 1).toLong * 2654435761L % P) | 1L
   def hashB(k: Int): Long = (k + 1).toLong * 40503L % P
 
-  /** Engine-agnostic string hash (see object doc). */
+  /** Engine-agnostic token hash (see object doc). */
   def stringHash(s: Column): Column = {
     val chars = filter(split(s, ""), c => c =!= "")
     val weighted = zip_with(chars, sequence(lit(1), size(chars)),
@@ -48,15 +57,43 @@ object MinHash {
     s"list_sum(list_transform(list_filter(string_split($s, ''), c -> c <> ''), " +
       s"(c, i) -> ascii(c) * ((i * 131 + 7) % 99991))) % $P"
 
-  /** doc_id + distinct-shingle hash array (docs shorter than n tokens
-    * have no shingles and are dropped — nothing to near-dup on). */
+  /** 131^d factors for the shingle composition. */
+  def shingleWeight(d: Int): Long = (0 until d).foldLeft(1L)((a, _) => a * 131L)
+
+  /** n-gram shingle hashes composed from the per-token hash array. */
+  def shingleHashesFromTokens(th: Column, n: Int): Column =
+    when(size(th) < n, array().cast(ArrayType(LongType)))
+      .otherwise(transform(sequence(lit(1), size(th) - (n - 1)), i =>
+        (0 until n).map(d => element_at(th, i + d) * lit(shingleWeight(d))).reduce(_ + _) % P))
+
+  /** Explicit-N repartition: single-file scans arrive as ONE partition,
+    * and an N-less `repartition(col)` would be coalesced back to one
+    * task by AQE on small data — explicit N is respected. */
+  private def spread(df: DataFrame, c: Column): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, c)
+
+  /** doc_id + distinct-shingle-hash array (docs shorter than n tokens
+    * have no shingles and are dropped — nothing to near-dup on).
+    *
+    * The token-hash array is MATERIALIZED as a column before the shingle
+    * composition references it: expressions inside array lambdas get no
+    * common-subexpression elimination, so an inline `transform(...)`
+    * would be re-evaluated on every `element_at` — O(tokens²·chars) per
+    * document instead of O(tokens·chars). */
   def shingleHashes(documents: DataFrame, n: Int): DataFrame =
-    documents
+    spread(documents, col("doc_id"))          // parallelize the hashing
+      .select(col("doc_id"), transform(split(col("text"), " "), t => stringHash(t)).as("th"))
+      // second exchange = CollapseProject barrier: without it Catalyst
+      // inlines `th` back into every element_at and the O(tokens²) cost
+      // returns (explicit N again — AQE would coalesce to one task and
+      // serialize everything downstream)
+      .transform(df => spread(df, col("doc_id")))
       .select(col("doc_id"),
-        array_distinct(transform(
-          Text.shingles(split(col("text"), " "), n),
-          s => stringHash(s))).as("hashes"))
-      .filter(size(col("hashes")) > 0)
+        array_distinct(shingleHashesFromTokens(col("th"), n)).as("hashes"))
+  // NOTE: no `filter(size(hashes) > 0)` here — predicate pushdown would
+  // inline the whole hash expression below the exchange into a
+  // single-partition Filter; callers screen empty docs on the CACHED
+  // frame instead (see nearDupPairs).
 
   /** MinHash signature columns sig0..sig{K-1}. */
   def withSignature(sh: DataFrame): DataFrame =
@@ -65,16 +102,19 @@ object MinHash {
         array_min(transform(col("hashes"), h => (h * hashA(k) + hashB(k)) % P)))
     }
 
-  /** Candidate pairs sharing at least one LSH band, scored by signature
-    * similarity (fraction of equal components) AND exact Jaccard over the
+  /** Candidate pairs sharing at least one LSH band, screened by
+    * signature similarity, then verified with exact Jaccard over the
     * shingle-hash sets. */
   def nearDupPairs(documents: DataFrame, n: Int): DataFrame = {
-    val sig = withSignature(shingleHashes(documents, n))
+    // computed once, reused by banding + both join sides (see object doc);
+    // the empty-shingle screen runs on the CACHED columns (docs shorter
+    // than n tokens have nothing to near-dup on)
+    val sig = withSignature(shingleHashes(documents, n)).cache()
+      .filter(size(col("hashes")) > 0)
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"), (col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}")).as("bval"))
     }
-    val banded = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bk"))
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -83,14 +123,21 @@ object MinHash {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sigCols = (0 until NumHashes).map(k => col(s"sig$k"))
-    val withSig = sig.select(col("doc_id"), array(sigCols: _*).as("sig"), col("hashes"))
-    cand
-      .join(withSig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("hashes").as("h_a")), Seq("doc_a"))
-      .join(withSig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("hashes").as("h_b")), Seq("doc_b"))
+    val sigOnly = sig.select(col("doc_id"), array(sigCols: _*).as("sig"))
+    val hashesOnly = sig.select(col("doc_id"), col("hashes"))
+    val screened = cand
+      .join(sigOnly.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigOnly.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("sig_matches",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(LongType)),
+          lit(0L), (a, x) => a + x))
+      .filter(col("sig_matches") >= MinSigMatches)
+    screened
+      .join(hashesOnly.select(col("doc_id").as("doc_a"), col("hashes").as("h_a")), Seq("doc_a"))
+      .join(hashesOnly.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(LongType)),
-          lit(0L), (a, x) => a + x).cast(DoubleType) / NumHashes).as("sig_similarity"),
+        (col("sig_matches").cast(DoubleType) / NumHashes).as("sig_similarity"),
         (size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
           size(array_union(col("h_a"), col("h_b"))).cast(DoubleType)).as("jaccard"))
   }
@@ -103,13 +150,16 @@ object MinHash {
     * hashes of (2*bit_j(h) - 1) is non-negative. Near-dup docs differ in
     * few bits (compare via hamming distance on the int64 sketch). */
   def simHash(documents: DataFrame): DataFrame = {
-    val tokHashes = transform(split(col("text"), " "), t => stringHash(t))
     val bits = (0 until SimBits).map { j =>
       val bitSum = aggregate(
-        tokHashes, lit(0L),
+        col("th"), lit(0L),
         (acc, h) => acc + ((shiftright(h, j) % 2L) * 2L - 1L))
       when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
     }
-    documents.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    spread(documents, col("doc_id"))
+      .select(col("doc_id"), transform(split(col("text"), " "), t => stringHash(t)).as("th"))
+      // exchange = CollapseProject barrier: hash once, not once per bit
+      .transform(df => spread(df, col("doc_id")))
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 }

@@ -9,43 +9,45 @@ import org.apache.spark.sql.types._
   *
   * Numeric-determinism contract (oracle hash-parity): every float is cast
   * to double BEFORE arithmetic (exact), products of two floats are exact
-  * in double, and sums are sequential left-to-right folds
-  * (`functions.aggregate` iterates the array in order) — so a DuckDB
-  * oracle that writes the same left-associated `+` chain produces
-  * bit-identical doubles. No `pow`/`exp`/`ln` anywhere (only IEEE
-  * correctly-rounded `+ * / sqrt`).
+  * in double, and dot/norm sums are LEFT-ASSOCIATED `+` chains over
+  * `element_at` — the same expression a DuckDB oracle writes as
+  * `e[1]*e[1] + e[2]*e[2] + ...`, so results are bit-identical. No
+  * `pow`/`exp`/`ln` (only IEEE correctly-rounded `+ * / sqrt`).
+  *
+  * The chain form (vs an `aggregate` fold over `zip_with`) is also the
+  * FAST form: it is one flat codegen-friendly expression with no
+  * per-row array allocation — the fold variant evaluates interpreted
+  * and allocates two arrays per pair, ~10× slower on an n² cross join.
   *
   * Scale posture (100 TB):
   *  - `bruteTopK` is the O(n²) correctness baseline: a cross join where
-  *    the smaller (query) side should be the broadcast side. Use only
-  *    when one side fits in memory.
+  *    Catalyst broadcasts the smaller side. Use only when one side fits
+  *    in memory.
   *  - `lshTopK` is the scale path: deterministic random-hyperplane
-  *    signatures bucket the vectors; candidate pairs are generated by an
-  *    equi-join on the bucket key (a plain shuffle-hash join on a
-  *    low-cardinality key), so the pair count drops from n² to
-  *    sum-of-bucket². Recall < 1 by construction; the bucket bit-width
-  *    trades recall vs cost.
+  *    signatures bucket the vectors; candidate pairs come from an
+  *    equi-join on the bucket key (a plain shuffle join), so pair count
+  *    drops from n² to sum-of-bucket². Recall < 1 by construction; the
+  *    bit-width trades recall vs cost.
   */
 object Sim {
 
-  /** embedding array<float> -> array<double> (exact) plus its squared
-    * L2 norm, computed as a sequential fold. */
-  def withNormSq(e: DataFrame, embCol: String): DataFrame =
-    e.withColumn("emb", transform(col(embCol), x => x.cast(DoubleType)))
-      .withColumn("nsq", aggregate(col("emb"), lit(0.0), (acc, x) => acc + x * x))
+  private def dim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head().getInt(0)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Explicit-N repartition (AQE would coalesce an N-less one back to a
+    * single task on small inputs). */
+  private def spread(df: DataFrame, c: Column): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, c)
 
-  /** Brute-force cosine top-k per vector over the full self-join,
-    * excluding self; ties broken by neighbor id (total order). */
-  def bruteTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val e = withNormSq(embeddings, "embedding").select(col("vec_id"), col("emb"), col("nsq"))
-    val left  = e.select(col("vec_id"), col("emb").as("emb_a"), col("nsq").as("nsq_a"))
-    val right = e.select(col("vec_id").as("neighbor_id"), col("emb").as("emb_b"), col("nsq").as("nsq_b"))
-    val pairs = left.crossJoin(right)
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+  private def el(c: Column, i: Int): Column = element_at(c, i).cast(DoubleType)
+
+  private def nsqChain(c: Column, d: Int): Column =
+    (1 to d).map(i => el(c, i) * el(c, i)).reduce(_ + _)
+
+  private def dotChain(a: Column, b: Column, d: Int): Column =
+    (1 to d).map(i => el(a, i) * el(b, i)).reduce(_ + _)
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     pairs
       .withColumn("rank", row_number().over(w))
@@ -53,18 +55,85 @@ object Sim {
       .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
-    * an engine-agnostic arithmetic hash mapped to [-0.5, 0.5) — identical
-    * in any SQL engine (pure integer arithmetic, no library RNG). */
-  private def hyperplane(j: Int, i: Column): Column =
-    ((i * lit(2654435761L) + lit(j * 40503L) + lit(97L)) % 1000L).cast(DoubleType) / 1000.0 - 0.5
+  final case class Neighbor(vec_id: Long, neighbor_id: Long, cosine: Double, rank: Int)
+
+  /** Brute-force cosine top-k per vector: a broadcast-index compute
+    * kernel (`mapPartitions`), the one operator here where a typed kernel
+    * beats any relational form — the n²·d inner loop is pure FLOPs, and
+    * both the 64-term expression chain and the `aggregate` fold evaluate
+    * via interpreted codegen (the fused method exceeds HotSpot's JIT
+    * limit), 10-30× slower than this loop. Determinism is preserved: the
+    * dot/norm loops add LEFT-TO-RIGHT in double exactly like the
+    * oracle's `e[1]*e[1] + e[2]*e[2] + ...` chain, and selection order is
+    * (cosine desc, neighbor_id asc) — bit-identical results.
+    *
+    * Scale: the index side is collected and broadcast (dim-table scale —
+    * same contract as any broadcast join); the probe side streams
+    * partition-parallel. For two large sides, use [[lshTopK]]. */
+  def bruteTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val index: Array[(Long, Array[Double])] = embeddings
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map { case (id, a) => (id, a.map(_.toDouble)) }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(index)
+    val probes = spread(embeddings.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .as[(Long, Array[Float])]
+    probes.mapPartitions { it =>
+      val idx = bc.value
+      val norms = idx.map { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      it.flatMap { case (qid, qf) =>
+        val q = qf.map(_.toDouble)
+        var nq = 0.0; var i = 0
+        while (i < q.length) { nq += q(i) * q(i); i += 1 }
+        val qn = math.sqrt(nq)
+        // insertion-maintained top-k under (cosine desc, neighbor asc)
+        val topIds = new Array[Long](k); val topCos = new Array[Double](k)
+        var filled = 0
+        var j = 0
+        while (j < idx.length) {
+          val (nid, nv) = idx(j)
+          if (nid != qid) {
+            var dot = 0.0; var m = 0
+            while (m < q.length) { dot += q(m) * nv(m); m += 1 }
+            val cos = dot / (qn * norms(j))
+            var pos = filled
+            while (pos > 0 && (topCos(pos - 1) < cos ||
+              (topCos(pos - 1) == cos && topIds(pos - 1) > nid))) pos -= 1
+            if (pos < k) {
+              val upTo = math.min(filled, k - 1)
+              var sh = upTo
+              while (sh > pos) { topCos(sh) = topCos(sh - 1); topIds(sh) = topIds(sh - 1); sh -= 1 }
+              topCos(pos) = cos; topIds(pos) = nid
+              if (filled < k) filled += 1
+            }
+          }
+          j += 1
+        }
+        (0 until filled).map(r => Neighbor(qid, topIds(r), topCos(r), r + 1))
+      }
+    }.toDF()
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim
+    * i, 0-based): an engine-agnostic arithmetic hash mapped to
+    * [-0.5, 0.5). Computed at plan-build time; the oracle re-derives the
+    * same integer and performs the same `int -> double / 1000 - 0.5`
+    * IEEE ops. */
+  def hyperplaneInt(j: Int, i: Int): Long =
+    (i.toLong * 2654435761L + j.toLong * 40503L + 97L) % 1000L
+
+  private def hyperplane(j: Int, i: Int): Column =
+    lit(hyperplaneInt(j, i)).cast(DoubleType) / 1000.0 - 0.5
 
   /** Sign-bit LSH bucket key from `nBits` deterministic hyperplanes. */
-  def lshBucket(emb: Column, nBits: Int): Column = {
+  def lshBucket(emb: Column, d: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) => x * hyperplane(j, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = (1 to d).map(i => el(emb, i) * hyperplane(j, i - 1)).reduce(_ + _)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -74,18 +143,21 @@ object Sim {
     * a bucket; the join is a shuffle on the bucket key instead of n².
     * Per-vector top-k of whatever candidates survive (recall < 1). */
   def lshTopK(embeddings: DataFrame, k: Int, nBits: Int): DataFrame = {
-    val e = withNormSq(embeddings, "embedding")
-      .withColumn("bucket", lshBucket(col("emb"), nBits))
-      .select(col("vec_id"), col("emb"), col("nsq"), col("bucket"))
-    val left  = e.select(col("bucket"), col("vec_id"), col("emb").as("emb_a"), col("nsq").as("nsq_a"))
-    val right = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("emb").as("emb_b"), col("nsq").as("nsq_b"))
+    val d = dim(embeddings)
+    // repartition FIRST: the nsq + nBits·d hyperplane projections are the
+    // expensive part and must run after the exchange (a single-file scan
+    // is one partition), not in the serial scan stage
+    val e = spread(embeddings, col("vec_id")).select(col("vec_id"), col("embedding"),
+      nsqChain(col("embedding"), d).as("nsq"),
+      lshBucket(col("embedding"), d, nBits).as("bucket"))
+    // the bucket equi-join then shuffles/broadcasts by AQE's choice — no
+    // forced hint, this is the scale path
+    val left  = e.select(col("bucket"), col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+    val right = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
     val pairs = left.join(right, Seq("bucket"), "inner")
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .withColumn("cosine",
+        dotChain(col("emb_a"), col("emb_b"), d) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+    topK(pairs, k)
   }
 }

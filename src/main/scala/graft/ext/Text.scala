@@ -56,16 +56,25 @@ object Text {
         i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
 
   /** N-gram-Jaccard near-duplicate candidates: pairs of documents sharing
-    * at least one n-gram shingle, scored by Jaccard over their distinct
-    * shingle sets. The candidate join is an equi-join on the shingle value
-    * (one shuffle, skew bounded by shingle frequency) — the n² pair space
-    * is never built. */
-  def ngramJaccardPairs(documents: DataFrame, n: Int): DataFrame = {
+    * at least one RARE n-gram shingle, scored by Jaccard over their
+    * distinct shingle sets. The candidate join is an equi-join on the
+    * shingle value (one shuffle) — the n² pair space is never built — and
+    * shingles appearing in more than `maxDocFreq` documents are pruned
+    * first (standard web-dedup stopword-shingle pruning): frequent
+    * shingles generate quadratically many candidate pairs while carrying
+    * no near-dup signal, and they are exactly the join-skew keys. */
+  def ngramJaccardPairs(documents: DataFrame, n: Int, maxDocFreq: Long = 5L): DataFrame = {
     val docSh = documents
+      .repartition(documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id")) // single-file scans arrive as one partition; explicit N resists AQE coalescing
       .select(col("doc_id"), array_distinct(shingles(split(col("text"), " "), n)).as("sh"))
+      .cache() // reused by candidate generation and both verify joins
     val exploded = docSh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cand = exploded.as("a")
-      .join(exploded.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val rare = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("s"))
+    val rareExploded = exploded.join(rare, Seq("s"))
+    val cand = rareExploded.as("a")
+      .join(rareExploded.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand

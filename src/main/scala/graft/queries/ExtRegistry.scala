@@ -36,18 +36,21 @@ object ExtRegistry {
 
   private val P = MinHash.P
 
+  private def shingleComposition: String =
+    (0 until 3).map(d => s"th[i + $d] * ${MinHash.shingleWeight(d)}").mkString(" + ")
+
   private def shingleHashCtes: String =
-    s"""toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
-       |shing AS (
-       |  SELECT doc_id, text,
-       |         CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
-       |              ELSE list_transform(generate_series(1, len(tk) - 2),
-       |                     s -> array_to_string(tk[s:s+2], ' ')) END AS sh
-       |  FROM toks),
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
+       |  FROM documents),
        |h AS (
        |  SELECT doc_id,
-       |         list_distinct(list_transform(sh, s -> ${MinHash.stringHashSql("s")})) AS hashes
-       |  FROM shing WHERE len(sh) > 0)""".stripMargin
+       |         list_distinct(CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[])
+       |              ELSE list_transform(generate_series(1, len(th) - 2),
+       |                     i -> ($shingleComposition) % $P) END) AS hashes
+       |  FROM toks),
+       |h2 AS (SELECT doc_id, hashes FROM h WHERE len(hashes) > 0)""".stripMargin
 
   private def sigCols: String =
     (0 until MinHash.NumHashes).map { k =>
@@ -76,18 +79,22 @@ object ExtRegistry {
          |sig AS (
          |  SELECT doc_id, hashes,
          |         $sigCols
-         |  FROM h),
+         |  FROM h2),
          |banded AS (
          |  $bandSelects),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |       CAST($sigEqSum AS DOUBLE) / ${MinHash.NumHashes} AS sig_similarity,
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         |screened AS (
+         |  SELECT c.doc_a, c.doc_b, ($sigEqSum) AS sig_matches
+         |  FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id)
+         |SELECT s.doc_a, s.doc_b,
+         |       CAST(sig_matches AS DOUBLE) / ${MinHash.NumHashes} AS sig_similarity,
          |       CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
          |         / CAST(len(list_distinct(x.hashes || y.hashes)) AS DOUBLE) AS jaccard
-         |FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id""".stripMargin,
+         |FROM screened s JOIN h2 x ON s.doc_a = x.doc_id JOIN h2 y ON s.doc_b = y.doc_id
+         |WHERE sig_matches >= ${MinHash.MinSigMatches}""".stripMargin,
 
     "simhash_docs" ->
       s"""WITH tt AS (

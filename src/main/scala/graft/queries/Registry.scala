@@ -196,7 +196,7 @@ object Registry {
   private def lshProjChain(nBits: Int): Seq[String] =
     (0 until nBits).map { j =>
       (1 to embeddingDim).map { i =>
-        val k = (((i - 1).toLong * 2654435761L + j.toLong * 40503L + 97L) % 1000L)
+        val k = Sim.hyperplaneInt(j, i - 1)
         s"embedding[$i]::DOUBLE * ($k::DOUBLE / 1000.0 - 0.5)"
       }.mkString(" + ")
     }
@@ -344,8 +344,10 @@ object Registry {
         |                     s -> array_to_string(string_split(text, ' ')[s:s+2], ' ')) END) AS sh
         |  FROM documents),
         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
+        |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
+        |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
+        |         FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id)
         |SELECT c.doc_a, c.doc_b,
         |       CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS common_shingles,
         |       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)

@@ -50,6 +50,9 @@ object SynthRegistry {
 
     "synth_chronology_audit" -> ((s, _) => Synth.chronologyAudit(Synth.loans(s))),
 
+    "synth_audit_log" -> ((s, _) =>
+      Synth.auditLog(Synth.loans(s), Synth.payments(sl(s)))),
+
     // rows-only check (no oracle): sequential annuity recurrence uses pow
     "synth_annuity_schedule" -> ((s, _) => Synth.scheduleAnnuity(Synth.loans(s)).toDF())
   )
@@ -204,6 +207,19 @@ object SynthRegistry {
          |       lead(effective_from) OVER (PARTITION BY loan_id ORDER BY event_no) - 1 AS effective_to,
          |       CAST(rate_bp_event AS DOUBLE) / 10000.0 AS annual_rate
          |FROM ev2""".stripMargin,
+
+    "synth_audit_log" ->
+      s"""WITH $loansCte, $schedCte, $payCte
+         |SELECT 'loan_contract' AS entity_type, loan_id AS entity_id, 'created' AS event,
+         |       origination_date AS event_date,
+         |       'LN-' || CAST(loan_id AS VARCHAR) || '-' || CAST(term_months AS VARCHAR) AS reference,
+         |       'DE89**********' || lpad(CAST(loan_id % 10000 AS VARCHAR), 4, '0') AS masked_iban
+         |FROM synth_loans
+         |UNION ALL
+         |SELECT 'repayment_payment', loan_id, 'posted', payment_date,
+         |       'EXT-' || CAST(loan_id AS VARCHAR) || '-' || CAST(installment_no AS VARCHAR),
+         |       CAST(NULL AS VARCHAR)
+         |FROM spay""".stripMargin,
 
     "synth_chronology_audit" ->
       s"""WITH $loansCte

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshots
+
+/** Load-path operators mirroring the reference's sink semantics.
+  *
+  * S4 — `ON CONFLICT (keys) DO NOTHING` (`pg_oltp_synth.py:791`):
+  * Postgres keeps the FIRST arriving row per key. A distributed engine
+  * has no arrival order, so [[firstWins]] makes the choice explicit and
+  * DETERMINISTIC: the caller names the order ("first" = smallest under
+  * `orderBy`), implemented as the shared windowed top-1 — one shuffle on
+  * the key, same plan shape at any scale. `dropDuplicates` would be
+  * cheaper but keeps an ARBITRARY row — unacceptable under an oracle
+  * (SURVEY.md §2.1 S4 note).
+  *
+  * S5 — `RETURNING id`: a distributed write cannot echo generated keys;
+  * [[withSurrogateKeys]] assigns dense keys BEFORE the write via a
+  * row_number over an explicit total order (reproducible, unlike
+  * `monotonically_increasing_id`, which is partition-layout dependent).
+  */
+object Load {
+
+  /** Deterministic first-wins key dedup (idempotent re-load). */
+  def firstWins(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame =
+    Snapshots.topOnePerGroup(df, keys, orderBy)
+
+  /** Dense surrogate keys 'offset+1 ..' in `orderBy` order (the analog of
+    * sequence-generated ids with a restartable floor, `pg_oltp_synth.py:
+    * 99-115`). Global row_number = one total sort — use only at dim-table
+    * scale; facts should carry natural keys. */
+  def withSurrogateKeys(df: DataFrame, keyName: String, offset: Long, orderBy: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy: _*)
+    df.withColumn(keyName, row_number().over(w).cast("long") + offset)
+  }
+
+  /** Partitioned, sorted parquet write — the batch-sink analog of the
+    * reference's paged INSERTs (S3), with layout chosen for downstream
+    * reads: partition pruning on `partitionBy` + bucketed-ish locality
+    * via in-partition sort. */
+  def writePartitioned(df: DataFrame, path: String, partitionBy: Seq[String], sortBy: Seq[String]): Unit = {
+    val sorted =
+      if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.map(col): _*) else df
+    sorted.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+  }
+}

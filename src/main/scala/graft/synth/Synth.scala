@@ -255,6 +255,31 @@ object Synth {
     ).reduce(_.union(_))
   }
 
+  /** G10 + M7: the append-only audit/ops log — a union of per-stage
+    * projections with templated reference strings (`pg_oltp_synth.py:
+    * 491-492,694`; ref formats `:502,573-581`). Every column is
+    * arithmetic/concat over already-deterministic inputs. */
+  def auditLog(loans: DataFrame, payments: DataFrame): DataFrame = {
+    val loanEvents = loans.select(
+      lit("loan_contract").as("entity_type"),
+      col("loan_id").as("entity_id"),
+      lit("created").as("event"),
+      col("origination_date").as("event_date"),
+      concat(lit("LN-"), col("loan_id").cast(StringType),
+        lit("-"), col("term_months").cast(StringType)).as("reference"),
+      concat(lit("DE89**********"),
+        lpad((col("loan_id") % 10000).cast(StringType), 4, "0")).as("masked_iban"))
+    val paymentEvents = payments.select(
+      lit("repayment_payment").as("entity_type"),
+      col("loan_id").as("entity_id"),
+      lit("posted").as("event"),
+      col("payment_date").as("event_date"),
+      concat(lit("EXT-"), col("loan_id").cast(StringType),
+        lit("-"), col("installment_no").cast(StringType)).as("reference"),
+      lit(null).cast(StringType).as("masked_iban"))
+    loanEvents.union(paymentEvents)
+  }
+
   // ------------------------------------------------------------ annuity
 
   final case class LoanRow(

@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorb Spark-core/session initialization (task
+    // scheduler, codegen infra) so the first alphabetical query doesn't
+    // carry ~5s of one-time setup. Query-specific work is still timed.
+    spark.range(1000000).selectExpr("sum(id)").collect()
     // A failed query must NOT masquerade as a fast timing (judge flagged
     // this round 1): record -1 and list it in "errors".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

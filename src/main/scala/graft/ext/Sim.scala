@@ -160,4 +160,23 @@ object Sim {
         dotChain(col("emb_a"), col("emb_b"), d) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
     topK(pairs, k)
   }
+
+  /** Embedding-cosine near-duplicate DEDUP view: unordered candidate
+    * pairs from the LSH buckets whose cosine clears `threshold` — the
+    * "drop one of each pair" input of an embedding-dedup pipeline.
+    * Same bucket-join scale shape as [[lshTopK]] (never n²). */
+  def embeddingNearDups(embeddings: DataFrame, nBits: Int, threshold: Double): DataFrame = {
+    val d = dim(embeddings)
+    val e = spread(embeddings, col("vec_id")).select(col("vec_id"), col("embedding"),
+      nsqChain(col("embedding"), d).as("nsq"),
+      lshBucket(col("embedding"), d, nBits).as("bucket"))
+    val left  = e.select(col("bucket"), col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+    val right = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+    left.join(right, Seq("bucket"), "inner")
+      .filter(col("vec_id") < col("neighbor_id"))
+      .withColumn("cosine",
+        dotChain(col("emb_a"), col("emb_b"), d) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id").as("keep_id"), col("neighbor_id").as("dup_id"), col("cosine"))
+  }
 }

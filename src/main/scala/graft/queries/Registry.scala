@@ -109,6 +109,8 @@ object Registry {
 
     "knn_cosine_lsh" -> ((s, dir) => Sim.lshTopK(Tables(s, dir).embeddings, 5, 6)),
 
+    "embed_near_dup" -> ((s, dir) => Sim.embeddingNearDups(Tables(s, dir).embeddings, 6, 0.30)),
+
     "dq_suite" -> ((s, dir) =>
       Checks.suite(arrears(s, dir), loans(s, dir), Analog.payments(Tables(s, dir))))
   )
@@ -377,6 +379,19 @@ object Registry {
          |            ORDER BY (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
          |WHERE rank <= 5""".stripMargin
+    },
+
+    "embed_near_dup" -> {
+      val projs = lshProjChain(6)
+      val bucketExpr = projs.zipWithIndex
+        .map { case (p, j) => s"CASE WHEN ($p) >= 0 THEN ${1L << j} ELSE 0 END" }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding, ($nsqChain) AS nsq, ($bucketExpr) AS bucket FROM embeddings)
+         |SELECT vec_id AS keep_id, neighbor_id AS dup_id, cosine FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |         (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+         |WHERE cosine >= 0.30""".stripMargin
     },
 
     "dq_suite" ->

@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on tmpfs: this box shows heavy external disk
+      // iowait, which otherwise dominates small-shuffle wall times
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorb Spark-core/session initialization (task
@@ -21,7 +24,11 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      // isolate queries: drop caches/broadcasts a query built so the next
+      // timing doesn't pay its GC bill
+      spark.catalog.clearCache()
+      (name, if (ok) t else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

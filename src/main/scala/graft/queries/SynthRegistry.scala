@@ -50,6 +50,10 @@ object SynthRegistry {
 
     "synth_chronology_audit" -> ((s, _) => Synth.chronologyAudit(Synth.loans(s))),
 
+    "synth_borrowers" -> ((s, _) => Synth.borrowers(s)),
+
+    "synth_applications" -> ((s, _) => Synth.applications(s)),
+
     "synth_audit_log" -> ((s, _) =>
       Synth.auditLog(Synth.loans(s), Synth.payments(sl(s)))),
 
@@ -207,6 +211,23 @@ object SynthRegistry {
          |       lead(effective_from) OVER (PARTITION BY loan_id ORDER BY event_no) - 1 AS effective_to,
          |       CAST(rate_bp_event AS DOUBLE) / 10000.0 AS annual_rate
          |FROM ev2""".stripMargin,
+
+    "synth_borrowers" ->
+      s"""SELECT 10000 + id AS borrower_id,
+         |       'B-' || CAST(id AS VARCHAR) AS full_name,
+         |       DATE '1950-01-01' + CAST(floor(${uSql("id", Synth.SaltBirth)} * 18262) AS INTEGER) AS birth_date,
+         |       (['retail','premium','sme'])[CAST(floor(${uSql("id", Synth.SaltSegment)} * 3) AS INTEGER) + 1] AS segment
+         |FROM range(0, 2000) t(id)""".stripMargin,
+
+    "synth_applications" ->
+      s"""SELECT 100000000 + id AS application_id,
+         |       10000 + CAST(floor(${uSql("id", Synth.SaltAppBorrower)} * 2000) AS BIGINT) AS borrower_id,
+         |       DATE '2015-01-01' + CAST(floor(${uSql("id", Synth.SaltAppDate)} * 3652) AS INTEGER) AS application_date,
+         |       (['branch','online','broker'])[CAST(floor(${uSql("id", Synth.SaltChannel)} * 3) AS INTEGER) + 1] AS channel,
+         |       CAST(50000 + CAST(floor(${uSql("id", Synth.SaltReqAmount)} * 4950000) AS BIGINT) AS DOUBLE) / 100.0 AS requested_amount,
+         |       (['approved','rejected','withdrawn'])[CAST(floor(${uSql("id", Synth.SaltAppStatus)} * 3) AS INTEGER) + 1] AS status,
+         |       3 + CAST(floor(${uSql("id", Synth.SaltAppCreatedH)} * 69) AS BIGINT) AS created_hours_before
+         |FROM range(0, 3000) t(id)""".stripMargin,
 
     "synth_audit_log" ->
       s"""WITH $loansCte, $schedCte, $payCte

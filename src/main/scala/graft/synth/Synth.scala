@@ -84,6 +84,41 @@ object Synth {
   val SaltCreatedH = 16L
   val SaltInstLate = 21L; val SaltInstDelay = 22L;  val SaltInstPartial = 23L
   val SaltInstFrac = 24L; val SaltInstFee = 25L
+  val SaltBirth = 40L;    val SaltSegment = 41L;    val SaltAppDate = 42L
+  val SaltChannel = 43L;  val SaltReqAmount = 44L;  val SaltAppStatus = 45L
+  val SaltAppBorrower = 46L; val SaltAppCreatedH = 47L
+
+  /** G1: the borrower dimension (ids floored at 10000 like the
+    * reference's restarted sequences). */
+  def borrowers(spark: SparkSession, cfg: Config = Config()): DataFrame = {
+    val id = col("id")
+    spark.range(cfg.nBorrowers).select(
+      (lit(10000L) + id).as("borrower_id"),
+      concat(lit("B-"), id.cast(StringType)).as("full_name"),
+      date_add(to_date(lit("1950-01-01")),
+        floor(u(id, SaltBirth) * 18262).cast(IntegerType)).as("birth_date"), // ..2000
+      element_at(array(lit("retail"), lit("premium"), lit("sme")),
+        (floor(u(id, SaltSegment) * 3) + 1).cast(IntegerType)).as("segment"))
+  }
+
+  /** G1+G2+G11: applications with random borrower FKs and the README's
+    * chronology contract (created strictly BEFORE the application date,
+    * modeled as a positive hour offset). */
+  def applications(spark: SparkSession, cfg: Config = Config()): DataFrame = {
+    val id = col("id")
+    val start = to_date(lit(cfg.startDate))
+    spark.range(cfg.nApplications).select(
+      (lit(100000000L) + id).as("application_id"),
+      (lit(10000L) + floor(u(id, SaltAppBorrower) * cfg.nBorrowers).cast(LongType)).as("borrower_id"),
+      date_add(start, floor(u(id, SaltAppDate) * cfg.spanDays).cast(IntegerType)).as("application_date"),
+      element_at(array(lit("branch"), lit("online"), lit("broker")),
+        (floor(u(id, SaltChannel) * 3) + 1).cast(IntegerType)).as("channel"),
+      ((lit(50000L) + floor(u(id, SaltReqAmount) * cfg.principalRangeCents).cast(LongType))
+        .cast(DoubleType) / 100.0).as("requested_amount"),
+      element_at(array(lit("approved"), lit("rejected"), lit("withdrawn")),
+        (floor(u(id, SaltAppStatus) * 3) + 1).cast(IntegerType)).as("status"),
+      (lit(3L) + floor(u(id, SaltAppCreatedH) * 69).cast(LongType)).as("created_hours_before"))
+  }
 
   /** G1–G4 + G11: the loan_contract dimension with behavior tags.
     * Columns mirror `stg_loan_contract.sql` plus the generator's hidden

@@ -15,6 +15,28 @@ class SynthSpec extends SparkSpec {
   private lazy val sched = Synth.scheduleLinear(loans).cache()
   private lazy val pays = Synth.payments(sched).cache()
 
+  test("schemas: all 17 OLTP tables declared with typed columns") {
+    import graft.schema.Schemas
+    assert(Schemas.oltp.size == 17)
+    assert(Schemas.oltp("loan_contract").fieldNames.contains("principal_current"))
+    assert(Schemas.oltp("arrears_dpd_status").fieldNames.contains("days_past_due"))
+    // an empty frame constructed against each schema round-trips its types
+    Schemas.oltp.values.foreach { st =>
+      val df = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      assert(df.schema == st)
+    }
+  }
+
+  test("borrowers/applications: chronology contract and FK domains") {
+    val b = Synth.borrowers(spark)
+    val a = Synth.applications(spark)
+    assert(b.count() == 2000 && a.count() == 3000)
+    // created_at strictly before application_date (G11): offset hours >= 3
+    assert(a.filter(col("created_hours_before") < 3).count() == 0)
+    // FK domain: every application borrower_id exists
+    assert(a.join(b, Seq("borrower_id"), "left_anti").count() == 0)
+  }
+
   test("loans: domains and determinism") {
     val l = loans.collect()
     assert(l.length == 120)

@@ -50,6 +50,21 @@ object SynthRegistry {
 
     "synth_chronology_audit" -> ((s, _) => Synth.chronologyAudit(Synth.loans(s))),
 
+    // the reference's full loop — synthesize OLTP world, stage, run the
+    // SAME mart transform the external-data queries use (Marts.nplMonthly)
+    "synth_npl_monthly" -> ((s, _) => {
+      val loans = Synth.loans(s)
+      val snaps = Synth.dpdSnapshots(Synth.payments(Synth.scheduleLinear(loans)))
+      val dpd = snaps
+        .join(loans.select(
+          col("loan_id"), col("product_type"), col("currency"),
+          (col("principal_cents").cast(org.apache.spark.sql.types.DecimalType(20, 2)) / lit(100))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("exposure")),
+          Seq("loan_id"), "inner")
+        .withColumn("npl_flag", col("nonperforming_flag"))
+      graft.credit.Marts.nplMonthly(dpd)
+    }),
+
     "synth_borrowers" -> ((s, _) => Synth.borrowers(s)),
 
     "synth_applications" -> ((s, _) => Synth.applications(s)),
@@ -211,6 +226,29 @@ object SynthRegistry {
          |       lead(effective_from) OVER (PARTITION BY loan_id ORDER BY event_no) - 1 AS effective_to,
          |       CAST(rate_bp_event AS DOUBLE) / 10000.0 AS annual_rate
          |FROM ev2""".stripMargin,
+
+    "synth_npl_monthly" ->
+      s"""WITH $loansCte, $schedCte, $payCte,
+         |snaps AS (
+         |  SELECT loan_id, CAST(d AS DATE) AS as_of_date,
+         |         date_diff('day', due_date, CAST(d AS DATE)) > 90 AS npl_flag
+         |  FROM (
+         |    SELECT *, unnest(generate_series(due_date, LEAST(payment_date, due_date + 180), INTERVAL 1 DAY)) AS d
+         |    FROM spay) s),
+         |dpd AS (
+         |  SELECT sn.as_of_date, sn.npl_flag, l.product_type, l.currency,
+         |         CAST(CAST(l.principal_cents AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2)) AS exposure
+         |  FROM snaps sn JOIN synth_loans l ON sn.loan_id = l.loan_id)
+         |SELECT month, product_type, currency,
+         |       CAST(total_exposure_dec AS DOUBLE) AS total_exposure,
+         |       CAST(npl_exposure_dec AS DOUBLE) AS npl_exposure,
+         |       CASE WHEN total_exposure_dec = 0 THEN NULL
+         |            ELSE CAST(npl_exposure_dec AS DOUBLE) / CAST(total_exposure_dec AS DOUBLE) END AS npl_ratio
+         |FROM (
+         |  SELECT CAST(date_trunc('month', as_of_date) AS DATE) AS month, product_type, currency,
+         |         SUM(exposure) AS total_exposure_dec,
+         |         SUM(CASE WHEN npl_flag THEN exposure ELSE 0 END) AS npl_exposure_dec
+         |  FROM dpd GROUP BY 1, 2, 3) g""".stripMargin,
 
     "synth_borrowers" ->
       s"""SELECT 10000 + id AS borrower_id,

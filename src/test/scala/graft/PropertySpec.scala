@@ -1,0 +1,98 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.functions.CreditFunctions
+import graft.synth.Synth
+
+/** Property-based specs (SURVEY.md §5): each property draws a fixed
+  * seeded sample set with ScalaCheck Gen, loads it into ONE DataFrame,
+  * and compares the engine's column semantics against an independent
+  * Scala model row-by-row — one Spark job per property, hundreds of
+  * cases. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, rng.Seed(42L)).get
+
+  test("property: dpdBucket matches the reference CASE model on arbitrary ints") {
+    def model(d: Int): String =
+      if (d <= 0) "0" else if (d <= 30) "1-30" else if (d <= 60) "31-60"
+      else if (d <= 90) "61-90" else "90+"
+    val ds = sample(Gen.chooseNum(-1000, 10000), 500)
+    val got = ds.toDF("dpd").select(col("dpd"), CreditFunctions.dpdBucket(col("dpd")))
+      .as[(Int, String)].collect()
+    got.foreach { case (d, b) => assert(b == model(d), s"dpd=$d") }
+  }
+
+  test("property: monthsOnBook equals java.time Period months for month-start observations") {
+    // vintage always observes at month starts (date_trunc month); the
+    // last-day-vs-last-day months_between special case cannot occur there
+    val pairs = sample(for {
+      my <- Gen.chooseNum(2015, 2026); mm <- Gen.chooseNum(1, 12)
+      oy <- Gen.chooseNum(2014, 2026); om <- Gen.chooseNum(1, 12); od <- Gen.chooseNum(1, 28)
+    } yield (LocalDate.of(my, mm, 1), LocalDate.of(oy, om, od)), 500)
+    val df = pairs.map { case (m, o) => (m.toString, o.toString) }.toDF("m", "o")
+      .select(col("m"), col("o"),
+        CreditFunctions.monthsOnBook(to_date(col("m")), to_date(col("o"))).as("mob"))
+    df.as[(String, String, Int)].collect().foreach { case (m, o, mob) =>
+      val p = java.time.Period.between(LocalDate.parse(o), LocalDate.parse(m))
+      assert(mob == p.getYears * 12 + p.getMonths, s"m=$m o=$o")
+    }
+  }
+
+  test("property: add_months clamps exactly like java.time plusMonths") {
+    val cases = sample(for {
+      y <- Gen.chooseNum(2012, 2028); mo <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 31)
+      n <- Gen.chooseNum(0, 84)
+      date <- Gen.const(LocalDate.of(y, mo, 1).plusDays((d - 1).toLong min 27L))
+    } yield (date, n), 300) ++ List(
+      (LocalDate.of(2015, 1, 31), 1), (LocalDate.of(2016, 1, 31), 1), // leap Feb
+      (LocalDate.of(2015, 1, 31), 13), (LocalDate.of(2015, 3, 31), 1))
+    val df = cases.map { case (d, n) => (d.toString, n) }.toDF("d", "n")
+      .select(col("d"), col("n"), add_months(to_date(col("d")), col("n")).cast("string").as("am"))
+    df.as[(String, Int, String)].collect().foreach { case (d, n, am) =>
+      assert(am == LocalDate.parse(d).plusMonths(n.toLong).toString, s"d=$d n=$n")
+    }
+  }
+
+  test("property: waterfall conserves arbitrary payments and never over-allocates a class") {
+    val gen = for {
+      penalty <- Gen.chooseNum(0L, 5000L); fees <- Gen.chooseNum(0L, 5000L)
+      interest <- Gen.chooseNum(0L, 100000L); principal <- Gen.chooseNum(0L, 500000L)
+      amount <- Gen.chooseNum(0L, 650000L)
+    } yield (1L, 1, penalty, fees, interest, principal, amount)
+    val rows = sample(gen, 500)
+    val df = rows.toDF("loan_id", "installment_no", "penalty_cents", "fee_cents",
+      "interest_due_cents", "principal_due_cents", "amount_cents")
+    // conservation + caps, checked on the collected rows
+    Synth.waterfall(df).collect().zip(rows).foreach { case (r, (_, _, p, f, i, pr, a)) =>
+      val total = r.getAs[Double]("alloc_penalty") + r.getAs[Double]("alloc_fees") +
+        r.getAs[Double]("alloc_interest") + r.getAs[Double]("alloc_principal") +
+        r.getAs[Double]("alloc_other")
+      assert(math.abs(total - r.getAs[Double]("amount")) < 1e-9)
+      assert(r.getAs[Double]("alloc_penalty") <= p / 100.0 + 1e-9)
+      assert(r.getAs[Double]("alloc_fees") <= f / 100.0 + 1e-9)
+      assert(r.getAs[Double]("alloc_interest") <= i / 100.0 + 1e-9)
+      assert(r.getAs[Double]("alloc_principal") <= pr / 100.0 + 1e-9)
+      assert(r.getAs[Double]("alloc_other") >= -1e-9)
+    }
+  }
+
+  test("property: the LCG stays in [0,1) and is key/salt sensitive") {
+    val keys = sample(Gen.chooseNum(0L, 2000000L), 400)
+    val us = keys.toDF("k")
+      .select(col("k"), Synth.Rng.u(col("k"), 7L).as("u7"), Synth.Rng.u(col("k"), 8L).as("u8"))
+      .as[(Long, Double, Double)].collect()
+    us.foreach { case (k, u7, u8) =>
+      assert(u7 >= 0.0 && u7 < 1.0, s"k=$k")
+      assert(u8 >= 0.0 && u8 < 1.0, s"k=$k")
+    }
+    // different salts decorrelate: the two draws disagree almost always
+    assert(us.count { case (_, u7, u8) => math.abs(u7 - u8) < 1e-9 } < 5)
+  }
+}

@@ -72,6 +72,22 @@ object SynthRegistry {
     "synth_audit_log" -> ((s, _) =>
       Synth.auditLog(Synth.loans(s), Synth.payments(sl(s)))),
 
+    "synth_disbursements" -> ((s, _) => Synth.loanDisbursements(Synth.loans(s))),
+
+    "synth_fees" -> ((s, _) => Synth.feesAndCharges(Synth.payments(sl(s)))),
+
+    "synth_penalties" -> ((s, _) => Synth.penaltyInterestEvents(Synth.payments(sl(s)))),
+
+    "synth_mandates" -> ((s, _) => Synth.directDebitMandates(Synth.loans(s))),
+
+    "synth_instructions" -> ((s, _) =>
+      Synth.collectionInstructions(Synth.payments(sl(s)),
+        Synth.directDebitMandates(Synth.loans(s)))),
+
+    "synth_forbearance" -> ((s, _) => Synth.forbearanceEvents(Synth.loans(s))),
+
+    "synth_cases" -> ((s, _) => Synth.collectionsCases(Synth.loans(s))),
+
     // rows-only check (no oracle): sequential annuity recurrence uses pow
     "synth_annuity_schedule" -> ((s, _) => Synth.scheduleAnnuity(Synth.loans(s)).toDF())
   )
@@ -279,6 +295,73 @@ object SynthRegistry {
          |       'EXT-' || CAST(loan_id AS VARCHAR) || '-' || CAST(installment_no AS VARCHAR),
          |       CAST(NULL AS VARCHAR)
          |FROM spay""".stripMargin,
+
+    "synth_disbursements" ->
+      s"""WITH $loansCte
+         |SELECT loan_id AS disbursement_id, loan_id,
+         |       origination_date AS disbursement_date,
+         |       CAST(principal_cents AS DOUBLE) / 100.0 AS amount,
+         |       (['sepa','swift','internal'])[CAST(floor(${uSql("loan_id", Synth.SaltDisbChannel)} * 3) AS INTEGER) + 1] AS channel
+         |FROM synth_loans""".stripMargin,
+
+    "synth_fees" ->
+      s"""WITH $loansCte, $schedCte, $payCte
+         |SELECT (loan_id * 200 + installment_no) AS fee_id, loan_id,
+         |       'late_fee' AS fee_type, payment_date AS fee_date,
+         |       CAST(fee_cents AS DOUBLE) / 100.0 AS amount,
+         |       ${uSql(instKeySql, Synth.SaltCapitalize)} < 0.2 AS capitalization_flag
+         |FROM spay WHERE fee_cents > 0""".stripMargin,
+
+    "synth_penalties" ->
+      s"""WITH $loansCte, $schedCte, $payCte
+         |SELECT (loan_id * 200 + installment_no) AS penalty_id, loan_id,
+         |       payment_date AS event_date,
+         |       CAST(total_due_cents AS DOUBLE) / 100.0 AS base_amount,
+         |       CAST(0.12 AS DOUBLE) AS penalty_rate,
+         |       delay_days AS days_late,
+         |       CAST(penalty_cents AS DOUBLE) / 100.0 AS penalty_amount
+         |FROM spay WHERE penalty_cents > 0""".stripMargin,
+
+    "synth_mandates" ->
+      s"""WITH $loansCte
+         |SELECT 500000 + loan_id AS mandate_id, borrower_id, loan_id,
+         |       'DD-' || CAST(loan_id AS VARCHAR) || '-'
+         |         || CAST(CAST(floor(${uSql("loan_id", Synth.SaltDirectDebit)} * 1000000) AS BIGINT) AS VARCHAR) AS mandate_reference,
+         |       'DE89**********' || lpad(CAST(loan_id % 10000 AS VARCHAR), 4, '0') AS iban_masked,
+         |       CASE WHEN ${uSql("loan_id", Synth.SaltMandateStatus)} < 0.9 THEN 'active' ELSE 'revoked' END AS status,
+         |       origination_date - 7 AS signed_date
+         |FROM synth_loans WHERE ${uSql("loan_id", Synth.SaltDirectDebit)} < 0.55""".stripMargin,
+
+    "synth_instructions" ->
+      s"""WITH $loansCte, $schedCte, $payCte,
+         |m AS (SELECT 500000 + loan_id AS mandate_id, loan_id FROM synth_loans
+         |      WHERE ${uSql("loan_id", Synth.SaltDirectDebit)} < 0.55)
+         |SELECT (p.loan_id * 200 + p.installment_no) AS instruction_id, p.loan_id,
+         |       m.mandate_id, p.due_date,
+         |       CAST(p.amount_cents AS DOUBLE) / 100.0 AS amount,
+         |       CASE WHEN ${uSql("(p.loan_id * 200 + p.installment_no)", Synth.SaltInstrStatus)} < 0.93
+         |            THEN 'executed' ELSE 'returned' END AS status,
+         |       CASE WHEN ${uSql("(p.loan_id * 200 + p.installment_no)", Synth.SaltInstrStatus)} >= 0.93
+         |            THEN 'insufficient_funds' END AS return_reason
+         |FROM spay p JOIN m ON p.loan_id = m.loan_id""".stripMargin,
+
+    "synth_forbearance" ->
+      s"""WITH $loansCte
+         |SELECT loan_id AS event_id, loan_id, 'restructure' AS event_type,
+         |       CAST(origination_date + INTERVAL (term_months // 2) MONTH AS DATE) AS event_date,
+         |       'term=' || CAST(term_months AS VARCHAR) AS old_terms,
+         |       'term=' || CAST(term_months + 12 AS VARCHAR) AS new_terms,
+         |       ${uSql("loan_id", Synth.SaltForbearance)} < 0.025 AS probation_flag
+         |FROM synth_loans WHERE ${uSql("loan_id", Synth.SaltForbearance)} < 0.05""".stripMargin,
+
+    "synth_cases" ->
+      s"""WITH $loansCte
+         |SELECT 900000 + loan_id AS case_id, loan_id,
+         |       CAST(origination_date + INTERVAL ((term_months * 3) // 10) MONTH AS DATE) + 30 AS opened_date,
+         |       CAST(NULL AS DATE) AS closed_date,
+         |       (['soft','field','legal'])[CAST(floor(${uSql("loan_id", Synth.SaltCaseStage)} * 3) AS INTEGER) + 1] AS stage,
+         |       ${uSql("loan_id", Synth.SaltCaseRecovery)} < 0.5 AS recovery_expected_flag
+         |FROM synth_loans WHERE is_default""".stripMargin,
 
     "synth_chronology_audit" ->
       s"""WITH $loansCte

@@ -87,6 +87,9 @@ object Synth {
   val SaltBirth = 40L;    val SaltSegment = 41L;    val SaltAppDate = 42L
   val SaltChannel = 43L;  val SaltReqAmount = 44L;  val SaltAppStatus = 45L
   val SaltAppBorrower = 46L; val SaltAppCreatedH = 47L
+  val SaltDirectDebit = 48L; val SaltForbearance = 49L; val SaltCapitalize = 50L
+  val SaltDisbChannel = 51L; val SaltInstrStatus = 52L; val SaltCaseStage = 53L
+  val SaltCaseRecovery = 54L; val SaltMandateStatus = 55L
 
   /** G1: the borrower dimension (ids floored at 10000 like the
     * reference's restarted sequences). */
@@ -210,7 +213,7 @@ object Synth {
       .select(
         col("loan_id"), col("installment_no"), col("due_date"), col("payment_date"),
         col("delay_days"), col("late_inst"), col("partial_inst"),
-        col("principal_due_cents"), col("interest_due_cents"),
+        col("principal_due_cents"), col("interest_due_cents"), col("total_due_cents"),
         col("fee_cents"), col("penalty_cents"), col("amount_cents"),
         (col("amount_cents").cast(DoubleType) / 100.0).as("amount_received"))
 
@@ -289,6 +292,92 @@ object Synth {
       counted("nonpositive_term", termNonPos)
     ).reduce(_.union(_))
   }
+
+  /** Remaining OLTP entity tables (SURVEY.md §1.4) — all pure
+    * deterministic projections off loans/payments, so the whole 17-table
+    * world is oracle-reproducible. */
+  def loanDisbursements(loans: DataFrame): DataFrame =
+    loans.select(
+      col("loan_id").as("disbursement_id"),
+      col("loan_id"),
+      col("origination_date").as("disbursement_date"),
+      col("principal").as("amount"),
+      element_at(array(lit("sepa"), lit("swift"), lit("internal")),
+        (floor(u(col("loan_id"), SaltDisbChannel) * 3) + 1).cast(IntegerType)).as("channel"))
+
+  def feesAndCharges(payments: DataFrame): DataFrame =
+    payments.filter(col("fee_cents") > 0).select(
+      instKey.as("fee_id"),
+      col("loan_id"),
+      lit("late_fee").as("fee_type"),
+      col("payment_date").as("fee_date"),
+      (col("fee_cents").cast(DoubleType) / 100.0).as("amount"),
+      (u(instKey, SaltCapitalize) < 0.2).as("capitalization_flag"))
+
+  def penaltyInterestEvents(payments: DataFrame): DataFrame =
+    payments.filter(col("penalty_cents") > 0).select(
+      instKey.as("penalty_id"),
+      col("loan_id"),
+      col("payment_date").as("event_date"),
+      (col("total_due_cents").cast(DoubleType) / 100.0).as("base_amount"),
+      lit(0.12).as("penalty_rate"),
+      col("delay_days").as("days_late"),
+      (col("penalty_cents").cast(DoubleType) / 100.0).as("penalty_amount"))
+
+  /** Direct-debit mandates for ~55% of loans (p_direct_debit,
+    * `pg_oltp_synth.py:43`), with templated references (M7). */
+  def directDebitMandates(loans: DataFrame): DataFrame =
+    loans.filter(u(col("loan_id"), SaltDirectDebit) < 0.55).select(
+      (lit(500000L) + col("loan_id")).as("mandate_id"),
+      col("borrower_id"),
+      col("loan_id"),
+      concat(lit("DD-"), col("loan_id").cast(StringType), lit("-"),
+        floor(u(col("loan_id"), SaltDirectDebit) * 1000000).cast(LongType).cast(StringType))
+        .as("mandate_reference"),
+      concat(lit("DE89**********"),
+        lpad((col("loan_id") % 10000).cast(StringType), 4, "0")).as("iban_masked"),
+      when(u(col("loan_id"), SaltMandateStatus) < 0.9, lit("active"))
+        .otherwise(lit("revoked")).as("status"),
+      date_sub(col("origination_date"), 7).as("signed_date"))
+
+  /** One collection instruction per payment of a direct-debit loan. */
+  def collectionInstructions(payments: DataFrame, mandates: DataFrame): DataFrame =
+    payments
+      .join(mandates.select(col("loan_id"), col("mandate_id")), Seq("loan_id"), "inner")
+      .select(
+        instKey.as("instruction_id"),
+        col("loan_id"),
+        col("mandate_id"),
+        col("due_date"),
+        (col("amount_cents").cast(DoubleType) / 100.0).as("amount"),
+        when(u(instKey, SaltInstrStatus) < 0.93, lit("executed"))
+          .otherwise(lit("returned")).as("status"),
+        when(u(instKey, SaltInstrStatus) >= 0.93, lit("insufficient_funds"))
+          .cast(StringType).as("return_reason"))
+
+  /** Forbearance/restructure events for ~5% of loans (p_forbearance). */
+  def forbearanceEvents(loans: DataFrame): DataFrame =
+    loans.filter(u(col("loan_id"), SaltForbearance) < 0.05).select(
+      col("loan_id").as("event_id"),
+      col("loan_id"),
+      lit("restructure").as("event_type"),
+      add_months(col("origination_date"), expr("term_months div 2")).as("event_date"),
+      concat(lit("term="), col("term_months").cast(StringType)).as("old_terms"),
+      concat(lit("term="), (col("term_months") + 12).cast(StringType)).as("new_terms"),
+      (u(col("loan_id"), SaltForbearance) < 0.025).as("probation_flag"))
+
+  /** Collections cases opened for defaulted loans 30 days after their
+    * last paid installment. */
+  def collectionsCases(loans: DataFrame): DataFrame =
+    loans.filter(col("is_default")).select(
+      (lit(900000L) + col("loan_id")).as("case_id"),
+      col("loan_id"),
+      date_add(add_months(col("origination_date"), expr("(term_months * 3) div 10")), 30)
+        .as("opened_date"),
+      lit(null).cast(DateType).as("closed_date"),
+      element_at(array(lit("soft"), lit("field"), lit("legal")),
+        (floor(u(col("loan_id"), SaltCaseStage) * 3) + 1).cast(IntegerType)).as("stage"),
+      (u(col("loan_id"), SaltCaseRecovery) < 0.5).as("recovery_expected_flag"))
 
   /** G10 + M7: the append-only audit/ops log — a union of per-stage
     * projections with templated reference strings (`pg_oltp_synth.py:

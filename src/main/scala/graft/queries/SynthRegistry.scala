@@ -72,6 +72,9 @@ object SynthRegistry {
     "synth_audit_log" -> ((s, _) =>
       Synth.auditLog(Synth.loans(s), Synth.payments(sl(s)))),
 
+    "synth_payment_allocation" -> ((s, _) =>
+      Synth.paymentAllocations(Synth.waterfall(Synth.payments(sl(s))))),
+
     "synth_disbursements" -> ((s, _) => Synth.loanDisbursements(Synth.loans(s))),
 
     "synth_fees" -> ((s, _) => Synth.feesAndCharges(Synth.payments(sl(s)))),
@@ -295,6 +298,36 @@ object SynthRegistry {
          |       'EXT-' || CAST(loan_id AS VARCHAR) || '-' || CAST(installment_no AS VARCHAR),
          |       CAST(NULL AS VARCHAR)
          |FROM spay""".stripMargin,
+
+    "synth_payment_allocation" -> {
+      val wf =
+        """wfall AS (
+          |  SELECT loan_id, installment_no,
+          |         CAST(alloc_penalty AS DOUBLE)/100.0 AS p_penalty,
+          |         CAST(alloc_fees AS DOUBLE)/100.0 AS p_fees,
+          |         CAST(alloc_interest AS DOUBLE)/100.0 AS p_interest,
+          |         CAST(alloc_principal AS DOUBLE)/100.0 AS p_principal,
+          |         CAST(rem3 - alloc_principal AS DOUBLE)/100.0 AS p_other
+          |  FROM (
+          |    SELECT *, LEAST(rem3, principal_due_cents) AS alloc_principal FROM (
+          |      SELECT *, rem2 - alloc_interest AS rem3 FROM (
+          |        SELECT *, LEAST(rem2, interest_due_cents) AS alloc_interest FROM (
+          |          SELECT *, rem1 - alloc_fees AS rem2 FROM (
+          |            SELECT *, LEAST(rem1, fee_cents) AS alloc_fees FROM (
+          |              SELECT *, amount_cents - alloc_penalty AS rem1 FROM (
+          |                SELECT *, LEAST(amount_cents, penalty_cents) AS alloc_penalty
+          |                FROM spay) q1) q2) q3) q4) q5) q6) q7)""".stripMargin
+      s"""WITH $loansCte, $schedCte, $payCte, $wf
+         |SELECT (loan_id*200 + installment_no)*8 + k AS allocation_id,
+         |       loan_id*200 + installment_no AS payment_id,
+         |       loan_id, allocated_to, amount_allocated
+         |FROM (
+         |  SELECT loan_id, installment_no, 0 AS k, 'penalty' AS allocated_to, p_penalty AS amount_allocated FROM wfall
+         |  UNION ALL SELECT loan_id, installment_no, 1, 'fees', p_fees FROM wfall
+         |  UNION ALL SELECT loan_id, installment_no, 2, 'interest', p_interest FROM wfall
+         |  UNION ALL SELECT loan_id, installment_no, 3, 'principal', p_principal FROM wfall
+         |  UNION ALL SELECT loan_id, installment_no, 4, 'other', p_other FROM wfall) t""".stripMargin
+    },
 
     "synth_disbursements" ->
       s"""WITH $loansCte

@@ -293,6 +293,26 @@ object Synth {
     ).reduce(_.union(_))
   }
 
+  /** The reference's long-format `payment_allocation` table: one row per
+    * (payment, claim class) from the waterfall, via `stack` (unpivot). */
+  def paymentAllocations(waterfall: DataFrame): DataFrame =
+    waterfall.select(
+      (col("loan_id") * 200 + col("installment_no")).as("payment_id"),
+      col("loan_id"),
+      expr("""stack(5,
+        'penalty', alloc_penalty,
+        'fees', alloc_fees,
+        'interest', alloc_interest,
+        'principal', alloc_principal,
+        'other', alloc_other) AS (allocated_to, amount_allocated)"""))
+      .withColumn("allocation_id",
+        col("payment_id") * 8 + when(col("allocated_to") === "penalty", 0)
+          .when(col("allocated_to") === "fees", 1)
+          .when(col("allocated_to") === "interest", 2)
+          .when(col("allocated_to") === "principal", 3).otherwise(4))
+      .select(col("allocation_id"), col("payment_id"), col("loan_id"),
+        col("allocated_to"), col("amount_allocated"))
+
   /** Remaining OLTP entity tables (SURVEY.md §1.4) — all pure
     * deterministic projections off loans/payments, so the whole 17-table
     * world is oracle-reproducible. */

@@ -58,6 +58,25 @@ object Registry {
     "npl_monthly" -> ((s, dir) =>
       Marts.nplMonthly(Marts.dpdDaily(arrears(s, dir), loans(s, dir)))),
 
+    // same mart through the spark.sql surface (temp views = dbt-style
+    // layered relations; Catalyst inlines them identically)
+    "sql_npl_monthly" -> ((s, dir) => {
+      arrears(s, dir).createOrReplaceTempView("v_stg_arrears")
+      loans(s, dir).createOrReplaceTempView("v_stg_loans")
+      s.sql(
+        """SELECT month, product_type, currency,
+          |       CAST(total_exposure_dec AS DOUBLE) AS total_exposure,
+          |       CAST(npl_exposure_dec AS DOUBLE) AS npl_exposure,
+          |       CASE WHEN total_exposure_dec = 0 THEN NULL
+          |            ELSE CAST(npl_exposure_dec AS DOUBLE) / CAST(total_exposure_dec AS DOUBLE) END AS npl_ratio
+          |FROM (
+          |  SELECT trunc(a.as_of_date, 'month') AS month, l.product_type, l.currency,
+          |         SUM(l.exposure) AS total_exposure_dec,
+          |         SUM(CASE WHEN a.npl_flag THEN l.exposure ELSE 0 END) AS npl_exposure_dec
+          |  FROM v_stg_arrears a JOIN v_stg_loans l ON a.loan_id = l.loan_id
+          |  GROUP BY 1, 2, 3) g""".stripMargin)
+    }),
+
     "month_end" -> ((s, dir) =>
       monthEndDf(s, dir).select(
         col("loan_id"), col("month"), col("as_of_date"),
@@ -226,6 +245,21 @@ object Registry {
          |FROM arrears a JOIN loans l ON a.loan_id = l.loan_id""".stripMargin,
 
     "npl_monthly" ->
+      s"""WITH $arrearsCte, $loansCte
+         |SELECT month, product_type, currency,
+         |       CAST(total_exposure_dec AS DOUBLE) AS total_exposure,
+         |       CAST(npl_exposure_dec AS DOUBLE) AS npl_exposure,
+         |       CASE WHEN total_exposure_dec = 0 THEN NULL
+         |            ELSE CAST(npl_exposure_dec AS DOUBLE) / CAST(total_exposure_dec AS DOUBLE) END AS npl_ratio
+         |FROM (
+         |  SELECT CAST(date_trunc('month', a.as_of_date) AS DATE) AS month,
+         |         l.product_type, l.currency,
+         |         SUM(l.exposure) AS total_exposure_dec,
+         |         SUM(CASE WHEN a.npl_flag THEN l.exposure ELSE 0 END) AS npl_exposure_dec
+         |  FROM arrears a JOIN loans l ON a.loan_id = l.loan_id
+         |  GROUP BY 1, 2, 3) g""".stripMargin,
+
+    "sql_npl_monthly" ->
       s"""WITH $arrearsCte, $loansCte
          |SELECT month, product_type, currency,
          |       CAST(total_exposure_dec AS DOUBLE) AS total_exposure,

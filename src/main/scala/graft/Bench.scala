@@ -25,9 +25,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val t = (System.nanoTime() - t0) / 1e9
-      // isolate queries: drop caches/broadcasts a query built so the next
-      // timing doesn't pay its GC bill
+      // isolate queries: drop cached frames, and nudge the driver GC so
+      // the ContextCleaner reclaims now-unreferenced broadcasts (the knn
+      // index) — clearCache alone does not release broadcast variables
       spark.catalog.clearCache()
+      System.gc()
       (name, if (ok) t else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -27,7 +27,7 @@ object Checks {
   def relationshipViolations(child: DataFrame, parent: DataFrame, key: String): DataFrame =
     child.join(parent.select(col(key)).distinct(), Seq(key), "left_anti")
 
-  private def counted(name: String, df: DataFrame): DataFrame =
+  def counted(name: String, df: DataFrame): DataFrame =
     df.agg(count(lit(1)).as("violations")).select(lit(name).as("check_name"), col("violations"))
 
   /** The reference's declared test suite over the analog staging tables,

@@ -66,11 +66,7 @@ object MinHash {
       .otherwise(transform(sequence(lit(1), size(th) - (n - 1)), i =>
         (0 until n).map(d => element_at(th, i + d) * lit(shingleWeight(d))).reduce(_ + _) % P))
 
-  /** Explicit-N repartition: single-file scans arrive as ONE partition,
-    * and an N-less `repartition(col)` would be coalesced back to one
-    * task by AQE on small data — explicit N is respected. */
-  private def spread(df: DataFrame, c: Column): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, c)
+  import graft.operators.Partitioning.spread
 
   /** doc_id + distinct-shingle-hash array (docs shorter than n tokens
     * have no shingles and are dropped — nothing to near-dup on).

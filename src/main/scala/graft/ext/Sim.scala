@@ -31,13 +31,12 @@ import org.apache.spark.sql.types._
   */
 object Sim {
 
-  private def dim(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding"))).head().getInt(0)
+  import graft.operators.Partitioning.spread
 
-  /** Explicit-N repartition (AQE would coalesce an N-less one back to a
-    * single task on small inputs). */
-  private def spread(df: DataFrame, c: Column): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, c)
+  /** Embedding width, from the first row (0 for an empty table — callers
+    * return an empty result instead of planning against no schema). */
+  private def dim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).take(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   private def el(c: Column, i: Int): Column = element_at(c, i).cast(DoubleType)
 
@@ -56,6 +55,13 @@ object Sim {
   }
 
   final case class Neighbor(vec_id: Long, neighbor_id: Long, cosine: Double, rank: Int)
+
+  /** SQL DESC ordering with NaN FIRST (both Spark and DuckDB sort NaN
+    * above every number), then neighbor id ascending. */
+  private def beats(cos: Double, id: Long, thanCos: Double, thanId: Long): Boolean = {
+    val c = java.lang.Double.compare(cos, thanCos) // NaN > all, matches SQL
+    c > 0 || (c == 0 && id < thanId)
+  }
 
   /** Brute-force cosine top-k per vector: a broadcast-index compute
     * kernel (`mapPartitions`), the one operator here where a typed kernel
@@ -91,30 +97,34 @@ object Sim {
         var nq = 0.0; var i = 0
         while (i < q.length) { nq += q(i) * q(i); i += 1 }
         val qn = math.sqrt(nq)
-        // insertion-maintained top-k under (cosine desc, neighbor asc)
-        val topIds = new Array[Long](k); val topCos = new Array[Double](k)
-        var filled = 0
-        var j = 0
-        while (j < idx.length) {
-          val (nid, nv) = idx(j)
-          if (nid != qid) {
-            var dot = 0.0; var m = 0
-            while (m < q.length) { dot += q(m) * nv(m); m += 1 }
-            val cos = dot / (qn * norms(j))
-            var pos = filled
-            while (pos > 0 && (topCos(pos - 1) < cos ||
-              (topCos(pos - 1) == cos && topIds(pos - 1) > nid))) pos -= 1
-            if (pos < k) {
-              val upTo = math.min(filled, k - 1)
-              var sh = upTo
-              while (sh > pos) { topCos(sh) = topCos(sh - 1); topIds(sh) = topIds(sh - 1); sh -= 1 }
-              topCos(pos) = cos; topIds(pos) = nid
-              if (filled < k) filled += 1
+        // cosine is undefined for zero-norm vectors: engines disagree on
+        // 0/0 (Spark NaN vs SQL NULL), so they are excluded by contract
+        if (qn == 0.0) Iterator.empty
+        else {
+          // insertion-maintained top-k under (cosine desc, neighbor asc)
+          val topIds = new Array[Long](k); val topCos = new Array[Double](k)
+          var filled = 0
+          var j = 0
+          while (j < idx.length) {
+            val (nid, nv) = idx(j)
+            if (nid != qid && norms(j) != 0.0) {
+              var dot = 0.0; var m = 0
+              while (m < q.length) { dot += q(m) * nv(m); m += 1 }
+              val cos = dot / (qn * norms(j))
+              var pos = filled
+              while (pos > 0 && beats(cos, nid, topCos(pos - 1), topIds(pos - 1))) pos -= 1
+              if (pos < k) {
+                val upTo = math.min(filled, k - 1)
+                var sh = upTo
+                while (sh > pos) { topCos(sh) = topCos(sh - 1); topIds(sh) = topIds(sh - 1); sh -= 1 }
+                topCos(pos) = cos; topIds(pos) = nid
+                if (filled < k) filled += 1
+              }
             }
+            j += 1
           }
-          j += 1
+          (0 until filled).iterator.map(r => Neighbor(qid, topIds(r), topCos(r), r + 1))
         }
-        (0 until filled).map(r => Neighbor(qid, topIds(r), topCos(r), r + 1))
       }
     }.toDF()
   }
@@ -150,6 +160,7 @@ object Sim {
     val e = spread(embeddings, col("vec_id")).select(col("vec_id"), col("embedding"),
       nsqChain(col("embedding"), d).as("nsq"),
       lshBucket(col("embedding"), d, nBits).as("bucket"))
+      .filter(col("nsq") > 0) // zero-norm vectors have no cosine (see bruteTopK)
     // the bucket equi-join then shuffles/broadcasts by AQE's choice — no
     // forced hint, this is the scale path
     val left  = e.select(col("bucket"), col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
@@ -170,6 +181,7 @@ object Sim {
     val e = spread(embeddings, col("vec_id")).select(col("vec_id"), col("embedding"),
       nsqChain(col("embedding"), d).as("nsq"),
       lshBucket(col("embedding"), d, nBits).as("bucket"))
+      .filter(col("nsq") > 0) // zero-norm vectors have no cosine (see bruteTopK)
     val left  = e.select(col("bucket"), col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
     val right = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
     left.join(right, Seq("bucket"), "inner")

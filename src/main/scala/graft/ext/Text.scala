@@ -64,9 +64,7 @@ object Text {
     * shingles generate quadratically many candidate pairs while carrying
     * no near-dup signal, and they are exactly the join-skew keys. */
   def ngramJaccardPairs(documents: DataFrame, n: Int, maxDocFreq: Long = 5L): DataFrame = {
-    val docSh = documents
-      .repartition(documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        col("doc_id")) // single-file scans arrive as one partition; explicit N resists AQE coalescing
+    val docSh = graft.operators.Partitioning.spread(documents, col("doc_id"))
       .select(col("doc_id"), array_distinct(shingles(split(col("text"), " "), n)).as("sh"))
       .cache() // reused by candidate generation and both verify joins
     val exploded = docSh.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -259,21 +259,6 @@ object Registry {
          |  FROM arrears a JOIN loans l ON a.loan_id = l.loan_id
          |  GROUP BY 1, 2, 3) g""".stripMargin,
 
-    "sql_npl_monthly" ->
-      s"""WITH $arrearsCte, $loansCte
-         |SELECT month, product_type, currency,
-         |       CAST(total_exposure_dec AS DOUBLE) AS total_exposure,
-         |       CAST(npl_exposure_dec AS DOUBLE) AS npl_exposure,
-         |       CASE WHEN total_exposure_dec = 0 THEN NULL
-         |            ELSE CAST(npl_exposure_dec AS DOUBLE) / CAST(total_exposure_dec AS DOUBLE) END AS npl_ratio
-         |FROM (
-         |  SELECT CAST(date_trunc('month', a.as_of_date) AS DATE) AS month,
-         |         l.product_type, l.currency,
-         |         SUM(l.exposure) AS total_exposure_dec,
-         |         SUM(CASE WHEN a.npl_flag THEN l.exposure ELSE 0 END) AS npl_exposure_dec
-         |  FROM arrears a JOIN loans l ON a.loan_id = l.loan_id
-         |  GROUP BY 1, 2, 3) g""".stripMargin,
-
     "month_end" ->
       s"""WITH $arrearsCte, $monthEndCte
          |SELECT loan_id, month, as_of_date, days_past_due, dpd_bucket, npl_flag
@@ -391,7 +376,7 @@ object Registry {
         |FROM cand c JOIN docsh x ON c.doc_a = x.doc_id JOIN docsh y ON c.doc_b = y.doc_id""".stripMargin,
 
     "knn_cosine_brute" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ($nsqChain) AS nsq FROM embeddings)
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq FROM embeddings) t0 WHERE nsq > 0)
          |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          |         (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine,
@@ -405,7 +390,7 @@ object Registry {
       val bucketExpr = projs.zipWithIndex
         .map { case (p, j) => s"CASE WHEN ($p) >= 0 THEN ${1L << j} ELSE 0 END" }
         .mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding, ($nsqChain) AS nsq, ($bucketExpr) AS bucket FROM embeddings)
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq, ($bucketExpr) AS bucket FROM embeddings) t0 WHERE nsq > 0)
          |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          |         (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine,
@@ -420,7 +405,7 @@ object Registry {
       val bucketExpr = projs.zipWithIndex
         .map { case (p, j) => s"CASE WHEN ($p) >= 0 THEN ${1L << j} ELSE 0 END" }
         .mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding, ($nsqChain) AS nsq, ($bucketExpr) AS bucket FROM embeddings)
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq, ($bucketExpr) AS bucket FROM embeddings) t0 WHERE nsq > 0)
          |SELECT vec_id AS keep_id, neighbor_id AS dup_id, cosine FROM (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          |         (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
@@ -440,5 +425,7 @@ object Registry {
   )
 
   val oracles: Map[String, String] =
-    coreOracles ++ SynthRegistry.oracles ++ ExtRegistry.oracles
+    coreOracles ++ SynthRegistry.oracles ++ ExtRegistry.oracles +
+      // same mart through the SQL surface -> same oracle, defined once
+      ("sql_npl_monthly" -> coreOracles("npl_monthly"))
 }

@@ -48,7 +48,7 @@ object SynthRegistry {
 
     "synth_rate_schedule" -> ((s, _) => Synth.rateSchedule(Synth.loans(s))),
 
-    "synth_chronology_audit" -> ((s, _) => Synth.chronologyAudit(Synth.loans(s))),
+    "synth_chronology_audit" -> ((s, _) => Synth.chronologyAudit(Synth.loans(s), Synth.applications(s))),
 
     // the reference's full loop — synthesize OLTP world, stage, run the
     // SAME mart transform the external-data queries use (Marts.nplMonthly)
@@ -161,6 +161,30 @@ object SynthRegistry {
        |        FROM sched
        |        WHERE NOT is_default OR installment_no <= (term_months * 3) // 10) d) e) f)""".stripMargin
 
+  private val appsSql: String =
+    s"""SELECT 100000000 + id AS application_id,
+         |       10000 + CAST(floor(${uSql("id", Synth.SaltAppBorrower)} * 2000) AS BIGINT) AS borrower_id,
+         |       DATE '2015-01-01' + CAST(floor(${uSql("id", Synth.SaltAppDate)} * 3652) AS INTEGER) AS application_date,
+         |       (['branch','online','broker'])[CAST(floor(${uSql("id", Synth.SaltChannel)} * 3) AS INTEGER) + 1] AS channel,
+         |       CAST(50000 + CAST(floor(${uSql("id", Synth.SaltReqAmount)} * 4950000) AS BIGINT) AS DOUBLE) / 100.0 AS requested_amount,
+         |       (['approved','rejected','withdrawn'])[CAST(floor(${uSql("id", Synth.SaltAppStatus)} * 3) AS INTEGER) + 1] AS status,
+         |       3 + CAST(floor(${uSql("id", Synth.SaltAppCreatedH)} * 69) AS BIGINT) AS created_hours_before
+         |FROM range(0, 3000) t(id)"""
+
+  /** The G7 waterfall cascade as a shared CTE (used by the waterfall and
+    * payment_allocation oracles — one copy to keep in sync). */
+  private val waterfallCte =
+    """wfall AS (
+      |  SELECT * FROM (
+      |    SELECT *, LEAST(rem3, principal_due_cents) AS alloc_principal FROM (
+      |      SELECT *, rem2 - alloc_interest AS rem3 FROM (
+      |        SELECT *, LEAST(rem2, interest_due_cents) AS alloc_interest FROM (
+      |          SELECT *, rem1 - alloc_fees AS rem2 FROM (
+      |            SELECT *, LEAST(rem1, fee_cents) AS alloc_fees FROM (
+      |              SELECT *, amount_cents - alloc_penalty AS rem1 FROM (
+      |                SELECT *, LEAST(amount_cents, penalty_cents) AS alloc_penalty
+      |                FROM spay) q1) q2) q3) q4) q5) q6) q7)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "synth_loans" ->
       s"""WITH $loansCte
@@ -191,7 +215,7 @@ object SynthRegistry {
          |FROM spay""".stripMargin,
 
     "synth_waterfall" ->
-      s"""WITH $loansCte, $schedCte, $payCte
+      s"""WITH $loansCte, $schedCte, $payCte, $waterfallCte
          |SELECT loan_id, installment_no,
          |       CAST(amount_cents AS DOUBLE) / 100.0 AS amount,
          |       CAST(alloc_penalty AS DOUBLE) / 100.0 AS alloc_penalty,
@@ -199,21 +223,7 @@ object SynthRegistry {
          |       CAST(alloc_interest AS DOUBLE) / 100.0 AS alloc_interest,
          |       CAST(alloc_principal AS DOUBLE) / 100.0 AS alloc_principal,
          |       CAST(rem3 - alloc_principal AS DOUBLE) / 100.0 AS alloc_other
-         |FROM (
-         |  SELECT *, LEAST(rem3, principal_due_cents) AS alloc_principal
-         |  FROM (
-         |    SELECT *, rem2 - alloc_interest AS rem3
-         |    FROM (
-         |      SELECT *, LEAST(rem2, interest_due_cents) AS alloc_interest
-         |      FROM (
-         |        SELECT *, rem1 - alloc_fees AS rem2
-         |        FROM (
-         |          SELECT *, LEAST(rem1, fee_cents) AS alloc_fees
-         |          FROM (
-         |            SELECT *, amount_cents - alloc_penalty AS rem1
-         |            FROM (
-         |              SELECT *, LEAST(amount_cents, penalty_cents) AS alloc_penalty
-         |              FROM spay) p1) p2) p3) p4) p5) p6) p7""".stripMargin,
+         |FROM wfall""".stripMargin,
 
     "synth_dpd_snapshots" ->
       s"""WITH $loansCte, $schedCte, $payCte
@@ -276,15 +286,7 @@ object SynthRegistry {
          |       (['retail','premium','sme'])[CAST(floor(${uSql("id", Synth.SaltSegment)} * 3) AS INTEGER) + 1] AS segment
          |FROM range(0, 2000) t(id)""".stripMargin,
 
-    "synth_applications" ->
-      s"""SELECT 100000000 + id AS application_id,
-         |       10000 + CAST(floor(${uSql("id", Synth.SaltAppBorrower)} * 2000) AS BIGINT) AS borrower_id,
-         |       DATE '2015-01-01' + CAST(floor(${uSql("id", Synth.SaltAppDate)} * 3652) AS INTEGER) AS application_date,
-         |       (['branch','online','broker'])[CAST(floor(${uSql("id", Synth.SaltChannel)} * 3) AS INTEGER) + 1] AS channel,
-         |       CAST(50000 + CAST(floor(${uSql("id", Synth.SaltReqAmount)} * 4950000) AS BIGINT) AS DOUBLE) / 100.0 AS requested_amount,
-         |       (['approved','rejected','withdrawn'])[CAST(floor(${uSql("id", Synth.SaltAppStatus)} * 3) AS INTEGER) + 1] AS status,
-         |       3 + CAST(floor(${uSql("id", Synth.SaltAppCreatedH)} * 69) AS BIGINT) AS created_hours_before
-         |FROM range(0, 3000) t(id)""".stripMargin,
+    "synth_applications" -> s"""$appsSql""".stripMargin,
 
     "synth_audit_log" ->
       s"""WITH $loansCte, $schedCte, $payCte
@@ -299,35 +301,18 @@ object SynthRegistry {
          |       CAST(NULL AS VARCHAR)
          |FROM spay""".stripMargin,
 
-    "synth_payment_allocation" -> {
-      val wf =
-        """wfall AS (
-          |  SELECT loan_id, installment_no,
-          |         CAST(alloc_penalty AS DOUBLE)/100.0 AS p_penalty,
-          |         CAST(alloc_fees AS DOUBLE)/100.0 AS p_fees,
-          |         CAST(alloc_interest AS DOUBLE)/100.0 AS p_interest,
-          |         CAST(alloc_principal AS DOUBLE)/100.0 AS p_principal,
-          |         CAST(rem3 - alloc_principal AS DOUBLE)/100.0 AS p_other
-          |  FROM (
-          |    SELECT *, LEAST(rem3, principal_due_cents) AS alloc_principal FROM (
-          |      SELECT *, rem2 - alloc_interest AS rem3 FROM (
-          |        SELECT *, LEAST(rem2, interest_due_cents) AS alloc_interest FROM (
-          |          SELECT *, rem1 - alloc_fees AS rem2 FROM (
-          |            SELECT *, LEAST(rem1, fee_cents) AS alloc_fees FROM (
-          |              SELECT *, amount_cents - alloc_penalty AS rem1 FROM (
-          |                SELECT *, LEAST(amount_cents, penalty_cents) AS alloc_penalty
-          |                FROM spay) q1) q2) q3) q4) q5) q6) q7)""".stripMargin
-      s"""WITH $loansCte, $schedCte, $payCte, $wf
+    "synth_payment_allocation" ->
+      s"""WITH $loansCte, $schedCte, $payCte, $waterfallCte
          |SELECT (loan_id*200 + installment_no)*8 + k AS allocation_id,
          |       loan_id*200 + installment_no AS payment_id,
          |       loan_id, allocated_to, amount_allocated
          |FROM (
-         |  SELECT loan_id, installment_no, 0 AS k, 'penalty' AS allocated_to, p_penalty AS amount_allocated FROM wfall
-         |  UNION ALL SELECT loan_id, installment_no, 1, 'fees', p_fees FROM wfall
-         |  UNION ALL SELECT loan_id, installment_no, 2, 'interest', p_interest FROM wfall
-         |  UNION ALL SELECT loan_id, installment_no, 3, 'principal', p_principal FROM wfall
-         |  UNION ALL SELECT loan_id, installment_no, 4, 'other', p_other FROM wfall) t""".stripMargin
-    },
+         |  SELECT loan_id, installment_no, 0 AS k, 'penalty' AS allocated_to,
+         |         CAST(alloc_penalty AS DOUBLE)/100.0 AS amount_allocated FROM wfall
+         |  UNION ALL SELECT loan_id, installment_no, 1, 'fees', CAST(alloc_fees AS DOUBLE)/100.0 FROM wfall
+         |  UNION ALL SELECT loan_id, installment_no, 2, 'interest', CAST(alloc_interest AS DOUBLE)/100.0 FROM wfall
+         |  UNION ALL SELECT loan_id, installment_no, 3, 'principal', CAST(alloc_principal AS DOUBLE)/100.0 FROM wfall
+         |  UNION ALL SELECT loan_id, installment_no, 4, 'other', CAST(rem3 - alloc_principal AS DOUBLE)/100.0 FROM wfall) t""".stripMargin,
 
     "synth_disbursements" ->
       s"""WITH $loansCte
@@ -397,10 +382,13 @@ object SynthRegistry {
          |FROM synth_loans WHERE is_default""".stripMargin,
 
     "synth_chronology_audit" ->
-      s"""WITH $loansCte
-         |SELECT 'created_after_application' AS check_name, count(*) AS violations FROM synth_loans WHERE created_hours_before < 0
+      s"""WITH $loansCte, apps AS (${appsSql.replace("\n", "\n  ")})
+         |SELECT 'created_not_3_to_72h_before_application' AS check_name, count(*) AS violations
+         |  FROM apps WHERE created_hours_before < 3 OR created_hours_before > 72
          |UNION ALL SELECT 'origination_after_maturity', count(*) FROM synth_loans
          |  WHERE origination_date > CAST(origination_date + INTERVAL (term_months) MONTH AS DATE)
-         |UNION ALL SELECT 'nonpositive_term', count(*) FROM synth_loans WHERE term_months <= 0""".stripMargin
+         |UNION ALL SELECT 'nonpositive_term', count(*) FROM synth_loans WHERE term_months <= 0
+         |UNION ALL SELECT 'application_date_before_epoch', count(*) FROM apps
+         |  WHERE application_date < DATE '2015-01-01'""".stripMargin
   )
 }

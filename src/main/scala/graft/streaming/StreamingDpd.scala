@@ -18,7 +18,12 @@ import graft.functions.CreditFunctions
   *  2. [[withRunningState]] — `flatMapGroupsWithState` when the operator
   *     needs per-loan memory across days (running max, cure detection):
   *     KeyValueGroupedDataset partitions by loan_id; state size is O(1)
-  *     per loan; event-time timeout expires idle loans.
+  *     per loan. State lifetime is the caller's choice via `timeout`:
+  *     the default NoTimeout keeps every loan's state for the life of
+  *     the query (fine for a bounded book); a production deployment over
+  *     an unbounded id space should pass ProcessingTimeTimeout (and call
+  *     state.setTimeoutDuration) or EventTimeTimeout with a watermarked
+  *     input so idle loans expire instead of growing the state store.
   *
   * Both transforms are readStream/read agnostic: pass a streaming OR
   * batch DataFrame with (loan_id long, ts timestamp, dpd int); tests
@@ -47,12 +52,14 @@ object StreamingDpd {
   /** Per-loan running DPD state: running max, latest value, sticky NPL
     * flag, and a cure signal (was delinquent, now 0). Emits one update
     * per (loan, micro-batch). */
-  def withRunningState(events: Dataset[DpdEvent]): Dataset[DpdUpdate] = {
+  def withRunningState(
+      events: Dataset[DpdEvent],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[DpdUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.loan_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
         (loanId: Long, batch: Iterator[DpdEvent], state: GroupState[DpdState]) =>
           val prev = state.getOption.getOrElse(DpdState(0, 0, everNpl = false))
           // event-time order within the batch: process sorted by ts

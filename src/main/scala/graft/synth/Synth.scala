@@ -276,20 +276,23 @@ object Synth {
         (col("rate_bp_event").cast(DoubleType) / 10000.0).as("annual_rate"))
   }
 
-  /** G10+G11: chronology audit over the generated world — the README's
-    * DQ probes (`README.MD:31-53`) as violation counts. created_at is
-    * modeled as `origination_date - created_hours_before` hours; the
-    * check verifies it never lands AFTER the application date. */
-  def chronologyAudit(loans: DataFrame): DataFrame = {
-    val violations = loans.filter(col("created_hours_before") < 0)
-    val futureDated = loans.filter(col("origination_date") > col("maturity_date"))
-    val termNonPos = loans.filter(col("term_months") <= 0)
-    def counted(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("violations")).select(lit(name).as("check_name"), col("violations"))
+  /** G11: chronology audit over the generated world — the README's DQ
+    * probes (`README.MD:31-53`) as violation counts. The chronology
+    * contract is `created_at` 3–72 hours BEFORE the application date
+    * (`README.MD:55-82`), modeled as the `created_hours_before` offset:
+    * the probe fires if the generator ever emits an offset outside that
+    * window (i.e. a created_at at or after the application timestamp, or
+    * unrealistically early). */
+  def chronologyAudit(loans: DataFrame, applications: DataFrame): DataFrame = {
+    import graft.dq.Checks.counted
     Seq(
-      counted("created_after_application", violations),
-      counted("origination_after_maturity", futureDated),
-      counted("nonpositive_term", termNonPos)
+      counted("created_not_3_to_72h_before_application",
+        applications.filter(col("created_hours_before") < 3 || col("created_hours_before") > 72)),
+      counted("origination_after_maturity",
+        loans.filter(col("origination_date") > col("maturity_date"))),
+      counted("nonpositive_term", loans.filter(col("term_months") <= 0)),
+      counted("application_date_before_epoch",
+        applications.filter(col("application_date") < to_date(lit("2015-01-01"))))
     ).reduce(_.union(_))
   }
 

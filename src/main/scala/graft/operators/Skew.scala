@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for fact×dim equi-joins whose fact side has hot keys
+  * (one loan with millions of snapshot rows lands on one reducer in a
+  * plain shuffle join).
+  *
+  * [[saltedJoin]] spreads each fact key over `salts` reducers: fact rows
+  * get a salt in [0, salts), the (small) dim side is replicated `salts`
+  * times via an explode, and the join key becomes (key, salt). The
+  * result set is IDENTICAL to the plain inner join — salting only
+  * changes the physical distribution — so correctness is unaffected and
+  * the operator composes anywhere a plain join does.
+  *
+  * AQE's skew-join handling covers most cases automatically (and is on
+  * by default in this engine); explicit salting remains the tool when
+  * the skew is known up front or the join sits under an operator AQE
+  * cannot re-plan (e.g. a streaming stateful stage).
+  */
+object Skew {
+
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltCol = "__graft_salt"
+    require(!fact.columns.contains(saltCol) && !dim.columns.contains(saltCol),
+      s"input already has internal column $saltCol")
+    // row-level spreading: the salt must vary WITHIN a hot key, so it
+    // derives from the physical row position, not the key value
+    val saltedFact = fact.withColumn(saltCol, pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicatedDim = dim.withColumn(saltCol, explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedFact.join(replicatedDim, Seq(key, saltCol), "inner").drop(saltCol)
+  }
+}

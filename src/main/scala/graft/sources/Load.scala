@@ -45,4 +45,17 @@ object Load {
       if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.map(col): _*) else df
     sorted.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
   }
+
+  /** Bucketed managed-table write: co-locates rows by `bucketKey` at
+    * WRITE time so later equi-joins/aggregations on that key read both
+    * sides pre-partitioned and skip the shuffle entirely — the 100 TB
+    * answer for the repeated fact×fact joins on `loan_id` (write the
+    * snapshot fact bucketed once, every downstream join is exchange-free
+    * on that side). */
+  def writeBucketed(df: DataFrame, table: String, bucketKey: String, nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(nBuckets, bucketKey)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -26,6 +26,29 @@ class LoadSpec extends SparkSpec {
       Set(("a", 10001L), ("b", 10002L), ("c", 10003L)))
   }
 
+  test("writeBucketed: co-located join reads both sides without a shuffle") {
+    val fact = (1L to 1000L).map(i => (i % 50, i, i * 2.0)).toDF("loan_id", "seq", "v")
+    val dim = (0L until 50L).map(i => (i, s"p$i")).toDF("loan_id", "product")
+    Load.writeBucketed(fact, "b_fact", "loan_id", 4, Seq("loan_id"))
+    Load.writeBucketed(dim, "b_dim", "loan_id", 4, Seq("loan_id"))
+    val joined = spark.table("b_fact").join(spark.table("b_dim"), Seq("loan_id"), "inner")
+    assert(joined.count() == 1000)
+    // bucketed-on-both-sides equi-join plans with NO shuffle exchange
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("saltedJoin returns exactly the plain join's rows, spread over salts") {
+    val fact = (1L to 300L).map(i => (1L, i)).toDF("loan_id", "seq") // one hot key
+      .union(Seq((2L, 0L)).toDF("loan_id", "seq"))
+    val dim = Seq((1L, "hot"), (2L, "cold")).toDF("loan_id", "product")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "loan_id", 8)
+    val plain = fact.join(dim, Seq("loan_id"), "inner")
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
   test("writePartitioned round-trips with partition pruning layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_load").toString
     val df = Seq((1L, "EUR", 10.0), (2L, "USD", 20.0), (3L, "EUR", 30.0))

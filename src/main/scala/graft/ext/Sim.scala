@@ -32,6 +32,7 @@ import org.apache.spark.sql.types._
 object Sim {
 
   import graft.operators.Partitioning.spread
+  import org.apache.spark.sql.graft.DotProduct.dot
 
   /** Embedding width, from the first row (0 for an empty table — callers
     * return an empty result instead of planning against no schema). */
@@ -39,12 +40,6 @@ object Sim {
     embeddings.select(size(col("embedding"))).take(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   private def el(c: Column, i: Int): Column = element_at(c, i).cast(DoubleType)
-
-  private def nsqChain(c: Column, d: Int): Column =
-    (1 to d).map(i => el(c, i) * el(c, i)).reduce(_ + _)
-
-  private def dotChain(a: Column, b: Column, d: Int): Column =
-    (1 to d).map(i => el(a, i) * el(b, i)).reduce(_ + _)
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
@@ -137,17 +132,15 @@ object Sim {
   def hyperplaneInt(j: Int, i: Int): Long =
     (i.toLong * 2654435761L + j.toLong * 40503L + 97L) % 1000L
 
-  private def hyperplane(j: Int, i: Int): Column =
-    lit(hyperplaneInt(j, i)).cast(DoubleType) / 1000.0 - 0.5
+  /** Hyperplane weight = hyperplaneInt/1000 - 0.5, the same IEEE ops the
+    * oracle's `k::DOUBLE / 1000.0 - 0.5` performs at query time. */
+  def hyperplaneWeights(d: Int, nBits: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, d)((j, i) => hyperplaneInt(j, i).toDouble / 1000.0 - 0.5)
 
-  /** Sign-bit LSH bucket key from `nBits` deterministic hyperplanes. */
-  def lshBucket(emb: Column, d: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { j =>
-      val proj = (1 to d).map(i => el(emb, i) * hyperplane(j, i - 1)).reduce(_ + _)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-bit LSH bucket key from `nBits` deterministic hyperplanes
+    * (native codegen expression — see [[org.apache.spark.sql.graft.LshBuckets]]). */
+  def lshBucket(emb: Column, d: Int, nBits: Int): Column =
+    org.apache.spark.sql.graft.LshBuckets.buckets(emb, hyperplaneWeights(d, nBits))
 
   /** LSH-bucketed approximate cosine top-k: candidates are pairs sharing
     * a bucket; the join is a shuffle on the bucket key instead of n².
@@ -158,7 +151,7 @@ object Sim {
     // expensive part and must run after the exchange (a single-file scan
     // is one partition), not in the serial scan stage
     val e = spread(embeddings, col("vec_id")).select(col("vec_id"), col("embedding"),
-      nsqChain(col("embedding"), d).as("nsq"),
+      dot(col("embedding"), col("embedding")).as("nsq"),
       lshBucket(col("embedding"), d, nBits).as("bucket"))
       .filter(col("nsq") > 0) // zero-norm vectors have no cosine (see bruteTopK)
     // the bucket equi-join then shuffles/broadcasts by AQE's choice — no
@@ -168,7 +161,7 @@ object Sim {
     val pairs = left.join(right, Seq("bucket"), "inner")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        dotChain(col("emb_a"), col("emb_b"), d) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+        dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
     topK(pairs, k)
   }
 
@@ -179,7 +172,7 @@ object Sim {
   def embeddingNearDups(embeddings: DataFrame, nBits: Int, threshold: Double): DataFrame = {
     val d = dim(embeddings)
     val e = spread(embeddings, col("vec_id")).select(col("vec_id"), col("embedding"),
-      nsqChain(col("embedding"), d).as("nsq"),
+      dot(col("embedding"), col("embedding")).as("nsq"),
       lshBucket(col("embedding"), d, nBits).as("bucket"))
       .filter(col("nsq") > 0) // zero-norm vectors have no cosine (see bruteTopK)
     val left  = e.select(col("bucket"), col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
@@ -187,7 +180,7 @@ object Sim {
     left.join(right, Seq("bucket"), "inner")
       .filter(col("vec_id") < col("neighbor_id"))
       .withColumn("cosine",
-        dotChain(col("emb_a"), col("emb_b"), d) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+        dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id").as("keep_id"), col("neighbor_id").as("dup_id"), col("cosine"))
   }

@@ -63,6 +63,24 @@ class TextSimSpec extends SparkSpec {
     assert(top.toSet.contains((1L, 2L)) && top.toSet.contains((2L, 1L)))
   }
 
+  test("DotProduct expression: bit-equal to the manual chain, null-safe, codegen path") {
+    import org.apache.spark.sql.graft.DotProduct.dot
+    val df = Seq(
+      (Seq(1.5f, -2.25f, 3.0f), Seq(0.5f, 4.0f, -1.25f)),
+      (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(dot(col("a"), col("b"))).as[Double].collect()
+    val expected = Array(
+      1.5 * 0.5 + (-2.25) * 4.0 + 3.0 * (-1.25), // left-to-right chain
+      0.0)
+    assert(java.lang.Double.doubleToLongBits(got(0)) ==
+      java.lang.Double.doubleToLongBits(expected(0)))
+    assert(got(1) == 0.0)
+    // null input -> null output (BinaryExpression null-safety)
+    val withNull = Seq((Some(Seq(1.0f)), None: Option[Seq[Float]])).toDF("a", "b")
+    assert(withNull.select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("dq: relationship violations are the orphans only") {
     val child = Seq((1L, "a"), (2L, "b"), (99L, "orphan")).toDF("k", "v")
     val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")

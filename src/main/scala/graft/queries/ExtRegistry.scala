@@ -29,7 +29,31 @@ object ExtRegistry {
           .cast(LongType).as("word_tokens"))),
 
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.frameSamplePlan(Multimodal.media(Tables(s, dir).documents), 10L))
+      Multimodal.frameSamplePlan(Multimodal.media(Tables(s, dir).documents), 10L)),
+
+    // aggregation surface beyond reference parity: distinct aggregates
+    "distinct_counts" -> ((s, dir) =>
+      Tables(s, dir).events.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("events"))),
+
+    // ROLLUP hierarchy totals (grouping-sets family)
+    "rollup_collections" -> ((s, dir) => {
+      val pay = graft.analog.Analog.payments(Tables(s, dir))
+      val loans = graft.analog.Analog.loans(Tables(s, dir))
+      pay.join(loans.select(col("loan_id"), col("product_type")), Seq("loan_id"), "inner")
+        .rollup(col("product_type"), col("currency"))
+        .agg(sum(col("amount_received")).as("collected_dec"),
+          count(lit(1)).as("payments"))
+        .select(col("product_type"), col("currency"),
+          col("collected_dec").cast(DoubleType).as("collected"), col("payments"))
+    }),
+
+    // exact percentiles (interpolated) over the events value column
+    "percentiles_by_type" -> ((s, dir) =>
+      Tables(s, dir).events.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95")))
   )
 
   // --------------------------------------------------------------- SQL
@@ -110,6 +134,30 @@ object ExtRegistry {
         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens
         |FROM documents""".stripMargin,
+
+    "distinct_counts" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+        |       count(*) AS events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "rollup_collections" ->
+      """WITH pay AS (
+        |  SELECT o.o_custkey AS loan_id, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS amount_received,
+        |         l.l_returnflag AS currency
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |loans AS (SELECT c_custkey AS loan_id, c_mktsegment AS product_type FROM customer)
+        |SELECT product_type, currency, CAST(collected_dec AS DOUBLE) AS collected, payments
+        |FROM (
+        |  SELECT product_type, currency, SUM(p.amount_received) AS collected_dec,
+        |         count(*) AS payments
+        |  FROM pay p JOIN loans lo ON p.loan_id = lo.loan_id
+        |  GROUP BY ROLLUP (product_type, currency)) g""".stripMargin,
+
+    "percentiles_by_type" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.95) AS p95
+        |FROM events GROUP BY 1""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,

@@ -31,6 +31,8 @@ object SynthRegistry {
         col("repayment_method"), col("interest_rate_type"),
         col("created_hours_before"), col("maturity_date"))),
 
+    "synth_schedule_methods" -> ((s, _) => Synth.scheduleByMethod(Synth.loans(s))),
+
     "synth_schedule" -> ((s, _) =>
       sl(s).select(
         col("loan_id"), col("installment_no"), col("due_date"),
@@ -113,7 +115,7 @@ object SynthRegistry {
        |         ${uSql(id, Synth.SaltDefault)} < 0.03 AS is_default,
        |         ${uSql(id, Synth.SaltLate)} < 0.18 AS is_late,
        |         ${uSql(id, Synth.SaltPartial)} < 0.10 AS is_partial,
-       |         CASE WHEN ${uSql(id, Synth.SaltMethod)} < 0.5 THEN 'linear' ELSE 'annuity' END AS repayment_method,
+       |         (['linear','annuity','interest_only','balloon'])[CAST(floor(${uSql(id, Synth.SaltMethod)} * 4) AS INTEGER) + 1] AS repayment_method,
        |         CASE WHEN ${uSql(id, Synth.SaltVariable)} < 0.35 THEN 'variable' ELSE 'fixed' END AS interest_rate_type,
        |         3 + CAST(floor(${uSql(id, Synth.SaltCreatedH)} * 69) AS BIGINT) AS created_hours_before
        |  FROM range(0, 1500) t(id))""".stripMargin
@@ -206,6 +208,35 @@ object SynthRegistry {
          |       CAST(opening_cents AS DOUBLE) / 100.0 AS opening_balance,
          |       CAST(opening_cents - principal_due_cents AS DOUBLE) / 100.0 AS closing_balance
          |FROM sched""".stripMargin,
+
+    "synth_schedule_methods" ->
+      s"""WITH $loansCte
+         |SELECT loan_id, repayment_method, installment_no, due_date,
+         |       CAST(principal_due_cents AS DOUBLE) / 100.0 AS principal_due,
+         |       CAST(interest_due_cents AS DOUBLE) / 100.0 AS interest_due,
+         |       CAST(principal_due_cents + interest_due_cents AS DOUBLE) / 100.0 AS total_due,
+         |       CAST(opening_cents AS DOUBLE) / 100.0 AS opening_balance,
+         |       CAST(opening_cents - principal_due_cents AS DOUBLE) / 100.0 AS closing_balance
+         |FROM (
+         |  SELECT *, (opening_cents * rate_bp) // 120000 AS interest_due_cents,
+         |         CAST(origination_date + INTERVAL (installment_no) MONTH AS DATE) AS due_date
+         |  FROM (
+         |    SELECT *,
+         |           CASE WHEN repayment_method = 'linear'
+         |                THEN CASE WHEN installment_no = term_months
+         |                          THEN principal_cents - pd_base * (term_months - 1)
+         |                          ELSE pd_base END
+         |                WHEN repayment_method = 'balloon'
+         |                THEN CASE WHEN installment_no = term_months THEN principal_cents ELSE 0 END
+         |                ELSE 0 END AS principal_due_cents,
+         |           CASE WHEN repayment_method = 'linear'
+         |                THEN principal_cents - pd_base * (installment_no - 1)
+         |                ELSE principal_cents END AS opening_cents
+         |    FROM (
+         |      SELECT l.*, CAST(unnest(generate_series(1, term_months)) AS INTEGER) AS installment_no,
+         |             principal_cents // term_months AS pd_base
+         |      FROM synth_loans l
+         |      WHERE repayment_method <> 'annuity') a) b) c""".stripMargin,
 
     "synth_payments" ->
       s"""WITH $loansCte, $schedCte, $payCte

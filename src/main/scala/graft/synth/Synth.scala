@@ -146,7 +146,9 @@ object Synth {
       (u(id, SaltDefault) < cfg.pDefault).as("is_default"),
       (u(id, SaltLate) < cfg.pLate).as("is_late"),
       (u(id, SaltPartial) < cfg.pPartial).as("is_partial"),
-      when(u(id, SaltMethod) < 0.5, lit("linear")).otherwise(lit("annuity")).as("repayment_method"),
+      element_at(
+        array(lit("linear"), lit("annuity"), lit("interest_only"), lit("balloon")),
+        (floor(u(id, SaltMethod) * 4) + 1).cast(IntegerType)).as("repayment_method"),
       when(u(id, SaltVariable) < cfg.pVariableRate, lit("variable")).otherwise(lit("fixed")).as("interest_rate_type"),
       (lit(3L) + floor(u(id, SaltCreatedH) * 69).cast(LongType)).as("created_hours_before"))
       .withColumn("principal", col("principal_cents").cast(DoubleType) / 100.0)
@@ -183,6 +185,40 @@ object Synth {
         col("is_default"), col("is_late"), col("is_partial"),
         col("term_months"), col("rate_bp"))
   }
+
+  /** G5 for the three closed-form methods (M2: linear / interest_only /
+    * balloon, reference semantics `pg_oltp_synth.py:428-437`): linear
+    * amortizes `P div n` cents per installment; interest_only never
+    * retires principal (closing stays P — reference quirk preserved);
+    * balloon pays interest on the full balance and retires it entirely
+    * at the final installment. Annuity loans (sequential recurrence) go
+    * through [[scheduleAnnuity]]. */
+  def scheduleByMethod(loans: DataFrame): DataFrame =
+    loans.filter(col("repayment_method") =!= "annuity")
+      .withColumn("installment_no", explode(sequence(lit(1), col("term_months"))))
+      .withColumn("pd_base", expr("principal_cents div term_months"))
+      .withColumn("principal_due_cents",
+        when(col("repayment_method") === "linear",
+          when(col("installment_no") === col("term_months"),
+            col("principal_cents") - col("pd_base") * (col("term_months") - 1))
+            .otherwise(col("pd_base")))
+        .when(col("repayment_method") === "balloon",
+          when(col("installment_no") === col("term_months"), col("principal_cents"))
+            .otherwise(lit(0L)))
+        .otherwise(lit(0L))) // interest_only
+      .withColumn("opening_cents",
+        when(col("repayment_method") === "linear",
+          col("principal_cents") - col("pd_base") * (col("installment_no") - 1))
+          .otherwise(col("principal_cents")))
+      .withColumn("interest_due_cents", expr("(opening_cents * rate_bp) div 120000"))
+      .withColumn("due_date", add_months(col("origination_date"), col("installment_no")))
+      .select(
+        col("loan_id"), col("repayment_method"), col("installment_no"), col("due_date"),
+        (col("principal_due_cents").cast(DoubleType) / 100.0).as("principal_due"),
+        (col("interest_due_cents").cast(DoubleType) / 100.0).as("interest_due"),
+        ((col("principal_due_cents") + col("interest_due_cents")).cast(DoubleType) / 100.0).as("total_due"),
+        (col("opening_cents").cast(DoubleType) / 100.0).as("opening_balance"),
+        ((col("opening_cents") - col("principal_due_cents")).cast(DoubleType) / 100.0).as("closing_balance"))
 
   /** Per-installment draw key: unique, < 2^31 for any realistic nLoans. */
   private def instKey: Column = col("loan_id") * 200 + col("installment_no")

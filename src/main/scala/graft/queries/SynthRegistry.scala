@@ -29,7 +29,9 @@ object SynthRegistry {
         col("term_months"), col("principal"), col("annual_rate"),
         col("is_default"), col("is_late"), col("is_partial"),
         col("repayment_method"), col("interest_rate_type"),
-        col("created_hours_before"), col("maturity_date"))),
+        col("created_hours_before"), col("maturity_date"),
+        col("grace_period_months"), col("payment_frequency"),
+        col("disbursement_date"), col("status"))),
 
     "synth_schedule_methods" -> ((s, _) => Synth.scheduleByMethod(Synth.loans(s))),
 
@@ -117,13 +119,19 @@ object SynthRegistry {
        |         ${uSql(id, Synth.SaltPartial)} < 0.10 AS is_partial,
        |         (['linear','annuity','interest_only','balloon'])[CAST(floor(${uSql(id, Synth.SaltMethod)} * 4) AS INTEGER) + 1] AS repayment_method,
        |         CASE WHEN ${uSql(id, Synth.SaltVariable)} < 0.35 THEN 'variable' ELSE 'fixed' END AS interest_rate_type,
-       |         3 + CAST(floor(${uSql(id, Synth.SaltCreatedH)} * 69) AS BIGINT) AS created_hours_before
+       |         3 + CAST(floor(${uSql(id, Synth.SaltCreatedH)} * 69) AS BIGINT) AS created_hours_before,
+       |         CASE WHEN floor(${uSql(id, Synth.SaltGrace)} * 20) < 17 THEN 0
+       |              ELSE CAST(floor(${uSql(id, Synth.SaltGrace)} * 20) - 16 AS INTEGER) END AS grace_period_months,
+       |         'monthly' AS payment_frequency,
+       |         DATE '2015-01-01' + CAST(floor(${uSql(id, Synth.SaltOrigDate)} * 3652) AS INTEGER)
+       |           + CAST(floor(${uSql(id, Synth.SaltDisbDelay)} * 8) AS INTEGER) AS disbursement_date,
+       |         CASE WHEN ${uSql(id, Synth.SaltDefault)} < 0.03 THEN 'defaulted' ELSE 'active' END AS status
        |  FROM range(0, 1500) t(id))""".stripMargin
 
   private val schedCte =
     """sched AS (
       |  SELECT *, principal_due_cents + interest_due_cents AS total_due_cents,
-      |         CAST(origination_date + INTERVAL (installment_no) MONTH AS DATE) AS due_date
+      |         CAST(origination_date + INTERVAL (grace_period_months + installment_no) MONTH AS DATE) AS due_date
       |  FROM (
       |    SELECT *, (opening_cents * rate_bp) // 120000 AS interest_due_cents
       |    FROM (
@@ -196,7 +204,8 @@ object SynthRegistry {
          |       CAST(rate_bp AS DOUBLE) / 10000.0 AS annual_rate,
          |       is_default, is_late, is_partial, repayment_method, interest_rate_type,
          |       created_hours_before,
-         |       CAST(origination_date + INTERVAL (term_months) MONTH AS DATE) AS maturity_date
+         |       CAST(origination_date + INTERVAL (term_months) MONTH AS DATE) AS maturity_date,
+         |       grace_period_months, payment_frequency, disbursement_date, status
          |FROM synth_loans""".stripMargin,
 
     "synth_schedule" ->
@@ -219,7 +228,7 @@ object SynthRegistry {
          |       CAST(opening_cents - principal_due_cents AS DOUBLE) / 100.0 AS closing_balance
          |FROM (
          |  SELECT *, (opening_cents * rate_bp) // 120000 AS interest_due_cents,
-         |         CAST(origination_date + INTERVAL (installment_no) MONTH AS DATE) AS due_date
+         |         CAST(origination_date + INTERVAL (grace_period_months + installment_no) MONTH AS DATE) AS due_date
          |  FROM (
          |    SELECT *,
          |           CASE WHEN repayment_method = 'linear'

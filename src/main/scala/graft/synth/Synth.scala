@@ -90,6 +90,7 @@ object Synth {
   val SaltDirectDebit = 48L; val SaltForbearance = 49L; val SaltCapitalize = 50L
   val SaltDisbChannel = 51L; val SaltInstrStatus = 52L; val SaltCaseStage = 53L
   val SaltCaseRecovery = 54L; val SaltMandateStatus = 55L
+  val SaltGrace = 56L;    val SaltDisbDelay = 57L
 
   /** G1: the borrower dimension (ids floored at 10000 like the
     * reference's restarted sequences). */
@@ -150,7 +151,15 @@ object Synth {
         array(lit("linear"), lit("annuity"), lit("interest_only"), lit("balloon")),
         (floor(u(id, SaltMethod) * 4) + 1).cast(IntegerType)).as("repayment_method"),
       when(u(id, SaltVariable) < cfg.pVariableRate, lit("variable")).otherwise(lit("fixed")).as("interest_rate_type"),
-      (lit(3L) + floor(u(id, SaltCreatedH) * 69).cast(LongType)).as("created_hours_before"))
+      (lit(3L) + floor(u(id, SaltCreatedH) * 69).cast(LongType)).as("created_hours_before"),
+      // grace: 0 with p=0.85, else 1..3 (reference pg_oltp_synth.py:259),
+      // single draw: floor(u*20) in 17..19 -> 1..3
+      when(floor(u(id, SaltGrace) * 20) < 17, lit(0))
+        .otherwise((floor(u(id, SaltGrace) * 20) - 16).cast(IntegerType)).as("grace_period_months"),
+      lit("monthly").as("payment_frequency"))
+      .withColumn("disbursement_date",
+        date_add(col("origination_date"), floor(u(col("loan_id") - 1, SaltDisbDelay) * 8).cast(IntegerType)))
+      .withColumn("status", when(col("is_default"), lit("defaulted")).otherwise(lit("active")))
       .withColumn("principal", col("principal_cents").cast(DoubleType) / 100.0)
       .withColumn("annual_rate", col("rate_bp").cast(DoubleType) / 10000.0)
       .withColumn("maturity_date", add_months(col("origination_date"), col("term_months")))
@@ -173,7 +182,10 @@ object Synth {
           .otherwise(col("pd_cents_base")))
       .withColumn("interest_due_cents", expr("(opening_cents * rate_bp) div 120000"))
       .withColumn("total_due_cents", col("principal_due_cents") + col("interest_due_cents"))
-      .withColumn("due_date", add_months(col("origination_date"), col("installment_no")))
+      // payment start shifts by the grace period (reference first_due =
+      // origination + 1 + grace, then monthly: due_n = orig + grace + n)
+      .withColumn("due_date",
+        add_months(col("origination_date"), col("grace_period_months") + col("installment_no")))
       .select(
         col("loan_id"), col("installment_no"), col("due_date"),
         (col("principal_due_cents").cast(DoubleType) / 100.0).as("principal_due"),
@@ -211,7 +223,8 @@ object Synth {
           col("principal_cents") - col("pd_base") * (col("installment_no") - 1))
           .otherwise(col("principal_cents")))
       .withColumn("interest_due_cents", expr("(opening_cents * rate_bp) div 120000"))
-      .withColumn("due_date", add_months(col("origination_date"), col("installment_no")))
+      .withColumn("due_date",
+        add_months(col("origination_date"), col("grace_period_months") + col("installment_no")))
       .select(
         col("loan_id"), col("repayment_method"), col("installment_no"), col("due_date"),
         (col("principal_due_cents").cast(DoubleType) / 100.0).as("principal_due"),

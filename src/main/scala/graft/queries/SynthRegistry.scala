@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.credit.Marts
+import graft.operators.Snapshots
 import graft.synth.Synth
 import graft.synth.Synth.Rng.uSql
 
@@ -20,6 +22,14 @@ import graft.synth.Synth.Rng.uSql
 object SynthRegistry {
 
   private def sl(s: SparkSession) = Synth.scheduleLinear(Synth.loans(s))
+
+  /** Daily worst-DPD arrears over the synth snapshot fact — the input of
+    * the transition-family marts. The synth world spans 2015–2024, so the
+    * W2 lag produces REAL month-over-month transitions here (the external
+    * events testdata covers a single month and exercises those marts only
+    * vacuously). */
+  private def sarr(s: SparkSession) =
+    Synth.arrearsDaily(Synth.dpdSnapshots(Synth.payments(sl(s))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "synth_loans" -> ((s, _) =>
@@ -67,6 +77,32 @@ object SynthRegistry {
           Seq("loan_id"), "inner")
         .withColumn("npl_flag", col("nonperforming_flag"))
       graft.credit.Marts.nplMonthly(dpd)
+    }),
+
+    // the full reference loop for the transition-family marts: generator →
+    // daily arrears staging → the SAME Marts transforms the external-data
+    // queries use — non-vacuous here (multi-year span ⇒ real transitions)
+    "synth_bucket_transitions" -> ((s, _) => Marts.bucketTransitions(sarr(s))),
+
+    "synth_roll_rate_monthly" -> ((s, _) =>
+      Marts.rollRateMonthly(Marts.bucketTransitions(sarr(s)))),
+
+    "synth_cure_rate_monthly" -> ((s, _) =>
+      Marts.cureRateMonthly(Marts.bucketTransitions(sarr(s)))),
+
+    "synth_vintage_mob" -> ((s, _) =>
+      Marts.vintageMob(
+        Snapshots.monthEnd(sarr(s), col("loan_id"), col("as_of_date")),
+        Synth.loans(s).select(col("loan_id"), col("origination_date")))),
+
+    "synth_collections_monthly" -> ((s, _) => {
+      val loans = Synth.loans(s)
+      val pay = Synth.payments(sl(s))
+        .join(loans.select(col("loan_id"), col("currency")), Seq("loan_id"), "inner")
+        .select(col("loan_id"), col("payment_date"), col("currency"),
+          (col("amount_cents").cast(org.apache.spark.sql.types.DecimalType(20, 2)) / lit(100))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("amount_received"))
+      Marts.collectionsMonthly(pay, loans.select(col("loan_id"), col("product_type")))
     }),
 
     "synth_borrowers" -> ((s, _) => Synth.borrowers(s)),
@@ -170,6 +206,42 @@ object SynthRegistry {
        |                    ELSE 0 END AS delay_days
        |        FROM sched
        |        WHERE NOT is_default OR installment_no <= (term_months * 3) // 10) d) e) f)""".stripMargin
+
+  /** Daily worst-DPD arrears twin of [[Synth.arrearsDaily]] over the
+    * snapshot expansion (shared by the transition-family oracles). */
+  private val sarrCte =
+    """sarr AS (
+      |  SELECT loan_id, as_of_date, days_past_due,
+      |         CASE WHEN days_past_due <= 0 THEN '0'
+      |              WHEN days_past_due <= 30 THEN '1-30'
+      |              WHEN days_past_due <= 60 THEN '31-60'
+      |              WHEN days_past_due <= 90 THEN '61-90'
+      |              ELSE '90+' END AS dpd_bucket
+      |  FROM (
+      |    SELECT loan_id, CAST(d AS DATE) AS as_of_date,
+      |           CAST(max(date_diff('day', due_date, CAST(d AS DATE))) AS INTEGER) AS days_past_due
+      |    FROM (
+      |      SELECT *, unnest(generate_series(due_date, LEAST(payment_date, due_date + 180), INTERVAL 1 DAY)) AS d
+      |      FROM spay) s
+      |    GROUP BY 1, 2) g)""".stripMargin
+
+  /** W1 month-end dedup + W2 observed-month lag over the synth arrears
+    * ((loan_id, as_of_date) is unique, so `as_of_date DESC` is total). */
+  private val smeCte =
+    """sme AS (
+      |  SELECT loan_id, month, as_of_date, days_past_due, dpd_bucket FROM (
+      |    SELECT a.*, CAST(date_trunc('month', as_of_date) AS DATE) AS month,
+      |           row_number() OVER (PARTITION BY loan_id, date_trunc('month', as_of_date)
+      |                              ORDER BY as_of_date DESC) AS rn
+      |    FROM sarr a) t WHERE rn = 1)""".stripMargin
+
+  private val stransCte =
+    """strans AS (
+      |  SELECT loan_id, month, prev_bucket, dpd_bucket AS curr_bucket FROM (
+      |    SELECT loan_id, month, dpd_bucket,
+      |           lag(dpd_bucket) OVER (PARTITION BY loan_id ORDER BY month) AS prev_bucket
+      |    FROM sme) t
+      |  WHERE prev_bucket IS NOT NULL)""".stripMargin
 
   private val appsSql: String =
     s"""SELECT 100000000 + id AS application_id,
@@ -318,6 +390,56 @@ object SynthRegistry {
          |         SUM(exposure) AS total_exposure_dec,
          |         SUM(CASE WHEN npl_flag THEN exposure ELSE 0 END) AS npl_exposure_dec
          |  FROM dpd GROUP BY 1, 2, 3) g""".stripMargin,
+
+    "synth_bucket_transitions" ->
+      s"""WITH $loansCte, $schedCte, $payCte, $sarrCte, $smeCte, $stransCte
+         |SELECT loan_id, month, prev_bucket, curr_bucket FROM strans""".stripMargin,
+
+    "synth_roll_rate_monthly" ->
+      s"""WITH $loansCte, $schedCte, $payCte, $sarrCte, $smeCte, $stransCte
+         |SELECT month, prev_bucket, curr_bucket, count(*) AS loans_cnt
+         |FROM strans GROUP BY 1, 2, 3""".stripMargin,
+
+    "synth_cure_rate_monthly" ->
+      s"""WITH $loansCte, $schedCte, $payCte, $sarrCte, $smeCte, $stransCte
+         |SELECT month, prev_delinquent_cnt, cured_cnt,
+         |       CASE WHEN prev_delinquent_cnt = 0 THEN NULL
+         |            ELSE CAST(cured_cnt AS DOUBLE) / CAST(prev_delinquent_cnt AS DOUBLE) END AS cure_rate
+         |FROM (
+         |  SELECT month,
+         |         count(*) FILTER (WHERE prev_bucket <> '0') AS prev_delinquent_cnt,
+         |         count(*) FILTER (WHERE prev_bucket <> '0' AND curr_bucket = '0') AS cured_cnt
+         |  FROM strans GROUP BY 1) g""".stripMargin,
+
+    "synth_vintage_mob" ->
+      s"""WITH $loansCte, $schedCte, $payCte, $sarrCte, $smeCte
+         |SELECT cohort_q, mob, loans_cnt, delinquent_cnt, npl_cnt,
+         |       CASE WHEN loans_cnt = 0 THEN NULL
+         |            ELSE CAST(delinquent_cnt AS DOUBLE) / CAST(loans_cnt AS DOUBLE) END AS delinquent_rate,
+         |       CASE WHEN loans_cnt = 0 THEN NULL
+         |            ELSE CAST(npl_cnt AS DOUBLE) / CAST(loans_cnt AS DOUBLE) END AS npl_rate
+         |FROM (
+         |  SELECT cohort_q, mob, count(*) AS loans_cnt,
+         |         CAST(SUM(CASE WHEN days_past_due > 0 THEN 1 ELSE 0 END) AS BIGINT) AS delinquent_cnt,
+         |         CAST(SUM(CASE WHEN days_past_due > 90 THEN 1 ELSE 0 END) AS BIGINT) AS npl_cnt
+         |  FROM (
+         |    SELECT CAST(date_trunc('quarter', l.origination_date) AS DATE) AS cohort_q,
+         |           CAST(date_part('year', age(m.month, l.origination_date)) * 12
+         |                + date_part('month', age(m.month, l.origination_date)) AS INTEGER) AS mob,
+         |           m.days_past_due
+         |    FROM sme m JOIN synth_loans l ON m.loan_id = l.loan_id) p
+         |  WHERE mob >= 0
+         |  GROUP BY 1, 2) g""".stripMargin,
+
+    "synth_collections_monthly" ->
+      s"""WITH $loansCte, $schedCte, $payCte
+         |SELECT month, product_type, currency, CAST(s AS DOUBLE) AS collected_amount
+         |FROM (
+         |  SELECT CAST(date_trunc('month', p.payment_date) AS DATE) AS month,
+         |         l.product_type, l.currency,
+         |         SUM(CAST(CAST(p.amount_cents AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2))) AS s
+         |  FROM spay p JOIN synth_loans l ON p.loan_id = l.loan_id
+         |  GROUP BY 1, 2, 3) g""".stripMargin,
 
     "synth_borrowers" ->
       s"""SELECT 10000 + id AS borrower_id,

@@ -307,6 +307,19 @@ object Synth {
         (col("days_past_due") >= 5 && col("days_past_due") <= 30).as("early_arrears_flag"),
         (col("days_past_due") > 90).as("nonperforming_flag"))
 
+  /** The synth world's `stg_arrears_daily` twin: worst DPD per
+    * (loan_id, as_of_date) across concurrently-open installments, so the
+    * frame is UNIQUE per loan-day like the reference arrears table and
+    * feeds [[graft.credit.Marts.bucketTransitions]] / the month-end
+    * window without tiebreakers. Scale: one shuffle on the natural
+    * (loan_id, as_of_date) key with map-side combine. */
+  def arrearsDaily(snapshots: DataFrame): DataFrame =
+    snapshots
+      .groupBy(col("loan_id"), col("as_of_date"))
+      .agg(max(col("days_past_due")).as("days_past_due"))
+      .withColumn("dpd_bucket",
+        graft.functions.CreditFunctions.dpdBucket(col("days_past_due")))
+
   /** G9: SCD-2 variable-rate schedule — 1–3 effective-dated events per
     * variable-rate loan, `effective_to = next_from - 1 day` (NULL on the
     * open-ended last interval) via a `lead` window. */

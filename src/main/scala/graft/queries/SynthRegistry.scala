@@ -131,6 +131,29 @@ object SynthRegistry {
 
     "synth_cases" -> ((s, _) => Synth.collectionsCases(Synth.loans(s))),
 
+    "synth_writeoffs" -> ((s, _) =>
+      Synth.writeOffAndRecovery(Synth.collectionsCases(Synth.loans(s))).select(
+        col("writeoff_id"), col("loan_id"), col("writeoff_date"),
+        col("writeoff_amount_principal"), col("writeoff_amount_interest"),
+        col("writeoff_amount_fees"), col("recovery_expected_flag"),
+        col("recovery_case_id"), col("recovery_payment_id"),
+        col("recovery_amount"), col("recovery_date"))),
+
+    // the writeoff mart over the synth world (the last of the 7 marts to
+    // close the generator -> staging -> mart loop)
+    "synth_writeoff_recovery_monthly" -> ((s, _) => {
+      import org.apache.spark.sql.types.DecimalType
+      val wo = Synth.writeOffAndRecovery(Synth.collectionsCases(Synth.loans(s)))
+      def dec(c: String) =
+        (col(c).cast(DecimalType(20, 2)) / lit(100)).cast(DecimalType(18, 2))
+      Marts.writeoffRecoveryMonthly(wo.select(
+        col("loan_id"), col("writeoff_date"), col("recovery_date"),
+        dec("wo_principal_cents").as("writeoff_amount_principal"),
+        dec("wo_interest_cents").as("writeoff_amount_interest"),
+        dec("wo_fees_cents").as("writeoff_amount_fees"),
+        dec("recovery_amount_cents").as("recovery_amount")))
+    }),
+
     // rows-only check (no oracle): sequential annuity recurrence uses pow
     "synth_annuity_schedule" -> ((s, _) => Synth.scheduleAnnuity(Synth.loans(s)).toDF())
   )
@@ -242,6 +265,30 @@ object SynthRegistry {
       |           lag(dpd_bucket) OVER (PARTITION BY loan_id ORDER BY month) AS prev_bucket
       |    FROM sme) t
       |  WHERE prev_bucket IS NOT NULL)""".stripMargin
+
+  /** Collections cases + write-off twin CTEs ([[Synth.collectionsCases]] /
+    * [[Synth.writeOffAndRecovery]]). */
+  private val scasesCte =
+    s"""scases AS (
+       |  SELECT 900000 + loan_id AS case_id, loan_id,
+       |         CAST(origination_date + INTERVAL ((term_months * 3) // 10) MONTH AS DATE) + 30 AS opened_date,
+       |         ${uSql("loan_id", Synth.SaltCaseRecovery)} < 0.5 AS recovery_expected_flag
+       |  FROM synth_loans WHERE is_default)""".stripMargin
+
+  private val swoCte =
+    s"""swo AS (
+       |  SELECT *,
+       |         CASE WHEN recovery_expected_flag THEN wo_principal_cents // 2 END AS recovery_amount_cents,
+       |         CASE WHEN recovery_expected_flag THEN writeoff_date + 90 END AS recovery_date
+       |  FROM (
+       |    SELECT loan_id AS writeoff_id, loan_id, case_id AS recovery_case_id,
+       |           recovery_expected_flag,
+       |           opened_date + CAST(1 + floor(${uSql("loan_id", Synth.SaltWoDate)} * 180) AS INTEGER) AS writeoff_date,
+       |           10000 + CAST(floor(${uSql("loan_id", Synth.SaltWoPrincipal)} * 190001) AS BIGINT) AS wo_principal_cents,
+       |           CAST(floor(${uSql("loan_id", Synth.SaltWoInterest)} * 30001) AS BIGINT) AS wo_interest_cents,
+       |           CAST(floor(${uSql("loan_id", Synth.SaltWoFees)} * 20001) AS BIGINT) AS wo_fees_cents
+       |    FROM scases
+       |    WHERE ${uSql("loan_id", Synth.SaltWriteoff)} < 0.35) b)""".stripMargin
 
   private val appsSql: String =
     s"""SELECT 100000000 + id AS application_id,
@@ -542,6 +589,31 @@ object SynthRegistry {
          |       (['soft','field','legal'])[CAST(floor(${uSql("loan_id", Synth.SaltCaseStage)} * 3) AS INTEGER) + 1] AS stage,
          |       ${uSql("loan_id", Synth.SaltCaseRecovery)} < 0.5 AS recovery_expected_flag
          |FROM synth_loans WHERE is_default""".stripMargin,
+
+    "synth_writeoffs" ->
+      s"""WITH $loansCte, $scasesCte, $swoCte
+         |SELECT writeoff_id, loan_id, writeoff_date,
+         |       CAST(wo_principal_cents AS DOUBLE) / 100.0 AS writeoff_amount_principal,
+         |       CAST(wo_interest_cents AS DOUBLE) / 100.0 AS writeoff_amount_interest,
+         |       CAST(wo_fees_cents AS DOUBLE) / 100.0 AS writeoff_amount_fees,
+         |       recovery_expected_flag, recovery_case_id,
+         |       CAST(NULL AS BIGINT) AS recovery_payment_id,
+         |       CAST(recovery_amount_cents AS DOUBLE) / 100.0 AS recovery_amount,
+         |       recovery_date
+         |FROM swo""".stripMargin,
+
+    "synth_writeoff_recovery_monthly" ->
+      s"""WITH $loansCte, $scasesCte, $swoCte
+         |SELECT month,
+         |       CAST(writeoff_total_dec AS DOUBLE) AS writeoff_total,
+         |       CAST(recovery_total_dec AS DOUBLE) AS recovery_total
+         |FROM (
+         |  SELECT CAST(date_trunc('month', COALESCE(recovery_date, writeoff_date)) AS DATE) AS month,
+         |         SUM(COALESCE(CAST(CAST(wo_principal_cents AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2)), 0)
+         |             + COALESCE(CAST(CAST(wo_interest_cents AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2)), 0)
+         |             + COALESCE(CAST(CAST(wo_fees_cents AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2)), 0)) AS writeoff_total_dec,
+         |         SUM(COALESCE(CAST(CAST(recovery_amount_cents AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2)), 0)) AS recovery_total_dec
+         |  FROM swo GROUP BY 1) g""".stripMargin,
 
     "synth_chronology_audit" ->
       s"""WITH $loansCte, apps AS (${appsSql.replace("\n", "\n  ")})

@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   * §2.11).
   *
   * Determinism & oracle parity:
-  *  - randomness is [[Rng.u]], a two-round LCG over (id, salt) — pure
-  *    integer arithmetic reproducible bit-exactly in ANSI SQL (unlike
-  *    `rand(seed)`, which is partitioning-dependent and engine-private);
+  *  - randomness is [[Rng.u]], a three-round (two affine + one quadratic
+  *    mixing) LCG over (id, salt) — pure integer arithmetic reproducible
+  *    bit-exactly in ANSI SQL (unlike `rand(seed)`, which is
+  *    partitioning-dependent and engine-private);
   *  - money is integer CENTS end-to-end; division is integer `div` with
   *    the remainder folded into the last installment, so conservation
   *    laws (sum of principal dues == principal; waterfall allocations
@@ -38,9 +39,14 @@ import org.apache.spark.sql.types._
 object Synth {
 
   /** Engine-agnostic deterministic uniform [0,1): two LCG rounds over a
-    * non-negative integer key plus a salt. All intermediates stay well
-    * below 2^63 (key < 2^31), so the same expression evaluates without
-    * overflow — and bit-identically — in any int64 SQL engine. */
+    * non-negative integer key plus a salt, then a NONLINEAR mixing round
+    * (`h1*h2 mod M` — quadratic in the key). The quadratic round matters:
+    * a purely affine chain makes `u(key+c, s2)` a CONSTANT shift (mod 1)
+    * of `u(key, s1)`, so any draw conditioned on another draw's interval
+    * (e.g. case stage given `is_default`) collapses to a single value.
+    * All intermediates stay below 2^63 (key < 2^31, h1,h2 < 2^31), so the
+    * same expression evaluates without overflow — and bit-identically —
+    * in any int64 SQL engine. */
   object Rng {
     val M = 2147483648L // 2^31
     val A = 1103515245L
@@ -48,11 +54,14 @@ object Synth {
     def u(key: Column, salt: Long): Column = {
       val h1 = (key * lit(A) + lit(salt)) % lit(M)
       val h2 = (h1 * lit(A) + lit(C)) % lit(M)
-      h2.cast(DoubleType) / lit(M.toDouble)
+      ((h1 * h2 + lit(C)) % lit(M)).cast(DoubleType) / lit(M.toDouble)
     }
     /** SQL twin of [[u]] for the DuckDB oracle. */
-    def uSql(key: String, salt: Long): String =
-      s"CAST((((($key) * $A + $salt) % $M) * $A + $C) % $M AS DOUBLE) / $M.0"
+    def uSql(key: String, salt: Long): String = {
+      val h1 = s"((($key) * $A + $salt) % $M)"
+      val h2 = s"(($h1 * $A + $C) % $M)"
+      s"CAST(($h1 * $h2 + $C) % $M AS DOUBLE) / $M.0"
+    }
   }
 
   final case class Config(
@@ -91,6 +100,8 @@ object Synth {
   val SaltDisbChannel = 51L; val SaltInstrStatus = 52L; val SaltCaseStage = 53L
   val SaltCaseRecovery = 54L; val SaltMandateStatus = 55L
   val SaltGrace = 56L;    val SaltDisbDelay = 57L
+  val SaltWriteoff = 58L; val SaltWoDate = 59L;      val SaltWoPrincipal = 60L
+  val SaltWoInterest = 61L; val SaltWoFees = 62L
 
   /** G1: the borrower dimension (ids floored at 10000 like the
     * reference's restarted sequences). */
@@ -463,6 +474,42 @@ object Synth {
       element_at(array(lit("soft"), lit("field"), lit("legal")),
         (floor(u(col("loan_id"), SaltCaseStage) * 3) + 1).cast(IntegerType)).as("stage"),
       (u(col("loan_id"), SaltCaseRecovery) < 0.5).as("recovery_expected_flag"))
+
+  /** The 17th OLTP table, `write_off_and_recovery` (reference
+    * `pg_oltp_synth.py:907-939`): ~35% of collections cases get a
+    * write-off with principal/interest/fees parts and an optional later
+    * recovery when the case expects one. The reference stamps
+    * `date.today()` minus a random offset; determinism requires an anchor
+    * INSIDE the data, so the write-off date hangs off the case's
+    * opened_date instead. Cents columns ride along so the downstream mart
+    * can sum exactly in decimal. */
+  def writeOffAndRecovery(cases: DataFrame): DataFrame = {
+    val id = col("loan_id")
+    cases.filter(u(id, SaltWriteoff) < 0.35)
+      .withColumn("writeoff_date",
+        date_add(col("opened_date"), (lit(1) + floor(u(id, SaltWoDate) * 180)).cast(IntegerType)))
+      .withColumn("wo_principal_cents", lit(10000L) + floor(u(id, SaltWoPrincipal) * 190001).cast(LongType))
+      .withColumn("wo_interest_cents", floor(u(id, SaltWoInterest) * 30001).cast(LongType))
+      .withColumn("wo_fees_cents", floor(u(id, SaltWoFees) * 20001).cast(LongType))
+      .withColumn("recovery_amount_cents",
+        when(col("recovery_expected_flag"), expr("wo_principal_cents div 2")))
+      .withColumn("recovery_date",
+        when(col("recovery_expected_flag"), date_add(col("writeoff_date"), 90)))
+      .select(
+        col("loan_id").as("writeoff_id"),
+        col("loan_id"),
+        col("writeoff_date"),
+        (col("wo_principal_cents").cast(DoubleType) / 100.0).as("writeoff_amount_principal"),
+        (col("wo_interest_cents").cast(DoubleType) / 100.0).as("writeoff_amount_interest"),
+        (col("wo_fees_cents").cast(DoubleType) / 100.0).as("writeoff_amount_fees"),
+        col("recovery_expected_flag"),
+        col("case_id").as("recovery_case_id"),
+        lit(null).cast(LongType).as("recovery_payment_id"),
+        (col("recovery_amount_cents").cast(DoubleType) / 100.0).as("recovery_amount"),
+        col("recovery_date"),
+        col("wo_principal_cents"), col("wo_interest_cents"), col("wo_fees_cents"),
+        col("recovery_amount_cents"))
+  }
 
   /** G10 + M7: the append-only audit/ops log — a union of per-stage
     * projections with templated reference strings (`pg_oltp_synth.py:

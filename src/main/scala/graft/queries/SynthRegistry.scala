@@ -14,10 +14,11 @@ import graft.synth.Synth.Rng.uSql
   * LCG formulas — the generator itself is correctness-checked, not just
   * the queries over its output.
   *
-  * The annuity schedule (typed flatMap, `math.pow`) has NO oracle entry
-  * on purpose: `pow` is not IEEE-correctly-rounded and engine-divergent,
-  * so it gets the driver's weaker rows-only check plus ScalaTest
-  * property tests (balance retires to 0, dues conserve principal).
+  * The annuity schedule runs its (1+r)^n factor in integer fixed point
+  * and its balance recurrence in integer cents (no `pow`, whose rounding
+  * is engine-divergent), so even the sequential typed-flatMap kernel is
+  * oracle-checked — the twin is a DuckDB `WITH RECURSIVE` over the same
+  * integer arithmetic.
   */
 object SynthRegistry {
 
@@ -154,8 +155,10 @@ object SynthRegistry {
         dec("recovery_amount_cents").as("recovery_amount")))
     }),
 
-    // rows-only check (no oracle): sequential annuity recurrence uses pow
-    "synth_annuity_schedule" -> ((s, _) => Synth.scheduleAnnuity(Synth.loans(s)).toDF())
+    // integer-cents sequential recurrence — oracle is a WITH RECURSIVE twin
+    "synth_annuity_schedule" -> ((s, _) =>
+      Synth.scheduleAnnuity(
+        Synth.loans(s).filter(col("repayment_method") === "annuity")).toDF())
   )
 
   // --------------------------------------------------------------- SQL
@@ -614,6 +617,52 @@ object SynthRegistry {
          |             + COALESCE(CAST(CAST(wo_fees_cents AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2)), 0)) AS writeoff_total_dec,
          |         SUM(COALESCE(CAST(CAST(recovery_amount_cents AS DECIMAL(20,2)) / 100 AS DECIMAL(18,2)), 0)) AS recovery_total_dec
          |  FROM swo GROUP BY 1) g""".stripMargin,
+
+    // The one sequential kernel, oracle-checked via WITH RECURSIVE: powf
+    // iterates the fixed-point (1+r)^k factor, rec replays the exact
+    // integer-cents balance recurrence of [[Synth.scheduleAnnuity]].
+    "synth_annuity_schedule" ->
+      s"""WITH RECURSIVE $loansCte,
+         |aloans AS (
+         |  SELECT loan_id, principal_cents, term_months, grace_period_months, origination_date,
+         |         (rate_bp * 1000000000) // 120000 AS r_s
+         |  FROM synth_loans WHERE repayment_method = 'annuity'),
+         |powf AS (
+         |  SELECT loan_id, 0 AS k, CAST(1000000000 AS BIGINT) AS f FROM aloans
+         |  UNION ALL
+         |  SELECT p.loan_id, p.k + 1, (p.f * (1000000000 + a.r_s)) // 1000000000
+         |  FROM powf p JOIN aloans a ON p.loan_id = a.loan_id WHERE p.k < a.term_months),
+         |pays AS (
+         |  SELECT a.loan_id,
+         |         CASE WHEN a.r_s = 0 THEN a.principal_cents // a.term_months
+         |              ELSE ((a.principal_cents * a.r_s) // 1000)
+         |                   * ((f.f * 1000000) // (f.f - 1000000000)) // 1000000000000 END AS pay_cents
+         |  FROM aloans a JOIN powf f ON a.loan_id = f.loan_id AND f.k = a.term_months),
+         |rec AS (
+         |  SELECT a.loan_id, a.term_months, a.grace_period_months, a.origination_date, a.r_s, p.pay_cents,
+         |         1 AS installment_no,
+         |         a.principal_cents AS opening_cents,
+         |         (a.principal_cents * a.r_s) // 1000000000 AS interest_due_cents,
+         |         CASE WHEN a.term_months = 1 THEN a.principal_cents
+         |              ELSE p.pay_cents - (a.principal_cents * a.r_s) // 1000000000 END AS principal_due_cents
+         |  FROM aloans a JOIN pays p ON a.loan_id = p.loan_id
+         |  UNION ALL
+         |  SELECT r.loan_id, r.term_months, r.grace_period_months, r.origination_date, r.r_s, r.pay_cents,
+         |         r.installment_no + 1,
+         |         r.opening_cents - r.principal_due_cents,
+         |         ((r.opening_cents - r.principal_due_cents) * r.r_s) // 1000000000,
+         |         CASE WHEN r.installment_no + 1 = r.term_months
+         |              THEN r.opening_cents - r.principal_due_cents
+         |              ELSE r.pay_cents - ((r.opening_cents - r.principal_due_cents) * r.r_s) // 1000000000 END
+         |  FROM rec r WHERE r.installment_no < r.term_months)
+         |SELECT loan_id, installment_no,
+         |       CAST(origination_date + INTERVAL (grace_period_months + installment_no) MONTH AS DATE) AS due_date,
+         |       CAST(principal_due_cents + interest_due_cents AS DOUBLE) / 100.0 AS payment,
+         |       CAST(principal_due_cents AS DOUBLE) / 100.0 AS principal_due,
+         |       CAST(interest_due_cents AS DOUBLE) / 100.0 AS interest_due,
+         |       CAST(opening_cents AS DOUBLE) / 100.0 AS opening_balance,
+         |       CAST(opening_cents - principal_due_cents AS DOUBLE) / 100.0 AS closing_balance
+         |FROM rec""".stripMargin,
 
     "synth_chronology_audit" ->
       s"""WITH $loansCte, apps AS (${appsSql.replace("\n", "\n  ")})

@@ -540,39 +540,59 @@ object Synth {
 
   final case class LoanRow(
       loan_id: Long, principal_cents: Long, rate_bp: Long, term_months: Int,
-      origination_date: java.sql.Date)
+      grace_period_months: Int, origination_date: java.sql.Date)
 
   final case class ScheduleRow(
       loan_id: Long, installment_no: Int, due_date: java.sql.Date,
       payment: Double, principal_due: Double, interest_due: Double,
       opening_balance: Double, closing_balance: Double)
 
-  /** G5 annuity variant (M1+M3): the balance recurrence is inherently
-    * sequential per loan, so it runs as a typed per-loan `flatMap`
-    * (narrow, partition-parallel over loans — SURVEY.md §7.3.4) rather
-    * than a forced closed form. The final installment retires the exact
-    * remaining balance, so closing_balance ends at 0.0 by construction. */
+  /** Fixed-point scale for the (1+r)^n factor: 1e9 keeps every
+    * intermediate below 2^63 for term<=72, rate<22% while holding ~9
+    * digits of precision. */
+  val AnnuityScale = 1000000000L
+
+  /** G5 annuity variant (M1+M3), exact integer cents: the (1+r)^n rate
+    * factor is built in [[AnnuityScale]] fixed point by iterated
+    * multiplication and the balance recurrence runs in cents, so the
+    * schedule is bit-exactly reproducible by a DuckDB `WITH RECURSIVE`
+    * twin — no `pow`, whose rounding is engine-divergent. The recurrence
+    * is inherently sequential per loan, so it runs as a typed per-loan
+    * `flatMap` (narrow, partition-parallel over loans — SURVEY.md
+    * §7.3.4). The final installment retires the exact remaining balance:
+    * closing_balance ends at exactly 0 and principal dues conserve the
+    * principal to the cent. Due dates shift by the grace period exactly
+    * like the closed-form methods (due_k = origination + grace + k). */
   def scheduleAnnuity(loans: DataFrame): Dataset[ScheduleRow] = {
     val spark = loans.sparkSession
     import spark.implicits._
     loans.select(col("loan_id"), col("principal_cents"), col("rate_bp"),
-        col("term_months"), col("origination_date"))
+        col("term_months"), col("grace_period_months"), col("origination_date"))
       .as[LoanRow]
       .flatMap { l =>
-        val r = l.rate_bp.toDouble / 10000.0 / 12.0
+        val S = AnnuityScale
         val n = l.term_months
-        val p = l.principal_cents.toDouble / 100.0
-        val pow = math.pow(1.0 + r, n)
-        val pay = if (math.abs(r) < 1e-9) p / n else p * r * pow / (pow - 1.0)
+        val rS = l.rate_bp * S / 120000L // monthly rate in S units
+        var f = S // (1 + r)^k in S units
+        var k0 = 0
+        while (k0 < n) { f = f * (S + rS) / S; k0 += 1 }
+        // pay = P * r * f/(f-1), ordered so every intermediate < 2^63:
+        // ((P*rS) div 1e3) * ((f*1e6) div (f-S)) div 1e12
+        val payCents =
+          if (rS == 0L) l.principal_cents / n
+          else l.principal_cents * rS / 1000L * (f * 1000000L / (f - S)) / 1000000000000L
         val orig = l.origination_date.toLocalDate
-        var bal = p
+        var bal = l.principal_cents
         (1 to n).map { k =>
-          val interest = bal * r
-          val principal = if (k == n) bal else pay - interest
+          val interest = bal * rS / S
+          val principal = if (k == n) bal else payCents - interest
           val closing = bal - principal
           val row = ScheduleRow(
-            l.loan_id, k, java.sql.Date.valueOf(orig.plusMonths(k.toLong)),
-            principal + interest, principal, interest, bal, closing)
+            l.loan_id, k,
+            java.sql.Date.valueOf(orig.plusMonths((l.grace_period_months + k).toLong)),
+            (principal + interest).toDouble / 100.0,
+            principal.toDouble / 100.0, interest.toDouble / 100.0,
+            bal.toDouble / 100.0, closing.toDouble / 100.0)
           bal = closing
           row
         }

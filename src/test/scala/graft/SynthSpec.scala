@@ -6,7 +6,9 @@ import graft.synth.Synth
 
 /** Conservation-law and semantic specs for the synthesizer (SURVEY.md §5):
   * the integer-cents design makes these EXACT equalities, not tolerances
-  * — except the annuity recurrence, which is double arithmetic by nature. */
+  * (the annuity recurrence included — it runs in fixed-point cents; the
+  * remaining tolerances only absorb double SUM rounding over the exact
+  * per-row values). */
 class SynthSpec extends SparkSpec {
   import spark.implicits._
 

@@ -57,17 +57,25 @@ object Text {
 
   /** N-gram-Jaccard near-duplicate candidates: pairs of documents sharing
     * at least one RARE n-gram shingle, scored by Jaccard over their
-    * distinct shingle sets. The candidate join is an equi-join on the
-    * shingle value (one shuffle) — the n² pair space is never built — and
-    * shingles appearing in more than `maxDocFreq` documents are pruned
-    * first (standard web-dedup stopword-shingle pruning): frequent
+    * distinct shingle-HASH sets. The candidate join is an equi-join on
+    * the shingle value (one shuffle) — the n² pair space is never built —
+    * and shingles appearing in more than `maxDocFreq` documents are
+    * pruned first (standard web-dedup stopword-shingle pruning): frequent
     * shingles generate quadratically many candidate pairs while carrying
-    * no near-dup signal, and they are exactly the join-skew keys. */
+    * no near-dup signal, and they are exactly the join-skew keys.
+    *
+    * Shingles are the int64 hashes of [[MinHash.shingleHashesFromTokens]]
+    * (composed once per token, not per shingle), NOT the shingle strings:
+    * a string shingle is ~n·wordlen bytes that gets hashed for the
+    * shuffle, carried through two verify joins, and string-compared in
+    * `array_intersect` — at 10⁹ documents that multiplies shuffle volume
+    * and verify cost by the string/int64 width ratio for zero extra
+    * signal (a 1-in-10⁶ hash-collision noise floor is far below the
+    * near-dup threshold anyway). */
   def ngramJaccardPairs(documents: DataFrame, n: Int, maxDocFreq: Long = 5L): DataFrame = {
-    val docSh = graft.operators.Partitioning.spread(documents, col("doc_id"))
-      .select(col("doc_id"), array_distinct(shingles(split(col("text"), " "), n)).as("sh"))
+    val docSh = MinHash.shingleHashes(documents, n)
       .cache() // reused by candidate generation and both verify joins
-    val exploded = docSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exploded = docSh.select(col("doc_id"), explode(col("hashes")).as("s"))
     val rare = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("s"))
     val rareExploded = exploded.join(rare, Seq("s"))
@@ -76,12 +84,12 @@ object Text {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(docSh.select(col("doc_id").as("doc_a"), col("hashes").as("h_a")), Seq("doc_a"))
+      .join(docSh.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("common_shingles"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)).as("jaccard"))
+        size(array_intersect(col("h_a"), col("h_b"))).cast(LongType).as("common_shingles"),
+        (size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
+          size(array_union(col("h_a"), col("h_b"))).cast(DoubleType)).as("jaccard"))
   }
 }

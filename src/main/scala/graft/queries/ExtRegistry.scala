@@ -63,7 +63,9 @@ object ExtRegistry {
   private def shingleComposition: String =
     (0 until 3).map(d => s"th[i + $d] * ${MinHash.shingleWeight(d)}").mkString(" + ")
 
-  private def shingleHashCtes: String =
+  /** Shared with [[Registry]]'s near_dup_ngram oracle — one definition of
+    * the token/shingle hash pipeline to keep in sync. */
+  private[queries] def shingleHashCtes: String =
     s"""toks AS (
        |  SELECT doc_id,
        |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th

@@ -358,22 +358,17 @@ object Registry {
          |FROM documents""".stripMargin,
 
     "near_dup_ngram" ->
-      """WITH docsh AS (
-        |  SELECT doc_id,
-        |         list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN CAST([] AS VARCHAR[])
-        |              ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-        |                     s -> array_to_string(string_split(text, ' ')[s:s+2], ' ')) END) AS sh
-        |  FROM documents),
-        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
-        |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
-        |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id)
-        |SELECT c.doc_a, c.doc_b,
-        |       CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS common_shingles,
-        |       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |         / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
-        |FROM cand c JOIN docsh x ON c.doc_a = x.doc_id JOIN docsh y ON c.doc_b = y.doc_id""".stripMargin,
+      s"""WITH ${ExtRegistry.shingleHashCtes},
+         |ex AS (SELECT doc_id, unnest(hashes) AS s FROM h2),
+         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
+         |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(len(list_intersect(x.hashes, y.hashes)) AS BIGINT) AS common_shingles,
+         |       CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+         |         / CAST(len(list_distinct(x.hashes || y.hashes)) AS DOUBLE) AS jaccard
+         |FROM cand c JOIN h2 x ON c.doc_a = x.doc_id JOIN h2 y ON c.doc_b = y.doc_id""".stripMargin,
 
     "knn_cosine_brute" ->
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq FROM embeddings) t0 WHERE nsq > 0)

@@ -133,14 +133,24 @@ object Sim {
     (i.toLong * 2654435761L + j.toLong * 40503L + 97L) % 1000L
 
   /** Hyperplane weight = hyperplaneInt/1000 - 0.5, the same IEEE ops the
-    * oracle's `k::DOUBLE / 1000.0 - 0.5` performs at query time. */
+    * oracle's `k::DOUBLE / 1000.0 - 0.5` performs at query time. Planes
+    * are globally indexed from `planeOffset`, so LSH table `t` draws its
+    * independent hyperplane set at offset `t * nBits` from the same
+    * deterministic stream. */
+  def hyperplaneWeightsAt(d: Int, nBits: Int, planeOffset: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, d)((j, i) => hyperplaneInt(planeOffset + j, i).toDouble / 1000.0 - 0.5)
+
   def hyperplaneWeights(d: Int, nBits: Int): Array[Array[Double]] =
-    Array.tabulate(nBits, d)((j, i) => hyperplaneInt(j, i).toDouble / 1000.0 - 0.5)
+    hyperplaneWeightsAt(d, nBits, 0)
 
   /** Sign-bit LSH bucket key from `nBits` deterministic hyperplanes
     * (native codegen expression — see [[org.apache.spark.sql.graft.LshBuckets]]). */
   def lshBucket(emb: Column, d: Int, nBits: Int): Column =
     org.apache.spark.sql.graft.LshBuckets.buckets(emb, hyperplaneWeights(d, nBits))
+
+  /** Bucket key for LSH table `table` (hyperplanes table*nBits ..). */
+  def lshBucketAt(emb: Column, d: Int, nBits: Int, table: Int): Column =
+    org.apache.spark.sql.graft.LshBuckets.buckets(emb, hyperplaneWeightsAt(d, nBits, table * nBits))
 
   /** LSH-bucketed approximate cosine top-k: candidates are pairs sharing
     * a bucket; the join is a shuffle on the bucket key instead of n².
@@ -160,6 +170,49 @@ object Sim {
     val right = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
     val pairs = left.join(right, Seq("bucket"), "inner")
       .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+    topK(pairs, k)
+  }
+
+  /** Multi-table OR-amplified sign-LSH ANN — the tunable 100 TB answer.
+    *
+    * A single bucket table forces a recall/cost tradeoff through one
+    * knob: few bits → huge buckets (sum-of-bucket² candidate pairs
+    * explodes at 10⁹ vectors), many bits → vanishing recall (true
+    * neighbors rarely agree on every sign). OR-amplification breaks the
+    * tradeoff: `nBits` bounds bucket size (expected n/2^nBits), and
+    * `nTables` independent hyperplane sets recover recall — a pair is a
+    * candidate when it shares ANY table's bucket, so miss probability
+    * decays exponentially in nTables while candidate cost grows only
+    * linearly.
+    *
+    * Shape: one narrow projection computes all table buckets per vector
+    * (single pass, native codegen), `posexplode` emits (table, bucket)
+    * keys, ONE equi-join shuffle on that composite key generates
+    * candidates, pairs are deduped before the (more expensive) cosine
+    * verify, and per-vector top-k runs on verified candidates only —
+    * never n², never a driver-side structure. */
+  def lshTopKTables(embeddings: DataFrame, k: Int, nBits: Int, nTables: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"nBits must be in [1,62], got $nBits")
+    require(nTables >= 1, s"nTables must be positive, got $nTables")
+    val d = dim(embeddings)
+    val e = spread(embeddings, col("vec_id")).select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"),
+        array((0 until nTables).map(t => lshBucketAt(col("embedding"), d, nBits, t)): _*)
+          .as("buckets"))
+      .filter(col("nsq") > 0) // zero-norm vectors have no cosine (see bruteTopK)
+      .cache() // reused: banding + both sides of the verify join
+    val banded = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct() // OR across tables: count a pair once before the verify
+    val pairs = cand
+      .join(e.select(col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"), col("nsq").as("nsq_b")), Seq("neighbor_id"))
       .withColumn("cosine",
         dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
     topK(pairs, k)

@@ -128,6 +128,11 @@ object Registry {
 
     "knn_cosine_lsh" -> ((s, dir) => Sim.lshTopK(Tables(s, dir).embeddings, 5, 6)),
 
+    // the scale configuration: narrower buckets (2^10), recall recovered
+    // by OR-amplification over 3 independent hyperplane tables
+    "knn_cosine_lsh_multi" -> ((s, dir) =>
+      Sim.lshTopKTables(Tables(s, dir).embeddings, 5, 10, 3)),
+
     "embed_near_dup" -> ((s, dir) => Sim.embeddingNearDups(Tables(s, dir).embeddings, 6, 0.30)),
 
     "dq_suite" -> ((s, dir) =>
@@ -214,13 +219,18 @@ object Registry {
   /** Hyperplane component constants mirror [[Sim.lshBucket]]'s integer
     * arithmetic exactly; the SQL re-derives the double with the same IEEE
     * ops (int::DOUBLE / 1000.0 - 0.5) instead of a decimal literal. */
-  private def lshProjChain(nBits: Int): Seq[String] =
+  private def lshProjChain(nBits: Int, planeOffset: Int = 0): Seq[String] =
     (0 until nBits).map { j =>
       (1 to embeddingDim).map { i =>
-        val k = Sim.hyperplaneInt(j, i - 1)
+        val k = Sim.hyperplaneInt(planeOffset + j, i - 1)
         s"embedding[$i]::DOUBLE * ($k::DOUBLE / 1000.0 - 0.5)"
       }.mkString(" + ")
     }
+
+  private def lshBucketSql(nBits: Int, planeOffset: Int): String =
+    lshProjChain(nBits, planeOffset).zipWithIndex
+      .map { case (p, j) => s"CASE WHEN ($p) >= 0 THEN ${1L << j} ELSE 0 END" }
+      .mkString(" + ")
 
   private val coreOracles: Map[String, String] = Map(
     "stg_arrears" ->
@@ -381,10 +391,7 @@ object Registry {
          |WHERE rank <= 5""".stripMargin,
 
     "knn_cosine_lsh" -> {
-      val projs = lshProjChain(6)
-      val bucketExpr = projs.zipWithIndex
-        .map { case (p, j) => s"CASE WHEN ($p) >= 0 THEN ${1L << j} ELSE 0 END" }
-        .mkString(" + ")
+      val bucketExpr = lshBucketSql(6, 0)
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq, ($bucketExpr) AS bucket FROM embeddings) t0 WHERE nsq > 0)
          |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -395,11 +402,29 @@ object Registry {
          |WHERE rank <= 5""".stripMargin
     },
 
+    "knn_cosine_lsh_multi" -> {
+      val bucketExprs = (0 until 3).map(t => lshBucketSql(10, t * 10))
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq,
+         |  (${bucketExprs(0)}) AS b0, (${bucketExprs(1)}) AS b1, (${bucketExprs(2)}) AS b2
+         |  FROM embeddings) t0 WHERE nsq > 0),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM e a JOIN e b ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |         (${dotChain("x", "y")}) / (sqrt(x.nsq) * sqrt(y.nsq)) AS cosine,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |            ORDER BY (${dotChain("x", "y")}) / (sqrt(x.nsq) * sqrt(y.nsq)) DESC, c.neighbor_id) AS rank
+         |  FROM cand c JOIN e x ON c.vec_id = x.vec_id JOIN e y ON c.neighbor_id = y.vec_id) t
+         |WHERE rank <= 5""".stripMargin
+    },
+
     "embed_near_dup" -> {
-      val projs = lshProjChain(6)
-      val bucketExpr = projs.zipWithIndex
-        .map { case (p, j) => s"CASE WHEN ($p) >= 0 THEN ${1L << j} ELSE 0 END" }
-        .mkString(" + ")
+      val bucketExpr = lshBucketSql(6, 0)
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq, ($bucketExpr) AS bucket FROM embeddings) t0 WHERE nsq > 0)
          |SELECT vec_id AS keep_id, neighbor_id AS dup_id, cosine FROM (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,

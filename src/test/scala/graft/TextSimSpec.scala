@@ -63,6 +63,42 @@ class TextSimSpec extends SparkSpec {
     assert(top.toSet.contains((1L, 2L)) && top.toSet.contains((2L, 1L)))
   }
 
+  test("lshTopKTables: OR-amplification recovers pairs a single table misses; recall caps at union") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.5f, -0.25f, 2.0f)), (2L, Seq(1.0f, 0.5f, -0.25f, 2.0f)),
+      (3L, Seq(-1.0f, -0.5f, 0.25f, -2.0f)), (4L, Seq(0.9f, 0.6f, -0.2f, 1.8f))
+    ).toDF("vec_id", "embedding")
+    val multi = Sim.lshTopKTables(e, 3, 4, 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // identical vectors share every table's bucket
+    assert(multi.contains((1L, 2L)) && multi.contains((2L, 1L)))
+    // multi-table candidates are a superset of any single table's
+    val single = Sim.lshTopK(e, 3, 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(single.subsetOf(multi))
+  }
+
+  test("lsh bucket-size distribution: nBits bounds the max bucket share on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toDouble
+    (0 until 3).foreach { t =>
+      val sizes = emb
+        .select(Sim.lshBucketAt(col("embedding"), 64, 10, t).as("bucket"))
+        .groupBy(col("bucket")).count()
+        .select(col("count")).as[Long].collect()
+      // the quantity that scales is the candidate-join cost sum(bucket²):
+      // it must be a small fraction of the n² brute-force pair space even
+      // on these CLUSTERED embeddings (where some bucket concentration is
+      // the data's fault, not the hash's), and no bucket may absorb the
+      // majority of vectors — that would mean the hyperplane draw
+      // collapsed, the failure mode the parameterization exists to catch.
+      val pairCost = sizes.map(s => s.toDouble * s).sum
+      assert(pairCost / (n * n) < 0.2, s"table $t sum(bucket²)=$pairCost vs n²=${n * n}")
+      assert(sizes.max.toDouble / n < 0.5, s"table $t max bucket ${sizes.max} of $n")
+      assert(sizes.length > 1, s"table $t produced a single bucket")
+    }
+  }
+
   test("DotProduct expression: bit-equal to the manual chain, null-safe, codegen path") {
     import org.apache.spark.sql.graft.DotProduct.dot
     val df = Seq(

@@ -136,7 +136,18 @@ object Registry {
     "embed_near_dup" -> ((s, dir) => Sim.embeddingNearDups(Tables(s, dir).embeddings, 6, 0.30)),
 
     "dq_suite" -> ((s, dir) =>
-      Checks.suite(arrears(s, dir), loans(s, dir), Analog.payments(Tables(s, dir))))
+      Checks.suite(arrears(s, dir), loans(s, dir), Analog.payments(Tables(s, dir)))),
+
+    // the streaming surface driven in batch mode: dailyWorstDpd is
+    // readStream/read agnostic (same plan, the watermark is a no-op on a
+    // batch frame), so the tumbling-window agg gets a full hash oracle
+    "streaming_dpd_batch" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("user_id").as("loan_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        floor(col("value")).cast(IntegerType).as("dpd"))
+      graft.streaming.StreamingDpd.dailyWorstDpd(ev)
+    })
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -432,6 +443,18 @@ object Registry {
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
          |WHERE cosine >= 0.30""".stripMargin
     },
+
+    "streaming_dpd_batch" ->
+      """SELECT loan_id, as_of_date, worst_dpd,
+        |       CASE WHEN worst_dpd <= 0 THEN '0'
+        |            WHEN worst_dpd <= 30 THEN '1-30'
+        |            WHEN worst_dpd <= 60 THEN '31-60'
+        |            WHEN worst_dpd <= 90 THEN '61-90'
+        |            ELSE '90+' END AS dpd_bucket
+        |FROM (
+        |  SELECT user_id AS loan_id, CAST(ts AS DATE) AS as_of_date,
+        |         CAST(max(floor(value)) AS INTEGER) AS worst_dpd
+        |  FROM events GROUP BY 1, 2) g""".stripMargin,
 
     "dq_suite" ->
       s"""WITH $arrearsCte, $loansCte, $payCte

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver's TPC-H-ish testdata tier (`TESTDATA.md`):
   * one parquet file per table under a scale-factor directory.
@@ -21,13 +22,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read it as a nanos-since-epoch long instead (full
-    * precision preserved — the long is also the window-order tiebreaker).
-    * Callers derive date/timestamp views via exact integer division. */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
-  }
+    * FOOTER-schema conversion rejects; supplying the schema explicitly
+    * (ts as a nanos-since-epoch long — full precision, and the long is
+    * also the window-order tiebreaker) skips that conversion without
+    * mutating session config (`nanosAsLong` would silently change how
+    * every other nanos parquet source in the session is read). Callers
+    * derive date/timestamp views via exact integer division. */
+  def events: DataFrame =
+    spark.read.schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("ts", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .parquet(s"$dir/events.parquet")
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

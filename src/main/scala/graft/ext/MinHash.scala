@@ -44,18 +44,23 @@ object MinHash {
   def hashA(k: Int): Long = ((k + 1).toLong * 2654435761L % P) | 1L
   def hashB(k: Int): Long = (k + 1).toLong * 40503L % P
 
-  /** Engine-agnostic token hash (see object doc). */
+  /** Engine-agnostic token hash (see object doc). The % P folds into the
+    * per-char term — mathematically identical to one final mod (mod
+    * distributes over the sum) but it bounds every intermediate at
+    * len·P ≈ len·10⁶, so the int64 sum cannot overflow before ~10¹²
+    * chars (an unmodded term is ascii·weight ≈ 10¹¹, overflowing — Spark
+    * wrapping while the oracle raises — near 10⁸ chars). */
   def stringHash(s: Column): Column = {
     val chars = filter(split(s, ""), c => c =!= "")
     val weighted = zip_with(chars, sequence(lit(1), size(chars)),
-      (c, i) => ascii(c).cast(LongType) * ((i.cast(LongType) * 131L + 7L) % 99991L))
+      (c, i) => (ascii(c).cast(LongType) * ((i.cast(LongType) * 131L + 7L) % 99991L)) % P)
     aggregate(weighted, lit(0L), (a, x) => a + x) % P
   }
 
   /** SQL twin of [[stringHash]]. */
   def stringHashSql(s: String): String =
     s"list_sum(list_transform(list_filter(string_split($s, ''), c -> c <> ''), " +
-      s"(c, i) -> ascii(c) * ((i * 131 + 7) % 99991))) % $P"
+      s"(c, i) -> (ascii(c) * ((i * 131 + 7) % 99991)) % $P)) % $P"
 
   /** 131^d factors for the shingle composition. */
   def shingleWeight(d: Int): Long = (0 until d).foldLeft(1L)((a, _) => a * 131L)

@@ -27,8 +27,13 @@ object Skew {
     require(!fact.columns.contains(saltCol) && !dim.columns.contains(saltCol),
       s"input already has internal column $saltCol")
     // row-level spreading: the salt must vary WITHIN a hot key, so it
-    // derives from the physical row position, not the key value
-    val saltedFact = fact.withColumn(saltCol, pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    // derives from the full row CONTENT, never from the physical row
+    // position — monotonically_increasing_id() is nondeterministic under
+    // shuffle-map retries (a recomputed partition would re-salt the same
+    // rows differently, the classic repartition-by-nondeterministic-key
+    // correctness hazard); a content hash reproduces identically
+    val saltedFact = fact.withColumn(saltCol,
+      pmod(hash(fact.columns.map(col).toSeq: _*).cast("long"), lit(salts.toLong)))
     val replicatedDim = dim.withColumn(saltCol, explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(replicatedDim, Seq(key, saltCol), "inner").drop(saltCol)
   }

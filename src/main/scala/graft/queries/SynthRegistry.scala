@@ -42,7 +42,7 @@ object SynthRegistry {
         col("repayment_method"), col("interest_rate_type"),
         col("created_hours_before"), col("maturity_date"),
         col("grace_period_months"), col("payment_frequency"),
-        col("disbursement_date"), col("status"))),
+        col("disbursement_date"), col("status"), col("created_at"))),
 
     "synth_schedule_methods" -> ((s, _) => Synth.scheduleByMethod(Synth.loans(s))),
 
@@ -300,6 +300,8 @@ object SynthRegistry {
          |       (['branch','online','broker'])[CAST(floor(${uSql("id", Synth.SaltChannel)} * 3) AS INTEGER) + 1] AS channel,
          |       CAST(50000 + CAST(floor(${uSql("id", Synth.SaltReqAmount)} * 4950000) AS BIGINT) AS DOUBLE) / 100.0 AS requested_amount,
          |       (['approved','rejected','withdrawn'])[CAST(floor(${uSql("id", Synth.SaltAppStatus)} * 3) AS INTEGER) + 1] AS status,
+         |       CAST(DATE '2015-01-01' + CAST(floor(${uSql("id", Synth.SaltAppDate)} * 3652) AS INTEGER) AS TIMESTAMP)
+         |         - INTERVAL (3 + CAST(floor(${uSql("id", Synth.SaltAppCreatedH)} * 69) AS BIGINT)) HOUR AS created_at,
          |       3 + CAST(floor(${uSql("id", Synth.SaltAppCreatedH)} * 69) AS BIGINT) AS created_hours_before
          |FROM range(0, 3000) t(id)"""
 
@@ -327,7 +329,8 @@ object SynthRegistry {
          |       is_default, is_late, is_partial, repayment_method, interest_rate_type,
          |       created_hours_before,
          |       CAST(origination_date + INTERVAL (term_months) MONTH AS DATE) AS maturity_date,
-         |       grace_period_months, payment_frequency, disbursement_date, status
+         |       grace_period_months, payment_frequency, disbursement_date, status,
+         |       CAST(origination_date AS TIMESTAMP) - INTERVAL (created_hours_before) HOUR AS created_at
          |FROM synth_loans""".stripMargin,
 
     "synth_schedule" ->
@@ -502,16 +505,21 @@ object SynthRegistry {
 
     "synth_audit_log" ->
       s"""WITH $loansCte, $schedCte, $payCte
-         |SELECT 'loan_contract' AS entity_type, loan_id AS entity_id, 'created' AS event,
-         |       origination_date AS event_date,
-         |       'LN-' || CAST(loan_id AS VARCHAR) || '-' || CAST(term_months AS VARCHAR) AS reference,
-         |       'DE89**********' || lpad(CAST(loan_id % 10000 AS VARCHAR), 4, '0') AS masked_iban
-         |FROM synth_loans
-         |UNION ALL
-         |SELECT 'repayment_payment', loan_id, 'posted', payment_date,
-         |       'EXT-' || CAST(loan_id AS VARCHAR) || '-' || CAST(installment_no AS VARCHAR),
-         |       CAST(NULL AS VARCHAR)
-         |FROM spay""".stripMargin,
+         |SELECT *,
+         |       CAST(event_date AS TIMESTAMP)
+         |         + INTERVAL ((entity_id * 7) % 24) HOUR
+         |         + INTERVAL ((entity_id * 13) % 60) MINUTE AS event_timestamp
+         |FROM (
+         |  SELECT 'loan_contract' AS entity_type, loan_id AS entity_id, 'created' AS event,
+         |         origination_date AS event_date,
+         |         'LN-' || CAST(loan_id AS VARCHAR) || '-' || CAST(term_months AS VARCHAR) AS reference,
+         |         'DE89**********' || lpad(CAST(loan_id % 10000 AS VARCHAR), 4, '0') AS masked_iban
+         |  FROM synth_loans
+         |  UNION ALL
+         |  SELECT 'repayment_payment', loan_id, 'posted', payment_date,
+         |         'EXT-' || CAST(loan_id AS VARCHAR) || '-' || CAST(installment_no AS VARCHAR),
+         |         CAST(NULL AS VARCHAR)
+         |  FROM spay) u""".stripMargin,
 
     "synth_payment_allocation" ->
       s"""WITH $loansCte, $schedCte, $payCte, $waterfallCte

@@ -133,6 +133,11 @@ object Synth {
       element_at(array(lit("approved"), lit("rejected"), lit("withdrawn")),
         (floor(u(id, SaltAppStatus) * 3) + 1).cast(IntegerType)).as("status"),
       (lit(3L) + floor(u(id, SaltAppCreatedH) * 69).cast(LongType)).as("created_hours_before"))
+      // the actual ingestion timestamp (D6/G11): 3–72h before the
+      // application date, as TIMESTAMP_NTZ (wall-clock semantics — the
+      // tz-adjusted TimestampType would diverge from a naive SQL twin)
+      .withColumn("created_at",
+        expr("timestampadd(HOUR, -cast(created_hours_before AS INT), cast(application_date AS TIMESTAMP_NTZ))"))
   }
 
   /** G1–G4 + G11: the loan_contract dimension with behavior tags.
@@ -170,6 +175,8 @@ object Synth {
       lit("monthly").as("payment_frequency"))
       .withColumn("disbursement_date",
         date_add(col("origination_date"), floor(u(col("loan_id") - 1, SaltDisbDelay) * 8).cast(IntegerType)))
+      .withColumn("created_at",
+        expr("timestampadd(HOUR, -cast(created_hours_before AS INT), cast(origination_date AS TIMESTAMP_NTZ))"))
       .withColumn("status", when(col("is_default"), lit("defaulted")).otherwise(lit("active")))
       .withColumn("principal", col("principal_cents").cast(DoubleType) / 100.0)
       .withColumn("annual_rate", col("rate_bp").cast(DoubleType) / 10000.0)
@@ -534,6 +541,12 @@ object Synth {
         lit("-"), col("installment_no").cast(StringType)).as("reference"),
       lit(null).cast(StringType).as("masked_iban"))
     loanEvents.union(paymentEvents)
+      // intraday event time: deterministic hour/minute offsets off the
+      // entity id (reference stamps now(); see D6 — modeled arithmetic)
+      .withColumn("event_timestamp",
+        expr("""timestampadd(MINUTE, cast((entity_id * 13) % 60 AS INT),
+               |timestampadd(HOUR, cast((entity_id * 7) % 24 AS INT),
+               |cast(event_date AS TIMESTAMP_NTZ)))""".stripMargin))
   }
 
   // ------------------------------------------------------------ annuity

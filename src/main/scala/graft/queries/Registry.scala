@@ -147,6 +147,27 @@ object Registry {
         timestamp_micros(expr("ts div 1000")).as("ts"),
         floor(col("value")).cast(IntegerType).as("dpd"))
       graft.streaming.StreamingDpd.dailyWorstDpd(ev)
+    }),
+
+    // S5 driver exposure: dense surrogate keys over an explicit total
+    // order (the RETURNING-id analog), dim-table scale by contract
+    "load_surrogate_keys" -> ((s, dir) =>
+      graft.sources.Load.withSurrogateKeys(
+        Tables(s, dir).customer.select(
+          col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast(DoubleType).as("acctbal")),
+        "sk", 10000L, Seq(col("c_custkey")))),
+
+    // S3 driver exposure: the partitioned batch sink round-tripped — what
+    // the oracle checks is that the write+read is LOSSLESS (values,
+    // types, partition-column recovery), the sink's actual contract
+    "load_partitioned_roundtrip" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val path = s"/tmp/graft_sink_${Integer.toHexString(dir.hashCode)}/events_by_type"
+      graft.sources.Load.writePartitioned(ev, path, Seq("event_type"), Seq("event_id"))
+      s.read.parquet(path).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
     })
   )
 
@@ -455,6 +476,14 @@ object Registry {
         |  SELECT user_id AS loan_id, CAST(ts AS DATE) AS as_of_date,
         |         CAST(max(floor(value)) AS INTEGER) AS worst_dpd
         |  FROM events GROUP BY 1, 2) g""".stripMargin,
+
+    "load_surrogate_keys" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |       10000 + row_number() OVER (ORDER BY c_custkey) AS sk
+        |FROM customer""".stripMargin,
+
+    "load_partitioned_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events""".stripMargin,
 
     "dq_suite" ->
       s"""WITH $arrearsCte, $loansCte, $payCte

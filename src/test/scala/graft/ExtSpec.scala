@@ -83,6 +83,34 @@ class ExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dailyWorstDpd over a real file source (parquet, AvailableNow)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/in"
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2021-01-01 10:00:00"), 3),
+      (1L, java.sql.Timestamp.valueOf("2021-01-01 18:00:00"), 7),
+      (2L, java.sql.Timestamp.valueOf("2021-01-02 12:00:00"), 95))
+      .toDF("loan_id", "ts", "dpd").write.parquet(dir)
+    val stream = spark.readStream
+      .schema("loan_id LONG, ts TIMESTAMP, dpd INT")
+      .parquet(dir)
+    // Complete mode emits every window regardless of watermark progress —
+    // the finite AvailableNow run then yields a deterministic result
+    // (append-mode watermark semantics are covered by the MemoryStream spec)
+    val q = StreamingDpd.dailyWorstDpd(stream)
+      .writeStream.format("memory").queryName("dpd_file_stream")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val got = spark.table("dpd_file_stream")
+        .select(col("loan_id"), col("as_of_date").cast("string"), col("worst_dpd"), col("dpd_bucket"))
+        .as[(Long, String, Int, String)].collect().toSet
+      assert(got == Set(
+        (1L, "2021-01-01", 7, "1-30"),
+        (2L, "2021-01-02", 95, "90+")))
+    } finally q.stop()
+  }
+
   test("streaming withRunningState: running max, sticky NPL, cure signal") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingDpd.DpdEvent]

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.analog.Analog
+import graft.credit.Marts
+import graft.ext.Sim
+
+/** Physical-plan assertions: the properties that decide 100 TB behavior
+  * (column pruning into the parquet reader, filter pushdown through
+  * staging projections, equi-join shapes, no cartesian products) are
+  * checked structurally, not eyeballed from `.explain`. */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def tables = Tables(spark, sfDir)
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+
+  test("staging projection prunes the customer scan to the referenced columns") {
+    val df = Analog.loans(tables).select(col("loan_id"), col("exposure"))
+    val scan = scans(df).head
+    val read = scan.requiredSchema.fieldNames.toSet
+    // loan_id <- c_custkey, exposure <- c_acctbal; nothing else may be read
+    assert(read == Set("c_custkey", "c_acctbal"), s"scan reads $read")
+  }
+
+  test("a filter on a staging alias pushes down to the parquet scan") {
+    val df = Analog.loans(tables).filter(col("loan_id") < 100)
+    val scan = scans(df).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("LessThan(c_custkey,100)"), s"PushedFilters=$pushed")
+  }
+
+  test("dpd_daily joins without a cartesian product and without a forced broadcast") {
+    val plan = Marts.dpdDaily(Analog.arrears(tables), Analog.loans(tables))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // either join strategy is fine (AQE decides by size); both are equi-joins
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("LSH candidate generation is an equi-join — never a cross product") {
+    Seq(
+      Sim.lshTopK(tables.embeddings, 5, 6),
+      Sim.lshTopKTables(tables.embeddings, 5, 10, 3),
+      Sim.embeddingNearDups(tables.embeddings, 6, 0.3)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    }
+  }
+
+  test("monthly mart aggregation partially aggregates before the exchange") {
+    val plan = Marts.nplMonthly(Marts.dpdDaily(Analog.arrears(tables), Analog.loans(tables)))
+      .queryExecution.executedPlan.toString
+    // map-side combine: a partial_ aggregation mode appears below the shuffle
+    assert(plan.contains("partial_sum") || plan.contains("Partial"), plan)
+  }
+}

@@ -218,6 +218,71 @@ object Sim {
     topK(pairs, k)
   }
 
+  // ----------------------------------------------------------------- IVF
+
+  /** Deterministic coarse-quantizer centroid component (cell c, dim i):
+    * same arithmetic-hash family as the hyperplanes, offset into its own
+    * plane range so centroids and hyperplanes never collide. */
+  def centroidInt(c: Int, i: Int): Long = hyperplaneInt(1000 + c, i)
+
+  def centroid(d: Int, c: Int): Array[Float] =
+    Array.tabulate(d)(i => (centroidInt(c, i).toDouble / 1000.0 - 0.5).toFloat)
+
+  /** IVF (inverted-file) approximate cosine top-k — the cell-probing
+    * alternative to sign-LSH. A coarse quantizer of `nCells` deterministic
+    * centroids partitions the vectors: each vector is INDEXED in its
+    * nearest cell (by the score -2·dot(v,c) + |c|², the argmin-equivalent
+    * of L2 distance with the constant |v|² dropped) and PROBES its
+    * `nProbe` nearest cells, so a candidate pair is (probe, indexed) in
+    * the same cell — the standard recall lever without ever building n².
+    *
+    * At cluster scale the cell is the partition key: the index side
+    * shuffles once by cell (building the inverted lists), probes shuffle
+    * `nProbe`× — exactly the IVF fan-out — and AQE handles the cell-size
+    * skew that real embedding clusters produce. Centroids here are
+    * arithmetic-derived (oracle-reproducible); a production variant would
+    * train them (k-means) and broadcast the table, leaving the plan
+    * unchanged. Ties in the argmin go to the lowest cell id in both
+    * engines (strict `<` comparison chain). */
+  def ivfTopK(embeddings: DataFrame, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe must be in [1,$nCells], got $nProbe")
+    val d = dim(embeddings)
+    import org.apache.spark.sql.graft.DotProduct.dot
+    val scored = spread(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"),
+        array((0 until nCells).map { c =>
+          val cen = centroid(d, c)
+          val nsqC = cen.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+          dot(col("embedding"), typedlit(cen)) * -2.0 + lit(nsqC)
+        }: _*).as("scores"))
+      .filter(col("nsq") > 0)
+    // rank cells by (score, cell) via array sort on (score, idx) structs —
+    // the idx tiebreaker makes the order total in both engines
+    val ranked = scored.withColumn("cells",
+      slice(
+        transform(
+          array_sort(zip_with(col("scores"), sequence(lit(0), lit(nCells - 1)),
+            (s, i) => struct(s.as("s"), i.as("c")))),
+          e => e.getField("c")),
+        1, nProbe))
+    val e = ranked.select(col("vec_id"), col("embedding"), col("nsq"),
+      element_at(col("cells"), 1).as("own_cell"), col("cells")).cache()
+    val probes = e.select(col("vec_id"), col("embedding").as("emb_a"),
+      col("nsq").as("nsq_a"), explode(col("cells")).as("cell"))
+    val indexed = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_b"), col("nsq").as("nsq_b"), col("own_cell").as("cell"))
+    val pairs = probes.join(indexed, Seq("cell"), "inner")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+      // a pair can meet in several probed cells — dedup before ranking
+      .distinct()
+    topK(pairs, k)
+  }
+
   /** Embedding-cosine near-duplicate DEDUP view: unordered candidate
     * pairs from the LSH buckets whose cosine clears `threshold` — the
     * "drop one of each pair" input of an embedding-dedup pipeline.

@@ -133,6 +133,10 @@ object Registry {
     "knn_cosine_lsh_multi" -> ((s, dir) =>
       Sim.lshTopKTables(Tables(s, dir).embeddings, 5, 10, 3)),
 
+    // the cell-probing alternative: IVF coarse quantizer, 8 cells, nprobe 2
+    "knn_cosine_ivf" -> ((s, dir) =>
+      Sim.ivfTopK(Tables(s, dir).embeddings, 5, 8, 2)),
+
     "embed_near_dup" -> ((s, dir) => Sim.embeddingNearDups(Tables(s, dir).embeddings, 6, 0.30)),
 
     "dq_suite" -> ((s, dir) =>
@@ -263,6 +267,23 @@ object Registry {
     lshProjChain(nBits, planeOffset).zipWithIndex
       .map { case (p, j) => s"CASE WHEN ($p) >= 0 THEN ${1L << j} ELSE 0 END" }
       .mkString(" + ")
+
+  /** IVF centroid component as SQL: the same int→double→FLOAT→double
+    * derivation [[Sim.centroid]] performs (the REAL cast reproduces the
+    * Scala `.toFloat` rounding; the multiply then promotes to double). */
+  private def ivfCenSql(c: Int, i: Int): String =
+    s"CAST(CAST((${Sim.centroidInt(c, i)}::DOUBLE / 1000.0 - 0.5) AS REAL) AS DOUBLE)"
+
+  /** Cell score -2·dot(v,centroid) + |centroid|², both sums left-assoc
+    * chains in the same order as the Spark plan's DotProduct loop and
+    * plan-time fold. */
+  private def ivfScoreSql(c: Int): String = {
+    val dotC = (1 to embeddingDim)
+      .map(i => s"embedding[$i]::DOUBLE * ${ivfCenSql(c, i - 1)}").mkString(" + ")
+    val nsqC = (0 until embeddingDim)
+      .map(i => s"${ivfCenSql(c, i)} * ${ivfCenSql(c, i)}").mkString(" + ")
+    s"($dotC) * -2.0 + ($nsqC)"
+  }
 
   private val coreOracles: Map[String, String] = Map(
     "stg_arrears" ->
@@ -452,6 +473,33 @@ object Registry {
          |         row_number() OVER (PARTITION BY c.vec_id
          |            ORDER BY (${dotChain("x", "y")}) / (sqrt(x.nsq) * sqrt(y.nsq)) DESC, c.neighbor_id) AS rank
          |  FROM cand c JOIN e x ON c.vec_id = x.vec_id JOIN e y ON c.neighbor_id = y.vec_id) t
+         |WHERE rank <= 5""".stripMargin
+    },
+
+    "knn_cosine_ivf" -> {
+      val scores = (0 until 8).map(ivfScoreSql).mkString(",\n  ")
+      s"""WITH e0 AS (
+         |  SELECT vec_id, embedding, ($nsqChain) AS nsq,
+         |         [$scores] AS scores
+         |  FROM embeddings),
+         |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
+         |e2 AS (
+         |  SELECT vec_id, embedding, nsq,
+         |         list_transform(
+         |           list_sort(list_transform([0,1,2,3,4,5,6,7],
+         |             c -> struct_pack(s := scores[c + 1], c := c))),
+         |           x -> x.c)[1:2] AS cells
+         |  FROM e1),
+         |probes AS (SELECT vec_id, embedding, nsq, unnest(cells) AS cell FROM e2),
+         |indexed AS (SELECT vec_id AS neighbor_id, embedding, nsq, cells[1] AS cell FROM e2),
+         |pairs AS (
+         |  SELECT DISTINCT p.vec_id, i.neighbor_id,
+         |         (${dotChain("p", "i")}) / (sqrt(p.nsq) * sqrt(i.nsq)) AS cosine
+         |  FROM probes p JOIN indexed i ON p.cell = i.cell AND p.vec_id <> i.neighbor_id)
+         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM pairs) t
          |WHERE rank <= 5""".stripMargin
     },
 

@@ -47,6 +47,7 @@ class PlanSpec extends SparkSpec {
     Seq(
       Sim.lshTopK(tables.embeddings, 5, 6),
       Sim.lshTopKTables(tables.embeddings, 5, 10, 3),
+      Sim.ivfTopK(tables.embeddings, 5, 8, 2),
       Sim.embeddingNearDups(tables.embeddings, 6, 0.3)
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString

@@ -99,6 +99,21 @@ class TextSimSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK: identical vectors land in the same cell; nprobe grows candidate reach") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.5f, -0.25f, 2.0f)), (2L, Seq(1.0f, 0.5f, -0.25f, 2.0f)),
+      (3L, Seq(-1.0f, -0.5f, 0.25f, -2.0f)), (4L, Seq(0.2f, -0.7f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val got1 = Sim.ivfTopK(e, 3, 4, 1).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // identical vectors share the argmin cell, so each finds the other
+    assert(got1.contains((1L, 2L)) && got1.contains((2L, 1L)))
+    // probing more cells can only add candidates
+    val got2 = Sim.ivfTopK(e, 3, 4, 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got1.subsetOf(got2))
+  }
+
   test("DotProduct expression: bit-equal to the manual chain, null-safe, codegen path") {
     import org.apache.spark.sql.graft.DotProduct.dot
     val df = Seq(

@@ -56,6 +56,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SimplifyLiteralCaseFilter: bucket-predicate filters reach PushedFilters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_case").toString + "/t"
+    Seq((1L, 5), (2L, 95), (3L, 120)).toDF("loan_id", "days_past_due")
+      .write.parquet(dir)
+    val staged = spark.read.parquet(dir)
+      .withColumn("dpd_bucket",
+        graft.functions.CreditFunctions.dpdBucket(col("days_past_due")))
+    val filtered = staged.filter(col("dpd_bucket") === "90+")
+    val pushed = scans(filtered).head.metadata.getOrElse("PushedFilters", "")
+    // the CASE equality must decompose into range predicates on the
+    // underlying column and reach the parquet scan
+    assert(pushed.contains("GreaterThan(days_past_due,90)"), s"PushedFilters=$pushed")
+    assert(filtered.select(col("loan_id")).as[Long].collect().toSet == Set(2L, 3L))
+    // a middle band pushes its range too
+    val mid = staged.filter(col("dpd_bucket") === "1-30")
+    val pushedMid = scans(mid).head.metadata.getOrElse("PushedFilters", "")
+    assert(pushedMid.contains("GreaterThan(days_past_due,0)")
+      && pushedMid.contains("LessThanOrEqual(days_past_due,30)"), s"PushedFilters=$pushedMid")
+    assert(mid.select(col("loan_id")).as[Long].collect().toSet == Set(1L))
+  }
+
+  test("SimplifyLiteralCaseFilter: NULL input falls through to ELSE exactly like CASE") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5)), (2L, Some(95)), (3L, None))
+      .toDF("loan_id", "days_past_due")
+      .withColumn("dpd_bucket",
+        graft.functions.CreditFunctions.dpdBucket(col("days_past_due")))
+    // dpdBucket(NULL): every condition is NULL -> otherwise('90+'); the
+    // rewritten filter must KEEP the null row (IsNull disjunct), and a
+    // non-else band must DROP it
+    assert(df.filter(col("dpd_bucket") === "90+")
+      .select(col("loan_id")).as[Long].collect().toSet == Set(2L, 3L))
+    assert(df.filter(col("dpd_bucket") === "1-30")
+      .select(col("loan_id")).as[Long].collect().toSet == Set(1L))
+  }
+
+  test("graft_dot is SQL-callable through the extensions installer") {
+    import spark.implicits._
+    Seq((Seq(1.5f, 2.0f), Seq(2.0f, -0.5f))).toDF("a", "b").createOrReplaceTempView("v_dot")
+    val got = spark.sql("SELECT graft_dot(a, b) AS d FROM v_dot").as[Double].collect()
+    assert(got.head == 1.5 * 2.0 + 2.0 * -0.5)
+  }
+
   test("monthly mart aggregation partially aggregates before the exchange") {
     val plan = Marts.nplMonthly(Marts.dpdDaily(Analog.arrears(tables), Analog.loans(tables)))
       .queryExecution.executedPlan.toString

@@ -50,6 +50,14 @@ object Registry {
         col("loan_id"), col("borrower_id"), col("product_type"), col("currency"),
         col("origination_date"), col("exposure").cast(DoubleType).as("exposure"))),
 
+    // a bucket-predicate filter — the query shape the
+    // SimplifyLiteralCaseFilter optimizer rule rewrites for pushdown;
+    // oracle-checked so the rewrite is proven semantics-preserving
+    "stg_arrears_npl_band" -> ((s, dir) =>
+      arrears(s, dir).filter(col("dpd_bucket") === "90+").select(
+        col("event_id"), col("loan_id"), col("as_of_date"),
+        col("days_past_due"), col("dpd_bucket"))),
+
     "dpd_daily" -> ((s, dir) =>
       Marts.dpdDaily(arrears(s, dir), loans(s, dir))
         .withColumn("exposure", col("exposure").cast(DoubleType))
@@ -298,6 +306,11 @@ object Registry {
          |SELECT loan_id, borrower_id, product_type, currency, origination_date,
          |       CAST(exposure AS DOUBLE) AS exposure
          |FROM loans""".stripMargin,
+
+    "stg_arrears_npl_band" ->
+      s"""WITH $arrearsCte
+         |SELECT event_id, loan_id, as_of_date, days_past_due, dpd_bucket
+         |FROM arrears WHERE dpd_bucket = '90+'""".stripMargin,
 
     "dpd_daily" ->
       s"""WITH $arrearsCte, $loansCte

@@ -123,19 +123,20 @@ object MinHash {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // ONE join per pair side, carrying sig + hashes together (two fewer
+    // shuffles than a separate screen join + verify join); the cheap
+    // signature screen still runs BEFORE the expensive set intersect —
+    // same stage, short-circuiting the filter, so candidates failing the
+    // screen never pay the array_intersect
     val sigCols = (0 until NumHashes).map(k => col(s"sig$k"))
-    val sigOnly = sig.select(col("doc_id"), array(sigCols: _*).as("sig"))
-    val hashesOnly = sig.select(col("doc_id"), col("hashes"))
-    val screened = cand
-      .join(sigOnly.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sigOnly.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+    val side = sig.select(col("doc_id"), array(sigCols: _*).as("sig"), col("hashes"))
+    cand
+      .join(side.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("hashes").as("h_a")), Seq("doc_a"))
+      .join(side.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("hashes").as("h_b")), Seq("doc_b"))
       .withColumn("sig_matches",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(LongType)),
           lit(0L), (a, x) => a + x))
       .filter(col("sig_matches") >= MinSigMatches)
-    screened
-      .join(hashesOnly.select(col("doc_id").as("doc_a"), col("hashes").as("h_a")), Seq("doc_a"))
-      .join(hashesOnly.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("sig_matches").cast(DoubleType) / NumHashes).as("sig_similarity"),

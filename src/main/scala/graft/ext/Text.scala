@@ -24,14 +24,20 @@ object Text {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Per-document stats: lengths, token counts, stopword ratio, a cheap
-    * language-ID heuristic, and an arithmetic fingerprint. */
+  /** Per-document stats: lengths, token counts, stopword/punctuation
+    * ratios, a composite quality flag (the standard web-corpus filter:
+    * length window, enough stopwords, sane mean token length, not
+    * punctuation-drowned), a cheap language-ID heuristic, and an
+    * arithmetic fingerprint. */
   def textStats(documents: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val tokenCnt = size(toks).cast(LongType)
     val charCnt = length(col("text")).cast(LongType)
     val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*))).cast(LongType)
     val ratio = stopCnt.cast(DoubleType) / tokenCnt.cast(DoubleType)
+    val punctCnt = size(regexp_extract_all(col("text"), lit("""[.,;:!?"'()\[\]]"""), lit(0))).cast(LongType)
+    val punctRatio = punctCnt.cast(DoubleType) / charCnt.cast(DoubleType)
+    val avgTokLen = (charCnt - (tokenCnt - 1)).cast(DoubleType) / tokenCnt.cast(DoubleType)
     val fp = aggregate(
       zip_with(toks, sequence(lit(1), size(toks)),
         (t, i) => i.cast(LongType) * lit(1000003L) + length(t).cast(LongType) * lit(31L) + ascii(t).cast(LongType)),
@@ -43,7 +49,13 @@ object Text {
       size(array_distinct(toks)).cast(LongType).as("distinct_tokens"),
       stopCnt.as("stopword_cnt"),
       ratio.as("stopword_ratio"),
-      ((charCnt - (tokenCnt - 1)).cast(DoubleType) / tokenCnt.cast(DoubleType)).as("avg_token_len"),
+      avgTokLen.as("avg_token_len"),
+      punctCnt.as("punct_cnt"),
+      punctRatio.as("punct_ratio"),
+      (tokenCnt >= 10 && tokenCnt <= 100000 &&
+        ratio >= 0.01 &&
+        avgTokLen >= 2.0 && avgTokLen <= 12.0 &&
+        punctRatio <= 0.2).as("quality_flag"),
       when(ratio >= 0.05, lit("en")).otherwise(lit("other")).as("lang_pred"),
       fp.as("fingerprint"))
   }

@@ -20,6 +20,19 @@ object ExtRegistry {
 
     "simhash_docs" -> ((s, dir) => MinHash.simHash(Tables(s, dir).documents)),
 
+    // the dedup LOOP closed: near-dup pairs -> drop the higher-id side of
+    // every pair above the jaccard threshold -> surviving corpus
+    // (greedy pairwise representative choice; an anti-join, so the keep
+    // list never materializes doc content per pair)
+    "dedup_near_keep" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val drops = MinHash.nearDupPairs(docs, 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     "token_regex" -> ((s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
@@ -99,28 +112,43 @@ object ExtRegistry {
       s"CASE WHEN list_sum(list_transform(th, x -> ((x // $pw) % 2) * 2 - 1)) >= 0 THEN $pw ELSE 0 END"
     }.mkString("\n       + ")
 
+  /** The full pair pipeline as CTEs ending in `mh_pairs` — shared by the
+    * near-dup listing and the dedup keep-list oracles. */
+  private def minhashPairsCtes: String =
+    s"""$shingleHashCtes,
+       |sig AS (
+       |  SELECT doc_id, hashes,
+       |         $sigCols
+       |  FROM h2),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |screened AS (
+       |  SELECT c.doc_a, c.doc_b, ($sigEqSum) AS sig_matches
+       |  FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id),
+       |mh_pairs AS (
+       |  SELECT s.doc_a, s.doc_b,
+       |         CAST(sig_matches AS DOUBLE) / ${MinHash.NumHashes} AS sig_similarity,
+       |         CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+       |           / CAST(len(list_distinct(x.hashes || y.hashes)) AS DOUBLE) AS jaccard
+       |  FROM screened s JOIN h2 x ON s.doc_a = x.doc_id JOIN h2 y ON s.doc_b = y.doc_id
+       |  WHERE sig_matches >= ${MinHash.MinSigMatches})""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "minhash_near_dup" ->
-      s"""WITH $shingleHashCtes,
-         |sig AS (
-         |  SELECT doc_id, hashes,
-         |         $sigCols
-         |  FROM h2),
-         |banded AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
-         |screened AS (
-         |  SELECT c.doc_a, c.doc_b, ($sigEqSum) AS sig_matches
-         |  FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id)
-         |SELECT s.doc_a, s.doc_b,
-         |       CAST(sig_matches AS DOUBLE) / ${MinHash.NumHashes} AS sig_similarity,
-         |       CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
-         |         / CAST(len(list_distinct(x.hashes || y.hashes)) AS DOUBLE) AS jaccard
-         |FROM screened s JOIN h2 x ON s.doc_a = x.doc_id JOIN h2 y ON s.doc_b = y.doc_id
-         |WHERE sig_matches >= ${MinHash.MinSigMatches}""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, sig_similarity, jaccard FROM mh_pairs""".stripMargin,
+
+    "dedup_near_keep" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM mh_pairs p
+         |  WHERE p.doc_b = d.doc_id AND p.jaccard >= 0.5)""".stripMargin,
 
     "simhash_docs" ->
       s"""WITH tt AS (

@@ -417,21 +417,30 @@ object Registry {
         |  FROM events) t WHERE rn = 1""".stripMargin,
 
     "text_stats" ->
-      s"""SELECT doc_id, lang, source, n_chars,
-         |       length(text) AS char_cnt,
-         |       len(string_split(text, ' ')) AS token_cnt,
-         |       len(list_distinct(string_split(text, ' '))) AS distinct_tokens,
-         |       len(list_filter(string_split(text, ' '), t -> t IN (${Text.Stopwords.map("'" + _ + "'").mkString(",")}))) AS stopword_cnt,
-         |       CAST(len(list_filter(string_split(text, ' '), t -> t IN (${Text.Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-         |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
-         |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-         |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
-         |       CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN (${Text.Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-         |                 / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+      s"""SELECT doc_id, lang, source, n_chars, char_cnt, token_cnt, distinct_tokens,
+         |       stopword_cnt,
+         |       CAST(stopword_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS stopword_ratio,
+         |       CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS avg_token_len,
+         |       punct_cnt,
+         |       CAST(punct_cnt AS DOUBLE) / CAST(char_cnt AS DOUBLE) AS punct_ratio,
+         |       (token_cnt >= 10 AND token_cnt <= 100000
+         |         AND CAST(stopword_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 0.01
+         |         AND CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 2.0
+         |         AND CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) <= 12.0
+         |         AND CAST(punct_cnt AS DOUBLE) / CAST(char_cnt AS DOUBLE) <= 0.2) AS quality_flag,
+         |       CASE WHEN CAST(stopword_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 0.05
          |            THEN 'en' ELSE 'other' END AS lang_pred,
-         |       CAST(list_sum(list_transform(string_split(text, ' '),
-         |              (t, i) -> i * 1000003 + length(t) * 31 + ascii(t))) % 2147483647 AS BIGINT) AS fingerprint
-         |FROM documents""".stripMargin,
+         |       fingerprint
+         |FROM (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         CAST(length(text) AS BIGINT) AS char_cnt,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t IN (${Text.Stopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS stopword_cnt,
+         |         CAST(len(regexp_extract_all(text, '[.,;:!?"''()\\[\\]]')) AS BIGINT) AS punct_cnt,
+         |         CAST(list_sum(list_transform(string_split(text, ' '),
+         |                (t, i) -> i * 1000003 + length(t) * 31 + ascii(t))) % 2147483647 AS BIGINT) AS fingerprint
+         |  FROM documents) g""".stripMargin,
 
     "near_dup_ngram" ->
       s"""WITH ${ExtRegistry.shingleHashCtes},

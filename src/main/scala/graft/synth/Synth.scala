@@ -44,21 +44,27 @@ object Synth {
     * a purely affine chain makes `u(key+c, s2)` a CONSTANT shift (mod 1)
     * of `u(key, s1)`, so any draw conditioned on another draw's interval
     * (e.g. case stage given `is_default`) collapses to a single value.
-    * All intermediates stay below 2^63 (key < 2^31, h1,h2 < 2^31), so the
-    * same expression evaluates without overflow — and bit-identically —
-    * in any int64 SQL engine. */
+    * The key is reduced mod 2^31 BEFORE the first multiply, so any
+    * non-negative int64 key is safe (an unreduced key over ~10⁹ — e.g.
+    * loan_id·200 installment keys in a billion-loan synthesis — would
+    * overflow key·A, which Spark silently wraps to a NEGATIVE draw while
+    * the SQL twin errors). After reduction every intermediate stays
+    * below 2^63 (h0,h1,h2 < 2^31), evaluating without overflow — and
+    * bit-identically — in any int64 SQL engine; for keys already < 2^31
+    * the reduction is the identity, so values are unchanged. */
   object Rng {
     val M = 2147483648L // 2^31
     val A = 1103515245L
     val C = 12345L
     def u(key: Column, salt: Long): Column = {
-      val h1 = (key * lit(A) + lit(salt)) % lit(M)
+      val h0 = key % lit(M)
+      val h1 = (h0 * lit(A) + lit(salt)) % lit(M)
       val h2 = (h1 * lit(A) + lit(C)) % lit(M)
       ((h1 * h2 + lit(C)) % lit(M)).cast(DoubleType) / lit(M.toDouble)
     }
     /** SQL twin of [[u]] for the DuckDB oracle. */
     def uSql(key: String, salt: Long): String = {
-      val h1 = s"((($key) * $A + $salt) % $M)"
+      val h1 = s"(((($key) % $M) * $A + $salt) % $M)"
       val h2 = s"(($h1 * $A + $C) % $M)"
       s"CAST(($h1 * $h2 + $C) % $M AS DOUBLE) / $M.0"
     }

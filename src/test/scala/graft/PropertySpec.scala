@@ -84,7 +84,10 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: the LCG stays in [0,1) and is key/salt sensitive") {
-    val keys = sample(Gen.chooseNum(0L, 2000000L), 400)
+    // full int64 key range: a billion-loan synthesis feeds keys far past
+    // 2^31, which must reduce, not overflow into negative draws
+    val keys = sample(Gen.oneOf(Gen.chooseNum(0L, 2000000L),
+      Gen.chooseNum(0L, Long.MaxValue)), 400)
     val us = keys.toDF("k")
       .select(col("k"), Synth.Rng.u(col("k"), 7L).as("u7"), Synth.Rng.u(col("k"), 8L).as("u8"))
       .as[(Long, Double, Double)].collect()

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the single latest right row whose
+  * `rightTime <= leftTime` within the same key (SCD-2 lookup: "the rate
+  * effective at this due date", reference `interest_rate_schedule` →
+  * installment semantics).
+  *
+  * Spark has no as-of operator, and expressing it as a range join
+  * (`ON l.key = r.key AND l.t >= r.from AND l.t < r.to`) plans as a
+  * nested-loop per key group — quadratic in rows-per-key, a scale
+  * killer on a billion-installment fact. This is the preference-(a)
+  * composition instead (SURVEY.md §2 custom-operator ladder): UNION the
+  * two inputs tagged by side, one window partitioned by key ordered by
+  * (time, side-tag), and a running `last(value, ignoreNulls)` carries
+  * the most recent right value forward into each left row. ONE shuffle
+  * on the key, linear work, AQE-skew-splittable — the same plan shape
+  * at any scale.
+  *
+  * Tie semantics: a right row at exactly `leftTime` wins (inclusive
+  * `<=`), because the right tag sorts before the left tag at equal
+  * time. The caller must ensure (key, rightTime) is unique on the right
+  * side — duplicate right timestamps would make the carried value
+  * order-dependent (the same contract DuckDB's ASOF JOIN imposes).
+  * Left rows before any right row get NULL values (left-join
+  * semantics). Left and right column names must be disjoint apart from
+  * the keys. */
+object AsOf {
+
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    val valueCols = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
+    val leftCols = left.columns.toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"right value columns ${valueCols.mkString(",")} collide with left columns")
+    val tag = "__graft_asof_tag"
+    val t = "__graft_asof_time"
+    require(!(leftCols ++ valueCols).exists(c => c == tag || c == t),
+      "input already has internal as-of columns")
+
+    val l = left
+      .withColumn(t, col(leftTime))
+      .withColumn(tag, lit(1))
+      .select((keys.map(col) :+ col(t) :+ col(tag)) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn(t, col(rightTime))
+      .withColumn(tag, lit(0))
+      .select((keys.map(col) :+ col(t) :+ col(tag)) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(t).asc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col(tag) === 1).drop(tag, t)
+  }
+}

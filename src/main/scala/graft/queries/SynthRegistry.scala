@@ -63,6 +63,19 @@ object SynthRegistry {
 
     "synth_rate_schedule" -> ((s, _) => Synth.rateSchedule(Synth.loans(s))),
 
+    // SCD-2 lookup: the rate effective at each installment's due date —
+    // the as-of join (union+window composition, one shuffle, no range
+    // join) over the variable-rate loans' schedule
+    "synth_schedule_rates" -> ((s, _) => {
+      val loans = Synth.loans(s)
+      val sched = Synth.scheduleLinear(loans.filter(col("interest_rate_type") === "variable"))
+        .select(col("loan_id"), col("installment_no"), col("due_date"))
+      val rates = Synth.rateSchedule(loans)
+        .select(col("loan_id"), col("effective_from"), col("annual_rate"))
+      graft.operators.AsOf.asOfJoin(sched, rates, Seq("loan_id"), "due_date", "effective_from")
+        .select(col("loan_id"), col("installment_no"), col("due_date"), col("annual_rate"))
+    }),
+
     "synth_chronology_audit" -> ((s, _) => Synth.chronologyAudit(Synth.loans(s), Synth.applications(s))),
 
     // the reference's full loop — synthesize OLTP world, stage, run the
@@ -420,6 +433,24 @@ object SynthRegistry {
          |       lead(effective_from) OVER (PARTITION BY loan_id ORDER BY event_no) - 1 AS effective_to,
          |       CAST(rate_bp_event AS DOUBLE) / 10000.0 AS annual_rate
          |FROM ev2""".stripMargin,
+
+    "synth_schedule_rates" ->
+      s"""WITH $loansCte, $schedCte,
+         |v AS (SELECT *, 1 + CAST(floor(${uSql("loan_id", Synth.SaltNEvents)} * 3) AS INTEGER) AS n_events
+         |      FROM synth_loans WHERE interest_rate_type = 'variable'),
+         |ev AS (SELECT loan_id, term_months, origination_date, n_events,
+         |              CAST(unnest(generate_series(0, n_events - 1)) AS INTEGER) AS event_no
+         |       FROM v),
+         |ev2 AS (SELECT *,
+         |               CAST(origination_date + INTERVAL ((event_no * term_months) // n_events) MONTH AS DATE) AS effective_from,
+         |               300 + CAST(floor(${uSql("(loan_id * 10 + event_no)", Synth.SaltEvtRate)} * 1900) AS BIGINT) AS rate_bp_event
+         |        FROM ev)
+         |SELECT s.loan_id, s.installment_no, s.due_date,
+         |       CAST(r.rate_bp_event AS DOUBLE) / 10000.0 AS annual_rate
+         |FROM (SELECT loan_id, installment_no, due_date FROM sched
+         |      WHERE interest_rate_type = 'variable') s
+         |ASOF LEFT JOIN ev2 r
+         |  ON s.loan_id = r.loan_id AND s.due_date >= r.effective_from""".stripMargin,
 
     "synth_npl_monthly" ->
       s"""WITH $loansCte, $schedCte, $payCte,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Snapshots
+import graft.operators.{AsOf, Snapshots}
 
 /** Window/snapshot operator specs: month-end top-1 dedup with total-order
   * tiebreakers, lag over OBSERVED months (gaps preserved — reference
@@ -55,6 +55,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(out.count() == 4)
     assert(out.select(min(col("day")).cast("string"), max(col("day")).cast("string"))
       .as[(String, String)].collect().head == ("2021-01-01", "2021-01-04"))
+  }
+
+  test("asOfJoin: latest right row at-or-before each left time; null before first; inclusive tie") {
+    val sched = Seq(
+      (1L, 1, "2021-02-15"), // after first rate
+      (1L, 2, "2021-05-01"), // EXACTLY at the second rate's effective_from -> inclusive
+      (1L, 3, "2021-08-01"), // after second
+      (2L, 1, "2020-12-31")  // before loan 2's only rate -> null
+    ).toDF("loan_id", "installment_no", "d")
+      .withColumn("due_date", to_date(col("d"))).drop("d")
+    val rates = Seq(
+      (1L, "2021-01-01", 0.05), (1L, "2021-05-01", 0.07),
+      (2L, "2021-01-01", 0.03)
+    ).toDF("loan_id", "ef", "annual_rate")
+      .withColumn("effective_from", to_date(col("ef"))).drop("ef")
+    val got = AsOf.asOfJoin(sched, rates, Seq("loan_id"), "due_date", "effective_from")
+      .select(col("loan_id"), col("installment_no"), col("annual_rate"))
+      .as[(Long, Int, Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, 1, Some(0.05)), (1L, 2, Some(0.07)), (1L, 3, Some(0.07)),
+      (2L, 1, None)))
   }
 
   test("topOnePerGroup is deterministic under a total order") {

@@ -31,10 +31,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame =
     spark.read.schema(StructType(Seq(
         StructField("event_id", LongType),
-        StructField("user_id", LongType),
         StructField("ts", LongType),
+        StructField("user_id", LongType),
         StructField("event_type", StringType),
-        StructField("value", DoubleType))))
+        StructField("value", DoubleType),
+        StructField("props", StringType)))) // JSON payload, e.g. {"k": 87}
       .parquet(s"$dir/events.parquet")
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

@@ -44,6 +44,20 @@ object ExtRegistry {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.frameSamplePlan(Multimodal.media(Tables(s, dir).documents), 10L)),
 
+    // JSON surface over the events.props payload (SURVEY §2.8 extension
+    // note): path extraction AND schema-on-read struct parsing, plus an
+    // aggregate over the extracted value — all codegen'd built-ins
+    "json_props" -> ((s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").cast(LongType).as("k_typed"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("events"),
+          sum(col("k")).as("k_sum"),
+          sum((col("k") === col("k_typed")).cast(LongType)).as("paths_agree"))),
+
     // aggregation surface beyond reference parity: distinct aggregates
     "distinct_counts" -> ((s, dir) =>
       Tables(s, dir).events.groupBy(col("event_type")).agg(
@@ -164,6 +178,14 @@ object ExtRegistry {
         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens
         |FROM documents""".stripMargin,
+
+    "json_props" ->
+      """SELECT event_type, count(*) AS events,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |                       = CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS paths_agree
+        |FROM events GROUP BY 1""".stripMargin,
 
     "distinct_counts" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,

@@ -146,16 +146,33 @@ object MinHash {
 
   // ------------------------------------------------------------- SimHash
 
-  val SimBits = 20
+  /** 56 bits: wide enough that unrelated docs sit near Hamming 28 (so a
+    * ≤3 threshold has a deep noise margin — a 20-bit sketch flagged ~30%
+    * of random pairs), and the top byte stays clear of the int64 sign. */
+  val SimBits = 56
+  /** Band layout for [[simHashNearDups]]: 7 bands × 8 bits. Two sketches
+    * within Hamming distance 3 differ in at most 3 bands, so they agree
+    * on at least one — banding over 7 bands has PERFECT recall at the
+    * distance-3 threshold (pigeonhole), unlike probabilistic MinHash
+    * banding. */
+  val SimBandBits = 8
+  def simBands: Int = SimBits / SimBandBits
+  /** Per-bit affine rehash constants (offset past the minhash family). */
+  def simA(j: Int): Long = hashA(32 + j)
+  def simB(j: Int): Long = hashB(32 + j)
+  val SimHalf: Long = (P - 1) / 2
 
-  /** SimHash sketch: bit j of the sketch is set when the sum over token
-    * hashes of (2*bit_j(h) - 1) is non-negative. Near-dup docs differ in
-    * few bits (compare via hamming distance on the int64 sketch). */
+  /** SimHash sketch: bit j is set when the sum over token hashes of the
+    * CENTERED per-bit rehash `((h·A_j + B_j) mod P) − (P−1)/2` is
+    * non-negative. The rehash matters: token hashes live below P ≈ 2^20,
+    * so sketching their RAW bits caps the sketch at 20 informative bits
+    * and correlates them across common tokens — the affine remix gives
+    * each of the 56 bits an independent ±uniform vote per token. */
   def simHash(documents: DataFrame): DataFrame = {
     val bits = (0 until SimBits).map { j =>
       val bitSum = aggregate(
         col("th"), lit(0L),
-        (acc, h) => acc + ((shiftright(h, j) % 2L) * 2L - 1L))
+        (acc, h) => acc + ((h * simA(j) + simB(j)) % P - SimHalf))
       when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     spread(documents, col("doc_id"))
@@ -163,5 +180,34 @@ object MinHash {
       // exchange = CollapseProject barrier: hash once, not once per bit
       .transform(df => spread(df, col("doc_id")))
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the sketch (see [[SimBandBits]] — the
+    * banding is pigeonhole-exact for the Hamming threshold, not
+    * probabilistic), equi-join on (band, value), verify with
+    * `bit_count(xor)`. Same never-n² shape as the MinHash pipeline but
+    * the verify is a single integer instruction per pair — the cheapest
+    * of the near-dup families at 100 TB. */
+  def simHashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(documents).cache() // banding + both verify sides
+    val mask = (1L << SimBandBits) - 1
+    val bandCols = (0 until simBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(mask)).as("bval"))
+    }
+    val banded = sh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }

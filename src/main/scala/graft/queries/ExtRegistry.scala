@@ -20,6 +20,9 @@ object ExtRegistry {
 
     "simhash_docs" -> ((s, dir) => MinHash.simHash(Tables(s, dir).documents)),
 
+    "simhash_near_dup" -> ((s, dir) =>
+      MinHash.simHashNearDups(Tables(s, dir).documents)),
+
     // the dedup LOOP closed: near-dup pairs -> drop the higher-id side of
     // every pair above the jaccard threshold -> surviving corpus
     // (greedy pairwise representative choice; an anti-join, so the keep
@@ -123,8 +126,20 @@ object ExtRegistry {
   private def simhashTerms: String =
     (0 until MinHash.SimBits).map { j =>
       val pw = 1L << j
-      s"CASE WHEN list_sum(list_transform(th, x -> ((x // $pw) % 2) * 2 - 1)) >= 0 THEN $pw ELSE 0 END"
+      s"CASE WHEN list_sum(list_transform(th, x -> (x * ${MinHash.simA(j)} + ${MinHash.simB(j)}) % $P - ${MinHash.SimHalf})) >= 0 THEN $pw ELSE 0 END"
     }.mkString("\n       + ")
+
+  /** Token-hash + sketch CTEs ending in `sh(doc_id, simhash)` — shared by
+    * the sketch listing and the near-dup pairing oracles. */
+  private def simhashCtes: String =
+    s"""tt AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST($simhashTerms AS BIGINT) AS simhash
+       |  FROM tt)""".stripMargin
 
   /** The full pair pipeline as CTEs ending in `mh_pairs` — shared by the
     * near-dup listing and the dedup keep-list oracles. */
@@ -165,13 +180,27 @@ object ExtRegistry {
          |  WHERE p.doc_b = d.doc_id AND p.jaccard >= 0.5)""".stripMargin,
 
     "simhash_docs" ->
-      s"""WITH tt AS (
-         |  SELECT doc_id,
-         |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
-         |  FROM documents)
-         |SELECT doc_id,
-         |       CAST($simhashTerms AS BIGINT) AS simhash
-         |FROM tt""".stripMargin,
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sh""".stripMargin,
+
+    "simhash_near_dup" -> {
+      val mask = (1L << MinHash.SimBandBits) - 1
+      val bands = (0 until MinHash.simBands).map { b =>
+        if (b == 0) s"SELECT doc_id, 0 AS band, (simhash >> 0) & $mask AS bval FROM sh"
+        else s"SELECT doc_id, $b, (simhash >> ${b * MinHash.SimBandBits}) & $mask FROM sh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $simhashCtes,
+         |banded AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+    },
 
     "token_regex" ->
       """SELECT doc_id,

@@ -79,6 +79,18 @@ object ExtRegistry {
           col("collected_dec").cast(DoubleType).as("collected"), col("payments"))
     }),
 
+    // CUBE: all 4 grouping sets of (product, currency) in one pass
+    "cube_collections" -> ((s, dir) => {
+      val pay = graft.analog.Analog.payments(Tables(s, dir))
+      val loans = graft.analog.Analog.loans(Tables(s, dir))
+      pay.join(loans.select(col("loan_id"), col("product_type")), Seq("loan_id"), "inner")
+        .cube(col("product_type"), col("currency"))
+        .agg(sum(col("amount_received")).as("collected_dec"),
+          count(lit(1)).as("payments"))
+        .select(col("product_type"), col("currency"),
+          col("collected_dec").cast(DoubleType).as("collected"), col("payments"))
+    }),
+
     // exact percentiles (interpolated) over the events value column
     "percentiles_by_type" -> ((s, dir) =>
       Tables(s, dir).events.groupBy(col("event_type")).agg(
@@ -233,6 +245,19 @@ object ExtRegistry {
         |         count(*) AS payments
         |  FROM pay p JOIN loans lo ON p.loan_id = lo.loan_id
         |  GROUP BY ROLLUP (product_type, currency)) g""".stripMargin,
+
+    "cube_collections" ->
+      """WITH pay AS (
+        |  SELECT o.o_custkey AS loan_id, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS amount_received,
+        |         l.l_returnflag AS currency
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |loans AS (SELECT c_custkey AS loan_id, c_mktsegment AS product_type FROM customer)
+        |SELECT product_type, currency, CAST(collected_dec AS DOUBLE) AS collected, payments
+        |FROM (
+        |  SELECT product_type, currency, SUM(p.amount_received) AS collected_dec,
+        |         count(*) AS payments
+        |  FROM pay p JOIN loans lo ON p.loan_id = lo.loan_id
+        |  GROUP BY CUBE (product_type, currency)) g""".stripMargin,
 
     "percentiles_by_type" ->
       """SELECT event_type,

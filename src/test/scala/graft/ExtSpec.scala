@@ -111,6 +111,31 @@ class ExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stream-static join: DPD stream enriched with the loan dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Int)]
+    val events = mem.toDF().toDF("loan_id", "ts", "dpd")
+    val dim = Seq((1L, "consumer"), (2L, "auto")).toDF("loan_id", "product_type")
+    // static side joins per micro-batch with no state store involved
+    val q = StreamingDpd.dailyWorstDpd(events)
+      .join(dim, Seq("loan_id"), "inner")
+      .writeStream.format("memory").queryName("dpd_enriched_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, java.sql.Timestamp.valueOf("2021-01-01 10:00:00"), 40),
+        (2L, java.sql.Timestamp.valueOf("2021-01-01 12:00:00"), 0))
+      q.processAllAvailable()
+      mem.addData((1L, java.sql.Timestamp.valueOf("2021-01-05 00:00:00"), 9))
+      q.processAllAvailable()
+      val got = spark.table("dpd_enriched_stream")
+        .select(col("loan_id"), col("worst_dpd"), col("product_type"))
+        .as[(Long, Int, String)].collect().toSet
+      assert(got.contains((1L, 40, "consumer")))
+      assert(got.contains((2L, 0, "auto")))
+    } finally q.stop()
+  }
+
   test("streaming withRunningState: running max, sticky NPL, cure signal") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingDpd.DpdEvent]

@@ -33,9 +33,13 @@ object Bench {
       val t = try {
         val t1 = once()
         // run 2 must not reuse run 1's internal .cache() frames (the
-        // cache manager matches canonicalized plans across invocations)
+        // cache manager matches canonicalized plans across invocations);
+        // and a TRANSIENT run-2 failure must not discard run 1's valid
+        // sample — only a run-1 failure marks the query broken
         spark.catalog.clearCache(); System.gc()
-        Some(math.min(t1, once()))
+        val t2 = try Some(once()) catch { case e: Throwable =>
+          System.err.println(s"[bench] $name run 2 failed (keeping run 1): ${e.getMessage}"); None }
+        Some(t2.fold(t1)(math.min(t1, _)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
       // isolate queries: drop cached frames, and nudge the driver GC so

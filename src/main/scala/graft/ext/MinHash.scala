@@ -189,6 +189,11 @@ object MinHash {
     * the verify is a single integer instruction per pair — the cheapest
     * of the near-dup families at 100 TB. */
   def simHashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // pigeonhole bound: <= maxHamming differing bits must leave at least
+    // one UNTOUCHED band, which requires maxHamming < simBands — beyond
+    // that the banding would silently miss qualifying pairs
+    require(maxHamming >= 0 && maxHamming < simBands,
+      s"maxHamming must be in [0, ${simBands - 1}] for exact recall with $simBands bands, got $maxHamming")
     val sh = simHash(documents).cache() // banding + both verify sides
     val mask = (1L << SimBandBits) - 1
     val bandCols = (0 until simBands).map { b =>

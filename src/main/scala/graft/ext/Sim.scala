@@ -273,13 +273,15 @@ object Sim {
       col("nsq").as("nsq_a"), explode(col("cells")).as("cell"))
     val indexed = e.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("emb_b"), col("nsq").as("nsq_b"), col("own_cell").as("cell"))
+    // no pair dedup needed: the indexed side carries exactly ONE cell per
+    // vector (its argmin) and a probe's cell list is distinct, so a
+    // (probe, indexed) pair can meet in at most one cell — a distinct
+    // here would re-shuffle the whole candidate stream for nothing
     val pairs = probes.join(indexed, Seq("cell"), "inner")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
       .select(col("vec_id"), col("neighbor_id"), col("cosine"))
-      // a pair can meet in several probed cells — dedup before ranking
-      .distinct()
     topK(pairs, k)
   }
 

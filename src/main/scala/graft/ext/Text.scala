@@ -36,7 +36,11 @@ object Text {
     val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*))).cast(LongType)
     val ratio = stopCnt.cast(DoubleType) / tokenCnt.cast(DoubleType)
     val punctCnt = size(regexp_extract_all(col("text"), lit("""[.,;:!?"'()\[\]]"""), lit(0))).cast(LongType)
-    val punctRatio = punctCnt.cast(DoubleType) / charCnt.cast(DoubleType)
+    // empty text -> char_cnt 0: define the ratio as 0 rather than 0/0
+    // (Spark NaN vs SQL NULL would break oracle parity AND poison the
+    // quality flag)
+    val punctRatio = when(charCnt === 0, lit(0.0))
+      .otherwise(punctCnt.cast(DoubleType) / charCnt.cast(DoubleType))
     val avgTokLen = (charCnt - (tokenCnt - 1)).cast(DoubleType) / tokenCnt.cast(DoubleType)
     val fp = aggregate(
       zip_with(toks, sequence(lit(1), size(toks)),

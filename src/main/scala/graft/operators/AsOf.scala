@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * on the key, linear work, AQE-skew-splittable — the same plan shape
   * at any scale.
   *
+  * The right row's value columns travel as ONE struct, not per-column
+  * `last` calls: the struct is non-null for every right row even when
+  * individual fields are null, so the join carries the matched row
+  * ATOMICALLY — per-column ignoreNulls would skip a null field and
+  * resurrect it from an OLDER row, fabricating a row that never
+  * existed.
+  *
   * Tie semantics: a right row at exactly `leftTime` wins (inclusive
   * `<=`), because the right tag sorts before the left tag at equal
   * time. The caller must ensure (key, rightTime) is unique on the right
@@ -38,29 +45,33 @@ object AsOf {
       s"right value columns ${valueCols.mkString(",")} collide with left columns")
     val tag = "__graft_asof_tag"
     val t = "__graft_asof_time"
-    require(!(leftCols ++ valueCols).exists(c => c == tag || c == t),
+    val bundle = "__graft_asof_val"
+    require(!(leftCols ++ valueCols).exists(c => c == tag || c == t || c == bundle),
       "input already has internal as-of columns")
 
+    val bundleType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn(tag, lit(1))
       .select((keys.map(col) :+ col(t) :+ col(tag)) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(bundleType).as(bundle): _*)
     val r = right
       .withColumn(t, col(rightTime))
       .withColumn(tag, lit(0))
       .select((keys.map(col) :+ col(t) :+ col(tag)) ++
         leftCols.filterNot(keys.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as(bundle): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(t).asc, col(tag).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col(tag) === 1).drop(tag, t)
+    l.unionByName(r)
+      .withColumn(bundle, last(col(bundle), ignoreNulls = true).over(w))
+      .filter(col(tag) === 1)
+      .select((keys.map(col) ++ leftCols.filterNot(keys.contains).map(col)) ++
+        valueCols.map(c => col(s"$bundle.$c").as(c)): _*)
   }
 }

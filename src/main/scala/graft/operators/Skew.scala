@@ -27,13 +27,22 @@ object Skew {
     require(!fact.columns.contains(saltCol) && !dim.columns.contains(saltCol),
       s"input already has internal column $saltCol")
     // row-level spreading: the salt must vary WITHIN a hot key, so it
-    // derives from the full row CONTENT, never from the physical row
+    // derives from the row CONTENT, never from the physical row
     // position — monotonically_increasing_id() is nondeterministic under
     // shuffle-map retries (a recomputed partition would re-salt the same
     // rows differently, the classic repartition-by-nondeterministic-key
-    // correctness hazard); a content hash reproduces identically
+    // correctness hazard); a content hash reproduces identically.
+    // Map columns are excluded (hash() rejects MapType). Limitation of
+    // ANY deterministic salt: bit-identical duplicate rows share one
+    // salt — if the hot key is duplicate-heavy, pre-aggregate the
+    // duplicates into a count column first (the standard fix), which
+    // also shrinks the fact.
+    val hashCols = fact.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    require(hashCols.nonEmpty, "fact must have at least one non-map column to salt on")
     val saltedFact = fact.withColumn(saltCol,
-      pmod(hash(fact.columns.map(col).toSeq: _*).cast("long"), lit(salts.toLong)))
+      pmod(hash(hashCols: _*).cast("long"), lit(salts.toLong)))
     val replicatedDim = dim.withColumn(saltCol, explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(replicatedDim, Seq(key, saltCol), "inner").drop(saltCol)
   }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.BooleanType
+import org.apache.spark.sql.types.{BooleanType, NumericType}
 
 /** Optimizer rule: a filter on a CASE expression with boolean-literal
   * branch values — the shape Catalyst itself produces from
@@ -49,11 +49,28 @@ object SimplifyLiteralCaseFilter extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** "NULL iff the attribute is NULL" needs more than Spark's
+    * `nullIntolerant` flag: that only promises null-in → null-out, NOT
+    * non-null-in → non-null-out. Extraction nodes (a stored null struct
+    * field), `Divide`/`Pmod` (x/0 → NULL), string casts and null
+    * literals all produce NULL from non-null inputs while flying a
+    * nullIntolerant flag somewhere in the tree. So the gate is a
+    * WHITELIST of expressions that provably cannot introduce a null:
+    * attributes, non-null literals, comparisons, overflow-free
+    * arithmetic, floor/ceil/abs/negate, and numeric→numeric casts
+    * (legacy wraps, ANSI throws — neither yields NULL). */
   private def nullIntolerantTree(e: Expression): Boolean = e match {
     case _: Attribute => true
-    case _: Literal => true
-    case other => other.deterministic && other.nullIntolerant &&
-      other.children.forall(nullIntolerantTree)
+    case l: Literal => l.value != null
+    case c: Cast =>
+      c.child.dataType.isInstanceOf[NumericType] &&
+        c.dataType.isInstanceOf[NumericType] && nullIntolerantTree(c.child)
+    case _: EqualTo | _: LessThan | _: LessThanOrEqual |
+         _: GreaterThan | _: GreaterThanOrEqual |
+         _: Add | _: Subtract | _: Multiply | _: UnaryMinus |
+         _: Floor | _: Ceil | _: Abs =>
+      e.deterministic && e.children.forall(nullIntolerantTree)
+    case _ => false
   }
 
   private def rewriteCase(cw: CaseWhen): Option[Expression] = {

@@ -59,7 +59,10 @@ object ExtRegistry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("events"),
           sum(col("k")).as("k_sum"),
-          sum((col("k") === col("k_typed")).cast(LongType)).as("paths_agree"))),
+          // null-safe agreement count: a missing/unparseable k on either
+          // path counts 0, so the sum never collapses to NULL
+          sum(when(col("k").isNotNull && col("k_typed").isNotNull
+            && col("k") === col("k_typed"), 1L).otherwise(0L)).as("paths_agree"))),
 
     // aggregation surface beyond reference parity: distinct aggregates
     "distinct_counts" -> ((s, dir) =>
@@ -220,13 +223,20 @@ object ExtRegistry {
         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens
         |FROM documents""".stripMargin,
 
+    // k models get_json_object (string path, BIGINT cast); kt models
+    // from_json with an INT schema — TRY_CAST nulls on out-of-int32
+    // exactly like from_json's overflow-to-null, so the two paths are
+    // genuinely independent expressions here, not a tautology
     "json_props" ->
       """SELECT event_type, count(*) AS events,
-        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-        |       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |                       = CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(CASE WHEN k IS NOT NULL AND kt IS NOT NULL AND k = kt
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS paths_agree
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM (
+        |  SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |         CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT) AS kt
+        |  FROM events) g GROUP BY 1""".stripMargin,
 
     "distinct_counts" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,

@@ -422,12 +422,14 @@ object Registry {
          |       CAST(stopword_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS stopword_ratio,
          |       CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS avg_token_len,
          |       punct_cnt,
-         |       CAST(punct_cnt AS DOUBLE) / CAST(char_cnt AS DOUBLE) AS punct_ratio,
+         |       CASE WHEN char_cnt = 0 THEN 0.0
+         |            ELSE CAST(punct_cnt AS DOUBLE) / CAST(char_cnt AS DOUBLE) END AS punct_ratio,
          |       (token_cnt >= 10 AND token_cnt <= 100000
          |         AND CAST(stopword_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 0.01
          |         AND CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 2.0
          |         AND CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) <= 12.0
-         |         AND CAST(punct_cnt AS DOUBLE) / CAST(char_cnt AS DOUBLE) <= 0.2) AS quality_flag,
+         |         AND (CASE WHEN char_cnt = 0 THEN 0.0
+         |                   ELSE CAST(punct_cnt AS DOUBLE) / CAST(char_cnt AS DOUBLE) END) <= 0.2) AS quality_flag,
          |       CASE WHEN CAST(stopword_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 0.05
          |            THEN 'en' ELSE 'other' END AS lang_pred,
          |       fingerprint

@@ -62,12 +62,14 @@ class SnapshotsSpec extends SparkSpec {
       (1L, 1, "2021-02-15"), // after first rate
       (1L, 2, "2021-05-01"), // EXACTLY at the second rate's effective_from -> inclusive
       (1L, 3, "2021-08-01"), // after second
-      (2L, 1, "2020-12-31")  // before loan 2's only rate -> null
+      (2L, 1, "2020-12-31"), // before loan 2's only rate -> null
+      (3L, 1, "2021-07-01")  // matched row has a NULL value field
     ).toDF("loan_id", "installment_no", "d")
       .withColumn("due_date", to_date(col("d"))).drop("d")
     val rates = Seq(
-      (1L, "2021-01-01", 0.05), (1L, "2021-05-01", 0.07),
-      (2L, "2021-01-01", 0.03)
+      (1L, "2021-01-01", Some(0.05)), (1L, "2021-05-01", Some(0.07)),
+      (2L, "2021-01-01", Some(0.03)),
+      (3L, "2021-01-01", Some(0.04)), (3L, "2021-06-01", None)
     ).toDF("loan_id", "ef", "annual_rate")
       .withColumn("effective_from", to_date(col("ef"))).drop("ef")
     val got = AsOf.asOfJoin(sched, rates, Seq("loan_id"), "due_date", "effective_from")
@@ -75,7 +77,10 @@ class SnapshotsSpec extends SparkSpec {
       .as[(Long, Int, Option[Double])].collect().toSet
     assert(got == Set(
       (1L, 1, Some(0.05)), (1L, 2, Some(0.07)), (1L, 3, Some(0.07)),
-      (2L, 1, None)))
+      (2L, 1, None),
+      // the June row MATCHES and its null field must come through — not
+      // be resurrected from the older January row
+      (3L, 1, None)))
   }
 
   test("topOnePerGroup is deterministic under a total order") {

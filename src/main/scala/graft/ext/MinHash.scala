@@ -167,19 +167,23 @@ object MinHash {
     * non-negative. The rehash matters: token hashes live below P ≈ 2^20,
     * so sketching their RAW bits caps the sketch at 20 informative bits
     * and correlates them across common tokens — the affine remix gives
-    * each of the 56 bits an independent ±uniform vote per token. */
+    * each of the 56 bits an independent ±uniform vote per token.
+    *
+    * The 56 per-bit folds run as ONE native codegen expression
+    * ([[org.apache.spark.sql.graft.SimHashSketch]], a fused token-outer
+    * loop) — the Column-HOF form is 56 interpreted `aggregate` lambdas
+    * each re-walking the token array; integer math makes the fusion
+    * bit-exact. */
   def simHash(documents: DataFrame): DataFrame = {
-    val bits = (0 until SimBits).map { j =>
-      val bitSum = aggregate(
-        col("th"), lit(0L),
-        (acc, h) => acc + ((h * simA(j) + simB(j)) % P - SimHalf))
-      when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
+    val as = (0 until SimBits).map(simA).toArray
+    val bs = (0 until SimBits).map(simB).toArray
     spread(documents, col("doc_id"))
       .select(col("doc_id"), transform(split(col("text"), " "), t => stringHash(t)).as("th"))
       // exchange = CollapseProject barrier: hash once, not once per bit
       .transform(df => spread(df, col("doc_id")))
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.SimHashSketch.sketch(col("th"), as, bs, P, SimHalf)
+          .as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the sketch (see [[SimBandBits]] — the

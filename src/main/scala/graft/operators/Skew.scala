@@ -32,15 +32,23 @@ object Skew {
     // shuffle-map retries (a recomputed partition would re-salt the same
     // rows differently, the classic repartition-by-nondeterministic-key
     // correctness hazard); a content hash reproduces identically.
-    // Map columns are excluded (hash() rejects MapType). Limitation of
+    // Columns containing maps or variants ANYWHERE in their type (hash()
+    // rejects both recursively) are excluded. Limitation of
     // ANY deterministic salt: bit-identical duplicate rows share one
     // salt — if the hot key is duplicate-heavy, pre-aggregate the
     // duplicates into a count column first (the standard fix), which
     // also shrinks the fact.
+    import org.apache.spark.sql.types._
+    def unhashable(dt: DataType): Boolean = dt match {
+      case _: MapType | _: VariantType => true
+      case s: StructType => s.fields.exists(f => unhashable(f.dataType))
+      case a: ArrayType => unhashable(a.elementType)
+      case _ => false
+    }
     val hashCols = fact.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => unhashable(f.dataType))
       .map(f => col(f.name)).toSeq
-    require(hashCols.nonEmpty, "fact must have at least one non-map column to salt on")
+    require(hashCols.nonEmpty, "fact must have at least one hashable (map/variant-free) column to salt on")
     val saltedFact = fact.withColumn(saltCol,
       pmod(hash(hashCols: _*).cast("long"), lit(salts.toLong)))
     val replicatedDim = dim.withColumn(saltCol, explode(sequence(lit(0L), lit(salts.toLong - 1))))

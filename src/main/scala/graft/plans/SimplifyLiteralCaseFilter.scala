@@ -57,19 +57,25 @@ object SimplifyLiteralCaseFilter extends Rule[LogicalPlan] {
     * nullIntolerant flag somewhere in the tree. So the gate is a
     * WHITELIST of expressions that provably cannot introduce a null:
     * attributes, non-null literals, comparisons, overflow-free
-    * arithmetic, floor/ceil/abs/negate, and numeric→numeric casts
-    * (legacy wraps, ANSI throws — neither yields NULL). */
+    * arithmetic, floor/ceil/abs/negate, and NON-DECIMAL numeric→numeric
+    * casts. Decimal is excluded everywhere a value is computed: with
+    * ANSI off, decimal casts and decimal add/subtract/multiply NULL on overflow
+    * (integer/float ops wrap or go infinite instead, and ANSI throws —
+    * neither yields NULL). */
+  private def safeNum(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.isInstanceOf[NumericType] && !dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+
   private def nullIntolerantTree(e: Expression): Boolean = e match {
     case _: Attribute => true
     case l: Literal => l.value != null
     case c: Cast =>
-      c.child.dataType.isInstanceOf[NumericType] &&
-        c.dataType.isInstanceOf[NumericType] && nullIntolerantTree(c.child)
+      safeNum(c.child.dataType) && safeNum(c.dataType) && nullIntolerantTree(c.child)
     case _: EqualTo | _: LessThan | _: LessThanOrEqual |
-         _: GreaterThan | _: GreaterThanOrEqual |
-         _: Add | _: Subtract | _: Multiply | _: UnaryMinus |
-         _: Floor | _: Ceil | _: Abs =>
+         _: GreaterThan | _: GreaterThanOrEqual =>
       e.deterministic && e.children.forall(nullIntolerantTree)
+    case _: Add | _: Subtract | _: Multiply | _: UnaryMinus |
+         _: Floor | _: Ceil | _: Abs =>
+      safeNum(e.dataType) && e.deterministic && e.children.forall(nullIntolerantTree)
     case _ => false
   }
 

@@ -234,7 +234,7 @@ object ExtRegistry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS paths_agree
         |FROM (
         |  SELECT event_type,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |         CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT) AS kt
         |  FROM events) g GROUP BY 1""".stripMargin,
 

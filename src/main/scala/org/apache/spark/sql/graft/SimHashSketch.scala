@@ -62,13 +62,15 @@ case class SimHashSketch(child: Expression, as: Array[Long], bs: Array[Long],
     val bRef = ctx.addReferenceObj("simB", bs, "long[]")
     nullSafeCodeGen(ctx, ev, arr => {
       val sums = ctx.freshName("sums")
+      val n = ctx.freshName("n")
       val t = ctx.freshName("t")
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
       val sketch = ctx.freshName("sketch")
       s"""
          |long[] $sums = new long[$aRef.length];
-         |for (int $t = 0; $t < $arr.numElements(); $t++) {
+         |int $n = $arr.numElements();
+         |for (int $t = 0; $t < $n; $t++) {
          |  long $h = $arr.getLong($t);
          |  for (int $j = 0; $j < $aRef.length; $j++) {
          |    $sums[$j] += ($h * $aRef[$j] + $bRef[$j]) % ${p}L - ${half}L;

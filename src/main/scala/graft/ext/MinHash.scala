@@ -181,9 +181,13 @@ object MinHash {
       .select(col("doc_id"), transform(split(col("text"), " "), t => stringHash(t)).as("th"))
       // exchange = CollapseProject barrier: hash once, not once per bit
       .transform(df => spread(df, col("doc_id")))
+      // NULL text -> NULL th: the fold form and the SQL twin both yield
+      // sketch 0 there (every per-bit CASE falls to ELSE 0), while a bare
+      // UnaryExpression null-propagates — coalesce restores parity
       .select(col("doc_id"),
-        org.apache.spark.sql.graft.SimHashSketch.sketch(col("th"), as, bs, P, SimHalf)
-          .as("simhash"))
+        coalesce(
+          org.apache.spark.sql.graft.SimHashSketch.sketch(col("th"), as, bs, P, SimHalf),
+          lit(0L)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the sketch (see [[SimBandBits]] — the

@@ -64,13 +64,6 @@ object Text {
       fp.as("fingerprint"))
   }
 
-  /** Word n-gram shingles of the space-tokenized text (empty array when
-    * the document is shorter than n tokens). */
-  def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast(ArrayType(StringType)))
-      .otherwise(transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-
   /** N-gram-Jaccard near-duplicate candidates: pairs of documents sharing
     * at least one RARE n-gram shingle, scored by Jaccard over their
     * distinct shingle-HASH sets. The candidate join is an equi-join on

@@ -58,6 +58,10 @@ object AsOf {
         leftCols.filterNot(keys.contains).map(col) :+
         lit(null).cast(bundleType).as(bundle): _*)
     val r = right
+      // a NULL rightTime can never satisfy rightTime <= leftTime (DuckDB
+      // ASOF agrees); without this filter NULLS FIRST ordering would
+      // carry such a row into every left row
+      .filter(col(rightTime).isNotNull)
       .withColumn(t, col(rightTime))
       .withColumn(tag, lit(0))
       .select((keys.map(col) :+ col(t) :+ col(tag)) ++

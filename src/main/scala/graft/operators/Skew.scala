@@ -48,6 +48,13 @@ object Skew {
     val hashCols = fact.schema.fields
       .filterNot(f => unhashable(f.dataType))
       .map(f => col(f.name)).toSeq
+    // the hash must include something BEYOND the join key: hashing the
+    // key alone gives one salt per key — no spreading at all, while the
+    // dim still replicates salts-fold. Fail loud instead of silently
+    // degrading to a strictly-worse plain join.
+    require(hashCols.map(_.toString) != Seq(col(key).toString),
+      s"salting needs a hashable non-key column to spread the hot key '$key'; " +
+        "pre-aggregate duplicate rows or add a distinguishing column")
     require(hashCols.nonEmpty, "fact must have at least one hashable (map/variant-free) column to salt on")
     val saltedFact = fact.withColumn(saltCol,
       pmod(hash(hashCols: _*).cast("long"), lit(salts.toLong)))

@@ -93,9 +93,14 @@ object SimplifyLiteralCaseFilter extends Rule[LogicalPlan] {
     }
     if (branchVals.exists(_.isEmpty) || elseVal.isEmpty) return None
     val conds = cw.branches.map(_._1)
-    val attrs = conds.flatMap(_.references.toSeq).distinct
-    if (attrs.size != 1 || !conds.forall(nullIntolerantTree)) return None
-    val attr = attrs.head
+    // EVERY condition must reference exactly the one shared attribute —
+    // a collective check would admit a reference-free condition (never
+    // NULL even when the attribute is), breaking the invariant
+    val refSets = conds.map(_.references)
+    if (refSets.exists(_.size != 1) || refSets.map(_.head.exprId).distinct.size != 1)
+      return None
+    if (!conds.forall(nullIntolerantTree)) return None
+    val attr = refSets.head.head
 
     val nots = conds.map(Not(_))
     // branch i fires iff no earlier condition matched and c_i is true

@@ -226,7 +226,9 @@ object ExtRegistry {
     // k models get_json_object (string path, BIGINT cast); kt models
     // from_json with an INT schema — TRY_CAST nulls on out-of-int32
     // exactly like from_json's overflow-to-null, so the two paths are
-    // genuinely independent expressions here, not a tautology
+    // genuinely independent expressions here, not a tautology. The
+    // integral-format regexp gate mirrors Spark's string→integral cast,
+    // which nulls '87.5' where DuckDB's TRY_CAST would round it to 88.
     "json_props" ->
       """SELECT event_type, count(*) AS events,
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
@@ -234,8 +236,10 @@ object ExtRegistry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS paths_agree
         |FROM (
         |  SELECT event_type,
-        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |         CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT) AS kt
+        |         CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+        |              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+        |         CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+        |              THEN CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT) END AS kt
         |  FROM events) g GROUP BY 1""".stripMargin,
 
     "distinct_counts" ->

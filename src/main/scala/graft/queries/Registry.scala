@@ -176,7 +176,10 @@ object Registry {
     "load_partitioned_roundtrip" -> ((s, dir) => {
       val ev = Tables(s, dir).events.select(
         col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val path = s"/tmp/graft_sink_${Integer.toHexString(dir.hashCode)}/events_by_type"
+      // per-invocation temp dir: a fixed path would race when two
+      // drivers (Verify + Bench) run against the same scale dir
+      val path = java.nio.file.Files.createTempDirectory("graft_sink")
+        .resolve("events_by_type").toString
       graft.sources.Load.writePartitioned(ev, path, Seq("event_type"), Seq("event_id"))
       s.read.parquet(path).select(
         col("event_id"), col("user_id"), col("event_type"), col("value"))

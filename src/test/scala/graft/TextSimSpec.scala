@@ -22,11 +22,12 @@ class TextSimSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_token_len") - (22.0 - 5.0) / 6.0) < 1e-12)
   }
 
-  test("shingles: 3-grams of a 5-token text; short text yields empty") {
-    val df = Seq("a b c d e", "a b").toDF("text")
-      .select(Text.shingles(split(col("text"), " "), 3).as("sh"))
-    val got = df.as[Seq[String]].collect()
-    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+  test("shingle hashes: 3-grams of a 5-token text; short text yields empty") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
+    val got = graft.ext.MinHash.shingleHashes(df, 3)
+      .orderBy(col("doc_id")).select(col("hashes")).as[Seq[Long]].collect()
+    assert(got(0).length == 3) // 5 tokens -> 3 distinct trigram hashes
+    assert(got(0).forall(h => h >= 0 && h < graft.ext.MinHash.P))
     assert(got(1).isEmpty)
   }
 

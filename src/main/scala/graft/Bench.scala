@@ -24,7 +24,10 @@ object Bench {
     // disk (iowait spikes) and codegen-cache churn can 5-10x a single
     // sample (round-3 bench showed npl_monthly at 6x its identical-plan
     // SQL twin), and min-of-2 is the cheapest stable estimator.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter for local iteration on a few queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
@@ -53,7 +56,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // the JSON line goes out BEFORE spark/sbt shutdown banners AND to a
+    // file — the r4 driver capture truncated the stdout tail mid-JSON,
+    // losing the round's headline number; a file survives any tail window
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

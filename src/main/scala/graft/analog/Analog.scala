@@ -30,13 +30,21 @@ object Analog {
 
   /** events → stg_arrears_daily shape. (loan_id, as_of_date) is NOT unique
     * here (several events per user-day), so ts/event_id ride along as
-    * window tiebreakers for the month-end dedup. */
+    * window tiebreakers for the month-end dedup.
+    *
+    * The raw events span a single month, which made every
+    * month-over-month mart (bucket transitions, roll/cure rates) vacuous
+    * on this tier — so the analog derives a MULTI-month observation date
+    * deterministically, spreading each event `event_id % 6` months
+    * forward (same spirit as the derived origination_date in [[loans]]);
+    * both engines clamp month-add day overflow identically. */
   def arrears(td: Tables): DataFrame =
     td.events.select(
         col("user_id").as("loan_id"),
         // ts is nanos-since-epoch (see Tables.events); `div` keeps the
         // micros conversion exact (a double roundtrip would round >2^53).
-        to_date(timestamp_micros(expr("ts div 1000"))).as("as_of_date"),
+        add_months(to_date(timestamp_micros(expr("ts div 1000"))),
+          (col("event_id") % 6).cast(IntegerType)).as("as_of_date"),
         col("ts"),
         col("event_id"),
         floor(col("value")).cast(IntegerType).as("days_past_due"),

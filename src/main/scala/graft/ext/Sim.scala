@@ -181,40 +181,82 @@ object Sim {
     * knob: few bits → huge buckets (sum-of-bucket² candidate pairs
     * explodes at 10⁹ vectors), many bits → vanishing recall (true
     * neighbors rarely agree on every sign). OR-amplification breaks the
-    * tradeoff: `nBits` bounds bucket size (expected n/2^nBits), and
+    * tradeoff: `nBits` bounds the EXPECTED bucket size (n/2^nBits), and
     * `nTables` independent hyperplane sets recover recall — a pair is a
     * candidate when it shares ANY table's bucket, so miss probability
     * decays exponentially in nTables while candidate cost grows only
     * linearly.
     *
+    * Expectation is not a bound: correlated embeddings concentrate —
+    * near-parallel clusters land whole in one bucket per table no matter
+    * how many sign bits you add (every hyperplane sees the cluster on
+    * one side), and an uncapped s-vector bucket costs s² pairs, the
+    * exact explosion the operator exists to prevent. `maxBucket` makes
+    * the bound HARD: a bucket of size s > maxBucket is sub-split into
+    * `ceil(s / maxBucket)` chunks by `vec_id % chunks`, so per-vector
+    * candidates per table are ≤ ~maxBucket and total pairs are
+    * O(n · nTables · maxBucket) — linear in n, by construction. Small
+    * buckets get chunks = 1 and are untouched (no branch needed).
+    *
+    * Recall accounting for the sub-split: only pairs INSIDE an oversized
+    * bucket can be lost, and an oversized sign-bucket is a tight
+    * near-parallel cluster — any ~maxBucket-size deterministic sample of
+    * it still supplies high-cosine neighbors, so top-k quality degrades
+    * far more gently than raw recall (other tables' buckets recover
+    * cross-chunk pairs independently). Set maxBucket ≥ n to disable.
+    *
     * Shape: one narrow projection computes all table buckets per vector
     * (single pass, native codegen), `posexplode` emits (table, bucket)
-    * keys, ONE equi-join shuffle on that composite key generates
-    * candidates, pairs are deduped before the (more expensive) cosine
-    * verify, and per-vector top-k runs on verified candidates only —
-    * never n², never a driver-side structure. */
-  def lshTopKTables(embeddings: DataFrame, k: Int, nBits: Int, nTables: Int): DataFrame = {
+    * rows CARRYING the embedding, one window count over (tbl, bucket)
+    * derives the sub-split key with no second scan, and ONE equi-join on
+    * (tbl, bucket, subkey) — Spark reuses the window's hash partitioning,
+    * (tbl, bucket) ⊆ the join keys, so no extra exchange — computes the
+    * cosine INLINE. Only narrow (vec_id, neighbor_id, cosine) rows flow
+    * into the OR-dedup and the per-vector top-k window: the wide
+    * embedding arrays are never shuffled per candidate pair (the r4
+    * dedup-then-two-verify-joins shape moved every pair's two 64-float
+    * arrays through three shuffles — that, not the dot products, was the
+    * cost). Never n², never a driver-side structure. */
+  def lshTopKTables(embeddings: DataFrame, k: Int, nBits: Int, nTables: Int,
+      maxBucket: Int = 128): DataFrame = {
     require(nBits >= 1 && nBits <= 62, s"nBits must be in [1,62], got $nBits")
     require(nTables >= 1, s"nTables must be positive, got $nTables")
+    require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
     val d = dim(embeddings)
     val e = spread(embeddings, col("vec_id")).select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"),
         array((0 until nTables).map(t => lshBucketAt(col("embedding"), d, nBits, t)): _*)
           .as("buckets"))
       .filter(col("nsq") > 0) // zero-norm vectors have no cosine (see bruteTopK)
-      .cache() // reused: banding + both sides of the verify join
-    val banded = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val cand = banded.as("a")
+    val banded = e
+      .select(col("vec_id"), col("embedding"), col("nsq"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+      // chunks = ceil(cnt / maxBucket) in exact integer math; chunks = 1
+      // leaves a small bucket whole (anything % 1 = 0), so one expression
+      // covers both cases. The chunk assignment hashes (vec_id, tbl) — a
+      // plain `vec_id % chunks` would partition an every-table-oversized
+      // cluster IDENTICALLY in all tables (same classes, no OR recovery);
+      // the per-table affine mix in 1000003-space re-partitions each
+      // table independently, so cross-chunk pairs keep nTables chances.
+      // (vec_id reduced mod P first: the product stays ≤ 2^51, overflow-
+      // safe in both engines at any id scale.)
+      .withColumn("subkey",
+        expr("((vec_id % 1000003) * 2654435761 + tbl * 40503 + 97) % 1000003" +
+          s" % ((cnt + ${maxBucket - 1}) div $maxBucket)"))
+    val keys = Seq("tbl", "bucket", "subkey")
+    val pairs = banded.as("a")
       .join(banded.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        keys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
-      .distinct() // OR across tables: count a pair once before the verify
-    val pairs = cand
-      .join(e.select(col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a")), Seq("vec_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"), col("nsq").as("nsq_b")), Seq("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(col("a.nsq")) * sqrt(col("b.nsq")))).as("cosine"))
+      // OR across tables: a pair meeting in several tables computes the
+      // SAME cosine (identical deterministic expression over identical
+      // inputs), so a distinct on the narrow triple dedups exactly
+      .distinct()
     topK(pairs, k)
   }
 

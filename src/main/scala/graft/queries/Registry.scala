@@ -199,7 +199,9 @@ object Registry {
 
   private val arrearsCte =
     """arrears AS (
-      |  SELECT user_id AS loan_id, CAST(ts AS DATE) AS as_of_date, ts, event_id,
+      |  SELECT user_id AS loan_id,
+      |         CAST(CAST(ts AS DATE) + INTERVAL ((event_id % 6)) MONTH AS DATE) AS as_of_date,
+      |         ts, event_id,
       |         CAST(floor(value) AS INTEGER) AS days_past_due,
       |         CAST(value AS DECIMAL(18,2)) AS past_due_amount_total,
       |         event_type,
@@ -482,24 +484,34 @@ object Registry {
          |WHERE rank <= 5""".stripMargin
     },
 
+    // mirrors Sim.lshTopKTables(k=5, nBits=10, nTables=3, maxBucket=128):
+    // per-table buckets via UNION ALL banding, window count per
+    // (tbl, bucket), oversized buckets sub-split by vec_id % ceil(cnt/128),
+    // candidates joined on (tbl, bucket, subkey), cosine deduped across
+    // tables (identical IEEE expression both engines), then top-5
     "knn_cosine_lsh_multi" -> {
       val bucketExprs = (0 until 3).map(t => lshBucketSql(10, t * 10))
-      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq,
-         |  (${bucketExprs(0)}) AS b0, (${bucketExprs(1)}) AS b1, (${bucketExprs(2)}) AS b2
+      val bandSelects = bucketExprs.zipWithIndex
+        .map { case (bx, t) => s"SELECT vec_id, embedding, nsq, $t AS tbl, ($bx) AS bucket FROM e" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq
          |  FROM embeddings) t0 WHERE nsq > 0),
-         |cand AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
-         |  FROM e a JOIN e b ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
-         |  UNION
-         |  SELECT a.vec_id, b.vec_id FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id
-         |  UNION
-         |  SELECT a.vec_id, b.vec_id FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id <> b.vec_id)
+         |banded0 AS (
+         |  $bandSelects),
+         |banded AS (
+         |  SELECT *, ((vec_id % 1000003) * 2654435761 + tbl * 40503 + 97) % 1000003
+         |            % ((count(*) OVER (PARTITION BY tbl, bucket) + 127) // 128) AS subkey
+         |  FROM banded0),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |         (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         |  FROM banded a JOIN banded b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.subkey = b.subkey
+         |       AND a.vec_id <> b.vec_id)
          |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT c.vec_id, c.neighbor_id,
-         |         (${dotChain("x", "y")}) / (sqrt(x.nsq) * sqrt(y.nsq)) AS cosine,
-         |         row_number() OVER (PARTITION BY c.vec_id
-         |            ORDER BY (${dotChain("x", "y")}) / (sqrt(x.nsq) * sqrt(y.nsq)) DESC, c.neighbor_id) AS rank
-         |  FROM cand c JOIN e x ON c.vec_id = x.vec_id JOIN e y ON c.neighbor_id = y.vec_id) t
+         |  SELECT vec_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM pairs) t
          |WHERE rank <= 5""".stripMargin
     },
 

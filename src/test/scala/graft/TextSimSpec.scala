@@ -79,6 +79,53 @@ class TextSimSpec extends SparkSpec {
     assert(single.subsetOf(multi))
   }
 
+  test("lshTopKTables sub-split: candidate work is hard-bounded on real embeddings") {
+    // replicate the operator's (tbl, bucket, subkey) keying at a cap small
+    // enough to force splitting on the real clustered embeddings, and
+    // assert the two guarantees the scaladoc claims: no join group exceeds
+    // ~2×cap (hash-mod slack over a tight cluster), and total candidate
+    // pairs stay O(n · nTables · cap) — the sum-of-bucket² explosion is
+    // structurally impossible no matter how the data concentrates.
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val cap = 8
+    val nTables = 3
+    val banded = (0 until nTables)
+      .map(t => emb.select(col("vec_id"), lit(t).as("tbl"),
+        Sim.lshBucketAt(col("embedding"), 64, 10, t).as("bucket")))
+      .reduce(_ unionByName _)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+      .withColumn("subkey",
+        expr("((vec_id % 1000003) * 2654435761 + tbl * 40503 + 97) % 1000003" +
+          s" % ((cnt + ${cap - 1}) div $cap)"))
+    val sizes = banded.groupBy(col("tbl"), col("bucket"), col("subkey"))
+      .count().select(col("count")).as[Long].collect()
+    assert(sizes.exists(_ > cap) || sizes.length > 64,
+      "expected the clustered embeddings to actually exercise the split path")
+    assert(sizes.max <= 2L * cap, s"chunk of ${sizes.max} exceeds 2×cap=$cap")
+    val pairs = sizes.map(s => s * (s - 1)).sum
+    assert(pairs <= nTables * n * 2L * cap,
+      s"candidate pairs $pairs exceed O(n·nTables·cap) bound ${nTables * n * 2L * cap}")
+    // and the operator still returns k neighbors for (nearly) every vector
+    val rows = Sim.lshTopKTables(emb, 5, 10, nTables, maxBucket = cap).count()
+    assert(rows >= 4 * n, s"sub-split starved the top-k: only $rows rows for $n vectors")
+  }
+
+  test("lshTopKTables maxBucket: every member of an oversized near-identical cluster keeps neighbors") {
+    // 40 near-parallel vectors land in ONE bucket per table (> cap=8);
+    // the mod-chunk split must keep per-vector candidates, and the found
+    // neighbors are clustermates (cosine ≈ 1) — quality survives even
+    // where exact recall cannot
+    val e = (0 until 40).map(i =>
+      (i.toLong, Seq(1.0f, 0.5f + i * 1e-5f, -0.25f, 2.0f))).toDF("vec_id", "embedding")
+    val r = Sim.lshTopKTables(e, 3, 4, 3, maxBucket = 8).collect()
+    val byVec = r.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec.size == 40, s"only ${byVec.size} of 40 vectors produced neighbors")
+    assert(byVec.values.forall(_.length == 3), "some vector found fewer than k=3 neighbors")
+    assert(r.map(_.getAs[Double]("cosine")).min > 0.999)
+  }
+
   test("lsh bucket-size distribution: nBits bounds the max bucket share on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = emb.count().toDouble

@@ -107,10 +107,16 @@ object MinHash {
     * signature similarity, then verified with exact Jaccard over the
     * shingle-hash sets. */
   def nearDupPairs(documents: DataFrame, n: Int): DataFrame = {
-    // computed once, reused by banding + both join sides (see object doc);
-    // the empty-shingle screen runs on the CACHED columns (docs shorter
-    // than n tokens have nothing to near-dup on)
-    val sig = withSignature(shingleHashes(documents, n)).cache()
+    // computed once, reused by banding + both join sides (see object doc).
+    // localCheckpoint, not .cache(): the blocks are owned by the RDD (the
+    // ContextCleaner frees them when the result frame is GC'd) instead of
+    // the session CacheManager, so a long-lived session embedding this
+    // operator doesn't accumulate storage entries that only an explicit
+    // clearCache would release; it is also a harder optimizer barrier
+    // than cache (the empty-shingle screen below and the per-band
+    // projections can never be pushed into / inlined over the hash
+    // computation). Lineage truncation is the documented tradeoff.
+    val sig = withSignature(shingleHashes(documents, n)).localCheckpoint(false)
       .filter(size(col("hashes")) > 0)
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"), (col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}")).as("bval"))
@@ -202,7 +208,10 @@ object MinHash {
     // that the banding would silently miss qualifying pairs
     require(maxHamming >= 0 && maxHamming < simBands,
       s"maxHamming must be in [0, ${simBands - 1}] for exact recall with $simBands bands, got $maxHamming")
-    val sh = simHash(documents).cache() // banding + both verify sides
+    // banding + both verify sides reuse the sketch; localCheckpoint (not
+    // cache) so the blocks free on GC instead of living in the session
+    // CacheManager (see nearDupPairs)
+    val sh = simHash(documents).localCheckpoint(false)
     val mask = (1L << SimBandBits) - 1
     val bandCols = (0 until simBands).map { b =>
       struct(lit(b).as("band"),

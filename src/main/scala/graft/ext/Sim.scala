@@ -309,8 +309,11 @@ object Sim {
             (s, i) => struct(s.as("s"), i.as("c")))),
           e => e.getField("c")),
         1, nProbe))
+    // probe + index sides reuse the ranked frame; localCheckpoint (not
+    // cache) so the blocks free on GC instead of living in the session
+    // CacheManager (see MinHash.nearDupPairs)
     val e = ranked.select(col("vec_id"), col("embedding"), col("nsq"),
-      element_at(col("cells"), 1).as("own_cell"), col("cells")).cache()
+      element_at(col("cells"), 1).as("own_cell"), col("cells")).localCheckpoint(false)
     val probes = e.select(col("vec_id"), col("embedding").as("emb_a"),
       col("nsq").as("nsq_a"), explode(col("cells")).as("cell"))
     val indexed = e.select(col("vec_id").as("neighbor_id"),

@@ -83,7 +83,10 @@ object Text {
     * near-dup threshold anyway). */
   def ngramJaccardPairs(documents: DataFrame, n: Int, maxDocFreq: Long = 5L): DataFrame = {
     val docSh = MinHash.shingleHashes(documents, n)
-      .cache() // reused by candidate generation and both verify joins
+      // reused by candidate generation and both verify joins;
+      // localCheckpoint (not cache) so the blocks free on GC instead of
+      // living in the session CacheManager (see MinHash.nearDupPairs)
+      .localCheckpoint(false)
     val exploded = docSh.select(col("doc_id"), explode(col("hashes")).as("s"))
     val rare = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("s"))

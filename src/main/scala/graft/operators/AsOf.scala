@@ -29,12 +29,15 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics: a right row at exactly `leftTime` wins (inclusive
   * `<=`), because the right tag sorts before the left tag at equal
-  * time. The caller must ensure (key, rightTime) is unique on the right
-  * side — duplicate right timestamps would make the carried value
-  * order-dependent (the same contract DuckDB's ASOF JOIN imposes).
-  * Left rows before any right row get NULL values (left-join
-  * semantics). Left and right column names must be disjoint apart from
-  * the keys. */
+  * time. Duplicate right timestamps within a key are made DETERMINISTIC
+  * by a final sort key on the value bundle itself (the largest bundle
+  * under struct ordering wins) whenever the value types are orderable —
+  * engines with an arbitrary-tie ASOF (DuckDB) may pick a different
+  * survivor, so keeping (key, rightTime) unique is still the contract
+  * for cross-engine reproducibility; this tiebreaker only pins THIS
+  * implementation's choice across runs/retries. Left rows before any
+  * right row get NULL values (left-join semantics). Left and right
+  * column names must be disjoint apart from the keys. */
 object AsOf {
 
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
@@ -69,8 +72,18 @@ object AsOf {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(valueCols.map(col): _*).as(bundle): _*)
 
+    // bundle as the last sort key: two right rows tied on (t, tag) order
+    // by their value struct, so the carried row is deterministic under
+    // shuffle/retry (left rows have a NULL bundle — their relative order
+    // is irrelevant, each just reads the running last). Skipped for
+    // unorderable value types (maps), where the uniqueness contract is
+    // the only guarantee.
+    val bundleOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(bundleType)
+    val order = Seq(col(t).asc, col(tag).asc) ++
+      (if (bundleOrderable) Seq(col(bundle).asc_nulls_first) else Nil)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(t).asc, col(tag).asc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn(bundle, last(col(bundle), ignoreNulls = true).over(w))

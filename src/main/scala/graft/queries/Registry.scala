@@ -161,6 +161,48 @@ object Registry {
       graft.streaming.StreamingDpd.dailyWorstDpd(ev)
     }),
 
+    // the stateful streaming path's driver signal: the batch twin of
+    // flatMapGroupsWithState's final state (max/last/sticky-NPL are
+    // micro-batch-boundary-invariant; StreamingSpec asserts the stateful
+    // kernel's last emission equals this frame on a chunked stream)
+    "streaming_dpd_state_batch" -> ((s, dir) => {
+      // ts stays the RAW nanos long: a micros conversion would merge
+      // nanos-distinct events into ordering ties the DuckDB twin (full
+      // TIMESTAMP_NANOS order) doesn't have; finalStateBatch only needs
+      // a totally-ordered time column
+      val ev = Tables(s, dir).events.select(
+        col("user_id").as("loan_id"), col("ts"),
+        floor(col("value")).cast(IntegerType).as("dpd"))
+      graft.streaming.StreamingDpd.finalStateBatch(ev)
+    }),
+
+    // the salted-join twin of dpd_daily: Skew.saltedJoin only changes the
+    // physical distribution (content-hash salt on the fact, dim replicated
+    // salts-fold), so the SAME dpd_daily oracle hash-proves the rewrite
+    // is semantics-preserving end-to-end
+    "dpd_daily_salted" -> ((s, dir) => {
+      val joined = graft.operators.Skew.saltedJoin(
+        arrears(s, dir),
+        loans(s, dir).select(
+          col("loan_id"), col("borrower_id"), col("product_type"),
+          col("currency"), col("origination_date"), col("exposure")),
+        "loan_id", 8)
+      joined.select(
+        col("as_of_date"), col("loan_id"), col("borrower_id"),
+        col("product_type"), col("currency"), col("origination_date"),
+        col("exposure").cast(DoubleType).as("exposure"),
+        col("days_past_due"), col("dpd_bucket"), col("npl_flag"),
+        col("past_due_amount_total").cast(DoubleType).as("past_due_amount_total"))
+    }),
+
+    // the injected-function SQL surface (GraftExtensions): graft_dot
+    // reached through a pure SQL string, oracle-checked against the same
+    // left-associated chain the DataFrame plans compile to
+    "sql_embedding_norms" -> ((s, dir) => {
+      Tables(s, dir).embeddings.createOrReplaceTempView("v_embeddings")
+      s.sql("SELECT vec_id, graft_dot(embedding, embedding) AS nsq FROM v_embeddings")
+    }),
+
     // S5 driver exposure: dense surrogate keys over an explicit total
     // order (the RETURNING-id analog), dim-table scale by contract
     "load_surrogate_keys" -> ((s, dir) =>
@@ -177,8 +219,9 @@ object Registry {
       val ev = Tables(s, dir).events.select(
         col("event_id"), col("user_id"), col("event_type"), col("value"))
       // per-invocation temp dir: a fixed path would race when two
-      // drivers (Verify + Bench) run against the same scale dir
-      val path = java.nio.file.Files.createTempDirectory("graft_sink")
+      // drivers (Verify + Bench) run against the same scale dir;
+      // Scratch removes it at JVM exit (no /tmp litter across bench runs)
+      val path = graft.sources.Scratch.dir("graft_sink")
         .resolve("events_by_type").toString
       graft.sources.Load.writePartitioned(ev, path, Seq("event_type"), Seq("event_id"))
       s.read.parquet(path).select(
@@ -564,6 +607,18 @@ object Registry {
         |         CAST(max(floor(value)) AS INTEGER) AS worst_dpd
         |  FROM events GROUP BY 1, 2) g""".stripMargin,
 
+    "streaming_dpd_state_batch" ->
+      """SELECT loan_id, max_dpd, last_dpd, max_dpd > 90 AS ever_npl FROM (
+        |  SELECT user_id AS loan_id,
+        |         CAST(max(floor(value)) OVER (PARTITION BY user_id) AS INTEGER) AS max_dpd,
+        |         CAST(floor(value) AS INTEGER) AS last_dpd,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, floor(value) DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "sql_embedding_norms" ->
+      s"""SELECT vec_id, ($nsqChain) AS nsq FROM embeddings""",
+
     "load_surrogate_keys" ->
       """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal,
         |       10000 + row_number() OVER (ORDER BY c_custkey) AS sk
@@ -586,5 +641,7 @@ object Registry {
   val oracles: Map[String, String] =
     coreOracles ++ SynthRegistry.oracles ++ ExtRegistry.oracles +
       // same mart through the SQL surface -> same oracle, defined once
-      ("sql_npl_monthly" -> coreOracles("npl_monthly"))
+      ("sql_npl_monthly" -> coreOracles("npl_monthly")) +
+      // salting is distribution-only -> result must hash-match dpd_daily
+      ("dpd_daily_salted" -> coreOracles("dpd_daily"))
 }

@@ -171,7 +171,38 @@ object SynthRegistry {
     // integer-cents sequential recurrence — oracle is a WITH RECURSIVE twin
     "synth_annuity_schedule" -> ((s, _) =>
       Synth.scheduleAnnuity(
-        Synth.loans(s).filter(col("repayment_method") === "annuity")).toDF())
+        Synth.loans(s).filter(col("repayment_method") === "annuity")).toDF()),
+
+    // the reference's STORAGE boundary, on the synth world: the generator
+    // writes real tables and the marts read them back (pg_oltp_synth.py
+    // 118-139 -> sources.yml 5-11). The snapshot fact goes to parquet
+    // partitioned by year (the pruning layout a daily fact wants), loans
+    // unpartitioned; the mart runs over the READ-BACK frames, so schema
+    // fidelity across write/read (dates, longs, partition-column
+    // recovery) is what the synth_npl_monthly oracle hash-checks here.
+    "synth_npl_monthly_roundtrip" -> ((s, _) => {
+      import org.apache.spark.sql.types.DecimalType
+      val loans = Synth.loans(s)
+      val snaps = Synth.dpdSnapshots(Synth.payments(Synth.scheduleLinear(loans)))
+      val base = graft.sources.Scratch.dir("graft_synth_rt")
+      val snapPath = base.resolve("dpd_snapshots").toString
+      val loanPath = base.resolve("loans").toString
+      graft.sources.Load.writePartitioned(
+        snaps.withColumn("snap_year", year(col("as_of_date"))),
+        snapPath, Seq("snap_year"), Seq("loan_id", "as_of_date"))
+      graft.sources.Load.writePartitioned(
+        loans.select(col("loan_id"), col("product_type"), col("currency"),
+          col("principal_cents")),
+        loanPath, Nil, Seq("loan_id"))
+      val dpd = s.read.parquet(snapPath)
+        .join(s.read.parquet(loanPath).select(
+          col("loan_id"), col("product_type"), col("currency"),
+          (col("principal_cents").cast(DecimalType(20, 2)) / lit(100))
+            .cast(DecimalType(18, 2)).as("exposure")),
+          Seq("loan_id"), "inner")
+        .withColumn("npl_flag", col("nonperforming_flag"))
+      Marts.nplMonthly(dpd)
+    })
   )
 
   // --------------------------------------------------------------- SQL
@@ -332,7 +363,7 @@ object SynthRegistry {
       |                SELECT *, LEAST(amount_cents, penalty_cents) AS alloc_penalty
       |                FROM spay) q1) q2) q3) q4) q5) q6) q7)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "synth_loans" ->
       s"""WITH $loansCte
          |SELECT loan_id, borrower_id, application_id, product_type, currency,
@@ -713,4 +744,9 @@ object SynthRegistry {
          |UNION ALL SELECT 'application_date_before_epoch', count(*) FROM apps
          |  WHERE application_date < DATE '2015-01-01'""".stripMargin
   )
+
+  // the parquet round-trip must be LOSSLESS, so its oracle is the very
+  // same synth_npl_monthly twin — any write/read drift hash-fails here
+  val oracles: Map[String, String] =
+    baseOracles + ("synth_npl_monthly_roundtrip" -> baseOracles("synth_npl_monthly"))
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -43,6 +44,27 @@ object StreamingDpd {
         col("day.start").cast(DateType).as("as_of_date"),
         col("worst_dpd"),
         CreditFunctions.dpdBucket(col("worst_dpd")).as("dpd_bucket"))
+
+  /** Batch twin of [[withRunningState]]'s FINAL state for the
+    * batch-invariant fields: running max, latest value (by event time,
+    * value as tiebreaker — the same order the stateful kernel processes
+    * a batch in), and the sticky NPL flag. These three are associative
+    * over micro-batch boundaries, so however the stream was chunked, the
+    * last update per loan must equal this one-pass batch aggregation —
+    * the oracle-checkable contract for the stateful path (the `cured`
+    * pulse is deliberately absent: it compares consecutive BATCHES, so
+    * it depends on chunking by design). One window shuffle on loan_id. */
+  def finalStateBatch(events: DataFrame): DataFrame = {
+    val byLoan = Window.partitionBy(col("loan_id"))
+    val latest = Window.partitionBy(col("loan_id"))
+      .orderBy(col("ts").desc, col("dpd").desc)
+    events
+      .withColumn("max_dpd", max(col("dpd")).over(byLoan))
+      .withColumn("__rn", row_number().over(latest))
+      .filter(col("__rn") === 1)
+      .select(col("loan_id"), col("max_dpd"), col("dpd").as("last_dpd"),
+        (col("max_dpd") > 90).as("ever_npl"))
+  }
 
   final case class DpdEvent(loan_id: Long, ts: java.sql.Timestamp, dpd: Int)
   final case class DpdState(maxDpd: Int, lastDpd: Int, everNpl: Boolean)

@@ -21,12 +21,20 @@ import org.apache.spark.sql.types._
   * Integer arithmetic is exact and order-insensitive, so the result is
   * bit-identical to the fold form and to the SQL oracle's
   * `list_sum(list_transform(...))` chains. */
-case class SimHashSketch(child: Expression, as: Array[Long], bs: Array[Long],
+case class SimHashSketch(child: Expression, as: Seq[Long], bs: Seq[Long],
     p: Long, half: Long)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(as.length == bs.length && as.nonEmpty && as.length <= 62,
     s"need 1..62 bit constants, got ${as.length}")
+
+  // Seq params (not Array): case-class equality must be STRUCTURAL so
+  // canonicalization / subexpression elimination / codegen-cache keying
+  // can identify two semantically equal sketch expressions — Array params
+  // compare by reference and defeat all three. Arrays only inside the
+  // hot loops.
+  private lazy val aArr: Array[Long] = as.toArray
+  private lazy val bArr: Array[Long] = bs.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
 
@@ -37,20 +45,20 @@ case class SimHashSketch(child: Expression, as: Array[Long], bs: Array[Long],
   override def nullSafeEval(a: Any): Any = {
     val th = a.asInstanceOf[ArrayData]
     val n = th.numElements()
-    val sums = new Array[Long](as.length)
+    val sums = new Array[Long](aArr.length)
     var t = 0
     while (t < n) {
       val h = th.getLong(t)
       var j = 0
-      while (j < as.length) {
-        sums(j) += (h * as(j) + bs(j)) % p - half
+      while (j < aArr.length) {
+        sums(j) += (h * aArr(j) + bArr(j)) % p - half
         j += 1
       }
       t += 1
     }
     var sketch = 0L
     var j = 0
-    while (j < as.length) {
+    while (j < aArr.length) {
       if (sums(j) >= 0) sketch |= (1L << j)
       j += 1
     }
@@ -58,8 +66,8 @@ case class SimHashSketch(child: Expression, as: Array[Long], bs: Array[Long],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("simA", as, "long[]")
-    val bRef = ctx.addReferenceObj("simB", bs, "long[]")
+    val aRef = ctx.addReferenceObj("simA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("simB", bArr, "long[]")
     nullSafeCodeGen(ctx, ev, arr => {
       val sums = ctx.freshName("sums")
       val n = ctx.freshName("n")
@@ -91,5 +99,6 @@ case class SimHashSketch(child: Expression, as: Array[Long], bs: Array[Long],
 
 object SimHashSketch {
   def sketch(th: Column, as: Array[Long], bs: Array[Long], p: Long, half: Long): Column =
-    ExpressionUtils.column(SimHashSketch(ExpressionUtils.expression(th), as, bs, p, half))
+    ExpressionUtils.column(SimHashSketch(ExpressionUtils.expression(th),
+      as.toIndexedSeq, bs.toIndexedSeq, p, half))
 }

@@ -153,4 +153,64 @@ class ExtSpec extends SparkSpec {
       assert(got.exists(u => u.last_dpd == 0 && u.cured && u.ever_npl)) // NPL is sticky across batches
     } finally q.stop()
   }
+
+  test("withRunningState final state equals finalStateBatch however the stream is chunked") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(l: Long, ts: String, d: Int) =
+      StreamingDpd.DpdEvent(l, java.sql.Timestamp.valueOf(ts), d)
+    // three loans, batch boundaries cutting across loans; loan 2 has a
+    // same-timestamp tie (resolved by the shared (ts, dpd) order in both
+    // the stateful kernel and the batch twin). Chunks respect per-loan
+    // event-time order — the stateful path's in-order-arrival contract.
+    val chunks = Seq(
+      Seq(ev(1L, "2021-01-01 10:00:00", 10), ev(2L, "2021-01-01 08:00:00", 3)),
+      Seq(ev(1L, "2021-01-05 09:00:00", 95),
+        ev(2L, "2021-01-09 08:00:00", 50), ev(2L, "2021-01-09 08:00:00", 40)),
+      Seq(ev(1L, "2021-02-01 00:00:00", 0), ev(3L, "2021-03-01 00:00:00", 120)))
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, StreamingDpd.DpdUpdate)]()
+    val mem = MemoryStream[StreamingDpd.DpdEvent]
+    val q = StreamingDpd.withRunningState(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingDpd.DpdUpdate], batchId: Long) =>
+        emitted.synchronized { emitted ++= ds.collect().map((batchId, _)) }; ()
+      }.start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val finalByLoan = emitted.groupBy(_._2.loan_id)
+      .map { case (l, us) => l -> us.maxBy(_._1)._2 }
+    val batch = StreamingDpd.finalStateBatch(chunks.flatten.toDS().toDF())
+      .collect().map(r => r.getAs[Long]("loan_id") ->
+        ((r.getAs[Int]("max_dpd"), r.getAs[Int]("last_dpd"), r.getAs[Boolean]("ever_npl"))))
+      .toMap
+    assert(finalByLoan.keySet == batch.keySet)
+    finalByLoan.foreach { case (l, u) =>
+      assert((u.max_dpd, u.last_dpd, u.ever_npl) == batch(l),
+        s"loan $l: stateful $u vs batch ${batch(l)}")
+    }
+    // the known divergent field: `cured` compares consecutive batches
+    assert(finalByLoan(1L).cured, "loan 1 cured in its final batch")
+  }
+
+  test("near-dup/ANN operators register nothing in the session cache manager") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def ops() = Seq(
+      graft.ext.MinHash.nearDupPairs(docs, 3),
+      graft.ext.MinHash.simHashNearDups(docs),
+      graft.ext.Sim.ivfTopK(emb, 5, 8, 2),
+      graft.ext.Sim.lshTopKTables(emb, 5, 10, 3),
+      graft.ext.Text.ngramJaccardPairs(docs, 3))
+    ops().foreach(_.count()) // a library-internal .cache() would register plans HERE
+    // re-derive each operator: a CacheManager entry left by the first run
+    // would resolve the identical (canonicalized) subplan to an
+    // InMemoryRelation; the internal reuse points are localCheckpoints
+    // (RDD-owned blocks, GC/ContextCleaner-released), so a long-lived
+    // session never needs clearCache after embedding these operators
+    ops().foreach { df =>
+      assert(!df.queryExecution.optimizedPlan.exists(_.isInstanceOf[InMemoryRelation]),
+        s"operator left a session cache entry:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
 }

@@ -83,6 +83,21 @@ class SnapshotsSpec extends SparkSpec {
       (3L, 1, None)))
   }
 
+  test("asOfJoin: duplicate right timestamps resolve deterministically (largest bundle wins)") {
+    val left = Seq((1L, 1, "2021-06-01")).toDF("loan_id", "installment_no", "d")
+      .withColumn("due_date", to_date(col("d"))).drop("d")
+    // two right rows at the SAME effective_from: the bundle tiebreaker
+    // must pick the larger value struct, identically on every run
+    val rates = Seq((1L, "2021-01-01", 0.03), (1L, "2021-01-01", 0.09))
+      .toDF("loan_id", "ef", "annual_rate")
+      .withColumn("effective_from", to_date(col("ef"))).drop("ef")
+    (1 to 3).foreach { _ =>
+      val got = AsOf.asOfJoin(left, rates, Seq("loan_id"), "due_date", "effective_from")
+        .select(col("annual_rate")).as[Double].collect().toSeq
+      assert(got == Seq(0.09), s"expected the max-bundle survivor, got $got")
+    }
+  }
+
   test("topOnePerGroup is deterministic under a total order") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "ord", "v")
     val top = Snapshots.topOnePerGroup(df, Seq(col("k")), Seq(col("ord").desc))

@@ -36,6 +36,34 @@ object ExtRegistry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // transitive near-dup clustering: every clustered doc labeled with
+    // its family's canonical (minimum) id. Spark runs min-label
+    // propagation to the fixpoint; the oracle runs a RECURSIVE-CTE
+    // transitive closure — algorithm-independent agreement
+    "near_dup_components" -> ((s, dir) =>
+      graft.ext.Dedup.connectedComponents(
+        MinHash.simHashNearDups(Tables(s, dir).documents), "doc_a", "doc_b")),
+
+    // the composed LLM-corpus materialization: quality-screened docs
+    // minus every near-dup family member except its representative —
+    // stats filter + component clustering + two (anti/semi) joins
+    "clean_corpus" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val comp = graft.ext.Dedup.connectedComponents(
+        MinHash.simHashNearDups(docs), "doc_a", "doc_b")
+      val dupDrops = comp.filter(col("doc_id") =!= col("component_id")).select(col("doc_id"))
+      val quality = graft.ext.Text.textStats(docs)
+        .filter(col("quality_flag")).select(col("doc_id"))
+      docs.join(dupDrops, Seq("doc_id"), "left_anti")
+        .join(quality, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // deterministic, partition-independent train/test assignment
+    "corpus_split" -> ((s, dir) =>
+      graft.ext.Corpus.hashSplit(Tables(s, dir).documents, "doc_id", 90)
+        .select(col("doc_id"), col("split"))),
+
     "token_regex" -> ((s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
@@ -156,6 +184,46 @@ object ExtRegistry {
        |         CAST($simhashTerms AS BIGINT) AS simhash
        |  FROM tt)""".stripMargin
 
+  /** Sketch + banding + verified-pair CTEs ending in
+    * `sh_pairs(doc_a, doc_b, hamming)` — shared by the near-dup listing,
+    * the component clustering, and the clean-corpus oracles. */
+  private def simhashPairsCtes: String = {
+    val mask = (1L << MinHash.SimBandBits) - 1
+    val bands = (0 until MinHash.simBands).map { b =>
+      if (b == 0) s"SELECT doc_id, 0 AS band, (simhash >> 0) & $mask AS bval FROM sh"
+      else s"SELECT doc_id, $b, (simhash >> ${b * MinHash.SimBandBits}) & $mask FROM sh"
+    }.mkString("\n  UNION ALL ")
+    s"""$simhashCtes,
+       |sbanded AS (
+       |  $bands),
+       |scand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sbanded a JOIN sbanded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |sh_pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |  FROM scand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)""".stripMargin
+  }
+
+  /** Undirected edges + min-reachable-id fixpoint over the simhash pairs,
+    * ending in `comps(doc_id, component_id)`. The oracle computes the
+    * transitive closure natively (RECURSIVE CTE with set-union
+    * termination); the Spark twin iterates min-label propagation — two
+    * entirely different fixpoint algorithms hash-agreeing on the result. */
+  private def componentsCtes: String =
+    s"""$simhashPairsCtes,
+       |cedges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM sh_pairs
+       |  UNION SELECT doc_b, doc_a FROM sh_pairs),
+       |reach AS (
+       |  SELECT a AS v, a AS r FROM cedges
+       |  UNION
+       |  SELECT e.b, r.r FROM reach r JOIN cedges e ON e.a = r.v),
+       |comps AS (
+       |  SELECT v AS doc_id, min(r) AS component_id FROM reach GROUP BY v)""".stripMargin
+
   /** The full pair pipeline as CTEs ending in `mh_pairs` — shared by the
     * near-dup listing and the dedup keep-list oracles. */
   private def minhashPairsCtes: String =
@@ -198,24 +266,46 @@ object ExtRegistry {
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash FROM sh""".stripMargin,
 
-    "simhash_near_dup" -> {
-      val mask = (1L << MinHash.SimBandBits) - 1
-      val bands = (0 until MinHash.simBands).map { b =>
-        if (b == 0) s"SELECT doc_id, 0 AS band, (simhash >> 0) & $mask AS bval FROM sh"
-        else s"SELECT doc_id, $b, (simhash >> ${b * MinHash.SimBandBits}) & $mask FROM sh"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $simhashCtes,
-         |banded AS (
-         |  $bands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-         |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+    "simhash_near_dup" ->
+      s"""WITH $simhashPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM sh_pairs""".stripMargin,
+
+    "near_dup_components" ->
+      s"""WITH RECURSIVE $componentsCtes
+         |SELECT doc_id, component_id FROM comps""".stripMargin,
+
+    "clean_corpus" -> {
+      // the same stats derivations the text_stats oracle proves against
+      // Text.textStats, reduced to the quality predicate
+      val stop = graft.ext.Text.Stopwords.map("'" + _ + "'").mkString(",")
+      s"""WITH RECURSIVE $componentsCtes,
+         |tstats AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS char_cnt,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS BIGINT) AS stopword_cnt,
+         |         CAST(len(regexp_extract_all(text, '[.,;:!?"''()\\[\\]]')) AS BIGINT) AS punct_cnt
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id FROM tstats
+         |  WHERE token_cnt >= 10 AND token_cnt <= 100000
+         |    AND CAST(stopword_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 0.01
+         |    AND CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 2.0
+         |    AND CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) <= 12.0
+         |    AND (CASE WHEN char_cnt = 0 THEN 0.0
+         |              ELSE CAST(punct_cnt AS DOUBLE) / CAST(char_cnt AS DOUBLE) END) <= 0.2)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id AND c.component_id <> d.doc_id)""".stripMargin
     },
+
+    "corpus_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN (doc_id % 1000003) * 2654435761 % 1000003 % 100 < 90
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "token_regex" ->
       """SELECT doc_id,

@@ -19,8 +19,15 @@ import org.apache.spark.sql.types._
   * matching the SQL oracle's literal `+` chains bit-exactly (the weights
   * themselves are derived with the same IEEE ops the oracle re-derives).
   */
-case class LshBuckets(child: Expression, weights: Array[Array[Double]])
+case class LshBuckets(child: Expression, weights: Seq[Seq[Double]])
     extends UnaryExpression with ExpectsInputTypes {
+
+  // Seq params (not Array): case-class equality must be STRUCTURAL so
+  // canonicalization / subexpression elimination / codegen-cache keying
+  // can identify two semantically equal bucket expressions — Array
+  // params compare by reference and defeat all three (same fix as
+  // SimHashSketch). Arrays only inside the hot loops.
+  private lazy val wArr: Array[Array[Double]] = weights.map(_.toArray).toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
@@ -32,8 +39,8 @@ case class LshBuckets(child: Expression, weights: Array[Array[Double]])
     val x = a.asInstanceOf[ArrayData]
     var bucket = 0L
     var j = 0
-    while (j < weights.length) {
-      val w = weights(j)
+    while (j < wArr.length) {
+      val w = wArr(j)
       val n = math.min(x.numElements(), w.length)
       var s = 0.0
       var i = 0
@@ -45,7 +52,7 @@ case class LshBuckets(child: Expression, weights: Array[Array[Double]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val w = ctx.addReferenceObj("lshWeights", weights, "double[][]")
+    val w = ctx.addReferenceObj("lshWeights", wArr, "double[][]")
     nullSafeCodeGen(ctx, ev, a => {
       val bucket = ctx.freshName("bucket")
       val j = ctx.freshName("j")
@@ -74,5 +81,6 @@ case class LshBuckets(child: Expression, weights: Array[Array[Double]])
 
 object LshBuckets {
   def buckets(emb: Column, weights: Array[Array[Double]]): Column =
-    ExpressionUtils.column(LshBuckets(ExpressionUtils.expression(emb), weights))
+    ExpressionUtils.column(LshBuckets(ExpressionUtils.expression(emb),
+      weights.map(_.toIndexedSeq).toIndexedSeq))
 }

@@ -192,6 +192,37 @@ class ExtSpec extends SparkSpec {
     assert(finalByLoan(1L).cured, "loan 1 cured in its final batch")
   }
 
+  test("connectedComponents: transitive chains collapse to the min id; separate families stay apart") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = graft.ext.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2-3-4 is one family (via transitivity the greedy pair view misses)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: a chain needs diameter rounds and still converges") {
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.ext.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 8L).map(_ -> 1L).toMap)
+  }
+
+  test("hashSplit: deterministic, partition-independent, respects the percentage knob") {
+    val ids = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
+    val s90 = graft.ext.Corpus.hashSplit(ids, "doc_id", 90)
+    val trainIds = s90.filter(col("split") === "train").select(col("doc_id"))
+      .as[Long].collect().toSet
+    // re-running under a different partitioning gives the identical set
+    val s90b = graft.ext.Corpus.hashSplit(ids.repartition(7), "doc_id", 90)
+    assert(s90b.filter(col("split") === "train").select(col("doc_id"))
+      .as[Long].collect().toSet == trainIds)
+    assert(trainIds.size > 150 && trainIds.size < 200) // ~90%, not all
+    assert(graft.ext.Corpus.hashSplit(ids, "doc_id", 0)
+      .filter(col("split") === "train").count() == 0)
+    assert(graft.ext.Corpus.hashSplit(ids, "doc_id", 100)
+      .filter(col("split") === "test").count() == 0)
+  }
+
   test("near-dup/ANN operators register nothing in the session cache manager") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

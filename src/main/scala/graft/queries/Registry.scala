@@ -67,7 +67,11 @@ object Registry {
       Marts.nplMonthly(Marts.dpdDaily(arrears(s, dir), loans(s, dir)))),
 
     // same mart through the spark.sql surface (temp views = dbt-style
-    // layered relations; Catalyst inlines them identically)
+    // layered relations; Catalyst inlines them identically). NOTE: the
+    // createOrReplaceTempView calls mutate SESSION catalog state — fine
+    // for a driver-run query, but a library embedding this pattern should
+    // prefer unique view names or Dataset.createTempView scoping so
+    // concurrent queries can't clobber each other's views.
     "sql_npl_monthly" -> ((s, dir) => {
       arrears(s, dir).createOrReplaceTempView("v_stg_arrears")
       loans(s, dir).createOrReplaceTempView("v_stg_loans")

@@ -64,6 +64,29 @@ object ExtRegistry {
       graft.ext.Corpus.hashSplit(Tables(s, dir).documents, "doc_id", 90)
         .select(col("doc_id"), col("split"))),
 
+    // deterministic stratified sample: cap each language at 25 docs
+    // (hash-ranked selection — exact per-stratum counts, stable under
+    // any partitioning, unlike sampleBy/rand)
+    "docs_sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.samplePerGroup(
+        Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("source")),
+        Seq(col("lang")), col("doc_id"), 25)),
+
+    // corpus heavy hitters: global top-20 terms by frequency — the count
+    // shuffles distributed; the global top-k is orderBy+limit (sort is
+    // distributed, only 20 rows converge), not a one-task rank window
+    "top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("term").asc))
+            .cast(IntegerType))
+    }),
+
     "token_regex" -> ((s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
@@ -306,6 +329,21 @@ object ExtRegistry {
         |       CASE WHEN (doc_id % 1000003) * 2654435761 % 1000003 % 100 < 90
         |            THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "docs_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY lang
+        |            ORDER BY (doc_id % 1000003) * 2654435761 % 1000003, doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 25""".stripMargin,
+
+    "top_terms" ->
+      """SELECT term, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank
+        |FROM (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
+        |  WHERE term <> '' GROUP BY 1) g
+        |ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
 
     "token_regex" ->
       """SELECT doc_id,

@@ -132,6 +132,24 @@ object Registry {
         .select(col("event_id"), col("user_id"), col("day"), col("event_type"), col("value"))
     }),
 
+    // gap-based sessionization over the event stream (1-hour quiet gap),
+    // rolled up per session — one window shuffle + one agg shuffle. The
+    // instant is epoch MICROS on both sides (`ts div 1000` ↔ DuckDB
+    // `epoch_us`): the oracle's parquet reader truncates TIMESTAMP_NANOS
+    // to micro precision, so nanos-exact arithmetic is unobservable there
+    // — ordering, gap tests and outputs all use the same truncated value
+    "event_sessions" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"))
+      graft.operators.Sessions
+        .sessionize(ev, col("user_id"), col("tsu"), 3600L * 1000000L,
+          Seq(col("tsu").asc, col("event_id").asc))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("events"),
+          min(col("tsu")).as("first_us"), max(col("tsu")).as("last_us"))
+        .withColumn("duration_us", col("last_us") - col("first_us"))
+    }),
+
     "text_stats" -> ((s, dir) => Text.textStats(Tables(s, dir).documents)),
 
     "near_dup_ngram" -> ((s, dir) => Text.ngramJaccardPairs(Tables(s, dir).documents, 3)),
@@ -610,6 +628,22 @@ object Registry {
         |  SELECT user_id AS loan_id, CAST(ts AS DATE) AS as_of_date,
         |         CAST(max(floor(value)) AS INTEGER) AS worst_dpd
         |  FROM events GROUP BY 1, 2) g""".stripMargin,
+
+    "event_sessions" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+        |                   OR tsu - lag(tsu) OVER w > 3600000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |sn AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM m)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS events,
+        |       min(tsu) AS first_us, max(tsu) AS last_us,
+        |       max(tsu) - min(tsu) AS duration_us
+        |FROM sn GROUP BY 1, 2""".stripMargin,
 
     "streaming_dpd_state_batch" ->
       """SELECT loan_id, max_dpd, last_dpd, max_dpd > 90 AS ever_npl FROM (

@@ -98,6 +98,29 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("sessionize: quiet gaps split sessions per key; numbering 1-based in event order") {
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 40L, 2L), (1L, 200L, 3L), // 40<=gap joins; 160>gap splits
+      (2L, 500L, 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = graft.operators.Sessions
+      .sessionize(df, col("user_id"), col("ts"), 50L, Seq(col("ts").asc, col("event_id").asc))
+      .select(col("user_id"), col("event_id"), col("session_no"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("samplePerGroup: exact k per stratum, whole small strata, partition-independent") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++ Seq((200L, "small"), (201L, "small")))
+      .toDF("id", "stratum")
+    def ids(d: org.apache.spark.sql.DataFrame) = graft.operators.Sampling
+      .samplePerGroup(d, Seq(col("stratum")), col("id"), 10)
+      .select(col("id")).as[Long].collect().toSet
+    val a = ids(df)
+    assert(a.count(_ <= 100L) == 10 && a.count(_ >= 200L) == 2)
+    assert(ids(df.repartition(13)) == a) // hash-ranked: layout-independent
+  }
+
   test("topOnePerGroup is deterministic under a total order") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "ord", "v")
     val top = Snapshots.topOnePerGroup(df, Seq(col("k")), Seq(col("ord").desc))

@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.DotProduct
+import org.apache.spark.sql.graft.{DotProduct, KmvDistinct}
 
 /** The library's `SparkSessionExtensions` installer — the supported way
   * to ship Catalyst extensions to a cluster you don't own: set
@@ -28,6 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, s"graft_dot takes 2 arguments, got ${children.size}")
         DotProduct(children(0), children(1))
+      }))
+    // graft_kmv(hash_col, k): the KMV distinct sketch as a SQL aggregate
+    // (the analyzer wraps a returned AggregateFunction automatically)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_kmv takes 2 arguments, got ${children.size}")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(s"graft_kmv k must be an int literal, got $other")
+        }
+        KmvDistinct(children(0), k)
       }))
   }
 }

@@ -44,8 +44,13 @@ object Dedup {
       .unionByName(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("comp"))
+    // init fused with round 1: the vertex set comes from the same
+    // groupBy-on-a shuffle that computes each vertex's neighborhood min,
+    // so the first propagation is free relative to a distinct-vertices
+    // initialization
+    var labels = edges.groupBy(col("a").as("v"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("v"), least(col("v"), col("nmin")).as("comp"))
       .localCheckpoint(true)
     var round = 0
     var converged = false

@@ -121,6 +121,16 @@ object ExtRegistry {
         countDistinct(col("user_id")).as("distinct_users"),
         count(lit(1)).as("events"))),
 
+    // the custom TypedImperativeAggregate: KMV distinct sketch (bounded
+    // k-longs state, merge-safe partials) next to the exact count — the
+    // deterministic, oracle-checkable stand-in for approx_count_distinct
+    "kmv_distinct_users" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.KmvDistinct
+      Tables(s, dir).events.groupBy(col("event_type")).agg(
+        KmvDistinct.kmv(KmvDistinct.hashColumn(col("user_id")), 64).as("kmv_estimate"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+    }),
+
     // ROLLUP hierarchy totals (grouping-sets family)
     "rollup_collections" -> ((s, dir) => {
       val pay = graft.analog.Analog.payments(Tables(s, dir))
@@ -374,6 +384,30 @@ object ExtRegistry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
         |       count(*) AS events
         |FROM events GROUP BY 1""".stripMargin,
+
+    // KMV twin: the k-th smallest distinct hash per group re-derived
+    // relationally; the estimator is the same exact product + one IEEE
+    // division ((k-1)·M exact in double), so values hash-match the
+    // sketch's eval. nd < k falls back to the exact distinct count.
+    "kmv_distinct_users" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         ((user_id % 2147483648) * 2654435761 + 97) % 2147483648 + 1 AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |x AS (SELECT event_type, hv, nd FROM r WHERE rn = LEAST(nd, 64)),
+        |e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |      FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       CASE WHEN x.nd < 64 THEN CAST(x.nd AS DOUBLE)
+        |            ELSE CAST(63 AS DOUBLE) * CAST(2147483648 AS DOUBLE) / CAST(x.hv AS DOUBLE) END
+        |         AS kmv_estimate,
+        |       e.exact_distinct
+        |FROM e JOIN x ON e.event_type = x.event_type""".stripMargin,
 
     "rollup_collections" ->
       """WITH pay AS (

@@ -223,6 +223,32 @@ class ExtSpec extends SparkSpec {
       .filter(col("split") === "test").count() == 0)
   }
 
+  test("KmvDistinct: exact below k, deterministic estimator above, merge-safe, SQL-callable") {
+    import org.apache.spark.sql.graft.KmvDistinct
+    // exact path: 5 distinct ids < k=8, spread over partitions (merges run)
+    val small = (1L to 5L).flatMap(i => Seq(("a", i), ("a", i))).toDF("g", "id").repartition(4)
+    val r1 = small.groupBy(col("g"))
+      .agg(KmvDistinct.kmv(KmvDistinct.hashColumn(col("id")), 8).as("est"))
+      .collect().head.getDouble(1)
+    assert(r1 == 5.0)
+    // estimator path: equals the closed form over the k-th smallest hash
+    val M = KmvDistinct.M
+    val ids = (1L to 1000L)
+    val df = ids.map(i => ("b", i)).toDF("g", "id").repartition(7)
+    val est = df.groupBy(col("g"))
+      .agg(KmvDistinct.kmv(KmvDistinct.hashColumn(col("id")), 16).as("est"))
+      .collect().head.getDouble(1)
+    val hk = ids.map(i => ((i % M) * 2654435761L + 97L) % M + 1L).distinct.sorted.apply(15)
+    assert(est == 15.0 * M.toDouble / hk.toDouble)
+    assert(est > 100 && est < 10000, s"estimate $est wildly off for n=1000")
+    // the injected SQL aggregate computes the identical value
+    df.createOrReplaceTempView("v_kmv")
+    val sqlEst = spark.sql(
+      "SELECT graft_kmv(((id % 2147483648) * 2654435761 + 97) % 2147483648 + 1, 16) FROM v_kmv")
+      .collect().head.getDouble(0)
+    assert(sqlEst == est)
+  }
+
   test("near-dup/ANN operators register nothing in the session cache manager") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

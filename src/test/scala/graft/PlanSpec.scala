@@ -56,6 +56,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sessionize and samplePerGroup plan exactly one shuffle (keyed window reuse)") {
+    // sessionize runs TWO window functions (lag marker + running sum)
+    // over the same (key, order) — they must share one exchange
+    val ev = tables.events.select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("tsu"))
+    val sess = graft.operators.Sessions.sessionize(
+      ev, col("user_id"), col("tsu"), 1000L, Seq(col("tsu").asc, col("event_id").asc))
+    val sessEx = "Exchange hashpartitioning".r
+      .findAllIn(sess.queryExecution.executedPlan.toString).length
+    assert(sessEx == 1, s"sessionize planned $sessEx exchanges, want 1")
+    val samp = graft.operators.Sampling.samplePerGroup(
+      tables.documents.select(col("doc_id"), col("lang")), Seq(col("lang")), col("doc_id"), 5)
+    val sampEx = "Exchange hashpartitioning".r
+      .findAllIn(samp.queryExecution.executedPlan.toString).length
+    assert(sampEx == 1, s"samplePerGroup planned $sampEx exchanges, want 1")
+  }
+
   test("SimplifyLiteralCaseFilter: bucket-predicate filters reach PushedFilters") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_case").toString + "/t"

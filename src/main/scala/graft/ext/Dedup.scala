@@ -59,21 +59,23 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("v").as("a"), col("comp").as("la")), Seq("a"))
         .groupBy(col("b").as("v")).agg(min(col("la")).as("nmin"))
-      // materialized BEFORE the jump self-join: both join branches read
-      // the checkpoint blocks instead of re-running the edge join twice
       val prop = labels
         .join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      // pointer jump: comp(v) <- comp(comp(v)). comp(v) is itself a graph
-      // vertex, so the lookup is a self-join on the label table; labels
-      // only decrease, so least() is the safe combine. Lineage stays
-      // bounded without a second checkpoint (one join above the blocks).
+      // pointer jump: comp(v) <- comp(comp(v)), looked up in the PREVIOUS
+      // round's (checkpointed) label table — prev-round labels are valid
+      // same-component upper bounds and labels only decrease, so least()
+      // is the safe combine and the fixpoint (component min) is
+      // unchanged; jumping against `labels` instead of `prop` lets the
+      // round materialize ONCE (prop appears in a single join branch,
+      // and the convergence action + next round both read the
+      // checkpointed `jumped` blocks instead of re-running the joins)
       val jumped = prop
-        .join(prop.select(col("v").as("comp"), col("comp").as("jump")), Seq("comp"), "left")
+        .join(labels.select(col("v").as("comp"), col("comp").as("jump")), Seq("comp"), "left")
         .select(col("v"), col("prev"),
           least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       converged = jumped.filter(col("comp") =!= col("prev")).isEmpty
       labels = jumped.select(col("v"), col("comp"))
       round += 1

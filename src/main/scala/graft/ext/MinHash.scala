@@ -115,7 +115,12 @@ object MinHash {
     // clearCache would release; it is also a harder optimizer barrier
     // than cache (the empty-shingle screen below and the per-band
     // projections can never be pushed into / inlined over the hash
-    // computation). Lineage truncation is the documented tradeoff.
+    // computation). The tradeoff is FAULT TOLERANCE, not just lineage:
+    // checkpoint blocks are unreplicated executor-local state, so on a
+    // cluster losing an executor mid-query fails the job (cache would
+    // recompute from lineage) — acceptable for these short-lived
+    // intermediate frames; a deployment on preemptible nodes should
+    // swap in reliable checkpointing or persist(DISK_ONLY_2).
     val sig = withSignature(shingleHashes(documents, n)).localCheckpoint(false)
       .filter(size(col("hashes")) > 0)
     val bandCols = (0 until numBands).map { b =>

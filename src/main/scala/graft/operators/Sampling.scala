@@ -27,6 +27,7 @@ object Sampling {
     * tiebreaker makes the selection total even across hash collisions. */
   def samplePerGroup(df: DataFrame, strata: Seq[Column], id: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(!df.columns.contains("__rn"), "input already has internal column __rn")
     val w = Window.partitionBy(strata: _*).orderBy(hashOrder(id).asc, id.asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

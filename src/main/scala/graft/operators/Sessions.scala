@@ -28,6 +28,9 @@ object Sessions {
   def sessionize(df: DataFrame, key: Column, ts: Column, gapNanos: Long,
       order: Seq[Column]): DataFrame = {
     require(gapNanos > 0, s"gap must be positive, got $gapNanos")
+    require(!df.columns.exists(c =>
+      c == "session_no" || c == "__prev_ts" || c == "__new_session"),
+      "input already has a session_no / internal sessionize column")
     val w = Window.partitionBy(key).orderBy(order: _*)
     val run = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

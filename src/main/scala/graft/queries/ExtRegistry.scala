@@ -336,7 +336,7 @@ object ExtRegistry {
 
     "corpus_split" ->
       """SELECT doc_id,
-        |       CASE WHEN (doc_id % 1000003) * 2654435761 % 1000003 % 100 < 90
+        |       CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000003 % 100 + 100) % 100 < 90
         |            THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
@@ -393,7 +393,7 @@ object ExtRegistry {
       """WITH h AS (
         |  SELECT DISTINCT event_type,
         |         ((user_id % 2147483648) * 2654435761 + 97) % 2147483648 + 1 AS hv
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (
         |  SELECT event_type, hv,
         |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,

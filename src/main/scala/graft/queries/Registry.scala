@@ -228,12 +228,13 @@ object Registry {
     // micro-batch-boundary-invariant; StreamingSpec asserts the stateful
     // kernel's last emission equals this frame on a chunked stream)
     "streaming_dpd_state_batch" -> ((s, dir) => {
-      // ts stays the RAW nanos long: a micros conversion would merge
-      // nanos-distinct events into ordering ties the DuckDB twin (full
-      // TIMESTAMP_NANOS order) doesn't have; finalStateBatch only needs
-      // a totally-ordered time column
+      // the instant is epoch MICROS (`ts div 1000` ↔ oracle `epoch_us`):
+      // DuckDB's parquet read truncates TIMESTAMP_NANOS to micros, so a
+      // raw-nanos order here would break on micro-level ties the oracle
+      // can't see (same rule as event_sessions); finalStateBatch's dpd
+      // tiebreaker resolves those ties identically in both engines
       val ev = Tables(s, dir).events.select(
-        col("user_id").as("loan_id"), col("ts"),
+        col("user_id").as("loan_id"), expr("ts div 1000").as("ts"),
         floor(col("value")).cast(IntegerType).as("dpd"))
       graft.streaming.StreamingDpd.finalStateBatch(ev)
     }),
@@ -720,7 +721,7 @@ object Registry {
         |         CAST(max(floor(value)) OVER (PARTITION BY user_id) AS INTEGER) AS max_dpd,
         |         CAST(floor(value) AS INTEGER) AS last_dpd,
         |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY ts DESC, floor(value) DESC) AS rn
+        |                            ORDER BY epoch_us(ts) DESC, floor(value) DESC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
 
     "sql_embedding_norms" ->

@@ -84,8 +84,12 @@ object StreamingDpd {
       .flatMapGroupsWithState(OutputMode.Append(), timeout) {
         (loanId: Long, batch: Iterator[DpdEvent], state: GroupState[DpdState]) =>
           val prev = state.getOption.getOrElse(DpdState(0, 0, everNpl = false))
-          // event-time order within the batch: process sorted by ts
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.dpd))
+          // event-time order within the batch, at FULL timestamp
+          // precision: getTime alone is millis and would collapse
+          // sub-millisecond-distinct events into dpd-order ties that
+          // finalStateBatch (ordering the ts column exactly) doesn't
+          // have; (getTime, getNanos) refines to the true instant
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.dpd))
           if (evs.isEmpty) Iterator.empty
           else {
             val last = evs.last.dpd

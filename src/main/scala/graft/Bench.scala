@@ -57,16 +57,40 @@ object Bench {
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // the JSON line goes out BEFORE spark/sbt shutdown banners AND to
-    // files — the r4 driver capture truncated the stdout tail mid-JSON,
-    // losing the round's headline number; a file survives any tail
-    // window. The per-sf name exists because the fixed name is a shared
-    // path: two tiers benched concurrently would clobber each other there
-    println(line)
+    // Full-precision line: to files (survives any capture window). The
+    // per-sf name exists because the fixed name is a shared path: two
+    // tiers benched concurrently would clobber each other there.
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_out_$sfTag.json"), line + "\n")
+    println(line)
+    // The driver keeps only the LAST ~2000 chars of stdout, and with 80
+    // registered queries the full line is ~2600 — it truncated mid-JSON in
+    // r4 AND r5 ("parsed": null), losing the round's headline number. So
+    // the final stdout line is a COMPACT twin guaranteed to fit: 2-decimal
+    // seconds, slowest queries first, entries added until a 1800-char
+    // budget, the tail of fast queries folded into queries_omitted /
+    // omitted_sec. Printed last so any last-line / last-parseable-line
+    // capture finds a complete JSON object.
+    def s2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val head = s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":{"""
+    val suffix = s""","errors":$errs,"sf":"$sfDir","full":"bench_out.json"}"""
+    // 60 chars of slack for the queries_omitted/omitted_sec fields
+    val budget = 1800 - head.length - suffix.length - 60
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    var omitted = 0
+    var omittedSec = 0.0
+    results.filter(_._3).sortBy(-_._2).foreach { case (k, v, _) =>
+      val e = "\"" + k + "\":" + s2(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else { omitted += 1; omittedSec += v }
+    }
+    val omittedPart =
+      if (omitted == 0) ""
+      else s""","queries_omitted":$omitted,"omitted_sec":${s2(omittedSec)}"""
+    println(head + entries.mkString(",") + "}" + omittedPart + suffix)
     spark.stop()
   }
 }

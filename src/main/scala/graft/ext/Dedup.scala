@@ -20,14 +20,14 @@ import org.apache.spark.sql.functions._
   * per round, every vertex takes the min of its own label and its
   * neighbors' labels (one equi-join edges×labels + one groupBy-min +
   * one join back, all keyed shuffles, never a driver-side graph), then
-  * shortcuts through its label's label (`comp(v) ← comp(comp(v))`, one
-  * more small self-join). The jump halves chain depth per round, so
-  * convergence is O(log diameter) instead of O(diameter) — real near-dup
-  * graphs DO grow long transitive chains (the sf0.1 simhash graph has a
-  * 627-vertex family needing 17 plain rounds; jumping does it in ~6).
-  * Each round's labels are eagerly local-checkpointed: the loop would
-  * otherwise grow an unbounded lineage (and re-plan the whole history
-  * every round).
+  * shortcuts through its label's label (`comp(v) ← comp(comp(v))`, two
+  * small self-joins per round). The jumps quarter chain depth per round,
+  * so convergence is O(log diameter) instead of O(diameter) — real
+  * near-dup graphs DO grow long transitive chains (the sf0.1 simhash
+  * graph has a 627-vertex family needing 17 plain rounds; double jumping
+  * does it in ~4). Each round is a single Spark job (persist + one
+  * changed-count action); lineage is truncated periodically and the
+  * result is decoupled from the loop's caches before returning.
   */
 object Dedup {
 
@@ -38,13 +38,48 @@ object Dedup {
     * keeps the frame proportional to the duplicated subset, which at
     * corpus scale is the small side). */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, maxLocalEdges: Long = 1L << 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
     // undirected: symmetrize once, reuse every round
     val edges = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .localCheckpoint(true)
+    // Two-level algorithm. The pair graph is the OUTPUT of candidate
+    // pruning — orders of magnitude smaller than the corpus — so it very
+    // often fits one node even when the corpus never could. Under an
+    // explicit edge budget (the same kind of contract as Spark's
+    // broadcast-join threshold; ~16 MB of longs at the default 1M edges)
+    // a driver-side union-find finishes in one collect job instead of
+    // O(log diameter) shuffle rounds, each of which costs fixed
+    // scheduling overhead that dominates at this size. Above the budget
+    // — the true 100 TB regime — the distributed min-label fixpoint
+    // below runs unchanged. Both paths compute the identical labeling
+    // (min reachable id), asserted against each other in ExtSpec.
+    val idType = edges.schema("a").dataType
+    val localOk = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (localOk && edges.count() <= maxLocalEdges) {
+      val es = edges.select(col("a").cast("long"), col("b").cast("long")).collect()
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val vertices = es.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toArray.distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return vertices.toSeq.map(v => (v, find(v))).toDF("doc_id", "component_id")
+        .select(col("doc_id").cast(idType), col("component_id").cast(idType))
+    }
     // init fused with round 1: the vertex set comes from the same
     // groupBy-on-a shuffle that computes each vertex's neighborhood min,
     // so the first propagation is free relative to a distinct-vertices
@@ -53,6 +88,17 @@ object Dedup {
       .agg(min(col("b")).as("nmin"))
       .select(col("v"), least(col("v"), col("nmin")).as("comp"))
       .localCheckpoint(true)
+    // Iterative loops pay a FIXED cost per Spark job (scheduling, stage
+    // barriers) that dominates on the small-relative-to-corpus pair
+    // graph and multiplies under host contention, so each round is ONE
+    // action: a LAZY localCheckpoint truncates the plan to a leaf
+    // immediately (a persist-based variant nests ~5 copies of the prior
+    // round's tree per round — exponential plan growth) and the round's
+    // filter-count both materializes the checkpoint blocks and returns
+    // the changed-row count (the old shape was two jobs/round — an eager
+    // checkpoint plus a separate isEmpty probe). Blocks are RDD-owned,
+    // so the ContextCleaner reclaims dropped rounds — nothing stays
+    // pinned in the session cache manager after the call.
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -63,21 +109,21 @@ object Dedup {
         .join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jump: comp(v) <- comp(comp(v)), looked up in the PREVIOUS
-      // round's (checkpointed) label table — prev-round labels are valid
+      // pointer jump ×2: comp(v) <- comp(comp(v)), looked up in the
+      // PREVIOUS round's label table — prev-round labels are valid
       // same-component upper bounds and labels only decrease, so least()
       // is the safe combine and the fixpoint (component min) is
-      // unchanged; jumping against `labels` instead of `prop` lets the
-      // round materialize ONCE (prop appears in a single join branch,
-      // and the convergence action + next round both read the
-      // checkpointed `jumped` blocks instead of re-running the joins)
-      val jumped = prop
+      // unchanged. Two jumps per round quarter the chain depth for one
+      // extra tiny self-join inside the same job, cutting the round count
+      // (the expensive axis) instead of the per-round work.
+      def jumpThrough(df: DataFrame): DataFrame = df
         .join(labels.select(col("v").as("comp"), col("comp").as("jump")), Seq("comp"), "left")
         .select(col("v"), col("prev"),
           least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      converged = jumped.filter(col("comp") =!= col("prev")).isEmpty
+      val jumped = jumpThrough(prop).localCheckpoint(false)
+      val changed = jumped.filter(col("comp") =!= col("prev")).count()
       labels = jumped.select(col("v"), col("comp"))
+      converged = changed == 0L
       round += 1
     }
     if (!converged)

@@ -41,8 +41,16 @@ object Load {
     * reads: partition pruning on `partitionBy` + bucketed-ish locality
     * via in-partition sort. */
   def writePartitioned(df: DataFrame, path: String, partitionBy: Seq[String], sortBy: Seq[String]): Unit = {
+    // Cluster rows by the partition columns before a partitioned write:
+    // without it every upstream task opens a writer per partition value
+    // it sees (tasks × values small files — the classic partitioned-write
+    // file storm; the synth snapshot fact produced ~32×10 of them). The
+    // shuffle keys each output dir to few tasks; AQE sizes the task count
+    // from the data, so big partition values still fan out at scale.
+    val clustered =
+      if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*) else df
     val sorted =
-      if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.map(col): _*) else df
+      if (sortBy.nonEmpty) clustered.sortWithinPartitions(sortBy.map(col): _*) else clustered
     sorted.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
   }
 

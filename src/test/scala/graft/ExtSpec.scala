@@ -207,6 +207,21 @@ class ExtSpec extends SparkSpec {
     assert(got == (1L to 8L).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents: distributed fixpoint and local union-find agree on a random graph") {
+    // deterministic pseudo-random graph with chains, merges, and singleton pairs
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val local = graft.ext.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // maxLocalEdges = 0 forces the distributed min-label propagation path
+    val dist = graft.ext.Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
   test("hashSplit: deterministic, partition-independent, respects the percentage knob") {
     val ids = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
     val s90 = graft.ext.Corpus.hashSplit(ids, "doc_id", 90)

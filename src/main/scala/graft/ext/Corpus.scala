@@ -25,4 +25,58 @@ object Corpus {
     df.withColumn("split",
       when(splitBucket(col(idCol)) < trainPct, "train").otherwise("test"))
   }
+
+  /** Benchmark-contamination audit: for every training document, how many
+    * distinct n-gram shingles it shares with ANY document of a held-out
+    * eval set, and with how many eval documents. The production
+    * decontamination shape: both sides reduce to shingle HASHES, the
+    * candidate generation is one equi-join on the hash — and the eval
+    * side (a benchmark suite) is bounded, so at corpus scale it
+    * broadcasts and the training side never shuffles. Emits only
+    * documents with at least one shared shingle (the audit's subject);
+    * `contaminated` flags those at/above `minShared` distinct shingles.
+    *
+    * The eval set here is carved from the corpus itself by id residue
+    * (`doc_id % evalMod == 0`) — deterministic and engine-agnostic; a
+    * real pipeline passes its benchmark table instead. */
+  def contamination(documents: DataFrame, n: Int, evalMod: Long = 40L,
+      minShared: Long = 5L): DataFrame = {
+    val sh = MinHash.shingleHashes(documents, n).localCheckpoint(false)
+    val ev = sh.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("hashes")).as("s"))
+    val corp = sh.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), explode(col("hashes")).as("s"))
+    corp.join(ev, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("eval_hits"),
+        countDistinct(col("eval_id")).as("eval_docs"))
+      .select(col("doc_id"), col("eval_hits"), col("eval_docs"),
+        (col("eval_hits") >= minShared).as("contaminated"))
+  }
+
+  /** Sequence packing for training-batch assembly: documents are packed
+    * into fixed token-capacity bins by quantizing the running token count
+    * — `pack_id = (cumulative_tokens - 1) div capacity` over a
+    * deterministic order. The window is partitioned by (source, shard)
+    * where shard = `doc_id div shardSize`, so the sort behind the running
+    * sum is BOUNDED at shardSize documents no matter how large the
+    * corpus — packing is embarrassingly parallel across shards (what a
+    * real pipeline does per input split), never a global sort. */
+  def packSequences(documents: DataFrame, capacity: Long = 256L,
+      shardSize: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        expr(s"doc_id div ${shardSize}L").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("token_cnt"))
+      .withColumn("cum_tokens", sum(col("token_cnt")).over(w))
+      // integer div, exact at any id/token magnitude (a double round-trip
+      // would round above 2^53); cum_tokens >= 1 so div == floor here
+      .withColumn("pack_id", expr(s"(cum_tokens - 1) div ${capacity}L"))
+      .select(col("doc_id"), col("source"), col("shard"), col("token_cnt"),
+        col("cum_tokens"), col("pack_id"))
+  }
 }

@@ -64,6 +64,60 @@ object Text {
       fp.as("fingerprint"))
   }
 
+  /** Intra-document repetition: the share of n-gram occurrences that are
+    * repeats of an earlier n-gram in the SAME document — the standard
+    * boilerplate/spam signal (templated text repeats its own phrases;
+    * prose doesn't). `1 - distinct/total` over the RAW (non-distinct)
+    * shingle-hash sequence; 0 for docs shorter than n tokens.
+    * Narrow per-row projection — no shuffle, scale-free. */
+  def repetitionStats(documents: DataFrame, n: Int, maxRatio: Double = 0.05): DataFrame = {
+    import graft.operators.Partitioning.spread
+    // token-hash array materialized behind an exchange barrier before the
+    // shingle composition references it — array lambdas get no CSE, so an
+    // inline `th` would re-evaluate the whole transform per element_at
+    // (the O(tokens²) pathology shingleHashes documents)
+    spread(documents, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        transform(split(col("text"), " "), t => MinHash.stringHash(t)).as("th"))
+      .transform(df => spread(df, col("doc_id")))
+      .select(col("doc_id"), col("source"),
+        MinHash.shingleHashesFromTokens(col("th"), n).as("sh"))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("sh")).cast(LongType).as("total_ngrams"),
+        size(array_distinct(col("sh"))).cast(LongType).as("distinct_ngrams"))
+      .withColumn("repetition_ratio",
+        when(col("total_ngrams") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("distinct_ngrams").cast(DoubleType) /
+            col("total_ngrams").cast(DoubleType)))
+      .withColumn("repetitive", col("repetition_ratio") > maxRatio)
+  }
+
+  /** PII scrubbing: sequential regex redaction (emails, then `+`-prefixed phone-shaped
+    * digit groups (RE2 — the oracle engine — has no lookahead, so the
+    * phone shape must be anchored by the plus, not by context), then any remaining run of 4+ digits) with per-pattern
+    * counts, so downstream filters can drop or audit heavily-redacted
+    * rows. Order matters — the digit-run pass must see the text AFTER
+    * phone redaction or it would eat phone fragments. Patterns are plain
+    * character classes, identical under Java regex and RE2 (the oracle's
+    * engine). Narrow projection, no shuffle. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9][0-9 ()-]{5,}[0-9]"
+  val DigitRunPattern = "[0-9]{4,}"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, PhonePattern, "<PHONE>")
+    val t3 = regexp_replace(t2, DigitRunPattern, "<ID>")
+    df.select(
+      col(idCol),
+      t3.as("redacted"),
+      size(regexp_extract_all(t0, lit(EmailPattern), lit(0))).cast(LongType).as("n_email"),
+      size(regexp_extract_all(t1, lit(PhonePattern), lit(0))).cast(LongType).as("n_phone"),
+      size(regexp_extract_all(t2, lit(DigitRunPattern), lit(0))).cast(LongType).as("n_id"))
+  }
+
   /** N-gram-Jaccard near-duplicate candidates: pairs of documents sharing
     * at least one RARE n-gram shingle, scored by Jaccard over their
     * distinct shingle-HASH sets. The candidate join is an equi-join on

@@ -98,6 +98,27 @@ object ExtRegistry {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.frameSamplePlan(Multimodal.media(Tables(s, dir).documents), 10L)),
 
+    // intra-doc repetition (boilerplate/spam signal): share of n-gram
+    // occurrences that repeat an earlier n-gram of the same document
+    "doc_repetition" -> ((s, dir) =>
+      graft.ext.Text.repetitionStats(Tables(s, dir).documents, 3)),
+
+    // benchmark decontamination audit: training docs sharing shingles
+    // with the held-out eval residue class (doc_id % 40 == 0)
+    "contamination_check" -> ((s, dir) =>
+      graft.ext.Corpus.contamination(Tables(s, dir).documents, 3)),
+
+    // PII scrub over the customer dimension (the digit-bearing text in
+    // this dataset); email/phone patterns are exercised in ExtSpec on
+    // synthetic strings — this data redacts the 9-digit id run per name
+    "pii_redact" -> ((s, dir) =>
+      graft.ext.Text.redactPii(Tables(s, dir).customer, "c_custkey", "c_name")),
+
+    // training-batch sequence packing: capacity-quantized running token
+    // count per (source, bounded shard) window
+    "pack_sequences" -> ((s, dir) =>
+      graft.ext.Corpus.packSequences(Tables(s, dir).documents)),
+
     // JSON surface over the events.props payload (SURVEY §2.8 extension
     // note): path extraction AND schema-on-read struct parsing, plus an
     // aggregate over the extracted value — all codegen'd built-ins
@@ -282,7 +303,78 @@ object ExtRegistry {
        |  FROM screened s JOIN h2 x ON s.doc_a = x.doc_id JOIN h2 y ON s.doc_b = y.doc_id
        |  WHERE sig_matches >= ${MinHash.MinSigMatches})""".stripMargin
 
+  /** CTE `rth(doc_id, source, th)` — per-token hash arrays WITH source
+    * carried, for the repetition oracle (the shared `toks` drops source
+    * and distincts downstream). */
+  private def repCtes: String =
+    s"""rth AS (
+       |  SELECT doc_id, source,
+       |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
+       |  FROM documents),
+       |rsh AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[])
+       |              ELSE list_transform(generate_series(1, len(th) - 2),
+       |                     i -> ($shingleComposition) % $P) END AS sh
+       |  FROM rth)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "doc_repetition" ->
+      s"""WITH $repCtes
+         |SELECT doc_id, source,
+         |       CAST(len(sh) AS BIGINT) AS total_ngrams,
+         |       CAST(len(list_distinct(sh)) AS BIGINT) AS distinct_ngrams,
+         |       CASE WHEN len(sh) = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(1 AS DOUBLE)
+         |                 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+         |       END AS repetition_ratio,
+         |       (CASE WHEN len(sh) = 0 THEN CAST(0 AS DOUBLE)
+         |             ELSE CAST(1 AS DOUBLE)
+         |                  - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+         |        END) > CAST(0.05 AS DOUBLE) AS repetitive
+         |FROM rsh""".stripMargin,
+
+    "contamination_check" ->
+      s"""WITH $shingleHashCtes,
+         |ce AS (SELECT doc_id, unnest(hashes) AS s FROM h WHERE doc_id % 40 <> 0),
+         |ee AS (SELECT doc_id AS eval_id, unnest(hashes) AS s FROM h WHERE doc_id % 40 = 0)
+         |SELECT c.doc_id,
+         |       count(DISTINCT c.s) AS eval_hits,
+         |       count(DISTINCT e.eval_id) AS eval_docs,
+         |       count(DISTINCT c.s) >= 5 AS contaminated
+         |FROM ce c JOIN ee e ON c.s = e.s
+         |GROUP BY c.doc_id""".stripMargin,
+
+    "pii_redact" -> {
+      val email = graft.ext.Text.EmailPattern
+      val phone = graft.ext.Text.PhonePattern
+      val digits = graft.ext.Text.DigitRunPattern
+      s"""SELECT c_custkey,
+         |       regexp_replace(t2, '$digits', '<ID>', 'g') AS redacted,
+         |       CAST(len(regexp_extract_all(t0, '$email')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(t1, '$phone')) AS BIGINT) AS n_phone,
+         |       CAST(len(regexp_extract_all(t2, '$digits')) AS BIGINT) AS n_id
+         |FROM (
+         |  SELECT c_custkey, t0, t1, regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2
+         |  FROM (
+         |    SELECT c_custkey, c_name AS t0,
+         |           regexp_replace(c_name, '$email', '<EMAIL>', 'g') AS t1
+         |    FROM customer))""".stripMargin
+    },
+
+    "pack_sequences" ->
+      """SELECT doc_id, source, shard, token_cnt,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |       CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT doc_id, source,
+        |         CAST(doc_id // 10000 AS BIGINT) AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+        |         sum(len(string_split(text, ' ')))
+        |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM documents)""".stripMargin,
+
     "minhash_near_dup" ->
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, sig_similarity, jaccard FROM mh_pairs""".stripMargin,

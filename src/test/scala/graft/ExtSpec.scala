@@ -222,6 +222,75 @@ class ExtSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("redactPii: email, +phone, and digit runs redact in order with per-pattern counts") {
+    val rows = Seq(
+      (1L, "mail jane.doe@example.com call +49 170 1234567 card 99887766 ok"),
+      (2L, "no pii here at all"),
+      (3L, "ids 0001 and 123 and +1 (415) 555-0123")
+    ).toDF("id", "text")
+    val got = graft.ext.Text.redactPii(rows, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == (("mail <EMAIL> call <PHONE> card <ID> ok", 1L, 1L, 1L)))
+    assert(got(2L) == (("no pii here at all", 0L, 0L, 0L)))
+    // 123 is too short for a digit run; the parenthesized phone matches
+    assert(got(3L) == (("ids <ID> and 123 and <PHONE>", 0L, 1L, 1L)))
+  }
+
+  test("repetitionStats: templated text flags repetitive, prose and short docs do not") {
+    val rows = Seq(
+      (1L, "src", "a b a b a b a b"),            // 6 shingles, 2 distinct
+      (2L, "src", "one two three four five six"), // no repeats
+      (3L, "src", "too short")                    // < n tokens -> 0 shingles
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ext.Text.repetitionStats(rows, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams"),
+          r.getAs[Double]("repetition_ratio"), r.getAs[Boolean]("repetitive"))))
+      .toMap
+    assert(got(1L)._1 == 6L && got(1L)._2 == 2L && got(1L)._4)
+    assert(math.abs(got(1L)._3 - (1.0 - 2.0 / 6.0)) < 1e-12)
+    assert(got(2L) == ((4L, 4L, 0.0, false)))
+    assert(got(3L) == ((0L, 0L, 0.0, false)))
+  }
+
+  test("contamination: eval-residue overlap counts distinct shingles and eval docs") {
+    val rows = Seq(
+      (0L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),  // eval (0 % 40 == 0)
+      (1L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),  // identical -> 7 shared shingles
+      (2L, "p1 q1 q2 q3 xx yy zz"),        // shares exactly 1 shingle (q1 q2 q3)
+      (3L, "entirely unrelated words only") // no overlap -> absent
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Corpus.contamination(rows, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("eval_hits"), r.getAs[Long]("eval_docs"),
+          r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got(1L) == ((7L, 1L, true)))
+    assert(got(2L) == ((1L, 1L, false)))
+    assert(!got.contains(3L) && !got.contains(0L))
+  }
+
+  test("packSequences: capacity quantization within (source, shard), shards reset the sum") {
+    val rows = Seq(
+      (1L, "s1", "t t t"),        // 3 tokens, cum 3  -> pack 0 (cap 5)
+      (2L, "s1", "t t t"),        // cum 6            -> pack 1
+      (3L, "s1", "t t t"),        // cum 9            -> pack 1
+      (1L, "s2", "t t t t t t"),  // other source independent: cum 6 -> pack 1
+      (105L, "s1", "t t t")       // shard 1 (shardSize 100): cum resets -> pack 0
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ext.Corpus.packSequences(rows, capacity = 5L, shardSize = 100L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("pack_id"))))
+      .toMap
+    assert(got((1L, "s1")) == ((0L, 3L, 0L)))
+    assert(got((2L, "s1")) == ((0L, 6L, 1L)))
+    assert(got((3L, "s1")) == ((0L, 9L, 1L)))
+    assert(got((1L, "s2")) == ((0L, 6L, 1L)))
+    assert(got((105L, "s1")) == ((1L, 3L, 0L)))
+  }
+
   test("hashSplit: deterministic, partition-independent, respects the percentage knob") {
     val ids = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
     val s90 = graft.ext.Corpus.hashSplit(ids, "doc_id", 90)

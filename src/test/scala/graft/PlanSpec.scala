@@ -73,6 +73,21 @@ class PlanSpec extends SparkSpec {
     assert(sampEx == 1, s"samplePerGroup planned $sampEx exchanges, want 1")
   }
 
+  test("packSequences windows per (source, shard) — one keyed exchange, never a global sort") {
+    val packed = graft.ext.Corpus.packSequences(tables.documents)
+    val plan = packed.queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 1, s"packSequences planned $ex hash exchanges, want 1")
+    assert(!plan.contains("Exchange SinglePartition"), s"global window in:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort in:\n$plan")
+  }
+
+  test("redactPii is a narrow projection — no exchange at all") {
+    val red = graft.ext.Text.redactPii(tables.customer, "c_custkey", "c_name")
+    val plan = red.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+  }
+
   test("SimplifyLiteralCaseFilter: bucket-predicate filters reach PushedFilters") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_case").toString + "/t"

@@ -136,6 +136,29 @@ class ExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedupStream: re-delivered keys within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.StreamingDedup.dedupStream(docs, Seq("doc_id"), "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, java.sql.Timestamp.valueOf("2021-01-01 10:00:00"), "first arrival"),
+        (2L, java.sql.Timestamp.valueOf("2021-01-01 10:00:01"), "other doc"))
+      q.processAllAvailable()
+      // same key re-delivered in a later micro-batch, inside the horizon
+      mem.addData((1L, java.sql.Timestamp.valueOf("2021-01-01 10:30:00"), "duplicate"))
+      q.processAllAvailable()
+      mem.addData((3L, java.sql.Timestamp.valueOf("2021-01-01 11:00:00"), "new doc"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "first arrival"), (2L, "other doc"), (3L, "new doc")))
+    } finally q.stop()
+  }
+
   test("streaming withRunningState: running max, sticky NPL, cure signal") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingDpd.DpdEvent]

@@ -57,14 +57,20 @@ object Bench {
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // Full-precision line: to files (survives any capture window). The
-    // per-sf name exists because the fixed name is a shared path: two
-    // tiers benched concurrently would clobber each other there.
-    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
-      .replaceAll("[^A-Za-z0-9._-]", "_")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_out_$sfTag.json"), line + "\n")
+    // stdout FIRST — a file-write failure (read-only cwd, disk full)
+    // must not cost the round its headline number
     println(line)
+    // Full-precision line also to files (survives any capture window).
+    // The per-sf name exists because the fixed name is a shared path:
+    // two tiers benched concurrently would clobber each other there.
+    try {
+      val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_out_$sfTag.json"), line + "\n")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write bench_out files: ${e.getMessage}")
+    }
     // The driver keeps only the LAST ~2000 chars of stdout, and with 80
     // registered queries the full line is ~2600 — it truncated mid-JSON in
     // r4 AND r5 ("parsed": null), losing the round's headline number. So
@@ -82,10 +88,13 @@ object Bench {
     var used = 0
     var omitted = 0
     var omittedSec = 0.0
+    var atCapacity = false // strict slowest-first prefix: once one entry
+    // doesn't fit, fold EVERYTHING after it — later shorter names must
+    // not displace a slower query from the listing
     results.filter(_._3).sortBy(-_._2).foreach { case (k, v, _) =>
       val e = "\"" + k + "\":" + s2(v)
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
-      else { omitted += 1; omittedSec += v }
+      if (!atCapacity && used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else { atCapacity = true; omitted += 1; omittedSec += v }
     }
     val omittedPart =
       if (omitted == 0) ""

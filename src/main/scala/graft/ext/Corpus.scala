@@ -41,6 +41,7 @@ object Corpus {
     * real pipeline passes its benchmark table instead. */
   def contamination(documents: DataFrame, n: Int, evalMod: Long = 40L,
       minShared: Long = 5L): DataFrame = {
+    require(evalMod > 0, s"evalMod must be positive, got $evalMod")
     val sh = MinHash.shingleHashes(documents, n).localCheckpoint(false)
     val ev = sh.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("eval_id"), explode(col("hashes")).as("s"))
@@ -64,6 +65,8 @@ object Corpus {
     * real pipeline does per input split), never a global sort. */
   def packSequences(documents: DataFrame, capacity: Long = 256L,
       shardSize: Long = 10000L): DataFrame = {
+    require(capacity > 0 && shardSize > 0,
+      s"capacity/shardSize must be positive, got $capacity/$shardSize")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))

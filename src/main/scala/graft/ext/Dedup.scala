@@ -20,14 +20,15 @@ import org.apache.spark.sql.functions._
   * per round, every vertex takes the min of its own label and its
   * neighbors' labels (one equi-join edges×labels + one groupBy-min +
   * one join back, all keyed shuffles, never a driver-side graph), then
-  * shortcuts through its label's label (`comp(v) ← comp(comp(v))`, two
-  * small self-joins per round). The jumps quarter chain depth per round,
-  * so convergence is O(log diameter) instead of O(diameter) — real
-  * near-dup graphs DO grow long transitive chains (the sf0.1 simhash
-  * graph has a 627-vertex family needing 17 plain rounds; double jumping
-  * does it in ~4). Each round is a single Spark job (persist + one
-  * changed-count action); lineage is truncated periodically and the
-  * result is decoupled from the loop's caches before returning.
+  * shortcuts through its label's label (`comp(v) ← comp(comp(v))`, one
+  * small self-join). The jump halves chain depth per round, so
+  * convergence is O(log diameter) instead of O(diameter) — real near-dup
+  * graphs DO grow long transitive chains (the sf0.1 simhash graph has a
+  * 627-vertex family needing 17 plain rounds; jumping does it in ~6; a
+  * second jump per round was measured NET-SLOWER here — its two extra
+  * shuffle stages cost more than the rounds they save). Each round is a
+  * single Spark job: a lazy localCheckpoint truncates the plan to a leaf
+  * and the changed-count action materializes it.
   */
 object Dedup {
 
@@ -49,8 +50,9 @@ object Dedup {
     // pruning — orders of magnitude smaller than the corpus — so it very
     // often fits one node even when the corpus never could. Under an
     // explicit edge budget (the same kind of contract as Spark's
-    // broadcast-join threshold; ~16 MB of longs at the default 1M edges)
-    // a driver-side union-find finishes in one collect job instead of
+    // broadcast-join threshold; order-100 MB of boxed pairs transiently
+    // on a driver sized like the executors, at the default 1M edges) a
+    // driver-side union-find finishes in one collect job instead of
     // O(log diameter) shuffle rounds, each of which costs fixed
     // scheduling overhead that dominates at this size. Above the budget
     // — the true 100 TB regime — the distributed min-label fixpoint
@@ -60,7 +62,10 @@ object Dedup {
     val localOk = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
     if (localOk && edges.count() <= maxLocalEdges) {
-      val es = edges.select(col("a").cast("long"), col("b").cast("long")).collect()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
       val parent = new scala.collection.mutable.LongMap[Long]()
       def find(x: Long): Long = {
         var r = x
@@ -69,15 +74,20 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // larger root attaches under smaller, so every root stays the
+        // minimum of its tree and find() IS the min-reachable label
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val vertices = es.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
-        .toArray.distinct
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      return vertices.toSeq.map(v => (v, find(v))).toDF("doc_id", "component_id")
+      val out = es.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
+        .distinct.map(v => (v, find(v))).toSeq
+      // parallelize, don't toDF: a LocalRelation of up to 2M rows would
+      // be embedded in the logical plan and reserialized into every
+      // downstream stage that references the components frame
+      return spark.createDataset(
+          spark.sparkContext.parallelize(out, math.max(1, out.length / 500000)))
+        .toDF("doc_id", "component_id")
         .select(col("doc_id").cast(idType), col("component_id").cast(idType))
     }
     // init fused with round 1: the vertex set comes from the same
@@ -109,13 +119,13 @@ object Dedup {
         .join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jump ×2: comp(v) <- comp(comp(v)), looked up in the
+      // pointer jump: comp(v) <- comp(comp(v)), looked up in the
       // PREVIOUS round's label table — prev-round labels are valid
       // same-component upper bounds and labels only decrease, so least()
       // is the safe combine and the fixpoint (component min) is
-      // unchanged. Two jumps per round quarter the chain depth for one
-      // extra tiny self-join inside the same job, cutting the round count
-      // (the expensive axis) instead of the per-round work.
+      // unchanged. ONE jump per round: a second jump quarters chain depth
+      // but was measured net-slower — its two extra shuffle stages cost
+      // more than the ~2 rounds they save on realistic diameters.
       def jumpThrough(df: DataFrame): DataFrame = df
         .join(labels.select(col("v").as("comp"), col("comp").as("jump")), Seq("comp"), "left")
         .select(col("v"), col("prev"),

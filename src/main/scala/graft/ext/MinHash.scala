@@ -73,22 +73,26 @@ object MinHash {
 
   import graft.operators.Partitioning.spread
 
-  /** doc_id + distinct-shingle-hash array (docs shorter than n tokens
-    * have no shingles and are dropped — nothing to near-dup on).
-    *
-    * The token-hash array is MATERIALIZED as a column before the shingle
-    * composition references it: expressions inside array lambdas get no
-    * common-subexpression elimination, so an inline `transform(...)`
-    * would be re-evaluated on every `element_at` — O(tokens²·chars) per
-    * document instead of O(tokens·chars). */
-  def shingleHashes(documents: DataFrame, n: Int): DataFrame =
-    spread(documents, col("doc_id"))          // parallelize the hashing
-      .select(col("doc_id"), transform(split(col("text"), " "), t => stringHash(t)).as("th"))
-      // second exchange = CollapseProject barrier: without it Catalyst
-      // inlines `th` back into every element_at and the O(tokens²) cost
-      // returns (explicit N again — AQE would coalesce to one task and
-      // serialize everything downstream)
+  /** `(doc_id, carry..., th)` — the shared first stage of every
+    * text-hashing pipeline (shingles, simhash, repetition): per-token
+    * hash arrays MATERIALIZED behind an exchange barrier. Expressions
+    * inside array lambdas get no common-subexpression elimination, so an
+    * inline `transform(...)` would be re-evaluated on every `element_at`
+    * — O(tokens²·chars) per document instead of O(tokens·chars). The
+    * first spread parallelizes the hashing; the second is the
+    * CollapseProject barrier (without it Catalyst inlines `th` back into
+    * every consumer — explicit N because AQE would coalesce a small
+    * input to one task and serialize everything downstream). */
+  def tokenHashFrame(documents: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    spread(documents, col("doc_id"))
+      .select((col("doc_id") +: carry.map(col)) :+
+        transform(split(col("text"), " "), t => stringHash(t)).as("th"): _*)
       .transform(df => spread(df, col("doc_id")))
+
+  /** doc_id + distinct-shingle-hash array (docs shorter than n tokens
+    * have no shingles and are dropped — nothing to near-dup on). */
+  def shingleHashes(documents: DataFrame, n: Int): DataFrame =
+    tokenHashFrame(documents)
       .select(col("doc_id"),
         array_distinct(shingleHashesFromTokens(col("th"), n)).as("hashes"))
   // NOTE: no `filter(size(hashes) > 0)` here — predicate pushdown would
@@ -188,10 +192,7 @@ object MinHash {
   def simHash(documents: DataFrame): DataFrame = {
     val as = (0 until SimBits).map(simA).toArray
     val bs = (0 until SimBits).map(simB).toArray
-    spread(documents, col("doc_id"))
-      .select(col("doc_id"), transform(split(col("text"), " "), t => stringHash(t)).as("th"))
-      // exchange = CollapseProject barrier: hash once, not once per bit
-      .transform(df => spread(df, col("doc_id")))
+    tokenHashFrame(documents)
       // NULL text -> NULL th: the fold form and the SQL twin both yield
       // sketch 0 there (every per-bit CASE falls to ELSE 0), while a bare
       // UnaryExpression null-propagates — coalesce restores parity

@@ -68,18 +68,11 @@ object Text {
     * repeats of an earlier n-gram in the SAME document — the standard
     * boilerplate/spam signal (templated text repeats its own phrases;
     * prose doesn't). `1 - distinct/total` over the RAW (non-distinct)
-    * shingle-hash sequence; 0 for docs shorter than n tokens.
-    * Narrow per-row projection — no shuffle, scale-free. */
+    * shingle-hash sequence; 0 for docs shorter than n tokens. Per-row
+    * math; the only exchanges are the two explicit repartitions of the
+    * CSE barrier below (no keyed shuffle, no aggregation). */
   def repetitionStats(documents: DataFrame, n: Int, maxRatio: Double = 0.05): DataFrame = {
-    import graft.operators.Partitioning.spread
-    // token-hash array materialized behind an exchange barrier before the
-    // shingle composition references it — array lambdas get no CSE, so an
-    // inline `th` would re-evaluate the whole transform per element_at
-    // (the O(tokens²) pathology shingleHashes documents)
-    spread(documents, col("doc_id"))
-      .select(col("doc_id"), col("source"),
-        transform(split(col("text"), " "), t => MinHash.stringHash(t)).as("th"))
-      .transform(df => spread(df, col("doc_id")))
+    MinHash.tokenHashFrame(documents, carry = Seq("source"))
       .select(col("doc_id"), col("source"),
         MinHash.shingleHashesFromTokens(col("th"), n).as("sh"))
       .select(

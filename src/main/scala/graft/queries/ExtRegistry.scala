@@ -190,13 +190,22 @@ object ExtRegistry {
   private def shingleComposition: String =
     (0 until 3).map(d => s"th[i + $d] * ${MinHash.shingleWeight(d)}").mkString(" + ")
 
+  /** One definition of the per-token hash CTE — the SQL twin of
+    * [[MinHash.tokenHashFrame]], name and carried columns parameterized
+    * so every oracle (shingles, simhash, repetition) derives from the
+    * same text→hashes pipeline. */
+  private[queries] def tokenHashCte(name: String, carry: Seq[String] = Nil): String = {
+    val carried = carry.map(c => s"$c, ").mkString
+    s"""$name AS (
+       |  SELECT doc_id, $carried
+       |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
+       |  FROM documents)""".stripMargin
+  }
+
   /** Shared with [[Registry]]'s near_dup_ngram oracle — one definition of
     * the token/shingle hash pipeline to keep in sync. */
   private[queries] def shingleHashCtes: String =
-    s"""toks AS (
-       |  SELECT doc_id,
-       |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
-       |  FROM documents),
+    s"""${tokenHashCte("toks")},
        |h AS (
        |  SELECT doc_id,
        |         list_distinct(CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[])
@@ -229,10 +238,7 @@ object ExtRegistry {
   /** Token-hash + sketch CTEs ending in `sh(doc_id, simhash)` — shared by
     * the sketch listing and the near-dup pairing oracles. */
   private def simhashCtes: String =
-    s"""tt AS (
-       |  SELECT doc_id,
-       |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
-       |  FROM documents),
+    s"""${tokenHashCte("tt")},
        |sh AS (
        |  SELECT doc_id,
        |         CAST($simhashTerms AS BIGINT) AS simhash
@@ -307,10 +313,7 @@ object ExtRegistry {
     * carried, for the repetition oracle (the shared `toks` drops source
     * and distincts downstream). */
   private def repCtes: String =
-    s"""rth AS (
-       |  SELECT doc_id, source,
-       |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
-       |  FROM documents),
+    s"""${tokenHashCte("rth", Seq("source"))},
        |rsh AS (
        |  SELECT doc_id, source,
        |         CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[])

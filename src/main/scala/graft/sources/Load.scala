@@ -44,11 +44,15 @@ object Load {
     // Cluster rows by the partition columns before a partitioned write:
     // without it every upstream task opens a writer per partition value
     // it sees (tasks × values small files — the classic partitioned-write
-    // file storm; the synth snapshot fact produced ~32×10 of them). The
-    // shuffle keys each output dir to few tasks; AQE sizes the task count
-    // from the data, so big partition values still fan out at scale.
+    // file storm; the synth snapshot fact produced ~32×10 of them).
+    // REBALANCE, not repartition: a plain hash repartition pins each
+    // partition value to exactly ONE reducer forever (AQE can coalesce
+    // but never split a user repartition), so a dominant partition value
+    // would serialize its entire write through one task. The rebalance
+    // hint is AQE's write-optimized shuffle: small values coalesce,
+    // oversized hash buckets SPLIT into multiple tasks.
     val clustered =
-      if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*) else df
+      if (partitionBy.nonEmpty) df.hint("rebalance", partitionBy.map(col): _*) else df
     val sorted =
       if (sortBy.nonEmpty) clustered.sortWithinPartitions(sortBy.map(col): _*) else clustered
     sorted.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)

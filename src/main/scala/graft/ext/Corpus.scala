@@ -55,6 +55,41 @@ object Corpus {
         (col("eval_hits") >= minShared).as("contaminated"))
   }
 
+  /** Document chunking for embedding / context-window pipelines: fixed
+    * token windows of `chunkTokens` with `overlap` tokens shared between
+    * consecutive chunks (stride = chunkTokens − overlap), the standard
+    * pre-embedding step. Chunk k of an n-token doc starts at k·stride,
+    * for k in 0..K where K = 0 if n ≤ chunkTokens else
+    * ⌈(n − chunkTokens)/stride⌉ — the final chunk may be short but every
+    * token is covered and no chunk is fully contained in its
+    * predecessor. Narrow explode over a per-row sequence (no shuffle);
+    * the token array is materialized behind an exchange barrier so the
+    * per-chunk `slice` doesn't re-split the text (the lambda-CSE
+    * pathology). */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    import graft.operators.Partitioning.spread
+    spread(documents, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .transform(df => spread(df, col("doc_id")))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("kmax",
+        when(col("n") <= chunkTokens, lit(0L))
+          .otherwise(expr(s"(n - $chunkTokens + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("kmax"))).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .select(
+        col("doc_id"), col("chunk_id"), col("start_tok"),
+        least(lit(chunkTokens.toLong), col("n") - col("start_tok")).as("n_tokens"),
+        array_join(
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Sequence packing for training-batch assembly: documents are packed
     * into fixed token-capacity bins by quantizing the running token count
     * — `pack_id = (cumulative_tokens - 1) div capacity` over a

@@ -119,6 +119,10 @@ object ExtRegistry {
     "pack_sequences" -> ((s, dir) =>
       graft.ext.Corpus.packSequences(Tables(s, dir).documents)),
 
+    // pre-embedding chunking: overlapping fixed token windows
+    "doc_chunks" -> ((s, dir) =>
+      graft.ext.Corpus.chunkDocuments(Tables(s, dir).documents, 24, 8)),
+
     // JSON surface over the events.props payload (SURVEY §2.8 extension
     // note): path extraction AND schema-on-read struct parsing, plus an
     // aggregate over the extracted value — all codegen'd built-ins
@@ -377,6 +381,21 @@ object ExtRegistry {
         |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM documents)""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |k AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |             CASE WHEN len(toks) <= 24 THEN 0
+        |                  ELSE (len(toks) - 24 + 15) // 16 END AS kmax
+        |      FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |             unnest(generate_series(0, kmax)) AS chunk_id FROM k)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(chunk_id * 16 AS BIGINT) AS start_tok,
+        |       CAST(least(24, n - chunk_id * 16) AS BIGINT) AS n_tokens,
+        |       array_to_string(list_slice(toks, chunk_id * 16 + 1, chunk_id * 16 + 24), ' ')
+        |         AS chunk_text
+        |FROM c""".stripMargin,
 
     "minhash_near_dup" ->
       s"""WITH $minhashPairsCtes

@@ -294,6 +294,30 @@ class ExtSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(0L))
   }
 
+  test("chunkDocuments: overlapping windows cover every token; short docs get one chunk") {
+    val rows = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks, chunk 4, stride 2 -> starts 0,2,4,6
+      (2L, "a b c")                            // 3 toks -> single short chunk
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Corpus.chunkDocuments(rows, chunkTokens = 4, overlap = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text"))))
+      .toMap
+    assert(got.keySet.count(_._1 == 1L) == 4)
+    assert(got((1L, 0L)) == ((0L, 4L, "t1 t2 t3 t4")))
+    assert(got((1L, 1L)) == ((2L, 4L, "t3 t4 t5 t6")))
+    assert(got((1L, 2L)) == ((4L, 4L, "t5 t6 t7 t8")))
+    assert(got((1L, 3L)) == ((6L, 4L, "t7 t8 t9 t10")))
+    assert(got((2L, 0L)) == ((0L, 3L, "a b c")))
+    // an n=5 doc must NOT produce a chunk fully inside the previous one
+    val five = graft.ext.Corpus.chunkDocuments(
+      Seq((9L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text"), 4, 2).collect()
+    assert(five.map(_.getAs[Long]("chunk_id")).toSet == Set(0L, 1L))
+    assert(five.find(_.getAs[Long]("chunk_id") == 1L).get
+      .getAs[String]("chunk_text") == "x3 x4 x5")
+  }
+
   test("packSequences: capacity quantization within (source, shard), shards reset the sum") {
     val rows = Seq(
       (1L, "s1", "t t t"),        // 3 tokens, cum 3  -> pack 0 (cap 5)

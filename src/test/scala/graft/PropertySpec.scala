@@ -98,4 +98,52 @@ class PropertySpec extends SparkSpec {
     // different salts decorrelate: the two draws disagree almost always
     assert(us.count { case (_, u7, u8) => math.abs(u7 - u8) < 1e-9 } < 5)
   }
+
+  test("property: connectedComponents labels are edge-consistent and minimal on random graphs") {
+    // edge-consistency (comp(a) == comp(b) for every edge) + label
+    // minimality (comp(v) <= v, and comp(v) is itself a member labeling
+    // itself) TOGETHER pin the exact min-reachable labeling — checked on
+    // both the local union-find path and the distributed fixpoint
+    val edges = sample(for {
+      a <- Gen.chooseNum(0L, 60L); d <- Gen.chooseNum(1L, 60L)
+    } yield (a, (a + d) % 61L), 150)
+    val pairs = edges.toDF("doc_a", "doc_b")
+    for (budget <- Seq(Long.MaxValue, 0L)) { // local path, then distributed
+      val comp = graft.ext.Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          maxLocalEdges = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      edges.foreach { case (a, b) =>
+        assert(comp(a) == comp(b), s"edge ($a,$b) split across components (budget=$budget)")
+      }
+      comp.foreach { case (v, c) =>
+        assert(c <= v, s"label $c above vertex $v")
+        assert(comp(c) == c, s"label $c is not its own component's label")
+      }
+    }
+  }
+
+  test("property: packSequences conserves tokens and packs monotonically per shard") {
+    val docs = sample(for {
+      id <- Gen.chooseNum(0L, 500L); src <- Gen.oneOf("s1", "s2", "s3")
+      n <- Gen.chooseNum(1, 40)
+    } yield (id, src, Seq.fill(n)("t").mkString(" ")), 200)
+      .distinctBy(_._1).map { case (id, s, t) => (id, s, t) }
+    val df = docs.toDF("doc_id", "source", "text")
+    val got = graft.ext.Corpus.packSequences(df, capacity = 64L, shardSize = 100L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("shard"), r.getAs[Long]("token_cnt"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("pack_id")))
+    got.groupBy(r => (r._2, r._3)).foreach { case ((src, shard), rows) =>
+      val ordered = rows.sortBy(_._1)
+      // running sum == sum of token counts, in doc_id order
+      assert(ordered.map(_._4).scanLeft(0L)(_ + _).tail.toSeq == ordered.map(_._5).toSeq,
+        s"cum_tokens drifts in ($src,$shard)")
+      // packs fill in order and no pack exceeds capacity by construction
+      assert(ordered.map(_._6).toSeq == ordered.map(_._6).sorted.toSeq,
+        s"pack_id not monotone in ($src,$shard)")
+      ordered.foreach { r =>
+        assert(r._6 == (r._5 - 1) / 64L, s"pack quantization broken for doc ${r._1}")
+      }
+    }
+  }
 }

@@ -73,6 +73,25 @@ class PlanSpec extends SparkSpec {
     assert(sampEx == 1, s"samplePerGroup planned $sampEx exchanges, want 1")
   }
 
+  test("writePartitioned layout prunes partitions at read time (incremental-refresh path)") {
+    // the 100 TB contract of the partitioned sink: a month-scoped
+    // recompute over a date-partitioned fact must read ONLY the matching
+    // partition directories — PartitionFilters, not a full scan + filter
+    val dir = graft.sources.Scratch.dir("graft_prune_test").toString
+    val df = tables.events
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("event_id") % 5).cast("int").as("bucket_id"))
+    graft.sources.Load.writePartitioned(df, dir, Seq("bucket_id"), Seq("event_id"))
+    val read = spark.read.parquet(dir).filter(col("bucket_id") === 3)
+    val scan = scans(read).head
+    val pf = scan.partitionFilters.mkString(";")
+    assert(pf.contains("bucket_id"), s"no partition filter, got: $pf")
+    // data filters must be empty — the predicate is fully satisfied by
+    // directory pruning, nothing is re-checked row-by-row
+    assert(scan.dataFilters.isEmpty, s"predicate fell through to data scan: ${scan.dataFilters}")
+    assert(read.count() == tables.events.filter(col("event_id") % 5 === 3).count())
+  }
+
   test("packSequences windows per (source, shard) — one keyed exchange, never a global sort") {
     val packed = graft.ext.Corpus.packSequences(tables.documents)
     val plan = packed.queryExecution.executedPlan.toString

@@ -214,28 +214,30 @@ object MinHash {
     // that the banding would silently miss qualifying pairs
     require(maxHamming >= 0 && maxHamming < simBands,
       s"maxHamming must be in [0, ${simBands - 1}] for exact recall with $simBands bands, got $maxHamming")
-    // banding + both verify sides reuse the sketch; localCheckpoint (not
-    // cache) so the blocks free on GC instead of living in the session
-    // CacheManager (see nearDupPairs)
     val sh = simHash(documents).localCheckpoint(false)
     val mask = (1L << SimBandBits) - 1
     val bandCols = (0 until simBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(mask)).as("bval"))
     }
-    val banded = sh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
-    val cand = banded.as("a")
+    // the banded rows CARRY the 8-byte sketch, so the verify
+    // (bit_count(xor) + threshold) runs INLINE in the band self-join and
+    // the pair dedup collapses to one distinct over narrow verified
+    // triples — no re-fetch joins (the shuffle-width lesson from
+    // Sim.lshTopKTables: moving payloads through candidate re-fetch
+    // joins costs more than carrying a small payload into the join).
+    // hamming is deterministic per pair, so distinct on the triple
+    // dedups exactly like distinct on the pair; filtering BEFORE the
+    // distinct also shrinks that exchange to qualifying pairs only.
+    val banded = sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }

@@ -47,7 +47,11 @@ object Corpus {
       .select(col("doc_id").as("eval_id"), explode(col("hashes")).as("s"))
     val corp = sh.filter(col("doc_id") % evalMod =!= 0)
       .select(col("doc_id"), explode(col("hashes")).as("s"))
-    corp.join(ev, Seq("s"))
+    // EXPLICIT broadcast: the checkpointed frame has no stats, so the
+    // auto-broadcast threshold can never fire — without the hint this
+    // equi-join would shuffle the full exploded training-side shingle
+    // stream, the exact cost the bounded-eval-side design avoids
+    corp.join(broadcast(ev), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("eval_hits"),
         countDistinct(col("eval_id")).as("eval_docs"))

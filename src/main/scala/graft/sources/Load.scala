@@ -53,8 +53,14 @@ object Load {
     // oversized hash buckets SPLIT into multiple tasks.
     val clustered =
       if (partitionBy.nonEmpty) df.hint("rebalance", partitionBy.map(col): _*) else df
+    // the sort is PREFIXED with the partition columns: the file writer
+    // requires per-task ordering on the dynamic partition columns, and a
+    // bare sortBy that doesn't satisfy that prefix gets a second sort
+    // stacked on top (re-sorting — and on spill, re-interleaving — the
+    // rows, silently voiding the in-partition layout)
+    val sortCols = ((partitionBy ++ sortBy).distinct).map(col)
     val sorted =
-      if (sortBy.nonEmpty) clustered.sortWithinPartitions(sortBy.map(col): _*) else clustered
+      if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols: _*) else clustered
     sorted.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
   }
 

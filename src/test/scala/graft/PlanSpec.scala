@@ -101,6 +101,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"global sort in:\n$plan")
   }
 
+  test("contamination broadcasts the bounded eval side — the training side never shuffles for the join") {
+    val df = graft.ext.Corpus.contamination(tables.documents, 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"shuffle join in:\n$plan")
+  }
+
   test("redactPii is a narrow projection — no exchange at all") {
     val red = graft.ext.Text.redactPii(tables.customer, "c_custkey", "c_name")
     val plan = red.queryExecution.executedPlan.toString

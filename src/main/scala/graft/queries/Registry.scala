@@ -275,6 +275,14 @@ object Registry {
           col("c_acctbal").cast(DoubleType).as("acctbal")),
         "sk", 10000L, Seq(col("c_custkey")))),
 
+    // the corpus-scale upgrade of S5: dense 1..n ids via per-shard counts
+    // + offset broadcast + bounded windows — NO one-task global sort.
+    // shardSize 100 so the sf tiers exercise real multi-shard offsets
+    "dense_ids" -> ((s, dir) =>
+      graft.sources.Load.withDenseIds(
+        Tables(s, dir).documents.select(col("doc_id"), col("source")),
+        "doc_id", "dense_id", 100L)),
+
     // S3 driver exposure: the partitioned batch sink round-tripped — what
     // the oracle checks is that the write+read is LOSSLESS (values,
     // types, partition-column recovery), the sink's actual contract
@@ -734,6 +742,13 @@ object Registry {
 
     "load_partitioned_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events""".stripMargin,
+
+    // the sharded two-phase assignment must equal the one global
+    // row_number — the oracle IS the semantic contract
+    "dense_ids" ->
+      """SELECT doc_id, source,
+        |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS dense_id
+        |FROM documents""".stripMargin,
 
     "dq_suite" ->
       s"""WITH $arrearsCte, $loansCte, $payCte

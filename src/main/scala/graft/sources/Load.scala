@@ -36,6 +36,42 @@ object Load {
     df.withColumn(keyName, row_number().over(w).cast("long") + offset)
   }
 
+  /** Corpus-scale dense id assignment — the distributed upgrade of
+    * [[withSurrogateKeys]] (whose single global row_number window is a
+    * one-task sort, documented dim-only). Two phases, the classic
+    * zipWithIndex shape expressed relationally:
+    *   1. count rows per bounded shard (`orderCol div shardSize`) — one
+    *      small aggregate, collected to the driver (#shards rows, tiny
+    *      relative to the data by construction);
+    *   2. exclusive-prefix-sum the counts into per-shard offsets,
+    *      broadcast them back, and number rows within each shard
+    *      (bounded window) + offset.
+    * Ids are dense 1..n in `orderCol` order; `orderCol` must be unique
+    * (it seeds both the shard and the in-shard order). */
+  def withDenseIds(df: DataFrame, orderCol: String, idName: String,
+      shardSize: Long = 1L << 20): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val shard = "__graft_shard"
+    require(!df.columns.contains(shard) && !df.columns.contains(idName),
+      s"input already has a $shard/$idName column")
+    val sharded = df.withColumn(shard, expr(s"$orderCol div ${shardSize}L"))
+    val counts = sharded.groupBy(col(shard)).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (s, n)) => (s, acc + n)
+    }.sliding(2).collect { case Array((_, off), (s, _)) => (s, off) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toDF(shard, "__graft_offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shard)).orderBy(col(orderCol))
+    sharded
+      .join(broadcast(offsetDf), Seq(shard))
+      .withColumn(idName,
+        row_number().over(w).cast("long") + col("__graft_offset"))
+      .drop(shard, "__graft_offset")
+  }
+
   /** Partitioned, sorted parquet write — the batch-sink analog of the
     * reference's paged INSERTs (S3), with layout chosen for downstream
     * reads: partition pruning on `partitionBy` + bucketed-ish locality

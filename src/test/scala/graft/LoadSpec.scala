@@ -26,6 +26,17 @@ class LoadSpec extends SparkSpec {
       Set(("a", 10001L), ("b", 10002L), ("c", 10003L)))
   }
 
+  test("withDenseIds equals the global row_number across shard boundaries and sparse ids") {
+    import org.apache.spark.sql.functions._
+    // sparse, unordered ids spanning 4 shards of size 10 (incl. an empty shard)
+    val ids = Seq(35L, 2L, 17L, 0L, 38L, 11L, 9L, 31L)
+    val df = ids.map(i => (i, s"p$i")).toDF("k", "payload").repartition(5)
+    val got = graft.sources.Load.withDenseIds(df, "k", "dense_id", 10L)
+      .select(col("k"), col("dense_id")).as[(Long, Long)].collect().toMap
+    val want = ids.sorted.zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
   test("writeBucketed: co-located join reads both sides without a shuffle") {
     val fact = (1L to 1000L).map(i => (i % 50, i, i * 2.0)).toDF("loan_id", "seq", "v")
     val dim = (0L until 50L).map(i => (i, s"p$i")).toDF("loan_id", "product")

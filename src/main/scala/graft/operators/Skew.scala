@@ -61,4 +61,21 @@ object Skew {
     val replicatedDim = dim.withColumn(saltCol, explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(replicatedDim, Seq(key, saltCol), "inner").drop(saltCol)
   }
+
+  /** Skew-safe exact distinct count. `countDistinct(value)` under a hot
+    * group key is the one aggregation map-side partials cannot save: the
+    * planner's Expand/partial-distinct machinery still reduces every
+    * (key, value) pair of the hot key on one reducer for the final
+    * distinct. The two-phase rewrite shuffles on the FULL (keys, value)
+    * composite first — spreading a hot group across reducers by value —
+    * then counts the deduped rows per key (second shuffle carries one
+    * row per distinct value). Result-identical to countDistinct; both
+    * shuffles are skew-free unless a single (key, value) pair dominates,
+    * which dedup collapses to one row anyway. */
+  def distinctCountSkewSafe(df: DataFrame, keys: Seq[String], valueCol: String,
+      resultName: String): DataFrame =
+    df.select((keys :+ valueCol).map(col): _*)
+      .distinct()
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(resultName))
 }

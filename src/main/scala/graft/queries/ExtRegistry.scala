@@ -146,6 +146,14 @@ object ExtRegistry {
         countDistinct(col("user_id")).as("distinct_users"),
         count(lit(1)).as("events"))),
 
+    // the skew-safe two-phase rewrite of countDistinct: dedup on the
+    // (key, value) composite spreads a hot group across reducers, then
+    // one row per distinct value reaches the final count
+    "distinct_users_skewsafe" -> ((s, dir) =>
+      graft.operators.Skew.distinctCountSkewSafe(
+        Tables(s, dir).events.select(col("event_type"), col("user_id")),
+        Seq("event_type"), "user_id", "distinct_users")),
+
     // the custom TypedImperativeAggregate: KMV distinct sketch (bounded
     // k-longs state, merge-safe partials) next to the exact count — the
     // deterministic, oracle-checkable stand-in for approx_count_distinct
@@ -351,6 +359,10 @@ object ExtRegistry {
          |       count(DISTINCT c.s) >= 5 AS contaminated
          |FROM ce c JOIN ee e ON c.s = e.s
          |GROUP BY c.doc_id""".stripMargin,
+
+    "distinct_users_skewsafe" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "pii_redact" -> {
       val email = graft.ext.Text.EmailPattern

@@ -49,6 +49,21 @@ class LoadSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("distinctCountSkewSafe equals countDistinct on a hot-key distribution") {
+    import org.apache.spark.sql.functions._
+    // one hot key with many duplicate values + several cold keys
+    val rows = (0 until 2000).map(i => ("hot", (i % 37).toLong)) ++
+      (0 until 50).map(i => (s"cold${i % 5}", i.toLong))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = graft.operators.Skew
+      .distinctCountSkewSafe(df, Seq("k"), "v", "n")
+      .as[(String, Long)].collect().toMap
+    val want = df.groupBy(col("k")).agg(countDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    assert(got("hot") == 37L)
+  }
+
   test("saltedJoin returns exactly the plain join's rows, spread over salts") {
     val fact = (1L to 300L).map(i => (1L, i)).toDF("loan_id", "seq") // one hot key
       .union(Seq((2L, 0L)).toDF("loan_id", "seq"))

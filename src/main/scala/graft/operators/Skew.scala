@@ -77,5 +77,8 @@ object Skew {
     df.select((keys :+ valueCol).map(col): _*)
       .distinct()
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as(resultName))
+      // count(value), not count(*): distinct() keeps one (key, NULL) row
+      // but countDistinct ignores NULLs — counting the value column
+      // skips it too, keeping the rewrite exactly result-identical
+      .agg(count(col(valueCol)).as(resultName))
 }

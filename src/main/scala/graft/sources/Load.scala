@@ -54,12 +54,21 @@ object Load {
     val shard = "__graft_shard"
     require(!df.columns.contains(shard) && !df.columns.contains(idName),
       s"input already has a $shard/$idName column")
-    val sharded = df.withColumn(shard, expr(s"$orderCol div ${shardSize}L"))
+    // lazy localCheckpoint: the count job materializes the sharded rows,
+    // so phase 2 numbers EXACTLY the snapshot phase 1 counted — a
+    // nondeterministic upstream (rand-derived columns, a source replaced
+    // mid-run) cannot desynchronize counts from contents (the same
+    // recompute-nondeterminism hazard saltedJoin documents)
+    val sharded = df
+      .withColumn(shard, expr(s"`$orderCol` div ${shardSize}L"))
+      .localCheckpoint(false)
     val counts = sharded.groupBy(col(shard)).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft((Long.MinValue, 0L)) {
-      case ((_, acc), (s, n)) => (s, acc + n)
-    }.sliding(2).collect { case Array((_, off), (s, _)) => (s, off) }.toSeq
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"withDenseIds: order column '$orderCol' contains NULL — dense ids need a total order")
+        r.getLong(0) -> r.getLong(1)
+      }.sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
     val spark = df.sparkSession
     import spark.implicits._
     val offsetDf = offsets.toDF(shard, "__graft_offset")

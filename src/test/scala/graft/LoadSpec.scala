@@ -62,6 +62,21 @@ class LoadSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == want)
     assert(got("hot") == 37L)
+    // NULL values do not count as a distinct value (countDistinct parity)
+    val withNulls = Seq(("a", Some(1L)), ("a", None), ("b", None))
+      .toDF("k", "v")
+    val gotN = graft.operators.Skew.distinctCountSkewSafe(withNulls, Seq("k"), "v", "n")
+      .as[(String, Long)].collect().toMap
+    assert(gotN == Map("a" -> 1L, "b" -> 0L))
+  }
+
+  test("withDenseIds rejects NULL order values with a clear error") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(Some(1L), None, Some(3L)).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Load.withDenseIds(df, "k", "dense_id", 10L)
+    }
+    assert(e.getMessage.contains("contains NULL"))
   }
 
   test("saltedJoin returns exactly the plain join's rows, spread over salts") {

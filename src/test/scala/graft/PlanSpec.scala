@@ -101,6 +101,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"global sort in:\n$plan")
   }
 
+  test("withDenseIds never plans a global sort — bounded shard windows plus a broadcast offset join") {
+    val df = graft.sources.Load.withDenseIds(
+      tables.documents.select(col("doc_id"), col("source")), "doc_id", "dense_id", 100L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"global sort in:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), s"one-task window in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"offset join not broadcast in:\n$plan")
+  }
+
   test("contamination broadcasts the bounded eval side — the training side never shuffles for the join") {
     val df = graft.ext.Corpus.contamination(tables.documents, 3)
     val plan = df.queryExecution.executedPlan.toString

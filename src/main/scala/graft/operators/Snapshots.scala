@@ -65,6 +65,42 @@ object Snapshots {
     * relational explode — no driver-side loops, scales linearly with
     * output rows. Caller guarantees endCol >= startCol.
     */
+  /** Gaps-and-islands interval compression: collapse consecutive rows
+    * with an unchanged state into one validity range — daily snapshots
+    * become SCD-2-style (state, valid_from, valid_to, n_rows) intervals,
+    * the compaction a daily fact wants at scale (a loan that sits in one
+    * DPD bucket for a year is 365 rows of storage for one fact).
+    *
+    * Shape: change marker (null-safe lag compare) + running change count
+    * (the island id) share ONE (keys, order) window exchange, and the
+    * island groupBy's clustering is satisfied by that same partitioning
+    * (keys ⊆ group keys), so the whole operator is a single shuffle.
+    * State comparison is null-safe (`<=>`): a NULL state equals itself,
+    * so all-NULL runs compress too. `orderCol` must be unique per key
+    * (snapshot grain). */
+  def compressIntervals(df: DataFrame, keys: Seq[String], orderCol: String,
+      stateCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && stateCols.nonEmpty, "keys and stateCols must be non-empty")
+    val island = "__graft_island"
+    val chg = "__graft_chg"
+    require(!df.columns.exists(c => c == island || c == chg),
+      "input already has internal island columns")
+    val state = struct(stateCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val run = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn(chg,
+        when(lag(state, 1).over(w) <=> state, lit(0L)).otherwise(lit(1L)))
+      .withColumn(island, sum(col(chg)).over(run))
+      .groupBy((keys ++ stateCols).map(col) :+ col(island): _*)
+      .agg(
+        min(col(orderCol)).as("valid_from"),
+        max(col(orderCol)).as("valid_to"),
+        count(lit(1)).as("n_rows"))
+      .drop(island)
+  }
+
   def densifyDaily(df: DataFrame, startCol: Column, endCol: Column, dayName: String): DataFrame =
     df.withColumn(dayName, explode(sequence(startCol, endCol)))
 }

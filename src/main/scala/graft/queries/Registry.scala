@@ -94,6 +94,14 @@ object Registry {
         col("loan_id"), col("month"), col("as_of_date"),
         col("days_past_due"), col("dpd_bucket"), col("npl_flag"))),
 
+    // gaps-and-islands: monthly DPD states compressed to SCD-2 validity
+    // ranges — one (loan, order) window exchange serves the change
+    // marker, the island id, AND the final grouping
+    "dpd_state_intervals" -> ((s, dir) =>
+      graft.operators.Snapshots.compressIntervals(
+        monthEndDf(s, dir).select(col("loan_id"), col("month"), col("dpd_bucket")),
+        Seq("loan_id"), "month", Seq("dpd_bucket"))),
+
     "bucket_transitions" -> ((s, dir) =>
       Marts.bucketTransitions(arrears(s, dir), tiebreak: _*)),
 
@@ -458,6 +466,21 @@ object Registry {
       s"""WITH $arrearsCte, $monthEndCte
          |SELECT loan_id, month, as_of_date, days_past_due, dpd_bucket, npl_flag
          |FROM month_end""".stripMargin,
+
+    "dpd_state_intervals" ->
+      s"""WITH $arrearsCte, $monthEndCte,
+         |m AS (
+         |  SELECT loan_id, month, dpd_bucket,
+         |         CASE WHEN lag(dpd_bucket) OVER (PARTITION BY loan_id ORDER BY month)
+         |                   IS NOT DISTINCT FROM dpd_bucket THEN 0 ELSE 1 END AS chg
+         |  FROM month_end),
+         |i AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY loan_id ORDER BY month
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM m)
+         |SELECT loan_id, dpd_bucket, min(month) AS valid_from, max(month) AS valid_to,
+         |       count(*) AS n_rows
+         |FROM i GROUP BY loan_id, dpd_bucket, island""".stripMargin,
 
     "bucket_transitions" ->
       s"""WITH $arrearsCte, $monthEndCte, $transCte

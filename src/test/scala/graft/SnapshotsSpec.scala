@@ -127,4 +127,29 @@ class SnapshotsSpec extends SparkSpec {
     assert(top.select(col("k"), col("v")).as[(Long, String)].collect().toSet ==
       Set((1L, "b"), (2L, "c")))
   }
+
+  test("compressIntervals collapses runs, splits on change, and handles NULL states") {
+    val rows = Seq(
+      (1L, 1, Some("a")), (1L, 2, Some("a")), (1L, 3, Some("b")),
+      (1L, 4, Some("a")),                       // back to a: NEW island
+      (2L, 1, None), (2L, 2, None),             // all-NULL run compresses
+      (2L, 3, Some("x"))
+    ).toDF("k", "t", "state")
+    val got = Snapshots.compressIntervals(rows, Seq("k"), "t", Seq("state"))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Int]("valid_from")) ->
+        ((r.getAs[String]("state"), r.getAs[Int]("valid_to"), r.getAs[Long]("n_rows"))))
+      .toMap
+    assert(got == Map(
+      (1L, 1) -> (("a", 2, 2L)),
+      (1L, 3) -> (("b", 3, 1L)),
+      (1L, 4) -> (("a", 4, 1L)),
+      (2L, 1) -> ((null, 2, 2L)),
+      (2L, 3) -> (("x", 3, 1L))))
+    // the whole operator is ONE shuffle: windows + grouping share the key
+    val ex = "Exchange hashpartitioning".r.findAllIn(
+      Snapshots.compressIntervals(rows, Seq("k"), "t", Seq("state"))
+        .queryExecution.executedPlan.toString).length
+    assert(ex == 1, s"compressIntervals planned $ex exchanges, want 1")
+  }
 }

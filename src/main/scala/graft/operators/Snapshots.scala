@@ -65,6 +65,9 @@ object Snapshots {
     * relational explode — no driver-side loops, scales linearly with
     * output rows. Caller guarantees endCol >= startCol.
     */
+  def densifyDaily(df: DataFrame, startCol: Column, endCol: Column, dayName: String): DataFrame =
+    df.withColumn(dayName, explode(sequence(startCol, endCol)))
+
   /** Gaps-and-islands interval compression: collapse consecutive rows
     * with an unchanged state into one validity range — daily snapshots
     * become SCD-2-style (state, valid_from, valid_to, n_rows) intervals,
@@ -83,8 +86,12 @@ object Snapshots {
     require(keys.nonEmpty && stateCols.nonEmpty, "keys and stateCols must be non-empty")
     val island = "__graft_island"
     val chg = "__graft_chg"
+    val outNames = Seq("valid_from", "valid_to", "n_rows")
     require(!df.columns.exists(c => c == island || c == chg),
       "input already has internal island columns")
+    require(!df.columns.exists(outNames.contains),
+      s"input already has one of the output columns ${outNames.mkString(", ")} — " +
+        "rename it first (re-compressing an SCD-2 frame needs fresh names)")
     val state = struct(stateCols.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
     val run = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
@@ -100,7 +107,4 @@ object Snapshots {
         count(lit(1)).as("n_rows"))
       .drop(island)
   }
-
-  def densifyDaily(df: DataFrame, startCol: Column, endCol: Column, dayName: String): DataFrame =
-    df.withColumn(dayName, explode(sequence(startCol, endCol)))
 }

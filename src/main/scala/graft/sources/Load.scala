@@ -54,14 +54,20 @@ object Load {
     val shard = "__graft_shard"
     require(!df.columns.contains(shard) && !df.columns.contains(idName),
       s"input already has a $shard/$idName column")
-    // lazy localCheckpoint: the count job materializes the sharded rows,
-    // so phase 2 numbers EXACTLY the snapshot phase 1 counted — a
-    // nondeterministic upstream (rand-derived columns, a source replaced
-    // mid-run) cannot desynchronize counts from contents (the same
-    // recompute-nondeterminism hazard saltedJoin documents)
-    val sharded = df
-      .withColumn(shard, expr(s"`$orderCol` div ${shardSize}L"))
-      .localCheckpoint(false)
+    // orderCol must be a top-level column: it is parsed into an integer
+    // div expression (precision-exact at any id magnitude, which a
+    // floor(double) shard would lose past 2^53)
+    require(df.columns.contains(orderCol) && !orderCol.contains("`"),
+      s"withDenseIds needs a top-level order column, got '$orderCol'")
+    // Two-pass contract: the input must be DETERMINISTIC under
+    // recomputation (same requirement as Spark's own range-partitioning
+    // sample pass, and the recompute hazard saltedJoin documents) — a
+    // rand-derived input could desynchronize phase-1 counts from phase-2
+    // contents. Deliberately NOT checkpointed: pinning a corpus-sized
+    // snapshot on executor-local storage would trade that documented
+    // contract for unrecoverable executor-loss failures at exactly the
+    // scale this operator targets.
+    val sharded = df.withColumn(shard, expr(s"`$orderCol` div ${shardSize}L"))
     val counts = sharded.groupBy(col(shard)).count()
       .collect().map { r =>
         require(!r.isNullAt(0),

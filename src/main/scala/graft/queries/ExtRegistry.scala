@@ -123,6 +123,48 @@ object ExtRegistry {
     "doc_chunks" -> ((s, dir) =>
       graft.ext.Corpus.chunkDocuments(Tables(s, dir).documents, 24, 8)),
 
+    // vocabulary construction + OOV coverage: top-500 term vocab (count
+    // desc, term asc — term is the group key, so the order is total and
+    // the 500 boundary deterministic), then each document's in-vocab
+    // token share. The vocab is bounded by construction, so the coverage
+    // join BROADCASTS — at corpus scale the exploded token stream never
+    // shuffles for it; the only wide ops are the term count and the
+    // per-doc rollup.
+    "vocab_coverage" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(500)
+        .select(col("term"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("token_cnt"),
+          sum(coalesce(col("in_vocab"), lit(0L))).as("in_vocab_cnt"))
+        .select(col("doc_id"), col("token_cnt"), col("in_vocab_cnt"),
+          ((col("token_cnt") - col("in_vocab_cnt")).cast(DoubleType)
+            / col("token_cnt").cast(DoubleType)).as("oov_rate"))
+    }),
+
+    // int8 embedding quantization — the 4× storage/serving compression a
+    // 100 TB embedding corpus wants. Per-vector symmetric scale
+    // (maxabs/127), integer-exact quantized norm, and the reconstruction
+    // error as a sequential IEEE fold both engines replay verbatim
+    // (SURVEY §7.3.1 parity rules: sqrt-free, pow-free, left-assoc).
+    "embed_quantize" -> ((s, dir) =>
+      Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding"),
+          array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")).as("maxabs"))
+        .filter(col("maxabs") > 0)
+        .withColumn("scale", col("maxabs") / lit(127.0))
+        .withColumn("q",
+          expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale + 0.5))"))
+        .select(col("vec_id"), col("scale"),
+          expr("CAST(aggregate(q, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS BIGINT)")
+            .as("qnorm"),
+          expr("aggregate(zip_with(q, embedding, (qq, x) -> CAST(qq AS DOUBLE) * scale - CAST(x AS DOUBLE)), 0D, (a, e) -> a + e * e)")
+            .as("sq_err"))),
+
     // JSON surface over the events.props payload (SURVEY §2.8 extension
     // note): path extraction AND schema-on-read struct parsing, plus an
     // aggregate over the extracted value — all codegen'd built-ins
@@ -333,7 +375,46 @@ object ExtRegistry {
        |                     i -> ($shingleComposition) % $P) END AS sh
        |  FROM rth)""".stripMargin
 
+  private val EmbDim = 64
+
+  private def quantQ(i: Int) = s"floor(embedding[$i]::DOUBLE / scale + 0.5)"
+
+  private def quantQnormChain: String =
+    (1 to EmbDim).map(i => s"${quantQ(i)} * ${quantQ(i)}").mkString(" + ")
+
+  private def quantErrChain: String =
+    (1 to EmbDim)
+      .map(i => s"(${quantQ(i)} * scale - embedding[$i]::DOUBLE) * (${quantQ(i)} * scale - embedding[$i]::DOUBLE)")
+      .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+        |  WHERE term <> ''),
+        |vocab AS (
+        |  SELECT term FROM toks GROUP BY term ORDER BY count(*) DESC, term LIMIT 500)
+        |SELECT t.doc_id, count(*) AS token_cnt,
+        |       CAST(count(v.term) AS BIGINT) AS in_vocab_cnt,
+        |       CAST(count(*) - count(v.term) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // the quantized norm is integer-exact (q ≤ 127, 64 dims), the error
+    // sum replays Spark's sequential fold as a left-assoc chain — 0D+x
+    // is IEEE-exact, so the chain and the fold agree bit-for-bit
+    "embed_quantize" ->
+      s"""WITH e0 AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, embedding, maxabs / 127.0 AS scale FROM e0 WHERE maxabs > 0)
+         |SELECT vec_id, scale,
+         |       CAST($quantQnormChain AS BIGINT) AS qnorm,
+         |       ($quantErrChain) AS sq_err
+         |FROM e""".stripMargin,
+
     "doc_repetition" ->
       s"""WITH $repCtes
          |SELECT doc_id, source,

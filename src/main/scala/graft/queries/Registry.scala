@@ -291,6 +291,52 @@ object Registry {
         Tables(s, dir).documents.select(col("doc_id"), col("source")),
         "doc_id", "dense_id", 100L)),
 
+    // SCD-2 dimension merge over the loans dim: one derivation exercises
+    // every merge branch — closed-history pass-through (loan_id%5=0 rows
+    // pre-closed), equal-attr no-op, changed-attr close+reopen
+    // (exposure bumped on the even incoming keys), re-open of a key
+    // whose versions were all closed, and brand-new inserts (the
+    // +1000000 keys). The oracle is the declarative UNION of the same
+    // five branches — merge semantics proven, not echoed.
+    "scd2_merge" -> ((s, dir) => {
+      val l = loans(s, dir).withColumn("loan_id", col("loan_id").cast(LongType))
+      val dim = l.select(
+        col("loan_id"), col("product_type"), col("currency"), col("exposure"),
+        col("origination_date").as("valid_from"),
+        when(col("loan_id") % 5 === 0, to_date(lit("2024-01-01"))).as("valid_to"),
+        (col("loan_id") % 5 =!= 0).as("is_current"))
+      val inc = l.filter(col("loan_id") % 3 === 0).select(
+          col("loan_id"), col("product_type"), col("currency"),
+          when(col("loan_id") % 2 === 0, col("exposure") + 100)
+            .otherwise(col("exposure")).cast(DecimalType(18, 2)).as("exposure"))
+        .unionByName(l.filter(col("loan_id") % 10 === 0).select(
+          (col("loan_id") + 1000000L).as("loan_id"), col("product_type"),
+          col("currency"), col("exposure")))
+      graft.operators.Scd2.merge(dim, inc, "loan_id",
+          Seq("product_type", "currency", "exposure"), to_date(lit("2025-06-01")))
+        .withColumn("exposure", col("exposure").cast(DoubleType))
+    }),
+
+    // dbt-incremental maintenance of the monthly mart: probe the current
+    // max month (the `SELECT max(...)` boundary probe every incremental
+    // model runs — one tiny agg job, the documented exception to the
+    // no-collect rule), recompute ONLY that month's slice, union it with
+    // the prior months' mart. month is a group key, so the mart is
+    // month-partitionable and the incremental union is EXACT — proven by
+    // sharing npl_monthly's oracle verbatim. At 100 TB this is the
+    // difference between scanning one month and scanning the history.
+    "npl_monthly_incremental" -> ((s, dir) => {
+      val dd = Marts.dpdDaily(arrears(s, dir), loans(s, dir))
+      val m = date_trunc("month", col("as_of_date")).cast(DateType)
+      val cutoffRow = dd.agg(max(m).as("m")).head()
+      if (cutoffRow.isNullAt(0)) Marts.nplMonthly(dd)
+      else {
+        val cutoff = cutoffRow.getDate(0)
+        Marts.nplMonthly(dd.filter(m < lit(cutoff)))
+          .unionByName(Marts.nplMonthly(dd.filter(m === lit(cutoff))))
+      }
+    }),
+
     // S3 driver exposure: the partitioned batch sink round-tripped — what
     // the oracle checks is that the write+read is LOSSLESS (values,
     // types, partition-column recovery), the sink's actual contract
@@ -773,6 +819,51 @@ object Registry {
         |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS dense_id
         |FROM documents""".stripMargin,
 
+    // the declarative twin of the Scd2.merge branches; attr equality is
+    // null-safe (IS NOT DISTINCT FROM ↔ Spark <=>)
+    "scd2_merge" -> {
+      val attrsEq =
+        """c.product_type IS NOT DISTINCT FROM i.product_type
+          |         AND c.currency IS NOT DISTINCT FROM i.currency
+          |         AND c.exposure IS NOT DISTINCT FROM i.exposure""".stripMargin
+      s"""WITH $loansCte,
+         |dim AS (
+         |  SELECT CAST(loan_id AS BIGINT) AS loan_id, product_type, currency, exposure,
+         |         origination_date AS valid_from,
+         |         CASE WHEN loan_id % 5 = 0 THEN DATE '2024-01-01' END AS valid_to,
+         |         loan_id % 5 <> 0 AS is_current
+         |  FROM loans),
+         |inc AS (
+         |  SELECT CAST(loan_id AS BIGINT) AS loan_id, product_type, currency,
+         |         CAST(CASE WHEN loan_id % 2 = 0 THEN exposure + 100 ELSE exposure END
+         |              AS DECIMAL(18,2)) AS exposure
+         |  FROM loans WHERE loan_id % 3 = 0
+         |  UNION ALL
+         |  SELECT CAST(loan_id + 1000000 AS BIGINT), product_type, currency, exposure
+         |  FROM loans WHERE loan_id % 10 = 0),
+         |cur AS (SELECT * FROM dim WHERE is_current),
+         |merged AS (
+         |  SELECT * FROM dim WHERE NOT is_current
+         |  UNION ALL
+         |  SELECT c.* FROM cur c LEFT JOIN inc i ON c.loan_id = i.loan_id
+         |  WHERE i.loan_id IS NULL OR ($attrsEq)
+         |  UNION ALL
+         |  SELECT c.loan_id, c.product_type, c.currency, c.exposure,
+         |         c.valid_from, DATE '2025-06-01', false
+         |  FROM cur c JOIN inc i ON c.loan_id = i.loan_id WHERE NOT ($attrsEq)
+         |  UNION ALL
+         |  SELECT i.loan_id, i.product_type, i.currency, i.exposure,
+         |         DATE '2025-06-01', NULL, true
+         |  FROM cur c JOIN inc i ON c.loan_id = i.loan_id WHERE NOT ($attrsEq)
+         |  UNION ALL
+         |  SELECT i.loan_id, i.product_type, i.currency, i.exposure,
+         |         DATE '2025-06-01', NULL, true
+         |  FROM inc i LEFT JOIN cur c ON i.loan_id = c.loan_id WHERE c.loan_id IS NULL)
+         |SELECT loan_id, product_type, currency, CAST(exposure AS DOUBLE) AS exposure,
+         |       valid_from, valid_to, is_current
+         |FROM merged""".stripMargin
+    },
+
     "dq_suite" ->
       s"""WITH $arrearsCte, $loansCte, $payCte
          |SELECT 'loans_loan_id_not_null' AS check_name, count(*) AS violations FROM loans WHERE loan_id IS NULL
@@ -789,5 +880,7 @@ object Registry {
       // same mart through the SQL surface -> same oracle, defined once
       ("sql_npl_monthly" -> coreOracles("npl_monthly")) +
       // salting is distribution-only -> result must hash-match dpd_daily
-      ("dpd_daily_salted" -> coreOracles("dpd_daily"))
+      ("dpd_daily_salted" -> coreOracles("dpd_daily")) +
+      // incremental maintenance must be EXACT vs the full recompute
+      ("npl_monthly_incremental" -> coreOracles("npl_monthly"))
 }

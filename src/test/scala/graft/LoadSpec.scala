@@ -90,6 +90,47 @@ class LoadSpec extends SparkSpec {
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
 
+  test("Scd2.merge hits every branch: history, no-op, equal, change, re-open, insert") {
+    import java.sql.Date
+    val eff = Date.valueOf("2025-06-01")
+    val dim = Seq(
+      // closed history row for key 1 (passes through untouched)
+      (1L, "A", Date.valueOf("2020-01-01"), Some(Date.valueOf("2021-01-01")), false),
+      (1L, "B", Date.valueOf("2021-01-01"), None, true), // current, will change
+      (2L, "C", Date.valueOf("2020-02-01"), None, true), // current, incoming equal
+      (3L, "D", Date.valueOf("2020-03-01"), None, true), // current, nothing incoming
+      (4L, "E", Date.valueOf("2020-04-01"), Some(Date.valueOf("2022-01-01")), false)
+      // key 4: all versions closed -> incoming re-opens; key 5: brand new
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val inc = Seq((1L, "B2"), (2L, "C"), (4L, "E2"), (5L, "F")).toDF("k", "attr")
+    val out = graft.operators.Scd2
+      .merge(dim, inc, "k", Seq("attr"), lit(eff))
+      .as[(Long, String, Date, Option[Date], Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, "A", Date.valueOf("2020-01-01"), Some(Date.valueOf("2021-01-01")), false),
+      (1L, "B", Date.valueOf("2021-01-01"), Some(eff), false), // closed at eff
+      (1L, "B2", eff, None, true),                             // new version
+      (2L, "C", Date.valueOf("2020-02-01"), None, true),       // equal -> no-op
+      (3L, "D", Date.valueOf("2020-03-01"), None, true),       // untouched
+      (4L, "E", Date.valueOf("2020-04-01"), Some(Date.valueOf("2022-01-01")), false),
+      (4L, "E2", eff, None, true),                             // re-opened
+      (5L, "F", eff, None, true)))                             // insert
+    // merge is idempotent: replaying the same batch changes nothing
+    val dimCols = Seq("k", "attr", "valid_from", "valid_to", "is_current").map(col)
+    val again = graft.operators.Scd2.merge(
+      out.toSeq.toDF("k", "attr", "valid_from", "valid_to", "is_current")
+        .select(dimCols: _*),
+      inc, "k", Seq("attr"), lit(eff))
+      .as[(Long, String, Date, Option[Date], Boolean)].collect().toSet
+    assert(again == out)
+    // NULL attr values compare null-safely: NULL -> NULL is a no-op
+    val dimN = Seq((1L, Option.empty[String], Date.valueOf("2020-01-01"), Option.empty[Date], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val incN = Seq((1L, Option.empty[String])).toDF("k", "attr")
+    assert(graft.operators.Scd2.merge(dimN, incN, "k", Seq("attr"), lit(eff))
+      .filter(col("is_current") && col("valid_from") === "2020-01-01").count() == 1)
+  }
+
   test("writePartitioned round-trips with partition pruning layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_load").toString
     val df = Seq((1L, "EUR", 10.0), (2L, "USD", 20.0), (3L, "EUR", 30.0))

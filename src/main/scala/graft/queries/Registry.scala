@@ -317,6 +317,25 @@ object Registry {
         .withColumn("exposure", col("exposure").cast(DoubleType))
     }),
 
+    // table reconciliation (dbt-audit / data-diff): left = the loans dim,
+    // right = a deterministically drifted copy (removals on %11, exposure
+    // bump on %4, product reclassification on %9, brand-new keys on %13)
+    // — the diff reports added/removed/changed keys with the offending
+    // column names, and identical rows never appear
+    "table_diff" -> ((s, dir) => {
+      val l = loans(s, dir).withColumn("loan_id", col("loan_id").cast(LongType))
+        .select(col("loan_id"), col("product_type"), col("exposure"))
+      val r = l.filter(col("loan_id") % 11 =!= 0)
+        .select(col("loan_id"),
+          when(col("loan_id") % 9 === 0, lit("RECLASSIFIED"))
+            .otherwise(col("product_type")).as("product_type"),
+          when(col("loan_id") % 4 === 0, col("exposure") + 1)
+            .otherwise(col("exposure")).cast(DecimalType(18, 2)).as("exposure"))
+        .unionByName(l.filter(col("loan_id") % 13 === 0).select(
+          (col("loan_id") + 2000000L).as("loan_id"), col("product_type"), col("exposure")))
+      graft.operators.Reconcile.diff(l, r, "loan_id", Seq("product_type", "exposure"))
+    }),
+
     // dbt-incremental maintenance of the monthly mart: probe the current
     // max month (the `SELECT max(...)` boundary probe every incremental
     // model runs — one tiny agg job, the documented exception to the
@@ -818,6 +837,33 @@ object Registry {
       """SELECT doc_id, source,
         |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS dense_id
         |FROM documents""".stripMargin,
+
+    // full-outer-join reconciliation; concat_ws drops the NULL pieces in
+    // both engines, so equal attrs vanish from changed_cols identically
+    "table_diff" ->
+      s"""WITH $loansCte,
+         |l AS (SELECT CAST(loan_id AS BIGINT) AS loan_id, product_type, exposure FROM loans),
+         |r AS (
+         |  SELECT loan_id,
+         |         CASE WHEN loan_id % 9 = 0 THEN 'RECLASSIFIED' ELSE product_type END AS product_type,
+         |         CAST(CASE WHEN loan_id % 4 = 0 THEN exposure + 1 ELSE exposure END
+         |              AS DECIMAL(18,2)) AS exposure
+         |  FROM l WHERE loan_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT loan_id + 2000000, product_type, exposure FROM l WHERE loan_id % 13 = 0)
+         |SELECT COALESCE(l.loan_id, r.loan_id) AS loan_id,
+         |       CASE WHEN l.loan_id IS NULL THEN 'added'
+         |            WHEN r.loan_id IS NULL THEN 'removed'
+         |            ELSE 'changed' END AS change_type,
+         |       CASE WHEN l.loan_id IS NOT NULL AND r.loan_id IS NOT NULL THEN
+         |         concat_ws(',',
+         |           CASE WHEN NOT (l.product_type IS NOT DISTINCT FROM r.product_type) THEN 'product_type' END,
+         |           CASE WHEN NOT (l.exposure IS NOT DISTINCT FROM r.exposure) THEN 'exposure' END)
+         |       ELSE '' END AS changed_cols
+         |FROM l FULL JOIN r ON l.loan_id = r.loan_id
+         |WHERE l.loan_id IS NULL OR r.loan_id IS NULL
+         |   OR NOT (l.product_type IS NOT DISTINCT FROM r.product_type)
+         |   OR NOT (l.exposure IS NOT DISTINCT FROM r.exposure)""".stripMargin,
 
     // the declarative twin of the Scd2.merge branches; attr equality is
     // null-safe (IS NOT DISTINCT FROM ↔ Spark <=>)

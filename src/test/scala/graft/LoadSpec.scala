@@ -131,6 +131,24 @@ class LoadSpec extends SparkSpec {
       .filter(col("is_current") && col("valid_from") === "2020-01-01").count() == 1)
   }
 
+  test("Reconcile.diff reports only divergent keys with the offending columns") {
+    val l = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "p", "v")
+    val r = Seq((1L, "a", 10.0), (2L, "B", 20.0), (3L, "C", 33.0), (5L, "e", 50.0))
+      .toDF("k", "p", "v")
+    val got = graft.operators.Reconcile.diff(l, r, "k", Seq("p", "v"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (2L, "changed", "p"), (3L, "changed", "p,v"),
+      (4L, "removed", ""), (5L, "added", "")))
+    // NULL attrs compare null-safely: NULL -> NULL is not a change
+    val ln = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "p")
+    val rn = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "p")
+    val gotN = graft.operators.Reconcile.diff(ln, rn, "k", Seq("p"))
+      .as[(Long, String, String)].collect().toSet
+    assert(gotN == Set((2L, "changed", "p")))
+  }
+
   test("writePartitioned round-trips with partition pruning layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_load").toString
     val df = Seq((1L, "EUR", 10.0), (2L, "USD", 20.0), (3L, "EUR", 30.0))

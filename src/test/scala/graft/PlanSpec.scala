@@ -167,6 +167,22 @@ class PlanSpec extends SparkSpec {
     assert(got.head == 1.5 * 2.0 + 2.0 * -0.5)
   }
 
+  test("Scd2.merge costs one join — history passes through with no exchange of its own") {
+    import spark.implicits._
+    val dim = Seq((1L, "A", java.sql.Date.valueOf("2020-01-01"),
+        Option.empty[java.sql.Date], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val inc = Seq((1L, "B")).toDF("k", "attr")
+    val merged = graft.operators.Scd2.merge(dim, inc, "k", Seq("attr"),
+      lit(java.sql.Date.valueOf("2025-06-01")))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+    // at most the one keyed join exchanges; local relations may broadcast
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex <= 2, s"Scd2.merge planned $ex hash exchanges:\n$plan")
+  }
+
   test("monthly mart aggregation partially aggregates before the exchange") {
     val plan = Marts.nplMonthly(Marts.dpdDaily(Analog.arrears(tables), Analog.loans(tables)))
       .queryExecution.executedPlan.toString

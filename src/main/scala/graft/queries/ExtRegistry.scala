@@ -234,7 +234,16 @@ object ExtRegistry {
     "percentiles_by_type" -> ((s, dir) =>
       Tables(s, dir).events.groupBy(col("event_type")).agg(
         expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.95)").as("p95")))
+        expr("percentile(value, 0.95)").as("p95"))),
+
+    // the SCALE path for quantiles: fixed-grid histogram estimates —
+    // bounded (range/width) mergeable state instead of percentile()'s
+    // full per-group sort, and deterministic (unlike t-digest), so the
+    // estimator itself is oracle-checked bit-for-bit
+    "quantile_histogram" -> ((s, dir) =>
+      graft.operators.Quantiles.histogramQuantile(
+        Tables(s, dir).events, Seq("event_type"), "value", 5.0,
+        Seq("p50_est" -> 0.5, "p95_est" -> 0.95)))
   )
 
   // --------------------------------------------------------------- SQL
@@ -414,6 +423,28 @@ object ExtRegistry {
          |       CAST($quantQnormChain AS BIGINT) AS qnorm,
          |       ($quantErrChain) AS sq_err
          |FROM e""".stripMargin,
+
+    // same histogram, cumulative walk and in-bucket interpolation,
+    // replayed declaratively; every arithmetic step is the same IEEE op
+    // sequence the Spark estimator performs
+    "quantile_histogram" -> {
+      def est(q: String) =
+        s"""max(CASE WHEN CAST(cum - cnt AS DOUBLE) < $q * CAST(total AS DOUBLE)
+           |          AND $q * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+           |     THEN CAST(bucket AS DOUBLE) * 5.0
+           |          + ($q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+           |            / CAST(cnt AS DOUBLE) * 5.0 END)""".stripMargin
+      s"""WITH hist AS (
+         |  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket, count(*) AS cnt
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |            SUM(cnt) OVER (PARTITION BY event_type) AS total
+         |  FROM hist)
+         |SELECT event_type, ${est("0.5")} AS p50_est, ${est("0.95")} AS p95_est
+         |FROM c GROUP BY 1""".stripMargin
+    },
 
     "doc_repetition" ->
       s"""WITH $repCtes

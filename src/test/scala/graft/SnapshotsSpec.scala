@@ -152,4 +152,31 @@ class SnapshotsSpec extends SparkSpec {
         .queryExecution.executedPlan.toString).length
     assert(ex == 1, s"compressIntervals planned $ex exchanges, want 1")
   }
+
+  test("histogramQuantile interpolates the cumulative grid deterministically") {
+    import spark.implicits._
+    // 100 uniform values 0..99, one group: width 10 -> p50 lands at the
+    // bucket-4/5 boundary, interpolation gives exactly 50.0; p95 -> 95.0
+    val df = (0 until 100).map(v => ("g", v.toDouble)).toDF("k", "value")
+    val got = graft.operators.Quantiles
+      .histogramQuantile(df, Seq("k"), "value", 10.0,
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().head
+    assert(got.getAs[Double]("p50") == 50.0 && got.getAs[Double]("p95") == 95.0)
+    // partition-layout independent (the determinism t-digest can't give)
+    val re = graft.operators.Quantiles
+      .histogramQuantile(df.repartition(13), Seq("k"), "value", 10.0,
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().head
+    assert(re.getAs[Double]("p50") == 50.0 && re.getAs[Double]("p95") == 95.0)
+    // within one bucket width of the exact percentile on a skewed group,
+    // and NULLs are excluded like any SQL aggregate
+    val skew = (1 to 1000).map(v => ("s", Some(v * v / 1000.0))) :+ (("s", Option.empty[Double]))
+    val sdf = skew.toDF("k", "value")
+    val est = graft.operators.Quantiles
+      .histogramQuantile(sdf, Seq("k"), "value", 5.0, Seq("p50" -> 0.5))
+      .collect().head.getAs[Double]("p50")
+    val exact = sdf.selectExpr("percentile(value, 0.5) AS p").collect().head.getAs[Double]("p")
+    assert(math.abs(est - exact) <= 5.0, s"est=$est exact=$exact")
+  }
 }

@@ -317,6 +317,29 @@ object Registry {
         .withColumn("exposure", col("exposure").cast(DoubleType))
     }),
 
+    // range join as an equi-join: payments matched to the keyed order
+    // windows containing their date. The naive BETWEEN join is a
+    // broadcast nested loop; the grain-cell rewrite shuffles once on
+    // (loan_id, cell) — PlanSpec asserts no nested-loop/cartesian ever
+    // appears. The oracle states the BETWEEN semantics directly, so the
+    // rewrite is proven result-identical.
+    "interval_join_payments" -> ((s, dir) => {
+      val pay = Analog.payments(Tables(s, dir))
+        .select(col("loan_id"), col("payment_date"),
+          col("amount_received").cast(DoubleType).as("amount_received"))
+      val iv = Tables(s, dir).orders.select(
+        col("o_custkey").cast(LongType).as("loan_id"),
+        col("o_orderdate").cast(DateType).as("start_date"),
+        date_add(col("o_orderdate").cast(DateType),
+          (col("o_orderkey") % 30).cast(IntegerType)).as("end_date"),
+        col("o_orderkey").cast(LongType).as("interval_id"))
+      graft.operators.IntervalJoin
+        .pointInInterval(pay, iv, Seq("loan_id"), "payment_date",
+          "start_date", "end_date", 30)
+        .select(col("loan_id"), col("interval_id"), col("payment_date"),
+          col("start_date"), col("end_date"), col("amount_received"))
+    }),
+
     // table reconciliation (dbt-audit / data-diff): left = the loans dim,
     // right = a deterministically drifted copy (removals on %11, exposure
     // bump on %4, product reclassification on %9, brand-new keys on %13)
@@ -837,6 +860,22 @@ object Registry {
       """SELECT doc_id, source,
         |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS dense_id
         |FROM documents""".stripMargin,
+
+    // the BETWEEN semantics stated directly — DuckDB plans it however it
+    // likes; the Spark side must merely produce the identical relation
+    "interval_join_payments" ->
+      s"""WITH $payCte,
+         |iv AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS loan_id,
+         |         CAST(o_orderdate AS DATE) AS start_date,
+         |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INTEGER) AS end_date,
+         |         CAST(o_orderkey AS BIGINT) AS interval_id
+         |  FROM orders)
+         |SELECT CAST(p.loan_id AS BIGINT) AS loan_id, iv.interval_id, p.payment_date,
+         |       iv.start_date, iv.end_date,
+         |       CAST(p.amount_received AS DOUBLE) AS amount_received
+         |FROM pay p JOIN iv ON p.loan_id = iv.loan_id
+         |  AND p.payment_date BETWEEN iv.start_date AND iv.end_date""".stripMargin,
 
     // full-outer-join reconciliation; concat_ws drops the NULL pieces in
     // both engines, so equal attrs vanish from changed_cols identically

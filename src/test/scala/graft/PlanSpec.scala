@@ -167,6 +167,31 @@ class PlanSpec extends SparkSpec {
     assert(got.head == 1.5 * 2.0 + 2.0 * -0.5)
   }
 
+  test("pointInInterval plans an equi-join — the BETWEEN never becomes a nested loop") {
+    val pay = Analog.payments(tables)
+      .select(col("loan_id"), col("payment_date"), col("amount_received"))
+    val iv = tables.orders.select(
+      col("o_custkey").cast("long").as("loan_id"),
+      col("o_orderdate").cast("date").as("start_date"),
+      date_add(col("o_orderdate").cast("date"), (col("o_orderkey") % 30).cast("int")).as("end_date"),
+      col("o_orderkey").cast("long").as("interval_id"))
+    val joined = graft.operators.IntervalJoin.pointInInterval(
+      pay, iv, Seq("loan_id"), "payment_date", "start_date", "end_date", 30)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    // result identical to the direct (nested-loop) BETWEEN join
+    val direct = pay.join(iv, pay("loan_id") === iv("loan_id")
+        && col("payment_date") >= col("start_date")
+        && col("payment_date") <= col("end_date"))
+      .select(pay("loan_id"), col("interval_id"), col("payment_date"), col("amount_received"))
+    val cells = joined
+      .select(col("loan_id"), col("interval_id"), col("payment_date"), col("amount_received"))
+    assert(cells.count() == direct.count()
+      && cells.except(direct).count() == 0 && direct.except(cells).count() == 0)
+  }
+
   test("Scd2.merge costs one join — history passes through with no exchange of its own") {
     import spark.implicits._
     val dim = Seq((1L, "A", java.sql.Date.valueOf("2020-01-01"),

@@ -247,6 +247,30 @@ object Registry {
       graft.streaming.StreamingDpd.finalStateBatch(ev)
     }),
 
+    // the stream-stream join's batch driver signal: error events
+    // enriched with the same user's events from the trailing 30 minutes.
+    // trailingWindowJoin is read-agnostic — this exact plan, fed two
+    // readStream frames, is the watermark-bounded incremental join the
+    // StreamingSpec drives through MemoryStreams. Instants are micros on
+    // both sides (nanos are unobservable to the oracle).
+    "stream_join_batch" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val anchors = ev.filter(col("event_type") === "error").select(
+        col("event_id").as("anchor_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("anchor_ts"))
+      val probes = ev.select(
+        col("event_id").as("probe_id"), col("user_id").as("probe_user"),
+        timestamp_micros(expr("ts div 1000")).as("probe_ts"),
+        col("event_type").as("probe_type"))
+      graft.streaming.StreamingJoin.trailingWindowJoin(
+          anchors, probes, "user_id", "probe_user", "anchor_ts", "probe_ts",
+          expr("INTERVAL 30 MINUTES"), "1 hour")
+        .filter(col("probe_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("probe_id"), col("user_id"), col("probe_type"),
+          unix_micros(col("anchor_ts")).as("anchor_us"),
+          unix_micros(col("probe_ts")).as("probe_us"))
+    }),
+
     // the salted-join twin of dpd_daily: Skew.saltedJoin only changes the
     // physical distribution (content-hash salt on the fact, dim replicated
     // salts-fold), so the SAME dpd_daily oracle hash-proves the rewrite
@@ -845,6 +869,14 @@ object Registry {
 
     "sql_embedding_norms" ->
       s"""SELECT vec_id, ($nsqChain) AS nsq FROM embeddings""",
+
+    "stream_join_batch" ->
+      """SELECT a.event_id AS anchor_id, b.event_id AS probe_id, a.user_id,
+        |       b.event_type AS probe_type,
+        |       epoch_us(a.ts) AS anchor_us, epoch_us(b.ts) AS probe_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'error' AND b.event_id <> a.event_id
+        | AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 1800000000 AND epoch_us(a.ts)""".stripMargin,
 
     "load_surrogate_keys" ->
       """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal,

@@ -159,6 +159,50 @@ class ExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream trailingWindowJoin matches its batch twin across chunked delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // anchors = error events, probes = all events of the same user
+    val anchorRows = Seq((100L, 1L, ts("2021-01-01 10:00:00")),
+      (101L, 2L, ts("2021-01-01 12:00:00")))
+    val probeRows = Seq(
+      (1L, 1L, ts("2021-01-01 09:45:00"), "click"),   // in window of 100
+      (2L, 1L, ts("2021-01-01 09:20:00"), "view"),    // outside (40 min)
+      (3L, 2L, ts("2021-01-01 12:00:00"), "purchase"), // boundary: inclusive
+      (4L, 2L, ts("2021-01-01 12:00:01"), "click"))   // after anchor: excluded
+    val memA = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memP = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val anchors = memA.toDF().toDF("anchor_id", "user_id", "anchor_ts")
+    val probes = memP.toDF().toDF("probe_id", "probe_user", "probe_ts", "probe_type")
+    val joined = graft.streaming.StreamingJoin.trailingWindowJoin(
+      anchors, probes, "user_id", "probe_user", "anchor_ts", "probe_ts",
+      expr("INTERVAL 30 MINUTES"), "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sj_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // probes arrive first, anchors in a LATER micro-batch — the join
+      // state must hold them until the match shows up
+      memP.addData(probeRows.take(2))
+      q.processAllAvailable()
+      memA.addData(anchorRows.head)
+      memP.addData(probeRows.drop(2))
+      q.processAllAvailable()
+      memA.addData(anchorRows(1))
+      q.processAllAvailable()
+      val got = spark.table("sj_stream")
+        .select(col("anchor_id"), col("probe_id")).as[(Long, Long)].collect().toSet
+      // identical plan over batch frames
+      val want = graft.streaming.StreamingJoin.trailingWindowJoin(
+          anchorRows.toDF("anchor_id", "user_id", "anchor_ts"),
+          probeRows.toDF("probe_id", "probe_user", "probe_ts", "probe_type"),
+          "user_id", "probe_user", "anchor_ts", "probe_ts",
+          expr("INTERVAL 30 MINUTES"), "10 minutes")
+        .select(col("anchor_id"), col("probe_id")).as[(Long, Long)].collect().toSet
+      assert(want == Set((100L, 1L), (101L, 3L)), s"batch twin computed $want")
+      assert(got == want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("streaming withRunningState: running max, sticky NPL, cure signal") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingDpd.DpdEvent]

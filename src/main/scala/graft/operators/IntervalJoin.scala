@@ -33,8 +33,14 @@ object IntervalJoin {
     // in double far beyond any calendar range
     def cellOf(c: org.apache.spark.sql.Column) =
       floor(datediff(c, epoch) / lit(grainDays.toDouble)).cast("long")
+    // guard inverted intervals explicitly: sequence(a, b) with b < a
+    // auto-steps DOWNWARD in Spark (it would emit cells, all killed by
+    // the residual filter but shuffled first); an empty array explodes
+    // to zero rows, which is the documented contract
     val cells = intervals.withColumn("__cell",
-      explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)))))
+      explode(when(col(endCol) >= col(startCol),
+        sequence(cellOf(col(startCol)), cellOf(col(endCol))))
+        .otherwise(array().cast("array<long>"))))
     points.withColumn("__cell", cellOf(col(pointCol)))
       .join(cells, keys :+ "__cell")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))

@@ -190,6 +190,15 @@ class PlanSpec extends SparkSpec {
       .select(col("loan_id"), col("interval_id"), col("payment_date"), col("amount_received"))
     assert(cells.count() == direct.count()
       && cells.except(direct).count() == 0 && direct.except(cells).count() == 0)
+    // inverted and NULL intervals drop out before the shuffle
+    import spark.implicits._
+    val pts = Seq((1L, java.sql.Date.valueOf("2021-01-05"))).toDF("k", "d")
+    val ivs = Seq(
+      (1L, Some(java.sql.Date.valueOf("2021-01-10")), Some(java.sql.Date.valueOf("2021-01-01"))),
+      (1L, None, Some(java.sql.Date.valueOf("2021-01-10"))))
+      .toDF("k", "s", "e")
+    assert(graft.operators.IntervalJoin
+      .pointInInterval(pts, ivs, Seq("k"), "d", "s", "e", 7).count() == 0)
   }
 
   test("Scd2.merge costs one join — history passes through with no exchange of its own") {

@@ -17,12 +17,18 @@ import org.apache.spark.sql.graft.{DotProduct, KmvDistinct}
   *  - `graft_dot(array<float>, array<float>)` as a SQL-callable function
   *    (the [[DotProduct]] codegen expression), so the pure-SQL surface
   *    can run the embedding math with the same plan the DataFrame API
-  *    gets.
+  *    gets;
+  *  - the [[org.apache.spark.sql.graft.TopKPerGroupStrategy]] planner
+  *    strategy — the whole-operator extension level: per-group top-k
+  *    with map-side heap pruning (partial/final physical pair).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.SimplifyLiteralCaseFilter)
+    // whole-operator extension: per-group top-k with map-side heap
+    // pruning (partial/final pair; see TopKPerGroup scaladoc)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerGroupStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

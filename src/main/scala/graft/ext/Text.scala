@@ -151,4 +151,44 @@ object Text {
         (size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
           size(array_union(col("h_a"), col("h_b"))).cast(DoubleType)).as("jaccard"))
   }
+
+  /** Per-document top-k terms by tf·idf, the standard corpus keyword /
+    * salient-term extractor (reference capability family: text analysis
+    * over `documents`; cf. /root/reference README corpus stats).
+    *
+    * The idf factor is the exact rational N/df (reciprocal document
+    * frequency), NOT log(N/df): log is not required to be correctly
+    * rounded by IEEE 754, so `ln` results can differ between engines in
+    * the last ulp and break oracle hash parity (this repo's standing
+    * no-pow/exp/ln rule). N/df is monotone in df exactly like log(N/df),
+    * so the per-document RANKING — the operator's actual output — is
+    * identical for every df where log is injective; the score column is
+    * one exact long multiply (tf·N ≤ 10⁶·10¹² stays far inside int64)
+    * followed by a single IEEE division, reproducible bit-for-bit.
+    *
+    * Scale shape: one groupBy(doc_id, term) for tf (keyed shuffle of the
+    * token stream), one vocabulary-sized groupBy(term) for df, a join
+    * back on term (vocab follows a Zipf law, so the df side is orders of
+    * magnitude smaller than the token stream — AQE broadcasts it when it
+    * fits), and one per-document window for the top-k. No global sort,
+    * no driver collection; every stage is keyed on doc_id or term. */
+  def tfIdfTopTerms(documents: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, term), so df is a plain count
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.count()
+    val scored = tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        (col("tf") * lit(nDocs)).cast(DoubleType) / col("df").cast(DoubleType))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 }

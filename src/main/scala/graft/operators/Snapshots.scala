@@ -68,6 +68,48 @@ object Snapshots {
   def densifyDaily(df: DataFrame, startCol: Column, endCol: Column, dayName: String): DataFrame =
     df.withColumn(dayName, explode(sequence(startCol, endCol)))
 
+  /** Linear interpolation between sparse daily observations: for each
+    * key, every calendar day between consecutive observed days gets a
+    * value on the straight line joining them (the time-series gap-fill a
+    * metrics mart wants when the upstream only emits on-change rows;
+    * complements [[densifyDaily]], which carries values forward).
+    *
+    * Determinism contract: `valueCol` must be EXACT (integer — cents,
+    * counts), because the interpolated double is defined as
+    * `v0 + ((v1-v0)*(day-d0)) / (d1-d0)` with the numerator computed in
+    * exact int64 and ONE IEEE division — bit-reproducible by any engine
+    * that follows the same formula, unlike a naive `v0 + (v1-v0)*frac`
+    * chain whose two roundings depend on evaluation order.
+    *
+    * Shape: one (key, date) window exchange for lead(), then a narrow
+    * per-row explode of `sequence(0, gap-1)` — output scales with emitted
+    * days, never materializing a calendar×keys cross join. The final
+    * observation of each key closes its own segment (offset-0 only). */
+  def interpolateDaily(df: DataFrame, keyCol: Column, dateCol: Column,
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("d0"))
+    val withNext = df.select(
+        keyCol.as("k"), dateCol.as("d0"), valueCol.cast("long").as("v0"))
+      .withColumn("d1", lead(col("d0"), 1).over(w))
+      .withColumn("v1", lead(col("v0"), 1).over(w))
+    val gap = datediff(col("d1"), col("d0"))
+    withNext
+      .withColumn("off",
+        explode(when(col("d1").isNull, sequence(lit(0), lit(0)))
+          .otherwise(sequence(lit(0), gap - 1))))
+      .select(
+        col("k"),
+        date_add(col("d0"), col("off")).as("day"),
+        // offset 0 short-circuits to v0 exactly (also covers the last
+        // observation of a key, where d1/gap are NULL)
+        when(col("off") === 0, col("v0").cast("double"))
+          .otherwise(col("v0").cast("double") +
+            ((col("v1") - col("v0")) * col("off")).cast("double") /
+              datediff(col("d1"), col("d0")).cast("double"))
+          .as("value_interp"),
+        (col("off") === 0).as("is_observed"))
+  }
+
   /** Gaps-and-islands interval compression: collapse consecutive rows
     * with an unchanged state into one validity range — daily snapshots
     * become SCD-2-style (state, valid_from, valid_to, n_rows) intervals,

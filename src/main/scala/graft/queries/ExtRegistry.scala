@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ext.{MinHash, Multimodal}
+import graft.ext.{MinHash, Multimodal, Text}
 
 /** Registrations for the second wave of LLM-pipeline operators:
   * MinHash+LSH near-dup, SimHash sketches, regex tokenization, and the
@@ -243,7 +243,12 @@ object ExtRegistry {
     "quantile_histogram" -> ((s, dir) =>
       graft.operators.Quantiles.histogramQuantile(
         Tables(s, dir).events, Seq("event_type"), "value", 5.0,
-        Seq("p50_est" -> 0.5, "p95_est" -> 0.95)))
+        Seq("p50_est" -> 0.5, "p95_est" -> 0.95))),
+
+    // corpus keyword extraction: per-doc top-3 salient terms by tf·idf
+    // (rational idf — see Text.tfIdfTopTerms for why not log)
+    "tfidf_top_terms" -> ((s, dir) =>
+      Text.tfIdfTopTerms(Tables(s, dir).documents, 3))
   )
 
   // --------------------------------------------------------------- SQL
@@ -690,6 +695,25 @@ object ExtRegistry {
         |       ((1 + (doc_id * 17) % 600) + 9) // 10 AS frames_sampled,
         |       CAST(0 AS BIGINT) AS first_frame,
         |       (((1 + (doc_id * 17) % 600) + 9) // 10 - 1) * 10 * 24 AS last_frame
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // same rational-idf formula, same single multiply-then-divide order,
+    // so the double is bit-identical (see Text.tfIdfTopTerms scaladoc)
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3""".stripMargin
   )
 }

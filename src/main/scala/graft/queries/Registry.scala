@@ -129,6 +129,20 @@ object Registry {
         .select(col("o_orderkey"), col("day"))
     }),
 
+    // time-series gap-fill: per-user daily metric linearly interpolated
+    // between observed days (exact-cents base series so the interpolated
+    // double is one int64 numerator + one IEEE division — see
+    // Snapshots.interpolateDaily's determinism contract)
+    "interpolate_daily" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      val obs = ev.groupBy(col("user_id"), col("day")).agg(sum(col("cents")).as("cents"))
+      Snapshots.interpolateDaily(obs, col("user_id"), col("day"), col("cents"))
+        .withColumnRenamed("k", "user_id")
+    }),
+
     // RANGE window frame (value-based, not row-based): per-loan rolling
     // 30-day collected amount — peers at the same day all join the
     // frame, so the result is tie-order-independent; decimal sums exact
@@ -417,6 +431,86 @@ object Registry {
       graft.sources.Load.writePartitioned(ev, path, Seq("event_type"), Seq("event_id"))
       s.read.parquet(path).select(
         col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // whole-operator Catalyst extension: per-group top-k via the custom
+    // TopKPerGroupPlan/Strategy/Exec (map-side bounded-heap pruning
+    // before the shuffle — row_number() can't do this; the oracle IS the
+    // row_number() spelling, proving plan-shape divergence with result
+    // equality). Total order via the event_id tiebreak.
+    "topk_per_group" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("event_id"), col("event_type"), col("value"))
+      org.apache.spark.sql.graft.TopKPerGroup.topK(ev,
+        Seq(col("event_type")), Seq(col("value").desc, col("event_id").asc), 3)
+    }),
+
+    // ORC source/sink round-trip: the second columnar interchange format
+    // (same lossless contract as the parquet sink, different reader path)
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val path = graft.sources.Scratch.dir("graft_orc").resolve("events").toString
+      ev.write.orc(path)
+      s.read.schema(ev.schema).orc(path)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // bucketed co-located join: both sides written bucketed on the join
+    // key (external tables under a Scratch dir), then a sort-merge join
+    // that reads the bucket layout and SKIPS the shuffle on both sides —
+    // the write-once/join-many answer for repeated fact×fact joins at
+    // 100 TB (plan-asserted exchange-free in LoadSpec; the oracle checks
+    // the join result itself survives the bucketed storage boundary)
+    "bucketed_join" -> ((s, dir) => {
+      val scratch = graft.sources.Scratch.dir("graft_bucketed")
+      val ev = Tables(s, dir).events.select(col("event_id"), col("user_id"), col("value"))
+      val per = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      graft.sources.Load.writeBucketed(ev, "graft_b_events", "user_id", 8,
+        Seq("user_id"), Some(scratch.resolve("ev").toString))
+      graft.sources.Load.writeBucketed(per, "graft_b_users", "user_id", 8,
+        Seq("user_id"), Some(scratch.resolve("us").toString))
+      s.table("graft_b_events").hint("merge")
+        .join(s.table("graft_b_users"), Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("value"), col("n_events"))
+    }),
+
+    // JSONL source/sink round-trip: the interchange format every LLM
+    // corpus pipeline ingests. The oracle checks losslessness through
+    // Spark's JSON encode→decode (escaping, unicode, long fidelity) —
+    // read back with an EXPLICIT schema, the 100 TB posture (schema
+    // inference is a full extra pass over the data).
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      val path = graft.sources.Scratch.dir("graft_jsonl").resolve("docs").toString
+      docs.write.json(path)
+      s.read.schema(docs.schema).json(path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+    }),
+
+    // CSV round-trip under ADVERSARIAL content: the sf corpus text is
+    // delimiter-clean, so hostile bytes (comma, RFC-doubled quote,
+    // embedded newline, backslash) are INJECTED before the write — the
+    // quoteAll + quote-escape + multiLine config must carry them
+    // losslessly or the oracle hash catches it. nullValue is remapped to
+    // a sentinel no text field can contain (NUL) because the read-side
+    // default ("") would resurrect empty strings as NULLs — the classic
+    // CSV lossiness this sink config exists to avoid.
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val hostile = concat(col("text"), lit(", \"q\"\nL2\\end"))
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          hostile.as("text"))
+      val path = graft.sources.Scratch.dir("graft_csv").resolve("docs").toString
+      docs.write
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"")
+        .csv(path)
+      s.read.schema(docs.schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").option("nullValue", "\u0000")
+        .csv(path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
     })
   )
 
@@ -663,6 +757,32 @@ object Registry {
         |                INTERVAL 1 DAY)) AS d
         |  FROM orders) t""".stripMargin,
 
+    // same exact-numerator / one-division formula as the Spark side
+    "interpolate_daily" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |nxt AS (
+        |  SELECT user_id, day AS d0, cents AS v0,
+        |         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS d1,
+        |         lead(cents) OVER (PARTITION BY user_id ORDER BY day) AS v1
+        |  FROM obs),
+        |ex AS (
+        |  SELECT user_id, d0, v0, d1, v1,
+        |         unnest(CASE WHEN d1 IS NULL THEN [CAST(0 AS BIGINT)]
+        |                ELSE generate_series(CAST(0 AS BIGINT),
+        |                       CAST(date_diff('day', d0, d1) - 1 AS BIGINT)) END) AS off
+        |  FROM nxt)
+        |SELECT user_id,
+        |       CAST(d0 + INTERVAL (off) DAY AS DATE) AS day,
+        |       CASE WHEN off = 0 THEN CAST(v0 AS DOUBLE)
+        |            ELSE CAST(v0 AS DOUBLE) +
+        |                 CAST((v1 - v0) * off AS DOUBLE) /
+        |                 CAST(date_diff('day', d0, d1) AS DOUBLE) END AS value_interp,
+        |       (off = 0) AS is_observed
+        |FROM ex""".stripMargin,
+
     "rolling_collections_30d" ->
       s"""WITH $payCte
          |SELECT loan_id, payment_date,
@@ -885,6 +1005,31 @@ object Registry {
 
     "load_partitioned_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events""".stripMargin,
+
+    "source_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, text FROM documents""".stripMargin,
+
+    "source_orc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT event_id, event_type, value FROM (
+        |  SELECT event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin,
+
+    "bucketed_join" ->
+      """WITH per AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT e.user_id, e.event_id, e.value, per.n_events
+        |FROM events e JOIN per USING (user_id)""".stripMargin,
+
+    // the same hostile suffix the Spark side injects pre-write; the
+    // oracle never sees the CSV — it proves the encode→decode identity
+    "source_csv_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |       text || ', "q"' || chr(10) || 'L2\end' AS text
+        |FROM documents""".stripMargin,
 
     // the sharded two-phase assignment must equal the one global
     // row_number — the oracle IS the semantic contract

@@ -122,8 +122,12 @@ object Load {
     * snapshot fact bucketed once, every downstream join is exchange-free
     * on that side). */
   def writeBucketed(df: DataFrame, table: String, bucketKey: String, nBuckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet").bucketBy(nBuckets, bucketKey)
+      sortCols: Seq[String] = Nil, path: Option[String] = None): Unit = {
+    // an explicit path makes the table EXTERNAL (data under the caller's
+    // dir — e.g. a self-cleaning Scratch dir — instead of the session
+    // warehouse); bucketing metadata lives in the catalog either way
+    val base = df.write.mode("overwrite").format("parquet")
+    val w = path.fold(base)(p => base.option("path", p)).bucketBy(nBuckets, bucketKey)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

@@ -223,4 +223,30 @@ class PlanSpec extends SparkSpec {
     // map-side combine: a partial_ aggregation mode appears below the shuffle
     assert(plan.contains("partial_sum") || plan.contains("Partial"), plan)
   }
+
+  test("TopKPerGroup plans partial-over-exchange-over-partial, result == row_number") {
+    import org.apache.spark.sql.graft.{TopKPerGroup, TopKPerGroupExec}
+    import org.apache.spark.sql.expressions.Window
+    val ev = tables.events.select(col("event_id"), col("event_type"), col("value"))
+      .repartition(7) // force multi-partition input so the map-side stage matters
+    val topk = TopKPerGroup.topK(ev,
+      Seq(col("event_type")), Seq(col("value").desc, col("event_id").asc), 3)
+    topk.count() // materialize so AQE's final physical plan exists
+    val root = topk.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val execs = root.collect { case e: TopKPerGroupExec => e }
+    assert(execs.map(_.partial).sorted == Seq(false, true),
+      s"expected a partial/final pair, got $execs in:\n$root")
+    val plan = root.toString
+    // the exchange between the pair is the ONLY shuffle the operator adds
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+    val expected = ev.withColumn("rn",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(topk.exceptAll(expected).isEmpty && expected.exceptAll(topk).isEmpty,
+      "TopKPerGroup result differs from the window spelling")
+  }
 }

@@ -179,4 +179,26 @@ class SnapshotsSpec extends SparkSpec {
     val exact = sdf.selectExpr("percentile(value, 0.5) AS p").collect().head.getAs[Double]("p")
     assert(math.abs(est - exact) <= 5.0, s"est=$est exact=$exact")
   }
+
+  test("interpolateDaily fills gaps on the straight line, endpoints exact") {
+    val obs = Seq(
+      (1L, "2021-01-01", 100L),
+      (1L, "2021-01-05", 300L), // 4-day gap: 150/200/250 interpolated
+      (1L, "2021-01-06", 280L), // adjacent days: no synthetic rows
+      (2L, "2021-02-01", 7L)    // singleton key: one observed row
+    ).toDF("k0", "d", "v")
+      .withColumn("day0", to_date(col("d")))
+    val got = Snapshots
+      .interpolateDaily(obs, col("k0"), col("day0"), col("v"))
+      .select(col("k"), col("day").cast("string"), col("value_interp"), col("is_observed"))
+      .as[(Long, String, Double, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "2021-01-01", 100.0, true),
+      (1L, "2021-01-02", 150.0, false),
+      (1L, "2021-01-03", 200.0, false),
+      (1L, "2021-01-04", 250.0, false),
+      (1L, "2021-01-05", 300.0, true),
+      (1L, "2021-01-06", 280.0, true),
+      (2L, "2021-02-01", 7.0, true)))
+  }
 }

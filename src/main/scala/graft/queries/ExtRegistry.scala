@@ -248,7 +248,32 @@ object ExtRegistry {
     // corpus keyword extraction: per-doc top-3 salient terms by tf·idf
     // (rational idf — see Text.tfIdfTopTerms for why not log)
     "tfidf_top_terms" -> ((s, dir) =>
-      Text.tfIdfTopTerms(Tables(s, dir).documents, 3))
+      Text.tfIdfTopTerms(Tables(s, dir).documents, 3)),
+
+    // per-group z-score outlier detection over a quantized (exact-cents)
+    // metric. Spark's stddev aggregates FLOATS in partition order
+    // (non-reproducible across engines/shuffles), so the moments are
+    // exact int64 sums (n, Σx, Σx²) — partial-aggregable, one shuffle —
+    // and mean/variance/z follow one fixed IEEE formula on both sides.
+    // Σx² ≤ groupRows·(10²·maxValue)² — int64-safe through petabyte row
+    // counts for cent-scale metrics (overflow would need ~10¹⁸)
+    "anomaly_zscore" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sx2"))
+        .withColumn("mean", col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("sd", sqrt(
+          (col("sx2").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+            / col("n").cast(DoubleType)))
+      ev.join(stats.select(col("event_type"), col("mean"), col("sd")), Seq("event_type"))
+        .withColumn("z", (col("cents").cast(DoubleType) - col("mean")) / col("sd"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("cents"), col("z"))
+    })
   )
 
   // --------------------------------------------------------------- SQL
@@ -696,6 +721,29 @@ object ExtRegistry {
         |       CAST(0 AS BIGINT) AS first_frame,
         |       (((1 + (doc_id * 17) % 600) + 9) // 10 - 1) * 10 * 24 AS last_frame
         |FROM documents""".stripMargin,
+
+    // identical exact-moment formula: population variance from integer
+    // (n, Σx, Σx²), never a float-accumulating stddev aggregate
+    "anomaly_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(cents) AS sx,
+        |         sum(cents * cents) AS sx2
+        |  FROM ev GROUP BY 1),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |         sqrt((CAST(sx2 AS DOUBLE) -
+        |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |              / CAST(n AS DOUBLE)) AS sd
+        |  FROM st)
+        |SELECT ev.event_id, ev.event_type, ev.cents,
+        |       (CAST(ev.cents AS DOUBLE) - s.mean) / s.sd AS z
+        |FROM ev JOIN stats s USING (event_type)
+        |WHERE abs((CAST(ev.cents AS DOUBLE) - s.mean) / s.sd) > 3.0""".stripMargin,
 
     // same rational-idf formula, same single multiply-then-divide order,
     // so the double is bit-identical (see Text.tfIdfTopTerms scaladoc)

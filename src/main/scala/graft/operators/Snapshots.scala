@@ -84,7 +84,9 @@ object Snapshots {
     * Shape: one (key, date) window exchange for lead(), then a narrow
     * per-row explode of `sequence(0, gap-1)` — output scales with emitted
     * days, never materializing a calendar×keys cross join. The final
-    * observation of each key closes its own segment (offset-0 only). */
+    * observation of each key closes its own segment (offset-0 only).
+    * Input must be unique per (key, date) — aggregate first; duplicate
+    * dates degrade to pass-through rows (guarded below), not phantoms. */
   def interpolateDaily(df: DataFrame, keyCol: Column, dateCol: Column,
       valueCol: Column): DataFrame = {
     val w = Window.partitionBy(col("k")).orderBy(col("d0"))
@@ -94,8 +96,12 @@ object Snapshots {
       .withColumn("v1", lead(col("v0"), 1).over(w))
     val gap = datediff(col("d1"), col("d0"))
     withNext
+      // gap <= 0 (duplicate (key, date) input rows — a contract breach)
+      // degrades to offset-0 pass-through rather than feeding
+      // sequence(0, -1), whose inferred NEGATIVE step would emit a
+      // phantom day-before-observation row
       .withColumn("off",
-        explode(when(col("d1").isNull, sequence(lit(0), lit(0)))
+        explode(when(col("d1").isNull || gap <= 0, sequence(lit(0), lit(0)))
           .otherwise(sequence(lit(0), gap - 1))))
       .select(
         col("k"),

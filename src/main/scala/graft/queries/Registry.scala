@@ -495,7 +495,11 @@ object Registry {
     // losslessly or the oracle hash catches it. nullValue is remapped to
     // a sentinel no text field can contain (NUL) because the read-side
     // default ("") would resurrect empty strings as NULLs — the classic
-    // CSV lossiness this sink config exists to avoid.
+    // CSV lossiness this sink config exists to avoid. Scale note:
+    // multiLine makes each CSV FILE non-splittable (embedded newlines
+    // defeat offset-based splits) — parallelism then comes from file
+    // count, and columnar/JSONL formats are the right 100 TB interchange;
+    // this sink exists for the ingest boundary where CSV is imposed.
     "source_csv_roundtrip" -> ((s, dir) => {
       val hostile = concat(col("text"), lit(", \"q\"\nL2\\end"))
       val docs = Tables(s, dir).documents

@@ -146,4 +146,24 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: TopKPerGroup equals the row_number spelling on random skewed data") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed groups (one dominant key), duplicate values (tiebreak via id),
+    // a singleton group, and k larger than some groups
+    val rows = sample(for {
+      g <- Gen.frequency((8, Gen.const(0)), (3, Gen.chooseNum(1, 5)), (1, Gen.const(99)))
+      v <- Gen.chooseNum(-100L, 100L)
+    } yield (g, v), 400).zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = rows.toDF("id", "g", "v").repartition(11)
+    for (k <- Seq(1, 3, 17)) {
+      val topk = org.apache.spark.sql.graft.TopKPerGroup
+        .topK(df, Seq(col("g")), Seq(col("v").desc, col("id").asc), k)
+      val expected = df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)))
+        .filter(col("rn") <= k).drop("rn")
+      assert(topk.exceptAll(expected).isEmpty && expected.exceptAll(topk).isEmpty,
+        s"TopKPerGroup k=$k diverges from row_number")
+    }
+  }
 }

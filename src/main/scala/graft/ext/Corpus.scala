@@ -94,6 +94,82 @@ object Corpus {
           .as("chunk_text"))
   }
 
+  /** Per-source quality percentile: each document's position in ITS
+    * source's token-count distribution — the normalization behind "keep
+    * the top X% of every source" (a global cutoff would let a verbose
+    * source crowd out a terse one). pct = rows-at-or-below / rows, both
+    * counted with an explicit RANGE window so tie handling and the ONE
+    * IEEE division are pinned on both engines (the built-in cume_dist is
+    * the same number, but its internal arithmetic isn't contractual).
+    * One (source)-partitioned window; per-source slices are large at
+    * corpus scale, so the approximate scale path for the same decision is
+    * [[curriculumBuckets]]-style histogram boundaries per source. */
+  def qualityPercentile(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokenCnt = size(split(col("text"), " ")).cast("long")
+    val wLe = Window.partitionBy(col("source")).orderBy(col("token_cnt"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    documents
+      .select(col("doc_id"), col("source"), tokenCnt.as("token_cnt"))
+      .withColumn("pct",
+        count(lit(1)).over(wLe).cast("double") / count(lit(1)).over(wAll).cast("double"))
+  }
+
+  /** Deterministic mix-bucket hash in [0, 100): the sampling coordinate
+    * for [[datasetMix]]. DIFFERENT affine constants than [[splitBucket]]
+    * on purpose — mix selection must be independent of train/test
+    * assignment or the mix would systematically favor one split. Same
+    * overflow/sign discipline (reduce mod the prime first; normalize
+    * negatives into [0, 100)). */
+  def mixBucket(id: Column): Column =
+    ((id % 1000003L) * 1103515245L % 1000003L % 100L + 100L) % 100L
+
+  /** Weighted dataset mixing for a training corpus: each source is kept
+    * at its configured percentage (weights in [0, 100], unlisted sources
+    * at `defaultPct`), selected by the deterministic per-id hash — so the
+    * mix is reproducible, partition-independent, and a document's fate
+    * never changes as the corpus grows (unlike `sample()`/`rand`).
+    * One narrow filter — no shuffle, no per-source pass; the weight
+    * lookup is a literal CASE chain (source cardinality is config-sized).
+    * Downsampling only: a weight > 100 (upsampling/epoch repeats) is the
+    * caller's explode to build, rejected here. */
+  def datasetMix(documents: DataFrame, weights: Seq[(String, Int)],
+      defaultPct: Int): DataFrame = {
+    require((defaultPct +: weights.map(_._2)).forall(w => w >= 0 && w <= 100),
+      s"weights must be percentages in [0,100]")
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (src, w)) =>
+      when(col("source") === src, w).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("source"), col("lang"), pct.as("mix_pct"))
+      .filter(mixBucket(col("doc_id")) < col("mix_pct"))
+  }
+
+  /** Curriculum bucketing: documents assigned to difficulty quartiles by
+    * token count — the SCALE-SAFE spelling of `ntile(4)`. A global ntile
+    * is a single-task total sort at any size; here the quartile
+    * boundaries come from the bounded-state histogram estimator
+    * ([[graft.operators.Quantiles.histogramQuantile]] — state is
+    * value-range/width, never row count), land in a one-row frame, and
+    * the assignment is a broadcast-joined CASE over the boundaries: one
+    * groupBy shuffle over bucket counts total. Bucket edges are the
+    * deterministic estimates, so the whole assignment oracle-checks. */
+  def curriculumBuckets(documents: DataFrame, width: Double = 8.0): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("token_cnt"))
+    val bounds = graft.operators.Quantiles.histogramQuantile(
+      toks, Nil, "token_cnt", width,
+      Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+    toks.join(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("token_cnt").cast("double") <= col("q1"), 0)
+          .when(col("token_cnt").cast("double") <= col("q2"), 1)
+          .when(col("token_cnt").cast("double") <= col("q3"), 2)
+          .otherwise(3))
+      .select(col("doc_id"), col("token_cnt"), col("bucket"))
+  }
+
   /** Sequence packing for training-batch assembly: documents are packed
     * into fixed token-capacity bins by quantizing the running token count
     * — `pack_id = (cumulative_tokens - 1) div capacity` over a

@@ -81,4 +81,26 @@ object Skew {
       // but countDistinct ignores NULLs — counting the value column
       // skips it too, keeping the rewrite exactly result-identical
       .agg(count(col(valueCol)).as(resultName))
+
+  /** Hot-key diagnostic: the report an engineer reads BEFORE reaching for
+    * [[saltedJoin]] — the top-k keys by row count with each key's share
+    * of the table and a flag at the configured share threshold. Shape is
+    * scale-safe end to end: one groupBy shuffle to key counts, top-k via
+    * orderBy+limit (distributed take-ordered, never a rank window's
+    * single-task sort), and the total arrives as a broadcast one-row
+    * cross join AFTER the limit — at no point does the full key list
+    * pass through one task. Total order (cnt desc, key asc) makes the
+    * k-boundary deterministic under ties. */
+  def hotKeyReport(df: DataFrame, keyCol: String, topK: Int,
+      hotShare: Double): DataFrame = {
+    require(topK > 0 && hotShare > 0, s"need positive topK/hotShare, got $topK/$hotShare")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+    val total = df.agg(count(lit(1)).as("total"))
+    counts.join(broadcast(total))
+      .withColumn("share", col("cnt").cast("double") / col("total").cast("double"))
+      .select(col(keyCol), col("cnt"), col("share"),
+        (col("share") > hotShare).as("hot"))
+  }
 }

@@ -273,7 +273,28 @@ object ExtRegistry {
         .withColumn("z", (col("cents").cast(DoubleType) - col("mean")) / col("sd"))
         .filter(abs(col("z")) > 3.0)
         .select(col("event_id"), col("event_type"), col("cents"), col("z"))
-    })
+    }),
+
+    // per-source quality percentile: "top X% of EVERY source", not a
+    // global cutoff a verbose source would dominate
+    "quality_percentile" -> ((s, dir) =>
+      graft.ext.Corpus.qualityPercentile(Tables(s, dir).documents)),
+
+    // weighted deterministic training mix: curated sources kept whole,
+    // the long tail downsampled — reproducible, partition-independent
+    "dataset_mix" -> ((s, dir) =>
+      graft.ext.Corpus.datasetMix(Tables(s, dir).documents,
+        Seq("src0" -> 100, "src1" -> 100, "src2" -> 60, "src3" -> 60), 30)),
+
+    // curriculum quartiles from bounded-state histogram boundaries —
+    // the scale-safe ntile(4)
+    "curriculum_buckets" -> ((s, dir) =>
+      graft.ext.Corpus.curriculumBuckets(Tables(s, dir).documents)),
+
+    // the pre-salting diagnostic: top-20 hottest keys with table share
+    "skew_report" -> ((s, dir) =>
+      graft.operators.Skew.hotKeyReport(
+        Tables(s, dir).events.select(col("user_id")), "user_id", 20, 0.008))
   )
 
   // --------------------------------------------------------------- SQL
@@ -762,6 +783,75 @@ object ExtRegistry {
         |  SELECT *, CAST(row_number() OVER (
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
         |  FROM scored)
-        |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3""".stripMargin
+        |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3""".stripMargin,
+
+    // explicit RANGE-frame peer count / partition count with ONE cast
+    // division — the contractual spelling of cume_dist on both engines
+    "quality_percentile" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt
+        |  FROM documents)
+        |SELECT doc_id, source, token_cnt,
+        |       CAST(count(*) OVER (PARTITION BY source ORDER BY token_cnt
+        |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |       / CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS pct
+        |FROM t""".stripMargin,
+
+    // same affine mix-hash (reduce mod prime first, sign-normalized) and
+    // the same literal weight CASE
+    "dataset_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, lang,
+        |         CAST(CASE WHEN source = 'src0' THEN 100
+        |                   WHEN source = 'src1' THEN 100
+        |                   WHEN source = 'src2' THEN 60
+        |                   WHEN source = 'src3' THEN 60
+        |                   ELSE 30 END AS INTEGER) AS mix_pct
+        |  FROM documents)
+        |SELECT doc_id, source, lang, mix_pct FROM m
+        |WHERE ((doc_id % 1000003) * 1103515245 % 1000003 % 100 + 100) % 100
+        |      < mix_pct""".stripMargin,
+
+    // global single-group twin of the quantile_histogram estimator
+    // (width 8), boundaries then a CASE over them
+    "curriculum_buckets" -> {
+      def est(q: String) =
+        s"""max(CASE WHEN CAST(cum - cnt AS DOUBLE) < $q * CAST(total AS DOUBLE)
+           |          AND $q * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+           |     THEN CAST(bucket AS DOUBLE) * 8.0
+           |          + ($q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+           |            / CAST(cnt AS DOUBLE) * 8.0 END)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt
+         |  FROM documents),
+         |hist AS (
+         |  SELECT CAST(floor(CAST(token_cnt AS DOUBLE) / 8.0) AS BIGINT) AS bucket,
+         |         count(*) AS cnt
+         |  FROM t GROUP BY 1),
+         |c AS (
+         |  SELECT *, SUM(cnt) OVER (ORDER BY bucket
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |            SUM(cnt) OVER () AS total
+         |  FROM hist),
+         |b AS (SELECT ${est("0.25")} AS q1, ${est("0.5")} AS q2,
+         |             ${est("0.75")} AS q3 FROM c)
+         |SELECT t.doc_id, t.token_cnt,
+         |       CAST(CASE WHEN CAST(t.token_cnt AS DOUBLE) <= b.q1 THEN 0
+         |                 WHEN CAST(t.token_cnt AS DOUBLE) <= b.q2 THEN 1
+         |                 WHEN CAST(t.token_cnt AS DOUBLE) <= b.q3 THEN 2
+         |                 ELSE 3 END AS INTEGER) AS bucket
+         |FROM t, b""".stripMargin
+    },
+
+    // ties at the k-boundary broken by (cnt desc, key asc) total order
+    "skew_report" ->
+      """WITH k AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT user_id, cnt,
+        |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) > 0.008 AS hot
+        |FROM k, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
   )
 }

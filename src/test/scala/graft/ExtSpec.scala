@@ -424,6 +424,64 @@ class ExtSpec extends SparkSpec {
     assert(sqlEst == est)
   }
 
+  test("datasetMix: deterministic, partition-independent, weights honored at the extremes") {
+    val d = (0L until 400L).map(i => (i, s"src${i % 4}", "en", "t")).toDF("doc_id", "source", "lang", "text")
+    val picked = graft.ext.Corpus.datasetMix(d, Seq("src0" -> 100, "src1" -> 0), 50)
+    val ids = picked.select("doc_id").as[Long].collect().toSet
+    // weight 100 keeps every src0 row; weight 0 drops every src1 row
+    assert((0L until 400L by 4L).forall(ids.contains))
+    assert(!ids.exists(_ % 4 == 1))
+    // default weight actually downsamples (not all, not none)
+    val src2 = ids.count(_ % 4 == 2)
+    assert(src2 > 0 && src2 < 100)
+    // same selection regardless of physical layout
+    val re = graft.ext.Corpus.datasetMix(d.repartition(13), Seq("src0" -> 100, "src1" -> 0), 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == ids)
+    // mix-hash decorrelated from the train/test split hash: selection at
+    // 50% is NOT the same subset as splitBucket < 50
+    val splitLow = (0L until 400L).filter(i => ((i % 1000003L) * 2654435761L % 1000003L % 100L + 100L) % 100L < 50L).toSet
+    val mixLow = ids.filter(_ % 4 == 2).map(identity)
+    assert(mixLow.exists(!splitLow.contains(_)) || splitLow.exists(i => i % 4 == 2 && !ids.contains(i)))
+  }
+
+  test("curriculumBuckets: buckets are monotone in token count and span 0..3") {
+    val d = (1L to 200L).map(i => (i, Seq.fill((i % 40 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.ext.Corpus.curriculumBuckets(d)
+      .collect().map(r => (r.getAs[Long]("token_cnt"), r.getAs[Int]("bucket")))
+    assert(rows.map(_._2).toSet == Set(0, 1, 2, 3))
+    // same token count -> same bucket; bucket non-decreasing in tokens
+    val byTok = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byTok.values.forall(_.size == 1))
+    val sorted = byTok.toSeq.sortBy(_._1).map(_._2.head)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("hotKeyReport: exact counts, shares against the true total, k bound") {
+    val d = (Seq.fill(50)(7L) ++ Seq.fill(30)(8L) ++ (0L until 20L)).toDF("k")
+    val rep = graft.operators.Skew.hotKeyReport(d, "k", 3, 0.2)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("share"), r.getAs[Boolean]("hot")))
+    assert(rep.length == 3)
+    // 0..19 re-includes 7 and 8, so the hot keys count 51 and 31
+    assert(rep.map(t => (t._1, t._2)).toSet == Set((7L, 51L), (8L, 31L), (0L, 1L)))
+    val total = 100.0
+    assert(rep.forall(t => t._3 == t._2 / total))
+    assert(rep.count(_._4) == 2) // 0.5 and 0.3 above the 0.2 threshold
+  }
+
+  test("qualityPercentile: per-source, monotone, max pct is 1.0") {
+    val d = Seq(
+      (1L, "a", "x"), (2L, "a b", "x"), (3L, "a b c", "x"),
+      (4L, "a", "y"), (5L, "a b c d", "y")
+    ).map { case (id, t, s) => (id, t, s) }.toDF("doc_id", "text", "source")
+    val rows = graft.ext.Corpus.qualityPercentile(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("token_cnt"), r.getAs[Double]("pct")))
+    assert(rows.filter(_._1 == "x").map(_._3).toSet == Set(1.0 / 3, 2.0 / 3, 1.0))
+    assert(rows.filter(_._1 == "y").map(_._3).toSet == Set(0.5, 1.0))
+  }
+
   test("near-dup/ANN operators register nothing in the session cache manager") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -294,7 +294,13 @@ object ExtRegistry {
     // the pre-salting diagnostic: top-20 hottest keys with table share
     "skew_report" -> ((s, dir) =>
       graft.operators.Skew.hotKeyReport(
-        Tables(s, dir).events.select(col("user_id")), "user_id", 20, 0.008))
+        Tables(s, dir).events.select(col("user_id")), "user_id", 20, 0.008)),
+
+    // blocked fuzzy entity matching over the part dimension's
+    // "adjective noun" names: block on the head noun, levenshtein verify
+    "entity_match" -> ((s, dir) =>
+      graft.ext.Entity.blockedMatches(
+        Tables(s, dir).part.select(col("p_name")), "p_name", 3))
   )
 
   // --------------------------------------------------------------- SQL
@@ -852,6 +858,17 @@ object ExtRegistry {
         |SELECT user_id, cnt,
         |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
         |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) > 0.008 AS hot
-        |FROM k, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
+        |FROM k, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+
+    // same blocking key (last whitespace token) and the same integer
+    // edit-distance verify — candidate set and verdicts both replayed
+    "entity_match" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part
+        |               WHERE p_name IS NOT NULL),
+        |b AS (SELECT name, string_split(name, ' ')[-1] AS block FROM names)
+        |SELECT x.name AS name_a, y.name AS name_b, x.block,
+        |       CAST(levenshtein(x.name, y.name) AS INTEGER) AS distance
+        |FROM b x JOIN b y ON x.block = y.block AND x.name < y.name
+        |WHERE levenshtein(x.name, y.name) <= 3""".stripMargin
   )
 }

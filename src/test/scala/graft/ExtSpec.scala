@@ -482,6 +482,25 @@ class ExtSpec extends SparkSpec {
     assert(rows.filter(_._1 == "y").map(_._3).toSet == Set(0.5, 1.0))
   }
 
+  test("blockedMatches: in-block hits, cross-block misses, oversized blocks excluded") {
+    val d = Seq(
+      "red bolt", "rod bolt",      // distance 1, same block
+      "red bolt",                  // duplicate mention collapses
+      "red jolt",                  // edit in the BLOCKING token: documented miss
+      "x gear", "y gear", "z gear" // oversized block under maxBlock = 2
+    ).toDF("name")
+    val m = graft.ext.Entity.blockedMatches(d, "name", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Int]("distance")))
+    // uncapped: the bolt pair plus all three gear pairs; never the
+    // cross-block "red jolt" despite distance 1 from "red bolt"
+    assert(m.toSet == Set(("red bolt", "rod bolt", 1),
+      ("x gear", "y gear", 1), ("x gear", "z gear", 1), ("y gear", "z gear", 1)))
+    val capped = graft.ext.Entity.blockedMatches(d, "name", 2, maxBlock = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // gear block (3 names) excluded wholesale by the cap; bolt pair stays
+    assert(capped.toSet == Set(("red bolt", "rod bolt")))
+  }
+
   test("near-dup/ANN operators register nothing in the session cache manager") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

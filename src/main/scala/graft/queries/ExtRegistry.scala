@@ -300,7 +300,25 @@ object ExtRegistry {
     // "adjective noun" names: block on the head noun, levenshtein verify
     "entity_match" -> ((s, dir) =>
       graft.ext.Entity.blockedMatches(
-        Tables(s, dir).part.select(col("p_name")), "p_name", 3))
+        Tables(s, dir).part.select(col("p_name")), "p_name", 3)),
+
+    // Count-Min frequency estimates next to the exact counts: one
+    // bounded-state (3×64 counters) sketch per event_type, point
+    // estimates = min of each key's 3 counters — always ≥ exact; the
+    // narrow width forces visible collisions so the overestimate
+    // property is exercised, and the affine hash rows replay in SQL
+    "cms_user_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.CountMinSketch
+      val d = 3; val w = 64
+      val ev = Tables(s, dir).events.select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(CountMinSketch.cms(col("user_id"), d, w).as("sketch"))
+      val exact = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      exact.join(broadcast(sk), Seq("event_type"))
+        .select(col("event_type"), col("user_id"), col("exact_cnt"),
+          CountMinSketch.estimate(col("sketch"), col("user_id"), d, w).as("cms_est"))
+    })
   )
 
   // --------------------------------------------------------------- SQL
@@ -869,6 +887,33 @@ object ExtRegistry {
         |SELECT x.name AS name_a, y.name AS name_b, x.block,
         |       CAST(levenshtein(x.name, y.name) AS INTEGER) AS distance
         |FROM b x JOIN b y ON x.block = y.block AND x.name < y.name
-        |WHERE levenshtein(x.name, y.name) <= 3""".stripMargin
+        |WHERE levenshtein(x.name, y.name) <= 3""".stripMargin,
+
+    // the sketch's grid cells ARE exact per-(row, cell) counts, so the
+    // oracle rebuilds them by group-by over the same affine hash rows
+    // and takes the same min — grid and estimates replayed exactly
+    "cms_user_counts" ->
+      """WITH ev AS (SELECT event_type, user_id FROM events),
+        |h(i, a, b) AS (VALUES (0, 1103515245, 12345), (1, 2654435761, 97),
+        |               (2, 22695477, 1)),
+        |cells AS (
+        |  SELECT event_type, h.i,
+        |         (((user_id % 2147483647) * h.a + h.b) % 2147483647 % 64
+        |          + 64) % 64 AS cell,
+        |         count(*) AS cnt
+        |  FROM ev CROSS JOIN h GROUP BY 1, 2, 3),
+        |exact AS (
+        |  SELECT event_type, user_id, count(*) AS exact_cnt
+        |  FROM ev GROUP BY 1, 2),
+        |est AS (
+        |  SELECT e.event_type, e.user_id, min(c.cnt) AS cms_est
+        |  FROM exact e CROSS JOIN h
+        |  JOIN cells c ON c.event_type = e.event_type AND c.i = h.i
+        |    AND c.cell = (((e.user_id % 2147483647) * h.a + h.b)
+        |                  % 2147483647 % 64 + 64) % 64
+        |  GROUP BY 1, 2)
+        |SELECT e.event_type, e.user_id, e.exact_cnt, s.cms_est
+        |FROM exact e JOIN est s
+        |  ON e.event_type = s.event_type AND e.user_id = s.user_id""".stripMargin
   )
 }

@@ -501,6 +501,32 @@ class ExtSpec extends SparkSpec {
     assert(capped.toSet == Set(("red bolt", "rod bolt")))
   }
 
+  test("CountMinSketch: estimates dominate exact counts, partition-invariant, linear merge") {
+    import org.apache.spark.sql.graft.CountMinSketch
+    val d = 3; val w = 8 // tiny width: collisions guaranteed over 40 keys
+    val rows = (0L until 400L).map(i => i % 40L).toDF("k")
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val sk = df.agg(CountMinSketch.cms(col("k"), d, w).as("sketch"))
+      df.distinct().join(broadcast(sk))
+        .select(col("k"), CountMinSketch.estimate(col("sketch"), col("k"), d, w).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val est = estimates(rows)
+    // every key occurs exactly 10 times; CMS never undercounts
+    assert(est.values.forall(_ >= 10L))
+    // width 8 over 40 keys MUST collide somewhere: some strict overcount
+    assert(est.values.exists(_ > 10L))
+    // the grid is a deterministic function of the multiset, not layout
+    assert(estimates(rows.repartition(17)) == est)
+    // linearity: grid(union) = grid(a) + grid(b), elementwise
+    val half1 = rows.limit(200)
+    val g = rows.agg(CountMinSketch.cms(col("k"), d, w)).collect().head.getSeq[Long](0)
+    val g1 = half1.agg(CountMinSketch.cms(col("k"), d, w)).collect().head.getSeq[Long](0)
+    val g2 = rows.exceptAll(half1).agg(CountMinSketch.cms(col("k"), d, w))
+      .collect().head.getSeq[Long](0)
+    assert(g.indices.forall(i => g(i) == g1(i) + g2(i)))
+  }
+
   test("near-dup/ANN operators register nothing in the session cache manager") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

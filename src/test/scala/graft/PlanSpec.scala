@@ -249,4 +249,38 @@ class PlanSpec extends SparkSpec {
     assert(topk.exceptAll(expected).isEmpty && expected.exceptAll(topk).isEmpty,
       "TopKPerGroup result differs from the window spelling")
   }
+
+  test("datasetMix is a narrow filter — no exchange, no shuffle") {
+    val plan = graft.ext.Corpus.datasetMix(
+        tables.documents, Seq("src0" -> 100), 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mix planned a shuffle:\n$plan")
+  }
+
+  test("entity_match candidates come from a block equi-join — never a cross product") {
+    val plan = graft.ext.Entity.blockedMatches(
+        tables.part.select(col("p_name")), "p_name", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
+  test("skew_report's top-k is a distributed TakeOrdered, not a global sort window") {
+    val rep = graft.operators.Skew.hotKeyReport(
+      tables.events.select(col("user_id")), "user_id", 20, 0.008)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+    assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
+  }
+
+  test("curriculumBuckets broadcasts the one-row boundary frame to the assignment") {
+    val df = graft.ext.Corpus.curriculumBuckets(tables.documents)
+    df.count() // materialize AQE's final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"boundary join not broadcast in:\n$plan")
+    // the document side must NOT shuffle for the assignment join: the
+    // only exchanges belong to the bounded histogram aggregation
+    assert(!plan.contains("SortMergeJoin"), s"assignment join shuffled:\n$plan")
+  }
 }

@@ -212,6 +212,27 @@ object Registry {
         .withColumn("duration_us", col("last_us") - col("first_us"))
     }),
 
+    // forward as-of with tolerance (merge_asof direction='forward'):
+    // each click attributed to the user's FIRST purchase within 24h —
+    // same one-shuffle union+window shape as the SCD-2 backward as-of,
+    // time ordering reversed. Right side deduped to one row per
+    // (user, instant) so the match is engine-independent.
+    "funnel_next_purchase" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tsu"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu").as("p_tsu"), col("event_id"))
+        .groupBy(col("user_id"), col("p_tsu"))
+        .agg(min(col("event_id")).as("purchase_id"))
+        .withColumn("p_ts", col("p_tsu"))
+      graft.operators.AsOf.asOfJoinForward(
+        clicks, purchases, Seq("user_id"), "tsu", "p_tsu",
+        tolerance = Some(24L * 3600L * 1000000L))
+    }),
+
     "text_stats" -> ((s, dir) => Text.textStats(Tables(s, dir).documents)),
 
     "near_dup_ngram" -> ((s, dir) => Text.ngramJaccardPairs(Tables(s, dir).documents, 3)),
@@ -981,6 +1002,23 @@ object Registry {
         |       min(tsu) AS first_us, max(tsu) AS last_us,
         |       max(tsu) - min(tsu) AS duration_us
         |FROM sn GROUP BY 1, 2""".stripMargin,
+
+    // the forward-as-of twin: first qualifying purchase per click via a
+    // rank-1 window over the bounded-horizon range join (exact at oracle
+    // scale; the Spark side never plans the range join)
+    "funnel_next_purchase" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+        |            FROM events),
+        |l AS (SELECT event_id, user_id, tsu FROM ev WHERE event_type = 'click'),
+        |r AS (SELECT user_id, tsu AS p_tsu, min(event_id) AS purchase_id
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT l.event_id, r.purchase_id, r.p_tsu,
+        |         row_number() OVER (PARTITION BY l.event_id ORDER BY r.p_tsu) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |   AND r.p_tsu >= l.tsu AND r.p_tsu <= l.tsu + 86400000000)
+        |SELECT l.user_id, l.event_id, l.tsu, c.purchase_id, c.p_tsu AS p_ts
+        |FROM l LEFT JOIN cand c ON c.event_id = l.event_id AND c.rn = 1""".stripMargin,
 
     "streaming_dpd_state_batch" ->
       """SELECT loan_id, max_dpd, last_dpd, max_dpd > 90 AS ever_npl FROM (

@@ -98,6 +98,23 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinForward: earliest right row at-or-after; inclusive tie; tolerance nulls the bundle") {
+    val left = Seq((1L, 10L, 100L), (1L, 11L, 250L), (1L, 12L, 300L), (2L, 13L, 50L))
+      .toDF("k", "lid", "lt")
+    val right = Seq((1L, 250L, "a"), (1L, 400L, "b"))
+      .toDF("k", "rt2", "v")
+    val noTol = AsOf.asOfJoinForward(left, right, Seq("k"), "lt", "rt2")
+      .select(col("lid"), col("v")).as[(Long, Option[String])].collect().toMap
+    // 100 -> first at/after is 250; 250 -> inclusive; 300 -> 400;
+    // key 2 has no right rows -> null
+    assert(noTol == Map(10L -> Some("a"), 11L -> Some("a"),
+      12L -> Some("b"), 13L -> None))
+    val tol = AsOf.asOfJoinForward(left, right, Seq("k"), "lt", "rt2", Some(120L))
+      .select(col("lid"), col("v")).as[(Long, Option[String])].collect().toMap
+    // 250-100=150 > 120 -> nulled; 250-250=0 and 400-300=100 within
+    assert(tol == Map(10L -> None, 11L -> Some("a"), 12L -> Some("b"), 13L -> None))
+  }
+
   test("sessionize: quiet gaps split sessions per key; numbering 1-based in event order") {
     val df = Seq(
       (1L, 0L, 1L), (1L, 40L, 2L), (1L, 200L, 3L), // 40<=gap joins; 160>gap splits

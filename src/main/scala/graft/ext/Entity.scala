@@ -32,15 +32,39 @@ object Entity {
     * "adjective noun"-shaped entity names, the stable head noun) with
     * edit distance ≤ `maxDistance`. */
   def blockedMatches(df: DataFrame, nameCol: String, maxDistance: Int,
+      maxBlock: Long = 10000L): DataFrame =
+    matchesWithKey(distinctNames(df, nameCol),
+      element_at(split(col("name"), " "), -1), maxDistance, maxBlock)
+
+  /** Multi-pass blocking: the recall-recovery path for edits that change
+    * the single blocking token itself. Runs one pass per independent key
+    * (head noun, then leading token), unions the candidate pairs, and
+    * dedups — a pair is found if ANY key survives its typo, so only an
+    * edit hitting EVERY blocking token at once is missed. Cost is
+    * additive in passes (each pass is the same capped block equi-join),
+    * nowhere near pair-verification of the cross product. */
+  def blockedMatchesMulti(df: DataFrame, nameCol: String, maxDistance: Int,
       maxBlock: Long = 10000L): DataFrame = {
+    val names = distinctNames(df, nameCol)
+    Seq(element_at(split(col("name"), " "), -1),
+        element_at(split(col("name"), " "), 1))
+      .map(k => matchesWithKey(names, k, maxDistance, maxBlock)
+        .select(col("name_a"), col("name_b"), col("distance")))
+      .reduce(_.unionByName(_))
+      .distinct()
+  }
+
+  private def distinctNames(df: DataFrame, nameCol: String): DataFrame =
+    df.select(col(nameCol).as("name")).filter(col("name").isNotNull).distinct()
+
+  private def matchesWithKey(names: DataFrame, blockKey: org.apache.spark.sql.Column,
+      maxDistance: Int, maxBlock: Long): DataFrame = {
     require(maxDistance >= 0, s"maxDistance must be nonnegative, got $maxDistance")
     require(maxBlock >= 2, s"maxBlock below 2 can never produce a pair, got $maxBlock")
-    val names = df.select(col(nameCol).as("name")).filter(col("name").isNotNull)
-      .distinct()
-      .withColumn("block", element_at(split(col("name"), " "), -1))
+    val keyed = names.withColumn("block", blockKey)
     // block-size cap: one groupBy over the (small) distinct-name frame
-    val sized = names.join(
-      names.groupBy(col("block")).agg(count(lit(1)).as("__bsz")), Seq("block"))
+    val sized = keyed.join(
+      keyed.groupBy(col("block")).agg(count(lit(1)).as("__bsz")), Seq("block"))
       .filter(col("__bsz") <= maxBlock)
       .select(col("block"), col("name"))
     sized.select(col("block"), col("name").as("name_a"))

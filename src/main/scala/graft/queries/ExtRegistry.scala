@@ -302,6 +302,12 @@ object ExtRegistry {
       graft.ext.Entity.blockedMatches(
         Tables(s, dir).part.select(col("p_name")), "p_name", 3)),
 
+    // the multi-pass recall recovery: head-noun pass ∪ leading-token
+    // pass, deduped — catches edits that corrupt one blocking token
+    "entity_match_multikey" -> ((s, dir) =>
+      graft.ext.Entity.blockedMatchesMulti(
+        Tables(s, dir).part.select(col("p_name")), "p_name", 3)),
+
     // Count-Min frequency estimates next to the exact counts: one
     // bounded-state (3×64 counters) sketch per event_type, point
     // estimates = min of each key's 3 counters — always ≥ exact; the
@@ -888,6 +894,22 @@ object ExtRegistry {
         |       CAST(levenshtein(x.name, y.name) AS INTEGER) AS distance
         |FROM b x JOIN b y ON x.block = y.block AND x.name < y.name
         |WHERE levenshtein(x.name, y.name) <= 3""".stripMargin,
+
+    "entity_match_multikey" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part
+        |               WHERE p_name IS NOT NULL),
+        |b AS (SELECT name, string_split(name, ' ')[-1] AS block FROM names),
+        |f AS (SELECT name, string_split(name, ' ')[1] AS block FROM names),
+        |pairs AS (
+        |  SELECT x.name AS name_a, y.name AS name_b,
+        |         CAST(levenshtein(x.name, y.name) AS INTEGER) AS distance
+        |  FROM b x JOIN b y ON x.block = y.block AND x.name < y.name
+        |  WHERE levenshtein(x.name, y.name) <= 3
+        |  UNION
+        |  SELECT x.name, y.name, CAST(levenshtein(x.name, y.name) AS INTEGER)
+        |  FROM f x JOIN f y ON x.block = y.block AND x.name < y.name
+        |  WHERE levenshtein(x.name, y.name) <= 3)
+        |SELECT name_a, name_b, distance FROM pairs""".stripMargin,
 
     // the sketch's grid cells ARE exact per-(row, cell) counts, so the
     // oracle rebuilds them by group-by over the same affine hash rows

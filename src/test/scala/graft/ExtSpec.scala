@@ -501,6 +501,17 @@ class ExtSpec extends SparkSpec {
     assert(capped.toSet == Set(("red bolt", "rod bolt")))
   }
 
+  test("blockedMatchesMulti: the first-token pass recovers cross-block typos") {
+    val d = Seq("red bolt", "red jolt", "rod bolt").toDF("name")
+    val single = graft.ext.Entity.blockedMatches(d, "name", 2)
+      .select("name_a", "name_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // head-noun blocking misses red bolt ~ red jolt (the typo IS the noun)
+    assert(single == Set(("red bolt", "rod bolt")))
+    val multi = graft.ext.Entity.blockedMatchesMulti(d, "name", 2)
+      .select("name_a", "name_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(multi == Set(("red bolt", "rod bolt"), ("red bolt", "red jolt")))
+  }
+
   test("CountMinSketch: estimates dominate exact counts, partition-invariant, linear merge") {
     import org.apache.spark.sql.graft.CountMinSketch
     val d = 3; val w = 8 // tiny width: collisions guaranteed over 40 keys

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{DotProduct, KmvDistinct}
+import org.apache.spark.sql.graft.{CountMinSketch, DotProduct, KmvDistinct}
 
 /** The library's `SparkSessionExtensions` installer — the supported way
   * to ship Catalyst extensions to a cluster you don't own: set
@@ -49,6 +49,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(s"graft_kmv k must be an int literal, got $other")
         }
         KmvDistinct(children(0), k)
+      }))
+    // graft_cms(key_col, depth, width): the Count-Min grid as a SQL
+    // aggregate (point estimates read the returned array)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"graft_cms takes 3 arguments, got ${children.size}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(s"graft_cms $name must be an int literal, got $other")
+        }
+        CountMinSketch(children(0), intLit(children(1), "depth"), intLit(children(2), "width"))
       }))
   }
 }

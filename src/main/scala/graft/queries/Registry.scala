@@ -212,6 +212,21 @@ object Registry {
         .withColumn("duration_us", col("last_us") - col("first_us"))
     }),
 
+    // Spark's NATIVE session windows (the streaming-capable operator) in
+    // batch mode, cross-validated against the composed islands spelling:
+    // merge at <= gap (boundary-probed), end = last event + gap. Output
+    // instants stay BIGINT micros for oracle parity.
+    "session_window_agg" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"))
+        .withColumn("tss", timestamp_micros(col("tsu")))
+      ev.groupBy(col("user_id"), session_window(col("tss"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("events"),
+          min(col("tsu")).as("first_us"), max(col("tsu")).as("last_us"))
+        .select(col("user_id"), col("events"), col("first_us"), col("last_us"),
+          unix_micros(col("sw.end")).as("session_end_us"))
+    }),
+
     // forward as-of with tolerance (merge_asof direction='forward'):
     // each click attributed to the user's FIRST purchase within 24h —
     // same one-shuffle union+window shape as the SCD-2 backward as-of,
@@ -1002,6 +1017,23 @@ object Registry {
         |       min(tsu) AS first_us, max(tsu) AS last_us,
         |       max(tsu) - min(tsu) AS duration_us
         |FROM sn GROUP BY 1, 2""".stripMargin,
+
+    // the same islands CTE as event_sessions (session_window merges at
+    // <= gap, so the split predicate is identical), end = last + gap
+    "session_window_agg" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+        |                   OR tsu - lag(tsu) OVER w > 3600000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |sn AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM m)
+        |SELECT user_id, count(*) AS events, min(tsu) AS first_us,
+        |       max(tsu) AS last_us, max(tsu) + 3600000000 AS session_end_us
+        |FROM sn GROUP BY user_id, session_no""".stripMargin,
 
     // the forward-as-of twin: first qualifying purchase per click via a
     // rank-1 window over the bounded-horizon range join (exact at oracle

@@ -538,6 +538,15 @@ class ExtSpec extends SparkSpec {
     assert(g.indices.forall(i => g(i) == g1(i) + g2(i)))
   }
 
+  test("graft_cms is SQL-callable through the extensions installer, grid equals the DataFrame path") {
+    import org.apache.spark.sql.graft.CountMinSketch
+    val df = (0L until 100L).map(i => i % 11L).toDF("k")
+    val viaApi = df.agg(CountMinSketch.cms(col("k"), 2, 16)).collect().head.getSeq[Long](0)
+    df.createOrReplaceTempView("v_cms")
+    val viaSql = spark.sql("SELECT graft_cms(k, 2, 16) FROM v_cms").collect().head.getSeq[Long](0)
+    assert(viaSql == viaApi)
+  }
+
   test("near-dup/ANN operators register nothing in the session cache manager") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -212,6 +212,21 @@ object Registry {
         .withColumn("duration_us", col("last_us") - col("first_us"))
     }),
 
+    // hopping (sliding) time windows — the third member of the window
+    // family next to tumbling (streaming_dpd_batch) and session
+    // (session_window_agg): each event lands in size/slide = 4 windows;
+    // the oracle replays the assignment arithmetic with generate_series
+    "hopping_window_agg" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_type"), expr("ts div 1000").as("tsu"))
+        .withColumn("tss", timestamp_micros(col("tsu")))
+      ev.groupBy(col("event_type"), window(col("tss"), "1 day", "6 hours").as("w"))
+        .agg(count(lit(1)).as("events"))
+        .select(col("event_type"),
+          unix_micros(col("w.start")).as("win_start_us"),
+          unix_micros(col("w.end")).as("win_end_us"), col("events"))
+    }),
+
     // Spark's NATIVE session windows (the streaming-capable operator) in
     // batch mode, cross-validated against the composed islands spelling:
     // merge at <= gap (boundary-probed), end = last event + gap. Output
@@ -1017,6 +1032,19 @@ object Registry {
         |       min(tsu) AS first_us, max(tsu) AS last_us,
         |       max(tsu) - min(tsu) AS duration_us
         |FROM sn GROUP BY 1, 2""".stripMargin,
+
+    // per event: the 4 covering window starts are (t div slide - i)*slide
+    // for i in 0..3 (boundary-probed: start <= t < start + size holds for
+    // exactly those, including negative starts near the epoch)
+    "hopping_window_agg" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tsu FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |         ((tsu // 21600000000) - g.i) * 21600000000 AS win_start
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g)
+        |SELECT event_type, win_start AS win_start_us,
+        |       win_start + 86400000000 AS win_end_us, count(*) AS events
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     // the same islands CTE as event_sessions (session_window merges at
     // <= gap, so the split predicate is identical), end = last + gap

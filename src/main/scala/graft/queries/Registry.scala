@@ -212,6 +212,21 @@ object Registry {
         .withColumn("duration_us", col("last_us") - col("first_us"))
     }),
 
+    // retention cohort analysis: users bucketed by first-activity month,
+    // distinct actives per (cohort, months-since) — first-touch groupBy,
+    // one join back, distinct count (all keyed shuffles; the distinct
+    // count can swap to Skew.distinctCountSkewSafe under a hot cohort)
+    "retention_cohorts" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"),
+        trunc(to_date(timestamp_micros(expr("ts div 1000"))), "month").as("m"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("m")).as("cohort_month"))
+      ev.join(first, Seq("user_id"))
+        .withColumn("months_since",
+          months_between(col("m"), col("cohort_month")).cast(IntegerType))
+        .groupBy(col("cohort_month"), col("months_since"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    }),
+
     // hopping (sliding) time windows — the third member of the window
     // family next to tumbling (streaming_dpd_batch) and session
     // (session_window_agg): each event lands in size/slide = 4 windows;
@@ -1032,6 +1047,18 @@ object Registry {
         |       min(tsu) AS first_us, max(tsu) AS last_us,
         |       max(tsu) - min(tsu) AS duration_us
         |FROM sn GROUP BY 1, 2""".stripMargin,
+
+    // month-truncated dates on both sides; months_since is whole months
+    // between month boundaries (exact integer on both engines)
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+        |                  date_trunc('month', CAST(ts AS DATE)) AS m
+        |           FROM events),
+        |f AS (SELECT user_id, min(m) AS cohort_month FROM e GROUP BY 1)
+        |SELECT f.cohort_month,
+        |       CAST(date_diff('month', f.cohort_month, e.m) AS INTEGER) AS months_since,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     // per event: the 4 covering window starts are (t div slide - i)*slide
     // for i in 0..3 (boundary-probed: start <= t < start + size holds for

@@ -501,6 +501,37 @@ class ExtSpec extends SparkSpec {
     assert(capped.toSet == Set(("red bolt", "rod bolt")))
   }
 
+  test("streaming session_window: sessions close when the watermark passes; chunking-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("user_id", "tss")
+      .withWatermark("tss", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("tss"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("s"),
+        unix_micros(col("sw.end")).as("e"), col("events"))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Append()).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // session A: two events 5 min apart (merge); delivered in two batches
+      mem.addData((1L, ts("2021-01-01 10:00:00")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2021-01-01 10:05:00")))
+      q.processAllAvailable()
+      // watermark advance: a much later event closes session A
+      mem.addData((1L, ts("2021-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_stream")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // one MERGED session despite chunked delivery: [10:00, 10:05+10min)
+      val startUs = ts("2021-01-01 10:00:00").getTime * 1000L
+      val endUs = ts("2021-01-01 10:15:00").getTime * 1000L
+      assert(got == Set((1L, startUs, endUs, 2L)),
+        s"expected the closed merged session, got $got")
+    } finally q.stop()
+  }
+
   test("blockedMatchesMulti: the first-token pass recovers cross-block typos") {
     val d = Seq("red bolt", "red jolt", "rod bolt").toDF("name")
     val single = graft.ext.Entity.blockedMatches(d, "name", 2)

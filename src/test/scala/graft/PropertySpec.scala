@@ -147,6 +147,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: mixBucket model-matches Spark and is uniform-ish over arbitrary ids") {
+    // the Scala model IS the SQL oracle's arithmetic; Spark must agree on
+    // any id, including negatives (sign normalization)
+    def model(id: Long): Long =
+      ((id % 1000003L) * 1103515245L % 1000003L % 100L + 100L) % 100L
+    val ids = sample(Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4), 500)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.ext.Corpus.mixBucket(col("id")).as("b"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (id, b) =>
+      assert(b == model(id) && b >= 0 && b < 100, s"id=$id bucket=$b")
+    }
+    // crude uniformity: every decile of the bucket space is populated
+    val deciles = got.map(_._2 / 10L).toSet
+    assert(deciles.size == 10, s"bucket deciles hit: $deciles")
+  }
+
+  test("property: CMS point estimates dominate exact counts on random skewed multisets") {
+    import org.apache.spark.sql.graft.CountMinSketch
+    val keys = sample(Gen.frequency(
+      (5, Gen.chooseNum(0L, 5L)),       // hot head
+      (1, Gen.chooseNum(0L, 10000L))), 2000)
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = keys.toDF("k")
+    val sk = df.agg(CountMinSketch.cms(col("k"), 3, 32)).collect().head.getSeq[Long](0)
+    val est = df.distinct().collect().map(_.getLong(0)).map { k =>
+      k -> (0 until 3).map(i => sk(i * 32 + CountMinSketch.cell(k, i, 32))).min
+    }.toMap
+    est.foreach { case (k, e) =>
+      assert(e >= exact(k), s"undercount for $k: est=$e exact=${exact(k)}")
+    }
+    // total mass per grid row is conserved exactly
+    (0 until 3).foreach { i =>
+      assert((0 until 32).map(c => sk(i * 32 + c)).sum == keys.size.toLong)
+    }
+  }
+
   test("property: TopKPerGroup equals the row_number spelling on random skewed data") {
     import org.apache.spark.sql.expressions.Window
     // skewed groups (one dominant key), duplicate values (tiebreak via id),

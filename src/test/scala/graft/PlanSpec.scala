@@ -92,6 +92,32 @@ class PlanSpec extends SparkSpec {
     assert(read.count() == tables.events.filter(col("event_id") % 5 === 3).count())
   }
 
+  test("dynamic partition pruning fires when a filtered dim joins the partitioned fact") {
+    // the join-driven complement of static pruning: the fact's partition
+    // filter is only knowable at runtime (it comes from the dim's filter
+    // result), so the scan must carry a dynamicpruning subquery — at
+    // 100 TB this is the difference between reading one year and all of
+    // them when the predicate lives on the dimension side
+    val dir = graft.sources.Scratch.dir("graft_dpp_test").toString
+    val fact = tables.events.select(col("event_id"), col("user_id"), col("value"),
+      (col("event_id") % 5).cast("int").as("bucket_id"))
+    graft.sources.Load.writePartitioned(fact, dir, Seq("bucket_id"), Seq("event_id"))
+    val dim = spark.range(5).select(col("id").cast("int").as("bucket_id"),
+        concat(lit("b"), col("id")).as("bucket_name"))
+      .filter(col("bucket_name") === "b3") // fact-side residue unknowable statically
+    val joined = spark.read.parquet(dir).join(dim, Seq("bucket_id"))
+    joined.count() // materialize so AQE's final physical plan exists
+    val root = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = root.collect { case s: FileSourceScanExec => s }
+      .find(_.output.exists(_.name == "event_id")).get
+    val pf = scan.partitionFilters.mkString(";")
+    assert(pf.contains("dynamicpruning"), s"no DPP subquery on the fact scan, got: $pf")
+    assert(joined.count() == tables.events.filter(col("event_id") % 5 === 3).count())
+  }
+
   test("packSequences windows per (source, shard) — one keyed exchange, never a global sort") {
     val packed = graft.ext.Corpus.packSequences(tables.documents)
     val plan = packed.queryExecution.executedPlan.toString

@@ -86,6 +86,34 @@ object Text {
       .withColumn("repetitive", col("repetition_ratio") > maxRatio)
   }
 
+  /** Corpus-wide boilerplate detection at the n-gram grain: the n-grams
+    * (as TEXT, so the result is actionable) appearing in at least
+    * `minDocs` distinct documents, ranked by document frequency — the
+    * candidates a cleaning pipeline strips before near-dup hashing
+    * (footer lines, cookie banners, license stubs). Intra-doc repetition
+    * is [[repetitionStats]]'s job; this is the CROSS-doc complement.
+    * Shape: narrow per-doc n-gram explode (per-doc distinct first, so a
+    * doc spamming one n-gram contributes 1 to df and the groupBy key
+    * cannot be flooded by a single document), one groupBy shuffle on the
+    * n-gram, global top-k via TakeOrdered under a (df, ngram) total
+    * order — never a rank window. */
+  def boilerplateNgrams(documents: DataFrame, n: Int, minDocs: Long,
+      topK: Int): DataFrame = {
+    require(n >= 1 && minDocs >= 1 && topK >= 1,
+      s"need positive n/minDocs/topK, got $n/$minDocs/$topK")
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("ngrams"))
+      .select(col("doc_id"), explode(array_distinct(col("ngrams"))).as("ngram"))
+      .groupBy(col("ngram")).agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+      .orderBy(col("doc_freq").desc, col("ngram").asc).limit(topK)
+  }
+
   /** PII scrubbing: sequential regex redaction (emails, then `+`-prefixed phone-shaped
     * digit groups (RE2 — the oracle engine — has no lookahead, so the
     * phone shape must be anchored by the plus, not by context), then any remaining run of 4+ digits) with per-pattern

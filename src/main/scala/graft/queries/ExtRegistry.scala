@@ -302,6 +302,10 @@ object ExtRegistry {
       graft.ext.Entity.blockedMatches(
         Tables(s, dir).part.select(col("p_name")), "p_name", 3)),
 
+    // cross-doc boilerplate: n-grams in >= 5 distinct docs, top-50 by df
+    "boilerplate_ngrams" -> ((s, dir) =>
+      graft.ext.Text.boilerplateNgrams(Tables(s, dir).documents, 3, 5L, 50)),
+
     // the multi-pass recall recovery: head-noun pass ∪ leading-token
     // pass, deduped — catches edits that corrupt one blocking token
     "entity_match_multikey" -> ((s, dir) =>
@@ -894,6 +898,20 @@ object ExtRegistry {
         |       CAST(levenshtein(x.name, y.name) AS INTEGER) AS distance
         |FROM b x JOIN b y ON x.block = y.block AND x.name < y.name
         |WHERE levenshtein(x.name, y.name) <= 3""".stripMargin,
+
+    // same per-doc-distinct n-gram strings, same (df desc, ngram) order
+    // at the k boundary
+    "boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE list_transform(generate_series(1, len(toks) - 2),
+        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        |        END)) AS ngram
+        |      FROM t)
+        |SELECT ngram, count(DISTINCT doc_id) AS doc_freq
+        |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5
+        |ORDER BY doc_freq DESC, ngram LIMIT 50""".stripMargin,
 
     "entity_match_multikey" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part

@@ -501,6 +501,25 @@ class ExtSpec extends SparkSpec {
     assert(capped.toSet == Set(("red bolt", "rod bolt")))
   }
 
+  test("stream-static join: each micro-batch enriches against the static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "mortgage"), (2L, "auto")).toDF("loan_id", "product_type")
+    val mem = MemoryStream[(Long, Int)]
+    val q = mem.toDF().toDF("loan_id", "dpd")
+      .join(dim, Seq("loan_id"), "left") // static side re-read per batch
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 5), (3L, 9))
+      q.processAllAvailable()
+      mem.addData((2L, 0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_stream")
+        .as[(Long, Int, Option[String])].collect().toSet
+      assert(got == Set((1L, 5, Some("mortgage")), (3L, 9, None), (2L, 0, Some("auto"))))
+    } finally q.stop()
+  }
+
   test("streaming session_window: sessions close when the watermark passes; chunking-invariant") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]

@@ -54,6 +54,34 @@ object Entity {
       .distinct()
   }
 
+  /** The closed entity-resolution loop: every row of `df` labeled with
+    * its variant family's canonical spelling. Pipeline: distinct strings
+    * → multi-pass blocked matching → transitive clustering
+    * ([[Dedup.connectedComponents]] — a chain a~b~c is ONE family even
+    * when a and c don't match directly) → canonical = the name whose id
+    * is the family minimum → one join back to the mentions. The
+    * component step needs numeric vertices, so each name's id is its
+    * minimum `idCol` (deterministic, engine-reproducible); names outside
+    * every match pair canonicalize to themselves. */
+  def canonicalize(df: DataFrame, idCol: String, nameCol: String,
+      maxDistance: Int, maxBlock: Long = 10000L): DataFrame = {
+    val ids = df.select(col(nameCol).as("name"), col(idCol).cast("long").as("__id"))
+      .filter(col("name").isNotNull)
+      .groupBy(col("name")).agg(min(col("__id")).as("nid"))
+    val pairs = blockedMatchesMulti(df, nameCol, maxDistance, maxBlock)
+      .join(ids.select(col("name").as("name_a"), col("nid").as("id_a")), Seq("name_a"))
+      .join(ids.select(col("name").as("name_b"), col("nid").as("id_b")), Seq("name_b"))
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val canon = ids
+      .join(comp.withColumnRenamed("doc_id", "nid"), Seq("nid"), "left")
+      .withColumn("canon_id", coalesce(col("component_id"), col("nid")))
+    val canonNames = ids.select(col("nid").as("canon_id"), col("name").as("canonical_name"))
+    df.join(
+      canon.join(canonNames, Seq("canon_id"))
+        .select(col("name").as(nameCol), col("canonical_name")),
+      Seq(nameCol), "left")
+  }
+
   private def distinctNames(df: DataFrame, nameCol: String): DataFrame =
     df.select(col(nameCol).as("name")).filter(col("name").isNotNull).distinct()
 

@@ -312,6 +312,14 @@ object ExtRegistry {
       graft.ext.Entity.blockedMatchesMulti(
         Tables(s, dir).part.select(col("p_name")), "p_name", 3)),
 
+    // the CLOSED entity-resolution loop: blocking -> levenshtein verify
+    // -> transitive clustering -> canonical spelling per variant family,
+    // joined back to every part row
+    "entity_canonical" -> ((s, dir) =>
+      graft.ext.Entity.canonicalize(
+        Tables(s, dir).part.select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", 2)),
+
     // Count-Min frequency estimates next to the exact counts: one
     // bounded-state (3×64 counters) sketch per event_type, point
     // estimates = min of each key's 3 counters — always ≥ exact; the
@@ -928,6 +936,37 @@ object ExtRegistry {
         |  FROM f x JOIN f y ON x.block = y.block AND x.name < y.name
         |  WHERE levenshtein(x.name, y.name) <= 3)
         |SELECT name_a, name_b, distance FROM pairs""".stripMargin,
+
+    // same multikey pair graph on min-partkey name ids, closed by the
+    // recursive reach CTE (min reachable id = family), canonical spelling
+    // looked up from the family-minimum id; unmatched names self-canonical
+    "entity_canonical" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name, min(p_partkey) AS nid FROM part
+        |  WHERE p_name IS NOT NULL GROUP BY 1),
+        |bk AS (SELECT name, nid, string_split(name, ' ')[-1] AS block FROM names),
+        |fk AS (SELECT name, nid, string_split(name, ' ')[1] AS block FROM names),
+        |pairs AS (
+        |  SELECT x.nid AS a, y.nid AS b
+        |  FROM bk x JOIN bk y ON x.block = y.block AND x.name < y.name
+        |  WHERE levenshtein(x.name, y.name) <= 2
+        |  UNION
+        |  SELECT x.nid, y.nid
+        |  FROM fk x JOIN fk y ON x.block = y.block AND x.name < y.name
+        |  WHERE levenshtein(x.name, y.name) <= 2),
+        |cedges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a AS v, a AS r FROM cedges
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN cedges e ON e.a = r.v),
+        |comps AS (SELECT v AS nid, min(r) AS canon_id FROM reach GROUP BY v),
+        |canon AS (
+        |  SELECT n.name, cn.name AS canonical_name
+        |  FROM names n
+        |  LEFT JOIN comps c ON c.nid = n.nid
+        |  JOIN names cn ON cn.nid = coalesce(c.canon_id, n.nid))
+        |SELECT p.p_name, p.p_partkey, canon.canonical_name
+        |FROM part p LEFT JOIN canon ON canon.name = p.p_name""".stripMargin,
 
     // the sketch's grid cells ARE exact per-(row, cell) counts, so the
     // oracle rebuilds them by group-by over the same affine hash rows

@@ -562,6 +562,19 @@ class ExtSpec extends SparkSpec {
     assert(multi == Set(("red bolt", "rod bolt"), ("red bolt", "red jolt")))
   }
 
+  test("canonicalize: chains collapse to one family; unmatched names are self-canonical") {
+    // aa bolt ~ ab bolt (1) ~ bb bolt (1), but aa~bb is distance 2 > 1:
+    // only the transitive closure puts all three in one family
+    val d = Seq((10L, "aa bolt"), (20L, "ab bolt"), (30L, "bb bolt"), (40L, "zz gear"))
+      .toDF("id", "name")
+    val got = graft.ext.Entity.canonicalize(d, "id", "name", 1)
+      .select(col("id"), col("canonical_name"))
+      .as[(Long, String)].collect().toMap
+    // canonical = name of the minimum id in the family (10 -> "aa bolt")
+    assert(got == Map(10L -> "aa bolt", 20L -> "aa bolt", 30L -> "aa bolt",
+      40L -> "zz gear"))
+  }
+
   test("CountMinSketch: estimates dominate exact counts, partition-invariant, linear merge") {
     import org.apache.spark.sql.graft.CountMinSketch
     val d = 3; val w = 8 // tiny width: collisions guaranteed over 40 keys

@@ -212,6 +212,23 @@ object Registry {
         .withColumn("duration_us", col("last_us") - col("first_us"))
     }),
 
+    // generated calendar dimension — the broadcast-sized mart-support
+    // table (year/quarter/month attributes, weekend + month-end flags);
+    // one narrow sequence explode, no shuffle. Weekday numbering differs
+    // per engine (Spark dayofweek 1=Sun; DuckDB dow 0=Sun) so the flags,
+    // not the raw numbers, are the contract
+    "date_dim" -> ((s, _) =>
+      s.range(1).select(explode(sequence(
+          lit("2015-01-01").cast(DateType), lit("2016-12-31").cast(DateType),
+          expr("interval 1 day"))).as("d"))
+        .select(col("d"),
+          year(col("d")).as("yr"), quarter(col("d")).as("qtr"),
+          month(col("d")).as("mo"), dayofmonth(col("d")).as("dom"),
+          trunc(col("d"), "month").as("month_start"),
+          last_day(col("d")).as("month_end"),
+          (dayofweek(col("d")) === 1 || dayofweek(col("d")) === 7).as("is_weekend"),
+          (col("d") === last_day(col("d"))).as("is_month_end"))),
+
     // retention cohort analysis: users bucketed by first-activity month,
     // distinct actives per (cohort, months-since) — first-touch groupBy,
     // one join back, distinct count (all keyed shuffles; the distinct
@@ -1047,6 +1064,22 @@ object Registry {
         |       min(tsu) AS first_us, max(tsu) AS last_us,
         |       max(tsu) - min(tsu) AS duration_us
         |FROM sn GROUP BY 1, 2""".stripMargin,
+
+    // same calendar arithmetic; dow differs by numbering so the flag is
+    // derived from DuckDB's 0=Sunday convention
+    "date_dim" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2015-01-01',
+        |                DATE '2016-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT d, CAST(year(d) AS INTEGER) AS yr,
+        |       CAST(quarter(d) AS INTEGER) AS qtr,
+        |       CAST(month(d) AS INTEGER) AS mo,
+        |       CAST(day(d) AS INTEGER) AS dom,
+        |       date_trunc('month', d) AS month_start,
+        |       last_day(d) AS month_end,
+        |       dayofweek(d) IN (0, 6) AS is_weekend,
+        |       d = last_day(d) AS is_month_end
+        |FROM days""".stripMargin,
 
     // month-truncated dates on both sides; months_since is whole months
     // between month boundaries (exact integer on both engines)

@@ -212,6 +212,33 @@ object Registry {
         .withColumn("duration_us", col("last_us") - col("first_us"))
     }),
 
+    // exponential moving average per user over monthly value sums — the
+    // SEQUENTIAL-recurrence class (y_t = α·x_t + (1−α)·y_{t−1}) that no
+    // window frame expresses. Scale shape: one groupBy shuffle, then a
+    // per-key HOF fold over the sorted month array — state bounded by
+    // months-per-key (a config-sized series), never corpus rows; the
+    // whole fold is deterministic IEEE so the DuckDB WITH RECURSIVE twin
+    // reproduces it bit-for-bit (same precedent as the annuity schedule)
+    "ema_monthly_value" -> ((s, dir) => {
+      val monthly = Tables(s, dir).events.select(col("user_id"),
+          trunc(to_date(timestamp_micros(expr("ts div 1000"))), "month").as("m"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .groupBy(col("user_id"), col("m")).agg(sum(col("cents")).as("cents"))
+      val folded = monthly
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("m"), col("cents")))).as("xs"))
+        .withColumn("ema", aggregate(col("xs"),
+          expr("cast(array() as array<double>)"),
+          (acc, x) => concat(acc, array(
+            when(size(acc) === 0, x.getField("cents").cast(DoubleType))
+              .otherwise(lit(0.25) * x.getField("cents").cast(DoubleType) +
+                lit(0.75) * element_at(acc, size(acc)))))))
+      folded.select(col("user_id"),
+          explode(arrays_zip(col("xs"), col("ema"))).as("z"))
+        .select(col("user_id"), col("z.xs.m").as("m"),
+          col("z.xs.cents").as("cents"), col("z.ema").as("ema"))
+    }),
+
     // generated calendar dimension — the broadcast-sized mart-support
     // table (year/quarter/month attributes, weekend + month-end flags);
     // one narrow sequence explode, no shuffle. Weekday numbering differs
@@ -1064,6 +1091,25 @@ object Registry {
         |       min(tsu) AS first_us, max(tsu) AS last_us,
         |       max(tsu) - min(tsu) AS duration_us
         |FROM sn GROUP BY 1, 2""".stripMargin,
+
+    // the same recurrence as a recursive CTE: seed y_1 = x_1, then one
+    // multiply-add per step in the identical order
+    "ema_monthly_value" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, date_trunc('month', CAST(ts AS DATE)) AS m,
+        |         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, m, cents, rn, CAST(cents AS DOUBLE) AS ema
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.m, o.cents, o.rn,
+        |         0.25 * CAST(o.cents AS DOUBLE) + 0.75 * r.ema
+        |  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, m, cents, ema FROM r""".stripMargin,
 
     // same calendar arithmetic; dow differs by numbering so the flag is
     // derived from DuckDB's 0=Sunday convention

@@ -66,6 +66,23 @@ object Registry {
     "npl_monthly" -> ((s, dir) =>
       Marts.nplMonthly(Marts.dpdDaily(arrears(s, dir), loans(s, dir)))),
 
+    // month-over-month reporting layer on the NPL mart: prior month's
+    // exposure via lag over (product, currency) — rides the mart's
+    // existing keyed shuffle; delta is a guarded ratio (first month and
+    // zero-base months are NULL, never a division blow-up)
+    "npl_mom_change" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("product_type"), col("currency"))
+        .orderBy(col("month"))
+      Marts.nplMonthly(Marts.dpdDaily(arrears(s, dir), loans(s, dir)))
+        .select(col("month"), col("product_type"), col("currency"),
+          col("total_exposure"))
+        .withColumn("prev_exposure", lag(col("total_exposure"), 1).over(w))
+        .withColumn("mom_change",
+          when(col("prev_exposure").isNotNull && col("prev_exposure") =!= 0.0,
+            (col("total_exposure") - col("prev_exposure")) / col("prev_exposure")))
+    }),
+
     // same mart through the spark.sql surface (temp views = dbt-style
     // layered relations; Catalyst inlines them identically). NOTE: the
     // createOrReplaceTempView calls mutate SESSION catalog state — fine
@@ -781,6 +798,25 @@ object Registry {
          |         SUM(CASE WHEN a.npl_flag THEN l.exposure ELSE 0 END) AS npl_exposure_dec
          |  FROM arrears a JOIN loans l ON a.loan_id = l.loan_id
          |  GROUP BY 1, 2, 3) g""".stripMargin,
+
+    // lag over observed months per (product, currency); the double
+    // subtraction-then-division order matches the Spark expression
+    "npl_mom_change" ->
+      s"""WITH $arrearsCte, $loansCte,
+         |npl AS (
+         |  SELECT CAST(date_trunc('month', a.as_of_date) AS DATE) AS month,
+         |         l.product_type, l.currency,
+         |         CAST(SUM(l.exposure) AS DOUBLE) AS total_exposure
+         |  FROM arrears a JOIN loans l ON a.loan_id = l.loan_id
+         |  GROUP BY 1, 2, 3),
+         |lagged AS (
+         |  SELECT *, lag(total_exposure) OVER (
+         |    PARTITION BY product_type, currency ORDER BY month) AS prev_exposure
+         |  FROM npl)
+         |SELECT month, product_type, currency, total_exposure, prev_exposure,
+         |       CASE WHEN prev_exposure IS NOT NULL AND prev_exposure <> 0
+         |            THEN (total_exposure - prev_exposure) / prev_exposure END AS mom_change
+         |FROM lagged""".stripMargin,
 
     "month_end" ->
       s"""WITH $arrearsCte, $monthEndCte

@@ -26,6 +26,21 @@ object Corpus {
       when(splitBucket(col(idCol)) < trainPct, "train").otherwise("test"))
   }
 
+  /** Three-way train/validation/test assignment from the same bucket
+    * hash: [0, trainPct) → train, [trainPct, trainPct+valPct) → val,
+    * rest → test. Sharing [[splitBucket]] with the two-way split keeps
+    * the assignments NESTED — a doc that is 'train' at 80/10 is still
+    * 'train' at any larger trainPct, so growing the training share never
+    * leaks validation docs into it retroactively. */
+  def hashSplit3(df: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"need trainPct + valPct <= 100, got $trainPct + $valPct")
+    val b = splitBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val").otherwise("test"))
+  }
+
   /** Benchmark-contamination audit: for every training document, how many
     * distinct n-gram shingles it shares with ANY document of a held-out
     * eval set, and with how many eval documents. The production

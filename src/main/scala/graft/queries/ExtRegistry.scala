@@ -64,6 +64,28 @@ object ExtRegistry {
       graft.ext.Corpus.hashSplit(Tables(s, dir).documents, "doc_id", 90)
         .select(col("doc_id"), col("split"))),
 
+    // three-way split sharing the same bucket hash, so assignments nest
+    // (growing the train share never steals already-assigned val docs)
+    "corpus_split3" -> ((s, dir) =>
+      graft.ext.Corpus.hashSplit3(Tables(s, dir).documents, "doc_id", 80, 10)
+        .select(col("doc_id"), col("split"))),
+
+    // per-group min-max feature scaling: one groupBy for the group
+    // range, broadcast join back, guarded division (constant groups and
+    // single-value groups scale to NULL, not a blow-up)
+    "minmax_scaled" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      val rng = ev.groupBy(col("event_type"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      ev.join(broadcast(rng), Seq("event_type"))
+        .withColumn("scaled",
+          when(col("hi") =!= col("lo"),
+            (col("cents") - col("lo")).cast(DoubleType) /
+              (col("hi") - col("lo")).cast(DoubleType)))
+        .select(col("event_id"), col("event_type"), col("cents"), col("scaled"))
+    }),
+
     // deterministic stratified sample: cap each language at 25 docs
     // (hash-ranked selection — exact per-stratum counts, stable under
     // any partitioning, unlike sampleBy/rand)
@@ -670,6 +692,28 @@ object ExtRegistry {
         |       CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000003 % 100 + 100) % 100 < 90
         |            THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "corpus_split3" ->
+      """SELECT doc_id,
+        |       CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000003 % 100 + 100) % 100 < 80
+        |            THEN 'train'
+        |            WHEN ((doc_id % 1000003) * 2654435761 % 1000003 % 100 + 100) % 100 < 90
+        |            THEN 'val' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "minmax_scaled" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |rng AS (
+        |  SELECT event_type, min(cents) AS lo, max(cents) AS hi
+        |  FROM ev GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.cents,
+        |       CASE WHEN r.hi <> r.lo
+        |            THEN CAST(e.cents - r.lo AS DOUBLE) / CAST(r.hi - r.lo AS DOUBLE)
+        |       END AS scaled
+        |FROM ev e JOIN rng r USING (event_type)""".stripMargin,
 
     "docs_sample_stratified" ->
       """SELECT doc_id, lang, source FROM (

@@ -501,6 +501,46 @@ class ExtSpec extends SparkSpec {
     assert(capped.toSet == Set(("red bolt", "rod bolt")))
   }
 
+  test("foreachBatch streaming upsert maintains the SCD-2 dimension across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // the standard streaming->warehouse loop: each micro-batch of
+    // attribute updates is applied with the same Scd2.merge the batch
+    // path uses; the evolving dimension must end bit-identical to
+    // applying the updates by hand
+    var dim = Seq((1L, "A", java.sql.Date.valueOf("2021-01-01"), null.asInstanceOf[java.sql.Date], true))
+      .toDF("loan_id", "status", "valid_from", "valid_to", "is_current")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("loan_id", "status", "eff")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect() // one effective date per micro-batch here
+        if (rows.nonEmpty) {
+          val eff = rows.head.getString(2)
+          val inc = rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+            .toDF("loan_id", "status")
+          // localCheckpoint cuts the plan chain — without it every batch
+          // would stack another merge over the whole prior lineage
+          dim = graft.operators.Scd2.merge(dim, inc, "loan_id", Seq("status"),
+            lit(eff).cast("date")).localCheckpoint(true)
+        }
+        ()
+      }.start()
+    try {
+      mem.addData((1L, "B", "2021-02-01"), (2L, "A", "2021-02-01"))
+      q.processAllAvailable()
+      // loan 1's second update is a no-op (same status); loan 2 changes
+      mem.addData((1L, "B", "2021-03-01"), (2L, "C", "2021-03-01"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = dim.select(col("loan_id"), col("status"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"), col("is_current"))
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "A", "2021-01-01", Some("2021-02-01"), false),
+      (1L, "B", "2021-02-01", None, true),
+      (2L, "A", "2021-02-01", Some("2021-03-01"), false),
+      (2L, "C", "2021-03-01", None, true)))
+  }
+
   test("stream-static join: each micro-batch enriches against the static dimension") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "mortgage"), (2L, "auto")).toDF("loan_id", "product_type")

@@ -160,4 +160,25 @@ class LoadSpec extends SparkSpec {
     // partition directories exist -> pruning-capable layout
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("currency=")))
   }
+
+  test("schema evolution: mergeSchema reads old and new writer generations together") {
+    // a long-lived 100 TB table is written by EVOLVING jobs — an added
+    // column must not orphan old files. mergeSchema unions the footers;
+    // rows from pre-evolution files read the new column as NULL, and the
+    // shared columns keep their values
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "EUR")).toDF("id", "currency")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "USD", 42.0)).toDF("id", "currency", "amount")
+      .write.mode("append").parquet(dir)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("id", "currency", "amount"))
+    val rows = back.select(col("id"), col("currency"), col("amount"))
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(rows == Set((1L, "EUR", None), (2L, "USD", Some(42.0))))
+    // the DEFAULT read (no mergeSchema) picks one footer — the silent
+    // column-loss mode the option exists to avoid; pin the contract
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.toSet.subsetOf(Set("id", "currency", "amount")))
+  }
 }

@@ -228,6 +228,16 @@ object ExtRegistry {
         countDistinct(col("user_id")).as("exact_distinct"))
     }),
 
+    // ordered group-concat (string_agg): collect_set is order-free, so
+    // determinism comes from array_sort before the join — the only
+    // contract under which a concatenated list can hash-match anywhere
+    "group_concat_currencies" -> ((s, dir) => {
+      val loans = graft.analog.Analog.loans(Tables(s, dir))
+      loans.groupBy(col("product_type"))
+        .agg(array_join(array_sort(collect_set(col("currency"))), ",").as("currencies"),
+          countDistinct(col("currency")).as("n_currencies"))
+    }),
+
     // ROLLUP hierarchy totals (grouping-sets family)
     "rollup_collections" -> ((s, dir) => {
       val pay = graft.analog.Analog.payments(Tables(s, dir))
@@ -783,6 +793,18 @@ object ExtRegistry {
         |         AS kmv_estimate,
         |       e.exact_distinct
         |FROM e JOIN x ON e.event_type = x.event_type""".stripMargin,
+
+    // DuckDB string_agg(DISTINCT ... ORDER BY) == sorted-set array_join:
+    // both pin the concatenation order, the only way a list hash-matches
+    "group_concat_currencies" ->
+      """WITH loans AS (
+        |  SELECT c_mktsegment AS product_type,
+        |         'C' || CAST(c_nationkey AS VARCHAR) AS currency
+        |  FROM customer)
+        |SELECT product_type,
+        |       string_agg(DISTINCT currency, ',' ORDER BY currency) AS currencies,
+        |       count(DISTINCT currency) AS n_currencies
+        |FROM loans GROUP BY 1""".stripMargin,
 
     "rollup_collections" ->
       """WITH pay AS (

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.analog.Analog
 import graft.credit.Marts
 import graft.ext.Sim
+import graft.queries.Registry
 
 /** Physical-plan assertions: the properties that decide 100 TB behavior
   * (column pruning into the parquet reader, filter pushdown through
@@ -274,6 +275,28 @@ class PlanSpec extends SparkSpec {
       .filter(col("rn") <= 3).drop("rn")
     assert(topk.exceptAll(expected).isEmpty && expected.exceptAll(topk).isEmpty,
       "TopKPerGroup result differs from the window spelling")
+  }
+
+  test("ema fold plans two keyed exchanges (monthly rollup + per-key collect), no window") {
+    val df = Registry.queries("ema_monthly_value")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the recurrence itself is a HOF fold inside the projection — the
+    // plan must show only the two aggregation shuffles, never a Window
+    // (a window spelling would imply per-row state the fold avoids)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
+  test("cms estimates join the one-row-per-group sketch via broadcast, never SMJ") {
+    val df = Registry.queries("cms_user_counts")(spark, sfDir)
+    df.count()
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val plan = root.toString
+    assert(plan.contains("BroadcastHashJoin"), s"sketch join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sketch join shuffled:\n$plan")
   }
 
   test("datasetMix is a narrow filter — no exchange, no shuffle") {

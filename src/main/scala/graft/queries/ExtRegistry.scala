@@ -323,6 +323,26 @@ object ExtRegistry {
     "curriculum_buckets" -> ((s, dir) =>
       graft.ext.Corpus.curriculumBuckets(Tables(s, dir).documents)),
 
+    // the SCALE path quality_percentile's scaladoc promises: per-source
+    // quartile assignment from per-source histogram boundaries — state
+    // bounded by range/width per source, boundary frame is
+    // source-dimension-sized (broadcasts), and the document side never
+    // sorts. The exact RANGE-window spelling stays as the precision twin
+    "quality_quartile_by_source" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("token_cnt"))
+      val bounds = graft.operators.Quantiles.histogramQuantile(
+        toks, Seq("source"), "token_cnt", 8.0,
+        Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+      toks.join(broadcast(bounds), Seq("source"))
+        .withColumn("bucket",
+          when(col("token_cnt").cast(DoubleType) <= col("q1"), 0)
+            .when(col("token_cnt").cast(DoubleType) <= col("q2"), 1)
+            .when(col("token_cnt").cast(DoubleType) <= col("q3"), 2)
+            .otherwise(3))
+        .select(col("doc_id"), col("source"), col("token_cnt"), col("bucket"))
+    }),
+
     // the pre-salting diagnostic: top-20 hottest keys with table share
     "skew_report" -> ((s, dir) =>
       graft.operators.Skew.hotKeyReport(
@@ -951,6 +971,38 @@ object ExtRegistry {
          |                 WHEN CAST(t.token_cnt AS DOUBLE) <= b.q3 THEN 2
          |                 ELSE 3 END AS INTEGER) AS bucket
          |FROM t, b""".stripMargin
+    },
+
+    // per-source twin of the curriculum histogram estimator (width 8)
+    "quality_quartile_by_source" -> {
+      def est(q: String) =
+        s"""max(CASE WHEN CAST(cum - cnt AS DOUBLE) < $q * CAST(total AS DOUBLE)
+           |          AND $q * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+           |     THEN CAST(bucket AS DOUBLE) * 8.0
+           |          + ($q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+           |            / CAST(cnt AS DOUBLE) * 8.0 END)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt
+         |  FROM documents),
+         |hist AS (
+         |  SELECT source,
+         |         CAST(floor(CAST(token_cnt AS DOUBLE) / 8.0) AS BIGINT) AS bucket,
+         |         count(*) AS cnt
+         |  FROM t GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *, SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |            SUM(cnt) OVER (PARTITION BY source) AS total
+         |  FROM hist),
+         |b AS (SELECT source, ${est("0.25")} AS q1, ${est("0.5")} AS q2,
+         |             ${est("0.75")} AS q3 FROM c GROUP BY source)
+         |SELECT t.doc_id, t.source, t.token_cnt,
+         |       CAST(CASE WHEN CAST(t.token_cnt AS DOUBLE) <= b.q1 THEN 0
+         |                 WHEN CAST(t.token_cnt AS DOUBLE) <= b.q2 THEN 1
+         |                 WHEN CAST(t.token_cnt AS DOUBLE) <= b.q3 THEN 2
+         |                 ELSE 3 END AS INTEGER) AS bucket
+         |FROM t JOIN b USING (source)""".stripMargin
     },
 
     // ties at the k-boundary broken by (cnt desc, key asc) total order

@@ -307,6 +307,46 @@ object ExtRegistry {
         .select(col("event_id"), col("event_type"), col("cents"), col("z"))
     }),
 
+    // Pearson correlation from EXACT integer moments — Spark's corr()
+    // accumulates floats in partition order (non-reproducible); here the
+    // six sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64 (whole-unit
+    // quantization keeps Σx² ≤ ~1e10·rows — safe through ~1e8 rows per
+    // group; widen the quantum for more) and ONE fixed IEEE formula
+    // computes r on both engines
+    "corr_price_qty" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem.select(col("l_returnflag"),
+        floor(col("l_extendedprice")).cast(LongType).as("x"),
+        floor(col("l_quantity")).cast(LongType).as("y"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+        .withColumn("r",
+          (col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          sqrt((col("n").cast(DoubleType) * col("sx2").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+            (col("n").cast(DoubleType) * col("sy2").cast(DoubleType) -
+              col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+        .select(col("l_returnflag"), col("n"), col("r"))
+    }),
+
+    // robust outlier scale: median absolute deviation — two exact
+    // interpolated-percentile passes (per-group sort each; the bounded
+    // scale alternative is the histogram estimator) joined on the group
+    "mad_by_type" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("cents").cast(DoubleType) - col("med")).as("dev"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+        .join(med, Seq("event_type"))
+        .select(col("event_type"), col("med"), col("mad"))
+    }),
+
     // per-source quality percentile: "top X% of EVERY source", not a
     // global cutoff a verbose source would dominate
     "quality_percentile" -> ((s, dir) =>
@@ -857,6 +897,40 @@ object ExtRegistry {
         |       quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.95) AS p95
         |FROM events GROUP BY 1""".stripMargin,
+
+    // identical exact integer moments, identical single IEEE formula
+    "corr_price_qty" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |         CAST(floor(l_extendedprice) AS BIGINT) AS x,
+        |         CAST(floor(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |              * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM m""".stripMargin,
+
+    // same two interpolated medians (quantile_cont is the exact
+    // interpolated percentile on integer-valued doubles)
+    "mad_by_type" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |  FROM ev GROUP BY 1)
+        |SELECT e.event_type, m.med,
+        |       quantile_cont(abs(CAST(e.cents AS DOUBLE) - m.med), 0.5) AS mad
+        |FROM ev e JOIN med m USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,

@@ -27,6 +27,16 @@ object Checks {
   def relationshipViolations(child: DataFrame, parent: DataFrame, key: String): DataFrame =
     child.join(parent.select(col(key)).distinct(), Seq(key), "left_anti")
 
+  /** dbt's fourth generic test (`accepted_values`, not used by the
+    * reference's schema.yml but standard in the family): non-null values
+    * of `column` outside the allowed list. NULLs pass — that's
+    * not_null's job, matching dbt's separation of the two tests. */
+  def acceptedValuesViolations(df: DataFrame, column: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "accepted_values needs a nonempty list")
+    df.filter(col(column).isNotNull && !col(column).isin(values: _*))
+  }
+
   def counted(name: String, df: DataFrame): DataFrame =
     df.agg(count(lit(1)).as("violations")).select(lit(name).as("check_name"), col("violations"))
 

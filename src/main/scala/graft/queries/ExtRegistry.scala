@@ -307,6 +307,31 @@ object ExtRegistry {
         .select(col("event_id"), col("event_type"), col("cents"), col("z"))
     }),
 
+    // dbt's accepted_values generic test (the fourth of the family) over
+    // the recomputed dpd_bucket domain; emitted as the same
+    // (check_name, violations) summary shape as dq_suite
+    "dq_accepted_values" -> ((s, dir) => {
+      val arr = graft.analog.Analog.arrears(Tables(s, dir))
+      graft.dq.Checks.counted("arrears_dpd_bucket_accepted",
+        graft.dq.Checks.acceptedValuesViolations(
+          arr, "dpd_bucket", Seq("0", "1-30", "31-60", "61-90", "90+")))
+        .unionByName(graft.dq.Checks.counted("arrears_dpd_bucket_domain_probe",
+          graft.dq.Checks.acceptedValuesViolations(
+            arr, "dpd_bucket", Seq("0", "1-30"))))
+    }),
+
+    // conversion latency: the funnel composition closed into a
+    // distribution — click→purchase delays (the forward-as-of output)
+    // reduced to per-outcome percentiles
+    "conversion_latency" -> ((s, dir) => {
+      val f = Registry.queries("funnel_next_purchase")(s, dir)
+      f.withColumn("latency_us", col("p_ts") - col("tsu"))
+        .groupBy(col("latency_us").isNotNull.as("converted"))
+        .agg(count(lit(1)).as("clicks"),
+          expr("percentile(latency_us, 0.5)").as("p50_us"),
+          expr("percentile(latency_us, 0.95)").as("p95_us"))
+    }),
+
     // Pearson correlation from EXACT integer moments — Spark's corr()
     // accumulates floats in partition order (non-reproducible); here the
     // six sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64 (whole-unit
@@ -897,6 +922,39 @@ object ExtRegistry {
         |       quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.95) AS p95
         |FROM events GROUP BY 1""".stripMargin,
+
+    // violations = non-null values outside the list (NULLs are
+    // not_null's concern, like dbt); the second row's narrowed domain
+    // proves the probe actually counts
+    "dq_accepted_values" ->
+      s"""WITH ${Registry.arrearsCte}
+         |SELECT 'arrears_dpd_bucket_accepted' AS check_name, count(*) AS violations
+         |FROM arrears WHERE dpd_bucket IS NOT NULL
+         |  AND dpd_bucket NOT IN ('0', '1-30', '31-60', '61-90', '90+')
+         |UNION ALL
+         |SELECT 'arrears_dpd_bucket_domain_probe', count(*)
+         |FROM arrears WHERE dpd_bucket IS NOT NULL
+         |  AND dpd_bucket NOT IN ('0', '1-30')""".stripMargin,
+
+    // the funnel CTE chain reduced to a per-outcome delay distribution
+    "conversion_latency" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+        |            FROM events),
+        |l AS (SELECT event_id, user_id, tsu FROM ev WHERE event_type = 'click'),
+        |r AS (SELECT user_id, tsu AS p_tsu, min(event_id) AS purchase_id
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT l.event_id, r.p_tsu,
+        |         row_number() OVER (PARTITION BY l.event_id ORDER BY r.p_tsu) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |   AND r.p_tsu >= l.tsu AND r.p_tsu <= l.tsu + 86400000000),
+        |d AS (
+        |  SELECT c.p_tsu - l.tsu AS latency
+        |  FROM l LEFT JOIN cand c ON c.event_id = l.event_id AND c.rn = 1)
+        |SELECT latency IS NOT NULL AS converted, count(*) AS clicks,
+        |       quantile_cont(latency, 0.5) AS p50_us,
+        |       quantile_cont(latency, 0.95) AS p95_us
+        |FROM d GROUP BY 1""".stripMargin,
 
     // identical exact integer moments, identical single IEEE formula
     "corr_price_qty" ->

@@ -656,7 +656,10 @@ object Registry {
 
   // --------------------------------------------------------------- Oracle
 
-  private val arrearsCte =
+  // lazy: ExtRegistry reads this DURING Registry's own initialization
+  // (Registry.queries triggers ExtRegistry init) — a strict val would
+  // still be null at that point (circular object-init order)
+  private[queries] lazy val arrearsCte =
     """arrears AS (
       |  SELECT user_id AS loan_id,
       |         CAST(CAST(ts AS DATE) + INTERVAL ((event_id % 6)) MONTH AS DATE) AS as_of_date,

@@ -66,6 +66,26 @@ object Registry {
     "npl_monthly" -> ((s, dir) =>
       Marts.nplMonthly(Marts.dpdDaily(arrears(s, dir), loans(s, dir)))),
 
+    // exposure-weighted average DPD — the non-uniform-weight mean as
+    // exact integer arithmetic: weight in cents, weighted sum as one
+    // int64 aggregate (bound: dpd·cents ≤ ~1e9 per row — safe past 1e9
+    // rows/group), then ONE IEEE division. A float-weighted avg() would
+    // accumulate in partition order and never cross-engine-match
+    "weighted_avg_dpd" -> ((s, dir) =>
+      Marts.dpdDaily(arrears(s, dir), loans(s, dir))
+        .select(graft.functions.CreditFunctions.monthOf(col("as_of_date")).as("month"),
+          col("product_type"),
+          col("days_past_due"),
+          (col("exposure") * 100).cast(LongType).as("w"))
+        .groupBy(col("month"), col("product_type"))
+        .agg(sum(col("days_past_due") * col("w")).as("dpd_w"),
+          sum(col("w")).as("w_total"))
+        .withColumn("weighted_avg_dpd",
+          when(col("w_total") =!= 0,
+            col("dpd_w").cast(DoubleType) / col("w_total").cast(DoubleType)))
+        .select(col("month"), col("product_type"), col("w_total"),
+          col("weighted_avg_dpd"))),
+
     // month-over-month reporting layer on the NPL mart: prior month's
     // exposure via lag over (product, currency) — rides the mart's
     // existing keyed shuffle; delta is a guarded ratio (first month and
@@ -801,6 +821,21 @@ object Registry {
          |         SUM(CASE WHEN a.npl_flag THEN l.exposure ELSE 0 END) AS npl_exposure_dec
          |  FROM arrears a JOIN loans l ON a.loan_id = l.loan_id
          |  GROUP BY 1, 2, 3) g""".stripMargin,
+
+    // same integer weighted sum; exposure joins through the same CTEs
+    "weighted_avg_dpd" ->
+      s"""WITH $arrearsCte, $loansCte
+         |SELECT month, product_type, w_total,
+         |       CASE WHEN w_total <> 0
+         |            THEN CAST(dpd_w AS DOUBLE) / CAST(w_total AS DOUBLE) END
+         |         AS weighted_avg_dpd
+         |FROM (
+         |  SELECT CAST(date_trunc('month', a.as_of_date) AS DATE) AS month,
+         |         l.product_type,
+         |         SUM(a.days_past_due * CAST(l.exposure * 100 AS BIGINT)) AS dpd_w,
+         |         SUM(CAST(l.exposure * 100 AS BIGINT)) AS w_total
+         |  FROM arrears a JOIN loans l ON a.loan_id = l.loan_id
+         |  GROUP BY 1, 2) g""".stripMargin,
 
     // lag over observed months per (product, currency); the double
     // subtraction-then-division order matches the Spark expression

@@ -832,8 +832,8 @@ object Registry {
          |FROM (
          |  SELECT CAST(date_trunc('month', a.as_of_date) AS DATE) AS month,
          |         l.product_type,
-         |         SUM(a.days_past_due * CAST(l.exposure * 100 AS BIGINT)) AS dpd_w,
-         |         SUM(CAST(l.exposure * 100 AS BIGINT)) AS w_total
+         |         CAST(SUM(a.days_past_due * CAST(l.exposure * 100 AS BIGINT)) AS BIGINT) AS dpd_w,
+         |         CAST(SUM(CAST(l.exposure * 100 AS BIGINT)) AS BIGINT) AS w_total
          |  FROM arrears a JOIN loans l ON a.loan_id = l.loan_id
          |  GROUP BY 1, 2) g""".stripMargin,
 
@@ -1170,8 +1170,8 @@ object Registry {
     // multiply-add per step in the identical order
     "ema_monthly_value" ->
       """WITH RECURSIVE e AS (
-        |  SELECT user_id, date_trunc('month', CAST(ts AS DATE)) AS m,
-        |         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        |  SELECT user_id, CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS m,
+        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |o AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn
@@ -1213,14 +1213,18 @@ object Registry {
         |       count(DISTINCT e.user_id) AS active_users
         |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
-    // per event: the 4 covering window starts are (t div slide - i)*slide
+    // per event: the 4 covering window starts are (t floordiv slide - i)*slide
     // for i in 0..3 (boundary-probed: start <= t < start + size holds for
-    // exactly those, including negative starts near the epoch)
+    // exactly those). DuckDB's // truncates toward zero for negative
+    // operands while Spark's window() floors, so the quotient is a
+    // sign-normalized integer floor-div — exact for pre-epoch timestamps too.
     "hopping_window_agg" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS tsu FROM events),
         |w AS (
         |  SELECT event_type,
-        |         ((tsu // 21600000000) - g.i) * 21600000000 AS win_start
+        |         ((CASE WHEN tsu >= 0 THEN tsu // 21600000000
+        |                ELSE -((-tsu + 21600000000 - 1) // 21600000000)
+        |           END) - g.i) * 21600000000 AS win_start
         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g)
         |SELECT event_type, win_start AS win_start_us,
         |       win_start + 86400000000 AS win_end_us, count(*) AS events

@@ -53,9 +53,24 @@ def main(sfdir, outdir):
         except Exception as e:
             print(f"{name}: SPARK RESULT ERROR {e}")
             continue
+        # Type-pin: DESCRIBE both sides and compare result-column TYPES, not
+        # just names. DuckDB promotes SUM(BIGINT) to HUGEINT and some builds
+        # type date_trunc as TIMESTAMP; the driver's DuckDB canonicalizes those
+        # differently from the values the local client fetches, so a type
+        # mismatch here is exactly the drift class that hash-fails remotely
+        # while bit-matching locally (see VERDICT r6: weighted_avg_dpd,
+        # ema_monthly_value).
+        otypes = dict(con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE {oracle[name]})").fetchall())
+        stypes = dict(con.execute(
+            "SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM "
+            f"read_parquet('{outdir}/{name}/*.parquet'))").fetchall())
+        type_diffs = {c: (stypes.get(c), otypes.get(c))
+                      for c in set(otypes) | set(stypes)
+                      if stypes.get(c) != otypes.get(c)}
         oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
         sidx = sorted(range(len(scols)), key=lambda i: scols[i])
-        schema_match = sorted(ocols) == sorted(scols)
+        schema_match = sorted(ocols) == sorted(scols) and not type_diffs
         orows_s = canon([[r[i] for i in oidx] for r in orows])
         srows_s = canon([[r[i] for i in sidx] for r in srows])
         rows_match = len(orows) == len(srows)
@@ -71,6 +86,8 @@ def main(sfdir, outdir):
                     break
         elif not schema_match:
             print(f"  spark cols : {sorted(scols)}\n  oracle cols: {sorted(ocols)}")
+            for c, (st, ot) in sorted(type_diffs.items()):
+                print(f"  type drift : {c}: spark={st} oracle={ot}")
     print(f"\n{n_ok}/{len(oracle)} queries match")
 
 

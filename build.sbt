@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked main's stdout must reach the caller RAW: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks any
+// downstream json.loads of the Bench/Verify output lines (the driver's
+// BENCH parse has been null every round because of it).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

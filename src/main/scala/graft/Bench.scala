@@ -79,6 +79,18 @@ object Bench {
     // budget, the tail of fast queries folded into queries_omitted /
     // omitted_sec. Printed last so any last-line / last-parseable-line
     // capture finds a complete JSON object.
+    //
+    // r6 post-mortem: the compact line WAS complete inside the captured
+    // tail and parse still failed — the 2000-char window opened mid-way
+    // through the preceding full-precision line, so a find('{')..rfind('}')
+    // span parser saw fragment+compact concatenated (invalid), and every
+    // line carried sbt's "[info] " prefix (fixed via run/outputStrategy =
+    // StdoutOutput in build.sbt). Two more defenses here: (a) brace-free
+    // PADDING lines between the full line and the compact line, sized past
+    // the window, so the window always opens in neutral filler and the
+    // only braces it contains are the compact line's own; (b) the compact
+    // budget leaves slack for sbt's "[success] ..." footer (brace-free)
+    // inside the same window.
     def s2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val head = s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":{"""
     val suffix = s""","errors":$errs,"sf":"$sfDir","full":"bench_out.json"}"""
@@ -99,6 +111,9 @@ object Bench {
     val omittedPart =
       if (omitted == 0) ""
       else s""","queries_omitted":$omitted,"omitted_sec":${s2(omittedSec)}"""
+    // 2500+ chars of brace-free filler: guarantees the driver's 2000-char
+    // stdout-tail window opens inside padding, never mid-JSON
+    (1 to 25).foreach(_ => println("#" * 100))
     println(head + entries.mkString(",") + "}" + omittedPart + suffix)
     spark.stop()
   }

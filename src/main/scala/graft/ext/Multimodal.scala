@@ -8,18 +8,21 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The Spark-side plumbing — schema, partitioning, per-partition batch
-  * iteration — is real; the DECODE step is a clearly-marked deterministic
-  * STUB (this environment ships no image/audio codecs): it derives
-  * features from the raw bytes so the pipeline shape, types and tests
-  * are exactly what a real decoder would plug into (swap
-  * [[decodeFeaturesStub]]'s body for JNI/FFI codec calls; everything
-  * upstream/downstream is unchanged).
+  * The decode path is REAL for the two pure-JVM image containers this
+  * sandbox can ship — binary PPM (P6) and uncompressed 24/32-bit BMP:
+  * [[decodeMedia]] parses the actual header bytes (magic, dimensions,
+  * bit depth, pixel-array offset, 4-byte row padding) and checksums the
+  * pixel payload, all inside a narrow `mapPartitions`. Codec-compressed
+  * formats (JPEG/PNG/MP3/H.264) need native libraries absent from this
+  * environment; [[byteFeatures]] is the labeled placeholder for those —
+  * identical signature and per-partition batch shape, so swapping its
+  * body for JNI/FFI codec calls changes nothing upstream or downstream.
   *
   * Scale posture: media rows are heavy (MB-scale blobs at production) —
-  * the feature extraction is a narrow `mapPartitions` (no shuffle, no
-  * driver collect), metadata-only transforms never deserialize the blob,
-  * and frame sampling is pure arithmetic on metadata.
+  * decode and feature extraction are narrow `mapPartitions` (no shuffle,
+  * no driver collect, one codec context per partition), metadata-only
+  * transforms never deserialize the blob, and frame sampling is pure
+  * arithmetic on metadata.
   */
 object Multimodal {
 
@@ -56,16 +59,16 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
       first_byte: Int, last_byte: Int, byte_sum_mod: Long)
 
-  /** STUB decoder (see object doc): a real implementation would decode
-    * the payload (libjpeg/ffmpeg/...) and emit embeddings; this derives
-    * deterministic features from raw bytes with the SAME signature and
-    * batch shape (per-partition iterator — one codec context per
-    * partition, not per row). */
-  def decodeFeaturesStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** Placeholder feature extractor for codec-compressed formats (see
+    * object doc): derives deterministic features from raw bytes with the
+    * SAME signature and batch shape a JNI/FFI decoder would use
+    * (per-partition iterator — one codec context per partition, not per
+    * row). The pure-JVM formats have a real decoder: [[decodeMedia]]. */
+  def byteFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // real decoder: init codec context here, once per partition
+      // codec-backed decoder: init codec context here, once per partition
       rows.map { m =>
         val bs = m.bytes
         val sum = bs.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 1000003L)
@@ -75,5 +78,154 @@ object Multimodal {
           sum)
       }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real decode: binary PPM (P6) and uncompressed BMP, pure JVM.
+  // ---------------------------------------------------------------------
+
+  final case class EncodedMedia(doc_id: Long, fmt: String, bytes: Array[Byte])
+
+  /** Decoded image metadata + a pixel checksum proving the parser found
+    * the pixel array at the right offset (padding handled, header
+    * skipped). `pixel_sum` = Σ payload bytes (BMP row padding excluded),
+    * order-independent so PPM top-down and BMP bottom-up agree. */
+  final case class DecodedMedia(doc_id: Long, fmt: String, width: Int,
+      height: Int, channels: Int, pixel_bytes: Long, pixel_sum: Long)
+
+  /** Encode a deterministic tiny image per document: even doc_ids as
+    * binary PPM (P6), odd as 24-bit uncompressed BMP (bottom-up rows,
+    * 4-byte row padding — the format's actual layout). Dimensions and
+    * pixel bytes are arithmetic off doc_id so a SQL oracle can replay
+    * the expected decode output without parsing bytes:
+    * w = 1+(id*7)%13, h = 1+(id*11)%9, payload byte i = (id+i)%256. */
+  def encodeMedia(documents: DataFrame): Dataset[EncodedMedia] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (1 + (id * 7) % 13).toInt
+      val h = (1 + (id * 11) % 9).toInt
+      if (id % 2 == 0) EncodedMedia(id, "ppm", ppmBytes(id, w, h))
+      else EncodedMedia(id, "bmp", bmpBytes(id, w, h))
+    })
+  }
+
+  /** Binary PPM: ASCII "P6\n<w> <h>\n255\n" header, then w*h*3 raw RGB
+    * bytes row-major top-down. */
+  private[ext] def ppmBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val n = w * h * 3
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) { out(header.length + i) = ((id + i) % 256).toByte; i += 1 }
+    out
+  }
+
+  /** Uncompressed 24-bit BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER, rows stored bottom-up and zero-padded to 4-byte
+    * boundaries. Payload byte value at logical row y, in-row index x is
+    * (id + y*w*3 + x) % 256 — same linearization as PPM, so both formats
+    * share one oracle expression. */
+  private[ext] def bmpBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val pixelArray = rowSize * h
+    val out = new Array[Byte](54 + pixelArray)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + pixelArray)       // file size
+    le32(10, 54)                   // pixel-array offset
+    le32(14, 40)                   // BITMAPINFOHEADER size
+    le32(18, w); le32(22, h)       // positive height = bottom-up
+    out(26) = 1                    // planes
+    out(28) = 24                   // bits per pixel
+    le32(30, 0)                    // BI_RGB, uncompressed
+    le32(34, pixelArray)
+    var y = 0
+    while (y < h) {
+      val storedRow = h - 1 - y    // bottom-up storage
+      var x = 0
+      while (x < w * 3) {
+        out(54 + storedRow * rowSize + x) = ((id + y.toLong * w * 3 + x) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL decoder for PPM (P6) and uncompressed 24/32-bit BMP: parses
+    * the actual container bytes — magic, whitespace/comment-tolerant PPM
+    * header, little-endian BMP fields, pixel-array offset, row padding —
+    * and checksums the pixel payload. Narrow mapPartitions; malformed
+    * payloads fail loudly (corrupt media must not silently pass). */
+  def decodeMedia(media: Dataset[EncodedMedia]): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      require(bs.length >= 2, s"doc ${m.doc_id}: payload too short")
+      if (bs(0) == 'P' && bs(1) == '6') decodePpm(m.doc_id, bs)
+      else if (bs(0) == 'B' && bs(1) == 'M') decodeBmp(m.doc_id, bs)
+      else throw new IllegalArgumentException(
+        s"doc ${m.doc_id}: unknown magic 0x${(bs(0) & 0xff).toHexString}${(bs(1) & 0xff).toHexString}")
+    })
+  }
+
+  private def decodePpm(id: Long, bs: Array[Byte]): DecodedMedia = {
+    // token scanner per the netpbm spec: fields separated by whitespace,
+    // '#' starts a comment running to end-of-line
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < bs.length &&
+             (bs(pos).toChar.isWhitespace || bs(pos) == '#')) {
+        if (bs(pos) == '#') while (pos < bs.length && bs(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = 0
+      require(pos < bs.length && bs(pos) >= '0' && bs(pos) <= '9', s"doc $id: bad PPM header")
+      while (pos < bs.length && bs(pos) >= '0' && bs(pos) <= '9') {
+        v = v * 10 + (bs(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+    require(maxVal == 255, s"doc $id: only 8-bit PPM supported, maxval=$maxVal")
+    pos += 1 // exactly one whitespace byte separates the header from raster data
+    val n = w * h * 3
+    require(bs.length - pos == n, s"doc $id: PPM raster ${bs.length - pos} bytes, expected $n")
+    var sum = 0L
+    var i = pos
+    while (i < bs.length) { sum += bs(i) & 0xff; i += 1 }
+    DecodedMedia(id, "ppm", w, h, 3, n.toLong, sum)
+  }
+
+  private def decodeBmp(id: Long, bs: Array[Byte]): DecodedMedia = {
+    def le32(off: Int): Int =
+      (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8) |
+      ((bs(off + 2) & 0xff) << 16) | ((bs(off + 3) & 0xff) << 24)
+    require(bs.length >= 54, s"doc $id: BMP shorter than headers")
+    val pixelOffset = le32(10)
+    val w = le32(18)
+    val rawH = le32(22)
+    val h = math.abs(rawH) // negative height = top-down; sum is order-free
+    val bitCount = (bs(28) & 0xff) | ((bs(29) & 0xff) << 8)
+    require(bitCount == 24 || bitCount == 32, s"doc $id: unsupported bit depth $bitCount")
+    require(le32(30) == 0, s"doc $id: compressed BMP unsupported")
+    val channels = bitCount / 8
+    val rowSize = ((w * channels + 3) / 4) * 4
+    require(bs.length >= pixelOffset + rowSize * h, s"doc $id: truncated BMP pixel array")
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val base = pixelOffset + y * rowSize
+      while (x < w * channels) { sum += bs(base + x) & 0xff; x += 1 } // padding excluded
+      y += 1
+    }
+    DecodedMedia(id, "bmp", w, h, channels, w.toLong * h * channels, sum)
   }
 }

@@ -120,6 +120,15 @@ object ExtRegistry {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.frameSamplePlan(Multimodal.media(Tables(s, dir).documents), 10L)),
 
+    // REAL image decode (no codec libs needed): deterministic PPM/BMP
+    // payloads built from doc_id arithmetic, then parsed back from the
+    // actual container bytes — magic, header fields, bottom-up rows,
+    // 4-byte padding. The oracle replays the generator arithmetic in
+    // SQL, so a parser bug (wrong offset, padding included, dims
+    // misread) hash-fails.
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeMedia(Multimodal.encodeMedia(Tables(s, dir).documents)).toDF()),
+
     // intra-doc repetition (boilerplate/spam signal): share of n-gram
     // occurrences that repeat an earlier n-gram of the same document
     "doc_repetition" -> ((s, dir) =>
@@ -1002,6 +1011,29 @@ object ExtRegistry {
         |       CAST(0 AS BIGINT) AS first_frame,
         |       (((1 + (doc_id * 17) % 600) + 9) // 10 - 1) * 10 * 24 AS last_frame
         |FROM documents""".stripMargin,
+
+    // replays the encoder's arithmetic (dims, payload byte = (id+i)%256)
+    // without touching bytes — any decoder offset/padding/dimension bug
+    // diverges from this
+    "multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+        |         CAST(1 + (doc_id * 7) % 13 AS INTEGER) AS width,
+        |         CAST(1 + (doc_id * 11) % 9 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, CAST(width AS BIGINT) * height * 3 - 1)) AS i
+        |  FROM m),
+        |ps AS (
+        |  SELECT doc_id, CAST(SUM((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+        |  FROM px GROUP BY 1)
+        |SELECT m.doc_id, m.fmt, m.width, m.height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
+        |       ps.pixel_sum
+        |FROM m JOIN ps USING (doc_id)""".stripMargin,
 
     // identical exact-moment formula: population variance from integer
     // (n, Σx, Σx²), never a float-accumulating stddev aggregate

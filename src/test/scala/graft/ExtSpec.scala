@@ -50,13 +50,53 @@ class ExtSpec extends SparkSpec {
     assert(r.getAs[Long]("frames_sampled") == (r.getAs[Long]("duration_s") + 9) / 10)
   }
 
-  test("multimodal decode stub: per-partition batch shape, deterministic features") {
+  test("multimodal byte features: per-partition batch shape, deterministic features") {
     val media = Multimodal.media(docs).select(col("doc_id"), col("kind"), col("bytes"))
       .as[Multimodal.MediaRow]
-    val feats = Multimodal.decodeFeaturesStub(media).collect().map(f => f.doc_id -> f).toMap
+    val feats = Multimodal.byteFeatures(media).collect().map(f => f.doc_id -> f).toMap
     assert(feats(1L).byte_len == "w1 w2 w3 w4 w5 w6 w7 w8".length)
     assert(feats(1L).first_byte == 'w'.toInt)
     assert(feats(1L).byte_sum_mod == feats(2L).byte_sum_mod) // same bytes -> same features
+  }
+
+  test("multimodal decode: PPM/BMP round-trip matches the generator arithmetic") {
+    val dec = Multimodal.decodeMedia(Multimodal.encodeMedia(docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(dec.nonEmpty)
+    dec.foreach { case (id, d) =>
+      val w = (1 + (id * 7) % 13).toInt
+      val h = (1 + (id * 11) % 9).toInt
+      assert(d.fmt == (if (id % 2 == 0) "ppm" else "bmp"))
+      assert(d.width == w && d.height == h && d.channels == 3)
+      assert(d.pixel_bytes == w.toLong * h * 3)
+      val expSum = (0L until w.toLong * h * 3).map(i => (id + i) % 256).sum
+      assert(d.pixel_sum == expSum)
+    }
+  }
+
+  test("multimodal decode: spec fixtures the encoder never emits") {
+    // PPM header with comment lines between fields (netpbm allows them)
+    val ppm = "P6\n# width then height\n2 1\n# maxval\n255\n"
+      .getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    // 32-bit top-down BMP (negative height), 1x2: rowSize 4, no padding
+    val bmp = new Array[Byte](54 + 8)
+    def le32(off: Int, v: Int): Unit = (0 to 3).foreach(k => bmp(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+    bmp(0) = 'B'; bmp(1) = 'M'; le32(2, 62); le32(10, 54); le32(14, 40)
+    le32(18, 1); le32(22, -2); bmp(26) = 1; bmp(28) = 32; le32(30, 0)
+    (0 until 8).foreach(k => bmp(54 + k) = (10 + k).toByte)
+    val out = Multimodal.decodeMedia(Seq(
+        Multimodal.EncodedMedia(7L, "ppm", ppm),
+        Multimodal.EncodedMedia(8L, "bmp", bmp)).toDS())
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(7L).width == 2 && out(7L).height == 1 && out(7L).channels == 3)
+    assert(out(7L).pixel_sum == (1 + 2 + 3 + 4 + 5 + 6))
+    assert(out(8L).width == 1 && out(8L).height == 2 && out(8L).channels == 4)
+    assert(out(8L).pixel_bytes == 8 && out(8L).pixel_sum == (10 to 17).sum)
+    // corrupt payloads fail loudly rather than passing silently
+    val bad = Seq(Multimodal.EncodedMedia(9L, "ppm", "P6\n2 1\n255\n123".getBytes("US-ASCII")))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMedia(bad.toDS()).collect()
+    }
   }
 
   test("streaming dailyWorstDpd: tumbling day windows with watermark via MemoryStream") {

@@ -112,7 +112,7 @@ object Multimodal {
 
   /** Binary PPM: ASCII "P6\n<w> <h>\n255\n" header, then w*h*3 raw RGB
     * bytes row-major top-down. */
-  private[ext] def ppmBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def ppmBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val n = w * h * 3
     val out = new Array[Byte](header.length + n)
@@ -127,7 +127,7 @@ object Multimodal {
     * boundaries. Payload byte value at logical row y, in-row index x is
     * (id + y*w*3 + x) % 256 — same linearization as PPM, so both formats
     * share one oracle expression. */
-  private[ext] def bmpBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def bmpBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val rowSize = ((w * 3 + 3) / 4) * 4
     val pixelArray = rowSize * h
     val out = new Array[Byte](54 + pixelArray)

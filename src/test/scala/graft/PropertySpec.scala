@@ -203,4 +203,30 @@ class PropertySpec extends SparkSpec {
         s"TopKPerGroup k=$k diverges from row_number")
     }
   }
+
+  test("property: PPM/BMP decode inverts encode on arbitrary dims (all padding widths)") {
+    import graft.ext.Multimodal
+    // w mod 4 ∈ {0..3} exercises every BMP row-padding width; ids beyond
+    // 2^32 exercise the (id + i) % 256 byte arithmetic on large longs
+    val cases = sample(for {
+      id <- Gen.chooseNum(0L, 1L << 40)
+      w <- Gen.chooseNum(1, 50)
+      h <- Gen.chooseNum(1, 40)
+      ppm <- Gen.oneOf(true, false)
+    } yield (id, w, h, ppm), 200)
+    val enc = cases.zipWithIndex.map { case ((id, w, h, ppm), i) =>
+      // index as doc_id so duplicate random ids can't collide in the map
+      Multimodal.EncodedMedia(i.toLong, if (ppm) "ppm" else "bmp",
+        if (ppm) Multimodal.ppmBytes(id, w, h) else Multimodal.bmpBytes(id, w, h))
+    }
+    val dec = Multimodal.decodeMedia(enc.toDS()).collect().map(d => d.doc_id -> d).toMap
+    cases.zipWithIndex.foreach { case ((id, w, h, ppm), i) =>
+      val d = dec(i.toLong)
+      assert(d.fmt == (if (ppm) "ppm" else "bmp") && d.width == w && d.height == h
+        && d.channels == 3 && d.pixel_bytes == w.toLong * h * 3,
+        s"case id=$id w=$w h=$h ppm=$ppm got $d")
+      val expSum = (0L until w.toLong * h * 3).map(j => (id + j) % 256).sum
+      assert(d.pixel_sum == expSum, s"pixel_sum id=$id w=$w h=$h ppm=$ppm")
+    }
+  }
 }

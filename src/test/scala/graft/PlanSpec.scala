@@ -332,4 +332,17 @@ class PlanSpec extends SparkSpec {
     // only exchanges belong to the bounded histogram aggregation
     assert(!plan.contains("SortMergeJoin"), s"assignment join shuffled:\n$plan")
   }
+
+  test("multimodal decode is a narrow object pipeline over a doc_id-only scan") {
+    val df = graft.ext.Multimodal.decodeMedia(
+      graft.ext.Multimodal.encodeMedia(tables.documents)).toDF()
+    val scan = scans(df).head
+    // media blobs are heavy at production scale: the encode source must
+    // read ONLY the key column, and encode→decode must chain with no
+    // exchange (per-partition codec contexts, nothing to the driver)
+    assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+  }
 }

@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, s"graft_dot takes 2 arguments, got ${children.size}")
         DotProduct(children(0), children(1))
       }))
+    // graft_nfc(string): Unicode NFC canonicalization (codegen, zero-UDF)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"graft_nfc takes 1 argument, got ${children.size}")
+        org.apache.spark.sql.graft.NfcNormalize(children.head)
+      }))
     // graft_kmv(hash_col, k): the KMV distinct sketch as a SQL aggregate
     // (the analyzer wraps a returned AggregateFunction automatically)
     ext.injectFunction((

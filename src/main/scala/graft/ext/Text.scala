@@ -219,4 +219,30 @@ object Text {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Unicode NFC canonicalization over a deterministically "dirtied"
+    * corpus. The testdata text is pure ASCII (already NFC — the
+    * normalizer would be vacuous), so this INJECTS the real-world mess
+    * first, keyed on doc_id: decomposed e+◌́ (two codepoints that NFC
+    * composes to é), precomposed ü (already NFC — must pass through
+    * untouched), and decomposed o+◌̈. Character counts before/after
+    * expose exactly which rows composed. Narrow projection, no shuffle;
+    * the normalizer is the [[org.apache.spark.sql.graft.NfcNormalize]]
+    * codegen expression (ASCII rows take its no-allocation fast path). */
+  def normalizeNfc(documents: DataFrame): DataFrame = {
+    val raw = when(pmod(col("doc_id"), lit(4)) === 1,
+        replace(col("text"), lit("e"), lit("e\u0301")))  // decomposed e + combining acute
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        replace(col("text"), lit("u"), lit("\u00fc")))   // precomposed u-diaeresis (already NFC)
+      .when(pmod(col("doc_id"), lit(4)) === 3,
+        replace(col("text"), lit("o"), lit("o\u0308")))  // decomposed o + combining diaeresis
+      .otherwise(col("text"))
+    documents
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        length(col("raw")).cast(LongType).as("n_chars_raw"),
+        org.apache.spark.sql.graft.NfcNormalize.nfc(col("raw")).as("text_nfc"))
+      .withColumn("n_chars_nfc", length(col("text_nfc")).cast(LongType))
+  }
 }

@@ -129,6 +129,12 @@ object ExtRegistry {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMedia(Multimodal.encodeMedia(Tables(s, dir).documents)).toDF()),
 
+    // Unicode NFC canonicalization (codegen NfcNormalize expression) over
+    // a deterministically-dirtied corpus: decomposed sequences must
+    // compose, precomposed ones must pass through — char counts prove it
+    "text_normalize_nfc" -> ((s, dir) =>
+      graft.ext.Text.normalizeNfc(Tables(s, dir).documents)),
+
     // intra-doc repetition (boilerplate/spam signal): share of n-gram
     // occurrences that repeat an earlier n-gram of the same document
     "doc_repetition" -> ((s, dir) =>
@@ -1034,6 +1040,26 @@ object ExtRegistry {
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
         |       ps.pixel_sum
         |FROM m JOIN ps USING (doc_id)""".stripMargin,
+
+    // chr(769)=U+0301 combining acute, chr(252)=U+00FC precomposed,
+    // chr(776)=U+0308 combining diaeresis — same injection as the Spark
+    // side; nfc_normalize is DuckDB's ICU NFC (the injected alphabet has
+    // had stable NFC behavior since Unicode 1.1, so JDK-vs-ICU version
+    // skew cannot diverge). length() counts codepoints on both engines.
+    "text_normalize_nfc" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 4 AS INTEGER)
+        |           WHEN 1 THEN replace(text, 'e', 'e' || chr(769))
+        |           WHEN 2 THEN replace(text, 'u', chr(252))
+        |           WHEN 3 THEN replace(text, 'o', 'o' || chr(776))
+        |           ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |       nfc_normalize(raw) AS text_nfc,
+        |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc
+        |FROM inj""".stripMargin,
 
     // identical exact-moment formula: population variance from integer
     // (n, Σx, Σx²), never a float-accumulating stddev aggregate

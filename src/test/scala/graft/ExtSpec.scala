@@ -74,6 +74,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("graft_nfc: composes decomposed sequences, passes NFC through, null-safe, SQL-callable") {
+    import org.apache.spark.sql.graft.NfcNormalize
+    val df = Seq(
+      (1L, "caf\u00e9"),            // precomposed é — must pass through untouched
+      (2L, "cafe\u0301"),           // decomposed e + U+0301 — must compose
+      (3L, "u\u0308ber"),           // decomposed u + U+0308
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"), NfcNormalize.nfc(col("t")).as("n"),
+        length(NfcNormalize.nfc(col("t"))).as("len"))
+    val r = df.collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) == "caf\u00e9" && r(1L).getInt(2) == 4)
+    assert(r(2L).getString(1) == "caf\u00e9" && r(2L).getInt(2) == 4) // 5 codepoints -> 4
+    assert(r(3L).getString(1) == "\u00fcber" && r(3L).getInt(2) == 4)
+    assert(r(4L).getString(1) == "plain ascii")
+    assert(r(5L).isNullAt(1))
+    // idempotent: nfc(nfc(x)) == nfc(x)
+    val twice = Seq("cafe\u0301").toDF("t")
+      .select(NfcNormalize.nfc(NfcNormalize.nfc(col("t")))).head.getString(0)
+    assert(twice == "caf\u00e9")
+    // SQL surface via the extensions installer
+    assert(spark.sql(s"SELECT graft_nfc('cafe\u0301')").head.getString(0) == "caf\u00e9")
+  }
+
   test("multimodal decode: spec fixtures the encoder never emits") {
     // PPM header with comment lines between fields (netpbm allows them)
     val ppm = "P6\n# width then height\n2 1\n# maxval\n255\n"

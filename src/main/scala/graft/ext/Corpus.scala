@@ -212,4 +212,31 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("shard"), col("token_cnt"),
         col("cum_tokens"), col("pack_id"))
   }
+
+  /** Deterministic training-order shuffle: every document gets a
+    * reproducible pseudo-random position — (shard, pos) — that is a pure
+    * function of its id, independent of partition layout and engine.
+    *
+    * A naive global `ORDER BY hash` is a single total sort (one task
+    * owns the merge at 100 TB); instead the order key hashes documents
+    * into `nShards` explicit shards (hash-mod, NOT repartitionByRange —
+    * range boundaries come from sampling and would not be deterministic)
+    * and positions are a per-shard window over (hash, doc_id). One hash
+    * exchange + per-shard local sort; shards are ~n/nShards and the
+    * training loader reads them in (shard, pos) order for the full
+    * permutation. Different affine constants than [[splitBucket]] /
+    * [[mixBucket]] so shuffle order is independent of split/mix fate
+    * (a correlated hash would make one split's shards scan the corpus
+    * in mix order — structure where none should exist). */
+  def shuffleOrder(documents: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = (col(idCol) % 999983L) * 1327217885L % 999983L
+    val shard = ((h % nShards + nShards) % nShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    documents
+      .select(col(idCol), h.as("h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"), col("h").as("order_key"))
+  }
 }

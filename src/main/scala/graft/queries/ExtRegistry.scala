@@ -135,6 +135,11 @@ object ExtRegistry {
     "text_normalize_nfc" -> ((s, dir) =>
       graft.ext.Text.normalizeNfc(Tables(s, dir).documents)),
 
+    // deterministic training-order shuffle: hash-sharded permutation,
+    // one exchange + per-shard sort — never a global ORDER BY
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.ext.Corpus.shuffleOrder(Tables(s, dir).documents, "doc_id", 8)),
+
     // intra-doc repetition (boilerplate/spam signal): share of n-gram
     // occurrences that repeat an earlier n-gram of the same document
     "doc_repetition" -> ((s, dir) =>
@@ -1060,6 +1065,21 @@ object ExtRegistry {
         |       nfc_normalize(raw) AS text_nfc,
         |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc
         |FROM inj""".stripMargin,
+
+    // same affine order key; BIGINT throughout (999983 * 1327217885 <
+    // 2^63, and DuckDB keeps BIGINT*BIGINT as BIGINT — only SUM promotes)
+    "corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         (doc_id % 999983) * 1327217885 % 999983 AS order_key
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(((order_key % 8) + 8) % 8 AS INTEGER) AS shard,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY ((order_key % 8) + 8) % 8
+        |         ORDER BY order_key, doc_id) AS BIGINT) AS pos,
+        |       order_key
+        |FROM h""".stripMargin,
 
     // identical exact-moment formula: population variance from integer
     // (n, Σx, Σx²), never a float-accumulating stddev aggregate

@@ -99,6 +99,28 @@ class ExtSpec extends SparkSpec {
     assert(spark.sql(s"SELECT graft_nfc('cafe\u0301')").head.getString(0) == "caf\u00e9")
   }
 
+  test("shuffleOrder: a partition-independent permutation, one exchange") {
+    import graft.ext.Corpus
+    val ids = spark.range(0, 200).toDF("doc_id")
+    val a = Corpus.shuffleOrder(ids, "doc_id", 8)
+    val rows = a.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // bijection: every doc exactly once, per-shard positions contiguous 1..k
+    assert(rows.map(_._1).toSet.size == 200)
+    rows.groupBy(_._2).foreach { case (shard, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq, s"shard $shard positions")
+    }
+    // partition-layout independence: same (doc, shard, pos) under any input partitioning
+    val b = Corpus.shuffleOrder(ids.repartition(13), "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows.toSet == b)
+    // the scale contract: ONE hash exchange (per-shard window), no global
+    // sort (fresh frame — an executed AQE plan prints initial+final twice)
+    val plan = Corpus.shuffleOrder(ids, "doc_id", 8).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected one hash exchange in:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort leaked into:\n$plan")
+  }
+
   test("multimodal decode: spec fixtures the encoder never emits") {
     // PPM header with comment lines between fields (netpbm allows them)
     val ppm = "P6\n# width then height\n2 1\n# maxval\n255\n"

@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# End-of-round release check: every local gate in one command.
+#
+#   bash tools/release_check.sh [--with-sf01]
+#
+# Runs sbt test, the full Verify + type-pinned DuckDB oracle sweep at
+# sf0.001 and sf0.01 (the tiers the driver gates on), a bench stdout
+# contract check (the driver parses a 2000-char stdout tail), and the
+# 100x synthesis scale proof. --with-sf01 adds the sf0.1 sweep (~25 min
+# of DuckDB CPU; run it once per round, ideally in the background).
+#
+# Exits non-zero on the first failing gate. The local result is
+# NECESSARY, not sufficient: the driver's CORRECTNESS_r{N}.json runs a
+# different DuckDB build — claim "all gates green" only from that.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/5 sbt test =="
+sbt -batch test | tail -2
+
+check_tier() {
+  local sf="$1" out="$2"
+  echo "== Verify + oracle sweep @ $sf =="
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch "runMain graft.Verify $sf $out" | tail -1
+  python3 tools/check_oracle.py "$sf" "$out" | tail -1 | tee /dev/stderr | grep -qE '^([0-9]+)/\1 queries match$'
+}
+
+echo "== 2/5 + 3/5 driver-gated tiers =="
+check_tier /root/testdata/sf0.001 /tmp/relcheck_sf0.001
+check_tier /root/testdata/sf0.01 /tmp/relcheck_sf0.01
+
+echo "== 4/5 bench stdout contract (3-query smoke) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=8 \
+  SPARK_GRAFT_BENCH_ONLY=npl_monthly,dedup_exact,vintage_mob \
+  sbt -batch "runMain graft.Bench" > /tmp/relcheck_bench.txt
+python3 - << 'EOF'
+import json
+t = open('/tmp/relcheck_bench.txt').read()
+w = t[-2000:]  # the driver's capture window
+d = json.loads(w[w.find('{'):w.rfind('}') + 1])
+assert d['metric'] == 'total' and not d['errors'], d
+print(f"tail-window parse OK (total {d['value']}s)")
+EOF
+
+echo "== 5/5 scale proof =="
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" SPARK_DRIVER_MEM=16g \
+  sbt -batch "runMain graft.ScaleProof" | grep scale_proof
+
+if [[ "${1:-}" == "--with-sf01" ]]; then
+  echo "== extra: sf0.1 sweep =="
+  check_tier /root/testdata/sf0.1 /tmp/relcheck_sf0.1
+fi
+echo "ALL LOCAL GATES GREEN (driver's own gate still decides the round)"

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan-audit tool: print the formatted physical plan (and optionally the
   * AQE-final plan after execution) for any registered query.
@@ -19,22 +18,15 @@ object Explain {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val runFirst = args.length > 2 && args(2) == "run"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.fromEnv(logLevel = "ERROR")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; registered: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val df = fn(spark, sfDir)
     if (runFirst) {
-      df.count()
-      println(df.queryExecution.executedPlan.toString())
+      // df's OWN QueryExecution must run (df.count() would execute a
+      // different one and leave this plan an isFinalPlan=false estimate)
+      val (_, finalPlan) = LocalSession.runToFinalPlan(df)
+      println(finalPlan.toString())
     } else df.explain("formatted")
     spark.stop()
   }

@@ -53,16 +53,7 @@ object ScaleProof {
   }
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.fromEnv()
     // absorb one-time session/codegen setup so factor=1 isn't inflated
     spark.range(1000000).selectExpr("sum(id)").collect()
 
@@ -70,12 +61,15 @@ object ScaleProof {
     val runs = factors.map { f =>
       val mart = pipeline(spark, f)
       val t0 = System.nanoTime()
-      val rows = mart.count()
+      // runs the mart's OWN QueryExecution (df.count() would execute a
+      // separate one, leaving this plan an unexecuted initial estimate)
+      // and returns the AQE-FINAL plan — so the exchange count below is
+      // what actually executed, including any runtime join demotions
+      val (rows, finalPlan) = LocalSession.runToFinalPlan(mart)
       val sec = (System.nanoTime() - t0) / 1e9
-      // AQE has finalized the plan after count(); exchanges in the FINAL
-      // plan — scaling must change task counts, never plan shape
-      val exchanges = mart.queryExecution.executedPlan.toString()
-        .linesIterator.count(_.contains("Exchange"))
+      // scaling must change task counts, never plan shape
+      val exchanges = finalPlan.toString()
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
       val heap = usedHeapMb()
       spark.catalog.clearCache()
       (f, sec, rows, exchanges, heap)
@@ -92,12 +86,15 @@ object ScaleProof {
     // with active executor state, not with collected data — the proof is
     // that it stays far below the data volume and nothing OOMs
     val heapOk = runs.map(_._5).max < 4096
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale, which
+    // under e.g. de_DE prints a comma decimal separator — invalid JSON
+    def s2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val runsJson = runs.map { case (f, s, r, e, h) =>
-      f"""{"factor":$f,"sec":$s%.2f,"mart_rows":$r,"exchanges":$e,"jvm_heap_mb":$h}"""
+      s"""{"factor":$f,"sec":${s2(s)},"mart_rows":$r,"exchanges":$e,"jvm_heap_mb":$h}"""
     }.mkString("[", ",", "]")
     println(
       s"""{"metric":"scale_proof","pipeline":"synth->nplMonthly","runs":$runsJson,""" +
-      s""""t100x_over_t1x":${f"$ratio%.2f"},"linear_ok":$linearOk,"plan_shape_stable":$planOk,""" +
+      s""""t100x_over_t1x":${s2(ratio)},"linear_ok":$linearOk,"plan_shape_stable":$planOk,""" +
       s""""heap_bounded":$heapOk}""")
     if (!linearOk || !planOk || !heapOk) sys.exit(1)
     spark.stop()

@@ -224,14 +224,27 @@ object Corpus {
     * and positions are a per-shard window over (hash, doc_id). One hash
     * exchange + per-shard local sort; shards are ~n/nShards and the
     * training loader reads them in (shard, pos) order for the full
-    * permutation. Different affine constants than [[splitBucket]] /
-    * [[mixBucket]] so shuffle order is independent of split/mix fate
-    * (a correlated hash would make one split's shards scan the corpus
-    * in mix order — structure where none should exist). */
+    * permutation.
+    *
+    * The order key is a CRT pair of affine hashes over the coprime
+    * primes 999983 and 1000003: `h1(id) * 1000003 + h2(id)`. A single
+    * mod-prime hash would have only ~10⁶ distinct values — at corpus
+    * scale every key would hold thousands of documents read back in raw
+    * ascending-id runs (exactly the structure a shuffle must destroy).
+    * The pair collides only when BOTH residues collide, i.e. ids equal
+    * mod 999983·1000003 ≈ 10¹²: order keys are UNIQUE below a trillion
+    * ids (beyond that, ties fall back to id order — documented, bounded).
+    * All intermediates < 1.4e15, no int64 overflow on either engine.
+    * Constants differ from [[splitBucket]]/[[mixBucket]] and h1's PRIME
+    * differs from theirs, so the dominant order bits are independent of
+    * split/mix fate (a correlated hash would make one split's shards
+    * scan the corpus in mix order — structure where none should exist). */
   def shuffleOrder(documents: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val h = (col(idCol) % 999983L) * 1327217885L % 999983L
+    val h1 = (col(idCol) % 999983L) * 1327217885L % 999983L
+    val h2 = (col(idCol) % 1000003L) * 48271L % 1000003L
+    val h = h1 * 1000003L + h2
     val shard = ((h % nShards + nShards) % nShards).cast("int")
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
     documents

@@ -1066,12 +1066,15 @@ object ExtRegistry {
         |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc
         |FROM inj""".stripMargin,
 
-    // same affine order key; BIGINT throughout (999983 * 1327217885 <
-    // 2^63, and DuckDB keeps BIGINT*BIGINT as BIGINT — only SUM promotes)
+    // same CRT order key (coprime primes 999983/1000003 — unique below
+    // ~1e12 ids); BIGINT throughout: max intermediate 999982*1327217885
+    // ≈ 1.4e15 < 2^63, and DuckDB keeps BIGINT*BIGINT as BIGINT (only
+    // SUM promotes)
     "corpus_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |         (doc_id % 999983) * 1327217885 % 999983 AS order_key
+        |         (((doc_id % 999983) * 1327217885) % 999983) * 1000003
+        |           + ((doc_id % 1000003) * 48271) % 1000003 AS order_key
         |  FROM documents)
         |SELECT doc_id,
         |       CAST(((order_key % 8) + 8) % 8 AS INTEGER) AS shard,

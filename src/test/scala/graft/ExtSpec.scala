@@ -106,6 +106,13 @@ class ExtSpec extends SparkSpec {
     val rows = a.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     // bijection: every doc exactly once, per-shard positions contiguous 1..k
     assert(rows.map(_._1).toSet.size == 200)
+    // CRT order keys are UNIQUE (coprime primes — no collisions below
+    // ~1e12 ids), and the permutation actually shuffles: reading shards
+    // in (shard, pos) order must not reproduce ascending id order
+    val keyed = a.collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+    assert(keyed.map(k => (k._1, k._2)).toSet.size == 200, "duplicate (shard,pos)")
+    val readOrder = keyed.sortBy(k => (k._1, k._2)).map(_._3).toSeq
+    assert(readOrder != readOrder.sorted, "shuffle produced ascending id order")
     rows.groupBy(_._2).foreach { case (shard, g) =>
       assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq, s"shard $shard positions")
     }

@@ -39,10 +39,20 @@ def main(sfdir, outdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = 0
     for name in sorted(oracle):
+        # Type-pin: DESCRIBE both sides and compare result-column TYPES, not
+        # just names. DuckDB promotes SUM(BIGINT) to HUGEINT and some builds
+        # type date_trunc as TIMESTAMP; the driver's DuckDB canonicalizes those
+        # differently from the values the local client fetches, so a type
+        # mismatch here is exactly the drift class that hash-fails remotely
+        # while bit-matching locally (see VERDICT r6: weighted_avg_dpd,
+        # ema_monthly_value). DESCRIBE runs inside the same per-query guards
+        # as the data reads: one broken query must not abort the sweep.
         try:
             ores = con.execute(oracle[name])
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
+            otypes = dict(con.execute(
+                f"SELECT column_name, column_type FROM (DESCRIBE {oracle[name]})").fetchall())
         except Exception as e:
             print(f"{name}: ORACLE ERROR {e}")
             continue
@@ -50,21 +60,12 @@ def main(sfdir, outdir):
             sres = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
             scols = [d[0] for d in sres.description]
             srows = sres.fetchall()
+            stypes = dict(con.execute(
+                "SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM "
+                f"read_parquet('{outdir}/{name}/*.parquet'))").fetchall())
         except Exception as e:
             print(f"{name}: SPARK RESULT ERROR {e}")
             continue
-        # Type-pin: DESCRIBE both sides and compare result-column TYPES, not
-        # just names. DuckDB promotes SUM(BIGINT) to HUGEINT and some builds
-        # type date_trunc as TIMESTAMP; the driver's DuckDB canonicalizes those
-        # differently from the values the local client fetches, so a type
-        # mismatch here is exactly the drift class that hash-fails remotely
-        # while bit-matching locally (see VERDICT r6: weighted_avg_dpd,
-        # ema_monthly_value).
-        otypes = dict(con.execute(
-            f"SELECT column_name, column_type FROM (DESCRIBE {oracle[name]})").fetchall())
-        stypes = dict(con.execute(
-            "SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM "
-            f"read_parquet('{outdir}/{name}/*.parquet'))").fetchall())
         type_diffs = {c: (stypes.get(c), otypes.get(c))
                       for c in set(otypes) | set(stypes)
                       if stypes.get(c) != otypes.get(c)}

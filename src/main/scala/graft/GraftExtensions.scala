@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CountMinSketch, DotProduct, KmvDistinct}
+import org.apache.spark.sql.graft.{BloomFilter, CountMinSketch, DotProduct, KmvDistinct}
 
 /** The library's `SparkSessionExtensions` installer — the supported way
   * to ship Catalyst extensions to a cluster you don't own: set
@@ -57,6 +57,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(s"graft_kmv k must be an int literal, got $other")
         }
         KmvDistinct(children(0), k)
+      }))
+    // graft_bloom(key_col, num_bits, num_hashes): the Bloom membership
+    // sketch as a SQL aggregate (probes read the returned bit words)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomFilter].getName, "graft_bloom"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"graft_bloom takes 3 arguments, got ${children.size}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_bloom $name must be an int literal, got $other")
+        }
+        BloomFilter(children(0), intLit(children(1), "num_bits"),
+          intLit(children(2), "num_hashes"))
       }))
     // graft_cms(key_col, depth, width): the Count-Min grid as a SQL
     // aggregate (point estimates read the returned array)

@@ -1,0 +1,56 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.KmvDistinct
+
+/** One-pass table profiling — the "look before you pipeline" summary a
+  * warehouse runs ahead of every backfill (dbt's `analyze` habit, the
+  * reference's pre-load sanity checks): per column, the row count, null
+  * count, a distinct-cardinality estimate, and min/max.
+  *
+  * The 100 TB discipline is in the aggregate choice: ALL metrics for ALL
+  * columns compute in ONE partial+final aggregation pass — counts and
+  * min/max are trivially partial-aggregable, and the distinct estimate is
+  * the [[KmvDistinct]] sketch (bounded ≤k-longs state) instead of
+  * `countDistinct`, because N exact distincts in one agg make Catalyst
+  * Expand every input row N ways (an N× scan blow-up), and a per-column
+  * pass is N scans. One narrow scan, one single-partition exchange of a
+  * few hundred bytes, deterministic output — so the whole profile, the
+  * estimates included, hash-checks against a SQL oracle.
+  *
+  * Strings hash into KMV space through [[graft.ext.MinHash.stringHash]]
+  * (the engine-agnostic char sum the near-dup family already proves);
+  * numerics through [[KmvDistinct.hashColumn]]. Min/max are compared as
+  * strings so every column, whatever its type, lands in one uniform
+  * (col_name, n_rows, n_nulls, distinct_est, min_str, max_str) schema —
+  * the cast is in BOTH engines, so lexicographic order drift is not a
+  * concern (the values themselves are what's reported, not the order).
+  */
+object Profile {
+
+  /** Profile `numericCols` ++ `stringCols` of `df` in one aggregation
+    * pass; one output row per column, input order preserved. */
+  def profile(df: DataFrame, numericCols: Seq[String], stringCols: Seq[String],
+      k: Int = 64): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns to profile")
+    val hashed: Seq[(String, Column)] =
+      numericCols.map(c => c -> KmvDistinct.hashColumn(col(c))) ++
+        stringCols.map(c => c -> KmvDistinct.hashColumn(graft.ext.MinHash.stringHash(col(c))))
+    val aggExprs: Seq[Column] =
+      count(lit(1L)).as("n_rows") +: hashed.flatMap { case (name, h) => Seq(
+        count(col(name)).as(s"nn_$name"),
+        KmvDistinct.kmv(h, k).as(s"kmv_$name"),
+        min(col(name).cast("string")).as(s"mn_$name"),
+        max(col(name).cast("string")).as(s"mx_$name"))
+      }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val stackArgs = hashed.map { case (name, _) =>
+      s"'$name', nn_$name, kmv_$name, mn_$name, mx_$name" }.mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${hashed.size}, $stackArgs) AS (col_name, n_nonnull, distinct_est, min_str, max_str)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("distinct_est"), col("min_str"), col("max_str"))
+  }
+}

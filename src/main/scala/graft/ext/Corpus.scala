@@ -74,6 +74,38 @@ object Corpus {
         (col("eval_hits") >= minShared).as("contaminated"))
   }
 
+  /** The 100 TB decontamination scale path: [[contamination]] broadcasts
+    * every eval shingle hash (8 bytes each — fine for one benchmark,
+    * linear in the suite); here the eval set folds into ONE Bloom filter
+    * ([[org.apache.spark.sql.graft.BloomFilter]], `numBits` bits total)
+    * and the training side probes it inline — a fixed-size broadcast no
+    * matter how many eval documents, and the probe is a narrow
+    * projection (no join on the shingle stream at all, vs the equi-join
+    * both exact shapes need). The price is false POSITIVES only
+    * (`bloom_hits ≥` the exact shared count, never below — a Bloom
+    * filter has no false negatives), so the filter is the cheap first
+    * screen: docs it clears are definitely clean, docs it flags go to
+    * the exact [[contamination]] audit. Emits every training doc with
+    * its probe count; `flagged` marks any hit. */
+  def bloomContamination(documents: DataFrame, n: Int, evalMod: Long = 40L,
+      numBits: Int = 65536, numHashes: Int = 3): DataFrame = {
+    require(evalMod > 0, s"evalMod must be positive, got $evalMod")
+    import org.apache.spark.sql.graft.BloomFilter
+    val sh = MinHash.shingleHashes(documents, n).localCheckpoint(false)
+    // one row, numBits/32 longs — the whole eval set as bits
+    val bf = sh.filter(col("doc_id") % evalMod === 0)
+      .select(explode(col("hashes")).as("s"))
+      .agg(BloomFilter.bloom(col("s"), numBits, numHashes).as("bf"))
+    sh.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(bf))
+      .select(col("doc_id"),
+        size(col("hashes")).cast("long").as("n_shingles"),
+        size(filter(col("hashes"),
+          s => BloomFilter.mightContain(col("bf"), s, numBits, numHashes)))
+          .cast("long").as("bloom_hits"))
+      .withColumn("flagged", col("bloom_hits") >= 1L)
+  }
+
   /** Document chunking for embedding / context-window pipelines: fixed
     * token windows of `chunkTokens` with `overlap` tokens shared between
     * consecutive chunks (stride = chunkTokens − overlap), the standard

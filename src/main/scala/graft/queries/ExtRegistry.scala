@@ -150,6 +150,17 @@ object ExtRegistry {
     "contamination_check" -> ((s, dir) =>
       graft.ext.Corpus.contamination(Tables(s, dir).documents, 3)),
 
+    // one-pass table profile: counts, nulls, KMV distinct estimate and
+    // min/max for every column in a single partial+final aggregation
+    "profile_documents" -> ((s, dir) =>
+      graft.dq.Profile.profile(Tables(s, dir).documents,
+        numericCols = Seq("doc_id", "n_chars"), stringCols = Seq("lang", "source"))),
+
+    // the 100 TB path of the same audit: eval shingles folded into one
+    // fixed-size Bloom filter, training side probes it inline (no join)
+    "bloom_contamination" -> ((s, dir) =>
+      graft.ext.Corpus.bloomContamination(Tables(s, dir).documents, 3)),
+
     // PII scrub over the customer dimension (the digit-bearing text in
     // this dataset); email/phone patterns are exercised in ExtSpec on
     // synthetic strings — this data redacts the 9-digit id run per name
@@ -701,6 +712,66 @@ object ExtRegistry {
          |       count(DISTINCT c.s) >= 5 AS contaminated
          |FROM ce c JOIN ee e ON c.s = e.s
          |GROUP BY c.doc_id""".stripMargin,
+
+    // Profile twin: one FROM-less SELECT of scalar subqueries per column
+    // (UNION ALL) — count/nulls/min/max directly, the distinct estimate
+    // re-derived from the k-th-smallest distinct affine hash exactly as
+    // the kmv_distinct_users oracle does (nd < k falls back to nd)
+    "profile_documents" -> {
+      val m = org.apache.spark.sql.graft.KmvDistinct.M
+      def hvNum(c: String) = s"((($c) % $m) * 2654435761 + 97) % $m + 1"
+      def hvStr(c: String) = s"(((${MinHash.stringHashSql(c)}) % $m) * 2654435761 + 97) % $m + 1"
+      def colSql(c: String, hv: String) =
+        s"""SELECT '$c' AS col_name,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+           |       (SELECT CAST(count(*) - count($c) AS BIGINT) FROM documents) AS n_nulls,
+           |       (SELECT CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+           |                    ELSE CAST(63 AS DOUBLE) * CAST($m AS DOUBLE) / CAST(hv AS DOUBLE) END
+           |        FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+           |                     count(*) OVER () AS nd
+           |              FROM (SELECT DISTINCT $hv AS hv FROM documents
+           |                    WHERE $c IS NOT NULL))
+           |        WHERE rn = LEAST(nd, 64)) AS distinct_est,
+           |       (SELECT min(CAST($c AS VARCHAR)) FROM documents) AS min_str,
+           |       (SELECT max(CAST($c AS VARCHAR)) FROM documents) AS max_str""".stripMargin
+      Seq("doc_id" -> hvNum("doc_id"), "n_chars" -> hvNum("n_chars"),
+        "lang" -> hvStr("lang"), "source" -> hvStr("source"))
+        .map { case (c, hv) => colSql(c, hv) }.mkString("\nUNION ALL\n")
+    },
+
+    // Bloom twin: build the same bit words (32 bits per BIGINT — DuckDB
+    // raises on 1<<63, the packing the Scala side mirrors) with bit_or,
+    // probe each training shingle at the same affine positions; a probe
+    // is a hit iff ALL numHashes bits are set (missing word → LEFT JOIN
+    // NULL → filter excludes → not all set)
+    "bloom_contamination" -> {
+      import org.apache.spark.sql.graft.{BloomFilter => BF}
+      val hc = (0 until 3)
+        .map(i => s"($i, ${BF.HashA(i)}, ${BF.HashB(i)})").mkString(", ")
+      val posSql = s"(((s % ${BF.P}) * a + b) % ${BF.P} % 65536 + 65536) % 65536"
+      s"""WITH $shingleHashCtes,
+         |hc(i, a, b) AS (VALUES $hc),
+         |ep AS (SELECT DISTINCT $posSql AS p
+         |       FROM (SELECT unnest(hashes) AS s FROM h WHERE doc_id % 40 = 0)
+         |       CROSS JOIN hc),
+         |words AS (SELECT p // 32 AS w,
+         |                 bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+         |          FROM ep GROUP BY 1),
+         |tr AS (SELECT doc_id, hashes FROM h WHERE doc_id % 40 <> 0),
+         |tp AS (SELECT doc_id, s, $posSql AS p
+         |       FROM (SELECT doc_id, unnest(hashes) AS s FROM tr) CROSS JOIN hc),
+         |tb AS (SELECT doc_id, s,
+         |              count(*) FILTER (
+         |                WHERE ((w.word >> CAST(p % 32 AS INT)) & 1) = 1) = 3 AS maybe
+         |       FROM tp LEFT JOIN words w ON p // 32 = w.w
+         |       GROUP BY doc_id, s),
+         |ag AS (SELECT doc_id, count(*) FILTER (WHERE maybe) AS bloom_hits
+         |       FROM tb GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.hashes) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(a.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+         |       coalesce(a.bloom_hits, 0) >= 1 AS flagged
+         |FROM tr t LEFT JOIN ag a USING (doc_id)""".stripMargin
+    },
 
     "distinct_users_skewsafe" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users

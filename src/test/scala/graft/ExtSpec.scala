@@ -744,6 +744,90 @@ class ExtSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("BloomFilter: no false negatives, false positives exist, partition-invariant, OR merge") {
+    import org.apache.spark.sql.graft.BloomFilter
+    val bits = 512; val k = 3 // tiny filter: ~300 of 512 bits set → FPs guaranteed
+    val members = (0L until 100L).toDF("k")
+    def words(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(BloomFilter.bloom(col("k"), bits, k)).collect().head.getSeq[Long](0)
+    val w = words(members)
+    assert(w.length == bits / 32)
+    // 32-bit packing contract: the high half of every word stays clear
+    // (the property that keeps the DuckDB twin shift-overflow-safe)
+    assert(w.forall(x => x >= 0L && x < (1L << 32)))
+    def probe(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] = {
+      val sk = members.agg(BloomFilter.bloom(col("k"), bits, k).as("sketch"))
+      df.join(broadcast(sk))
+        .select(col("k"), BloomFilter.mightContain(col("sketch"), col("k"), bits, k).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    // every member answers "maybe" — a Bloom filter never false-negatives
+    assert(probe(members).values.forall(identity))
+    val non = probe((1000L until 2000L).toDF("k"))
+    // a half-full 512-bit filter MUST pass some stranger (the approximation)...
+    assert(non.values.exists(identity))
+    // ...and rejects most (the definitely-absent guarantee doing its job)
+    assert(non.values.count(!_) > 500)
+    // the bits are a function of the SET, not the partition layout
+    assert(words(members.repartition(17)) == w)
+    // merge is bitwise OR: words(a ∪ b) = words(a) | words(b)
+    val half = members.limit(50)
+    val w1 = words(half)
+    val w2 = words(members.exceptAll(half))
+    assert(w.indices.forall(i => w(i) == (w1(i) | w2(i))))
+  }
+
+  test("graft_bloom is SQL-callable through the extensions installer, words equal the DataFrame path") {
+    import org.apache.spark.sql.graft.BloomFilter
+    val df = (0L until 100L).map(i => i * 7L).toDF("k")
+    val viaApi = df.agg(BloomFilter.bloom(col("k"), 256, 2)).collect().head.getSeq[Long](0)
+    df.createOrReplaceTempView("v_bloom")
+    val viaSql = spark.sql("SELECT graft_bloom(k, 256, 2) FROM v_bloom")
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaApi)
+  }
+
+  test("Profile: exact counts and min/max, KMV estimate tracks exact distinct, layout-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.dq.Profile.profile(df, Seq("doc_id", "n_chars"), Seq("lang", "source"))
+    val rows = run(docs).collect()
+    val p = rows.map(r => r.getString(0) -> r).toMap
+    val nRows = docs.count()
+    assert(p.keySet == Set("doc_id", "n_chars", "lang", "source"))
+    assert(rows.forall(r => r.getLong(1) == nRows && r.getLong(2) == 0L))
+    // the sketch estimate stays within sampling error of the truth
+    // (k=64 → relative σ ≈ 1/√62 ≈ 13%)
+    val exactIds = docs.select("doc_id").distinct().count().toDouble
+    assert(math.abs(p("doc_id").getDouble(3) - exactIds) / exactIds < 0.4)
+    // small-cardinality columns hold ALL their hashes → exact fallback
+    val exactLang = docs.select("lang").distinct().count().toDouble
+    assert(p("lang").getDouble(3) == exactLang)
+    // min/max are the real column extremes (as strings, both engines' cast)
+    val Seq(mnS, mxS) = docs
+      .select(min(col("n_chars").cast("string")), max(col("n_chars").cast("string")))
+      .collect().head.toSeq.map(_.asInstanceOf[String])
+    assert(p("n_chars").getString(4) == mnS && p("n_chars").getString(5) == mxS)
+    // the profile is a function of the table, not the partition layout
+    assert(run(docs.repartition(13)).collect().toSet == rows.toSet)
+  }
+
+  test("bloomContamination dominates the exact audit: bloom_hits >= eval_hits, no clean doc flagged dirty") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.ext.Corpus.contamination(docs, 3)
+      .select(col("doc_id"), col("eval_hits"))
+    val bloom = graft.ext.Corpus.bloomContamination(docs, 3)
+    val joined = bloom.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hits"), col("flagged"),
+        coalesce(col("eval_hits"), lit(0L)).as("eval_hits"))
+      .collect()
+    assert(joined.nonEmpty)
+    // no false negatives: every exactly-shared shingle is also a probe hit,
+    // and every exactly-contaminated doc is flagged
+    assert(joined.forall(r => r.getLong(1) >= r.getLong(3)))
+    assert(joined.forall(r => r.getLong(3) == 0L || r.getBoolean(2)))
+  }
+
   test("near-dup/ANN operators register nothing in the session cache manager") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

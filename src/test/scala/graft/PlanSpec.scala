@@ -144,6 +144,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"shuffle join in:\n$plan")
   }
 
+  test("Profile aggregates every column metric in ONE pass — no Expand, exactly one exchange") {
+    val df = graft.dq.Profile.profile(tables.documents,
+      Seq("doc_id", "n_chars"), Seq("lang", "source"))
+    val plan = df.queryExecution.executedPlan.toString
+    // countDistinct over N columns would Expand the scan N ways; the KMV
+    // sketch keeps the plan a plain partial/final aggregation
+    assert(!plan.contains("Expand"), s"Expand blow-up in:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+  }
+
+  test("bloomContamination probes a one-row broadcast — the training shingle stream never joins") {
+    val df = graft.ext.Corpus.bloomContamination(tables.documents, 3)
+    df.count() // materialize AQE's final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the filter rides a broadcast of numBits bits; the training side's
+    // only admissible joins are broadcast (never a shuffle of shingles)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bloom words not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"training side shuffled for a join:\n$plan")
+  }
+
   test("redactPii is a narrow projection — no exchange at all") {
     val red = graft.ext.Text.redactPii(tables.customer, "c_custkey", "c_name")
     val plan = red.queryExecution.executedPlan.toString

@@ -204,6 +204,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Bloom filter never false-negatives and model-matches a bit-set on random configs") {
+    import org.apache.spark.sql.graft.BloomFilter
+    // arbitrary (numBits, numHashes) configs over arbitrary long keys,
+    // negative keys included (the sign-normalized position contract)
+    val configs = sample(for {
+      words <- Gen.chooseNum(1, 16)
+      k <- Gen.chooseNum(1, BloomFilter.HashA.length)
+    } yield (words * 32, k), 8).distinct
+    val keys = sample(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2), 300)
+    val probes = sample(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2), 300)
+    val df = keys.toDF("k")
+    configs.foreach { case (bits, k) =>
+      val words = df.agg(BloomFilter.bloom(col("k"), bits, k))
+        .collect().head.getSeq[Long](0)
+      // independent Scala model: set the same positions in a plain bit-set
+      val model = new Array[Long](bits / 32)
+      keys.foreach { x =>
+        (0 until k).foreach { i =>
+          val p = BloomFilter.pos(x, i, bits); model(p >> 5) |= 1L << (p & 31)
+        }
+      }
+      assert(words == model.toSeq, s"bits=$bits k=$k")
+      def contains(x: Long): Boolean =
+        (0 until k).forall { i =>
+          val p = BloomFilter.pos(x, i, bits); (model(p >> 5) >> (p & 31) & 1L) == 1L
+        }
+      val got = probes.toDF("k").join(broadcast(df.agg(
+          BloomFilter.bloom(col("k"), bits, k).as("bf"))))
+        .select(col("k"), BloomFilter.mightContain(col("bf"), col("k"), bits, k))
+        .as[(Long, Boolean)].collect().toMap
+      probes.foreach(x => assert(got(x) == contains(x), s"probe $x bits=$bits k=$k"))
+      keys.foreach { x =>
+        assert(contains(x), s"false negative $x bits=$bits k=$k")
+      }
+    }
+  }
+
   test("property: PPM/BMP decode inverts encode on arbitrary dims (all padding widths)") {
     import graft.ext.Multimodal
     // w mod 4 ∈ {0..3} exercises every BMP row-padding width; ids beyond

@@ -787,6 +787,38 @@ class ExtSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("stream-static bloom probe: streaming-ingest decontamination, batch-identical verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.graft.BloomFilter
+    val bits = 4096; val k = 3
+    // the held-out benchmark folds into one static bloom frame ONCE;
+    // the ingest stream probes it per micro-batch (stream-static join
+    // against one broadcast row — no streaming state at all)
+    val evalDocs = Seq((1000L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bf = graft.ext.MinHash.shingleHashes(evalDocs, 3)
+      .select(explode(col("hashes")).as("s"))
+      .agg(BloomFilter.bloom(col("s"), bits, k).as("bf"))
+    val mem = MemoryStream[(Long, String)]
+    val probed = graft.ext.MinHash.shingleHashes(mem.toDF().toDF("doc_id", "text"), 3)
+      .join(broadcast(bf))
+      .select(col("doc_id"),
+        size(filter(col("hashes"),
+          s => BloomFilter.mightContain(col("bf"), s, bits, k))).cast("long").as("bloom_hits"))
+    val q = probed.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "xx alpha beta gamma yy"), (2L, "totally unrelated words here now"))
+      q.processAllAvailable()
+      mem.addData((3L, "beta gamma delta"))
+      q.processAllAvailable()
+      val got = spark.table("bloom_stream").as[(Long, Long)].collect().toMap
+      assert(got(1L) >= 1L, s"shared shingle missed on the stream: $got") // no false negatives
+      assert(got(2L) == 0L, s"clean doc flagged: $got") // definitely-absent holds per batch
+      assert(got(3L) >= 1L, s"exact eval shingle missed: $got")
+    } finally q.stop()
+  }
+
   test("Profile: exact counts and min/max, KMV estimate tracks exact distinct, layout-invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -156,6 +156,12 @@ object ExtRegistry {
       graft.dq.Profile.profile(Tables(s, dir).documents,
         numericCols = Seq("doc_id", "n_chars"), stringCols = Seq("lang", "source"))),
 
+    // most-frequent values per column: one explode + one keyed count +
+    // TopKPerGroup heap pruning (never a per-column scan or rank window)
+    "profile_top_values" -> ((s, dir) =>
+      graft.dq.Profile.topValues(Tables(s, dir).documents,
+        Seq("lang", "source", "n_chars"))),
+
     // the 100 TB path of the same audit: eval shingles folded into one
     // fixed-size Bloom filter, training side probes it inline (no join)
     "bloom_contamination" -> ((s, dir) =>
@@ -738,6 +744,25 @@ object ExtRegistry {
         "lang" -> hvStr("lang"), "source" -> hvStr("source"))
         .map { case (c, hv) => colSql(c, hv) }.mkString("\nUNION ALL\n")
     },
+
+    // top-values twin: UNION ALL the profiled columns into one pair
+    // stream, count, rank by (cnt DESC, value) — the total order the
+    // TopKPerGroup operator uses, so ties cannot drift between engines
+    "profile_top_values" ->
+      """WITH pairs AS (
+        |  SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value
+        |  FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'source', CAST(source AS VARCHAR) FROM documents WHERE source IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM pairs GROUP BY 1, 2),
+        |r AS (SELECT col_name, value, cnt,
+        |             row_number() OVER (PARTITION BY col_name
+        |                                ORDER BY cnt DESC, value) AS rn
+        |      FROM c)
+        |SELECT col_name, value, cnt FROM r WHERE rn <= 5""".stripMargin,
 
     // Bloom twin: build the same bit words (32 bits per BIGINT — DuckDB
     // raises on 1<<63, the packing the Scala side mirrors) with bit_or,

@@ -53,16 +53,31 @@ object Corpus {
     *
     * The eval set here is carved from the corpus itself by id residue
     * (`doc_id % evalMod == 0`) — deterministic and engine-agnostic; a
-    * real pipeline passes its benchmark table instead. */
+    * real pipeline passes its benchmark table to
+    * [[contaminationFrames]] instead (same core, same plan). */
   def contamination(documents: DataFrame, n: Int, evalMod: Long = 40L,
       minShared: Long = 5L): DataFrame = {
     require(evalMod > 0, s"evalMod must be positive, got $evalMod")
+    // ONE shingling pass feeds both sides (an id-residue split of the
+    // same table would otherwise hash every document twice)
     val sh = MinHash.shingleHashes(documents, n).localCheckpoint(false)
-    val ev = sh.filter(col("doc_id") % evalMod === 0)
-      .select(col("doc_id").as("eval_id"), explode(col("hashes")).as("s"))
-    val corp = sh.filter(col("doc_id") % evalMod =!= 0)
-      .select(col("doc_id"), explode(col("hashes")).as("s"))
-    // EXPLICIT broadcast: the checkpointed frame has no stats, so the
+    contaminationCore(
+      sh.filter(col("doc_id") % evalMod =!= 0),
+      sh.filter(col("doc_id") % evalMod === 0), minShared)
+  }
+
+  /** [[contamination]] against an EXTERNAL benchmark table: `train` and
+    * `eval` are independent (doc_id, text) frames, each shingled once. */
+  def contaminationFrames(train: DataFrame, eval: DataFrame, n: Int,
+      minShared: Long = 5L): DataFrame =
+    contaminationCore(MinHash.shingleHashes(train, n),
+      MinHash.shingleHashes(eval, n), minShared)
+
+  private def contaminationCore(trainSh: DataFrame, evalSh: DataFrame,
+      minShared: Long): DataFrame = {
+    val ev = evalSh.select(col("doc_id").as("eval_id"), explode(col("hashes")).as("s"))
+    val corp = trainSh.select(col("doc_id"), explode(col("hashes")).as("s"))
+    // EXPLICIT broadcast: a checkpointed frame has no stats, so the
     // auto-broadcast threshold can never fire — without the hint this
     // equi-join would shuffle the full exploded training-side shingle
     // stream, the exact cost the bounded-eval-side design avoids
@@ -90,14 +105,27 @@ object Corpus {
   def bloomContamination(documents: DataFrame, n: Int, evalMod: Long = 40L,
       numBits: Int = 65536, numHashes: Int = 3): DataFrame = {
     require(evalMod > 0, s"evalMod must be positive, got $evalMod")
-    import org.apache.spark.sql.graft.BloomFilter
     val sh = MinHash.shingleHashes(documents, n).localCheckpoint(false)
+    bloomProbe(sh.filter(col("doc_id") % evalMod =!= 0),
+      sh.filter(col("doc_id") % evalMod === 0), numBits, numHashes)
+  }
+
+  /** [[bloomContamination]] against an EXTERNAL benchmark table — and
+    * the static bloom side of a streaming-ingest screen: fold `eval`
+    * once, probe an unbounded `train` (batch or readStream) against the
+    * one-row frame with zero streaming state. */
+  def bloomContaminationFrames(train: DataFrame, eval: DataFrame, n: Int,
+      numBits: Int = 65536, numHashes: Int = 3): DataFrame =
+    bloomProbe(MinHash.shingleHashes(train, n),
+      MinHash.shingleHashes(eval, n), numBits, numHashes)
+
+  private def bloomProbe(trainSh: DataFrame, evalSh: DataFrame,
+      numBits: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFilter
     // one row, numBits/32 longs — the whole eval set as bits
-    val bf = sh.filter(col("doc_id") % evalMod === 0)
-      .select(explode(col("hashes")).as("s"))
+    val bf = evalSh.select(explode(col("hashes")).as("s"))
       .agg(BloomFilter.bloom(col("s"), numBits, numHashes).as("bf"))
-    sh.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(bf))
+    trainSh.join(broadcast(bf))
       .select(col("doc_id"),
         size(col("hashes")).cast("long").as("n_shingles"),
         size(filter(col("hashes"),

@@ -844,6 +844,16 @@ class ExtSpec extends SparkSpec {
     assert(run(docs.repartition(13)).collect().toSet == rows.toSet)
   }
 
+  test("external-benchmark variants equal the residue-carved spelling on the same split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 40 =!= 0)
+    val eval = docs.filter(col("doc_id") % 40 === 0)
+    assert(graft.ext.Corpus.contaminationFrames(train, eval, 3).collect().toSet ==
+      graft.ext.Corpus.contamination(docs, 3).collect().toSet)
+    assert(graft.ext.Corpus.bloomContaminationFrames(train, eval, 3).collect().toSet ==
+      graft.ext.Corpus.bloomContamination(docs, 3).collect().toSet)
+  }
+
   test("Profile.topValues equals the rank-window spelling; NULLs excluded, ties break by value") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq(

@@ -844,6 +844,34 @@ class ExtSpec extends SparkSpec {
     assert(run(docs.repartition(13)).collect().toSet == rows.toSet)
   }
 
+  test("sketches aggregate across streaming micro-batches: final state equals the batch sketch") {
+    // micro-batch boundaries force buffer serialize→store→restore→merge
+    // cycles through the state store — the merge-safety the sketches
+    // claim, exercised on the streaming engine itself
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.graft.{BloomFilter, KmvDistinct}
+    val mem = MemoryStream[(String, Long)]
+    def sketchAgg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type")).agg(
+        KmvDistinct.kmv(KmvDistinct.hashColumn(col("user_id")), 16).as("est"),
+        BloomFilter.bloom(col("user_id"), 256, 2).as("bf"))
+    val q = sketchAgg(mem.toDF().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode(OutputMode.Complete()).start()
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("a", 3L), ("a", 2L), ("b", 99L))
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*) // second batch merges into restored state
+      q.processAllAvailable()
+      val got = spark.table("sketch_stream")
+        .as[(String, Double, Seq[Long])].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      val batch = sketchAgg(rows.toDF("event_type", "user_id"))
+        .as[(String, Double, Seq[Long])].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("external-benchmark variants equal the residue-carved spelling on the same split") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val train = docs.filter(col("doc_id") % 40 =!= 0)

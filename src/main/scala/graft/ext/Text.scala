@@ -229,6 +229,35 @@ object Text {
     * expose exactly which rows composed. Narrow projection, no shuffle;
     * the normalizer is the [[org.apache.spark.sql.graft.NfcNormalize]]
     * codegen expression (ASCII rows take its no-allocation fast path). */
+  /** Capped inverted-index construction: term → document frequency +
+    * the first `maxPostings` doc ids as a deterministic posting list —
+    * the retrieval-side artifact of a corpus build (BM25 index shards,
+    * "which docs contain X" debugging). Per-doc-DISTINCT terms (one doc
+    * can't flood a term), then everything rides ONE term-keyed
+    * partitioning: df aggregation, [[org.apache.spark.sql.graft
+    * .TopKPerGroup]] cap (map-side bounded heaps — the full posting list
+    * of a stopword-ish term is never collected anywhere), and the final
+    * join of the two term-keyed sides plans with no extra exchange. The
+    * capped list lands as a sorted comma-joined STRING (the ordered
+    * group-concat contract — the only list encoding that hash-matches
+    * across engines); `df` keeps the TRUE count, so the cap is visible
+    * (df > maxPostings ⇒ truncated), never silent. */
+  def invertedIndex(documents: DataFrame, maxPostings: Int = 20): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    val terms = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val df = terms.groupBy(col("term")).agg(count(lit(1L)).as("df"))
+    val postings = org.apache.spark.sql.graft.TopKPerGroup
+      .topK(terms, Seq(col("term")), Seq(col("doc_id").asc), maxPostings)
+      .groupBy(col("term"))
+      .agg(array_join( // sort NUMERICALLY first, then stringify ("9" > "10" lexically)
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string")), ",")
+        .as("postings"))
+    df.join(postings, Seq("term"))
+  }
+
   def normalizeNfc(documents: DataFrame): DataFrame = {
     val raw = when(pmod(col("doc_id"), lit(4)) === 1,
         replace(col("text"), lit("e"), lit("e\u0301")))  // decomposed e + combining acute

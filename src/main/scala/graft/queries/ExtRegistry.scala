@@ -156,6 +156,11 @@ object ExtRegistry {
       graft.dq.Profile.profile(Tables(s, dir).documents,
         numericCols = Seq("doc_id", "n_chars"), stringCols = Seq("lang", "source"))),
 
+    // capped inverted index: df + first-20 posting list per term, all on
+    // one term-keyed partitioning with map-side posting-list pruning
+    "inverted_index" -> ((s, dir) =>
+      graft.ext.Text.invertedIndex(Tables(s, dir).documents)),
+
     // most-frequent values per column: one explode + one keyed count +
     // TopKPerGroup heap pruning (never a per-column scan or rank window)
     "profile_top_values" -> ((s, dir) =>
@@ -744,6 +749,23 @@ object ExtRegistry {
         "lang" -> hvStr("lang"), "source" -> hvStr("source"))
         .map { case (c, hv) => colSql(c, hv) }.mkString("\nUNION ALL\n")
     },
+
+    // inverted-index twin: per-doc-distinct terms, true df, rank-capped
+    // posting list concatenated in NUMERIC doc_id order (the Spark side
+    // sorts the long array before stringifying for the same reason)
+    "inverted_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+        |r AS (SELECT term, doc_id,
+        |             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |      FROM t),
+        |p AS (SELECT term,
+        |             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |      FROM r WHERE rn <= 20 GROUP BY 1)
+        |SELECT d.term, d.df, p.postings FROM d JOIN p USING (term)""".stripMargin,
 
     // top-values twin: UNION ALL the profiled columns into one pair
     // stream, count, rank by (cnt DESC, value) — the total order the

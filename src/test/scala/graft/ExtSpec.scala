@@ -844,6 +844,25 @@ class ExtSpec extends SparkSpec {
     assert(run(docs.repartition(13)).collect().toSet == rows.toSet)
   }
 
+  test("invertedIndex: true df with capped smallest-id postings in numeric order") {
+    val corpus = (1L to 30L).map(i => (i, s"common w$i")).toDF("doc_id", "text")
+    val got = graft.ext.Text.invertedIndex(corpus, maxPostings = 5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // df reports the TRUE frequency; the posting list caps at the
+    // 5 smallest doc ids — truncation is visible, never silent
+    assert(got("common") == ((30L, "1,2,3,4,5")))
+    assert(got("w7") == ((1L, "7")))
+    // numeric, not lexicographic, posting order ("9" > "10" as strings)
+    val tie = Seq((9L, "shared"), (10L, "shared"), (100L, "shared")).toDF("doc_id", "text")
+    val p = graft.ext.Text.invertedIndex(tie, 5).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(p("shared") == "9,10,100")
+    // per-doc-distinct: a term repeated inside one doc counts once
+    val rep = Seq((1L, "dup dup dup")).toDF("doc_id", "text")
+    val r = graft.ext.Text.invertedIndex(rep, 5).collect().head
+    assert(r.getLong(1) == 1L && r.getString(2) == "1")
+  }
+
   test("sketches aggregate across streaming micro-batches: final state equals the batch sketch") {
     // micro-batch boundaries force buffer serialize→store→restore→merge
     // cycles through the state store — the merge-safety the sketches

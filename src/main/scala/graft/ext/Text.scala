@@ -258,6 +258,37 @@ object Text {
     df.join(postings, Seq("term"))
   }
 
+  /** Tokenizer-training prep — the first BPE merge iteration: corpus-wide
+    * adjacent-symbol-pair counts, the statistic a byte-pair-encoding
+    * trainer maximizes at every merge step. The classic BPE compression
+    * applies here exactly as in the reference implementations: pairs are
+    * enumerated once per WORD TYPE and weighted by word frequency, so
+    * the explode cost scales with the vocabulary (Zipf-small), not the
+    * corpus — the word-frequency aggregation is the only full-data
+    * shuffle, everything after runs on the distinct-word table. Top-k by
+    * the (count DESC, pair) total order via distributed TakeOrdered
+    * (orderBy+limit — never a rank window), so the cutoff is
+    * deterministic and the report oracle-checks. */
+  def bpePairCounts(documents: DataFrame, k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val words = documents.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1L)).as("wf"))
+    // chars via split + empty-filter (Java split keeps a trailing "");
+    // guard 1-char words — sequence(1, 0) would generate DESCENDING
+    val cs = filter(split(col("word"), ""), c => c =!= "")
+    words
+      .select(col("wf"), cs.as("cs"))
+      .select(col("wf"), explode(
+        when(size(col("cs")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("cs")) - 1),
+            i => concat(element_at(col("cs"), i), element_at(col("cs"), i + 1)))))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
   def normalizeNfc(documents: DataFrame): DataFrame = {
     val raw = when(pmod(col("doc_id"), lit(4)) === 1,
         replace(col("text"), lit("e"), lit("e\u0301")))  // decomposed e + combining acute

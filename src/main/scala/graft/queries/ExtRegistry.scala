@@ -156,6 +156,11 @@ object ExtRegistry {
       graft.dq.Profile.profile(Tables(s, dir).documents,
         numericCols = Seq("doc_id", "n_chars"), stringCols = Seq("lang", "source"))),
 
+    // tokenizer-training prep: top BPE merge candidates — adjacent char
+    // pairs per word TYPE weighted by word frequency (vocab-scale work)
+    "bpe_pair_counts" -> ((s, dir) =>
+      graft.ext.Text.bpePairCounts(Tables(s, dir).documents)),
+
     // capped inverted index: df + first-20 posting list per term, all on
     // one term-keyed partitioning with map-side posting-list pruning
     "inverted_index" -> ((s, dir) =>
@@ -749,6 +754,22 @@ object ExtRegistry {
         "lang" -> hvStr("lang"), "source" -> hvStr("source"))
         .map { case (c, hv) => colSql(c, hv) }.mkString("\nUNION ALL\n")
     },
+
+    // BPE twin: word frequencies, per-word-type char pairs (1-based list
+    // indexing both sides), frequency-weighted sum, total-order top-k
+    "bpe_pair_counts" ->
+      """WITH w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |p AS (SELECT wf, list_filter(string_split(word, ''), c -> c <> '') AS cs FROM w),
+        |e AS (SELECT wf, unnest(
+        |        CASE WHEN len(cs) < 2 THEN CAST([] AS VARCHAR[])
+        |             ELSE list_transform(generate_series(1, len(cs) - 1),
+        |                                 i -> cs[i] || cs[i + 1]) END) AS pair
+        |      FROM p)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM e
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
     // inverted-index twin: per-doc-distinct terms, true df, rank-capped
     // posting list concatenated in NUMERIC doc_id order (the Spark side

@@ -844,6 +844,22 @@ class ExtSpec extends SparkSpec {
     assert(run(docs.repartition(13)).collect().toSet == rows.toSet)
   }
 
+  test("bpePairCounts: pairs weighted by word frequency, 1-char words skipped, ordered ties") {
+    val docs = Seq((1L, "ab ab cd x"), (2L, "ab")).toDF("doc_id", "text")
+    // word frequencies ab=3, cd=1, x=1; pairs enumerated once per word
+    // TYPE and weighted — "x" (1 char) contributes nothing
+    val got = graft.ext.Text.bpePairCounts(docs, 10).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("cd", 1L)))
+    // the k cutoff follows the (cnt DESC, pair ASC) total order
+    val cut = graft.ext.Text.bpePairCounts(Seq((1L, "zz aa")).toDF("doc_id", "text"), 1)
+      .as[(String, Long)].collect().toSeq
+    assert(cut == Seq(("aa", 1L)))
+    // longer words emumerate every adjacent pair
+    val tri = graft.ext.Text.bpePairCounts(Seq((1L, "abc")).toDF("doc_id", "text"), 10)
+      .as[(String, Long)].collect().toSeq
+    assert(tri == Seq(("ab", 1L), ("bc", 1L)))
+  }
+
   test("invertedIndex: true df with capped smallest-id postings in numeric order") {
     val corpus = (1L to 30L).map(i => (i, s"common w$i")).toDF("doc_id", "text")
     val got = graft.ext.Text.invertedIndex(corpus, maxPostings = 5).collect()

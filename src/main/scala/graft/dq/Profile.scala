@@ -34,6 +34,10 @@ object Profile {
   def profile(df: DataFrame, numericCols: Seq[String], stringCols: Seq[String],
       k: Int = 64): DataFrame = {
     require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns to profile")
+    // names are interpolated into the stack() expression string — reject
+    // anything that isn't a plain identifier rather than mis-parse it
+    (numericCols ++ stringCols).foreach(c =>
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsupported column name '$c'"))
     val hashed: Seq[(String, Column)] =
       numericCols.map(c => c -> KmvDistinct.hashColumn(col(c))) ++
         stringCols.map(c => c -> KmvDistinct.hashColumn(graft.ext.MinHash.stringHash(col(c))))

@@ -21,11 +21,13 @@ import org.apache.spark.sql.graft.KmvDistinct
   *
   * Strings hash into KMV space through [[graft.ext.MinHash.stringHash]]
   * (the engine-agnostic char sum the near-dup family already proves);
-  * numerics through [[KmvDistinct.hashColumn]]. Min/max are compared as
-  * strings so every column, whatever its type, lands in one uniform
-  * (col_name, n_rows, n_nulls, distinct_est, min_str, max_str) schema —
-  * the cast is in BOTH engines, so lexicographic order drift is not a
-  * concern (the values themselves are what's reported, not the order).
+  * numerics through [[KmvDistinct.hashColumn]] (an empty string hashes
+  * to the 0-slot rather than NULL, so '' still counts as a distinct
+  * value — only true NULLs are excluded). Min/max aggregate on the
+  * NATIVE column type and cast to string AFTERWARDS, so numerics report
+  * their true extremes (a pre-cast min would rank "1000" < "9") while
+  * every column lands in one uniform (col_name, n_rows, n_nulls,
+  * distinct_est, min_str, max_str) schema.
   */
 object Profile {
 
@@ -38,15 +40,23 @@ object Profile {
     // anything that isn't a plain identifier rather than mis-parse it
     (numericCols ++ stringCols).foreach(c =>
       require(c.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsupported column name '$c'"))
+    require((numericCols ++ stringCols).distinct.size == numericCols.size + stringCols.size,
+      s"duplicate profiled column in ${numericCols ++ stringCols}")
     val hashed: Seq[(String, Column)] =
       numericCols.map(c => c -> KmvDistinct.hashColumn(col(c))) ++
-        stringCols.map(c => c -> KmvDistinct.hashColumn(graft.ext.MinHash.stringHash(col(c))))
+        stringCols.map { c =>
+          // stringHash('') is NULL (empty char array) — coalesce it to the
+          // 0-slot so '' counts as a value; true NULLs stay NULL (skipped)
+          c -> when(col(c).isNull, lit(null).cast("long"))
+            .otherwise(KmvDistinct.hashColumn(
+              coalesce(graft.ext.MinHash.stringHash(col(c)), lit(0L))))
+        }
     val aggExprs: Seq[Column] =
       count(lit(1L)).as("n_rows") +: hashed.flatMap { case (name, h) => Seq(
         count(col(name)).as(s"nn_$name"),
         KmvDistinct.kmv(h, k).as(s"kmv_$name"),
-        min(col(name).cast("string")).as(s"mn_$name"),
-        max(col(name).cast("string")).as(s"mx_$name"))
+        min(col(name)).cast("string").as(s"mn_$name"),
+        max(col(name)).cast("string").as(s"mx_$name"))
       }
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
     val stackArgs = hashed.map { case (name, _) =>

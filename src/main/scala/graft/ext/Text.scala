@@ -200,11 +200,18 @@ object Text {
     * magnitude smaller than the token stream — AQE broadcasts it when it
     * fits), and one per-document window for the top-k. No global sort,
     * no driver collection; every stage is keyed on doc_id or term. */
-  def tfIdfTopTerms(documents: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = documents
+  /** (doc_id, term) token stream — the ONE whitespace-tokenization
+    * spelling every term-level operator shares (tf-idf, inverted index,
+    * BPE prep), so a tokenization change cannot silently diverge them
+    * from each other or their oracles' `string_split(text, ' ')`. */
+  private[ext] def termStream(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
+
+  def tfIdfTopTerms(documents: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = termStream(documents)
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // tf is already distinct per (doc, term), so df is a plain count
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -220,15 +227,6 @@ object Text {
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
-  /** Unicode NFC canonicalization over a deterministically "dirtied"
-    * corpus. The testdata text is pure ASCII (already NFC — the
-    * normalizer would be vacuous), so this INJECTS the real-world mess
-    * first, keyed on doc_id: decomposed e+◌́ (two codepoints that NFC
-    * composes to é), precomposed ü (already NFC — must pass through
-    * untouched), and decomposed o+◌̈. Character counts before/after
-    * expose exactly which rows composed. Narrow projection, no shuffle;
-    * the normalizer is the [[org.apache.spark.sql.graft.NfcNormalize]]
-    * codegen expression (ASCII rows take its no-allocation fast path). */
   /** Capped inverted-index construction: term → document frequency +
     * the first `maxPostings` doc ids as a deterministic posting list —
     * the retrieval-side artifact of a corpus build (BM25 index shards,
@@ -244,10 +242,7 @@ object Text {
     * (df > maxPostings ⇒ truncated), never silent. */
   def invertedIndex(documents: DataFrame, maxPostings: Int = 20): DataFrame = {
     require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
-    val terms = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
+    val terms = termStream(documents).distinct()
     val df = terms.groupBy(col("term")).agg(count(lit(1L)).as("df"))
     val postings = org.apache.spark.sql.graft.TopKPerGroup
       .topK(terms, Seq(col("term")), Seq(col("doc_id").asc), maxPostings)
@@ -271,8 +266,7 @@ object Text {
     * deterministic and the report oracle-checks. */
   def bpePairCounts(documents: DataFrame, k: Int = 50): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val words = documents.select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
+    val words = termStream(documents).select(col("term").as("word"))
       .groupBy(col("word")).agg(count(lit(1L)).as("wf"))
     // chars via split + empty-filter (Java split keeps a trailing "");
     // guard 1-char words — sequence(1, 0) would generate DESCENDING
@@ -289,6 +283,15 @@ object Text {
       .limit(k)
   }
 
+  /** Unicode NFC canonicalization over a deterministically "dirtied"
+    * corpus. The testdata text is pure ASCII (already NFC — the
+    * normalizer would be vacuous), so this INJECTS the real-world mess
+    * first, keyed on doc_id: decomposed e+◌́ (two codepoints that NFC
+    * composes to é), precomposed ü (already NFC — must pass through
+    * untouched), and decomposed o+◌̈. Character counts before/after
+    * expose exactly which rows composed. Narrow projection, no shuffle;
+    * the normalizer is the [[org.apache.spark.sql.graft.NfcNormalize]]
+    * codegen expression (ASCII rows take its no-allocation fast path). */
   def normalizeNfc(documents: DataFrame): DataFrame = {
     val raw = when(pmod(col("doc_id"), lit(4)) === 1,
         replace(col("text"), lit("e"), lit("e\u0301")))  // decomposed e + combining acute

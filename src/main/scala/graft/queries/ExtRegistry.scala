@@ -736,7 +736,10 @@ object ExtRegistry {
     "profile_documents" -> {
       val m = org.apache.spark.sql.graft.KmvDistinct.M
       def hvNum(c: String) = s"((($c) % $m) * 2654435761 + 97) % $m + 1"
-      def hvStr(c: String) = s"(((${MinHash.stringHashSql(c)}) % $m) * 2654435761 + 97) % $m + 1"
+      // coalesce: '' hashes to the 0-slot (list_sum of an empty list is
+      // NULL in DuckDB, as on the Spark side) — NULL values are already
+      // excluded by the WHERE, so only genuine empties reach the 0-slot
+      def hvStr(c: String) = s"((coalesce(${MinHash.stringHashSql(c)}, 0) % $m) * 2654435761 + 97) % $m + 1"
       def colSql(c: String, hv: String) =
         s"""SELECT '$c' AS col_name,
            |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
@@ -748,8 +751,8 @@ object ExtRegistry {
            |              FROM (SELECT DISTINCT $hv AS hv FROM documents
            |                    WHERE $c IS NOT NULL))
            |        WHERE rn = LEAST(nd, 64)) AS distinct_est,
-           |       (SELECT min(CAST($c AS VARCHAR)) FROM documents) AS min_str,
-           |       (SELECT max(CAST($c AS VARCHAR)) FROM documents) AS max_str""".stripMargin
+           |       (SELECT CAST(min($c) AS VARCHAR) FROM documents) AS min_str,
+           |       (SELECT CAST(max($c) AS VARCHAR) FROM documents) AS max_str""".stripMargin
       Seq("doc_id" -> hvNum("doc_id"), "n_chars" -> hvNum("n_chars"),
         "lang" -> hvStr("lang"), "source" -> hvStr("source"))
         .map { case (c, hv) => colSql(c, hv) }.mkString("\nUNION ALL\n")

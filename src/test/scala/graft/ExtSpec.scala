@@ -835,9 +835,9 @@ class ExtSpec extends SparkSpec {
     // small-cardinality columns hold ALL their hashes → exact fallback
     val exactLang = docs.select("lang").distinct().count().toDouble
     assert(p("lang").getDouble(3) == exactLang)
-    // min/max are the real column extremes (as strings, both engines' cast)
+    // min/max are the TRUE numeric extremes, cast after aggregating
     val Seq(mnS, mxS) = docs
-      .select(min(col("n_chars").cast("string")), max(col("n_chars").cast("string")))
+      .select(min(col("n_chars")).cast("string"), max(col("n_chars")).cast("string"))
       .collect().head.toSeq.map(_.asInstanceOf[String])
     assert(p("n_chars").getString(4) == mnS && p("n_chars").getString(5) == mxS)
     // the profile is a function of the table, not the partition layout

@@ -241,6 +241,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: invertedIndex and bpePairCounts match independent Scala models on random corpora") {
+    val textGen = Gen.listOfN(5, Gen.oneOf("aa", "ab", "abc", "b", "ccc", "dd"))
+      .map(_.mkString(" "))
+    val texts = sample(textGen, 60)
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = corpus.toDF("doc_id", "text")
+    // inverted index vs a plain-Scala model (cap 3)
+    val gotIdx = graft.ext.Text.invertedIndex(df, maxPostings = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val modelIdx = corpus
+      .flatMap { case (id, t) => t.split(" ").filter(_.nonEmpty).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (term, hits) =>
+        val ids = hits.map(_._2).sorted
+        term -> ((ids.length.toLong, ids.take(3).mkString(",")))
+      }
+    assert(gotIdx == modelIdx)
+    // bpe pair counts vs a plain-Scala model (k large enough for all pairs)
+    val gotBpe = graft.ext.Text.bpePairCounts(df, k = 1000)
+      .as[(String, Long)].collect().toMap
+    val wf = corpus.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val modelBpe = wf.toSeq
+      .flatMap { case (w, f) => w.sliding(2).filter(_.length == 2).map(_ -> f) }
+      .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    assert(gotBpe == modelBpe)
+  }
+
   test("property: PPM/BMP decode inverts encode on arbitrary dims (all padding widths)") {
     import graft.ext.Multimodal
     // w mod 4 ∈ {0..3} exercises every BMP row-padding width; ids beyond

@@ -175,9 +175,10 @@ object Multimodal {
     })
   }
 
-  private def decodePpm(id: Long, bs: Array[Byte]): DecodedMedia = {
-    // token scanner per the netpbm spec: fields separated by whitespace,
-    // '#' starts a comment running to end-of-line
+  /** PPM (P6) header scan per the netpbm spec: fields separated by
+    * whitespace, '#' starts a comment running to end-of-line. Returns
+    * (width, height, raster offset); validates the raster length. */
+  private def ppmLayout(id: Long, bs: Array[Byte]): (Int, Int, Int) = {
     var pos = 2
     def nextInt(): Int = {
       while (pos < bs.length &&
@@ -195,15 +196,22 @@ object Multimodal {
     val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
     require(maxVal == 255, s"doc $id: only 8-bit PPM supported, maxval=$maxVal")
     pos += 1 // exactly one whitespace byte separates the header from raster data
-    val n = w * h * 3
-    require(bs.length - pos == n, s"doc $id: PPM raster ${bs.length - pos} bytes, expected $n")
+    require(bs.length - pos == w * h * 3,
+      s"doc $id: PPM raster ${bs.length - pos} bytes, expected ${w * h * 3}")
+    (w, h, pos)
+  }
+
+  private def decodePpm(id: Long, bs: Array[Byte]): DecodedMedia = {
+    val (w, h, pos) = ppmLayout(id, bs)
     var sum = 0L
     var i = pos
     while (i < bs.length) { sum += bs(i) & 0xff; i += 1 }
-    DecodedMedia(id, "ppm", w, h, 3, n.toLong, sum)
+    DecodedMedia(id, "ppm", w, h, 3, (w * h * 3).toLong, sum)
   }
 
-  private def decodeBmp(id: Long, bs: Array[Byte]): DecodedMedia = {
+  /** BMP layout: (width, height, channels, pixel-array offset, padded
+    * row size, topDown). Validates depth/compression/length. */
+  private def bmpLayout(id: Long, bs: Array[Byte]): (Int, Int, Int, Int, Int, Boolean) = {
     def le32(off: Int): Int =
       (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8) |
       ((bs(off + 2) & 0xff) << 16) | ((bs(off + 3) & 0xff) << 24)
@@ -211,13 +219,18 @@ object Multimodal {
     val pixelOffset = le32(10)
     val w = le32(18)
     val rawH = le32(22)
-    val h = math.abs(rawH) // negative height = top-down; sum is order-free
+    val h = math.abs(rawH) // negative height = top-down
     val bitCount = (bs(28) & 0xff) | ((bs(29) & 0xff) << 8)
     require(bitCount == 24 || bitCount == 32, s"doc $id: unsupported bit depth $bitCount")
     require(le32(30) == 0, s"doc $id: compressed BMP unsupported")
     val channels = bitCount / 8
     val rowSize = ((w * channels + 3) / 4) * 4
     require(bs.length >= pixelOffset + rowSize * h, s"doc $id: truncated BMP pixel array")
+    (w, h, channels, pixelOffset, rowSize, rawH < 0)
+  }
+
+  private def decodeBmp(id: Long, bs: Array[Byte]): DecodedMedia = {
+    val (w, h, channels, pixelOffset, rowSize, _) = bmpLayout(id, bs)
     var sum = 0L
     var y = 0
     while (y < h) {
@@ -227,5 +240,61 @@ object Multimodal {
       y += 1
     }
     DecodedMedia(id, "bmp", w, h, channels, w.toLong * h * channels, sum)
+  }
+
+  final case class ResizedMedia(doc_id: Long, fmt: String, src_width: Int,
+      src_height: Int, width: Int, height: Int, channels: Int,
+      pixel_bytes: Long, pixel_sum: Long)
+
+  /** REAL nearest-neighbor resize over the decoded pixel grid — the
+    * preprocessing step every vision pipeline runs before batching
+    * (thumbnails, fixed model input sizes). Target pixel (tx, ty)
+    * samples source pixel (tx·srcW div tw, ty·srcH div th) — the
+    * standard floor mapping, integer-exact, so the resized raster (and
+    * its checksum) is bit-deterministic and SQL-replayable. The sampler
+    * reads straight from the container bytes through each format's
+    * layout ([[ppmLayout]]/[[bmpLayout]] — header offsets, BMP row
+    * padding and bottom-up/top-down order all honored); no intermediate
+    * full-size copy is materialized, and the whole stage is the same
+    * narrow `mapPartitions` shape as [[decodeMedia]] (no shuffle, no
+    * driver collect — blobs stay on executors). */
+  def resizeMedia(media: Dataset[EncodedMedia], targetW: Int,
+      targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive, got ${targetW}x$targetH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      require(bs.length >= 2, s"doc ${m.doc_id}: payload too short")
+      // (srcW, srcH, channels, byte accessor at logical (x, y, c))
+      val (w, h, ch, at): (Int, Int, Int, (Int, Int, Int) => Int) =
+        if (bs(0) == 'P' && bs(1) == '6') {
+          val (pw, ph, off) = ppmLayout(m.doc_id, bs)
+          (pw, ph, 3, (x, y, c) => bs(off + (y * pw + x) * 3 + c) & 0xff)
+        } else if (bs(0) == 'B' && bs(1) == 'M') {
+          val (bw, bh, bch, off, rowSize, topDown) = bmpLayout(m.doc_id, bs)
+          (bw, bh, bch, (x, y, c) => {
+            val storedRow = if (topDown) y else bh - 1 - y
+            bs(off + storedRow * rowSize + x * bch + c) & 0xff
+          })
+        } else throw new IllegalArgumentException(
+          s"doc ${m.doc_id}: unknown magic 0x${(bs(0) & 0xff).toHexString}${(bs(1) & 0xff).toHexString}")
+      var sum = 0L
+      var ty = 0
+      while (ty < targetH) {
+        val sy = ty * h / targetH
+        var tx = 0
+        while (tx < targetW) {
+          val sx = tx * w / targetW
+          var c = 0
+          while (c < ch) { sum += at(sx, sy, c); c += 1 }
+          tx += 1
+        }
+        ty += 1
+      }
+      ResizedMedia(m.doc_id, m.fmt, w, h, targetW, targetH, ch,
+        targetW.toLong * targetH * ch, sum)
+    })
   }
 }

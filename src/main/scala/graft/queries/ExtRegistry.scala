@@ -129,6 +129,11 @@ object ExtRegistry {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMedia(Multimodal.encodeMedia(Tables(s, dir).documents)).toDF()),
 
+    // real nearest-neighbor resize to 4x4 over the decoded pixel grid
+    // (floor sampling, integer-exact -> the resized checksum replays in SQL)
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeMedia(Multimodal.encodeMedia(Tables(s, dir).documents), 4, 4).toDF()),
+
     // Unicode NFC canonicalization (codegen NfcNormalize expression) over
     // a deterministically-dirtied corpus: decomposed sequences must
     // compose, precomposed ones must pass through — char counts prove it
@@ -1186,6 +1191,33 @@ object ExtRegistry {
         |       CAST(3 AS INTEGER) AS channels,
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
         |       ps.pixel_sum
+        |FROM m JOIN ps USING (doc_id)""".stripMargin,
+
+    // resize twin: generator arithmetic replayed at the SAMPLED positions
+    // — target (tx,ty,c) reads source byte (id + (sy*w + sx)*3 + c) % 256
+    // with sx = tx*w//4, sy = ty*h//4 (both formats share the logical
+    // linearization; BMP's bottom-up row order is the decoder's concern)
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+        |         CAST(1 + (doc_id * 7) % 13 AS INTEGER) AS src_width,
+        |         CAST(1 + (doc_id * 11) % 9 AS INTEGER) AS src_height
+        |  FROM documents),
+        |ty AS (SELECT *, unnest(generate_series(0, 3)) AS ty FROM m),
+        |tx AS (SELECT *, unnest(generate_series(0, 3)) AS tx FROM ty),
+        |pc AS (SELECT *, unnest(generate_series(0, 2)) AS c FROM tx),
+        |ps AS (
+        |  SELECT doc_id,
+        |         CAST(SUM((doc_id
+        |                   + ((ty * src_height // 4) * src_width
+        |                      + (tx * src_width // 4)) * 3 + c) % 256) AS BIGINT)
+        |           AS pixel_sum
+        |  FROM pc GROUP BY 1)
+        |SELECT m.doc_id, m.fmt, m.src_width, m.src_height,
+        |       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(48 AS BIGINT) AS pixel_bytes, ps.pixel_sum
         |FROM m JOIN ps USING (doc_id)""".stripMargin,
 
     // chr(769)=U+0301 combining acute, chr(252)=U+00FC precomposed,

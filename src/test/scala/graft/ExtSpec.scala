@@ -128,6 +128,28 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"global sort leaked into:\n$plan")
   }
 
+  test("multimodal resize: nearest-neighbor samples match the model; identity resize = decode") {
+    val enc = Multimodal.encodeMedia(docs)
+    val got = Multimodal.resizeMedia(enc, 4, 4).collect().map(r => r.doc_id -> r).toMap
+    got.foreach { case (id, r) =>
+      val w = (1 + (id * 7) % 13).toInt
+      val h = (1 + (id * 11) % 9).toInt
+      assert(r.src_width == w && r.src_height == h && r.width == 4 && r.height == 4)
+      // model: target (tx,ty,c) samples source byte (id+(sy*w+sx)*3+c)%256
+      val exp = (for {
+        ty <- 0 until 4; tx <- 0 until 4; c <- 0 until 3
+      } yield (id + ((ty * h / 4) * w + (tx * w / 4)) * 3 + c) % 256).sum
+      assert(r.pixel_sum == exp, s"doc $id")
+    }
+    // identity resize touches every pixel exactly once -> decode's checksum
+    val dec = Multimodal.decodeMedia(enc).collect().map(d => d.doc_id -> d).toMap
+    dec.foreach { case (id, d) =>
+      val idm = Multimodal.resizeMedia(enc.filter(col("doc_id") === id), d.width, d.height)
+        .collect().head
+      assert(idm.pixel_sum == d.pixel_sum && idm.pixel_bytes == d.pixel_bytes, s"doc $id")
+    }
+  }
+
   test("multimodal decode: spec fixtures the encoder never emits") {
     // PPM header with comment lines between fields (netpbm allows them)
     val ppm = "P6\n# width then height\n2 1\n# maxval\n255\n"

@@ -96,7 +96,10 @@ object ScaleProof {
       s"""{"metric":"scale_proof","pipeline":"synth->nplMonthly","runs":$runsJson,""" +
       s""""t100x_over_t1x":${s2(ratio)},"linear_ok":$linearOk,"plan_shape_stable":$planOk,""" +
       s""""heap_bounded":$heapOk}""")
-    if (!linearOk || !planOk || !heapOk) sys.exit(1)
+    // stop() BEFORE the exit-code decision: the failing path must not
+    // skip session shutdown (stray /dev/shm shuffle dirs, noisy
+    // shutdown-hook logs from an abrupt JVM teardown)
     spark.stop()
+    if (!linearOk || !planOk || !heapOk) sys.exit(1)
   }
 }

@@ -190,6 +190,10 @@ object Multimodal {
       require(pos < bs.length && bs(pos) >= '0' && bs(pos) <= '9', s"doc $id: bad PPM header")
       while (pos < bs.length && bs(pos) >= '0' && bs(pos) <= '9') {
         v = v * 10 + (bs(pos) - '0'); pos += 1
+        // bound the accumulator so a hostile oversized header field fails
+        // loudly instead of wrapping Int and possibly colliding with the
+        // actual raster byte count
+        require(v <= (1 << 24), s"doc $id: PPM header field exceeds 2^24")
       }
       v
     }
@@ -223,9 +227,17 @@ object Multimodal {
     val bitCount = (bs(28) & 0xff) | ((bs(29) & 0xff) << 8)
     require(bitCount == 24 || bitCount == 32, s"doc $id: unsupported bit depth $bitCount")
     require(le32(30) == 0, s"doc $id: compressed BMP unsupported")
+    // Hostile headers: a negative/zero width or a pixel offset inside the
+    // headers must fail loudly, not produce a "successful" DecodedMedia
+    // with negative dimensions and pixel_sum 0
+    require(w > 0 && h > 0, s"doc $id: non-positive BMP dimensions ${w}x$rawH")
+    require(pixelOffset >= 54, s"doc $id: BMP pixel offset $pixelOffset inside headers")
     val channels = bitCount / 8
     val rowSize = ((w * channels + 3) / 4) * 4
-    require(bs.length >= pixelOffset + rowSize * h, s"doc $id: truncated BMP pixel array")
+    // length check in Long: pixelOffset + rowSize*h can wrap Int for
+    // hostile (huge-but-positive) header fields
+    require(bs.length >= pixelOffset.toLong + rowSize.toLong * h,
+      s"doc $id: truncated BMP pixel array")
     (w, h, channels, pixelOffset, rowSize, rawH < 0)
   }
 

@@ -139,12 +139,20 @@ object BloomFilter {
     * Column `/` is DOUBLE division; `>> 5` and `& 31` stay integral),
     * masks built by `shiftleft` so the probe inlines into whole-stage
     * codegen — usable inside HOF lambdas over a hash array. */
-  def mightContain(words: Column, key: Column, numBits: Int, numHashes: Int): Column =
-    (0 until numHashes).map { i =>
+  def mightContain(words: Column, key: Column, numBits: Int, numHashes: Int): Column = {
+    val probe = (0 until numHashes).map { i =>
       val p = posCol(key, i, numBits)
       val word = element_at(words,
         (call_function("shiftright", p, lit(5)) + 1L).cast(IntegerType))
       val mask = call_function("shiftleft", lit(1L), p.bitwiseAND(31L).cast(IntegerType))
       word.bitwiseAND(mask) =!= 0L
     }.reduce(_ && _)
+    // Probing with a numBits different from the build-side constant would
+    // send element_at out of range — silent NULL verdicts in non-ANSI
+    // mode. Fail loudly instead: the word count is numBits/32 by
+    // construction (the aggregate enforces numBits % 32 == 0).
+    when(size(words) === numBits / 32, probe).otherwise(raise_error(concat(
+      lit(s"graft_bloom probe expects ${numBits / 32} words (numBits=$numBits), got "),
+      size(words).cast(StringType))))
+  }
 }

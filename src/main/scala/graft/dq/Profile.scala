@@ -31,17 +31,58 @@ import org.apache.spark.sql.graft.KmvDistinct
   */
 object Profile {
 
-  /** Profile `numericCols` ++ `stringCols` of `df` in one aggregation
-    * pass; one output row per column, input order preserved. */
+  /** Fixed-grid histogram request for one profiled column: `nBuckets`
+    * equal-width buckets starting at `lo`; out-of-range values clamp
+    * into the edge buckets, so every non-null value is counted exactly
+    * once and the counts sum to n_nonnull. Bounded state (`nBuckets`
+    * conditional counters folded into the profile's single aggregation
+    * pass — same partial-aggregable discipline as
+    * [[graft.operators.Quantiles]]' bucket counts, here with the grid
+    * fixed up front so no second keyed pass is needed), deterministic,
+    * replayable in ANSI SQL. */
+  final case class HistSpec(col: String, lo: Double, width: Double, nBuckets: Int) {
+    require(width > 0, s"hist width must be positive, got $width")
+    require(nBuckets > 0 && nBuckets <= 64, s"hist nBuckets must be in [1,64], got $nBuckets")
+    /** Clamped bucket index of `c` on this grid (shared with the SQL twin). */
+    def bucketOf(c: Column): Column =
+      least(greatest(floor((c.cast("double") - lit(lo)) / lit(width)).cast("long"),
+        lit(0L)), lit(nBuckets - 1L))
+  }
+
+  /** Profile `numericCols` ++ `stringCols` ++ `dateCols` ++
+    * `timestampCols` of `df` in one aggregation pass; one output row per
+    * column, input order preserved.
+    *
+    * Temporal columns keep the native-typed min/max discipline: the
+    * aggregate runs on the DATE/TIMESTAMP value (never a pre-cast
+    * string) and only the RESULT is rendered — dates via the unambiguous
+    * `cast(string)` (ISO yyyy-MM-dd on every engine), timestamps via an
+    * explicit second-precision `date_format` pattern, because engines
+    * disagree on how to print fractional seconds (trailing-zero
+    * trimming) and the profile must hash-check. Distinct estimates hash
+    * the epoch integer (days for dates, micros for timestamps) through
+    * the same affine KMV map as numerics — both re-derivable in SQL
+    * (`d - DATE '1970-01-01'`, `epoch_us(ts)`).
+    *
+    * `hist` adds a per-column fixed-grid histogram — `hist_cnts`, the
+    * comma-joined bucket counts (NULL for columns without a spec) —
+    * computed in the SAME pass as conditional counters, so "profile +
+    * histogram" is still one scan and one tiny exchange. */
   def profile(df: DataFrame, numericCols: Seq[String], stringCols: Seq[String],
-      k: Int = 64): DataFrame = {
-    require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns to profile")
+      dateCols: Seq[String] = Nil, timestampCols: Seq[String] = Nil,
+      k: Int = 64, hist: Seq[HistSpec] = Nil): DataFrame = {
+    val all = numericCols ++ stringCols ++ dateCols ++ timestampCols
+    require(all.nonEmpty, "no columns to profile")
     // names are interpolated into the stack() expression string — reject
     // anything that isn't a plain identifier rather than mis-parse it
-    (numericCols ++ stringCols).foreach(c =>
+    all.foreach(c =>
       require(c.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsupported column name '$c'"))
-    require((numericCols ++ stringCols).distinct.size == numericCols.size + stringCols.size,
-      s"duplicate profiled column in ${numericCols ++ stringCols}")
+    require(all.distinct.size == all.size, s"duplicate profiled column in $all")
+    hist.foreach(h => require(all.contains(h.col),
+      s"hist column '${h.col}' is not among the profiled columns"))
+    require(hist.map(_.col).distinct.size == hist.size,
+      s"duplicate hist column in ${hist.map(_.col)}")
+    val epochDay = to_date(lit("1970-01-01"))
     val hashed: Seq[(String, Column)] =
       numericCols.map(c => c -> KmvDistinct.hashColumn(col(c))) ++
         stringCols.map { c =>
@@ -50,22 +91,48 @@ object Profile {
           c -> when(col(c).isNull, lit(null).cast("long"))
             .otherwise(KmvDistinct.hashColumn(
               coalesce(graft.ext.MinHash.stringHash(col(c)), lit(0L))))
-        }
+        } ++
+        // epoch integers: engine-agnostic, exactly re-derivable in SQL
+        dateCols.map(c => c -> KmvDistinct.hashColumn(
+          datediff(col(c), epochDay).cast("long"))) ++
+        // cast("timestamp") first: parquet TIMESTAMPs with
+        // isAdjustedToUTC=false read as TIMESTAMP_NTZ, which unix_micros
+        // rejects; the session TZ is pinned UTC (LocalSession), so the
+        // NTZ wall time maps to the same micros an engine reading the
+        // naive value as UTC computes
+        timestampCols.map(c => c ->
+          KmvDistinct.hashColumn(unix_micros(col(c).cast("timestamp"))))
+    val renderMinMax: String => (Column => Column) = c =>
+      if (timestampCols.contains(c)) v => date_format(v, "yyyy-MM-dd HH:mm:ss")
+      else v => v.cast("string")
+    val histFor: Map[String, HistSpec] = hist.map(h => h.col -> h).toMap
     val aggExprs: Seq[Column] =
-      count(lit(1L)).as("n_rows") +: hashed.flatMap { case (name, h) => Seq(
+      count(lit(1L)).as("n_rows") +: (hashed.flatMap { case (name, h) => Seq(
         count(col(name)).as(s"nn_$name"),
         KmvDistinct.kmv(h, k).as(s"kmv_$name"),
-        min(col(name)).cast("string").as(s"mn_$name"),
-        max(col(name)).cast("string").as(s"mx_$name"))
-      }
+        renderMinMax(name)(min(col(name))).as(s"mn_$name"),
+        renderMinMax(name)(max(col(name))).as(s"mx_$name"))
+      } ++ hist.flatMap { h =>
+        (0 until h.nBuckets).map(i =>
+          sum(when(col(h.col).isNotNull && h.bucketOf(col(h.col)) === i, 1L)
+            .otherwise(0L)).as(s"hb_${h.col}_$i"))
+      })
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val histCol: String => String = name => histFor.get(name) match {
+      case Some(h) =>
+        (0 until h.nBuckets).map(i => s"cast(hb_${name}_$i as string)")
+          .mkString("concat_ws(',', ", ", ", ")")
+      case None => "cast(null as string)"
+    }
     val stackArgs = hashed.map { case (name, _) =>
-      s"'$name', nn_$name, kmv_$name, mn_$name, mx_$name" }.mkString(", ")
-    one.selectExpr("n_rows",
-        s"stack(${hashed.size}, $stackArgs) AS (col_name, n_nonnull, distinct_est, min_str, max_str)")
+      s"'$name', nn_$name, kmv_$name, mn_$name, mx_$name, ${histCol(name)}" }.mkString(", ")
+    val base = one.selectExpr("n_rows",
+        s"stack(${hashed.size}, $stackArgs) AS (col_name, n_nonnull, distinct_est, min_str, max_str, hist_cnts)")
       .select(col("col_name"), col("n_rows"),
         (col("n_rows") - col("n_nonnull")).as("n_nulls"),
-        col("distinct_est"), col("min_str"), col("max_str"))
+        col("distinct_est"), col("min_str"), col("max_str"), col("hist_cnts"))
+    // histogram-free profiles keep the original six-column schema
+    if (hist.isEmpty) base.drop("hist_cnts") else base
   }
 
   /** Most-frequent values per column — the profiler's companion report

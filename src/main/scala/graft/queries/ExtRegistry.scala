@@ -155,11 +155,22 @@ object ExtRegistry {
     "contamination_check" -> ((s, dir) =>
       graft.ext.Corpus.contamination(Tables(s, dir).documents, 3)),
 
-    // one-pass table profile: counts, nulls, KMV distinct estimate and
-    // min/max for every column in a single partial+final aggregation
+    // one-pass table profile: counts, nulls, KMV distinct estimate,
+    // min/max — and a fixed-grid doc-length histogram — for every column
+    // in a single partial+final aggregation
     "profile_documents" -> ((s, dir) =>
       graft.dq.Profile.profile(Tables(s, dir).documents,
-        numericCols = Seq("doc_id", "n_chars"), stringCols = Seq("lang", "source"))),
+        numericCols = Seq("doc_id", "n_chars"), stringCols = Seq("lang", "source"),
+        hist = Seq(NCharsHist))),
+
+    // the profiler over temporal columns: native-typed DATE/TIMESTAMP
+    // min/max (aggregated on the native value, rendered after), KMV
+    // distinct on the epoch integer (days / micros)
+    "profile_orders" -> ((s, dir) =>
+      graft.dq.Profile.profile(
+        Tables(s, dir).orders.withColumn("o_orderday", to_date(col("o_orderdate"))),
+        numericCols = Seq("o_orderkey"), stringCols = Seq("o_orderstatus"),
+        dateCols = Seq("o_orderday"), timestampCols = Seq("o_orderdate"))),
 
     // tokenizer-training prep: top BPE merge candidates — adjacent char
     // pairs per word TYPE weighted by word frequency (vocab-scale work)
@@ -512,6 +523,58 @@ object ExtRegistry {
 
   private val P = MinHash.P
 
+  /** Doc-length histogram grid shared by the `profile_documents` query
+    * and its oracle twin: 8×100-char buckets from 0 (out-of-range values
+    * clamp into the edge buckets). */
+  private val NCharsHist = graft.dq.Profile.HistSpec("n_chars", 0.0, 100.0, 8)
+
+  /** One profiled column of a profile-oracle twin: output `name`, the
+    * SQL `expr` it profiles (a raw column or a derived cast), the KMV
+    * hash expression `hv`, the min/max renderer (ISO cast by default),
+    * and an optional pre-built hist_cnts subquery. */
+  private case class ProfCol(name: String, expr: String, hv: String,
+      render: String => String = v => s"CAST($v AS VARCHAR)",
+      histSql: Option[String] = None)
+
+  private def hvNum(c: String) = {
+    val m = org.apache.spark.sql.graft.KmvDistinct.M
+    s"((($c) % $m) * 2654435761 + 97) % $m + 1"
+  }
+
+  // coalesce: '' hashes to the 0-slot (list_sum of an empty list is
+  // NULL in DuckDB, as on the Spark side) — NULL values are already
+  // excluded by the WHERE, so only genuine empties reach the 0-slot
+  private def hvStr(c: String) = {
+    val m = org.apache.spark.sql.graft.KmvDistinct.M
+    s"((coalesce(${MinHash.stringHashSql(c)}, 0) % $m) * 2654435761 + 97) % $m + 1"
+  }
+
+  /** Profile twin: one FROM-less SELECT of scalar subqueries per column
+    * (UNION ALL) — count/nulls/min/max directly, the distinct estimate
+    * re-derived from the k-th-smallest distinct affine hash exactly as
+    * the kmv_distinct_users oracle does (nd < k falls back to nd). */
+  private def profileOracle(table: String, cols: Seq[ProfCol],
+      withHist: Boolean = false): String = {
+    val m = org.apache.spark.sql.graft.KmvDistinct.M
+    def colSql(c: ProfCol) = {
+      val histLine = if (!withHist) ""
+        else s",\n       ${c.histSql.getOrElse("CAST(NULL AS VARCHAR)")} AS hist_cnts"
+      s"""SELECT '${c.name}' AS col_name,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM $table) AS n_rows,
+         |       (SELECT CAST(count(*) - count(${c.expr}) AS BIGINT) FROM $table) AS n_nulls,
+         |       (SELECT CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |                    ELSE CAST(63 AS DOUBLE) * CAST($m AS DOUBLE) / CAST(hv AS DOUBLE) END
+         |        FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |                     count(*) OVER () AS nd
+         |              FROM (SELECT DISTINCT ${c.hv} AS hv FROM $table
+         |                    WHERE ${c.expr} IS NOT NULL))
+         |        WHERE rn = LEAST(nd, 64)) AS distinct_est,
+         |       (SELECT ${c.render(s"min(${c.expr})")} FROM $table) AS min_str,
+         |       (SELECT ${c.render(s"max(${c.expr})")} FROM $table) AS max_str$histLine""".stripMargin
+    }
+    cols.map(colSql).mkString("\nUNION ALL\n")
+  }
+
   private def shingleComposition: String =
     (0 until 3).map(d => s"th[i + $d] * ${MinHash.shingleWeight(d)}").mkString(" + ")
 
@@ -739,29 +802,33 @@ object ExtRegistry {
     // re-derived from the k-th-smallest distinct affine hash exactly as
     // the kmv_distinct_users oracle does (nd < k falls back to nd)
     "profile_documents" -> {
-      val m = org.apache.spark.sql.graft.KmvDistinct.M
-      def hvNum(c: String) = s"((($c) % $m) * 2654435761 + 97) % $m + 1"
-      // coalesce: '' hashes to the 0-slot (list_sum of an empty list is
-      // NULL in DuckDB, as on the Spark side) — NULL values are already
-      // excluded by the WHERE, so only genuine empties reach the 0-slot
-      def hvStr(c: String) = s"((coalesce(${MinHash.stringHashSql(c)}, 0) % $m) * 2654435761 + 97) % $m + 1"
-      def colSql(c: String, hv: String) =
-        s"""SELECT '$c' AS col_name,
-           |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
-           |       (SELECT CAST(count(*) - count($c) AS BIGINT) FROM documents) AS n_nulls,
-           |       (SELECT CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-           |                    ELSE CAST(63 AS DOUBLE) * CAST($m AS DOUBLE) / CAST(hv AS DOUBLE) END
-           |        FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
-           |                     count(*) OVER () AS nd
-           |              FROM (SELECT DISTINCT $hv AS hv FROM documents
-           |                    WHERE $c IS NOT NULL))
-           |        WHERE rn = LEAST(nd, 64)) AS distinct_est,
-           |       (SELECT CAST(min($c) AS VARCHAR) FROM documents) AS min_str,
-           |       (SELECT CAST(max($c) AS VARCHAR) FROM documents) AS max_str""".stripMargin
-      Seq("doc_id" -> hvNum("doc_id"), "n_chars" -> hvNum("n_chars"),
-        "lang" -> hvStr("lang"), "source" -> hvStr("source"))
-        .map { case (c, hv) => colSql(c, hv) }.mkString("\nUNION ALL\n")
+      // doc-length histogram twin: same clamped fixed-grid bucket index,
+      // one count(*) FILTER per bucket, concat_ws into the same string
+      val h = NCharsHist
+      val bucketSql = s"LEAST(GREATEST(CAST(floor((n_chars - ${h.lo}) / ${h.width}) AS BIGINT), 0), ${h.nBuckets - 1})"
+      val histSql = (0 until h.nBuckets)
+        .map(i => s"CAST(count(*) FILTER (WHERE $bucketSql = $i) AS VARCHAR)")
+        .mkString("(SELECT concat_ws(',', ", ", ", ") FROM documents WHERE n_chars IS NOT NULL)")
+      profileOracle("documents", Seq(
+        ProfCol("doc_id", "doc_id", hvNum("doc_id")),
+        ProfCol("n_chars", "n_chars", hvNum("n_chars"), histSql = Some(histSql)),
+        ProfCol("lang", "lang", hvStr("lang")),
+        ProfCol("source", "source", hvStr("source"))), withHist = true)
     },
+
+    // temporal-profile twin: min/max aggregate on the native
+    // DATE/TIMESTAMP, rendered after (ISO cast for dates, explicit
+    // second-precision strftime for timestamps — fractional-second
+    // printing is the one place engines disagree); KMV hashes the epoch
+    // integer (days since 1970-01-01 / epoch_us), the exact expressions
+    // the Spark side uses
+    "profile_orders" -> profileOracle("orders", Seq(
+      ProfCol("o_orderkey", "o_orderkey", hvNum("o_orderkey")),
+      ProfCol("o_orderstatus", "o_orderstatus", hvStr("o_orderstatus")),
+      ProfCol("o_orderday", "CAST(o_orderdate AS DATE)",
+        hvNum("(CAST(o_orderdate AS DATE) - DATE '1970-01-01')")),
+      ProfCol("o_orderdate", "o_orderdate", hvNum("epoch_us(o_orderdate)"),
+        render = v => s"strftime($v, '%Y-%m-%d %H:%M:%S')"))),
 
     // BPE twin: word frequencies, per-word-type char pairs (1-based list
     // indexing both sides), frequency-weighted sum, total-order top-k

@@ -866,6 +866,40 @@ class ExtSpec extends SparkSpec {
     assert(run(docs.repartition(13)).collect().toSet == rows.toSet)
   }
 
+  test("Profile: temporal min/max native-typed, histogram counts clamp and sum to n_nonnull") {
+    import graft.dq.Profile
+    val df = Seq(
+      (1L, "2024-03-05", "2024-03-05 10:15:30", 50L),
+      (2L, "2023-11-20", "2023-11-20 00:00:00", 150L),
+      (3L, "2024-01-09", "2024-01-09 23:59:59", -17L), // clamps into bucket 0
+      (4L, null, null, 9999L))                          // clamps into the last bucket
+      .toDF("id", "d_raw", "ts_raw", "v")
+      .withColumn("d", to_date(col("d_raw")))
+      .withColumn("ts", to_timestamp(col("ts_raw")))
+    val rows = Profile.profile(df, Seq("id", "v"), Nil,
+        dateCols = Seq("d"), timestampCols = Seq("ts"),
+        hist = Seq(Profile.HistSpec("v", 0.0, 100.0, 4))).collect()
+    val p = rows.map(r => r.getString(0) -> r).toMap
+    // native DATE ordering, ISO rendering
+    assert(p("d").getString(4) == "2023-11-20" && p("d").getString(5) == "2024-03-05")
+    assert(p("d").getLong(2) == 1L) // the null date is counted
+    // native TIMESTAMP ordering, explicit second-precision rendering
+    assert(p("ts").getString(4) == "2023-11-20 00:00:00")
+    assert(p("ts").getString(5) == "2024-03-05 10:15:30")
+    // three distinct dates → small-cardinality exact fallback
+    assert(p("d").getDouble(3) == 3.0)
+    // hist: -17 clamps into bucket 0, 9999 into bucket 3; sums to n_nonnull
+    assert(p("v").getString(6) == "2,1,0,1")
+    assert(p("id").isNullAt(6)) // no spec → NULL hist_cnts
+    // hist-free call keeps the original six-column schema
+    assert(Profile.profile(df, Seq("id"), Nil).columns.toSeq ==
+      Seq("col_name", "n_rows", "n_nulls", "distinct_est", "min_str", "max_str"))
+    // a spec naming an unprofiled column fails loudly
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("id"), Nil, hist = Seq(Profile.HistSpec("v", 0, 1, 2)))
+    }
+  }
+
   test("bpePairCounts: pairs weighted by word frequency, 1-char words skipped, ordered ties") {
     val docs = Seq((1L, "ab ab cd x"), (2L, "ab")).toDF("doc_id", "text")
     // word frequencies ab=3, cd=1, x=1; pairs enumerated once per word

@@ -153,6 +153,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"Expand blow-up in:\n$plan")
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+    // temporal columns and the histogram ride the SAME single pass —
+    // the bucket counters are conditional aggregates, not a second scan
+    val withHist = graft.dq.Profile.profile(
+      tables.orders.withColumn("o_orderday", to_date(col("o_orderdate"))),
+      Seq("o_orderkey"), Seq("o_orderstatus"),
+      dateCols = Seq("o_orderday"), timestampCols = Seq("o_orderdate"),
+      hist = Seq(graft.dq.Profile.HistSpec("o_orderkey", 0, 1000, 8)))
+    val hPlan = withHist.queryExecution.executedPlan.toString
+    assert(!hPlan.contains("Expand"), s"Expand blow-up in:\n$hPlan")
+    val hExchanges = "Exchange".r.findAllIn(hPlan).length
+    assert(hExchanges == 1, s"expected 1 exchange, got $hExchanges in:\n$hPlan")
   }
 
   test("bloomContamination probes a one-row broadcast — the training shingle stream never joins") {

@@ -90,8 +90,45 @@ object Load {
   /** Partitioned, sorted parquet write — the batch-sink analog of the
     * reference's paged INSERTs (S3), with layout chosen for downstream
     * reads: partition pruning on `partitionBy` + bucketed-ish locality
-    * via in-partition sort. */
+    * via in-partition sort.
+    *
+    * Re-run semantics mirror the reference's re-seedable loader
+    * (`pg_oltp_synth.py:118-139` truncates and reinserts cleanly):
+    * overwrite is DYNAMIC — a re-run replaces exactly the partitions the
+    * incoming frame touches and leaves every other partition intact, so
+    * the daily incremental re-load of one `year=2024` slice cannot wipe
+    * ten years of history the way a static overwrite would (the
+    * difference is invisible on a fresh dir and catastrophic on a
+    * populated one). Idempotence follows: writing the same frame twice
+    * leaves exactly one copy.
+    *
+    * Schema drift fails LOUDLY before any data moves: under dynamic
+    * overwrite a second write with a changed column type would land
+    * next to old-schema partitions and poison the unified read later —
+    * at the reader, far from the writer that caused it. If the target
+    * already exists, the incoming frame must carry the same column
+    * names, and the same types for data columns (partition-column types
+    * are compared by name only: the read side re-infers them from path
+    * strings, which legitimately widens e.g. a written string "2024" to
+    * an int). */
   def writePartitioned(df: DataFrame, path: String, partitionBy: Seq[String], sortBy: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(fsPath) && fs.listStatus(fsPath).nonEmpty) {
+      val existing = spark.read.parquet(path).schema
+      val exNames = existing.fieldNames.toSet
+      val inNames = df.schema.fieldNames.toSet
+      require(exNames == inNames,
+        s"writePartitioned: schema drift against existing '$path' — existing columns " +
+          s"${exNames.toSeq.sorted.mkString(",")} vs incoming ${inNames.toSeq.sorted.mkString(",")}")
+      val exTypes = existing.fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.filterNot(f => partitionBy.contains(f.name)).foreach { f =>
+        require(exTypes(f.name) == f.dataType,
+          s"writePartitioned: type drift for column '${f.name}' against existing '$path' — " +
+            s"existing ${exTypes(f.name)} vs incoming ${f.dataType}")
+      }
+    }
     // Cluster rows by the partition columns before a partitioned write:
     // without it every upstream task opens a writer per partition value
     // it sees (tasks × values small files — the classic partitioned-write
@@ -112,7 +149,11 @@ object Load {
     val sortCols = ((partitionBy ++ sortBy).distinct).map(col)
     val sorted =
       if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols: _*) else clustered
-    sorted.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+    // writer-level option, not session config: flipping the session-wide
+    // partitionOverwriteMode would silently change every other writer
+    sorted.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*).parquet(path)
   }
 
   /** Bucketed managed-table write: co-locates rows by `bucketKey` at

@@ -161,6 +161,51 @@ class LoadSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("currency=")))
   }
 
+  test("writePartitioned re-runs are idempotent and replace ONLY the touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val full = Seq((1L, "EUR", 10.0), (2L, "USD", 20.0), (3L, "EUR", 30.0))
+      .toDF("id", "currency", "amount")
+    Load.writePartitioned(full, dir, Seq("currency"), Seq("id"))
+    // the reference loader's re-seed contract: the SAME load twice
+    // leaves exactly one copy, not an appended double
+    Load.writePartitioned(full, dir, Seq("currency"), Seq("id"))
+    assert(spark.read.parquet(dir).count() == 3)
+    // dynamic overwrite: re-loading one partition's slice must replace
+    // that partition and leave the others intact (a static overwrite
+    // would silently wipe USD here)
+    val eurOnly = Seq((1L, "EUR", 11.0), (4L, "EUR", 40.0))
+      .toDF("id", "currency", "amount")
+    Load.writePartitioned(eurOnly, dir, Seq("currency"), Seq("id"))
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("currency") === "EUR").count() == 2)
+    assert(back.filter(col("currency") === "USD").count() == 1)
+    assert(back.filter(col("id") === 1L).select(col("amount"))
+      .as[Double].collect().toSeq == Seq(11.0))
+  }
+
+  test("writePartitioned fails loudly on schema drift against an existing target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    Load.writePartitioned(
+      Seq((1L, "EUR", 10.0)).toDF("id", "currency", "amount"),
+      dir, Seq("currency"), Seq("id"))
+    // a renamed/added column set must not land beside old-schema files
+    val renamed = intercept[IllegalArgumentException] {
+      Load.writePartitioned(
+        Seq((2L, "EUR", 20.0)).toDF("id", "currency", "amt"),
+        dir, Seq("currency"), Seq("id"))
+    }
+    assert(renamed.getMessage.contains("schema drift"))
+    // same names, changed data-column type — the poisoned-read case
+    val retyped = intercept[IllegalArgumentException] {
+      Load.writePartitioned(
+        Seq((2L, "EUR", "20")).toDF("id", "currency", "amount"),
+        dir, Seq("currency"), Seq("id"))
+    }
+    assert(retyped.getMessage.contains("type drift"))
+    // the guarded target is untouched by the refused writes
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("schema evolution: mergeSchema reads old and new writer generations together") {
     // a long-lived 100 TB table is written by EVOLVING jobs — an added
     // column must not orphan old files. mergeSchema unions the footers;

@@ -367,6 +367,56 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"assignment join shuffled:\n$plan")
   }
 
+  /** Shape summary of an AQE-FINAL physical plan: shuffle exchange
+    * count, broadcast exchange count, and the multiset of join
+    * strategies — the three properties whose drift shows up as bench
+    * drift. String-derived because the AQE-final tree hides stage
+    * internals from `collect` behind QueryStageExec leaves, while the
+    * rendered tree shows every node. */
+  private def planShape(df: DataFrame): (Int, Int, Map[String, Int]) = {
+    val (_, finalPlan) = LocalSession.runToFinalPlan(df)
+    val s = finalPlan.toString
+    def n(p: String) = p.r.findAllIn(s).length
+    val shuffles = n("Exchange hashpartitioning") + n("Exchange rangepartitioning") +
+      n("Exchange SinglePartition")
+    val broadcasts = n("BroadcastExchange")
+    val joins = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin")
+      .map(j => j -> s.sliding(j.length).count(_ == j)).filter(_._2 > 0).toMap
+    // ShuffledHashJoin/BroadcastHashJoin both contain "HashJoin" but not
+    // each other; SortMergeJoin is disjoint — counts don't double-book
+    (shuffles, broadcasts, joins)
+  }
+
+  test("golden plans: the ten most expensive bench queries keep their executed shape") {
+    // Pinned AQE-final shapes at sf0.001 for the top-10 queries of
+    // bench_out_sf0.1.json — plan drift (a lost broadcast, a new
+    // shuffle, a join strategy flip) fails HERE, in `sbt test`, before
+    // it shows up as bench drift. Shapes are size-dependent where AQE
+    // converts joins at runtime, so goldens are pinned at this tier and
+    // any intentional operator change re-pins its row.
+    val golden: Map[String, (Int, Int, Map[String, Int])] = Map(
+      "entity_canonical" ->
+        ((4, 2, Map("SortMergeJoin" -> 1, "BroadcastHashJoin" -> 2))),
+      "knn_cosine_lsh_multi" -> ((5, 1, Map("BroadcastHashJoin" -> 1))),
+      "synth_npl_monthly_roundtrip" -> ((1, 1, Map("BroadcastHashJoin" -> 1))),
+      "synth_vintage_mob" -> ((3, 1, Map("BroadcastHashJoin" -> 1))),
+      "near_dup_ngram" ->
+        ((3, 4, Map("SortMergeJoin" -> 1, "BroadcastHashJoin" -> 4))),
+      "synth_bucket_transitions" -> ((3, 0, Map.empty)),
+      "synth_cure_rate_monthly" -> ((4, 0, Map.empty)),
+      "synth_roll_rate_monthly" -> ((4, 0, Map.empty)),
+      "tfidf_top_terms" -> ((4, 1, Map("BroadcastHashJoin" -> 1))),
+      "synth_npl_monthly" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
+    val observed = golden.keys.toSeq.sorted.map { name =>
+      name -> planShape(SparkEntry.queries(name)(spark, sfDir))
+    }
+    val drifted = observed.filter { case (name, got) => golden(name) != got }
+    assert(drifted.isEmpty, drifted.map { case (name, (sh, bc, j)) =>
+      s"""$name: observed (shuffles=$sh, broadcasts=$bc, joins=$j), pinned ${golden(name)}"""
+    }.mkString("\n"))
+  }
+
   test("multimodal decode is a narrow object pipeline over a doc_id-only scan") {
     val df = graft.ext.Multimodal.decodeMedia(
       graft.ext.Multimodal.encodeMedia(tables.documents)).toDF()

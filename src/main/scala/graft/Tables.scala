@@ -21,22 +21,51 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * FOOTER-schema conversion rejects; supplying the schema explicitly
-    * (ts as a nanos-since-epoch long — full precision, and the long is
-    * also the window-order tiebreaker) skips that conversion without
-    * mutating session config (`nanosAsLong` would silently change how
-    * every other nanos parquet source in the session is read). Callers
-    * derive date/timestamp views via exact integer division. */
-  def events: DataFrame =
-    spark.read.schema(StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType)))) // JSON payload, e.g. {"k": 87}
-      .parquet(s"$dir/events.parquet")
+  /** events: `ts` is surfaced as a NANOS-SINCE-EPOCH LONG no matter how
+    * the file stores the instant — that long is the contract every
+    * downstream derives from (`ts div 1000` ↔ the oracle's `epoch_us`,
+    * and the long is the window-order tiebreaker).
+    *
+    * The driver has shipped the column under two physical encodings:
+    *  - TIMESTAMP(MICROS) (current generator): the footer schema converts
+    *    cleanly, so read natively and widen `unix_micros * 1000` — exact
+    *    (micros ≈ 1.7e15 → nanos ≈ 1.7e18 < 2^63), and identical to what
+    *    DuckDB's reader observes, since micro precision is all the file
+    *    carries.
+    *  - TIMESTAMP(NANOS) (earlier generator): Spark's footer-schema
+    *    conversion REJECTS the type, so the probe read throws and the
+    *    fallback supplies an explicit schema with `ts` as a raw long —
+    *    full nanos precision, no session-wide `nanosAsLong` flag (which
+    *    would silently change every other nanos parquet source).
+    *
+    * An NTZ instant (`isAdjustedToUTC=false`) casts through the
+    * UTC-pinned session ([[LocalSession]]), so the wall-clock micros ARE
+    * the stored integer — same convention as `dq/Profile`'s temporal
+    * columns. */
+  def events: DataFrame = {
+    val path = s"$dir/events.parquet"
+    val footerTs =
+      try Some(spark.read.parquet(path).schema("ts").dataType)
+      catch { case scala.util.control.NonFatal(_) => None } // nanos: converter rejects
+    footerTs match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        import org.apache.spark.sql.functions._
+        spark.read.parquet(path).select(
+          col("event_id"),
+          (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      case Some(LongType) => spark.read.parquet(path)
+      case _ =>
+        spark.read.schema(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("ts", LongType),
+            StructField("user_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType),
+            StructField("props", StringType)))) // JSON payload, e.g. {"k": 87}
+          .parquet(path)
+    }
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

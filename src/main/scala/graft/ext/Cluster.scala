@@ -1,0 +1,211 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Trained coarse quantization: seeded Lloyd's k-means over the int8
+  * quantized embedding grid, plus the two pipeline consumers — cluster
+  * labels and SemDeDup-style within-cluster near-duplicate pairs.
+  *
+  * [[Sim.ivfTopK]]'s scaladoc promises "a production variant would train
+  * them (k-means)"; this is that variant. The exact-arithmetic design is
+  * what makes a DuckDB oracle replay every iteration bit-for-bit:
+  *
+  *  - Vectors are quantized onto ONE global grid `q_i = floor(x_i/S +
+  *    0.5)` with `S = global_maxabs / 127` (a single order-independent
+  *    max, so the grid itself is engine-agnostic), giving integer
+  *    components in [-127, 127].
+  *  - A centroid is never a float vector: it is the exact pair
+  *    `(n, s)` — member count and per-dimension int64 SUM. Both survive
+  *    any aggregation order unchanged, which is the whole trick: float
+  *    means accumulate in partition order and can never hash-match a
+  *    single-threaded oracle.
+  *  - Assignment scores drop the constant |q|² from the L2 distance to
+  *    the mean s/n:  `score_c = dot(q,s_c)·(-2)/n_c + |s_c|²/n_c²` —
+  *    two IEEE divisions over exact int64 terms, then one add. Exact
+  *    while `|s|² = Σ s_i² < 2^53`, i.e. cluster sizes up to ~9·10⁴ at
+  *    d=64 — far above anything a TRAINING SAMPLE should contain: at
+  *    100 TB you train the quantizer on a bounded (stratified) sample
+  *    and assign the full corpus in one narrow pass, exactly the FAISS
+  *    regime. Ties take the lowest cell id via the same
+  *    struct-array-sort argmin as [[Sim.ivfTopK]].
+  *  - Seeds are the k lowest-`vec_id` vectors as singleton clusters
+  *    `(1, q_seed)` — deterministic and SQL-expressible (`ORDER BY
+  *    vec_id LIMIT k`); a cell that loses all members keeps its previous
+  *    `(n, s)` for the next assignment round (standard empty-cluster
+  *    retention).
+  *
+  * Scale shape (100 TB): one narrow projection quantizes; each Lloyd
+  * round is ONE narrow assignment pass (the k×d centroid table is
+  * driver-held literal state, k·d·8 bytes — the same bounded-collect
+  * contract as [[Sim.bruteTopK]]'s broadcast index) plus ONE k-row
+  * groupBy shuffle. No joins, no cartesians; `iters` shuffles total.
+  *
+  * Reference behavior anchor: the embedding/“documents” side of the LLM
+  * layer (SURVEY.md §2 extensions); no counterpart exists in
+  * `/root/reference` (dbt credit marts), so semantics follow the public
+  * IVF/SemDeDup literature (PAPERS.md).
+  */
+object Cluster {
+
+  /** Exact centroid state: member count + per-dim int64 component sums. */
+  final case class Centroid(cell: Int, n: Long, s: Array[Long])
+
+  private def el(q: Column, i: Int): Column = element_at(q, i)
+
+  /** Global quantization grid: `(q-frame, scale)`, or None when the
+    * table is empty or all-zero (no grid exists — callers return an
+    * empty result instead of planning against one). The max is a single
+    * scalar collect (order-independent, so deterministic). */
+  private def quantized(embeddings: DataFrame): Option[(DataFrame, Int)] = {
+    val row = embeddings
+      .agg(max(array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))"))),
+        max(size(col("embedding"))))
+      .first()
+    if (row.isNullAt(0) || row.getDouble(0) <= 0.0) None
+    else {
+      val scale = row.getDouble(0) / 127.0
+      val d = row.getInt(1)
+      val qf = embeddings.select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / $scale + 0.5) AS BIGINT))")
+          .as("q"))
+      Some((qf, d))
+    }
+  }
+
+  /** `|s|²/n²` — computed driver-side from exact int64 state; the oracle
+    * performs the identical division on the identical integers. */
+  private def nsqOverN2(c: Centroid): Double = {
+    val nsq = c.s.foldLeft(0L)((a, x) => a + x * x)
+    nsq.toDouble / (c.n * c.n).toDouble
+  }
+
+  /** Assignment score against one centroid: the dot runs as a LONG chain
+    * (exact), then exactly two IEEE divisions and one add — the op
+    * sequence the oracle spells as
+    * `CAST(dot AS DOUBLE) * -2.0 / n + CAST(nsq AS DOUBLE) / (n*n)`. */
+  private def scoreCol(q: Column, c: Centroid, d: Int): Column = {
+    val dot = (1 to d).map(i => el(q, i) * lit(c.s(i - 1))).reduceLeft(_ + _)
+    dot.cast(DoubleType) * lit(-2.0) / lit(c.n.toDouble) + lit(nsqOverN2(c))
+  }
+
+  /** Argmin cell with ties to the lowest id: sort an array of
+    * `(score, cell)` structs and take the head — [[Sim.ivfTopK]]'s
+    * total-order device, replayed by the oracle as
+    * `row_number() OVER (ORDER BY score, cell)`. */
+  private def assignCol(q: Column, cens: Seq[Centroid], d: Int): Column =
+    element_at(
+      transform(
+        array_sort(array(cens.map(c =>
+          struct(scoreCol(q, c, d).as("s"), lit(c.cell).as("c"))): _*)),
+        e => e.getField("c")),
+      1)
+
+  /** One Lloyd update: k-row groupBy (count + d int64 sums), collected —
+    * the bounded driver-side centroid state. Cells with no members keep
+    * their previous state. */
+  private def update(assigned: DataFrame, prev: Seq[Centroid], d: Int): Seq[Centroid] = {
+    val aggs = (count(lit(1)).as("n") +:
+      (1 to d).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
+    val got = assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => Centroid(r.getInt(0), r.getLong(1),
+        Array.tabulate(d)(i => r.getLong(2 + i))))
+      .map(c => c.cell -> c).toMap
+    prev.map(c => got.getOrElse(c.cell, c))
+  }
+
+  /** Quantized frame with its final cluster label after `iters`
+    * assignment rounds (centroids re-trained between rounds), or None on
+    * an empty/all-zero table. The q-frame is localCheckpointed once: it
+    * feeds every round plus the caller's aggregation, and a lineage
+    * re-read would re-quantize per use (see MinHash.nearDupPairs for the
+    * cache-vs-checkpoint note). */
+  private def assignedFrame(embeddings: DataFrame, k: Int,
+      iters: Int): Option[(DataFrame, Int)] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    quantized(embeddings).map { case (qf0, d) =>
+      val qf = qf0.localCheckpoint(false)
+      val seeds = qf.orderBy(col("vec_id")).limit(k).collect()
+        .zipWithIndex
+        .map { case (r, i) => Centroid(i, 1L, r.getSeq[Long](1).toArray) }
+        .toSeq
+      var cens = seeds
+      var assigned = qf.withColumn("cell", assignCol(col("q"), cens, d))
+      (2 to iters).foreach { _ =>
+        cens = update(assigned, cens, d)
+        assigned = qf.withColumn("cell", assignCol(col("q"), cens, d))
+      }
+      (assigned, d)
+    }
+  }
+
+  /** Cluster labels: `(vec_id, cell)` after `iters` Lloyd rounds. */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    assignedFrame(embeddings, k, iters) match {
+      case Some((assigned, _)) => assigned.select(col("vec_id"), col("cell"))
+      case None =>
+        val spark = embeddings.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("vec_id", LongType), StructField("cell", IntegerType))))
+    }
+
+  /** Trained-centroid table in long form: one row per NON-EMPTY final
+    * cell and dimension — exact component sum `s`, member count `n`, and
+    * the IEEE mean `s/n`. (Empty-cell retention only matters BETWEEN
+    * rounds; a cell nothing chose has no trained mean to report.) */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    assignedFrame(embeddings, k, iters) match {
+      case Some((assigned, d)) =>
+        val aggs = (count(lit(1)).as("n") +:
+          (1 to d).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
+        assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+          .select(col("cell"), col("n"),
+            posexplode(array((1 to d).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
+          .select(col("cell"), (col("pos") + 1).cast(IntegerType).as("dim"),
+            col("s"), col("n"),
+            (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
+      case None =>
+        val spark = embeddings.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("cell", IntegerType), StructField("dim", IntegerType),
+            StructField("s", LongType), StructField("n", LongType),
+            StructField("mean", DoubleType))))
+    }
+
+  /** SemDeDup: near-duplicate candidate pairs WITHIN a trained cluster —
+    * unordered `(keep_id, dup_id)` with the full-precision cosine over
+    * the ORIGINAL float embeddings (the quantized grid only routes; it
+    * never scores). The cluster is the blocking key, so pair cost is
+    * sum-of-cluster², bounded by choosing k ∝ corpus/target-cluster-size
+    * — the published SemDeDup recipe — never n². Cosine is the same
+    * left-assoc double chain as [[Sim]] (oracle-exact). */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.30): DataFrame =
+    assignedFrame(embeddings, k, iters) match {
+      case Some((assigned, d)) =>
+        import org.apache.spark.sql.graft.DotProduct.dot
+        val e = embeddings
+          .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+          .select(col("vec_id"), col("cell"), col("embedding"),
+            dot(col("embedding"), col("embedding")).as("nsq"))
+          .filter(col("nsq") > 0)
+        val a = e.select(col("vec_id").as("keep_id"), col("cell"),
+          col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+        val b = e.select(col("vec_id").as("dup_id"), col("cell"),
+          col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+        a.join(b, Seq("cell"))
+          .filter(col("keep_id") < col("dup_id"))
+          .withColumn("cosine",
+            dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+          .filter(col("cosine") >= threshold)
+          .select(col("keep_id"), col("dup_id"), col("cosine"))
+      case None =>
+        val spark = embeddings.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("keep_id", LongType), StructField("dup_id", LongType),
+            StructField("cosine", DoubleType))))
+    }
+}

@@ -250,6 +250,20 @@ object ExtRegistry {
           expr("aggregate(zip_with(q, embedding, (qq, x) -> CAST(qq AS DOUBLE) * scale - CAST(x AS DOUBLE)), 0D, (a, e) -> a + e * e)")
             .as("sq_err"))),
 
+    // trained coarse quantizer: seeded Lloyd's k-means over the GLOBAL
+    // int8 grid — the "production variant would train them" path
+    // Sim.ivfTopK's scaladoc promises. Exact int64 centroid state
+    // (count + component sums) survives any aggregation order, so two
+    // full Lloyd rounds hash-match a single-threaded SQL replay
+    "kmeans_centroids" -> ((s, dir) =>
+      graft.ext.Cluster.kmeansCentroids(Tables(s, dir).embeddings, k = 8, iters = 2)),
+
+    // SemDeDup: the trained cluster is the blocking key; candidate pairs
+    // score full-precision cosine on the ORIGINAL floats, never n²
+    "semantic_dedup" -> ((s, dir) =>
+      graft.ext.Cluster.semanticDedup(Tables(s, dir).embeddings, k = 8, iters = 2,
+        threshold = 0.30)),
+
     // JSON surface over the events.props payload (SURVEY §2.8 extension
     // note): path extraction AND schema-on-read struct parsing, plus an
     // aggregate over the extracted value — all codegen'd built-ins
@@ -721,6 +735,64 @@ object ExtRegistry {
       .map(i => s"(${quantQ(i)} * scale - embedding[$i]::DOUBLE) * (${quantQ(i)} * scale - embedding[$i]::DOUBLE)")
       .mkString(" + ")
 
+  // ---- k-means (trained coarse quantizer) oracle machinery ----------
+  // Mirrors ext.Cluster exactly: a centroid is the exact pair (n, s) of
+  // int64s; every score is two IEEE divisions over exact integer chains.
+
+  private val KmK = 8
+
+  /** Assignment score of vector `v` against centroid row `c`:
+    * `dot(q,s)·-2/n + |s|²/n²` — the same op sequence Cluster.scoreCol
+    * builds (LONG chains, cast, multiply, divide, divide, add). */
+  private def kmScore(v: String, c: String): String = {
+    val dot = (1 to EmbDim).map(i => s"$v.q[$i] * $c.s[$i]").mkString(" + ")
+    val nsq = (1 to EmbDim).map(i => s"$c.s[$i] * $c.s[$i]").mkString(" + ")
+    s"CAST(($dot) AS DOUBLE) * -2.0 / CAST($c.n AS DOUBLE)" +
+      s" + CAST(($nsq) AS DOUBLE) / CAST($c.n * $c.n AS DOUBLE)"
+  }
+
+  /** One assignment round as a CTE: argmin cell per vector with ties to
+    * the lowest cell — `row_number() OVER (ORDER BY score, cell)` is the
+    * oracle spelling of Cluster.assignCol's struct-array-sort. */
+  private def kmAssign(name: String, cen: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, q, cell FROM (
+       |    SELECT v.vec_id, v.q, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+       |    FROM q v CROSS JOIN $cen c) t
+       |  WHERE rk = 1)""".stripMargin
+
+  private def kmSums: String =
+    (1 to EmbDim).map(i => s"CAST(sum(q[$i]) AS BIGINT)").mkString(", ")
+
+  /** Shared CTE chain: global int8 grid → k lowest-vec_id seeds → two
+    * Lloyd rounds (assign a1, update c1 with empty-cell retention,
+    * assign a2). */
+  private def kmCtes: String =
+    s"""sc AS (
+       |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS scale
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         CAST(1 AS BIGINT) AS n, q AS s
+       |  FROM q ORDER BY vec_id LIMIT $KmK),
+       |${kmAssign("a1", "seeds")},
+       |g1 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a1 GROUP BY cell),
+       |c1 AS (SELECT s0.cell, coalesce(g1.n, s0.n) AS n, coalesce(g1.s, s0.s) AS s
+       |       FROM seeds s0 LEFT JOIN g1 USING (cell)),
+       |${kmAssign("a2", "c1")}""".stripMargin
+
+  private def kmEmbDot(a: String, b: String): String =
+    (1 to EmbDim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE").mkString(" + ")
+
+  private def kmEmbNsq: String =
+    (1 to EmbDim).map(i => s"embedding[$i]::DOUBLE * embedding[$i]::DOUBLE").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
     "vocab_coverage" ->
       """WITH toks AS (
@@ -748,6 +820,32 @@ object ExtRegistry {
          |       CAST($quantQnormChain AS BIGINT) AS qnorm,
          |       ($quantErrChain) AS sq_err
          |FROM e""".stripMargin,
+
+    // two exact Lloyd rounds replayed as CTEs; the final centroid table
+    // unnests into (cell, dim, s, n, mean) long form — sums and counts
+    // are exact integers, the mean is the one IEEE division both
+    // engines perform on them
+    "kmeans_centroids" ->
+      s"""WITH $kmCtes,
+         |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell)
+         |SELECT cell, CAST(d.i AS INTEGER) AS dim, s[d.i] AS s, n,
+         |       CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+         |FROM g2, (SELECT unnest(generate_series(1, $EmbDim)) AS i) d""".stripMargin,
+
+    // within-cluster cosine pairs over the original floats — the final
+    // assignment a2 is the blocking key, the cosine chain is the same
+    // left-assoc double sequence as embed_near_dup's oracle
+    "semantic_dedup" ->
+      s"""WITH $kmCtes,
+         |e0 AS (
+         |  SELECT m.vec_id, a.cell, m.embedding, ($kmEmbNsq) AS nsq
+         |  FROM embeddings m JOIN a2 a USING (vec_id)),
+         |e AS (SELECT * FROM e0 WHERE nsq > 0)
+         |SELECT keep_id, dup_id, cosine FROM (
+         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |         (${kmEmbDot("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+         |WHERE cosine >= 0.30""".stripMargin,
 
     // same histogram, cumulative walk and in-bucket interpolation,
     // replayed declaratively; every arithmetic step is the same IEEE op

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Cluster
+
+/** Specs for trained k-means coarse quantization (exact int64 Lloyd's)
+  * and the SemDeDup within-cluster near-dup pairs built on it. */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two tight, well-separated 4-d blobs around (1,1,0,0) and (0,0,1,1). */
+  private def blobs = Seq(
+    (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 1.0f, 0.1f, 0.0f)),
+    (3L, Array(1.0f, 0.9f, 0.0f, 0.1f)),
+    (4L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+    (5L, Array(0.1f, 0.0f, 0.9f, 1.0f)),
+    (6L, Array(0.0f, 0.1f, 1.0f, 0.9f))
+  ).toDF("vec_id", "embedding")
+
+  test("kmeansAssign separates two blobs; labels are blob-pure") {
+    val got = Cluster.kmeansAssign(blobs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // seeds are vec_id 1 and 2 (both blob A) but one Lloyd round must
+    // pull a centroid over to blob B: the partition is blob-pure
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(4L), got(5L), got(6L)).size == 1)
+    assert(got(1L) != got(4L))
+  }
+
+  test("kmeansCentroids: exact component sums and IEEE means, long form") {
+    val cen = Cluster.kmeansCentroids(blobs, k = 2, iters = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(cen.size == 8) // 2 non-empty cells x 4 dims
+    // every (s, n, mean) triple satisfies mean == s/n bit-for-bit and
+    // the exact-sum bound |s| <= 127 * n
+    cen.foreach { case ((_, _), (s, n, mean)) =>
+      assert(mean == s.toDouble / n.toDouble)
+      assert(math.abs(s) <= 127L * n)
+    }
+    // blob means mirror each other across the dim pairs: cell of blob A
+    // has high dims 1-2, low 3-4 (and vice versa)
+    val byCell = cen.groupBy(_._1._1).map { case (c, m) =>
+      c -> (1 to 4).map(d => m((c, d))._3)
+    }
+    assert(byCell.size == 2)
+    val Seq(a, b) = byCell.values.toSeq.sortBy(-_.head)
+    assert(a(0) > a(2) && a(1) > a(3))
+    assert(b(2) > b(0) && b(3) > b(1))
+  }
+
+  test("kmeans result is invariant under repartitioning (exact arithmetic)") {
+    val once = Cluster.kmeansCentroids(blobs, k = 2, iters = 2)
+      .orderBy("cell", "dim").collect().toSeq
+    val spread = Cluster.kmeansCentroids(blobs.repartition(5), k = 2, iters = 2)
+      .orderBy("cell", "dim").collect().toSeq
+    assert(once == spread)
+  }
+
+  test("empty cluster keeps its previous centroid between rounds") {
+    // k=3 over the two blobs: seeds 1,2,3 all sit in blob A; after round
+    // one at most two cells have members — the run must not throw and
+    // the final assignment still uses 2 distinct labels
+    val labels = Cluster.kmeansAssign(blobs, k = 3, iters = 3)
+      .select("cell").distinct().as[Int].collect().toSet
+    assert(labels.size >= 2)
+  }
+
+  test("all-zero and empty inputs yield empty frames with the contract schema") {
+    val zero = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Cluster.kmeansAssign(zero).isEmpty)
+    assert(Cluster.kmeansCentroids(zero).columns.toSeq ==
+      Seq("cell", "dim", "s", "n", "mean"))
+    assert(Cluster.semanticDedup(zero).isEmpty)
+    val empty = spark.emptyDataset[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    assert(Cluster.kmeansAssign(empty).isEmpty)
+  }
+
+  test("semanticDedup pairs only within a cluster, above threshold, a<b") {
+    val got = Cluster.semanticDedup(blobs, k = 2, iters = 2, threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val labels = Cluster.kmeansAssign(blobs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (a, b, cos) =>
+      assert(a < b)
+      assert(labels(a) == labels(b)) // the cluster is the blocking key
+      assert(cos >= 0.9)
+    }
+    // cross-blob pairs can never appear even at threshold 0
+    val all = Cluster.semanticDedup(blobs, k = 2, iters = 2, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.forall { case (a, b) => labels(a) == labels(b) })
+  }
+}

@@ -407,7 +407,14 @@ class PlanSpec extends SparkSpec {
       "synth_cure_rate_monthly" -> ((4, 0, Map.empty)),
       "synth_roll_rate_monthly" -> ((4, 0, Map.empty)),
       "tfidf_top_terms" -> ((4, 1, Map("BroadcastHashJoin" -> 1))),
-      "synth_npl_monthly" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
+      "synth_npl_monthly" -> ((1, 1, Map("BroadcastHashJoin" -> 1))),
+      // round-8 additions: the trained-k-means pair lands in the top-10
+      // by sf0.1 cost, so their shapes are pinned alongside. Centroid
+      // training is ONE groupBy exchange (assignment passes are narrow);
+      // SemDeDup adds the label join + cell self-join, both broadcast at
+      // this tier
+      "kmeans_centroids" -> ((1, 0, Map.empty)),
+      "semantic_dedup" -> ((2, 2, Map("BroadcastHashJoin" -> 2))))
     val observed = golden.keys.toSeq.sorted.map { name =>
       name -> planShape(SparkEntry.queries(name)(spark, sfDir))
     }

@@ -34,6 +34,11 @@ import graft.synth.Synth
   *    month-end top-1 window, the lag window (`Marts.bucketTransitions`,
   *    TWO window shuffles over natural keys — the driver's slowest
   *    query family), then each rate mart.
+  *  - `embeddings->kmeansCentroids` and `->lshTopKTables` — the
+  *    LLM-layer scale claims over deterministic synthetic embeddings:
+  *    Lloyd training stays iters narrow passes + iters k-row shuffles
+  *    with bounded driver state, and the multi-table LSH ANN keeps its
+  *    bucket-join shape with hard-bounded candidates.
   *
   * Prints one JSON line per pipeline; recorded in BASELINE.md /
   * COVERAGE.md. Exit 1 if any gate fails on any pipeline.
@@ -67,13 +72,41 @@ object ScaleProof {
       Synth.dpdSnapshots(Synth.payments(Synth.scheduleLinear(loans)))))
   }
 
-  private val pipelines: Seq[(String, (SparkSession, Int) => DataFrame)] = Seq(
-    "synth->nplMonthly" ->
-      ((s: SparkSession, f: Int) => nplMonthly(s, f)),
-    "synth->transitions->rollRateMonthly" ->
-      ((s: SparkSession, f: Int) => Marts.rollRateMonthly(transitions(s, f))),
-    "synth->transitions->cureRateMonthly" ->
-      ((s: SparkSession, f: Int) => Marts.cureRateMonthly(transitions(s, f))))
+  /** Deterministic synthetic embeddings (d=64, components in [-0.5,0.5)
+    * from the same arithmetic-hash family as [[graft.ext.Sim]]'s
+    * hyperplanes) — one narrow `range` projection, so generation is
+    * embarrassingly parallel and row counts scale linearly, mirroring
+    * the synth generator's posture for the embedding-side pipelines. */
+  private def synthEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> " +
+        "CAST(pmod(id * 2654435761 + i * 40503, 1000003) / 1000003.0 - 0.5 AS FLOAT))")
+        .as("embedding"))
+
+  /** (name, pipeline-local session confs — applied for the pipeline's
+    * runs and restored afterwards —, builder). */
+  private val pipelines: Seq[(String, Map[String, String], (SparkSession, Int) => DataFrame)] = Seq(
+    ("synth->nplMonthly", Map.empty[String, String],
+      (s: SparkSession, f: Int) => nplMonthly(s, f)),
+    ("synth->transitions->rollRateMonthly", Map.empty[String, String],
+      (s: SparkSession, f: Int) => Marts.rollRateMonthly(transitions(s, f))),
+    ("synth->transitions->cureRateMonthly", Map.empty[String, String],
+      (s: SparkSession, f: Int) => Marts.cureRateMonthly(transitions(s, f))),
+    // the LLM-layer scale claims, proven on the same 1x/10x/100x ladder:
+    // k-means training cost is iters narrow passes + iters k-row
+    // shuffles (centroid state is bounded driver memory — the heap gate
+    // is the proof), and the multi-table LSH ANN path keeps its
+    // bucket-join plan shape while candidate pairs stay hard-bounded.
+    // The ANN pipeline pins autoBroadcast OFF: its bucket join sits
+    // exactly at the size where AQE flips broadcast<->SMJ between
+    // factors — a legitimate runtime choice, but this gate asserts the
+    // SCALE-STABLE shape (the sort-merge bucket join a 100 TB run uses)
+    ("embeddings->kmeansCentroids", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Cluster.kmeansCentroids(synthEmbeddings(s, 500L * f), k = 8, iters = 2)),
+    ("embeddings->lshTopKTables", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Sim.lshTopKTables(synthEmbeddings(s, 500L * f), 5, 10, 3)))
 
   /** Successful tasks' (stageId, durationMs, shuffleReadRecords),
     * drained from the async listener bus before reading (see
@@ -195,7 +228,13 @@ object ScaleProof {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.enabled" -> "false",
       // keep the 32 reducers: coalescing would merge the small healthy
-      // partitions into few large ones and HIDE the hot one among them
+      // partitions into few large ones and HIDE the hot one among them.
+      // The reducer count itself is pinned too — shuffle.partitions
+      // follows SPARK_GRAFT_CPUS in LocalSession, and at 16 reducers the
+      // healthy-task median doubles, sinking the constructed 10% hot key
+      // below the 3x visibility gate (observed: 2.62x at 16). The gates'
+      // arithmetic assumes 32.
+      "spark.sql.shuffle.partitions" -> "32",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
     val naive = runSkewVariant(spark, "naive_shuffle_join", noMitigation,
       () => q(fact.join(dim, Seq("loan_id"), "inner")))
@@ -247,6 +286,16 @@ object ScaleProof {
   /** Runs one pipeline at all factors, prints its JSON line, returns
     * whether every gate held. */
   private def prove(spark: SparkSession, name: String,
+      confs: Map[String, String],
+      build: (SparkSession, Int) => DataFrame): Boolean = {
+    val prevConfs = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try proveInner(spark, name, build)
+    finally prevConfs.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  private def proveInner(spark: SparkSession, name: String,
       build: (SparkSession, Int) => DataFrame): Boolean = {
     // one untimed 1× run first: the pipeline's own whole-stage-codegen
     // compilation is a one-time per-plan-shape cost, and it landing in
@@ -256,8 +305,11 @@ object ScaleProof {
     spark.catalog.clearCache()
     val factors = Seq(1, 10, 100)
     val runs = factors.map { f =>
-      val mart = build(spark, f)
+      // the timer starts BEFORE construction: some pipelines do bounded
+      // driver-side work while building (k-means runs its Lloyd rounds'
+      // collects there) and that cost is part of the scaling claim
       val t0 = System.nanoTime()
+      val mart = build(spark, f)
       // runs the mart's OWN QueryExecution (df.count() would execute a
       // separate one, leaving this plan an unexecuted initial estimate)
       // and returns the AQE-FINAL plan — so the exchange count below is
@@ -301,7 +353,7 @@ object ScaleProof {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     val pipelinesOk = pipelines
       .filter(p => only.forall(_.contains(p._1)))
-      .map { case (name, build) => prove(spark, name, build) }
+      .map { case (name, confs, build) => prove(spark, name, confs, build) }
       .forall(identity)
     // the hot-key demo addresses a different failure mode (straggler
     // task, not plan shape) — selectable as "skew" in the same filter

@@ -293,4 +293,70 @@ class PropertySpec extends SparkSpec {
       assert(d.pixel_sum == expSum, s"pixel_sum id=$id w=$w h=$h ppm=$ppm")
     }
   }
+
+  test("property: kmeans matches an independent Scala Lloyd model exactly") {
+    import graft.ext.Cluster
+    // The distributed run and a single-threaded model must agree
+    // BIT-FOR-BIT: quantization, every assignment round, every centroid
+    // sum/count, and the final IEEE means — that exactness is the whole
+    // design (Cluster.scala scaladoc). d=5, k=3, 3 rounds.
+    val d = 5; val k = 3; val iters = 3
+    def model(rows: List[(Long, Array[Float])])
+        : (Map[Long, Int], Map[(Int, Int), (Long, Long, Double)]) = {
+      val maxabs = rows.flatMap(_._2.map(x => math.abs(x.toDouble))).max
+      val scale = maxabs / 127.0
+      val q = rows.sortBy(_._1).map { case (id, e) =>
+        id -> e.map(x => math.floor(x.toDouble / scale + 0.5).toLong)
+      }
+      var cens: Seq[(Int, Long, Array[Long])] =
+        q.take(k).zipWithIndex.map { case ((_, qv), i) => (i, 1L, qv) }
+      def assign(): Map[Long, Int] = q.map { case (id, qv) =>
+        val scored = cens.map { case (c, n, s) =>
+          val dot = qv.zip(s).map { case (a, b) => a * b }.sum
+          val nsq = s.foldLeft(0L)((a, x) => a + x * x)
+          (dot.toDouble * -2.0 / n.toDouble + nsq.toDouble / (n * n).toDouble, c)
+        }
+        id -> scored.min._2 // (score, cell): ties take the lowest cell
+      }.toMap
+      def update(a: Map[Long, Int]): Unit = {
+        val by = q.groupBy { case (id, _) => a(id) }
+        cens = cens.map { case prev @ (c, _, _) =>
+          by.get(c).fold(prev) { members =>
+            (c, members.size.toLong,
+              members.map(_._2).transpose.map(_.sum).toArray)
+          }
+        }
+      }
+      var asg = assign()
+      (2 to iters).foreach { _ => update(asg); asg = assign() }
+      val cenRows = q.groupBy { case (id, _) => asg(id) }.flatMap { case (c, members) =>
+        val n = members.size.toLong
+        val s = members.map(_._2).transpose.map(_.sum)
+        s.zipWithIndex.map { case (si, i) =>
+          (c, i + 1) -> ((si, n, si.toDouble / n.toDouble)) }
+      }
+      (asg, cenRows)
+    }
+    val sets = sample(Gen.listOfN(12,
+      Gen.listOfN(d, Gen.chooseNum(-500, 500).map(_ / 250.0f))), 25)
+    sets.zipWithIndex.foreach { case (vecs0, setIdx) =>
+      // guarantee a nonzero grid (the all-zero case is covered in ClusterSpec)
+      val vecs = vecs0.zipWithIndex.map { case (v, i) =>
+        val arr = v.toArray
+        if (i == 0 && arr.forall(_ == 0.0f)) arr(0) = 1.0f
+        (i.toLong, arr)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val gotAsg = Cluster.kmeansAssign(df, k, iters)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val gotCen = Cluster.kmeansCentroids(df, k, iters)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      val (expAsg, expCen) = model(vecs)
+      assert(gotAsg == expAsg, s"assignments diverge on set $setIdx")
+      assert(gotCen == expCen, s"centroids diverge on set $setIdx")
+    }
+  }
 }

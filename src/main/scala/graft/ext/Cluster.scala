@@ -1,7 +1,9 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.KMeansCells
 import org.apache.spark.sql.types._
 
 /** Trained coarse quantization: seeded Lloyd's k-means over the int8
@@ -9,7 +11,8 @@ import org.apache.spark.sql.types._
   * labels and SemDeDup-style within-cluster near-duplicate pairs.
   *
   * [[Sim.ivfTopK]]'s scaladoc promises "a production variant would train
-  * them (k-means)"; this is that variant. The exact-arithmetic design is
+  * them (k-means)"; this is that variant (and [[Sim.ivfTopKTrained]] is
+  * the search path that consumes it). The exact-arithmetic design is
   * what makes a DuckDB oracle replay every iteration bit-for-bit:
   *
   *  - Vectors are quantized onto ONE global grid `q_i = floor(x_i/S +
@@ -28,8 +31,9 @@ import org.apache.spark.sql.types._
   *    d=64 — far above anything a TRAINING SAMPLE should contain: at
   *    100 TB you train the quantizer on a bounded (stratified) sample
   *    and assign the full corpus in one narrow pass, exactly the FAISS
-  *    regime. Ties take the lowest cell id via the same
-  *    struct-array-sort argmin as [[Sim.ivfTopK]].
+  *    regime. Ties take the lowest cell id (ascending-cell strict-<
+  *    scan in [[org.apache.spark.sql.graft.KMeansArgmin]], the loop
+  *    form of the oracle's `row_number() OVER (ORDER BY score, cell)`).
   *  - Seeds are the k lowest-`vec_id` vectors as singleton clusters
   *    `(1, q_seed)` — deterministic and SQL-expressible (`ORDER BY
   *    vec_id LIMIT k`); a cell that loses all members keeps its previous
@@ -38,9 +42,14 @@ import org.apache.spark.sql.types._
   *
   * Scale shape (100 TB): one narrow projection quantizes; each Lloyd
   * round is ONE narrow assignment pass (the k×d centroid table is
-  * driver-held literal state, k·d·8 bytes — the same bounded-collect
-  * contract as [[Sim.bruteTopK]]'s broadcast index) plus ONE k-row
-  * groupBy shuffle. No joins, no cartesians; `iters` shuffles total.
+  * driver-held reference-object state, k·d·8 bytes — the same
+  * bounded-collect contract as [[Sim.bruteTopK]]'s broadcast index)
+  * plus ONE k-row groupBy shuffle. No joins, no cartesians; `iters`
+  * shuffles total. Assignment is a native Catalyst expression
+  * ([[org.apache.spark.sql.graft.KMeansArgmin]] — a k×d loop over one
+  * codegen reference object), NOT a k·d literal expression tree, so k
+  * can reach the 10³–10⁴ a real IVF coarse quantizer needs without
+  * hitting codegen method limits.
   *
   * Reference behavior anchor: the embedding/“documents” side of the LLM
   * layer (SURVEY.md §2 extensions); no counterpart exists in
@@ -54,25 +63,39 @@ object Cluster {
 
   private def el(q: Column, i: Int): Column = element_at(q, i)
 
-  /** Global quantization grid: `(q-frame, scale)`, or None when the
-    * table is empty or all-zero (no grid exists — callers return an
-    * empty result instead of planning against one). The max is a single
-    * scalar collect (order-independent, so deterministic). */
-  private def quantized(embeddings: DataFrame): Option[(DataFrame, Int)] = {
+  /** The global quantization grid: `(scale, d)`, or None when the table
+    * is empty or all-zero (no grid exists — callers return an empty
+    * result instead of planning against one). The max is a single scalar
+    * collect (order-independent, so deterministic). Ragged input fails
+    * FAST here: a short row's missing components would read as NULL and
+    * silently mis-cluster downstream, so uniform width is a contract. */
+  private[ext] def grid(embeddings: DataFrame): Option[(Double, Int)] = {
     val row = embeddings
-      .agg(max(array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))"))),
-        max(size(col("embedding"))))
+      .agg(max(array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))),
+        max(size(col("embedding"))), min(size(col("embedding"))))
       .first()
     if (row.isNullAt(0) || row.getDouble(0) <= 0.0) None
     else {
-      val scale = row.getDouble(0) / 127.0
-      val d = row.getInt(1)
-      val qf = embeddings.select(col("vec_id"),
-        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / $scale + 0.5) AS BIGINT))")
-          .as("q"))
-      Some((qf, d))
+      require(row.getInt(1) == row.getInt(2),
+        s"ragged embedding column: dims range [${row.getInt(2)}, ${row.getInt(1)}]")
+      Some((row.getDouble(0) / 127.0, row.getInt(1)))
     }
   }
+
+  /** Quantization projection for a given grid scale. The scale rides as
+    * a `lit` DOUBLE through the Column API (never interpolated into SQL
+    * text, where Double.toString round-tripping through the literal
+    * parser could drift the value), so the oracle's
+    * `floor(x / scale + 0.5)` sees the identical IEEE divisor. */
+  private[ext] def qCol(scale: Double): Column =
+    transform(col("embedding"),
+      x => floor(x.cast(DoubleType) / lit(scale) + lit(0.5)).cast(LongType))
+
+  /** Global quantized frame `(vec_id, q)`, or None on empty/all-zero. */
+  private def quantized(embeddings: DataFrame): Option[(DataFrame, Int)] =
+    grid(embeddings).map { case (scale, d) =>
+      (embeddings.select(col("vec_id"), qCol(scale).as("q")), d)
+    }
 
   /** `|s|²/n²` — computed driver-side from exact int64 state; the oracle
     * performs the identical division on the identical integers. */
@@ -81,26 +104,15 @@ object Cluster {
     nsq.toDouble / (c.n * c.n).toDouble
   }
 
-  /** Assignment score against one centroid: the dot runs as a LONG chain
-    * (exact), then exactly two IEEE divisions and one add — the op
-    * sequence the oracle spells as
-    * `CAST(dot AS DOUBLE) * -2.0 / n + CAST(nsq AS DOUBLE) / (n*n)`. */
-  private def scoreCol(q: Column, c: Centroid, d: Int): Column = {
-    val dot = (1 to d).map(i => el(q, i) * lit(c.s(i - 1))).reduceLeft(_ + _)
-    dot.cast(DoubleType) * lit(-2.0) / lit(c.n.toDouble) + lit(nsqOverN2(c))
-  }
+  /** Expression-state view of a centroid set (cell, n as double,
+    * |s|²/n², component sums) for [[KMeansCells]]. */
+  private[ext] def exprState(cens: Seq[Centroid]): Seq[(Int, Double, Double, Seq[Long])] =
+    cens.map(c => (c.cell, c.n.toDouble, nsqOverN2(c), c.s.toIndexedSeq))
 
-  /** Argmin cell with ties to the lowest id: sort an array of
-    * `(score, cell)` structs and take the head — [[Sim.ivfTopK]]'s
-    * total-order device, replayed by the oracle as
-    * `row_number() OVER (ORDER BY score, cell)`. */
-  private def assignCol(q: Column, cens: Seq[Centroid], d: Int): Column =
-    element_at(
-      transform(
-        array_sort(array(cens.map(c =>
-          struct(scoreCol(q, c, d).as("s"), lit(c.cell).as("c"))): _*)),
-        e => e.getField("c")),
-      1)
+  /** Argmin assignment column against `cens` — one native-codegen k×d
+    * loop ([[org.apache.spark.sql.graft.KMeansArgmin]]). */
+  private def assignCol(q: Column, cens: Seq[Centroid]): Column =
+    KMeansCells.argmin(q, exprState(cens))
 
   /** One Lloyd update: k-row groupBy (count + d int64 sums), collected —
     * the bounded driver-side centroid state. Cells with no members keep
@@ -133,10 +145,10 @@ object Cluster {
         .map { case (r, i) => Centroid(i, 1L, r.getSeq[Long](1).toArray) }
         .toSeq
       var cens = seeds
-      var assigned = qf.withColumn("cell", assignCol(col("q"), cens, d))
+      var assigned = qf.withColumn("cell", assignCol(col("q"), cens))
       (2 to iters).foreach { _ =>
         cens = update(assigned, cens, d)
-        assigned = qf.withColumn("cell", assignCol(col("q"), cens, d))
+        assigned = qf.withColumn("cell", assignCol(col("q"), cens))
       }
       (assigned, d)
     }
@@ -175,15 +187,43 @@ object Cluster {
             StructField("mean", DoubleType))))
     }
 
+  /** Rebuild exact centroid state from a [[kmeansCentroids]]-shaped long
+    * frame — the bounded k·d-row collect a trained-IVF search performs
+    * ([[Sim.ivfTopKTrained]]'s "broadcast the k-row table" contract). */
+  def centroidState(centroids: DataFrame): Seq[Centroid] =
+    centroids.select(col("cell"), col("dim"), col("s"), col("n"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (cell, rows) =>
+        val d = rows.map(_.getInt(1)).max
+        val s = new Array[Long](d)
+        rows.foreach(r => s(r.getInt(1) - 1) = r.getLong(2))
+        Centroid(cell, rows.head.getLong(3), s)
+      }
+      .sortBy(_.cell)
+
   /** SemDeDup: near-duplicate candidate pairs WITHIN a trained cluster —
     * unordered `(keep_id, dup_id)` with the full-precision cosine over
     * the ORIGINAL float embeddings (the quantized grid only routes; it
     * never scores). The cluster is the blocking key, so pair cost is
     * sum-of-cluster², bounded by choosing k ∝ corpus/target-cluster-size
-    * — the published SemDeDup recipe — never n². Cosine is the same
-    * left-assoc double chain as [[Sim]] (oracle-exact). */
+    * — the published SemDeDup recipe — never n².
+    *
+    * `maxCluster` makes the bound HARD, mirroring [[Sim.lshTopKTables]]'s
+    * `maxBucket`: a degenerate clustering (an adversarial or collapsed
+    * corpus landing whole in one cell) would otherwise go quadratic no
+    * matter how k was chosen. A cell of size s > maxCluster is sub-split
+    * into `ceil(s / maxCluster)` chunks by an affine hash of vec_id, so
+    * total pairs are O(n · maxCluster) by construction; small cells get
+    * chunks = 1 and are untouched (anything % 1 = 0 — no branch). Only
+    * pairs INSIDE an oversized cell can be lost, and those cells are
+    * exactly the near-degenerate ones where any maxCluster-size
+    * deterministic sample still surfaces the high-cosine duplicates.
+    * Set maxCluster ≥ n to disable. Cosine is the same left-assoc double
+    * chain as [[Sim]] (oracle-exact). */
   def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
-      threshold: Double = 0.30): DataFrame =
+      threshold: Double = 0.30, maxCluster: Int = 1024): DataFrame = {
+    require(maxCluster >= 1, s"maxCluster must be positive, got $maxCluster")
     assignedFrame(embeddings, k, iters) match {
       case Some((assigned, d)) =>
         import org.apache.spark.sql.graft.DotProduct.dot
@@ -192,11 +232,20 @@ object Cluster {
           .select(col("vec_id"), col("cell"), col("embedding"),
             dot(col("embedding"), col("embedding")).as("nsq"))
           .filter(col("nsq") > 0)
-        val a = e.select(col("vec_id").as("keep_id"), col("cell"),
+          // window count on the blocking key, then the affine sub-split —
+          // the same 1000003-space mix as lshTopKTables' subkey (vec_id
+          // reduced mod P first so the product stays overflow-safe in
+          // both engines at any id scale)
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy(col("cell"))))
+          .withColumn("subkey",
+            expr("((vec_id % 1000003) * 2654435761 + 97) % 1000003" +
+              s" % ((cnt + ${maxCluster - 1}) div $maxCluster)"))
+        val a = e.select(col("vec_id").as("keep_id"), col("cell"), col("subkey"),
           col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
-        val b = e.select(col("vec_id").as("dup_id"), col("cell"),
+        val b = e.select(col("vec_id").as("dup_id"), col("cell"), col("subkey"),
           col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
-        a.join(b, Seq("cell"))
+        a.join(b, Seq("cell", "subkey"))
           .filter(col("keep_id") < col("dup_id"))
           .withColumn("cosine",
             dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
@@ -208,4 +257,5 @@ object Cluster {
           StructType(Seq(StructField("keep_id", LongType), StructField("dup_id", LongType),
             StructField("cosine", DoubleType))))
     }
+  }
 }

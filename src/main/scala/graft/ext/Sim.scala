@@ -282,10 +282,11 @@ object Sim {
     * shuffles once by cell (building the inverted lists), probes shuffle
     * `nProbe`× — exactly the IVF fan-out — and AQE handles the cell-size
     * skew that real embedding clusters produce. Centroids here are
-    * arithmetic-derived (oracle-reproducible); a production variant would
-    * train them (k-means) and broadcast the table, leaving the plan
-    * unchanged. Ties in the argmin go to the lowest cell id in both
-    * engines (strict `<` comparison chain). */
+    * arithmetic-derived (oracle-reproducible); [[ivfTopKTrained]] is the
+    * production variant that searches against TRAINED k-means centroids
+    * ([[Cluster.kmeansCentroids]]) with the same plan shape. Ties in the
+    * argmin go to the lowest cell id in both engines (strict `<`
+    * comparison chain). */
   def ivfTopK(embeddings: DataFrame, k: Int, nCells: Int, nProbe: Int): DataFrame = {
     require(nCells >= 2, s"nCells must be >= 2, got $nCells")
     require(nProbe >= 1 && nProbe <= nCells, s"nProbe must be in [1,$nCells], got $nProbe")
@@ -322,6 +323,66 @@ object Sim {
     // vector (its argmin) and a probe's cell list is distinct, so a
     // (probe, indexed) pair can meet in at most one cell — a distinct
     // here would re-shuffle the whole candidate stream for nothing
+    val pairs = probes.join(indexed, Seq("cell"), "inner")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+    topK(pairs, k)
+  }
+
+  /** IVF search against TRAINED centroids — the production pairing of
+    * [[Cluster.kmeansCentroids]] (train on a bounded sample) with the
+    * [[ivfTopK]] probe shape (search the full corpus): real embedding
+    * corpora cluster, and probing cells that track the ACTUAL density
+    * (instead of arithmetic-derived points) is what buys IVF its recall.
+    *
+    * `centroids` is a [[Cluster.kmeansCentroids]]-shaped long frame
+    * (cell, dim, s, n, mean); its k·d rows are collected and ride into
+    * the scoring expression as one reference object — the "broadcast the
+    * k-row table" contract, the same bounded driver state as training
+    * itself. Each vector re-quantizes onto the SAME global grid the
+    * trainer derived (one scalar max — deterministic), is INDEXED in its
+    * argmin cell and PROBES its `nProbe` nearest cells by the exact
+    * int64 score `dot(q,s)·(-2)/n + |s|²/n²`
+    * ([[org.apache.spark.sql.graft.KMeansProbe]] — a native k×d codegen
+    * loop, so trained k in the 10³–10⁴ range planes through the same
+    * expression). Candidates meet in at most ONE cell (the indexed side
+    * carries only its argmin), so no pair dedup is needed; the cosine is
+    * scored on the ORIGINAL floats with the usual left-assoc chain.
+    * Plan shape is [[ivfTopK]]'s unchanged: one narrow scoring pass,
+    * explode ×nProbe, one cell equi-join, one top-k window. */
+  def ivfTopKTrained(embeddings: DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    import graft.ext.Cluster
+    val state = Cluster.centroidState(centroids)
+    val gridOpt = Cluster.grid(embeddings)
+    if (state.isEmpty || gridOpt.isEmpty) {
+      val spark = embeddings.sparkSession
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id", LongType),
+          org.apache.spark.sql.types.StructField("cosine", DoubleType),
+          org.apache.spark.sql.types.StructField("rank", IntegerType))))
+    }
+    require(nProbe >= 1 && nProbe <= state.size,
+      s"nProbe must be in [1,${state.size}], got $nProbe")
+    val (scale, _) = gridOpt.get
+    val scored = spread(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"),
+        org.apache.spark.sql.graft.KMeansCells.probe(
+          Cluster.qCol(scale), Cluster.exprState(state), nProbe).as("cells"))
+      .filter(col("nsq") > 0)
+    // probe + index sides reuse the scored frame; localCheckpoint (not
+    // cache) for the same block-lifetime reason as ivfTopK
+    val e = scored.select(col("vec_id"), col("embedding"), col("nsq"),
+      element_at(col("cells"), 1).as("own_cell"), col("cells")).localCheckpoint(false)
+    val probes = e.select(col("vec_id"), col("embedding").as("emb_a"),
+      col("nsq").as("nsq_a"), explode(col("cells")).as("cell"))
+    val indexed = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_b"), col("nsq").as("nsq_b"), col("own_cell").as("cell"))
     val pairs = probes.join(indexed, Seq("cell"), "inner")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",

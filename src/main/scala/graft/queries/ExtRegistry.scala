@@ -254,15 +254,32 @@ object ExtRegistry {
     // int8 grid — the "production variant would train them" path
     // Sim.ivfTopK's scaladoc promises. Exact int64 centroid state
     // (count + component sums) survives any aggregation order, so two
-    // full Lloyd rounds hash-match a single-threaded SQL replay
+    // full Lloyd rounds hash-match a single-threaded SQL replay.
+    // k = KmCentroidsK (64) deliberately sits past the old k·d
+    // literal-tree form's codegen ceiling: this entry proves the
+    // KMeansArgmin loop expression at coarse-quantizer width
     "kmeans_centroids" -> ((s, dir) =>
-      graft.ext.Cluster.kmeansCentroids(Tables(s, dir).embeddings, k = 8, iters = 2)),
+      graft.ext.Cluster.kmeansCentroids(embeddingsDimChecked(s, dir),
+        k = KmCentroidsK, iters = KmIters)),
 
     // SemDeDup: the trained cluster is the blocking key; candidate pairs
-    // score full-precision cosine on the ORIGINAL floats, never n²
+    // score full-precision cosine on the ORIGINAL floats, never n² —
+    // and never quadratic even on a degenerate clustering: SemMaxCluster
+    // sub-splits oversized cells (the oracle replays the subkey term)
     "semantic_dedup" -> ((s, dir) =>
-      graft.ext.Cluster.semanticDedup(Tables(s, dir).embeddings, k = 8, iters = 2,
-        threshold = 0.30)),
+      graft.ext.Cluster.semanticDedup(embeddingsDimChecked(s, dir), k = KmK,
+        iters = KmIters, threshold = 0.30, maxCluster = SemMaxCluster)),
+
+    // the two trained halves WIRED TOGETHER: centroids trained by
+    // kmeansCentroids, searched by the ivfTopK probe shape (index in the
+    // argmin cell, probe the 2 nearest trained cells, top-5 neighbors) —
+    // same k/nProbe as knn_cosine_ivf so recall is directly comparable
+    "knn_cosine_ivf_trained" -> ((s, dir) => {
+      val emb = embeddingsDimChecked(s, dir)
+      graft.ext.Sim.ivfTopKTrained(emb,
+        graft.ext.Cluster.kmeansCentroids(emb, k = KmK, iters = KmIters),
+        k = 5, nProbe = 2)
+    }),
 
     // JSON surface over the events.props payload (SURVEY §2.8 extension
     // note): path extraction AND schema-on-read struct parsing, plus an
@@ -723,7 +740,34 @@ object ExtRegistry {
        |                     i -> ($shingleComposition) % $P) END AS sh
        |  FROM rth)""".stripMargin
 
+  // ---- kmeans-family shared constants -------------------------------
+  // The oracle twins below hard-code these values into their SQL text;
+  // the registry entries pass THE SAME constants into the Scala
+  // operators (kmeansCentroids(k = KmCentroidsK) / semanticDedup(k =
+  // KmK, maxCluster = SemMaxCluster) / ivfTopKTrained over
+  // kmeansCentroids(k = KmK)), so the twins cannot silently
+  // desynchronize. EmbDim is the one DATA-derived quantity — the Scala
+  // side reads d from the table while the oracles unroll EmbDim-term
+  // chains — so the family's entries load the table through
+  // [[embeddingsDimChecked]], which fails fast on a width change
+  // instead of hash-failing obscurely.
   private val EmbDim = 64
+  private val KmK = 8
+  private val KmCentroidsK = 64
+  private val KmIters = 2
+  private val SemMaxCluster = 1024
+
+  /** The embeddings table, with its width asserted against the oracle
+    * twins' unrolled EmbDim (one take(1) — bounded). */
+  private def embeddingsDimChecked(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    emb.select(size(col("embedding"))).take(1).headOption.foreach { r =>
+      require(r.getInt(0) == EmbDim,
+        s"embeddings width ${r.getInt(0)} != oracle EmbDim $EmbDim — " +
+          "the kmeans-family oracle twins must be regenerated")
+    }
+    emb
+  }
 
   private def quantQ(i: Int) = s"floor(embedding[$i]::DOUBLE / scale + 0.5)"
 
@@ -738,8 +782,6 @@ object ExtRegistry {
   // ---- k-means (trained coarse quantizer) oracle machinery ----------
   // Mirrors ext.Cluster exactly: a centroid is the exact pair (n, s) of
   // int64s; every score is two IEEE divisions over exact integer chains.
-
-  private val KmK = 8
 
   /** Assignment score of vector `v` against centroid row `c`:
     * `dot(q,s)·-2/n + |s|²/n²` — the same op sequence Cluster.scoreCol
@@ -766,10 +808,12 @@ object ExtRegistry {
   private def kmSums: String =
     (1 to EmbDim).map(i => s"CAST(sum(q[$i]) AS BIGINT)").mkString(", ")
 
-  /** Shared CTE chain: global int8 grid → k lowest-vec_id seeds → two
+  /** Shared CTE chain: global int8 grid → `k` lowest-vec_id seeds → two
     * Lloyd rounds (assign a1, update c1 with empty-cell retention,
-    * assign a2). */
-  private def kmCtes: String =
+    * assign a2). Parameterized by k so the coarse-quantizer entry
+    * (KmCentroidsK) and the SemDeDup/IVF family (KmK) share one
+    * definition. */
+  private def kmCtes(k: Int): String =
     s"""sc AS (
        |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS scale
        |  FROM embeddings),
@@ -780,7 +824,7 @@ object ExtRegistry {
        |seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         CAST(1 AS BIGINT) AS n, q AS s
-       |  FROM q ORDER BY vec_id LIMIT $KmK),
+       |  FROM q ORDER BY vec_id LIMIT $k),
        |${kmAssign("a1", "seeds")},
        |g1 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a1 GROUP BY cell),
        |c1 AS (SELECT s0.cell, coalesce(g1.n, s0.n) AS n, coalesce(g1.s, s0.s) AS s
@@ -826,26 +870,66 @@ object ExtRegistry {
     // are exact integers, the mean is the one IEEE division both
     // engines perform on them
     "kmeans_centroids" ->
-      s"""WITH $kmCtes,
+      s"""WITH ${kmCtes(KmCentroidsK)},
          |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell)
          |SELECT cell, CAST(d.i AS INTEGER) AS dim, s[d.i] AS s, n,
          |       CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE) AS mean
          |FROM g2, (SELECT unnest(generate_series(1, $EmbDim)) AS i) d""".stripMargin,
 
     // within-cluster cosine pairs over the original floats — the final
-    // assignment a2 is the blocking key, the cosine chain is the same
-    // left-assoc double sequence as embed_near_dup's oracle
+    // assignment a2 is the blocking key (sub-split by the SemMaxCluster
+    // affine subkey, the hard degenerate-cluster bound the Spark side
+    // applies), the cosine chain is the same left-assoc double sequence
+    // as embed_near_dup's oracle
     "semantic_dedup" ->
-      s"""WITH $kmCtes,
+      s"""WITH ${kmCtes(KmK)},
          |e0 AS (
          |  SELECT m.vec_id, a.cell, m.embedding, ($kmEmbNsq) AS nsq
          |  FROM embeddings m JOIN a2 a USING (vec_id)),
-         |e AS (SELECT * FROM e0 WHERE nsq > 0)
+         |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
+         |e AS (
+         |  SELECT *, ((vec_id % 1000003) * 2654435761 + 97) % 1000003
+         |            % ((count(*) OVER (PARTITION BY cell) + ${SemMaxCluster - 1})
+         |               // $SemMaxCluster) AS subkey
+         |  FROM e1)
          |SELECT keep_id, dup_id, cosine FROM (
          |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
          |         (${kmEmbDot("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
-         |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+         |  FROM e a JOIN e b ON a.cell = b.cell AND a.subkey = b.subkey
+         |                       AND a.vec_id < b.vec_id) t
          |WHERE cosine >= 0.30""".stripMargin,
+
+    // trained-IVF search: the same two Lloyd rounds, final NON-EMPTY
+    // centroids g2, then the ivfTopK probe recipe against them — rank
+    // cells per vector by the exact int64 score (ties to the lowest
+    // cell), index at rk=1, probe rk<=2, cosine on the original floats,
+    // top-5. k/nProbe mirror the knn_cosine_ivf_trained registry call.
+    "knn_cosine_ivf_trained" ->
+      s"""WITH ${kmCtes(KmK)},
+         |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+         |e0 AS (
+         |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
+         |  FROM embeddings m JOIN q v USING (vec_id)),
+         |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
+         |ranked AS (
+         |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+         |  FROM e1 v CROSS JOIN g2 c),
+         |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE rk <= 2),
+         |indexed AS (SELECT vec_id AS neighbor_id, embedding, nsq, cell
+         |            FROM ranked WHERE rk = 1),
+         |pairs AS (
+         |  SELECT p.vec_id, i.neighbor_id,
+         |         (${kmEmbDot("p", "i")}) / (sqrt(p.nsq) * sqrt(i.nsq)) AS cosine
+         |  FROM probes p JOIN indexed i
+         |    ON p.cell = i.cell AND p.vec_id <> i.neighbor_id)
+         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM pairs) t
+         |WHERE rank <= 5""".stripMargin,
 
     // same histogram, cumulative walk and in-bucket interpolation,
     // replayed declaratively; every arithmetic step is the same IEEE op

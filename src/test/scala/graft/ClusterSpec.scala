@@ -81,6 +81,84 @@ class ClusterSpec extends SparkSpec {
     assert(Cluster.kmeansAssign(empty).isEmpty)
   }
 
+  /** Deterministic 64-d embeddings (Sim's arithmetic-hash family). */
+  private def wideEmbeddings(n: Int) =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> " +
+        "CAST(pmod(id * 2654435761 + i * 40503, 1000003) / 1000003.0 - 0.5 AS FLOAT))")
+        .as("embedding"))
+
+  test("assignment survives codegen-only mode at coarse-quantizer width (k=64, d=64)") {
+    // CODEGEN_ONLY turns any expression-codegen fallback (method-size
+    // blowup, janino failure) into a hard error — the regression this
+    // guards is the old k·d literal-tree argmin, which stops compiling
+    // near k≈10². KMeansArgmin must codegen-compile at real
+    // coarse-quantizer width and stay inside a whole-stage span.
+    val df = wideEmbeddings(128)
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val assigned = Cluster.kmeansAssign(df, k = 64, iters = 2)
+      assert(assigned.count() == 128)
+      // "*(n)" is the rendered WholeStageCodegen marker: the argmin
+      // projection must sit inside a codegen span, not fall out of it
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("graft_kmeans_argmin")),
+        s"argmin not in a codegen span:\n$plan")
+      assert(Cluster.kmeansCentroids(df, k = 64, iters = 2).count() > 0)
+    } finally prev.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+      spark.conf.set("spark.sql.codegen.factoryMode", _))
+  }
+
+  test("ragged embedding input fails fast instead of silently mis-clustering") {
+    val ragged = Seq(
+      (1L, Array(1.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Cluster.kmeansAssign(ragged, k = 2, iters = 1).collect()
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("semanticDedup maxCluster bounds a degenerate one-cluster corpus") {
+    // 40 IDENTICAL vectors: every score ties, every tie breaks to the
+    // lowest cell — Lloyd collapses the corpus into ONE cell, the
+    // adversarial case where uncapped blocking goes quadratic.
+    val n = 40
+    val df = (1 to n).map(i => (i.toLong, Array(1.0f, 1.0f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val labels = Cluster.kmeansAssign(df, k = 2, iters = 2)
+      .select("cell").distinct().count()
+    assert(labels == 1L) // the scenario IS degenerate
+    val uncapped = Cluster.semanticDedup(df, k = 2, iters = 2,
+      threshold = -1.0, maxCluster = n).count()
+    assert(uncapped == n.toLong * (n - 1) / 2) // quadratic without the cap
+    val capped = Cluster.semanticDedup(df, k = 2, iters = 2,
+      threshold = -1.0, maxCluster = 8).count()
+    // ceil(40/8) = 5 affine-hash chunks: pairs collapse from C(40,2)=780
+    // to the sum of per-chunk C(size,2) — bounded by n·maxCluster even
+    // with hash imbalance, and far below quadratic in practice
+    assert(capped > 0 && capped < uncapped)
+    assert(capped <= n.toLong * 8)
+    // determinism: the affine subkey is content-derived, not partition-derived
+    val again = Cluster.semanticDedup(df.repartition(7), k = 2, iters = 2,
+      threshold = -1.0, maxCluster = 8).count()
+    assert(again == capped)
+  }
+
+  test("centroidState round-trips kmeansCentroids exactly") {
+    val cens = Cluster.centroidState(Cluster.kmeansCentroids(blobs, k = 2, iters = 2))
+    assert(cens.map(_.cell) == cens.map(_.cell).sorted)
+    val byCell = Cluster.kmeansCentroids(blobs, k = 2, iters = 2).collect()
+      .groupBy(_.getInt(0))
+    cens.foreach { c =>
+      val rows = byCell(c.cell)
+      assert(rows.head.getLong(3) == c.n)
+      rows.foreach(r => assert(c.s(r.getInt(1) - 1) == r.getLong(2)))
+    }
+  }
+
   test("semanticDedup pairs only within a cluster, above threshold, a<b") {
     val got = Cluster.semanticDedup(blobs, k = 2, iters = 2, threshold = 0.9)
       .collect()

@@ -1016,6 +1016,32 @@ class ExtSpec extends SparkSpec {
     assert(joined.forall(r => r.getLong(3) == 0L || r.getBoolean(2)))
   }
 
+  test("trained-IVF recall beats arithmetic-centroid IVF on a clustered corpus") {
+    // The regime trained centroids exist for: REAL clusters. 200 vectors
+    // in 8 tight 16-d clusters (cluster c spikes dims 2c+1/2c+2, plus
+    // small deterministic noise). Arithmetic-derived cells split/merge
+    // these clusters arbitrarily; k-means cells track them, so probing
+    // the 2 nearest TRAINED cells recovers more true neighbors.
+    val d = 16
+    val df = spark.range(200).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(1, $d), i -> CAST(
+           CASE WHEN i = (id % 8) * 2 + 1 OR i = (id % 8) * 2 + 2 THEN 1.0
+                ELSE pmod(id * 2654435761 + i * 40503, 1000003) / 1000003.0 * 0.2 - 0.1
+           END AS FLOAT))""").as("embedding"))
+    def pairs(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      res.select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(graft.ext.Sim.bruteTopK(df, 5))
+    val untrained = pairs(graft.ext.Sim.ivfTopK(df, 5, 8, 2))
+    val trained = pairs(graft.ext.Sim.ivfTopKTrained(df,
+      graft.ext.Cluster.kmeansCentroids(df, k = 8, iters = 2), 5, 2))
+    val recallUntrained = (truth intersect untrained).size.toDouble / truth.size
+    val recallTrained = (truth intersect trained).size.toDouble / truth.size
+    assert(recallTrained > recallUntrained,
+      s"trained $recallTrained <= untrained $recallUntrained")
+    assert(recallTrained >= 0.9, s"trained recall $recallTrained < 0.9")
+  }
+
   test("near-dup/ANN operators register nothing in the session cache manager") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -414,7 +414,12 @@ class PlanSpec extends SparkSpec {
       // SemDeDup adds the label join + cell self-join, both broadcast at
       // this tier
       "kmeans_centroids" -> ((1, 0, Map.empty)),
-      "semantic_dedup" -> ((2, 2, Map("BroadcastHashJoin" -> 2))))
+      "semantic_dedup" -> ((2, 2, Map("BroadcastHashJoin" -> 2))),
+      // round-9: trained centroids wired into IVF search — the probe
+      // shape must stay ivfTopK's (one top-k window exchange, the
+      // indexed side broadcast into the cell join; training's own
+      // exchanges run in the bounded update() jobs, not here)
+      "knn_cosine_ivf_trained" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
     val observed = golden.keys.toSeq.sorted.map { name =>
       name -> planShape(SparkEntry.queries(name)(spark, sfDir))
     }

@@ -39,7 +39,13 @@ object Profile {
     * pass — same partial-aggregable discipline as
     * [[graft.operators.Quantiles]]' bucket counts, here with the grid
     * fixed up front so no second keyed pass is needed), deterministic,
-    * replayable in ANSI SQL. */
+    * replayable in ANSI SQL.
+    *
+    * Temporal columns histogram on the SAME grid machinery over their
+    * epoch integer — days since 1970-01-01 for dates, micros for
+    * timestamps (the KMV hash's exact convention) — so `lo`/`width` for
+    * a date column are expressed in days, and the SQL twin re-derives
+    * the value as `d - DATE '1970-01-01'` / `epoch_us(ts)`. */
   final case class HistSpec(col: String, lo: Double, width: Double, nBuckets: Int) {
     require(width > 0, s"hist width must be positive, got $width")
     require(nBuckets > 0 && nBuckets <= 64, s"hist nBuckets must be in [1,64], got $nBuckets")
@@ -106,6 +112,12 @@ object Profile {
       if (timestampCols.contains(c)) v => date_format(v, "yyyy-MM-dd HH:mm:ss")
       else v => v.cast("string")
     val histFor: Map[String, HistSpec] = hist.map(h => h.col -> h).toMap
+    // temporal columns feed the grid their epoch integer (the hist spec's
+    // lo/width are then in days/micros); numerics and strings pass through
+    val histValue: String => Column = c =>
+      if (dateCols.contains(c)) datediff(col(c), epochDay).cast("double")
+      else if (timestampCols.contains(c)) unix_micros(col(c).cast("timestamp")).cast("double")
+      else col(c)
     val aggExprs: Seq[Column] =
       count(lit(1L)).as("n_rows") +: (hashed.flatMap { case (name, h) => Seq(
         count(col(name)).as(s"nn_$name"),
@@ -114,7 +126,7 @@ object Profile {
         renderMinMax(name)(max(col(name))).as(s"mx_$name"))
       } ++ hist.flatMap { h =>
         (0 until h.nBuckets).map(i =>
-          sum(when(col(h.col).isNotNull && h.bucketOf(col(h.col)) === i, 1L)
+          sum(when(col(h.col).isNotNull && h.bucketOf(histValue(h.col)) === i, 1L)
             .otherwise(0L)).as(s"hb_${h.col}_$i"))
       })
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)

@@ -165,12 +165,15 @@ object ExtRegistry {
 
     // the profiler over temporal columns: native-typed DATE/TIMESTAMP
     // min/max (aggregated on the native value, rendered after), KMV
-    // distinct on the epoch integer (days / micros)
+    // distinct on the epoch integer (days / micros) — and a fixed-grid
+    // HISTOGRAM over the date column's epoch days, folded into the same
+    // single aggregation pass as every other metric
     "profile_orders" -> ((s, dir) =>
       graft.dq.Profile.profile(
         Tables(s, dir).orders.withColumn("o_orderday", to_date(col("o_orderdate"))),
         numericCols = Seq("o_orderkey"), stringCols = Seq("o_orderstatus"),
-        dateCols = Seq("o_orderday"), timestampCols = Seq("o_orderdate"))),
+        dateCols = Seq("o_orderday"), timestampCols = Seq("o_orderdate"),
+        hist = Seq(OrderDayHist))),
 
     // tokenizer-training prep: top BPE merge candidates — adjacent char
     // pairs per word TYPE weighted by word frequency (vocab-scale work)
@@ -558,6 +561,12 @@ object ExtRegistry {
     * and its oracle twin: 8×100-char buckets from 0 (out-of-range values
     * clamp into the edge buckets). */
   private val NCharsHist = graft.dq.Profile.HistSpec("n_chars", 0.0, 100.0, 8)
+
+  /** Order-date histogram grid in EPOCH DAYS (the temporal-hist unit
+    * contract): 8×366-day buckets from 1995-01-01 (epoch day 9131) —
+    * the driver testdata's order span; the clamped grid absorbs any
+    * future range drift. */
+  private val OrderDayHist = graft.dq.Profile.HistSpec("o_orderday", 9131.0, 366.0, 8)
 
   /** One profiled column of a profile-oracle twin: output `name`, the
     * SQL `expr` it profiles (a raw column or a derived cast), the KMV
@@ -1004,13 +1013,24 @@ object ExtRegistry {
     // printing is the one place engines disagree); KMV hashes the epoch
     // integer (days since 1970-01-01 / epoch_us), the exact expressions
     // the Spark side uses
-    "profile_orders" -> profileOracle("orders", Seq(
-      ProfCol("o_orderkey", "o_orderkey", hvNum("o_orderkey")),
-      ProfCol("o_orderstatus", "o_orderstatus", hvStr("o_orderstatus")),
-      ProfCol("o_orderday", "CAST(o_orderdate AS DATE)",
-        hvNum("(CAST(o_orderdate AS DATE) - DATE '1970-01-01')")),
-      ProfCol("o_orderdate", "o_orderdate", hvNum("epoch_us(o_orderdate)"),
-        render = v => s"strftime($v, '%Y-%m-%d %H:%M:%S')"))),
+    "profile_orders" -> {
+      // date-histogram twin: the same clamped grid over EPOCH DAYS the
+      // Spark side feeds the bucket expression (d - DATE '1970-01-01')
+      val h = OrderDayHist
+      val dayExpr = "(CAST(o_orderdate AS DATE) - DATE '1970-01-01')"
+      val bucketSql = s"LEAST(GREATEST(CAST(floor(($dayExpr - ${h.lo}) / ${h.width}) AS BIGINT), 0), ${h.nBuckets - 1})"
+      val histSql = (0 until h.nBuckets)
+        .map(i => s"CAST(count(*) FILTER (WHERE $bucketSql = $i) AS VARCHAR)")
+        .mkString("(SELECT concat_ws(',', ", ", ", ") FROM orders WHERE o_orderdate IS NOT NULL)")
+      profileOracle("orders", Seq(
+        ProfCol("o_orderkey", "o_orderkey", hvNum("o_orderkey")),
+        ProfCol("o_orderstatus", "o_orderstatus", hvStr("o_orderstatus")),
+        ProfCol("o_orderday", "CAST(o_orderdate AS DATE)",
+          hvNum("(CAST(o_orderdate AS DATE) - DATE '1970-01-01')"),
+          histSql = Some(histSql)),
+        ProfCol("o_orderdate", "o_orderdate", hvNum("epoch_us(o_orderdate)"),
+          render = v => s"strftime($v, '%Y-%m-%d %H:%M:%S')")), withHist = true)
+    },
 
     // BPE twin: word frequencies, per-word-type char pairs (1-based list
     // indexing both sides), frequency-weighted sum, total-order top-k

@@ -878,7 +878,11 @@ class ExtSpec extends SparkSpec {
       .withColumn("ts", to_timestamp(col("ts_raw")))
     val rows = Profile.profile(df, Seq("id", "v"), Nil,
         dateCols = Seq("d"), timestampCols = Seq("ts"),
-        hist = Seq(Profile.HistSpec("v", 0.0, 100.0, 4))).collect()
+        hist = Seq(Profile.HistSpec("v", 0.0, 100.0, 4),
+          // DATE histogram in epoch days: 30-day buckets from 2023-11-01
+          // (epoch day 19662) — 2023-11-20 → bucket 0, 2024-01-09 →
+          // bucket 2, 2024-03-05 → clamps into the last bucket
+          Profile.HistSpec("d", 19662.0, 30.0, 4))).collect()
     val p = rows.map(r => r.getString(0) -> r).toMap
     // native DATE ordering, ISO rendering
     assert(p("d").getString(4) == "2023-11-20" && p("d").getString(5) == "2024-03-05")
@@ -890,6 +894,9 @@ class ExtSpec extends SparkSpec {
     assert(p("d").getDouble(3) == 3.0)
     // hist: -17 clamps into bucket 0, 9999 into bucket 3; sums to n_nonnull
     assert(p("v").getString(6) == "2,1,0,1")
+    // date hist over epoch days: 19681→b0, 19731→b2, 19787→clamp b3;
+    // the null date is excluded, so counts sum to n_nonnull = 3
+    assert(p("d").getString(6) == "1,0,1,1")
     assert(p("id").isNullAt(6)) // no spec → NULL hist_cnts
     // hist-free call keeps the original six-column schema
     assert(Profile.profile(df, Seq("id"), Nil).columns.toSeq ==

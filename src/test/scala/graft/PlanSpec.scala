@@ -155,11 +155,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
     // temporal columns and the histogram ride the SAME single pass —
     // the bucket counters are conditional aggregates, not a second scan
+    // numeric AND temporal histograms together: the date column's grid
+    // runs over its epoch days, still inside the one aggregation
     val withHist = graft.dq.Profile.profile(
       tables.orders.withColumn("o_orderday", to_date(col("o_orderdate"))),
       Seq("o_orderkey"), Seq("o_orderstatus"),
       dateCols = Seq("o_orderday"), timestampCols = Seq("o_orderdate"),
-      hist = Seq(graft.dq.Profile.HistSpec("o_orderkey", 0, 1000, 8)))
+      hist = Seq(graft.dq.Profile.HistSpec("o_orderkey", 0, 1000, 8),
+        graft.dq.Profile.HistSpec("o_orderday", 9131.0, 366.0, 8)))
     val hPlan = withHist.queryExecution.executedPlan.toString
     assert(!hPlan.contains("Expand"), s"Expand blow-up in:\n$hPlan")
     val hExchanges = "Exchange".r.findAllIn(hPlan).length

@@ -44,9 +44,21 @@ final case class Tables(spark: SparkSession, dir: String) {
     * columns. */
   def events: DataFrame = {
     val path = s"$dir/events.parquet"
+    // The nanos fallback is for ONE failure: Spark's footer-schema
+    // converter rejecting TIMESTAMP(NANOS) ("Illegal Parquet type ...").
+    // Everything else (missing file, corrupt footer, absent ts column)
+    // must surface as ITS OWN error here, not as a confusing downstream
+    // read failure against the explicit-schema fallback.
+    def isNanosRejection(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { c =>
+        val m = Option(c.getMessage).getOrElse("")
+        m.contains("Illegal Parquet type") || m.contains("TIMESTAMP(NANOS")
+      }
     val footerTs =
       try Some(spark.read.parquet(path).schema("ts").dataType)
-      catch { case scala.util.control.NonFatal(_) => None } // nanos: converter rejects
+      catch {
+        case e if scala.util.control.NonFatal(e) && isNanosRejection(e) => None
+      }
     footerTs match {
       case Some(TimestampNTZType) | Some(TimestampType) =>
         import org.apache.spark.sql.functions._

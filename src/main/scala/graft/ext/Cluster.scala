@@ -202,6 +202,78 @@ object Cluster {
       }
       .sortBy(_.cell)
 
+  /** Semantic (embedding-space) contamination audit, cluster-routed —
+    * the trained-quantizer edition of [[Corpus.bloomContamination]]'s
+    * stream-static discipline: which PROBE vectors are near-duplicates
+    * of a held-out EVAL set?
+    *
+    * Train-side (static, plan-build time): k-means trains on the EVAL
+    * embeddings — grid scale, centroid state and the eval index are all
+    * bounded driver/broadcast state, the same contract as the Bloom
+    * filter's bit array. Each eval vector is INDEXED in its final
+    * argmin cell.
+    *
+    * Probe-side (batch OR STREAMING — every step is stateless-narrow):
+    * each probe vector quantizes onto the EVAL grid, probes its
+    * `nProbe` nearest trained cells
+    * ([[org.apache.spark.sql.graft.KMeansProbe]]), and stream-static
+    * equi-joins on the cell against the indexed eval side (a broadcast
+    * of the bounded eval set — no streaming state, no watermark,
+    * append-safe). Full-precision cosine over the ORIGINAL floats
+    * gates the verdict; rows are `(vec_id, eval_id, cosine)` matches.
+    * The cluster routing replaces the n·|eval| all-pairs check with
+    * n·(|eval|/k)·nProbe expected comparisons — the IVF recall/cost
+    * lever applied to decontamination. */
+  def semanticContamination(probe: DataFrame, eval: DataFrame, k: Int = 8,
+      iters: Int = 2, threshold: Double = 0.30, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.DotProduct.dot
+    val trained = for {
+      (scale, _) <- grid(eval)
+      (assigned, d) <- assignedFrame(eval, k, iters)
+    } yield (scale, assigned, d)
+    trained match {
+      case Some((scale, assigned, d)) =>
+        val state = centroidStateOf(assigned, d)
+        require(nProbe >= 1 && nProbe <= state.size,
+          s"nProbe must be in [1,${state.size}], got $nProbe")
+        val evalIdx = eval
+          .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+          .select(col("vec_id").as("eval_id"), col("cell"),
+            col("embedding").as("emb_e"),
+            dot(col("embedding"), col("embedding")).as("nsq_e"))
+          .filter(col("nsq_e") > 0)
+        val probed = probe.select(col("vec_id"), col("embedding"),
+            dot(col("embedding"), col("embedding")).as("nsq"),
+            org.apache.spark.sql.graft.KMeansCells.probe(
+              qCol(scale), exprState(state), nProbe).as("cells"))
+          .filter(col("nsq") > 0)
+          .select(col("vec_id"), col("embedding"), col("nsq"),
+            explode(col("cells")).as("cell"))
+        probed.join(broadcast(evalIdx), Seq("cell"))
+          .withColumn("cosine",
+            dot(col("embedding"), col("emb_e")) / (sqrt(col("nsq")) * sqrt(col("nsq_e"))))
+          .filter(col("cosine") >= threshold)
+          .select(col("vec_id"), col("eval_id"), col("cosine"))
+      case None =>
+        val spark = probe.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("vec_id", LongType), StructField("eval_id", LongType),
+            StructField("cosine", DoubleType))))
+    }
+  }
+
+  /** Final NON-EMPTY centroid state of an assigned frame (the g2 the
+    * oracles spell): k-row groupBy, bounded collect. */
+  private def centroidStateOf(assigned: DataFrame, d: Int): Seq[Centroid] = {
+    val aggs = (count(lit(1)).as("n") +:
+      (1 to d).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
+    assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => Centroid(r.getInt(0), r.getLong(1),
+        Array.tabulate(d)(i => r.getLong(2 + i))))
+      .toSeq.sortBy(_.cell)
+  }
+
   /** SemDeDup: near-duplicate candidate pairs WITHIN a trained cluster —
     * unordered `(keep_id, dup_id)` with the full-precision cosine over
     * the ORIGINAL float embeddings (the quantized grid only routes; it

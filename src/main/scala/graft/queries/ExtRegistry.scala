@@ -284,6 +284,20 @@ object ExtRegistry {
         k = 5, nProbe = 2)
     }),
 
+    // cluster-ROUTED decontamination: the stream-static Bloom
+    // discipline with the trained quantizer as the router. The eval
+    // residue class is the held-out set, k-means trains ON IT (bounded
+    // static state), and probe vectors route through their 2 nearest
+    // trained cells instead of an all-pairs scan. The probe side is
+    // stateless-narrow, so the SAME function runs on a readStream frame
+    // (ExtSpec asserts the streaming twin bit-identical).
+    "semantic_contamination" -> ((s, dir) => {
+      val emb = embeddingsDimChecked(s, dir)
+      graft.ext.Cluster.semanticContamination(
+        emb.filter(col("vec_id") % 40 =!= 0), emb.filter(col("vec_id") % 40 === 0),
+        k = KmK, iters = KmIters, threshold = 0.30, nProbe = 2)
+    }),
+
     // JSON surface over the events.props payload (SURVEY §2.8 extension
     // note): path extraction AND schema-on-read struct parsing, plus an
     // aggregate over the extracted value — all codegen'd built-ins
@@ -821,15 +835,18 @@ object ExtRegistry {
     * Lloyd rounds (assign a1, update c1 with empty-cell retention,
     * assign a2). Parameterized by k so the coarse-quantizer entry
     * (KmCentroidsK) and the SemDeDup/IVF family (KmK) share one
-    * definition. */
-  private def kmCtes(k: Int): String =
+    * definition; `where` restricts the TRAINING corpus (the
+    * contamination twin trains on the eval residue class only, so its
+    * grid scale and q-frame are eval-derived — exactly
+    * Cluster.semanticContamination's static side). */
+  private def kmCtes(k: Int, where: String = ""): String =
     s"""sc AS (
        |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS scale
-       |  FROM embeddings),
+       |  FROM embeddings $where),
        |q AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
-       |  FROM embeddings, sc),
+       |  FROM embeddings, sc $where),
        |seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         CAST(1 AS BIGINT) AS n, q AS s
@@ -939,6 +956,37 @@ object ExtRegistry {
          |           ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM pairs) t
          |WHERE rank <= 5""".stripMargin,
+
+    // cluster-routed decontamination twin: k-means trains ON THE EVAL
+    // residue class (kmCtes' where), eval vectors index at their final
+    // argmin cell, probe vectors quantize on the EVAL grid and probe
+    // their 2 nearest trained cells; matches gate on the full-precision
+    // cosine. Mirrors Cluster.semanticContamination(k=8, nProbe=2,
+    // threshold=0.30) over the vec_id % 40 split.
+    "semantic_contamination" ->
+      s"""WITH ${kmCtes(KmK, "WHERE vec_id % 40 = 0")},
+         |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+         |ei0 AS (
+         |  SELECT m.vec_id AS eval_id, a.cell, m.embedding, ($kmEmbNsq) AS nsq
+         |  FROM embeddings m JOIN a2 a USING (vec_id)),
+         |ei AS (SELECT * FROM ei0 WHERE nsq > 0),
+         |p0 AS (
+         |  SELECT vec_id, embedding,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q,
+         |         ($kmEmbNsq) AS nsq
+         |  FROM embeddings, sc WHERE vec_id % 40 <> 0),
+         |p1 AS (SELECT * FROM p0 WHERE nsq > 0),
+         |ranked AS (
+         |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+         |  FROM p1 v CROSS JOIN g2 c),
+         |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE rk <= 2)
+         |SELECT vec_id, eval_id, cosine FROM (
+         |  SELECT p.vec_id, i.eval_id,
+         |         (${kmEmbDot("p", "i")}) / (sqrt(p.nsq) * sqrt(i.nsq)) AS cosine
+         |  FROM probes p JOIN ei i ON p.cell = i.cell) t
+         |WHERE cosine >= 0.30""".stripMargin,
 
     // same histogram, cumulative walk and in-bucket interpolation,
     // replayed declaratively; every arithmetic step is the same IEEE op

@@ -1023,6 +1023,47 @@ class ExtSpec extends SparkSpec {
     assert(joined.forall(r => r.getLong(3) == 0L || r.getBoolean(2)))
   }
 
+  test("cluster-routed semantic contamination: streaming probes match the batch twin bit-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    // eval = 12 vectors in two tight 4-d blobs; probes = near-dups of
+    // blob A (contaminated), plus orthogonal clean vectors
+    val eval = (1 to 12).map { i =>
+      val a = if (i % 2 == 0) 1.0f else 0.9f
+      if (i <= 6) (1000L + i, Array(a, 1.0f, 0.0f, 0.05f * (i % 3)))
+      else (1000L + i, Array(0.0f, 0.05f * (i % 3), a, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val probeRows: Seq[(Long, Array[Float])] = Seq(
+      (1L, Array(0.95f, 1.0f, 0.0f, 0.0f)),  // near blob A -> contaminated
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.95f)),  // near blob B -> contaminated
+      (3L, Array(0.0f, 1.0f, 0.0f, -1.0f)),  // oblique -> below threshold
+      (4L, Array(-1.0f, 0.0f, -1.0f, 0.0f))) // anti-aligned -> clean
+    val batch = graft.ext.Cluster.semanticContamination(
+        probeRows.toDF("vec_id", "embedding"), eval,
+        k = 2, iters = 2, threshold = 0.8, nProbe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(batch.map(_._1).contains(1L) && batch.map(_._1).contains(2L))
+    assert(!batch.map(_._1).contains(4L))
+    // the SAME operator over a MemoryStream probe side: every probe step
+    // is stateless-narrow + one stream-static broadcast join, so the
+    // chunk boundaries cannot change a single bit of the verdicts
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.ext.Cluster.semanticContamination(
+        mem.toDF().toDF("vec_id", "embedding"), eval,
+        k = 2, iters = 2, threshold = 0.8, nProbe = 2)
+      .writeStream.format("memory").queryName("sem_contam_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(probeRows.take(1))
+      q.processAllAvailable()
+      mem.addData(probeRows.drop(1))
+      q.processAllAvailable()
+      val streamed = spark.table("sem_contam_stream")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("trained-IVF recall beats arithmetic-centroid IVF on a clustered corpus") {
     // The regime trained centroids exist for: REAL clusters. 200 vectors
     // in 8 tight 16-d clusters (cluster c spikes dims 2c+1/2c+2, plus

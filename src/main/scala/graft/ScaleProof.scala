@@ -104,6 +104,12 @@ object ScaleProof {
     ("embeddings->kmeansCentroids", Map.empty[String, String],
       (s: SparkSession, f: Int) =>
         graft.ext.Cluster.kmeansCentroids(synthEmbeddings(s, 500L * f), k = 8, iters = 2)),
+    // coarse-quantizer width: the KMeansArgmin loop expression must hold
+    // its plan shape and near-k=8 cost at k=64 too (the old k·d literal
+    // tree could not codegen-compile here) — same ladder, wider state
+    ("embeddings->kmeansCentroids64", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Cluster.kmeansCentroids(synthEmbeddings(s, 500L * f), k = 64, iters = 2)),
     ("embeddings->lshTopKTables", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
       (s: SparkSession, f: Int) =>
         graft.ext.Sim.lshTopKTables(synthEmbeddings(s, 500L * f), 5, 10, 3)),

@@ -294,6 +294,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: KMeansProbe/KMeansArgmin return the (score, cell)-smallest cells in rank order") {
+    import org.apache.spark.sql.graft.KMeansCells
+    // The probe expression underpins BOTH trained-IVF search and
+    // cluster-routed decontamination: codegen and interpreted paths must
+    // agree with an independent model of "rank cells by (score asc,
+    // cell asc), take nProbe" over arbitrary exact centroid state.
+    val d = 6
+    val gen = for {
+      k <- Gen.chooseNum(2, 9)
+      nProbe <- Gen.chooseNum(1, 9).map(p => math.min(p, k))
+      ns <- Gen.listOfN(k, Gen.chooseNum(1L, 50L))
+      sums <- Gen.listOfN(k, Gen.listOfN(d, Gen.chooseNum(-6000L, 6000L)))
+      qs <- Gen.listOfN(6, Gen.listOfN(d, Gen.chooseNum(-127L, 127L)))
+    } yield (k, nProbe, ns, sums, qs)
+    val sets = sample(gen, 25)
+    Seq("CODEGEN_ONLY", "NO_CODEGEN").foreach { mode =>
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try sets.zipWithIndex.foreach { case ((k, nProbe, ns, sums, qs), setIdx) =>
+        val state = (0 until k).map { c =>
+          val s = sums(c)
+          val nsq = s.foldLeft(0L)((a, x) => a + x * x)
+          (c, ns(c).toDouble, nsq.toDouble / (ns(c) * ns(c)).toDouble,
+            s: Seq[Long])
+        }
+        val df = qs.zipWithIndex.map { case (q, i) => (i.toLong, q.toArray) }
+          .toDF("vec_id", "q")
+        val got = df.select(col("vec_id"),
+            KMeansCells.probe(col("q"), state, nProbe).as("cells"),
+            KMeansCells.argmin(col("q"), state).as("cell"))
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toList, r.getInt(2)))).toMap
+        qs.zipWithIndex.foreach { case (q, i) =>
+          val scored = (0 until k).map { c =>
+            val dot = q.zip(sums(c)).map { case (a, b) => a * b }.sum
+            (dot.toDouble * -2.0 / ns(c).toDouble + state(c)._3, c)
+          }
+          val exp = scored.sorted.take(nProbe).map(_._2).toList
+          val (gotCells, gotArg) = got(i.toLong)
+          assert(gotCells == exp, s"[$mode] probe diverges on set $setIdx vec $i")
+          assert(gotArg == scored.min._2, s"[$mode] argmin diverges on set $setIdx vec $i")
+        }
+      } finally prev.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("property: kmeans matches an independent Scala Lloyd model exactly") {
     import graft.ext.Cluster
     // The distributed run and a single-threaded model must agree

@@ -113,6 +113,21 @@ object ScaleProof {
     ("embeddings->lshTopKTables", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
       (s: SparkSession, f: Int) =>
         graft.ext.Sim.lshTopKTables(synthEmbeddings(s, 500L * f), 5, 10, 3)),
+    // trained-IVF search at corpus-scaled k — the FAISS k ∝ √n regime a
+    // production deployment uses (fixed k makes IVF quadratic-ish as n
+    // grows; k must track the corpus). The centroid table is
+    // reference-object expression state, so k=8 at 1× and k=80 at 100×
+    // produce the IDENTICAL plan — the shape gate proves scaling the
+    // quantizer is a parameter change, not a re-plan. autoBroadcast
+    // pinned OFF like the ANN pipelines (the inverted-list join flips
+    // broadcast<->SMJ between factors otherwise).
+    ("embeddings->ivfTopKTrained", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) => {
+        val emb = synthEmbeddings(s, 500L * f)
+        val k = math.max(8, (8.0 * math.sqrt(f.toDouble)).toInt)
+        graft.ext.Sim.ivfTopKTrained(emb,
+          graft.ext.Cluster.kmeansCentroids(emb, k = k, iters = 2), 5, 2)
+      }),
     // SemDeDup at the bench's own parameters (k=8, maxCluster=1024) —
     // the slowest bench query gets its own ladder. autoBroadcast pinned
     // OFF like the ANN pipeline: the label/self joins sit at the size

@@ -422,7 +422,11 @@ class PlanSpec extends SparkSpec {
       // shape must stay ivfTopK's (one top-k window exchange, the
       // indexed side broadcast into the cell join; training's own
       // exchanges run in the bounded update() jobs, not here)
-      "knn_cosine_ivf_trained" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
+      "knn_cosine_ivf_trained" -> ((1, 1, Map("BroadcastHashJoin" -> 1))),
+      // round-9: cluster-routed decontamination — ZERO shuffles on the
+      // probe path (the streaming-readiness property made structural):
+      // eval labeling + the cell route are both broadcast joins
+      "semantic_contamination" -> ((0, 2, Map("BroadcastHashJoin" -> 2))))
     val observed = golden.keys.toSeq.sorted.map { name =>
       name -> planShape(SparkEntry.queries(name)(spark, sfDir))
     }

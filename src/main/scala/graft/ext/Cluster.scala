@@ -128,31 +128,37 @@ object Cluster {
     prev.map(c => got.getOrElse(c.cell, c))
   }
 
-  /** Quantized frame with its final cluster label after `iters`
-    * assignment rounds (centroids re-trained between rounds), or None on
-    * an empty/all-zero table. The q-frame is localCheckpointed once: it
-    * feeds every round plus the caller's aggregation, and a lineage
-    * re-read would re-quantize per use (see MinHash.nearDupPairs for the
+  /** The Lloyd core over an already-quantized `(vec_id, q)` frame of
+    * width `d`: seed with the k lowest-vec_id vectors, then `iters`
+    * assignment rounds with re-training (and empty-cell retention)
+    * between them. Checkpoints the q-frame once: it feeds every round
+    * plus the caller's aggregation, and a lineage re-read would
+    * re-quantize per use (see MinHash.nearDupPairs for the
     * cache-vs-checkpoint note). */
-  private def assignedFrame(embeddings: DataFrame, k: Int,
-      iters: Int): Option[(DataFrame, Int)] = {
+  private def lloydAssign(qf0: DataFrame, k: Int, iters: Int, d: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    quantized(embeddings).map { case (qf0, d) =>
-      val qf = qf0.localCheckpoint(false)
-      val seeds = qf.orderBy(col("vec_id")).limit(k).collect()
-        .zipWithIndex
-        .map { case (r, i) => Centroid(i, 1L, r.getSeq[Long](1).toArray) }
-        .toSeq
-      var cens = seeds
-      var assigned = qf.withColumn("cell", assignCol(col("q"), cens))
-      (2 to iters).foreach { _ =>
-        cens = update(assigned, cens, d)
-        assigned = qf.withColumn("cell", assignCol(col("q"), cens))
-      }
-      (assigned, d)
+    val qf = qf0.localCheckpoint(false)
+    val seeds = qf.orderBy(col("vec_id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => Centroid(i, 1L, r.getSeq[Long](1).toArray) }
+      .toSeq
+    var cens = seeds
+    var assigned = qf.withColumn("cell", assignCol(col("q"), cens))
+    (2 to iters).foreach { _ =>
+      cens = update(assigned, cens, d)
+      assigned = qf.withColumn("cell", assignCol(col("q"), cens))
     }
+    assigned
   }
+
+  /** Quantized frame with its final cluster label after `iters`
+    * assignment rounds, or None on an empty/all-zero table. */
+  private def assignedFrame(embeddings: DataFrame, k: Int,
+      iters: Int): Option[(DataFrame, Int)] =
+    quantized(embeddings).map { case (qf0, d) =>
+      (lloydAssign(qf0, k, iters, d), d)
+    }
 
   /** Cluster labels: `(vec_id, cell)` after `iters` Lloyd rounds. */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
@@ -201,6 +207,45 @@ object Cluster {
         Centroid(cell, rows.head.getLong(3), s)
       }
       .sortBy(_.cell)
+
+  /** Product-quantization codes — the vector-compression companion to
+    * the coarse quantizer, completing the FAISS-style stack (IVF routes,
+    * PQ compresses): the d-dim grid splits into `m` contiguous
+    * subspaces of d/m dims, an independent exact-Lloyd codebook trains
+    * per subspace on the SAME global int8 grid, and each vector's code
+    * is its per-subspace argmin cell — m small integers (m·log₂k bits)
+    * in place of d floats, the 100 TB embedding-storage move.
+    *
+    * Long-form output `(vec_id, subspace, cell)`: deterministic,
+    * hash-checkable, and the natural layout for an asymmetric-distance
+    * scorer (per-subspace lookup tables against the codebook).
+    *
+    * Exactness is inherited wholesale: each subspace runs the identical
+    * seeded Lloyd recursion ([[lloydAssign]]) over its q-slice, so a
+    * SQL twin replays every subspace bit-for-bit; `pqCodes(m = 1)`
+    * IS [[kmeansAssign]] (asserted in ClusterSpec). Scale shape: ONE
+    * quantization pass (checkpointed), then per subspace the usual
+    * iters narrow passes + iters k-row shuffles — m·iters tiny jobs,
+    * still zero joins; codes union narrowly. */
+  def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(m >= 1, s"m must be positive, got $m")
+    quantized(embeddings) match {
+      case Some((qf0, d)) =>
+        require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
+        val dsub = d / m
+        val qf = qf0.localCheckpoint(false)
+        (0 until m).map { s =>
+          val qs = qf.select(col("vec_id"), slice(col("q"), s * dsub + 1, dsub).as("q"))
+          lloydAssign(qs, k, iters, dsub)
+            .select(col("vec_id"), lit(s).cast(IntegerType).as("subspace"), col("cell"))
+        }.reduce(_.unionByName(_))
+      case None =>
+        val spark = embeddings.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("vec_id", LongType),
+            StructField("subspace", IntegerType), StructField("cell", IntegerType))))
+    }
+  }
 
   /** Semantic (embedding-space) contamination audit, cluster-routed —
     * the trained-quantizer edition of [[Corpus.bloomContamination]]'s

@@ -284,6 +284,14 @@ object ExtRegistry {
         k = 5, nProbe = 2)
     }),
 
+    // product-quantization codes — the FAISS compression half next to
+    // the coarse quantizer: m=4 independent 16-dim exact-Lloyd codebooks
+    // on the shared int8 grid, code = per-subspace argmin cell
+    // (m·log₂k = 12 bits/vector vs 64 floats)
+    "pq_codes" -> ((s, dir) =>
+      graft.ext.Cluster.pqCodes(embeddingsDimChecked(s, dir),
+        m = PqM, k = KmK, iters = KmIters)),
+
     // cluster-ROUTED decontamination: the stream-static Bloom
     // discipline with the trained quantizer as the router. The eval
     // residue class is the held-out set, k-means trains ON IT (bounded
@@ -779,6 +787,7 @@ object ExtRegistry {
   private val KmCentroidsK = 64
   private val KmIters = 2
   private val SemMaxCluster = 1024
+  private val PqM = 4
 
   /** The embeddings table, with its width asserted against the oracle
     * twins' unrolled EmbDim (one take(1) — bounded). */
@@ -856,6 +865,56 @@ object ExtRegistry {
        |c1 AS (SELECT s0.cell, coalesce(g1.n, s0.n) AS n, coalesce(g1.s, s0.s) AS s
        |       FROM seeds s0 LEFT JOIN g1 USING (cell)),
        |${kmAssign("a2", "c1")}""".stripMargin
+
+  /** Product-quantization twin: the shared global grid, then an
+    * INDEPENDENT two-round Lloyd chain per subspace over the q-slice —
+    * offset arithmetic `q[off+i]` mirrors Cluster.pqCodes' `slice`
+    * exactly (both 1-based, same window), so every subspace replays the
+    * kmeans machinery bit-for-bit. */
+  private def pqOracle(m: Int, k: Int): String = {
+    val dsub = EmbDim / m
+    def score(v: String, c: String, off: Int): String = {
+      val dot = (1 to dsub).map(i => s"$v.q[${off + i}] * $c.s[$i]").mkString(" + ")
+      val nsq = (1 to dsub).map(i => s"$c.s[$i] * $c.s[$i]").mkString(" + ")
+      s"CAST(($dot) AS DOUBLE) * -2.0 / CAST($c.n AS DOUBLE)" +
+        s" + CAST(($nsq) AS DOUBLE) / CAST($c.n * $c.n AS DOUBLE)"
+    }
+    def sub(s: Int): String = {
+      val off = s * dsub
+      val sums = (1 to dsub).map(i => s"CAST(sum(q[${off + i}]) AS BIGINT)").mkString(", ")
+      def assign(name: String, cen: String) =
+        s"""$name AS (
+           |  SELECT vec_id, q, cell FROM (
+           |    SELECT v.vec_id, v.q, c.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${score("v", "c", off)}, c.cell) AS rk
+           |    FROM q v CROSS JOIN $cen c) t
+           |  WHERE rk = 1)""".stripMargin
+      s"""s${s}_seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         |         CAST(1 AS BIGINT) AS n,
+         |         list_transform(generate_series(1, $dsub), i -> q[$off + i]) AS s
+         |  FROM q ORDER BY vec_id LIMIT $k),
+         |${assign(s"s${s}_a1", s"s${s}_seeds")},
+         |s${s}_g1 AS (SELECT cell, count(*) AS n, [$sums] AS s FROM s${s}_a1 GROUP BY cell),
+         |s${s}_c1 AS (SELECT s0.cell, coalesce(g.n, s0.n) AS n, coalesce(g.s, s0.s) AS s
+         |             FROM s${s}_seeds s0 LEFT JOIN s${s}_g1 g USING (cell)),
+         |${assign(s"s${s}_a2", s"s${s}_c1")}""".stripMargin
+    }
+    val subs = (0 until m).map(sub).mkString(",\n")
+    val sel = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS subspace, cell FROM s${s}_a2")
+      .mkString("\nUNION ALL ")
+    s"""WITH sc AS (
+       |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS scale
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |$subs
+       |$sel""".stripMargin
+  }
 
   private def kmEmbDot(a: String, b: String): String =
     (1 to EmbDim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE").mkString(" + ")
@@ -956,6 +1015,10 @@ object ExtRegistry {
          |           ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM pairs) t
          |WHERE rank <= 5""".stripMargin,
+
+    // product-quantization twin: per-subspace Lloyd chains (see
+    // pqOracle) — offsets mirror the Spark side's slice windows
+    "pq_codes" -> pqOracle(PqM, KmK),
 
     // cluster-routed decontamination twin: k-means trains ON THE EVAL
     // residue class (kmCtes' where), eval vectors index at their final

@@ -147,6 +147,31 @@ class ClusterSpec extends SparkSpec {
     assert(again == capped)
   }
 
+  test("pqCodes: m=1 degenerates to kmeansAssign; subspaces are independent") {
+    // m=1 runs the identical seeded Lloyd recursion over the full grid,
+    // so the single-subspace code IS the cluster label — bit-for-bit
+    val asg = Cluster.kmeansAssign(blobs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pq1 = Cluster.pqCodes(blobs, m = 1, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(pq1.forall(_._2 == 0))
+    assert(pq1.map(t => t._1 -> t._3).toMap == asg)
+    // m=2 over the 4-d blobs: dims 1-2 separate blob A internally, dims
+    // 3-4 blob B — every vector gets exactly one code per subspace
+    val pq2 = Cluster.pqCodes(blobs, m = 2, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(pq2.keySet == (1L to 6L).flatMap(id => Seq((id, 0), (id, 1))).toSet)
+    // codes are deterministic under repartitioning (exact arithmetic)
+    val again = Cluster.pqCodes(blobs.repartition(5), m = 2, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(again == pq2)
+    // width must divide into subspaces
+    val e = intercept[IllegalArgumentException] {
+      Cluster.pqCodes(blobs, m = 3, k = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
+
   test("centroidState round-trips kmeansCentroids exactly") {
     val cens = Cluster.centroidState(Cluster.kmeansCentroids(blobs, k = 2, iters = 2))
     assert(cens.map(_.cell) == cens.map(_.cell).sorted)

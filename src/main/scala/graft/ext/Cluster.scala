@@ -227,17 +227,11 @@ object Cluster {
     * quantization pass (checkpointed), then per subspace the usual
     * iters narrow passes + iters k-row shuffles — m·iters tiny jobs,
     * still zero joins; codes union narrowly. */
-  def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame = {
-    require(m >= 1, s"m must be positive, got $m")
-    quantized(embeddings) match {
-      case Some((qf0, d)) =>
-        require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
-        val dsub = d / m
-        val qf = qf0.localCheckpoint(false)
-        (0 until m).map { s =>
-          val qs = qf.select(col("vec_id"), slice(col("q"), s * dsub + 1, dsub).as("q"))
-          lloydAssign(qs, k, iters, dsub)
-            .select(col("vec_id"), lit(s).cast(IntegerType).as("subspace"), col("cell"))
+  def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame =
+    pqAssignedFrames(embeddings, m, k, iters) match {
+      case Some((subs, _)) =>
+        subs.zipWithIndex.map { case (assigned, s) =>
+          assigned.select(col("vec_id"), lit(s).cast(IntegerType).as("subspace"), col("cell"))
         }.reduce(_.unionByName(_))
       case None =>
         val spark = embeddings.sparkSession
@@ -245,7 +239,50 @@ object Cluster {
           StructType(Seq(StructField("vec_id", LongType),
             StructField("subspace", IntegerType), StructField("cell", IntegerType))))
     }
+
+  /** Per-subspace assigned q-slice frames (each `(vec_id, q, cell)` of
+    * width d/m), or None on an empty/all-zero table. */
+  private def pqAssignedFrames(embeddings: DataFrame, m: Int, k: Int,
+      iters: Int): Option[(Seq[DataFrame], Int)] = {
+    require(m >= 1, s"m must be positive, got $m")
+    quantized(embeddings).map { case (qf0, d) =>
+      require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
+      val dsub = d / m
+      val qf = qf0.localCheckpoint(false)
+      val subs = (0 until m).map { s =>
+        val qs = qf.select(col("vec_id"), slice(col("q"), s * dsub + 1, dsub).as("q"))
+        lloydAssign(qs, k, iters, dsub)
+      }
+      (subs, dsub)
+    }
   }
+
+  /** Trained PQ codebook in long form: one row per subspace, NON-EMPTY
+    * final cell and dimension — exact component sum `s`, member count
+    * `n`, IEEE mean `s/n` (the [[kmeansCentroids]] contract per
+    * subspace). This is the table an asymmetric-distance scorer
+    * ([[Sim.ivfPqTopK]]) collects: m·k·(d/m) bounded rows. */
+  def pqCodebook(embeddings: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame =
+    pqAssignedFrames(embeddings, m, k, iters) match {
+      case Some((subs, dsub)) =>
+        subs.zipWithIndex.map { case (assigned, s) =>
+          val aggs = (count(lit(1)).as("n") +:
+            (1 to dsub).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
+          assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+            .select(col("cell"), col("n"),
+              posexplode(array((1 to dsub).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
+            .select(lit(s).cast(IntegerType).as("subspace"), col("cell"),
+              (col("pos") + 1).cast(IntegerType).as("dim"),
+              col("s"), col("n"),
+              (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
+        }.reduce(_.unionByName(_))
+      case None =>
+        val spark = embeddings.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("subspace", IntegerType), StructField("cell", IntegerType),
+            StructField("dim", IntegerType), StructField("s", LongType),
+            StructField("n", LongType), StructField("mean", DoubleType))))
+    }
 
   /** Semantic (embedding-space) contamination audit, cluster-routed —
     * the trained-quantizer edition of [[Corpus.bloomContamination]]'s

@@ -391,6 +391,108 @@ object Sim {
     topK(pairs, k)
   }
 
+  /** IVF-PQ search — the full FAISS architecture end-to-end: the
+    * trained coarse quantizer ROUTES (index in argmin cell, probe the
+    * `nProbe` nearest cells) and the PQ codebook COMPRESSES (each
+    * candidate is scored against its m-int code via asymmetric
+    * distance, never its d floats).
+    *
+    * Why this matters at 100 TB: in [[ivfTopKTrained]] every candidate
+    * pair moves the 64-float embedding through the cell join; here the
+    * indexed side carries m ints + one precomputed norm — the candidate
+    * traffic shrinks ~d·4/(m·4) ≈ d/m× while the join/topK plan shape
+    * is IDENTICAL. Training state (coarse centroids, PQ codebook) is
+    * bounded driver/reference-object memory, the same contract as
+    * [[bruteTopK]]'s index.
+    *
+    * Scoring: `adc_cos(q, y) = dot(q, recon(y)) / (|q| · |recon(y)|)`
+    * with `recon(y)` the concatenation of y's per-subspace codebook
+    * means — [[org.apache.spark.sql.graft.PqAdcDot]] computes the dot
+    * by table lookup in one m×(d/m) codegen loop, and `|recon|²` is a
+    * per-subspace literal-table lookup summed in subspace order. Every
+    * IEEE step replays in SQL (the oracle spells the continued chain),
+    * so even the APPROXIMATE ranking is hash-checked. Cosine is
+    * approximate by construction (quantization error); k and the
+    * codebook size trade recall vs compression. */
+  def ivfPqTopK(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
+      coarseK: Int = 8, nProbe: Int = 2, k: Int = 5): DataFrame = {
+    import graft.ext.Cluster
+    import org.apache.spark.sql.graft.{KMeansCells, PqAdcDot}
+    val gridOpt = Cluster.grid(embeddings)
+    val coarse =
+      if (gridOpt.isEmpty) Nil
+      else Cluster.centroidState(Cluster.kmeansCentroids(embeddings, coarseK, 2))
+    val cbRows =
+      if (coarse.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else Cluster.pqCodebook(embeddings, m, kSub, 2)
+        .select(col("subspace"), col("cell"), col("dim"), col("s"), col("n")).collect()
+    if (gridOpt.isEmpty || coarse.isEmpty || cbRows.isEmpty) {
+      val spark = embeddings.sparkSession
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id", LongType),
+          org.apache.spark.sql.types.StructField("cosine", DoubleType),
+          org.apache.spark.sql.types.StructField("rank", IntegerType))))
+    }
+    require(nProbe >= 1 && nProbe <= coarse.size,
+      s"nProbe must be in [1,${coarse.size}], got $nProbe")
+    val (scale, d) = gridOpt.get
+    require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
+    val dsub = d / m
+    // per-subspace encoder state (cell, n, |s|²/n², sums) + mean/|mean|²
+    // tables, all rebuilt from the bounded codebook collect
+    val bySub = cbRows.groupBy(_.getInt(0))
+    val subStates: Seq[Seq[(Int, Double, Double, Seq[Long])]] = (0 until m).map { s =>
+      bySub(s).groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (cell, rows) =>
+        val sums = new Array[Long](dsub)
+        rows.foreach(r => sums(r.getInt(2) - 1) = r.getLong(3))
+        val n = rows.head.getLong(4)
+        val nsq = sums.foldLeft(0L)((a, x) => a + x * x)
+        (cell, n.toDouble, nsq.toDouble / (n * n).toDouble, sums.toIndexedSeq)
+      }
+    }
+    val maxCell = subStates.map(_.map(_._1).max).max
+    // means indexed by raw cell id; cells the encoder cannot emit are
+    // zero-filled (never looked up)
+    val means: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val byCell = subStates(s).map(st => st._1 -> st).toMap
+      (0 to maxCell).map(c => byCell.get(c) match {
+        case Some((_, n, _, sums)) => sums.map(x => x.toDouble / n)
+        case None => IndexedSeq.fill(dsub)(0.0)
+      })
+    }
+    val msq: Seq[Seq[Double]] =
+      means.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+    val qc = Cluster.qCol(scale)
+    val reconNsq = (0 until m).map(s =>
+        element_at(typedlit(msq(s)), element_at(col("codes"), s + 1) + 1))
+      .reduceLeft(_ + _)
+    val base = spread(embeddings, col("vec_id")).select(
+        col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"),
+        KMeansCells.probe(qc, Cluster.exprState(coarse), nProbe).as("cells"),
+        array((0 until m).map(s =>
+          KMeansCells.argmin(slice(qc, s * dsub + 1, dsub), subStates(s))): _*)
+          .as("codes"))
+      .withColumn("rnsq", reconNsq)
+      .localCheckpoint(false)
+    val probes = base.filter(col("nsq") > 0)
+      .select(col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"),
+        explode(col("cells")).as("cell"))
+    // the indexed side ships m ints + one norm per vector — never floats
+    val indexed = base.filter(col("rnsq") > 0)
+      .select(col("vec_id").as("neighbor_id"), col("codes").as("codes_b"),
+        element_at(col("cells"), 1).as("cell"), col("rnsq"))
+    val pairs = probes.join(indexed, Seq("cell"), "inner")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        PqAdcDot.adcDot(col("emb_a"), col("codes_b"), means) /
+          (sqrt(col("nsq_a")) * sqrt(col("rnsq"))))
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+    topK(pairs, k)
+  }
+
   /** Embedding-cosine near-duplicate DEDUP view: unordered candidate
     * pairs from the LSH buckets whose cosine clears `threshold` — the
     * "drop one of each pair" input of an embedding-dedup pipeline.

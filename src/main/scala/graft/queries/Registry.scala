@@ -403,6 +403,9 @@ object Registry {
         row("ivf_trained", Sim.ivfTopKTrained(emb,
           graft.ext.Cluster.kmeansCentroids(emb, k = 8, iters = 2), 5, 2)))
         .reduce(_.unionByName(_))
+      // (knn_cosine_ivfpq is NOT composed here: its oracle embeds 8
+      // Lloyd chains and overflows DuckDB's memory when nested as a
+      // subquery; its recall is asserted in ExtSpec instead)
     }),
 
     "dq_suite" -> ((s, dir) =>

@@ -1088,6 +1088,16 @@ class ExtSpec extends SparkSpec {
     assert(recallTrained > recallUntrained,
       s"trained $recallTrained <= untrained $recallUntrained")
     assert(recallTrained >= 0.9, s"trained recall $recallTrained < 0.9")
+    // IVF-PQ on the same fixture: identical routing, candidates scored
+    // against 4-int codes instead of 16 floats — on tight clusters the
+    // reconstruction tracks the cluster, so compression costs little
+    // recall (and can never beat its own exact-scored routing ceiling)
+    val pq = pairs(graft.ext.Sim.ivfPqTopK(df, m = 4, kSub = 8,
+      coarseK = 8, nProbe = 2, k = 5))
+    val recallPq = (truth intersect pq).size.toDouble / truth.size
+    assert(recallPq >= 0.5, s"ivfpq recall $recallPq < 0.5")
+    assert(recallPq <= recallTrained + 1e-9,
+      s"ivfpq $recallPq exceeded its exact-scored routing ceiling $recallTrained")
   }
 
   test("near-dup/ANN operators register nothing in the session cache manager") {

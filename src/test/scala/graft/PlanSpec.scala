@@ -426,7 +426,10 @@ class PlanSpec extends SparkSpec {
       // round-9: cluster-routed decontamination — ZERO shuffles on the
       // probe path (the streaming-readiness property made structural):
       // eval labeling + the cell route are both broadcast joins
-      "semantic_contamination" -> ((0, 2, Map("BroadcastHashJoin" -> 2))))
+      "semantic_contamination" -> ((0, 2, Map("BroadcastHashJoin" -> 2))),
+      // round-9: IVF-PQ keeps the exact ivfTopK search shape — the PQ
+      // compression changes WHAT the candidates carry, never the plan
+      "knn_cosine_ivfpq" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
     val observed = golden.keys.toSeq.sorted.map { name =>
       name -> planShape(SparkEntry.queries(name)(spark, sfDir))
     }

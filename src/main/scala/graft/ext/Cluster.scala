@@ -241,18 +241,62 @@ object Cluster {
     }
 
   /** Per-subspace assigned q-slice frames (each `(vec_id, q, cell)` of
-    * width d/m), or None on an empty/all-zero table. */
+    * width d/m), or None on an empty/all-zero table.
+    *
+    * All m subspaces train FUSED: one projection assigns every
+    * subspace's argmin (m independent [[KMeansArgmin]] columns over the
+    * q-slices), and each Lloyd update is ONE exploded `(subspace, cell)`
+    * aggregation re-training every codebook — iters total shuffles for
+    * the whole PQ training instead of m·iters, which is what keeps
+    * production m (8–16 subspaces) from multiplying job count. The
+    * per-subspace sums are the identical exact int64 state the
+    * sequential form produces (and the oracle replays per subspace). */
   private def pqAssignedFrames(embeddings: DataFrame, m: Int, k: Int,
       iters: Int): Option[(Seq[DataFrame], Int)] = {
     require(m >= 1, s"m must be positive, got $m")
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     quantized(embeddings).map { case (qf0, d) =>
       require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
       val dsub = d / m
       val qf = qf0.localCheckpoint(false)
-      val subs = (0 until m).map { s =>
-        val qs = qf.select(col("vec_id"), slice(col("q"), s * dsub + 1, dsub).as("q"))
-        lloydAssign(qs, k, iters, dsub)
+      // ONE seeds collect: the k lowest-vec_id vectors, sliced per
+      // subspace driver-side
+      val seedRows = qf.orderBy(col("vec_id")).limit(k).collect()
+      var states: IndexedSeq[Seq[Centroid]] = (0 until m).map { s =>
+        seedRows.zipWithIndex.map { case (r, i) =>
+          Centroid(i, 1L,
+            r.getSeq[Long](1).slice(s * dsub, (s + 1) * dsub).toArray)
+        }.toSeq
+      }.toIndexedSeq
+      def assignAll(): DataFrame = qf.select(col("vec_id") +: col("q") +:
+        (0 until m).map(s =>
+          KMeansCells.argmin(slice(col("q"), s * dsub + 1, dsub),
+            exprState(states(s))).as(s"c$s")): _*)
+      var assigned = assignAll()
+      (2 to iters).foreach { _ =>
+        val exploded = assigned.select(explode(array((0 until m).map(s =>
+            struct(lit(s).as("sub"), col(s"c$s").as("cell"),
+              slice(col("q"), s * dsub + 1, dsub).as("qs"))): _*)).as("e"))
+          .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
+            col("e.qs").as("qs"))
+        val aggs = (count(lit(1)).as("n") +:
+          (1 to dsub).map(i => sum(el(col("qs"), i)).as(s"s$i"))).toList
+        val got = exploded.groupBy(col("sub"), col("cell"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), Centroid(r.getInt(1), r.getLong(2),
+            Array.tabulate(dsub)(i => r.getLong(3 + i)))))
+          .groupBy(_._1)
+          .map { case (s, rows) => s -> rows.map(t => t._2.cell -> t._2).toMap }
+        states = (0 until m).map(s =>
+          states(s).map(c => got.getOrElse(s, Map.empty[Int, Centroid])
+            .getOrElse(c.cell, c))).toIndexedSeq
+        assigned = assignAll()
       }
+      val fused = assigned.localCheckpoint(false)
+      val subs = (0 until m).map(s => fused.select(col("vec_id"),
+        slice(col("q"), s * dsub + 1, dsub).as("q"), col(s"c$s").as("cell")))
       (subs, dsub)
     }
   }
@@ -265,17 +309,21 @@ object Cluster {
   def pqCodebook(embeddings: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame =
     pqAssignedFrames(embeddings, m, k, iters) match {
       case Some((subs, dsub)) =>
-        subs.zipWithIndex.map { case (assigned, s) =>
-          val aggs = (count(lit(1)).as("n") +:
-            (1 to dsub).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
-          assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
-            .select(col("cell"), col("n"),
-              posexplode(array((1 to dsub).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
-            .select(lit(s).cast(IntegerType).as("subspace"), col("cell"),
-              (col("pos") + 1).cast(IntegerType).as("dim"),
-              col("s"), col("n"),
-              (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
+        // every subspace's final state in ONE keyed aggregation (the
+        // same fusion as training's update step)
+        val exploded = subs.zipWithIndex.map { case (df, s) =>
+          df.select(lit(s).cast(IntegerType).as("subspace"), col("cell"),
+            col("q").as("qs"))
         }.reduce(_.unionByName(_))
+        val aggs = (count(lit(1)).as("n") +:
+          (1 to dsub).map(i => sum(el(col("qs"), i)).as(s"s$i"))).toList
+        exploded.groupBy(col("subspace"), col("cell")).agg(aggs.head, aggs.tail: _*)
+          .select(col("subspace"), col("cell"), col("n"),
+            posexplode(array((1 to dsub).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
+          .select(col("subspace"), col("cell"),
+            (col("pos") + 1).cast(IntegerType).as("dim"),
+            col("s"), col("n"),
+            (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
       case None =>
         val spark = embeddings.sparkSession
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

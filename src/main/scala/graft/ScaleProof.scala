@@ -138,16 +138,18 @@ object ScaleProof {
         graft.ext.Cluster.semanticDedup(synthEmbeddings(s, 500L * f), k = 8, iters = 2,
           threshold = 0.30, maxCluster = 1024)))
 
-  /** Successful tasks' (stageId, durationMs, shuffleReadRecords),
-    * drained from the async listener bus before reading (see
-    * [[org.apache.spark.sql.graft.ListenerDrain]]). */
+  /** Successful tasks' (stageId, durationMs, shuffleReadRecords,
+    * shuffleWriteBytes), drained from the async listener bus before
+    * reading (see [[org.apache.spark.sql.graft.ListenerDrain]]). */
   private final class TaskTimes extends org.apache.spark.scheduler.SparkListener {
-    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
     override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       if (e.taskInfo != null && e.taskInfo.successful)
         rows.add((e.stageId, e.taskInfo.duration,
           if (e.taskMetrics == null) 0L
-          else e.taskMetrics.shuffleReadMetrics.recordsRead))
+          else e.taskMetrics.shuffleReadMetrics.recordsRead,
+          if (e.taskMetrics == null) 0L
+          else e.taskMetrics.shuffleWriteMetrics.bytesWritten))
   }
 
   private case class SkewRun(name: String, sec: Double, maxTaskMs: Long,
@@ -354,6 +356,57 @@ object ScaleProof {
     allOk
   }
 
+  /** IVF-PQ candidate-traffic proof: identical routing (8 trained
+    * cells, nProbe 2) over 50k synthetic embeddings, autoBroadcast OFF
+    * so the inverted-list join actually shuffles both sides. The PQ
+    * variant's indexed side carries m ints + one precomputed norm where
+    * trained-IVF ships d floats, so the SEARCH must move strictly fewer
+    * shuffle bytes — the d/m× compression claim as a measured number.
+    * Training runs during plan construction, BEFORE the listener
+    * attaches: only search-execution traffic is compared. */
+  private def provePqTraffic(spark: SparkSession): Boolean = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.graft.ListenerDrain
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = synthEmbeddings(spark, 50000L).localCheckpoint(true)
+      def measure(build: () => DataFrame): (Double, Long, Long, Long) = {
+        val df = build() // training collects happen here, unmeasured
+        val listener = new TaskTimes
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val t0 = System.nanoTime()
+          val (rows, _) = LocalSession.runToFinalPlan(df)
+          val sec = (System.nanoTime() - t0) / 1e9
+          ListenerDrain.drain(spark.sparkContext)
+          val tasks = listener.rows.asScala.toSeq
+          (sec, rows, tasks.map(_._4).sum, tasks.map(_._3).sum)
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      // coarseK follows the ladder's k ∝ √n regime (80 cells at 50k
+      // vectors) — at k=8 the candidate set is ~n²/4 and the point of
+      // the measurement (equal routing, different payload) drowns in it
+      def trained() = graft.ext.Sim.ivfTopKTrained(emb,
+        graft.ext.Cluster.kmeansCentroids(emb, k = 80, iters = 2), 5, 2)
+      def pq() = graft.ext.Sim.ivfPqTopK(emb, m = 8, kSub = 64,
+        coarseK = 80, nProbe = 2, k = 5)
+      measure(trained); measure(pq) // codegen warm-up, both shapes
+      val (tSec, tRows, tBytes, tRecs) = measure(trained)
+      val (pSec, pRows, pBytes, pRecs) = measure(pq)
+      emb.unpersist()
+      val ok = pBytes < tBytes && tBytes > 0
+      println(
+        s"""{"metric":"ivfpq_traffic","vectors":50000,""" +
+          s""""trained":{"sec":${s2(tSec)},"result_rows":$tRows,"shuffle_bytes":$tBytes,"shuffle_records":$tRecs},""" +
+          s""""ivfpq":{"sec":${s2(pSec)},"result_rows":$pRows,"shuffle_bytes":$pBytes,"shuffle_records":$pRecs},""" +
+          s""""bytes_ratio":${s2(tBytes.toDouble / math.max(pBytes, 1L))},""" +
+          s""""pq_moves_less":$ok}""")
+      ok
+    } finally prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
   private def usedHeapMb(): Long = {
     System.gc()
     val rt = Runtime.getRuntime
@@ -441,7 +494,9 @@ object ScaleProof {
     val skewOk = if (only.forall(_.contains("skew"))) proveSkew(spark) else true
     // the SemDeDup candidate-growth gate — selectable as "sempairs"
     val semOk = if (only.forall(_.contains("sempairs"))) proveSemanticPairBound(spark) else true
-    val allOk = pipelinesOk && skewOk && semOk
+    // the IVF-PQ candidate-compression measurement — selectable as "pqtraffic"
+    val pqOk = if (only.forall(_.contains("pqtraffic"))) provePqTraffic(spark) else true
+    val allOk = pipelinesOk && skewOk && semOk && pqOk
     // stop() BEFORE the exit-code decision: the failing path must not
     // skip session shutdown (stray /dev/shm shuffle dirs, noisy
     // shutdown-hook logs from an abrupt JVM teardown)

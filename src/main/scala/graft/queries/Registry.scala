@@ -378,36 +378,6 @@ object Registry {
 
     "embed_near_dup" -> ((s, dir) => Sim.embeddingNearDups(Tables(s, dir).embeddings, 6, 0.30)),
 
-    // the ANN quality AUDIT as a first-class query: per-variant recall
-    // against the brute-force truth, so recall itself is a driver-
-    // hash-checked number, not a claim in a doc. Truth pairs are
-    // localCheckpointed once (4 variants probe them); truth_pairs rides
-    // as a bounded driver-read literal (the oracle's scalar subquery
-    // computes the identical value).
-    "ann_recall" -> ((s, dir) => {
-      val emb = Tables(s, dir).embeddings
-      val truth = Sim.bruteTopK(emb, 5)
-        .select(col("vec_id"), col("neighbor_id")).localCheckpoint(false)
-      val truthCnt = truth.count()
-      def row(variant: String, approx: org.apache.spark.sql.DataFrame) =
-        approx.select(col("vec_id"), col("neighbor_id"))
-          .join(truth, Seq("vec_id", "neighbor_id"), "left_semi")
-          .agg(count(lit(1)).as("hit_pairs"))
-          .select(lit(variant).as("variant"), lit(truthCnt).as("truth_pairs"),
-            col("hit_pairs"),
-            (col("hit_pairs").cast(DoubleType) / lit(truthCnt.toDouble)).as("recall"))
-      Seq(
-        row("lsh", Sim.lshTopK(emb, 5, 6)),
-        row("lsh_multi", Sim.lshTopKTables(emb, 5, 10, 3)),
-        row("ivf", Sim.ivfTopK(emb, 5, 8, 2)),
-        row("ivf_trained", Sim.ivfTopKTrained(emb,
-          graft.ext.Cluster.kmeansCentroids(emb, k = 8, iters = 2), 5, 2)))
-        .reduce(_.unionByName(_))
-      // (knn_cosine_ivfpq is NOT composed here: its oracle embeds 8
-      // Lloyd chains and overflows DuckDB's memory when nested as a
-      // subquery; its recall is asserted in ExtSpec instead)
-    }),
-
     "dq_suite" -> ((s, dir) =>
       Checks.suite(arrears(s, dir), loans(s, dir), Analog.payments(Tables(s, dir)))),
 
@@ -695,8 +665,50 @@ object Registry {
     })
   )
 
+  // ---- ANN recall as per-variant first-class queries ------------------
+  // The quality AUDIT for every ANN variant: recall against the brute-
+  // force truth as a driver-hash-checked number, not a doc claim. One
+  // query PER variant (r9 composed all four into one 289 KB / ~24 s
+  // DuckDB oracle — the sweep's worst case by 10×, and the nesting
+  // excluded ivfpq entirely because its 8-Lloyd-chain oracle overflowed
+  // DuckDB inside the 4-way union). Per-variant, each oracle embeds ONE
+  // variant twin plus the brute twin, so the largest is the ivfpq entry
+  // at ~50 KB and ivfpq recall is finally driver-checked like the rest.
+  // The (variant → underlying registered query) table is the single
+  // source of sync: the Spark side runs the REGISTERED query function
+  // and the oracle embeds that query's REGISTERED twin, so a parameter
+  // change in either propagates to its recall row automatically.
+  private val annRecallVariants: Seq[(String, String)] = Seq(
+    "lsh" -> "knn_cosine_lsh", "lsh_multi" -> "knn_cosine_lsh_multi",
+    "ivf" -> "knn_cosine_ivf", "ivf_trained" -> "knn_cosine_ivf_trained",
+    "ivfpq" -> "knn_cosine_ivfpq")
+
+  private def annRecallQuery(variant: String, underlying: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val truth = Sim.bruteTopK(emb, 5)
+        .select(col("vec_id"), col("neighbor_id")).localCheckpoint(false)
+      val truthCnt = truth.count()
+      if (truthCnt == 0L) {
+        // an empty/all-zero corpus degrades to an empty result (as the
+        // ANN operators themselves do), never a 0/0 NaN recall row —
+        // the oracle's `WHERE truth_pairs > 0` is the same short-circuit
+        import s.implicits._
+        Seq.empty[(String, Long, Long, Double)]
+          .toDF("variant", "truth_pairs", "hit_pairs", "recall")
+      } else
+        (coreQueries ++ ExtRegistry.queries)(underlying)(s, dir)
+          .select(col("vec_id"), col("neighbor_id"))
+          .join(truth, Seq("vec_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hit_pairs"))
+          .select(lit(variant).as("variant"), lit(truthCnt).as("truth_pairs"),
+            col("hit_pairs"),
+            (col("hit_pairs").cast(DoubleType) / lit(truthCnt.toDouble)).as("recall"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ SynthRegistry.queries ++ ExtRegistry.queries
+    coreQueries ++ SynthRegistry.queries ++ ExtRegistry.queries ++
+      annRecallVariants.map { case (v, u) => s"ann_recall_$v" -> annRecallQuery(v, u) }
 
   /** Flagship: monthly NPL ratios end-to-end (scan → cast-projection →
     * bucket/flag derivation → dim join → conditional agg → guarded ratio). */
@@ -1453,26 +1465,28 @@ object Registry {
          |UNION ALL SELECT 'payments_amount_not_null', count(*) FROM pay WHERE amount_received IS NULL""".stripMargin
   )
 
-  /** ANN-recall twin, COMPOSED from the variants' own oracles: each
-    * full oracle SQL embeds as a parenthesized subquery (SQL permits a
-    * WITH inside any subquery), truth = the brute oracle, hits via an
-    * EXISTS on (vec_id, neighbor_id). Built by string concatenation —
-    * no stripMargin over the embedded SQL, whose interiors must pass
-    * through untouched. */
-  private lazy val annRecallOracle: String = {
+  /** ANN-recall twins, one per variant, COMPOSED from the variants' own
+    * oracles: the variant's full oracle SQL embeds as a parenthesized
+    * subquery (SQL permits a WITH inside any subquery), truth = the
+    * brute oracle, hits via an EXISTS on (vec_id, neighbor_id). Built by
+    * string concatenation — no stripMargin over the embedded SQL, whose
+    * interiors must pass through untouched. `WHERE truth_pairs > 0`
+    * mirrors the Spark side's empty-corpus short-circuit. */
+  private lazy val annRecallOracles: Map[String, String] = {
     def sub(name: String): String = (coreOracles ++ ExtRegistry.oracles)(name)
-    def row(variant: String, name: String): String =
-      s"SELECT '$variant' AS variant,\n" +
-        "       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,\n" +
-        s"       (SELECT CAST(count(*) AS BIGINT) FROM (\n${sub(name)}\n) a\n" +
-        "         WHERE EXISTS (SELECT 1 FROM truth t\n" +
-        "                       WHERE t.vec_id = a.vec_id AND t.neighbor_id = a.neighbor_id)) AS hit_pairs"
-    val variants = Seq("lsh" -> "knn_cosine_lsh", "lsh_multi" -> "knn_cosine_lsh_multi",
-      "ivf" -> "knn_cosine_ivf", "ivf_trained" -> "knn_cosine_ivf_trained")
-    s"WITH truth AS (SELECT vec_id, neighbor_id FROM (\n${sub("knn_cosine_brute")}\n) t)\n" +
-      "SELECT variant, truth_pairs, hit_pairs,\n" +
-      "       CAST(hit_pairs AS DOUBLE) / CAST(truth_pairs AS DOUBLE) AS recall\n" +
-      s"FROM (\n${variants.map { case (v, n) => row(v, n) }.mkString("\nUNION ALL\n")}\n) u"
+    annRecallVariants.map { case (variant, underlying) =>
+      s"ann_recall_$variant" -> (
+        s"WITH truth AS (SELECT vec_id, neighbor_id FROM (\n${sub("knn_cosine_brute")}\n) t)\n" +
+          "SELECT variant, truth_pairs, hit_pairs,\n" +
+          "       CAST(hit_pairs AS DOUBLE) / CAST(truth_pairs AS DOUBLE) AS recall\n" +
+          "FROM (\n" +
+          s"  SELECT '$variant' AS variant,\n" +
+          "         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,\n" +
+          s"         (SELECT CAST(count(*) AS BIGINT) FROM (\n${sub(underlying)}\n) a\n" +
+          "           WHERE EXISTS (SELECT 1 FROM truth t\n" +
+          "                         WHERE t.vec_id = a.vec_id AND t.neighbor_id = a.neighbor_id)) AS hit_pairs\n" +
+          ") u\nWHERE truth_pairs > 0")
+    }.toMap
   }
 
   val oracles: Map[String, String] =
@@ -1482,6 +1496,6 @@ object Registry {
       // salting is distribution-only -> result must hash-match dpd_daily
       ("dpd_daily_salted" -> coreOracles("dpd_daily")) +
       // incremental maintenance must be EXACT vs the full recompute
-      ("npl_monthly_incremental" -> coreOracles("npl_monthly")) +
-      ("ann_recall" -> annRecallOracle)
+      ("npl_monthly_incremental" -> coreOracles("npl_monthly")) ++
+      annRecallOracles
 }

@@ -97,12 +97,29 @@ object Cluster {
       (embeddings.select(col("vec_id"), qCol(scale).as("q")), d)
     }
 
+  /** The |s|² < 2⁵³ exactness precondition, enforced LOUDLY: above it
+    * the int64→double cast in the assignment score silently rounds and
+    * the bit-replay contract vs the oracle quietly dies (at d=64 the
+    * bound allows ~9·10⁴ members per cell). The guard sits on the ONE
+    * path every scorer shares ([[nsqOverN2]] → [[exprState]]), so full
+    * training, sampled training, trained-IVF search and contamination
+    * probing all fail fast instead of drifting. overflow in the exact
+    * sum itself (addExact/multiplyExact) is a fortiori past the bound. */
+  private def exactNsq(c: Centroid): Long = {
+    val nsq =
+      try c.s.foldLeft(0L)((a, x) => Math.addExact(a, Math.multiplyExact(x, x)))
+      catch { case _: ArithmeticException => Long.MaxValue }
+    require(nsq < (1L << 53),
+      s"cell ${c.cell} (n=${c.n}): |s|^2 >= 2^53 — centroid state has outgrown " +
+        "the exact-double scoring bound; train the quantizer on a bounded " +
+        "sample (kmeansCentroidsSampled) and assign the full corpus instead")
+    nsq
+  }
+
   /** `|s|²/n²` — computed driver-side from exact int64 state; the oracle
     * performs the identical division on the identical integers. */
-  private def nsqOverN2(c: Centroid): Double = {
-    val nsq = c.s.foldLeft(0L)((a, x) => a + x * x)
-    nsq.toDouble / (c.n * c.n).toDouble
-  }
+  private def nsqOverN2(c: Centroid): Double =
+    exactNsq(c).toDouble / (c.n * c.n).toDouble
 
   /** Expression-state view of a centroid set (cell, n as double,
     * |s|²/n², component sums) for [[KMeansCells]]. */
@@ -193,20 +210,96 @@ object Cluster {
             StructField("mean", DoubleType))))
     }
 
+  /** The 100 TB training regime the object doc promises, as a concrete
+    * entry point: Lloyd trains on the DETERMINISTIC residue class
+    * `vec_id % sampleMod = 0` (grid scale ALSO sample-derived — the
+    * trained centroids live on the SAMPLE's grid, the
+    * [[Sim.ivfTopKTrained]] `gridScale` contract), then the FULL corpus
+    * is assigned in ONE narrow pass against the trained state and
+    * aggregated to the usual long form `(cell, dim, s, n, mean)` — now
+    * describing the full-corpus occupancy of the sample-trained cells.
+    *
+    * Scale shape: training cost shrinks by ~sampleMod× (every Lloyd
+    * pass scans n/sampleMod rows; the k-row shuffle state is unchanged)
+    * while the full-corpus pass is the identical narrow
+    * assignment+groupBy any full training's LAST round performs — the
+    * FAISS train-on-sample/assign-everything split. The residue class
+    * (not Spark's `sample()`) keeps the sample engine-agnostic, so a
+    * SQL twin replays training bit-for-bit (the contamination oracle
+    * already replays exactly this `WHERE` restriction).
+    *
+    * Full-corpus q components may exceed the sample's [-127,127] range
+    * (the grid is sample-derived); sums stay exact int64 and the 2⁵³
+    * scoring bound is guarded in [[exactNsq]]. Width is cross-checked:
+    * a full corpus wider/narrower than the sample fails fast. */
+  def kmeansCentroidsSampled(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      sampleMod: Int = 10): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be positive, got $sampleMod")
+    val sample = embeddings.filter(col("vec_id") % sampleMod === 0)
+    grid(sample) match {
+      case Some((scale, d)) =>
+        grid(embeddings).foreach { case (_, dFull) =>
+          require(dFull == d,
+            s"full-corpus width $dFull != training-sample width $d") }
+        val assignedSample =
+          lloydAssign(sample.select(col("vec_id"), qCol(scale).as("q")), k, iters, d)
+        val state = centroidStateOf(assignedSample, d)
+        val full = embeddings.select(col("vec_id"), qCol(scale).as("q"))
+          .withColumn("cell", assignCol(col("q"), state))
+        val aggs = (count(lit(1)).as("n") +:
+          (1 to d).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
+        full.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+          .select(col("cell"), col("n"),
+            posexplode(array((1 to d).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
+          .select(col("cell"), (col("pos") + 1).cast(IntegerType).as("dim"),
+            col("s"), col("n"),
+            (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
+      case None =>
+        val spark = embeddings.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("cell", IntegerType), StructField("dim", IntegerType),
+            StructField("s", LongType), StructField("n", LongType),
+            StructField("mean", DoubleType))))
+    }
+  }
+
+  /** Grid scale of the `vec_id % sampleMod = 0` training sample — what a
+    * downstream [[Sim.ivfTopKTrained]] search over the FULL corpus must
+    * pass as `gridScale` so probes quantize onto the trained grid. */
+  def sampledGridScale(embeddings: DataFrame, sampleMod: Int): Option[Double] =
+    grid(embeddings.filter(col("vec_id") % sampleMod === 0)).map(_._1)
+
   /** Rebuild exact centroid state from a [[kmeansCentroids]]-shaped long
     * frame — the bounded k·d-row collect a trained-IVF search performs
-    * ([[Sim.ivfTopKTrained]]'s "broadcast the k-row table" contract). */
-  def centroidState(centroids: DataFrame): Seq[Centroid] =
-    centroids.select(col("cell"), col("dim"), col("s"), col("n"))
+    * ([[Sim.ivfTopKTrained]]'s "broadcast the k-row table" contract).
+    *
+    * Fails FAST on a malformed frame (the same discipline as the ragged-
+    * embedding guard in [[grid]]): every cell must carry a contiguous
+    * 1..d dim set with ONE member count, and d must be uniform across
+    * cells — a filtered or truncated centroid table would otherwise
+    * zero-fill missing dims and route every search silently wrong. */
+  def centroidState(centroids: DataFrame): Seq[Centroid] = {
+    val state = centroids.select(col("cell"), col("dim"), col("s"), col("n"))
       .collect()
       .groupBy(_.getInt(0)).toSeq
       .map { case (cell, rows) =>
-        val d = rows.map(_.getInt(1)).max
+        val dims = rows.map(_.getInt(1)).sorted
+        require(dims.sameElements(1 to dims.length),
+          s"centroid cell $cell has non-contiguous dims ${dims.mkString(",")} — " +
+            "expected exactly 1..d (filtered or truncated centroid frame?)")
+        require(rows.map(_.getLong(3)).distinct.length == 1,
+          s"centroid cell $cell carries conflicting member counts " +
+            s"${rows.map(_.getLong(3)).distinct.sorted.mkString(",")}")
+        val d = dims.length
         val s = new Array[Long](d)
         rows.foreach(r => s(r.getInt(1) - 1) = r.getLong(2))
         Centroid(cell, rows.head.getLong(3), s)
       }
       .sortBy(_.cell)
+    require(state.map(_.s.length).distinct.length <= 1,
+      s"centroid cells disagree on width d: ${state.map(c => s"${c.cell}:${c.s.length}").mkString(",")}")
+    state
+  }
 
   /** Product-quantization codes — the vector-compression companion to
     * the coarse quantizer, completing the FAISS-style stack (IVF routes,
@@ -364,8 +457,11 @@ object Cluster {
     trained match {
       case Some((scale, assigned, d)) =>
         val state = centroidStateOf(assigned, d)
-        require(nProbe >= 1 && nProbe <= state.size,
-          s"nProbe must be in [1,${state.size}], got $nProbe")
+        require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+        // clamp, don't throw: a degenerate corpus collapsing into fewer
+        // non-empty cells than nProbe degrades gracefully here exactly as
+        // the oracle's `rk <= nProbe` ranking does (probing every cell)
+        val np = math.min(nProbe, state.size)
         val evalIdx = eval
           .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
           .select(col("vec_id").as("eval_id"), col("cell"),
@@ -375,7 +471,7 @@ object Cluster {
         val probed = probe.select(col("vec_id"), col("embedding"),
             dot(col("embedding"), col("embedding")).as("nsq"),
             org.apache.spark.sql.graft.KMeansCells.probe(
-              qCol(scale), exprState(state), nProbe).as("cells"))
+              qCol(scale), exprState(state), np).as("cells"))
           .filter(col("nsq") > 0)
           .select(col("vec_id"), col("embedding"), col("nsq"),
             explode(col("cells")).as("cell"))

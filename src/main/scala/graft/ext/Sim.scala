@@ -351,12 +351,20 @@ object Sim {
     * carries only its argmin), so no pair dedup is needed; the cosine is
     * scored on the ORIGINAL floats with the usual left-assoc chain.
     * Plan shape is [[ivfTopK]]'s unchanged: one narrow scoring pass,
-    * explode ×nProbe, one cell equi-join, one top-k window. */
+    * explode ×nProbe, one cell equi-join, one top-k window.
+    *
+    * GRID CONTRACT: the centroids live on a quantization grid fixed at
+    * TRAINING time. When they were trained on `embeddings` itself the
+    * default (re-deriving the scale from `embeddings`) reproduces that
+    * grid exactly; when they were trained on a DIFFERENT frame — a
+    * bounded sample, a prior snapshot — the caller must pass the
+    * trainer's `gridScale` (see [[Cluster.kmeansCentroidsSampled]]), or
+    * routing silently skews against centroids on another grid. */
   def ivfTopKTrained(embeddings: DataFrame, centroids: DataFrame, k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, gridScale: Option[Double] = None): DataFrame = {
     import graft.ext.Cluster
     val state = Cluster.centroidState(centroids)
-    val gridOpt = Cluster.grid(embeddings)
+    val gridOpt = gridScale.map(sc => (sc, 0)).orElse(Cluster.grid(embeddings))
     if (state.isEmpty || gridOpt.isEmpty) {
       val spark = embeddings.sparkSession
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -366,14 +374,16 @@ object Sim {
           org.apache.spark.sql.types.StructField("cosine", DoubleType),
           org.apache.spark.sql.types.StructField("rank", IntegerType))))
     }
-    require(nProbe >= 1 && nProbe <= state.size,
-      s"nProbe must be in [1,${state.size}], got $nProbe")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    // clamp to the non-empty cell count (the oracle's `rk <= nProbe`
+    // semantics) instead of throwing on a collapsed clustering
+    val np = math.min(nProbe, state.size)
     val (scale, _) = gridOpt.get
     val scored = spread(embeddings, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"),
         org.apache.spark.sql.graft.KMeansCells.probe(
-          Cluster.qCol(scale), Cluster.exprState(state), nProbe).as("cells"))
+          Cluster.qCol(scale), Cluster.exprState(state), np).as("cells"))
       .filter(col("nsq") > 0)
     // probe + index sides reuse the scored frame; localCheckpoint (not
     // cache) for the same block-lifetime reason as ivfTopK
@@ -435,8 +445,8 @@ object Sim {
           org.apache.spark.sql.types.StructField("cosine", DoubleType),
           org.apache.spark.sql.types.StructField("rank", IntegerType))))
     }
-    require(nProbe >= 1 && nProbe <= coarse.size,
-      s"nProbe must be in [1,${coarse.size}], got $nProbe")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val np = math.min(nProbe, coarse.size) // clamp, as in ivfTopKTrained
     val (scale, d) = gridOpt.get
     require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
     val dsub = d / m
@@ -471,7 +481,7 @@ object Sim {
     val base = spread(embeddings, col("vec_id")).select(
         col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"),
-        KMeansCells.probe(qc, Cluster.exprState(coarse), nProbe).as("cells"),
+        KMeansCells.probe(qc, Cluster.exprState(coarse), np).as("cells"),
         array((0 until m).map(s =>
           KMeansCells.argmin(slice(qc, s * dsub + 1, dsub), subStates(s))): _*)
           .as("codes"))

@@ -184,6 +184,91 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("centroidState fails fast on filtered/truncated/conflicting frames") {
+    val good = Cluster.kmeansCentroids(blobs, k = 2, iters = 2)
+    // a filtered frame (one dim row dropped) must not silently zero-fill
+    val holed = intercept[IllegalArgumentException] {
+      Cluster.centroidState(good.filter(!(col("cell") === 0 && col("dim") === 2)))
+    }
+    assert(holed.getMessage.contains("non-contiguous"))
+    // a truncated frame (top dim rows dropped from ONE cell) leaves
+    // cells disagreeing on width
+    val truncated = intercept[IllegalArgumentException] {
+      Cluster.centroidState(good.filter(!(col("cell") === 0 && col("dim") === 4)))
+    }
+    assert(truncated.getMessage.contains("width"))
+    // conflicting member counts inside one cell
+    val conflicted = intercept[IllegalArgumentException] {
+      Cluster.centroidState(good.withColumn("n",
+        when(col("dim") === 1, col("n") + 1).otherwise(col("n"))))
+    }
+    assert(conflicted.getMessage.contains("member counts"))
+  }
+
+  test("nProbe clamps to the non-empty cell count on a collapsed clustering") {
+    // identical vectors collapse Lloyd into ONE cell; nProbe=3 must
+    // degrade to probing that single cell (the oracle's rk<=nProbe
+    // semantics), not throw
+    val flat = (1 to 10).map(i => (i.toLong, Array(1.0f, 1.0f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val hits = Cluster.semanticContamination(
+      flat.filter(col("vec_id") % 2 =!= 0), flat.filter(col("vec_id") % 2 === 0),
+      k = 2, iters = 2, threshold = 0.9, nProbe = 3)
+    assert(hits.count() == 25L) // 5 probes x 5 evals, all cosine 1.0
+    val knn = graft.ext.Sim.ivfTopKTrained(flat,
+      Cluster.kmeansCentroids(flat, k = 2, iters = 2), k = 3, nProbe = 3)
+    assert(knn.count() > 0)
+  }
+
+  test("kmeansCentroidsSampled: trains on the residue class, assigns everything") {
+    // 128 deterministic vectors; sampleMod=4 trains on the 32 vectors
+    // with vec_id % 4 == 0 and assigns all 128
+    val df = wideEmbeddings(128)
+    val cen = Cluster.kmeansCentroidsSampled(df, k = 4, iters = 2, sampleMod = 4)
+      .collect()
+    assert(cen.nonEmpty)
+    // full-corpus occupancy: member counts across cells sum to n (every
+    // vector assigned), counted once per cell (64 dim rows per cell)
+    val byCell = cen.groupBy(_.getInt(0))
+    assert(byCell.values.map(_.head.getLong(3)).sum == 128L)
+    byCell.values.foreach(rows => assert(rows.length == 64))
+    // sampleMod=1 trains on everything but the contract still ENCODES
+    // the corpus against the final trained state (one extra assignment —
+    // the FAISS train-then-encode split), so it is NOT bit-identical to
+    // kmeansCentroids' final-round aggregate; it must still cover all n
+    val modOne = Cluster.kmeansCentroidsSampled(df, k = 4, iters = 2, sampleMod = 1)
+      .collect()
+    assert(modOne.groupBy(_.getInt(0)).values.map(_.head.getLong(3)).sum == 128L)
+    // deterministic under repartitioning (exact arithmetic end-to-end)
+    val again = Cluster.kmeansCentroidsSampled(df.repartition(7), k = 4,
+      iters = 2, sampleMod = 4).orderBy("cell", "dim").collect().toSeq
+    assert(again == Cluster.kmeansCentroidsSampled(df, k = 4, iters = 2,
+      sampleMod = 4).orderBy("cell", "dim").collect().toSeq)
+    // the sample grid is the search grid: ivfTopKTrained over the full
+    // corpus with the sampled centroids + sampledGridScale runs clean
+    val scale = Cluster.sampledGridScale(df, 4)
+    assert(scale.nonEmpty)
+    val knn = graft.ext.Sim.ivfTopKTrained(df,
+      Cluster.kmeansCentroidsSampled(df, k = 4, iters = 2, sampleMod = 4),
+      k = 3, nProbe = 2, gridScale = scale)
+    assert(knn.count() > 0)
+  }
+
+  test("|s|^2 >= 2^53 centroid state fails loudly instead of silently rounding") {
+    // craft a centroid frame whose component sums break the exact-double
+    // scoring bound: 64 dims x (2^27)^2 = 2^60 >> 2^53
+    val huge = spark.range(2).selectExpr(
+      "CAST(id AS INT) AS cell",
+      "explode(sequence(1, 64)) AS dim")
+      .selectExpr("cell", "dim", "CAST(134217728 AS BIGINT) AS s",
+        "CAST(1000000 AS BIGINT) AS n",
+        "CAST(134217728 AS DOUBLE) / 1000000.0 AS mean")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Sim.ivfTopKTrained(blobs, huge, k = 2, nProbe = 1).collect()
+    }
+    assert(e.getMessage.contains("2^53"))
+  }
+
   test("semanticDedup pairs only within a cluster, above threshold, a<b") {
     val got = Cluster.semanticDedup(blobs, k = 2, iters = 2, threshold = 0.9)
       .collect()

@@ -110,6 +110,29 @@ object ScaleProof {
     ("embeddings->kmeansCentroids64", Map.empty[String, String],
       (s: SparkSession, f: Int) =>
         graft.ext.Cluster.kmeansCentroids(synthEmbeddings(s, 500L * f), k = 64, iters = 2)),
+    // sampled training: Lloyd scans only the vec_id % 10 residue class
+    // (training cost /10 at equal k) while the full corpus is encoded in
+    // ONE narrow assignment pass — the same plan-shape/heap gates prove
+    // the encode step stays a constant-exchange narrow pass as n grows.
+    // Next to embeddings->kmeansCentroids this row shows the 100 TB
+    // train-on-sample/assign-everything split costs no extra structure.
+    ("embeddings->kmeansCentroidsSampled", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Cluster.kmeansCentroidsSampled(synthEmbeddings(s, 500L * f),
+          k = 8, iters = 2, sampleMod = 10)),
+    // cluster-routed decontamination: the EVAL side (training + index)
+    // is FIXED at 500 vectors while the probe corpus grows 100× — the
+    // streaming-decontamination regime, where eval state is bounded
+    // static/broadcast and probe cost is the only thing that scales.
+    // Probe ids are offset past the eval range so matches are genuine
+    // cross-set neighbors, not identity pairs.
+    ("embeddings->semanticContamination", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Cluster.semanticContamination(
+          synthEmbeddings(s, 500L * f)
+            .withColumn("vec_id", col("vec_id") + 10000000L),
+          synthEmbeddings(s, 500L), k = 8, iters = 2,
+          threshold = 0.30, nProbe = 2)),
     ("embeddings->lshTopKTables", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
       (s: SparkSession, f: Int) =>
         graft.ext.Sim.lshTopKTables(synthEmbeddings(s, 500L * f), 5, 10, 3)),

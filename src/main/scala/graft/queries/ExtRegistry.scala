@@ -265,6 +265,15 @@ object ExtRegistry {
       graft.ext.Cluster.kmeansCentroids(embeddingsDimChecked(s, dir),
         k = KmCentroidsK, iters = KmIters)),
 
+    // the 100 TB training regime as a first-class query: Lloyd trains on
+    // the vec_id % 10 residue class only (grid scale sample-derived),
+    // then the FULL corpus is encoded in ONE narrow assignment pass
+    // against the trained cells — output is the full-corpus occupancy of
+    // the sample-trained quantizer in the usual long form
+    "kmeans_centroids_sampled" -> ((s, dir) =>
+      graft.ext.Cluster.kmeansCentroidsSampled(embeddingsDimChecked(s, dir),
+        k = KmK, iters = KmIters, sampleMod = KmSampleMod)),
+
     // SemDeDup: the trained cluster is the blocking key; candidate pairs
     // score full-precision cosine on the ORIGINAL floats, never n² —
     // and never quadratic even on a degenerate clustering: SemMaxCluster
@@ -800,6 +809,7 @@ object ExtRegistry {
   private val KmK = 8
   private val KmCentroidsK = 64
   private val KmIters = 2
+  private val KmSampleMod = 10
   private val SemMaxCluster = 1024
   private val PqM = 4
   // IVF-PQ search trains its own production-shaped codebook (8
@@ -849,14 +859,16 @@ object ExtRegistry {
 
   /** One assignment round as a CTE: argmin cell per vector with ties to
     * the lowest cell — `row_number() OVER (ORDER BY score, cell)` is the
-    * oracle spelling of Cluster.assignCol's struct-array-sort. */
-  private def kmAssign(name: String, cen: String): String =
+    * oracle spelling of Cluster.assignCol's struct-array-sort. `src`
+    * defaults to the training q-frame; the sampled-training twin assigns
+    * a DIFFERENT (full-corpus) frame against the trained cells. */
+  private def kmAssign(name: String, cen: String, src: String = "q"): String =
     s"""$name AS (
        |  SELECT vec_id, q, cell FROM (
        |    SELECT v.vec_id, v.q, c.cell,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
-       |    FROM q v CROSS JOIN $cen c) t
+       |    FROM $src v CROSS JOIN $cen c) t
        |  WHERE rk = 1)""".stripMargin
 
   private def kmSums: String =
@@ -1071,6 +1083,24 @@ object ExtRegistry {
          |SELECT cell, CAST(d.i AS INTEGER) AS dim, s[d.i] AS s, n,
          |       CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE) AS mean
          |FROM g2, (SELECT unnest(generate_series(1, $EmbDim)) AS i) d""".stripMargin,
+
+    // sampled-training twin: kmCtes' WHERE restricts the TRAINING corpus
+    // to the residue class (grid scale included — sc is sample-derived),
+    // then the FULL corpus quantizes on that grid (qf) and assigns ONCE
+    // against the final trained cells g2 — the same one-extra-argmin
+    // encode step Cluster.kmeansCentroidsSampled performs
+    "kmeans_centroids_sampled" ->
+      s"""WITH ${kmCtes(KmK, s"WHERE vec_id % $KmSampleMod = 0")},
+         |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+         |qf AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings, sc),
+         |${kmAssign("af", "g2", "qf")},
+         |gf AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM af GROUP BY cell)
+         |SELECT cell, CAST(d.i AS INTEGER) AS dim, s[d.i] AS s, n,
+         |       CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+         |FROM gf, (SELECT unnest(generate_series(1, $EmbDim)) AS i) d""".stripMargin,
 
     // within-cluster cosine pairs over the original floats — the final
     // assignment a2 is the blocking key (sub-split by the SemMaxCluster

@@ -345,11 +345,21 @@ object Cluster {
     * per-subspace sums are the identical exact int64 state the
     * sequential form produces (and the oracle replays per subspace). */
   private def pqAssignedFrames(embeddings: DataFrame, m: Int, k: Int,
-      iters: Int): Option[(Seq[DataFrame], Int)] = {
+      iters: Int): Option[(Seq[DataFrame], Int)] =
+    quantized(embeddings).map { case (qf0, d) =>
+      pqAssignedFromQ(qf0, d, m, k, iters)
+    }
+
+  /** The fused per-subspace Lloyd core over an ALREADY-PREPARED integer
+    * frame `(vec_id, q)` of width `d` — shared by the raw-grid path
+    * ([[pqAssignedFrames]]) and the residual path ([[residualPqState]]),
+    * which feed it q-grid and residual-grid integers respectively. */
+  private def pqAssignedFromQ(qf0: DataFrame, d: Int, m: Int, k: Int,
+      iters: Int): (Seq[DataFrame], Int) = {
     require(m >= 1, s"m must be positive, got $m")
     require(k >= 2, s"k must be >= 2, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    quantized(embeddings).map { case (qf0, d) =>
+    locally {
       require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
       val dsub = d / m
       val qf = qf0.localCheckpoint(false)
@@ -424,6 +434,142 @@ object Cluster {
             StructField("dim", IntegerType), StructField("s", LongType),
             StructField("n", LongType), StructField("mean", DoubleType))))
     }
+
+  // ---- residual product quantization (FAISS IVFPQ proper) ------------
+
+  /** Bundled residual-PQ training state — everything an asymmetric-
+    * distance searcher needs, all bounded driver memory: the coarse
+    * quantizer's final non-empty cells, the residual grid scale, and the
+    * per-subspace codebooks TRAINED ON RESIDUALS (vector − its coarse
+    * centroid), re-quantized onto their own int8 grid.
+    *
+    * `cmFlat` is the coarse mean table flattened row-major
+    * (`cmFlat(cell·d + j−1) = s_j/n`, zero-filled for absent cells — an
+    * argmin can never emit one), the exact layout both the trainer's and
+    * the searcher's residual expressions look up, so the two sides
+    * compute residuals from the SAME IEEE doubles. */
+  private[graft] final case class ResidualPqState(scale: Double, d: Int, dsub: Int,
+      coarse: Seq[Centroid], cmFlat: IndexedSeq[Double], rscale: Double,
+      subs: Seq[Seq[Centroid]])
+
+  /** Final non-empty exact state of an assigned frame — the `g2`
+    * aggregation of the oracle twins, collected (bounded k rows). */
+  private def finalStateOf(assigned: DataFrame, d: Int): Seq[Centroid] = {
+    val aggs = (count(lit(1)).as("n") +:
+      (1 to d).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
+    assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => Centroid(r.getInt(0), r.getLong(1),
+        Array.tabulate(d)(i => r.getLong(2 + i))))
+      .sortBy(_.cell).toIndexedSeq
+  }
+
+  /** Collected per-subspace final codebook states (the `s{s}_g2`
+    * aggregations) in ONE fused keyed aggregation — m·k bounded rows. */
+  private def pqSubStates(subs: Seq[DataFrame], dsub: Int): Seq[Seq[Centroid]] = {
+    val exploded = subs.zipWithIndex.map { case (df, s) =>
+      df.select(lit(s).cast(IntegerType).as("subspace"), col("cell"), col("q").as("qs"))
+    }.reduce(_.unionByName(_))
+    val aggs = (count(lit(1)).as("n") +:
+      (1 to dsub).map(i => sum(el(col("qs"), i)).as(s"s$i"))).toList
+    val got = exploded.groupBy(col("subspace"), col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), Centroid(r.getInt(1), r.getLong(2),
+        Array.tabulate(dsub)(i => r.getLong(3 + i)))))
+      .groupBy(_._1)
+    subs.indices.map(s =>
+      got.getOrElse(s, Array.empty[(Int, Centroid)]).map(_._2).sortBy(_.cell).toSeq)
+  }
+
+  /** Row-major flattened IEEE mean table of a centroid state
+    * (`(maxCell+1)·d` doubles, zero-filled gaps). */
+  private def flatMeans(state: Seq[Centroid], d: Int): IndexedSeq[Double] = {
+    val byCell = state.map(c => c.cell -> c).toMap
+    val maxCell = state.map(_.cell).max
+    (0 to maxCell).flatMap(c => byCell.get(c) match {
+      case Some(cen) => cen.s.toIndexedSeq.map(x => x.toDouble / cen.n.toDouble)
+      case None => IndexedSeq.fill(d)(0.0)
+    })
+  }
+
+  /** Residual-PQ training — FAISS IVFPQ proper, where the codebook
+    * quantizes the RESIDUAL `x − centroid(cell(x))` rather than the raw
+    * vector, which is what makes small codebooks accurate at high
+    * coarseK (the residual's spread is a cell's diameter, not the whole
+    * corpus's):
+    *
+    *  1. coarse Lloyd as usual ([[lloydAssign]]); every vector keeps its
+    *     final argmin cell.
+    *  2. residual per vector: `r_j = q_j − s_j(cell)/n(cell)` — the
+    *     int64 grid component minus the coarse IEEE mean, element-wise
+    *     deterministic doubles (no accumulation, so partition-order
+    *     safe).
+    *  3. the residuals are re-quantized onto THEIR OWN int8 grid
+    *     (`rscale = max|r| / 127`, one order-independent max) — back to
+    *     exact integers, so the per-subspace Lloyd training that follows
+    *     ([[pqAssignedFromQ]]) keeps the bit-replayable exact-int64-sum
+    *     contract; an all-zero residual corpus (every vector IS its
+    *     centroid) degrades to all-zero codes rather than 0/0.
+    *
+    * A SQL twin replays the whole chain: same assignment, same IEEE
+    * mean/subtraction, same max-derived grid, same seeded Lloyd on the
+    * residual integers. Scale shape: coarse training as
+    * [[kmeansCentroids]], plus ONE narrow residual projection and the
+    * fused PQ training's iters shuffles — no joins anywhere. */
+  private[graft] def residualPqState(embeddings: DataFrame, m: Int, kSub: Int,
+      iters: Int, coarseK: Int): Option[ResidualPqState] =
+    grid(embeddings).map { case (scale, d) =>
+      require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
+      val qf = embeddings.select(col("vec_id"), qCol(scale).as("q"))
+      val assigned = lloydAssign(qf, coarseK, iters, d).localCheckpoint(false)
+      val coarse = finalStateOf(assigned, d)
+      coarse.foreach(exactNsq) // same 2⁵³ scoring bound as every consumer
+      val cm = flatMeans(coarse, d)
+      // Residuals are computed against the SHIPPED quantizer: one more
+      // narrow argmin pass re-assigns every vector against the FINAL
+      // trained table (the FAISS add() path). The last training
+      // assignment is NOT equivalent — it scored against the previous
+      // round's centroids, while search routing scores against the
+      // final table, and the two argmins disagree for boundary vectors;
+      // encoding must use the search's cell or ADC reconstructs against
+      // the wrong coarse mean.
+      val encoded = assigned.drop("cell")
+        .withColumn("cell", assignCol(col("q"), coarse))
+      val rCol = array((1 to d).map(j => el(col("q"), j).cast(DoubleType) -
+        element_at(typedlit(cm), col("cell") * d + j)): _*)
+      val withR = encoded.withColumn("r", rCol)
+      val rmax = withR.agg(max(array_max(transform(col("r"), x => abs(x))))).first()
+      val rscale = if (rmax.isNullAt(0)) 0.0 else rmax.getDouble(0) / 127.0
+      val rqCol =
+        if (rscale == 0.0) array((1 to d).map(_ => lit(0L)): _*)
+        else transform(col("r"), x => floor(x / lit(rscale) + lit(0.5)).cast(LongType))
+      val (subFrames, dsub) =
+        pqAssignedFromQ(withR.select(col("vec_id"), rqCol.as("q")), d, m, kSub, iters)
+      ResidualPqState(scale, d, dsub, coarse, cm, rscale, pqSubStates(subFrames, dsub))
+    }
+
+  /** Trained RESIDUAL codebook in the [[pqCodebook]] long form
+    * `(subspace, cell, dim, s, n, mean)` — sums/counts are over the
+    * residual-grid integers. The rows come from the bounded collected
+    * training state (m·k·(d/m) values, the same driver-memory contract
+    * as [[centroidState]]), exposed as a frame for the oracle gate. */
+  def pqCodebookResidual(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
+      iters: Int = 2, coarseK: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    residualPqState(embeddings, m, kSub, iters, coarseK) match {
+      case Some(st) =>
+        import spark.implicits._
+        st.subs.zipWithIndex.flatMap { case (cells, s) =>
+          cells.flatMap(c => (1 to st.dsub).map(i =>
+            (s, c.cell, i, c.s(i - 1), c.n, c.s(i - 1).toDouble / c.n.toDouble)))
+        }.toDF("subspace", "cell", "dim", "s", "n", "mean")
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("subspace", IntegerType), StructField("cell", IntegerType),
+            StructField("dim", IntegerType), StructField("s", LongType),
+            StructField("n", LongType), StructField("mean", DoubleType))))
+    }
+  }
 
   /** Semantic (embedding-space) contamination audit, cluster-routed —
     * the trained-quantizer edition of [[Corpus.bloomContamination]]'s

@@ -401,6 +401,82 @@ object Sim {
     topK(pairs, k)
   }
 
+  /** IVF tuning curve — the production `nProbe` knob as a measured
+    * (nprobe, candidate_pairs, truth_pairs, hit_pairs, recall) table: a
+    * recall-targeted deployment reads the row meeting its budget instead
+    * of guessing the probe width. Closes the tuning loop the same way
+    * `ann_recall` closed the variant comparison — recall per operating
+    * point is a hash-checked number, not a doc claim.
+    *
+    * ONE training pass and ONE candidate generation serve every curve
+    * point: the probe list is built once at `max(nProbes)` width with
+    * its PROBE RANK kept (position in the nearest-cell list), so the
+    * nProbe=p operating point is the `rank ≤ p` prefix — each row is a
+    * filter + window + aggregate over the same checkpointed pair frame,
+    * never a re-search. Truth is [[bruteTopK]] (the same baseline every
+    * recall query uses), checkpointed once.
+    *
+    * Scale: candidate volume is the cell-join bound ivfTopKTrained
+    * carries (never n²); the curve adds |nProbes| bounded aggregates
+    * over one materialized pair set — at 100 TB you run it on a sampled
+    * probe slice, and the candidate_pairs column IS the cost axis the
+    * tuner trades against recall. */
+  def ivfNprobeCurve(embeddings: DataFrame, k: Int, coarseK: Int, iters: Int,
+      nProbes: Seq[Int]): DataFrame = {
+    import graft.ext.Cluster
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
+      s"nProbes must be non-empty positive, got $nProbes")
+    val spark = embeddings.sparkSession
+    def emptyOut = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nprobe", IntegerType),
+        org.apache.spark.sql.types.StructField("candidate_pairs", LongType),
+        org.apache.spark.sql.types.StructField("truth_pairs", LongType),
+        org.apache.spark.sql.types.StructField("hit_pairs", LongType),
+        org.apache.spark.sql.types.StructField("recall", DoubleType))))
+    val state = Cluster.centroidState(Cluster.kmeansCentroids(embeddings, coarseK, iters))
+    val gridOpt = Cluster.grid(embeddings)
+    if (state.isEmpty || gridOpt.isEmpty) return emptyOut
+    val truth = bruteTopK(embeddings, k).select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint(false)
+    val truthCnt = truth.count()
+    if (truthCnt == 0L) return emptyOut // empty-corpus short-circuit, as ann_recall
+    val (scale, _) = gridOpt.get
+    val maxNp = math.min(nProbes.max, state.size) // clamp, as in ivfTopKTrained
+    val scored = spread(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"),
+        org.apache.spark.sql.graft.KMeansCells.probe(
+          Cluster.qCol(scale), Cluster.exprState(state), maxNp).as("cells"))
+      .filter(col("nsq") > 0)
+      .localCheckpoint(false)
+    val probes = scored.select(col("vec_id"), col("embedding").as("emb_a"),
+        col("nsq").as("nsq_a"), posexplode(col("cells")).as(Seq("pos", "cell")))
+      .select(col("vec_id"), col("emb_a"), col("nsq_a"),
+        (col("pos") + 1).as("pr"), col("cell"))
+    val indexed = scored.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_b"), col("nsq").as("nsq_b"),
+      element_at(col("cells"), 1).as("cell"))
+    val pairs = probes.join(indexed, Seq("cell"), "inner")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+      .select(col("vec_id"), col("neighbor_id"), col("pr"), col("cosine"))
+      .join(truth.withColumn("is_truth", lit(1)), Seq("vec_id", "neighbor_id"), "left")
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    nProbes.map { np =>
+      pairs.filter(col("pr") <= np)
+        .withColumn("rank", row_number().over(w))
+        .agg(count(lit(1)).as("candidate_pairs"),
+          coalesce(sum(when(col("rank") <= k && col("is_truth").isNotNull, 1L)), lit(0L))
+            .as("hit_pairs"))
+        .select(lit(np).as("nprobe"), col("candidate_pairs"),
+          lit(truthCnt).as("truth_pairs"), col("hit_pairs"),
+          (col("hit_pairs").cast(DoubleType) / lit(truthCnt.toDouble)).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** IVF-PQ search — the full FAISS architecture end-to-end: the
     * trained coarse quantizer ROUTES (index in argmin cell, probe the
     * `nProbe` nearest cells) and the PQ codebook COMPRESSES (each
@@ -498,6 +574,134 @@ object Sim {
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         PqAdcDot.adcDot(col("emb_a"), col("codes_b"), means) /
+          (sqrt(col("nsq_a")) * sqrt(col("rnsq"))))
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+    topK(pairs, k)
+  }
+
+  /** IVF-PQ search with RESIDUAL encoding — FAISS IVFPQ proper: the
+    * codebook quantizes `x − centroid(cell(x))` instead of the raw
+    * vector ([[graft.ext.Cluster.residualPqState]]), so the same m·log₂k
+    * bits describe a cell-diameter spread instead of the whole corpus's
+    * — the standard accuracy move at high coarseK.
+    *
+    * Scoring decomposes exactly like FAISS's precomputed-table ADC:
+    * `recon(y) = cm(cell_y) + rscale·pq(codes_y)`, so
+    *
+    *   dot(q, recon)  = dot(q, cm(cell))  +  rscale · dot(q, pq(codes))
+    *   |recon|²       = |cm|² + 2·rscale·dot(cm, pq) + rscale²·|pq|²
+    *
+    * The first dot is one [[org.apache.spark.sql.graft.PqAdcDot]] lookup
+    * with the coarse table as a single full-width "subspace" (code =
+    * cell id); the second is the usual per-subspace ADC loop; the three
+    * |recon|² terms are literal-table lookups — `dot(cm, pq)` per
+    * (cell, code) is FAISS's `use_precomputed_table` term, built driver-
+    * side from the bounded training state (coarseK·kSub doubles per
+    * subspace). Candidate traffic is IDENTICAL to [[ivfPqTopK]] (m ints
+    * + one norm per indexed vector); plan shape is identical too.
+    *
+    * Every IEEE step replays in SQL (assignment, residual, residual
+    * grid, per-subspace Lloyd, the two dot chains, the three-term norm),
+    * so the approximate ranking is hash-checked end-to-end. */
+  def ivfPqResidualTopK(embeddings: DataFrame, m: Int = 8, kSub: Int = 64,
+      coarseK: Int = 8, nProbe: Int = 2, k: Int = 5, iters: Int = 2): DataFrame = {
+    import graft.ext.Cluster
+    import org.apache.spark.sql.graft.{KMeansCells, PqAdcDot}
+    val stOpt = Cluster.residualPqState(embeddings, m, kSub, iters, coarseK)
+    if (stOpt.isEmpty || stOpt.get.coarse.isEmpty || stOpt.get.subs.exists(_.isEmpty)) {
+      val spark = embeddings.sparkSession
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id", LongType),
+          org.apache.spark.sql.types.StructField("cosine", DoubleType),
+          org.apache.spark.sql.types.StructField("rank", IntegerType))))
+    }
+    val st = stOpt.get
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val np = math.min(nProbe, st.coarse.size) // clamp, as in ivfTopKTrained
+    val d = st.d
+    val dsub = st.dsub
+    // driver-built scoring tables, all from the bounded training state.
+    // cmMeans is indexed by raw cell id (the flatMeans layout).
+    val maxCell = st.coarse.map(_.cell).max
+    val cmMeans: IndexedSeq[IndexedSeq[Double]] =
+      (0 to maxCell).map(c => st.cmFlat.slice(c * d, (c + 1) * d))
+    val cmsq: IndexedSeq[Double] =
+      cmMeans.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val subExpr: Seq[Seq[(Int, Double, Double, Seq[Long])]] = st.subs.map(_.map { c =>
+      val nsq = c.s.foldLeft(0L)((a, x) => a + x * x)
+      (c.cell, c.n.toDouble, nsq.toDouble / (c.n * c.n).toDouble, c.s.toIndexedSeq)
+    })
+    // per-subspace mean / |mean|² / cross tables indexed by raw code id
+    val maxSub: Seq[Int] = st.subs.map(_.map(_.cell).max)
+    val subMeans: Seq[Seq[Seq[Double]]] = st.subs.zipWithIndex.map { case (cells, s) =>
+      val byCell = cells.map(c => c.cell -> c).toMap
+      (0 to maxSub(s)).map(c => byCell.get(c) match {
+        case Some(cen) => cen.s.toIndexedSeq.map(x => x.toDouble / cen.n.toDouble)
+        case None => IndexedSeq.fill(dsub)(0.0)
+      })
+    }
+    val msqSub: Seq[IndexedSeq[Double]] = subMeans.map(_.map(
+      _.foldLeft(0.0)((a, x) => a + x * x)).toIndexedSeq)
+    // FAISS's precomputed table: dot(cm slice s of cell, subspace-s mean
+    // of code), flattened (cell · stride + code) — same left-to-right
+    // accumulation the oracle's chain spells
+    val crossFlat: Seq[IndexedSeq[Double]] = (0 until m).map { s =>
+      (0 to maxCell).flatMap { cell =>
+        (0 to maxSub(s)).map { code =>
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            acc += cmMeans(cell)(s * dsub + i) * subMeans(s)(code)(i); i += 1
+          }
+          acc
+        }
+      }
+    }
+    val qc = Cluster.qCol(st.scale)
+    val coarseExpr = Cluster.exprState(st.coarse)
+    val base0 = spread(embeddings, col("vec_id")).select(
+        col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"),
+        KMeansCells.probe(qc, coarseExpr, np).as("cells"),
+        qc.as("q"))
+      .withColumn("cell0", element_at(col("cells"), 1))
+    // residual vs the OWN cell on the trainer's exact layout, then codes
+    val rCol = array((1 to d).map(j => el(col("q"), j).cast(DoubleType) -
+      element_at(typedlit(st.cmFlat), col("cell0") * d + j)): _*)
+    val rqCol =
+      if (st.rscale == 0.0) array((1 to d).map(_ => lit(0L)): _*)
+      else transform(rCol, x => floor(x / lit(st.rscale) + lit(0.5)).cast(LongType))
+    val codesCol = array((0 until m).map(s =>
+      KMeansCells.argmin(slice(col("rq"), s * dsub + 1, dsub), subExpr(s))): _*)
+    val crossSum = (0 until m).map(s =>
+      element_at(typedlit(crossFlat(s)),
+        col("cell0") * (maxSub(s) + 1) + element_at(col("codes"), s + 1) + 1))
+      .reduceLeft(_ + _)
+    val subsqSum = (0 until m).map(s =>
+      element_at(typedlit(msqSub(s)), element_at(col("codes"), s + 1) + 1))
+      .reduceLeft(_ + _)
+    val rnsqCol = element_at(typedlit(cmsq), col("cell0") + 1) +
+      lit(2.0 * st.rscale) * crossSum + lit(st.rscale * st.rscale) * subsqSum
+    val base = base0.withColumn("rq", rqCol)
+      .withColumn("codes", codesCol)
+      .withColumn("rnsq", rnsqCol)
+      .select(col("vec_id"), col("embedding"), col("nsq"), col("cells"),
+        col("cell0"), col("codes"), col("rnsq"))
+      .localCheckpoint(false)
+    val probes = base.filter(col("nsq") > 0)
+      .select(col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"),
+        explode(col("cells")).as("cell"))
+    // indexed side: m ints + one norm, the same traffic as ivfPqTopK
+    val indexed = base.filter(col("rnsq") > 0)
+      .select(col("vec_id").as("neighbor_id"), col("codes").as("codes_b"),
+        col("cell0").as("cell"), col("rnsq"))
+    val pairs = probes.join(indexed, Seq("cell"), "inner")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        (PqAdcDot.adcDot(col("emb_a"), array(col("cell")), Seq(cmMeans)) +
+          lit(st.rscale) * PqAdcDot.adcDot(col("emb_a"), col("codes_b"), subMeans)) /
           (sqrt(col("nsq_a")) * sqrt(col("rnsq"))))
       .select(col("vec_id"), col("neighbor_id"), col("cosine"))
     topK(pairs, k)

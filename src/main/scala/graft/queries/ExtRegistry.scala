@@ -315,6 +315,22 @@ object ExtRegistry {
       graft.ext.Sim.ivfPqTopK(embeddingsDimChecked(s, dir),
         m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5)),
 
+    // the RESIDUAL codebook (FAISS IVFPQ proper): per-subspace Lloyd
+    // over x − centroid(cell(x)), re-quantized onto the residual's own
+    // int8 grid so training stays exact-int64 bit-replayable
+    "pq_codebook_residual" -> ((s, dir) =>
+      graft.ext.Cluster.pqCodebookResidual(embeddingsDimChecked(s, dir),
+        m = PqM, kSub = KmK, iters = KmIters, coarseK = KmK)),
+
+    // residual IVF-PQ search: same routing, same candidate traffic
+    // (m ints + one norm), but codes describe the residual — the
+    // accuracy-at-equal-bits upgrade; recall vs raw coding is driver-
+    // checked via ann_recall_ivfpq_res
+    "knn_cosine_ivfpq_res" -> ((s, dir) =>
+      graft.ext.Sim.ivfPqResidualTopK(embeddingsDimChecked(s, dir),
+        m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5,
+        iters = KmIters)),
+
     // cluster-ROUTED decontamination: the stream-static Bloom
     // discipline with the trained quantizer as the router. The eval
     // residue class is the held-out set, k-means trains ON IT (bounded
@@ -862,8 +878,15 @@ object ExtRegistry {
     * oracle spelling of Cluster.assignCol's struct-array-sort. `src`
     * defaults to the training q-frame; the sampled-training twin assigns
     * a DIFFERENT (full-corpus) frame against the trained cells. */
-  private def kmAssign(name: String, cen: String, src: String = "q"): String =
-    s"""$name AS (
+  /** `mat` emits `AS MATERIALIZED`: DuckDB inlines plain CTEs at every
+    * reference, and a deep assignment chain re-inlined from several
+    * consumers multiplies both plan size and peak memory — the r10
+    * finding behind the residual-PQ oracles OOMing an UNLIMITED DuckDB
+    * at 500 vectors (and the most credible driver-side r9 `{}` cause).
+    * Values are identical either way; only evaluation strategy changes. */
+  private def kmAssign(name: String, cen: String, src: String = "q",
+      mat: Boolean = false): String =
+    s"""$name AS ${if (mat) "MATERIALIZED " else ""}(
        |  SELECT vec_id, q, cell FROM (
        |    SELECT v.vec_id, v.q, c.cell,
        |           row_number() OVER (PARTITION BY v.vec_id
@@ -886,7 +909,7 @@ object ExtRegistry {
     s"""sc AS (
        |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS scale
        |  FROM embeddings $where),
-       |q AS (
+       |q AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
        |  FROM embeddings, sc $where),
@@ -898,7 +921,7 @@ object ExtRegistry {
        |g1 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a1 GROUP BY cell),
        |c1 AS (SELECT s0.cell, coalesce(g1.n, s0.n) AS n, coalesce(g1.s, s0.s) AS s
        |       FROM seeds s0 LEFT JOIN g1 USING (cell)),
-       |${kmAssign("a2", "c1")}""".stripMargin
+       |${kmAssign("a2", "c1", mat = true)}""".stripMargin
 
   // ---- product-quantization oracle machinery -------------------------
   // Mirrors ext.Cluster.pqCodes/pqCodebook and Sim.ivfPqTopK: offset
@@ -913,39 +936,43 @@ object ExtRegistry {
       s" + CAST(($nsq) AS DOUBLE) / CAST($c.n * $c.n AS DOUBLE)"
   }
 
-  private def pqAssign(name: String, cen: String, off: Int, dsub: Int): String =
-    s"""$name AS (
+  /** `src` names the integer-vector frame being assigned — the q-grid
+    * frame by default; the residual twins assign the `rq` frame. */
+  private def pqAssign(name: String, cen: String, off: Int, dsub: Int,
+      src: String = "q", mat: Boolean = false): String =
+    s"""$name AS ${if (mat) "MATERIALIZED " else ""}(
        |  SELECT vec_id, q, cell FROM (
        |    SELECT v.vec_id, v.q, c.cell,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY ${pqScore("v", "c", off, dsub)}, c.cell) AS rk
-       |    FROM q v CROSS JOIN $cen c) t
+       |    FROM $src v CROSS JOIN $cen c) t
        |  WHERE rk = 1)""".stripMargin
 
   private def pqSums(off: Int, dsub: Int): String =
     (1 to dsub).map(i => s"CAST(sum(q[${off + i}]) AS BIGINT)").mkString(", ")
 
   /** Training chain for subspace `s`: seeds → assign → update (with
-    * empty-cell retention) → final assign `s{s}_a2`. */
-  private def pqSubChain(s: Int, dsub: Int, k: Int): String = {
+    * empty-cell retention) → final assign `s{s}_a2`, trained on frame
+    * `src` (q-grid by default, `rq` for the residual twins). */
+  private def pqSubChain(s: Int, dsub: Int, k: Int, src: String = "q"): String = {
     val off = s * dsub
     s"""s${s}_seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         CAST(1 AS BIGINT) AS n,
        |         list_transform(generate_series(1, $dsub), i -> q[$off + i]) AS s
-       |  FROM q ORDER BY vec_id LIMIT $k),
-       |${pqAssign(s"s${s}_a1", s"s${s}_seeds", off, dsub)},
+       |  FROM $src ORDER BY vec_id LIMIT $k),
+       |${pqAssign(s"s${s}_a1", s"s${s}_seeds", off, dsub, src)},
        |s${s}_g1 AS (SELECT cell, count(*) AS n, [${pqSums(off, dsub)}] AS s FROM s${s}_a1 GROUP BY cell),
        |s${s}_c1 AS (SELECT s0.cell, coalesce(g.n, s0.n) AS n, coalesce(g.s, s0.s) AS s
        |             FROM s${s}_seeds s0 LEFT JOIN s${s}_g1 g USING (cell)),
-       |${pqAssign(s"s${s}_a2", s"s${s}_c1", off, dsub)}""".stripMargin
+       |${pqAssign(s"s${s}_a2", s"s${s}_c1", off, dsub, src, mat = true)}""".stripMargin
   }
 
   private def pqGridCtes: String =
     s"""sc AS (
        |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS scale
        |  FROM embeddings),
-       |q AS (
+       |q AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
        |  FROM embeddings, sc)""".stripMargin
@@ -965,7 +992,7 @@ object ExtRegistry {
     val dsub = EmbDim / m
     val subs = (0 until m).map(pqSubChain(_, dsub, k)).mkString(",\n")
     val g2s = (0 until m).map(s =>
-      s"s${s}_g2 AS (SELECT cell, count(*) AS n, [${pqSums(s * dsub, dsub)}] AS s FROM s${s}_a2 GROUP BY cell)")
+      s"s${s}_g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [${pqSums(s * dsub, dsub)}] AS s FROM s${s}_a2 GROUP BY cell)")
       .mkString(",\n")
     val sel = (0 until m).map(s =>
       s"""SELECT $s AS subspace, cell, CAST(d.i AS INTEGER) AS dim, s[d.i] AS s, n,
@@ -986,7 +1013,7 @@ object ExtRegistry {
     val dsub = EmbDim / m
     val subs = (0 until m).map(pqSubChain(_, dsub, kSub)).mkString(",\n")
     val g2s = (0 until m).map(s =>
-      s"s${s}_g2 AS (SELECT cell, count(*) AS n, [${pqSums(s * dsub, dsub)}] AS s FROM s${s}_a2 GROUP BY cell)")
+      s"s${s}_g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [${pqSums(s * dsub, dsub)}] AS s FROM s${s}_a2 GROUP BY cell)")
       .mkString(",\n")
     val cbs = (0 until m).map(s =>
       s"""s${s}_cb AS (
@@ -1017,7 +1044,7 @@ object ExtRegistry {
        |e0 AS (
        |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
        |  FROM embeddings m JOIN q v USING (vec_id)),
-       |ranked AS (
+       |ranked AS MATERIALIZED (
        |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
        |         row_number() OVER (PARTITION BY v.vec_id
        |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
@@ -1036,6 +1063,188 @@ object ExtRegistry {
        |         row_number() OVER (PARTITION BY p.vec_id
        |           ORDER BY $cosExpr DESC, y.neighbor_id) AS rank
        |  FROM probes p JOIN coded y ON p.cell = y.cell AND p.vec_id <> y.neighbor_id) t
+       |WHERE rank <= $kNeighbors""".stripMargin
+  }
+
+  /** IVF nProbe tuning-curve twin: trained routing replayed once at the
+    * max probe width WITH the probe rank kept, each operating point a
+    * `pr <= np` prefix re-ranked and scored against the brute truth —
+    * the same one-candidate-set/many-prefixes shape as
+    * Sim.ivfNprobeCurve. `bruteSql` (the registered brute oracle)
+    * splices in VERBATIM after stripMargin, the annRecallOracles
+    * no-stripMargin-over-embedded-SQL discipline. */
+  private[queries] def ivfNprobeCurveOracle(bruteSql: String, coarseK: Int,
+      kNeighbors: Int, nProbes: Seq[Int]): String = {
+    val maxNp = nProbes.max
+    val blocks = nProbes.map { np =>
+      s"""np${np}_s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS candidate_pairs,
+         |         CAST(coalesce(sum(CASE WHEN rnk <= $kNeighbors AND tv IS NOT NULL
+         |                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS hit_pairs
+         |  FROM (
+         |    SELECT p.vec_id, p.neighbor_id,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY p.cosine DESC, p.neighbor_id) AS rnk,
+         |           t.vec_id AS tv
+         |    FROM (SELECT * FROM pairs WHERE pr <= $np) p
+         |    LEFT JOIN truth t
+         |      ON t.vec_id = p.vec_id AND t.neighbor_id = p.neighbor_id) s)""".stripMargin
+    }.mkString(",\n")
+    val rows = nProbes.map(np =>
+      s"""SELECT CAST($np AS INTEGER) AS nprobe, candidate_pairs,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs, hit_pairs
+         |FROM np${np}_s""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH ${kmCtes(coarseK)},
+       |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+       |truth AS MATERIALIZED (SELECT vec_id, neighbor_id FROM (
+       |__BRUTE__
+       |) t),
+       |e0 AS (
+       |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
+       |  FROM embeddings m JOIN q v USING (vec_id)),
+       |ranked AS MATERIALIZED (
+       |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+       |  FROM e0 v CROSS JOIN g2 c),
+       |probes AS (SELECT vec_id, embedding, nsq, cell, rk FROM ranked
+       |           WHERE rk <= $maxNp AND nsq > 0),
+       |own AS (SELECT vec_id AS neighbor_id, embedding, nsq AS nsq_b, cell
+       |        FROM ranked WHERE rk = 1 AND nsq > 0),
+       |pairs AS MATERIALIZED (
+       |  SELECT p.vec_id, y.neighbor_id, p.rk AS pr,
+       |         (${kmEmbDot("p", "y")}) / (sqrt(p.nsq) * sqrt(y.nsq_b)) AS cosine
+       |  FROM probes p JOIN own y ON p.cell = y.cell AND p.vec_id <> y.neighbor_id),
+       |$blocks
+       |SELECT nprobe, candidate_pairs, truth_pairs, hit_pairs,
+       |       CAST(hit_pairs AS DOUBLE) / CAST(truth_pairs AS DOUBLE) AS recall
+       |FROM (
+       |$rows
+       |) u
+       |WHERE truth_pairs > 0""".stripMargin
+      .replace("__BRUTE__", bruteSql)
+  }
+
+  // ---- residual-PQ oracle machinery ---------------------------------
+  // Mirrors Cluster.residualPqState / Sim.ivfPqResidualTopK: coarse
+  // Lloyd as kmCtes, residual r = q − coarse IEEE mean (element-wise
+  // doubles — no accumulation, so engine-agnostic), residual re-grid
+  // rscale = max|r|/127 (one order-independent max), then the usual
+  // seeded per-subspace Lloyd over the residual integers.
+
+  /** Shared residual chain: coarse training → final cells g2 → IEEE
+    * means cm → residuals r0 → residual grid rs → residual integer
+    * frame rq → per-subspace training chains over rq. */
+  private def pqResCtes(m: Int, kSub: Int, coarseK: Int): String = {
+    val dsub = EmbDim / m
+    val subs = (0 until m).map(pqSubChain(_, dsub, kSub, "rq")).mkString(",\n")
+    s"""${kmCtes(coarseK)},
+       |g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+       |cm AS MATERIALIZED (
+       |  SELECT cell, n, s,
+       |         list_transform(generate_series(1, $EmbDim), i -> CAST(s[i] AS DOUBLE) / CAST(n AS DOUBLE)) AS mean
+       |  FROM g2),
+       |${kmAssign("a3", "g2", mat = true)},
+       |r0 AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |         list_transform(generate_series(1, $EmbDim), i -> CAST(a.q[i] AS DOUBLE) - c.mean[i]) AS r
+       |  FROM a3 a JOIN cm c USING (cell)),
+       |rs AS MATERIALIZED (SELECT max(list_max(list_transform(r, x -> abs(x)))) / 127.0 AS rscale FROM r0),
+       |rq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, $EmbDim), i ->
+       |           CASE WHEN rs.rscale = 0 THEN CAST(0 AS BIGINT)
+       |                ELSE CAST(floor(r[i] / rs.rscale + 0.5) AS BIGINT) END) AS q
+       |  FROM r0, rs),
+       |$subs""".stripMargin
+  }
+
+  /** Residual-codebook twin: per-subspace FINAL non-empty cells of the
+    * residual-trained Lloyd, long form — [[pqCodebookOracle]] over rq. */
+  private def pqCodebookResOracle(m: Int, kSub: Int, coarseK: Int): String = {
+    val dsub = EmbDim / m
+    val g2s = (0 until m).map(s =>
+      s"s${s}_g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [${pqSums(s * dsub, dsub)}] AS s FROM s${s}_a2 GROUP BY cell)")
+      .mkString(",\n")
+    val sel = (0 until m).map(s =>
+      s"""SELECT $s AS subspace, cell, CAST(d.i AS INTEGER) AS dim, s[d.i] AS s, n,
+         |       CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+         |FROM s${s}_g2, (SELECT unnest(generate_series(1, $dsub)) AS i) d""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH ${pqResCtes(m, kSub, coarseK)},\n$g2s\n$sel"
+  }
+
+  /** Residual IVF-PQ twin — FAISS IVFPQ proper. The ADC decomposition
+    * `recon = cm(cell) + rscale·pq(codes)` spells as one coarse dot
+    * chain plus `rscale ·` the usual per-subspace ADC chain, and
+    * `|recon|² = |cm|² + 2·rscale·dot(cm,pq) + rscale²·|pq|²` — the
+    * cross term is FAISS's precomputed table, here the same
+    * parenthesized per-subspace chains the Spark side builds its
+    * driver-side lookup tables from. */
+  private def ivfPqResOracle(m: Int, kSub: Int, coarseK: Int, nProbe: Int,
+      kNeighbors: Int): String = {
+    val dsub = EmbDim / m
+    val g2s = (0 until m).map(s =>
+      s"s${s}_g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [${pqSums(s * dsub, dsub)}] AS s FROM s${s}_a2 GROUP BY cell)")
+      .mkString(",\n")
+    val cbs = (0 until m).map(s =>
+      s"""s${s}_cb AS (
+         |  SELECT cell,
+         |         list_transform(generate_series(1, $dsub), i -> CAST(s[i] AS DOUBLE) / CAST(n AS DOUBLE)) AS mean
+         |  FROM s${s}_g2)""".stripMargin)
+      .mkString(",\n")
+    // deploy-time encoding: residual argmin against the FINAL codebook
+    val codes = (0 until m).map(s =>
+      pqAssign(s"s${s}_code", s"s${s}_g2", s * dsub, dsub, "rq")).mkString(",\n")
+    val cbJoins = (0 until m).map(s =>
+      s"  JOIN s${s}_code k$s ON k$s.vec_id = r.vec_id JOIN s${s}_cb c$s ON c$s.cell = k$s.cell")
+      .mkString("\n")
+    val cmsqChain =
+      "(" + (1 to EmbDim).map(i => s"cmm.mean[$i] * cmm.mean[$i]").mkString(" + ") + ")"
+    val crossChains = (0 until m).map(s =>
+      "(" + (1 to dsub).map(i => s"cmm.mean[${s * dsub + i}] * c$s.mean[$i]").mkString(" + ") + ")")
+      .mkString(" + ")
+    val msqChains = (0 until m).map(s =>
+      "(" + (1 to dsub).map(i => s"c$s.mean[$i] * c$s.mean[$i]").mkString(" + ") + ")")
+      .mkString(" + ")
+    val meanCols = (0 until m).map(s => s"c$s.mean AS mean$s").mkString(", ")
+    val coarseChain =
+      (1 to EmbDim).map(i => s"p.embedding[$i]::DOUBLE * y.cmmean[$i]").mkString(" + ")
+    val adcChain = (0 until m).flatMap(s =>
+      (1 to dsub).map(i => s"p.embedding[${s * dsub + i}]::DOUBLE * y.mean$s[$i]"))
+      .mkString(" + ")
+    val cosExpr =
+      s"(($coarseChain) + rs.rscale * ($adcChain)) / (sqrt(p.nsq) * sqrt(y.rnsq))"
+    s"""WITH ${pqResCtes(m, kSub, coarseK)},
+       |$g2s,
+       |$cbs,
+       |$codes,
+       |e0 AS (
+       |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
+       |  FROM embeddings m JOIN q v USING (vec_id)),
+       |ranked AS MATERIALIZED (
+       |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+       |  FROM e0 v CROSS JOIN g2 c),
+       |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked
+       |           WHERE rk <= $nProbe AND nsq > 0),
+       |coded0 AS (
+       |  SELECT r.vec_id AS neighbor_id, r.cell, cmm.mean AS cmmean, $meanCols,
+       |         $cmsqChain + 2.0 * rs.rscale * ($crossChains)
+       |           + rs.rscale * rs.rscale * ($msqChains) AS rnsq
+       |  FROM ranked r
+       |  JOIN cm cmm ON cmm.cell = r.cell
+       |$cbJoins
+       |  CROSS JOIN rs
+       |  WHERE r.rk = 1),
+       |coded AS (SELECT * FROM coded0 WHERE rnsq > 0)
+       |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT p.vec_id, y.neighbor_id, $cosExpr AS cosine,
+       |         row_number() OVER (PARTITION BY p.vec_id
+       |           ORDER BY $cosExpr DESC, y.neighbor_id) AS rank
+       |  FROM probes p JOIN coded y ON p.cell = y.cell AND p.vec_id <> y.neighbor_id
+       |  CROSS JOIN rs) t
        |WHERE rank <= $kNeighbors""".stripMargin
   }
 
@@ -1137,7 +1346,7 @@ object ExtRegistry {
          |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
          |  FROM embeddings m JOIN q v USING (vec_id)),
          |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
-         |ranked AS (
+         |ranked AS MATERIALIZED (
          |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
          |         row_number() OVER (PARTITION BY v.vec_id
          |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
@@ -1145,7 +1354,7 @@ object ExtRegistry {
          |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE rk <= 2),
          |indexed AS (SELECT vec_id AS neighbor_id, embedding, nsq, cell
          |            FROM ranked WHERE rk = 1),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT p.vec_id, i.neighbor_id,
          |         (${kmEmbDot("p", "i")}) / (sqrt(p.nsq) * sqrt(i.nsq)) AS cosine
          |  FROM probes p JOIN indexed i
@@ -1162,6 +1371,8 @@ object ExtRegistry {
     "pq_codes" -> pqOracle(PqM, KmK),
     "pq_codebook" -> pqCodebookOracle(PqM, KmK),
     "knn_cosine_ivfpq" -> ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5),
+    "pq_codebook_residual" -> pqCodebookResOracle(PqM, KmK, KmK),
+    "knn_cosine_ivfpq_res" -> ivfPqResOracle(PqSearchM, PqSearchKSub, KmK, 2, 5),
 
     // cluster-routed decontamination twin: k-means trains ON THE EVAL
     // residue class (kmCtes' where), eval vectors index at their final
@@ -1182,7 +1393,7 @@ object ExtRegistry {
          |         ($kmEmbNsq) AS nsq
          |  FROM embeddings, sc WHERE vec_id % 40 <> 0),
          |p1 AS (SELECT * FROM p0 WHERE nsq > 0),
-         |ranked AS (
+         |ranked AS MATERIALIZED (
          |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
          |         row_number() OVER (PARTITION BY v.vec_id
          |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
@@ -1954,7 +2165,7 @@ object ExtRegistry {
         |               WHERE p_name IS NOT NULL),
         |b AS (SELECT name, string_split(name, ' ')[-1] AS block FROM names),
         |f AS (SELECT name, string_split(name, ' ')[1] AS block FROM names),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT x.name AS name_a, y.name AS name_b,
         |         CAST(levenshtein(x.name, y.name) AS INTEGER) AS distance
         |  FROM b x JOIN b y ON x.block = y.block AND x.name < y.name
@@ -1974,7 +2185,7 @@ object ExtRegistry {
         |  WHERE p_name IS NOT NULL GROUP BY 1),
         |bk AS (SELECT name, nid, string_split(name, ' ')[-1] AS block FROM names),
         |fk AS (SELECT name, nid, string_split(name, ' ')[1] AS block FROM names),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT x.nid AS a, y.nid AS b
         |  FROM bk x JOIN bk y ON x.block = y.block AND x.name < y.name
         |  WHERE levenshtein(x.name, y.name) <= 2

@@ -378,6 +378,15 @@ object Registry {
 
     "embed_near_dup" -> ((s, dir) => Sim.embeddingNearDups(Tables(s, dir).embeddings, 6, 0.30)),
 
+    // the IVF TUNING curve: recall + candidate volume at nProbe ∈
+    // {1,2,4,8} over ONE trained routing and ONE candidate set (each
+    // point is a probe-rank prefix) — coarseK/iters mirror the
+    // knn_cosine_ivf_trained configuration, so the np=2 row is that
+    // query's operating point quantified against its alternatives
+    "ivf_nprobe_curve" -> ((s, dir) =>
+      Sim.ivfNprobeCurve(Tables(s, dir).embeddings, k = 5, coarseK = 8, iters = 2,
+        nProbes = Seq(1, 2, 4, 8))),
+
     "dq_suite" -> ((s, dir) =>
       Checks.suite(arrears(s, dir), loans(s, dir), Analog.payments(Tables(s, dir)))),
 
@@ -681,7 +690,7 @@ object Registry {
   private val annRecallVariants: Seq[(String, String)] = Seq(
     "lsh" -> "knn_cosine_lsh", "lsh_multi" -> "knn_cosine_lsh_multi",
     "ivf" -> "knn_cosine_ivf", "ivf_trained" -> "knn_cosine_ivf_trained",
-    "ivfpq" -> "knn_cosine_ivfpq")
+    "ivfpq" -> "knn_cosine_ivfpq", "ivfpq_res" -> "knn_cosine_ivfpq_res")
 
   private def annRecallQuery(variant: String, underlying: String): (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -1476,7 +1485,10 @@ object Registry {
     def sub(name: String): String = (coreOracles ++ ExtRegistry.oracles)(name)
     annRecallVariants.map { case (variant, underlying) =>
       s"ann_recall_$variant" -> (
-        s"WITH truth AS (SELECT vec_id, neighbor_id FROM (\n${sub("knn_cosine_brute")}\n) t)\n" +
+        // MATERIALIZED: truth is referenced twice (scalar count + the
+        // EXISTS probe); a plain CTE re-inlines the brute n² window at
+        // both sites — the DuckDB plan-explosion class found in r10
+        s"WITH truth AS MATERIALIZED (SELECT vec_id, neighbor_id FROM (\n${sub("knn_cosine_brute")}\n) t)\n" +
           "SELECT variant, truth_pairs, hit_pairs,\n" +
           "       CAST(hit_pairs AS DOUBLE) / CAST(truth_pairs AS DOUBLE) AS recall\n" +
           "FROM (\n" +
@@ -1497,5 +1509,10 @@ object Registry {
       ("dpd_daily_salted" -> coreOracles("dpd_daily")) +
       // incremental maintenance must be EXACT vs the full recompute
       ("npl_monthly_incremental" -> coreOracles("npl_monthly")) ++
-      annRecallOracles
+      annRecallOracles +
+      // tuning-curve twin: trained routing at max width + brute truth,
+      // parameters in lockstep with the registered query above
+      ("ivf_nprobe_curve" -> ExtRegistry.ivfNprobeCurveOracle(
+        coreOracles("knn_cosine_brute"), coarseK = 8, kNeighbors = 5,
+        nProbes = Seq(1, 2, 4, 8)))
 }

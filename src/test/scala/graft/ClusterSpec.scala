@@ -172,6 +172,48 @@ class ClusterSpec extends SparkSpec {
     assert(e.getMessage.contains("divisible"))
   }
 
+  test("residual codebook: exact sums/counts, determinism, zero-residual degeneracy") {
+    // blobs, m=2 subspaces of 2 dims: every subspace partitions all 6
+    // vectors; sums are exact residual-grid integers with mean == s/n
+    val cb = Cluster.pqCodebookResidual(blobs, m = 2, kSub = 2, iters = 2, coarseK = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    (0 to 1).foreach { s =>
+      val dims = cb.keys.filter(_._1 == s).map(_._3).toSet
+      assert(dims == Set(1, 2), s"subspace $s dims $dims")
+      val nTotal = cb.collect { case ((`s`, _, 1), (_, n, _)) => n }.sum
+      assert(nTotal == 6L, s"subspace $s members $nTotal != 6")
+    }
+    cb.foreach { case (k, (sSum, n, mean)) =>
+      assert(mean == sSum.toDouble / n.toDouble, s"$k mean drifted")
+      assert(math.abs(sSum) <= 127L * n, s"$k sum $sSum exceeds residual-grid bound")
+    }
+    // determinism under repartitioning (exact int64 state end-to-end)
+    val again = Cluster.pqCodebookResidual(blobs.repartition(5),
+      m = 2, kSub = 2, iters = 2, coarseK = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(again == cb)
+    // every-vector-is-its-centroid corpus: residuals are exactly zero,
+    // rscale degenerates to 0, and the guarded path emits all-zero codes
+    // (one cell 0 per subspace, zero sums) instead of 0/0
+    val twoPoints = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val degen = Cluster.pqCodebookResidual(twoPoints, m = 2, kSub = 2, iters = 2, coarseK = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5))))
+    assert(degen.map(_._1).toSet == Set((0, 0, 1), (0, 0, 2), (1, 0, 1), (1, 0, 2)),
+      s"degenerate cells ${degen.map(_._1).toSet}")
+    assert(degen.forall { case (_, (sSum, n, mean)) => sSum == 0L && n == 2L && mean == 0.0 },
+      s"degenerate state $degen")
+  }
+
   test("centroidState round-trips kmeansCentroids exactly") {
     val cens = Cluster.centroidState(Cluster.kmeansCentroids(blobs, k = 2, iters = 2))
     assert(cens.map(_.cell) == cens.map(_.cell).sorted)

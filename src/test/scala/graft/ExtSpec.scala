@@ -1098,6 +1098,16 @@ class ExtSpec extends SparkSpec {
     assert(recallPq >= 0.5, s"ivfpq recall $recallPq < 0.5")
     assert(recallPq <= recallTrained + 1e-9,
       s"ivfpq $recallPq exceeded its exact-scored routing ceiling $recallTrained")
+    // RESIDUAL coding at the same bit budget: the codebook describes a
+    // cell's diameter instead of the whole corpus, so recall must not
+    // drop below raw coding (and still can't beat its routing ceiling)
+    val pqRes = pairs(graft.ext.Sim.ivfPqResidualTopK(df, m = 4, kSub = 8,
+      coarseK = 8, nProbe = 2, k = 5))
+    val recallPqRes = (truth intersect pqRes).size.toDouble / truth.size
+    assert(recallPqRes >= recallPq - 1e-9,
+      s"residual coding $recallPqRes fell below raw coding $recallPq at equal bits")
+    assert(recallPqRes <= recallTrained + 1e-9,
+      s"ivfpq_res $recallPqRes exceeded its exact-scored routing ceiling $recallTrained")
   }
 
   test("near-dup/ANN operators register nothing in the session cache manager") {

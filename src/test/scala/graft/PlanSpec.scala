@@ -429,7 +429,10 @@ class PlanSpec extends SparkSpec {
       "semantic_contamination" -> ((0, 2, Map("BroadcastHashJoin" -> 2))),
       // round-9: IVF-PQ keeps the exact ivfTopK search shape — the PQ
       // compression changes WHAT the candidates carry, never the plan
-      "knn_cosine_ivfpq" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
+      "knn_cosine_ivfpq" -> ((1, 1, Map("BroadcastHashJoin" -> 1))),
+      // round-10: residual coding changes the codebook's TARGET, not the
+      // search plan — same routing, same candidate traffic, same shape
+      "knn_cosine_ivfpq_res" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
     val observed = golden.keys.toSeq.sorted.map { name =>
       name -> planShape(SparkEntry.queries(name)(spark, sfDir))
     }

@@ -34,6 +34,15 @@ def canon(rows):
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    # Bound DuckDB: the default memory_limit is 80% of RAM with no spill
+    # path, so one heavy oracle (deep CTE chains re-inlined per
+    # reference) can balloon the shared connection until the allocator —
+    # or the OS OOM-killer — kills the sweep mid-run, which silently
+    # zeroes the round's artifact (the credible r9 `{}` failure mode).
+    # With a hard limit + temp_directory DuckDB spills instead of dying.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads=8")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))

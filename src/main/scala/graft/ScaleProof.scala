@@ -414,18 +414,28 @@ object ScaleProof {
         graft.ext.Cluster.kmeansCentroids(emb, k = 80, iters = 2), 5, 2)
       def pq() = graft.ext.Sim.ivfPqTopK(emb, m = 8, kSub = 64,
         coarseK = 80, nProbe = 2, k = 5)
-      measure(trained); measure(pq) // codegen warm-up, both shapes
+      def pqRes() = graft.ext.Sim.ivfPqResidualTopK(emb, m = 8, kSub = 64,
+        coarseK = 80, nProbe = 2, k = 5)
+      measure(trained); measure(pq); measure(pqRes) // codegen warm-up, all shapes
       val (tSec, tRows, tBytes, tRecs) = measure(trained)
       val (pSec, pRows, pBytes, pRecs) = measure(pq)
+      val (rSec, rRows, rBytes, rRecs) = measure(pqRes)
       emb.unpersist()
       val ok = pBytes < tBytes && tBytes > 0
+      // residual coding claims ACCURACY AT EQUAL BITS: the candidate
+      // stream must carry the same m-int + one-norm payload as raw
+      // coding (within noise) — the compression gate must survive the
+      // fidelity upgrade, or "FAISS proper" cost something it shouldn't
+      val okRes = rBytes < tBytes &&
+        math.abs(rBytes - pBytes).toDouble / math.max(pBytes, 1L) < 0.05
       println(
         s"""{"metric":"ivfpq_traffic","vectors":50000,""" +
           s""""trained":{"sec":${s2(tSec)},"result_rows":$tRows,"shuffle_bytes":$tBytes,"shuffle_records":$tRecs},""" +
           s""""ivfpq":{"sec":${s2(pSec)},"result_rows":$pRows,"shuffle_bytes":$pBytes,"shuffle_records":$pRecs},""" +
+          s""""ivfpq_res":{"sec":${s2(rSec)},"result_rows":$rRows,"shuffle_bytes":$rBytes,"shuffle_records":$rRecs},""" +
           s""""bytes_ratio":${s2(tBytes.toDouble / math.max(pBytes, 1L))},""" +
-          s""""pq_moves_less":$ok}""")
-      ok
+          s""""pq_moves_less":$ok,"residual_same_traffic":$okRes}""")
+      ok && okRes
     } finally prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
   }

@@ -40,8 +40,9 @@ def main(sfdir, outdir):
     # or the OS OOM-killer — kills the sweep mid-run, which silently
     # zeroes the round's artifact (the credible r9 `{}` failure mode).
     # With a hard limit + temp_directory DuckDB spills instead of dying.
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET threads=8")
+    import os
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
+    con.execute(f"SET threads={os.environ.get('ORACLE_THREADS', '8')}")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")

@@ -15,14 +15,30 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Per-stage logs survive even if the caller's combined log is lost
+# (an r10 session lost its whole-run capture to an unexplained
+# truncation — per-stage files mean one bad redirect can't erase the
+# round's evidence).
+LOGDIR="${RELCHECK_LOGDIR:-/tmp/relcheck_logs}"
+mkdir -p "$LOGDIR"
+
 echo "== 1/5 sbt test =="
-sbt -batch test | tail -2
+sbt -batch test > "$LOGDIR/sbt_test.log" 2>&1 || { tail -30 "$LOGDIR/sbt_test.log"; exit 1; }
+tail -3 "$LOGDIR/sbt_test.log"
 
 check_tier() {
-  local sf="$1" out="$2"
+  local sf="$1" out="$2" tag
+  tag="$(basename "$sf")"
   echo "== Verify + oracle sweep @ $sf =="
-  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch "runMain graft.Verify $sf $out" | tail -1
-  python3 tools/check_oracle.py "$sf" "$out" | tail -1 | tee /dev/stderr | grep -qE '^([0-9]+)/\1 queries match$'
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch "runMain graft.Verify $sf $out" \
+    > "$LOGDIR/verify_$tag.log" 2>&1 || { tail -20 "$LOGDIR/verify_$tag.log"; exit 1; }
+  grep -a 'verify-manifest.*verify_queries' "$LOGDIR/verify_$tag.log" || true
+  python3 tools/check_oracle.py "$sf" "$out" > "$LOGDIR/oracle_$tag.log" 2>&1 || true
+  tail -2 "$LOGDIR/oracle_$tag.log"
+  tail -1 "$LOGDIR/oracle_$tag.log" | grep -qE '^([0-9]+)/\1 queries match$' || {
+    echo "--- non-OK lines ---"; grep -avE ': OK$|^$|queries match' "$LOGDIR/oracle_$tag.log" | head -20
+    exit 1
+  }
 }
 
 echo "== 2/5 + 3/5 driver-gated tiers =="

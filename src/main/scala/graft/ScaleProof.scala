@@ -151,6 +151,19 @@ object ScaleProof {
         graft.ext.Sim.ivfTopKTrained(emb,
           graft.ext.Cluster.kmeansCentroids(emb, k = k, iters = 2), 5, 2)
       }),
+    // residual IVF-PQ at the same corpus-scaled coarseK — the full
+    // FAISS stack's ladder: coarse training + a3 encode + residual
+    // re-grid + fused PQ training are all bounded driver/narrow work,
+    // and the SEARCH keeps trained-IVF's 3-exchange probe shape with
+    // the compressed candidate payload (the pqtraffic gate's claim,
+    // here held across 100× growth)
+    ("embeddings->ivfPqResidualTopK", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) => {
+        val emb = synthEmbeddings(s, 500L * f)
+        val k = math.max(8, (8.0 * math.sqrt(f.toDouble)).toInt)
+        graft.ext.Sim.ivfPqResidualTopK(emb, m = 8, kSub = 64,
+          coarseK = k, nProbe = 2, k = 5)
+      }),
     // SemDeDup at the bench's own parameters (k=8, maxCluster=1024) —
     // the slowest bench query gets its own ladder. autoBroadcast pinned
     // OFF like the ANN pipeline: the label/self joins sit at the size

@@ -571,6 +571,102 @@ object Cluster {
     }
   }
 
+  /** The complete 100 TB FAISS TRAINING regime for the residual stack:
+    * BOTH quantizers (coarse cells and residual codebooks) train on the
+    * deterministic residue class `vec_id % sampleMod = 0`, and the FULL
+    * corpus is then encoded in narrow passes against the trained state —
+    * the [[kmeansCentroidsSampled]] split applied to the whole IVFPQ
+    * pipeline:
+    *
+    *  1. grid scale, coarse Lloyd and the residual grid
+    *     (`rscale = max|r_sample|/127`) all derive from the SAMPLE (the
+    *     trained state must not depend on corpus bytes it never saw);
+    *  2. the full corpus quantizes on the sample grid, coarse-encodes
+    *     against the trained cells (the a3 shipped-quantizer pass),
+    *     computes residuals against those cells' means;
+    *  3. per-subspace Lloyd trains on the SAMPLE residuals only;
+    *  4. the full corpus PQ-encodes against the trained codebooks, and
+    *     the output is the FULL-CORPUS OCCUPANCY of the sample-trained
+    *     codebooks in [[pqCodebook]] long form — training cost shrinks
+    *     ~sampleMod×, the encode is the narrow argmin+groupBy any full
+    *     training's last round performs.
+    *
+    * Full-corpus residual components may exceed the sample's [-127,127]
+    * range (the grids are sample-derived — same documented caveat as
+    * [[kmeansCentroidsSampled]]); sums stay exact int64 and the whole
+    * chain replays in SQL (the oracle restricts the training CTEs with
+    * the same `WHERE` residue). */
+  def pqCodebookResidualSampled(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
+      iters: Int = 2, coarseK: Int = 8, sampleMod: Int = 10): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be positive, got $sampleMod")
+    val spark = embeddings.sparkSession
+    def emptyOut = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("subspace", IntegerType), StructField("cell", IntegerType),
+        StructField("dim", IntegerType), StructField("s", LongType),
+        StructField("n", LongType), StructField("mean", DoubleType))))
+    val sample = embeddings.filter(col("vec_id") % sampleMod === 0)
+    grid(sample) match {
+      case Some((scale, d)) =>
+        require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
+        grid(embeddings).foreach { case (_, dFull) =>
+          require(dFull == d,
+            s"full-corpus width $dFull != training-sample width $d") }
+        val dsub = d / m
+        // 1. sample-trained coarse quantizer
+        val assignedS = lloydAssign(
+          sample.select(col("vec_id"), qCol(scale).as("q")), coarseK, iters, d)
+        val coarse = finalStateOf(assignedS, d)
+        coarse.foreach(exactNsq)
+        val cm = flatMeans(coarse, d)
+        // 2. full corpus on the sample grid, coarse-encoded (a3 pass)
+        val encodedF = embeddings.select(col("vec_id"), qCol(scale).as("q"))
+          .withColumn("cell", assignCol(col("q"), coarse))
+        val rCol = array((1 to d).map(j => el(col("q"), j).cast(DoubleType) -
+          element_at(typedlit(cm), col("cell") * d + j)): _*)
+        val withR = encodedF.withColumn("r", rCol).localCheckpoint(false)
+        // residual grid from the TRAINING SAMPLE's residuals only
+        val rmax = withR.filter(col("vec_id") % sampleMod === 0)
+          .agg(max(array_max(transform(col("r"), x => abs(x))))).first()
+        val rscale = if (rmax.isNullAt(0)) 0.0 else rmax.getDouble(0) / 127.0
+        val rqCol =
+          if (rscale == 0.0) transform(col("r"), _ => lit(0L))
+          else transform(col("r"), x => floor(x / lit(rscale) + lit(0.5)).cast(LongType))
+        val rqF = withR.select(col("vec_id"), rqCol.as("q")).localCheckpoint(false)
+        // 3. codebooks train on the SAMPLE residuals
+        val (subFrames, _) = pqAssignedFromQ(
+          rqF.filter(col("vec_id") % sampleMod === 0), d, m, kSub, iters)
+        val states = pqSubStates(subFrames, dsub)
+        if (states.exists(_.isEmpty)) return emptyOut
+        // 4. full-corpus PQ encode + occupancy in ONE exploded keyed agg
+        val exploded = rqF.select(explode(array((0 until m).map { s =>
+            val sl = slice(col("q"), s * dsub + 1, dsub)
+            struct(lit(s).as("sub"),
+              KMeansCells.argmin(sl, exprStateOf(states(s))).as("cell"),
+              sl.as("qs"))
+          }: _*)).as("e"))
+          .select(col("e.sub").as("subspace"), col("e.cell").as("cell"),
+            col("e.qs").as("qs"))
+        val aggs = (count(lit(1)).as("n") +:
+          (1 to dsub).map(i => sum(el(col("qs"), i)).as(s"s$i"))).toList
+        exploded.groupBy(col("subspace"), col("cell")).agg(aggs.head, aggs.tail: _*)
+          .select(col("subspace"), col("cell"), col("n"),
+            posexplode(array((1 to dsub).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
+          .select(col("subspace"), col("cell"),
+            (col("pos") + 1).cast(IntegerType).as("dim"),
+            col("s"), col("n"),
+            (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
+      case None => emptyOut
+    }
+  }
+
+  /** Expression-state tuples from exact centroids (no 2⁵³ guard — the
+    * residual-grid |s|² bound is the caller's documented contract). */
+  private def exprStateOf(cens: Seq[Centroid]): Seq[(Int, Double, Double, Seq[Long])] =
+    cens.map { c =>
+      val nsq = c.s.foldLeft(0L)((a, x) => a + x * x)
+      (c.cell, c.n.toDouble, nsq.toDouble / (c.n * c.n).toDouble, c.s.toIndexedSeq)
+    }
+
   /** Semantic (embedding-space) contamination audit, cluster-routed —
     * the trained-quantizer edition of [[Corpus.bloomContamination]]'s
     * stream-static discipline: which PROBE vectors are near-duplicates

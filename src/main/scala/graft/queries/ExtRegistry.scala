@@ -331,6 +331,15 @@ object ExtRegistry {
         m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5,
         iters = KmIters)),
 
+    // the complete 100 TB FAISS training split: BOTH quantizers train on
+    // the vec_id % 10 residue class, the full corpus encodes in narrow
+    // passes, output = full-corpus occupancy of the sample-trained
+    // residual codebooks
+    "pq_codebook_residual_sampled" -> ((s, dir) =>
+      graft.ext.Cluster.pqCodebookResidualSampled(embeddingsDimChecked(s, dir),
+        m = PqM, kSub = KmK, iters = KmIters, coarseK = KmK,
+        sampleMod = KmSampleMod)),
+
     // cluster-ROUTED decontamination: the stream-static Bloom
     // discipline with the trained quantizer as the router. The eval
     // residue class is the held-out set, k-means trains ON IT (bounded
@@ -1174,6 +1183,62 @@ object ExtRegistry {
     s"WITH ${pqResCtes(m, kSub, coarseK)},\n$g2s\n$sel"
   }
 
+  /** Sampled-training residual-codebook twin — BOTH quantizers train on
+    * the `vec_id % mod = 0` residue class (kmCtes' WHERE for the coarse
+    * half, `rqs` for the codebooks; grid scales sample-derived), then
+    * the FULL corpus coarse-encodes (af), residualizes, PQ-encodes
+    * (s{s}_code over full rq) and aggregates to the occupancy long form
+    * — Cluster.pqCodebookResidualSampled step for step. */
+  private def pqCodebookResSampledOracle(m: Int, kSub: Int, coarseK: Int,
+      mod: Int): String = {
+    val dsub = EmbDim / m
+    val subs = (0 until m).map(pqSubChain(_, dsub, kSub, "rqs")).mkString(",\n")
+    val codes = (0 until m).map(s =>
+      pqAssign(s"s${s}_code", s"s${s}_g2", s * dsub, dsub, "rq", mat = true))
+      .mkString(",\n")
+    val g2s = (0 until m).map(s =>
+      s"s${s}_g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [${pqSums(s * dsub, dsub)}] AS s FROM s${s}_a2 GROUP BY cell)")
+      .mkString(",\n")
+    val gfs = (0 until m).map(s =>
+      s"s${s}_gf AS (SELECT cell, count(*) AS n, [${pqSums(s * dsub, dsub)}] AS s FROM s${s}_code GROUP BY cell)")
+      .mkString(",\n")
+    val sel = (0 until m).map(s =>
+      s"""SELECT $s AS subspace, cell, CAST(d.i AS INTEGER) AS dim, s[d.i] AS s, n,
+         |       CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+         |FROM s${s}_gf, (SELECT unnest(generate_series(1, $dsub)) AS i) d""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${kmCtes(coarseK, s"WHERE vec_id % $mod = 0")},
+       |g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+       |cm AS MATERIALIZED (
+       |  SELECT cell, n, s,
+       |         list_transform(generate_series(1, $EmbDim), i -> CAST(s[i] AS DOUBLE) / CAST(n AS DOUBLE)) AS mean
+       |  FROM g2),
+       |qf AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |${kmAssign("af", "g2", "qf", mat = true)},
+       |r0 AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |         list_transform(generate_series(1, $EmbDim), i -> CAST(a.q[i] AS DOUBLE) - c.mean[i]) AS r
+       |  FROM af a JOIN cm c USING (cell)),
+       |rs AS MATERIALIZED (
+       |  SELECT max(list_max(list_transform(r, x -> abs(x)))) / 127.0 AS rscale
+       |  FROM r0 WHERE vec_id % $mod = 0),
+       |rq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, $EmbDim), i ->
+       |           CASE WHEN rs.rscale = 0 THEN CAST(0 AS BIGINT)
+       |                ELSE CAST(floor(r[i] / rs.rscale + 0.5) AS BIGINT) END) AS q
+       |  FROM r0, rs),
+       |rqs AS MATERIALIZED (SELECT * FROM rq WHERE vec_id % $mod = 0),
+       |$subs,
+       |$g2s,
+       |$codes,
+       |$gfs
+       |$sel""".stripMargin
+  }
+
   /** Residual IVF-PQ twin — FAISS IVFPQ proper. The ADC decomposition
     * `recon = cm(cell) + rscale·pq(codes)` spells as one coarse dot
     * chain plus `rscale ·` the usual per-subspace ADC chain, and
@@ -1372,6 +1437,8 @@ object ExtRegistry {
     "pq_codebook" -> pqCodebookOracle(PqM, KmK),
     "knn_cosine_ivfpq" -> ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5),
     "pq_codebook_residual" -> pqCodebookResOracle(PqM, KmK, KmK),
+    "pq_codebook_residual_sampled" ->
+      pqCodebookResSampledOracle(PqM, KmK, KmK, KmSampleMod),
     "knn_cosine_ivfpq_res" -> ivfPqResOracle(PqSearchM, PqSearchKSub, KmK, 2, 5),
 
     // cluster-routed decontamination twin: k-means trains ON THE EVAL

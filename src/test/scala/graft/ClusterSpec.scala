@@ -214,6 +214,36 @@ class ClusterSpec extends SparkSpec {
       s"degenerate state $degen")
   }
 
+  test("sampled residual codebook: sample-trained state, full-corpus occupancy") {
+    // sampleMod=2 trains both quantizers on even vec_ids {2,4,6} only;
+    // the occupancy output must still cover ALL 6 vectors per subspace
+    val cb = Cluster.pqCodebookResidualSampled(blobs, m = 2, kSub = 2, iters = 2,
+      coarseK = 2, sampleMod = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    (0 to 1).foreach { s =>
+      val nTotal = cb.collect { case ((`s`, _, 1), (_, n, _)) => n }.sum
+      assert(nTotal == 6L, s"subspace $s occupancy $nTotal != 6 (full corpus)")
+    }
+    cb.foreach { case (k, (sSum, n, mean)) =>
+      assert(mean == sSum.toDouble / n.toDouble, s"$k mean drifted")
+    }
+    // NOTE deliberately NOT asserted: sampleMod=1 ≡ pqCodebookResidual.
+    // The unsampled query reports the TRAINING-final grouping (s_a2)
+    // while this one reports the deploy RE-ENCODE occupancy against the
+    // final codebooks — the same training-assignment-vs-shipped-
+    // quantizer distinction the coarse a3 pass exists for, and the two
+    // groupings legitimately differ for boundary vectors.
+    // determinism under repartitioning
+    val again = Cluster.pqCodebookResidualSampled(blobs.repartition(5),
+      m = 2, kSub = 2, iters = 2, coarseK = 2, sampleMod = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(again == cb)
+  }
+
   test("centroidState round-trips kmeansCentroids exactly") {
     val cens = Cluster.centroidState(Cluster.kmeansCentroids(blobs, k = 2, iters = 2))
     assert(cens.map(_.cell) == cens.map(_.cell).sorted)

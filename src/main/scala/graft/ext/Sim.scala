@@ -426,6 +426,8 @@ object Sim {
     import graft.ext.Cluster
     require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
       s"nProbes must be non-empty positive, got $nProbes")
+    require(nProbes.distinct.size == nProbes.size,
+      s"duplicate operating points would emit duplicate curve rows: $nProbes")
     val spark = embeddings.sparkSession
     def emptyOut = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(

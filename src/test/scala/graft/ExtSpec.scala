@@ -1108,6 +1108,27 @@ class ExtSpec extends SparkSpec {
       s"residual coding $recallPqRes fell below raw coding $recallPq at equal bits")
     assert(recallPqRes <= recallTrained + 1e-9,
       s"ivfpq_res $recallPqRes exceeded its exact-scored routing ceiling $recallTrained")
+    // the tuning curve over the same corpus: recall must be monotone in
+    // nProbe, candidates strictly so, the full-probe row must hit 1.0
+    // (probing every cell IS brute force over same-cell candidates plus
+    // the rest — with all 8 cells probed nothing is screened out), and
+    // the nProbe=2 point must reproduce the trained-IVF recall exactly
+    // (same routing, same scoring — two spellings of one number)
+    val curve = graft.ext.Sim.ivfNprobeCurve(df, k = 5, coarseK = 8, iters = 2,
+      nProbes = Seq(1, 2, 4, 8)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4))))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    val recalls = curve.map(_._2._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b + 1e-12 },
+      s"recall not monotone: ${recalls.mkString(",")}")
+    val cands = curve.map(_._2._1)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
+      s"candidates not strictly increasing: ${cands.mkString(",")}")
+    assert(recalls.last == 1.0, s"full-probe recall ${recalls.last} != 1.0")
+    val np2 = curve.find(_._1 == 2).get._2._3
+    assert(math.abs(np2 - recallTrained) < 1e-12,
+      s"curve np=2 recall $np2 != trained-IVF recall $recallTrained")
   }
 
   test("near-dup/ANN operators register nothing in the session cache manager") {

@@ -392,12 +392,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("golden plans: the ten most expensive bench queries keep their executed shape") {
-    // Pinned AQE-final shapes at sf0.001 for the top-10 queries of
-    // bench_out_sf0.1.json — plan drift (a lost broadcast, a new
-    // shuffle, a join strategy flip) fails HERE, in `sbt test`, before
-    // it shows up as bench drift. Shapes are size-dependent where AQE
-    // converts joins at runtime, so goldens are pinned at this tier and
-    // any intentional operator change re-pins its row.
+    // Pinned AQE-final shapes at sf0.001 for the most expensive bench
+    // queries of bench_out_sf0.1.json — plan drift (a lost broadcast, a
+    // new shuffle, a join strategy flip) fails HERE, in `sbt test`,
+    // before it shows up as bench drift. Shapes are size-dependent where
+    // AQE converts joins at runtime, so goldens are pinned at this tier
+    // and any intentional operator change re-pins its row. The r10
+    // ann_recall_* audit queries (now among the most expensive) are
+    // deliberately NOT pinned as wholes: each is a union of pipelines
+    // whose components (brute kernel + the pinned knn_* searches) are
+    // covered individually — pinning the union would re-assert the same
+    // shapes with extra brittleness.
     val golden: Map[String, (Int, Int, Map[String, Int])] = Map(
       "entity_canonical" ->
         ((4, 2, Map("SortMergeJoin" -> 1, "BroadcastHashJoin" -> 2))),

@@ -340,6 +340,21 @@ object ExtRegistry {
         m = PqM, kSub = KmK, iters = KmIters, coarseK = KmK,
         sampleMod = KmSampleMod)),
 
+    // train-on-sample, search-EVERYTHING: the quantizer trains on the
+    // residue class, the full corpus probes/indexes against the
+    // full-corpus occupancy of the trained cells — and the search
+    // quantizes on the TRAINER'S grid via the explicit gridScale
+    // contract (the centroids live on the sample's grid; re-deriving
+    // the scale from the full corpus would silently skew routing)
+    "knn_cosine_ivf_sampled" -> ((s, dir) => {
+      val emb = embeddingsDimChecked(s, dir)
+      graft.ext.Sim.ivfTopKTrained(emb,
+        graft.ext.Cluster.kmeansCentroidsSampled(emb, k = KmK, iters = KmIters,
+          sampleMod = KmSampleMod),
+        k = 5, nProbe = 2,
+        gridScale = graft.ext.Cluster.sampledGridScale(emb, KmSampleMod))
+    }),
+
     // cluster-ROUTED decontamination: the stream-static Bloom
     // discipline with the trained quantizer as the router. The eval
     // residue class is the held-out set, k-means trains ON IT (bounded
@@ -1416,6 +1431,43 @@ object ExtRegistry {
          |         row_number() OVER (PARTITION BY v.vec_id
          |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
          |  FROM e1 v CROSS JOIN g2 c),
+         |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE rk <= 2),
+         |indexed AS (SELECT vec_id AS neighbor_id, embedding, nsq, cell
+         |            FROM ranked WHERE rk = 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT p.vec_id, i.neighbor_id,
+         |         (${kmEmbDot("p", "i")}) / (sqrt(p.nsq) * sqrt(i.nsq)) AS cosine
+         |  FROM probes p JOIN indexed i
+         |    ON p.cell = i.cell AND p.vec_id <> i.neighbor_id)
+         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM pairs) t
+         |WHERE rank <= 5""".stripMargin,
+
+    // sampled-training search twin: kmCtes' WHERE trains on the residue
+    // class, the FULL corpus quantizes on the sample grid (qf), assigns
+    // once (af) to build the occupancy table gf, and BOTH the probe and
+    // index sides rank against gf — Sim.ivfTopKTrained(gridScale=sample)
+    "knn_cosine_ivf_sampled" ->
+      s"""WITH ${kmCtes(KmK, s"WHERE vec_id % $KmSampleMod = 0")},
+         |g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+         |qf AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings, sc),
+         |${kmAssign("af", "g2", "qf", mat = true)},
+         |gf AS MATERIALIZED (SELECT cell, count(*) AS n, [$kmSums] AS s FROM af GROUP BY cell),
+         |e0 AS (
+         |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
+         |  FROM embeddings m JOIN qf v USING (vec_id)),
+         |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
+         |ranked AS MATERIALIZED (
+         |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+         |  FROM e1 v CROSS JOIN gf c),
          |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE rk <= 2),
          |indexed AS (SELECT vec_id AS neighbor_id, embedding, nsq, cell
          |            FROM ranked WHERE rk = 1),

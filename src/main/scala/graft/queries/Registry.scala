@@ -690,6 +690,7 @@ object Registry {
   private val annRecallVariants: Seq[(String, String)] = Seq(
     "lsh" -> "knn_cosine_lsh", "lsh_multi" -> "knn_cosine_lsh_multi",
     "ivf" -> "knn_cosine_ivf", "ivf_trained" -> "knn_cosine_ivf_trained",
+    "ivf_sampled" -> "knn_cosine_ivf_sampled",
     "ivfpq" -> "knn_cosine_ivfpq", "ivfpq_res" -> "knn_cosine_ivfpq_res")
 
   private def annRecallQuery(variant: String, underlying: String): (SparkSession, String) => DataFrame =

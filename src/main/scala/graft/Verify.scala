@@ -18,6 +18,7 @@ object Verify {
     val spark = LocalSession.fromEnv()
     new java.io.File(outDir).mkdirs()
     var (nOk, nFailed) = (0, 0)
+    val perQuery = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     SparkEntry.queries.filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
       val rows: Long =
         try {
@@ -31,6 +32,7 @@ object Verify {
           -1L
         }
       if (rows >= 0L) nOk += 1 else nFailed += 1
+      perQuery += ((name, rows))
       println(s"""[verify-manifest] {"query":"$name","rows":$rows}""")
       // caches built by a query (minhash signatures, shingle sets) must
       // not occupy storage memory for the remaining queries
@@ -53,9 +55,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val maxOracle = if (oracle.isEmpty) "null"
       else { val (k, v) = oracle.maxBy(_._2.length); s"""{"query":${q(k)},"bytes":${v.length}}""" }
-    println(s"""[verify-manifest] {"verify_queries":${nOk + nFailed},"ok":$nOk,""" +
+    val summary = s"""{"verify_queries":${nOk + nFailed},"ok":$nOk,""" +
       s""""failed":$nFailed,"oracle_entries":${oracle.size},""" +
-      s""""oracle_sql_bytes":${json.length},"largest_oracle":$maxOracle}""")
+      s""""oracle_sql_bytes":${json.length},"largest_oracle":$maxOracle}"""
+    println(s"[verify-manifest] $summary")
+    // the same evidence CO-LOCATED with the parquet the compare reads:
+    // if the downstream DuckDB step dies and stdout is lost (both
+    // happened around r9/r10), outDir still records what Verify produced
+    val rowsJson = perQuery.map { case (n, r) => s"${q(n)}: $r" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{"summary":$summary,"rows":$rowsJson}""")
     spark.stop()
   }
 }

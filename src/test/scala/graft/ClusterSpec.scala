@@ -244,6 +244,22 @@ class ClusterSpec extends SparkSpec {
     assert(again == cb)
   }
 
+  test("gridScale contract: explicit sample scale routes identically when grids coincide") {
+    // sampleMod=1 trains on everything, so the sample grid IS the full
+    // grid — the explicit-gridScale path must reproduce the derived-
+    // scale path bit-for-bit (proves the Some(scale) plumbing feeds the
+    // same quantization the default derivation would)
+    val cen = Cluster.kmeansCentroidsSampled(blobs, k = 2, iters = 2, sampleMod = 1)
+    val explicitScale = Cluster.sampledGridScale(blobs, 1)
+    assert(explicitScale.isDefined)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaExplicit = rows(graft.ext.Sim.ivfTopKTrained(blobs, cen, 2, 2, explicitScale))
+    val viaDerived = rows(graft.ext.Sim.ivfTopKTrained(blobs, cen, 2, 2))
+    assert(viaExplicit == viaDerived, s"$viaExplicit != $viaDerived")
+    assert(viaExplicit.nonEmpty)
+  }
+
   test("centroidState round-trips kmeansCentroids exactly") {
     val cens = Cluster.centroidState(Cluster.kmeansCentroids(blobs, k = 2, iters = 2))
     assert(cens.map(_.cell) == cens.map(_.cell).sorted)

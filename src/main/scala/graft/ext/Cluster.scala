@@ -345,10 +345,22 @@ object Cluster {
     * per-subspace sums are the identical exact int64 state the
     * sequential form produces (and the oracle replays per subspace). */
   private def pqAssignedFrames(embeddings: DataFrame, m: Int, k: Int,
-      iters: Int): Option[(Seq[DataFrame], Int)] =
+      iters: Int): Option[(Seq[DataFrame], Int)] = {
+    requirePqParams(m, k, iters) // fail loudly even on an empty/all-zero corpus
     quantized(embeddings).map { case (qf0, d) =>
       pqAssignedFromQ(qf0, d, m, k, iters)
     }
+  }
+
+  /** Parameter validation shared by every PQ entry point, run BEFORE the
+    * corpus is touched: invalid arguments must throw on an empty or
+    * all-zero table too, not silently return an empty result (the
+    * fail-fast ordering the r10 refactor regressed). */
+  private def requirePqParams(m: Int, k: Int, iters: Int): Unit = {
+    require(m >= 1, s"m must be positive, got $m")
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+  }
 
   /** The fused per-subspace Lloyd core over an ALREADY-PREPARED integer
     * frame `(vec_id, q)` of width `d` — shared by the raw-grid path
@@ -517,7 +529,9 @@ object Cluster {
     * [[kmeansCentroids]], plus ONE narrow residual projection and the
     * fused PQ training's iters shuffles — no joins anywhere. */
   private[graft] def residualPqState(embeddings: DataFrame, m: Int, kSub: Int,
-      iters: Int, coarseK: Int): Option[ResidualPqState] =
+      iters: Int, coarseK: Int): Option[ResidualPqState] = {
+    requirePqParams(m, kSub, iters) // before the corpus is touched (fail-fast)
+    require(coarseK >= 2, s"coarseK must be >= 2, got $coarseK")
     grid(embeddings).map { case (scale, d) =>
       require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
       val qf = embeddings.select(col("vec_id"), qCol(scale).as("q"))
@@ -547,6 +561,7 @@ object Cluster {
         pqAssignedFromQ(withR.select(col("vec_id"), rqCol.as("q")), d, m, kSub, iters)
       ResidualPqState(scale, d, dsub, coarse, cm, rscale, pqSubStates(subFrames, dsub))
     }
+  }
 
   /** Trained RESIDUAL codebook in the [[pqCodebook]] long form
     * `(subspace, cell, dim, s, n, mean)` — sums/counts are over the
@@ -599,6 +614,8 @@ object Cluster {
   def pqCodebookResidualSampled(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
       iters: Int = 2, coarseK: Int = 8, sampleMod: Int = 10): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be positive, got $sampleMod")
+    requirePqParams(m, kSub, iters) // before the corpus is touched (fail-fast)
+    require(coarseK >= 2, s"coarseK must be >= 2, got $coarseK")
     val spark = embeddings.sparkSession
     def emptyOut = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("subspace", IntegerType), StructField("cell", IntegerType),
@@ -659,13 +676,13 @@ object Cluster {
     }
   }
 
-  /** Expression-state tuples from exact centroids (no 2⁵³ guard — the
-    * residual-grid |s|² bound is the caller's documented contract). */
-  private def exprStateOf(cens: Seq[Centroid]): Seq[(Int, Double, Double, Seq[Long])] =
-    cens.map { c =>
-      val nsq = c.s.foldLeft(0L)((a, x) => a + x * x)
-      (c.cell, c.n.toDouble, nsq.toDouble / (c.n * c.n).toDouble, c.s.toIndexedSeq)
-    }
+  /** Expression-state tuples from exact centroids — same fail-loud 2⁵³
+    * guard as [[exprState]]: a residual-codebook cell whose |s|² exceeds
+    * the bound would silently round in the int64→double cast and break
+    * oracle bit-parity without an error (r10 ADVICE), so every scorer
+    * path shares the guard. */
+  private[ext] def exprStateOf(cens: Seq[Centroid]): Seq[(Int, Double, Double, Seq[Long])] =
+    cens.map(c => (c.cell, c.n.toDouble, nsqOverN2(c), c.s.toIndexedSeq))
 
   /** Semantic (embedding-space) contamination audit, cluster-routed —
     * the trained-quantizer edition of [[Corpus.bloomContamination]]'s

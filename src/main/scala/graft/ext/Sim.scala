@@ -502,8 +502,29 @@ object Sim {
     * so even the APPROXIMATE ranking is hash-checked. Cosine is
     * approximate by construction (quantization error); k and the
     * codebook size trade recall vs compression. */
+  private def emptyNeighbors(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id", LongType),
+        org.apache.spark.sql.types.StructField("cosine", DoubleType),
+        org.apache.spark.sql.types.StructField("rank", IntegerType))))
+  }
+
   def ivfPqTopK(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
-      coarseK: Int = 8, nProbe: Int = 2, k: Int = 5): DataFrame = {
+      coarseK: Int = 8, nProbe: Int = 2, k: Int = 5): DataFrame =
+    ivfPqAdcPairs(embeddings, m, kSub, coarseK, nProbe)
+      .map(pairs => topK(pairs, k))
+      .getOrElse(emptyNeighbors(embeddings))
+
+  /** The ADC-scored candidate stream `(vec_id, neighbor_id, cosine)` of
+    * [[ivfPqTopK]] — trained coarse routing, compressed candidates, the
+    * asymmetric-distance cosine — WITHOUT the final top-k, so the refine
+    * stage ([[ivfPqRefinedTopK]]) can re-rank a wider prefix of it.
+    * None when the corpus is empty/all-zero (no training state). */
+  private def ivfPqAdcPairs(embeddings: DataFrame, m: Int, kSub: Int,
+      coarseK: Int, nProbe: Int): Option[DataFrame] = {
     import graft.ext.Cluster
     import org.apache.spark.sql.graft.{KMeansCells, PqAdcDot}
     val gridOpt = Cluster.grid(embeddings)
@@ -514,15 +535,7 @@ object Sim {
       if (coarse.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else Cluster.pqCodebook(embeddings, m, kSub, 2)
         .select(col("subspace"), col("cell"), col("dim"), col("s"), col("n")).collect()
-    if (gridOpt.isEmpty || coarse.isEmpty || cbRows.isEmpty) {
-      val spark = embeddings.sparkSession
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id", LongType),
-          org.apache.spark.sql.types.StructField("neighbor_id", LongType),
-          org.apache.spark.sql.types.StructField("cosine", DoubleType),
-          org.apache.spark.sql.types.StructField("rank", IntegerType))))
-    }
+    if (gridOpt.isEmpty || coarse.isEmpty || cbRows.isEmpty) return None
     require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
     val np = math.min(nProbe, coarse.size) // clamp, as in ivfTopKTrained
     val (scale, d) = gridOpt.get
@@ -531,14 +544,15 @@ object Sim {
     // per-subspace encoder state (cell, n, |s|²/n², sums) + mean/|mean|²
     // tables, all rebuilt from the bounded codebook collect
     val bySub = cbRows.groupBy(_.getInt(0))
+    // via Cluster.exprStateOf so the |s|² < 2⁵³ fail-loud guard covers
+    // this scorer path too (r10 ADVICE: every table build shares it)
     val subStates: Seq[Seq[(Int, Double, Double, Seq[Long])]] = (0 until m).map { s =>
-      bySub(s).groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (cell, rows) =>
-        val sums = new Array[Long](dsub)
-        rows.foreach(r => sums(r.getInt(2) - 1) = r.getLong(3))
-        val n = rows.head.getLong(4)
-        val nsq = sums.foldLeft(0L)((a, x) => a + x * x)
-        (cell, n.toDouble, nsq.toDouble / (n * n).toDouble, sums.toIndexedSeq)
-      }
+      Cluster.exprStateOf(
+        bySub(s).groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (cell, rows) =>
+          val sums = new Array[Long](dsub)
+          rows.foreach(r => sums(r.getInt(2) - 1) = r.getLong(3))
+          Cluster.Centroid(cell, rows.head.getLong(4), sums)
+        })
     }
     val maxCell = subStates.map(_.map(_._1).max).max
     // means indexed by raw cell id; cells the encoder cannot emit are
@@ -572,13 +586,57 @@ object Sim {
     val indexed = base.filter(col("rnsq") > 0)
       .select(col("vec_id").as("neighbor_id"), col("codes").as("codes_b"),
         element_at(col("cells"), 1).as("cell"), col("rnsq"))
-    val pairs = probes.join(indexed, Seq("cell"), "inner")
+    Some(probes.join(indexed, Seq("cell"), "inner")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         PqAdcDot.adcDot(col("emb_a"), col("codes_b"), means) /
           (sqrt(col("nsq_a")) * sqrt(col("rnsq"))))
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
-    topK(pairs, k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine")))
+  }
+
+  /** IVF-PQ search WITH a re-ranking refine stage — FAISS's IndexRefine,
+    * the standard recall recovery for PQ's quantization error: the ADC
+    * ranking selects the top-`refineR` candidates per probe (R ≈ 5–10×k),
+    * and ONLY those R rows are re-scored with the exact full-precision
+    * cosine over the original floats before the final top-k. ADC's error
+    * rarely pushes a true neighbor below rank R even when it reorders
+    * the top k, so recall recovers toward the routing ceiling while the
+    * exact scoring cost stays R rows per probe instead of every
+    * candidate.
+    *
+    * Scale shape: the candidate stream and its top-R window are
+    * [[ivfPqTopK]]'s unchanged (compressed m-int payload, narrow window
+    * rows); the refine stage then moves only NARROW `(vec_id,
+    * neighbor_id)` pairs — ≤ R per probe — into two equi-joins against
+    * the embeddings table that fetch the 2·R·d full-precision floats per
+    * probe the exact re-score needs. Candidate compression is preserved
+    * end-to-end: full vectors are fetched for the R survivors only,
+    * never shipped per candidate (the `refine_traffic_bounded` gate in
+    * ScaleProof's `ivfpq_traffic` measurement holds this bound). */
+  def ivfPqRefinedTopK(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
+      coarseK: Int = 8, nProbe: Int = 2, k: Int = 5, refineR: Int = 25): DataFrame = {
+    require(refineR >= k, s"refineR must be >= k ($k), got $refineR")
+    ivfPqAdcPairs(embeddings, m, kSub, coarseK, nProbe) match {
+      case None => emptyNeighbors(embeddings)
+      case Some(adc) =>
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        val cand = adc.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= refineR)
+          .select(col("vec_id"), col("neighbor_id"))
+        val e = embeddings.select(col("vec_id"), col("embedding"),
+            dot(col("embedding"), col("embedding")).as("nsq"))
+          .filter(col("nsq") > 0)
+        val exact = cand
+          .join(e.select(col("vec_id"), col("embedding").as("emb_a"),
+            col("nsq").as("nsq_a")), Seq("vec_id"))
+          .join(e.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("emb_b"), col("nsq").as("nsq_b")), Seq("neighbor_id"))
+          .withColumn("cosine",
+            dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+          .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+        topK(exact, k)
+    }
   }
 
   /** IVF-PQ search with RESIDUAL encoding — FAISS IVFPQ proper: the
@@ -631,10 +689,9 @@ object Sim {
       (0 to maxCell).map(c => st.cmFlat.slice(c * d, (c + 1) * d))
     val cmsq: IndexedSeq[Double] =
       cmMeans.map(_.foldLeft(0.0)((a, x) => a + x * x))
-    val subExpr: Seq[Seq[(Int, Double, Double, Seq[Long])]] = st.subs.map(_.map { c =>
-      val nsq = c.s.foldLeft(0L)((a, x) => a + x * x)
-      (c.cell, c.n.toDouble, nsq.toDouble / (c.n * c.n).toDouble, c.s.toIndexedSeq)
-    })
+    // guarded table build (|s|² < 2⁵³ fail-loud, as every scorer path)
+    val subExpr: Seq[Seq[(Int, Double, Double, Seq[Long])]] =
+      st.subs.map(Cluster.exprStateOf)
     // per-subspace mean / |mean|² / cross tables indexed by raw code id
     val maxSub: Seq[Int] = st.subs.map(_.map(_.cell).max)
     val subMeans: Seq[Seq[Seq[Double]]] = st.subs.zipWithIndex.map { case (cells, s) =>

@@ -315,6 +315,16 @@ object ExtRegistry {
       graft.ext.Sim.ivfPqTopK(embeddingsDimChecked(s, dir),
         m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5)),
 
+    // IVF-PQ + IndexRefine: the ADC ranking keeps its top-25 candidates
+    // per probe and ONLY those re-score with the exact full-precision
+    // cosine — the standard recall recovery for PQ quantization error
+    // (recall vs the unrefined ranking is driver-checked via
+    // ann_recall_ivfpq_refined; refine traffic is ScaleProof-gated)
+    "knn_cosine_ivfpq_refined" -> ((s, dir) =>
+      graft.ext.Sim.ivfPqRefinedTopK(embeddingsDimChecked(s, dir),
+        m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5,
+        refineR = PqRefineR)),
+
     // the RESIDUAL codebook (FAISS IVFPQ proper): per-subspace Lloyd
     // over x − centroid(cell(x)), re-quantized onto the residual's own
     // int8 grid so training stays exact-int64 bit-replayable
@@ -860,6 +870,9 @@ object ExtRegistry {
   // the codebook-size/recall tradeoff behaving exactly as PQ predicts
   private val PqSearchM = 8
   private val PqSearchKSub = 64
+  // IndexRefine prefix width: 5×k — the FAISS-recommended regime where
+  // ADC's reorder-within-R error is recovered at R rows of exact scoring
+  private val PqRefineR = 25
 
   /** The embeddings table, with its width asserted against the oracle
     * twins' unrolled EmbDim (one take(1) — bounded). */
@@ -1032,8 +1045,13 @@ object ExtRegistry {
     * (regrouping across subspace boundaries is associativity-free) and
     * per-subspace PARENTHESIZED |mean|² chains summed in subspace order
     * (the Spark side sums precomputed per-subspace doubles). */
+  /** `refineR > 0` adds the IndexRefine stage: the ADC ranking keeps the
+    * top-R candidates per probe, and ONLY those rows re-score with the
+    * exact full-precision cosine (the brute chain over the original
+    * floats) before the final top-k — Sim.ivfPqRefinedTopK step for
+    * step. */
   private def ivfPqOracle(m: Int, kSub: Int, coarseK: Int, nProbe: Int,
-      kNeighbors: Int): String = {
+      kNeighbors: Int, refineR: Int = 0): String = {
     val dsub = EmbDim / m
     val subs = (0 until m).map(pqSubChain(_, dsub, kSub)).mkString(",\n")
     val g2s = (0 until m).map(s =>
@@ -1059,6 +1077,34 @@ object ExtRegistry {
       (1 to dsub).map(i => s"p.embedding[${s * dsub + i}]::DOUBLE * y.mean$s[$i]"))
       .mkString(" + ")
     val cosExpr = s"($adcChain) / (sqrt(p.nsq) * sqrt(y.rnsq))"
+    val finalSelect =
+      if (refineR <= 0)
+        s"""SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT p.vec_id, y.neighbor_id, $cosExpr AS cosine,
+           |         row_number() OVER (PARTITION BY p.vec_id
+           |           ORDER BY $cosExpr DESC, y.neighbor_id) AS rank
+           |  FROM probes p JOIN coded y ON p.cell = y.cell AND p.vec_id <> y.neighbor_id) t
+           |WHERE rank <= $kNeighbors""".stripMargin
+      else {
+        // IndexRefine: top-R prefix of the ADC ranking, re-scored with
+        // the exact full-precision cosine over the original floats
+        val exactCos = s"(${kmEmbDot("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq))"
+        s""",cand AS MATERIALIZED (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT p.vec_id, y.neighbor_id,
+           |           row_number() OVER (PARTITION BY p.vec_id
+           |             ORDER BY $cosExpr DESC, y.neighbor_id) AS rk
+           |    FROM probes p JOIN coded y ON p.cell = y.cell AND p.vec_id <> y.neighbor_id) t
+           |  WHERE rk <= $refineR),
+           |e1 AS (SELECT vec_id, embedding, nsq FROM e0 WHERE nsq > 0)
+           |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT c.vec_id, c.neighbor_id, $exactCos AS cosine,
+           |         row_number() OVER (PARTITION BY c.vec_id
+           |           ORDER BY $exactCos DESC, c.neighbor_id) AS rank
+           |  FROM cand c JOIN e1 a ON a.vec_id = c.vec_id
+           |              JOIN e1 b ON b.vec_id = c.neighbor_id) t
+           |WHERE rank <= $kNeighbors""".stripMargin
+      }
     s"""WITH ${kmCtes(coarseK)},
        |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
        |$subs,
@@ -1082,12 +1128,7 @@ object ExtRegistry {
        |$cbJoins
        |  WHERE r.rk = 1),
        |coded AS (SELECT * FROM coded0 WHERE rnsq > 0)
-       |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-       |  SELECT p.vec_id, y.neighbor_id, $cosExpr AS cosine,
-       |         row_number() OVER (PARTITION BY p.vec_id
-       |           ORDER BY $cosExpr DESC, y.neighbor_id) AS rank
-       |  FROM probes p JOIN coded y ON p.cell = y.cell AND p.vec_id <> y.neighbor_id) t
-       |WHERE rank <= $kNeighbors""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   /** IVF nProbe tuning-curve twin: trained routing replayed once at the
@@ -1488,6 +1529,8 @@ object ExtRegistry {
     "pq_codes" -> pqOracle(PqM, KmK),
     "pq_codebook" -> pqCodebookOracle(PqM, KmK),
     "knn_cosine_ivfpq" -> ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5),
+    "knn_cosine_ivfpq_refined" ->
+      ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5, refineR = PqRefineR),
     "pq_codebook_residual" -> pqCodebookResOracle(PqM, KmK, KmK),
     "pq_codebook_residual_sampled" ->
       pqCodebookResSampledOracle(PqM, KmK, KmK, KmSampleMod),

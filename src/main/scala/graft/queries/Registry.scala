@@ -691,7 +691,8 @@ object Registry {
     "lsh" -> "knn_cosine_lsh", "lsh_multi" -> "knn_cosine_lsh_multi",
     "ivf" -> "knn_cosine_ivf", "ivf_trained" -> "knn_cosine_ivf_trained",
     "ivf_sampled" -> "knn_cosine_ivf_sampled",
-    "ivfpq" -> "knn_cosine_ivfpq", "ivfpq_res" -> "knn_cosine_ivfpq_res")
+    "ivfpq" -> "knn_cosine_ivfpq", "ivfpq_res" -> "knn_cosine_ivfpq_res",
+    "ivfpq_refined" -> "knn_cosine_ivfpq_refined")
 
   private def annRecallQuery(variant: String, underlying: String): (SparkSession, String) => DataFrame =
     (s, dir) => {

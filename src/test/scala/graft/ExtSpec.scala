@@ -1108,6 +1108,28 @@ class ExtSpec extends SparkSpec {
       s"residual coding $recallPqRes fell below raw coding $recallPq at equal bits")
     assert(recallPqRes <= recallTrained + 1e-9,
       s"ivfpq_res $recallPqRes exceeded its exact-scored routing ceiling $recallTrained")
+    // IndexRefine: exact re-scoring of the ADC top-R can only PROMOTE
+    // true neighbors (a truth pair in the ADC top-5 stays in the exact
+    // top-5 of any superset — at most 4 corpus vectors beat it exactly),
+    // so refined recall is sandwiched: ≥ raw ADC ranking, ≤ the ceiling
+    val pqRefined = pairs(graft.ext.Sim.ivfPqRefinedTopK(df, m = 4, kSub = 8,
+      coarseK = 8, nProbe = 2, k = 5, refineR = 25))
+    val recallRefined = (truth intersect pqRefined).size.toDouble / truth.size
+    assert(recallRefined >= recallPq - 1e-9,
+      s"refine $recallRefined fell below the unrefined ranking $recallPq")
+    assert(recallRefined <= recallTrained + 1e-9,
+      s"refine $recallRefined exceeded its routing ceiling $recallTrained")
+    // with R covering EVERY candidate the refine IS the exact-scored
+    // routing: identical rows (ids, cosines, ranks) to trained-IVF —
+    // the two plans are different spellings of one computation
+    def rows(res: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val refinedAll = rows(graft.ext.Sim.ivfPqRefinedTopK(df, m = 4, kSub = 8,
+      coarseK = 8, nProbe = 2, k = 5, refineR = 200))
+    val trainedRows = rows(graft.ext.Sim.ivfTopKTrained(df,
+      graft.ext.Cluster.kmeansCentroids(df, k = 8, iters = 2), 5, 2))
+    assert(refinedAll == trainedRows,
+      s"refine at R=all != exact-scored routing (${refinedAll.size} vs ${trainedRows.size} rows)")
     // the tuning curve over the same corpus: recall must be monotone in
     // nProbe, candidates strictly so, the full-probe row must hit 1.0
     // (probing every cell IS brute force over same-cell candidates plus

@@ -43,7 +43,12 @@ def main(sfdir, outdir):
     import os
     con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
     con.execute(f"SET threads={os.environ.get('ORACLE_THREADS', '8')}")
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    # Spill dir: per-run (inside this sweep's outdir) unless overridden —
+    # a shared /tmp path collides between concurrent sweeps and can be
+    # unwritable if another user created it first.
+    spill = os.environ.get("ORACLE_SPILL",
+                           os.path.join(outdir, "duckdb_oracle_spill"))
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))

@@ -253,6 +253,76 @@ object Text {
     df.join(postings, Seq("term"))
   }
 
+  /** BM25 ranked retrieval over the corpus — the query side of the
+    * data-curation search loop (the inverted index builds the shards;
+    * this scores a query against them): classic Robertson/Spärck Jones
+    * BM25 with k1/b literals and a RATIONAL idf,
+    *
+    *   idf(t)      = (N − df(t) + 0.5) / (df(t) + 0.5)
+    *   score(D,Q)  = Σ_t idf(t) · tf(t,D)·(k1+1)
+    *                       / (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+    *
+    * Numeric-determinism contract: tf/df/|D| are exact integers; idf is
+    * one IEEE division of exact int64 casts (the tfIdfTopTerms
+    * discipline — no ln, so the ranking hash-replays in SQL; the log is
+    * monotone in this rational form's numerator/denominator trade, and
+    * at corpus scale the saturation term, not the idf shape, dominates
+    * BM25's behavior); avgdl is ONE division of two exact corpus
+    * aggregates (N = docs with ≥1 token, the same denominator both
+    * engines derive). The per-document Σ over query terms is NOT a
+    * float aggregation (partition-order nondeterminism would break
+    * hash parity): each term's score lands in its own conditional-max
+    * slot and the total is a FIXED-ORDER left-assoc chain over the
+    * query's term order, absent terms contributing literal 0.0.
+    *
+    * Scale shape: one token-stream pass computes dl (doc-keyed agg);
+    * the tf/df/score chain runs ONLY on rows matching the ≤|Q| query
+    * terms (the `isin` prunes before any shuffle); df is a |Q|-row
+    * frame (broadcast join); the final top-k is distributed
+    * TakeOrdered (orderBy+limit, never a global rank window). */
+  def bm25TopDocs(documents: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms would double-count their slots: $queryTerms")
+    require(k > 0, s"k must be positive, got $k")
+    val toks = termStream(documents)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1L)).as("dl"))
+      .localCheckpoint(false) // feeds the corpus stats AND the score join
+    // bounded 1-row corpus state: token total + doc count -> avgdl, N
+    val st = dl.agg(sum(col("dl")), count(lit(1L))).first()
+    if (st.isNullAt(0)) {
+      val spark = documents.sparkSession
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("rank", IntegerType), StructField("doc_id", LongType),
+          StructField("bm25", DoubleType))))
+    }
+    val nDocs = st.getLong(1)
+    val avgdl = st.getLong(0).toDouble / nDocs.toDouble
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1L)).as("tf"))
+    // tf is distinct per (doc, term) so df is a plain count — ≤|Q| rows
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1L)).as("df"))
+    val idf = (lit(nDocs) - col("df")).cast(DoubleType) + lit(0.5)
+    val score = idf / (col("df").cast(DoubleType) + lit(0.5)) *
+      (col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
+      (col("tf").cast(DoubleType) +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / lit(avgdl))))
+    val scored = tf.join(broadcast(dfr), Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("score", score)
+    // fixed-order Σ over the query's term order (order-safe: max over
+    // the ≤1 value in each term's slot, then a left-assoc literal chain)
+    val total = queryTerms
+      .map(t => coalesce(max(when(col("term") === t, col("score"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    val ranked = scored.groupBy(col("doc_id")).agg(total.as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+    ranked.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id").asc)).cast(IntegerType))
+      .select(col("rank"), col("doc_id"), col("bm25"))
+  }
+
   /** Tokenizer-training prep — the first BPE merge iteration: corpus-wide
     * adjacent-symbol-pair counts, the statistic a byte-pair-encoding
     * trainer maximizes at every merge step. The classic BPE compression

@@ -182,6 +182,14 @@ object ExtRegistry {
 
     // capped inverted index: df + first-20 posting list per term, all on
     // one term-keyed partitioning with map-side posting-list pruning
+    // BM25 ranked retrieval for a fixed 4-term query — the query side
+    // of the curation search loop (rational idf, k1=1.2 / b=0.75, the
+    // fixed-order per-document term sum); term order is load-bearing
+    // for hash parity (the Σ chain is left-assoc in this order)
+    "bm25_top_docs" -> ((s, dir) =>
+      Text.bm25TopDocs(Tables(s, dir).documents,
+        Seq("hash", "join", "vector", "window"), k = 20)),
+
     "inverted_index" -> ((s, dir) =>
       graft.ext.Text.invertedIndex(Tables(s, dir).documents)),
 
@@ -1691,6 +1699,39 @@ object ExtRegistry {
         |             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |      FROM r WHERE rn <= 20 GROUP BY 1)
         |SELECT d.term, d.df, p.postings FROM d JOIN p USING (term)""".stripMargin,
+
+    // BM25 twin: same rational idf, same k1/b literals (2.2 is exactly
+    // k1+1 in IEEE — verified bit-equal), avgdl as ONE division of the
+    // two exact corpus aggregates, per-document Σ as the SAME
+    // fixed-order conditional-max chain (hash/join/vector/window)
+    "bm25_top_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+        |  WHERE term <> ''),
+        |dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |st AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |              count(*) AS n FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('hash', 'join', 'vector', 'window') GROUP BY doc_id, term),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT t.doc_id, t.term,
+        |         (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)
+        |           * (CAST(t.tf AS DOUBLE) * 2.2)
+        |           / (CAST(t.tf AS DOUBLE)
+        |              + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl))) AS score
+        |  FROM tf t JOIN dfr d USING (term) JOIN dl l USING (doc_id) CROSS JOIN st s),
+        |tot AS (
+        |  SELECT doc_id,
+        |         coalesce(max(CASE WHEN term = 'hash' THEN score END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'join' THEN score END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'vector' THEN score END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'window' THEN score END), 0.0) AS bm25
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank,
+        |       doc_id, bm25
+        |FROM tot ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     // top-values twin: UNION ALL the profiled columns into one pair
     // stream, count, rank by (cnt DESC, value) — the total order the

@@ -942,6 +942,35 @@ class ExtSpec extends SparkSpec {
     assert(r.getLong(1) == 1L && r.getString(2) == "1")
   }
 
+  test("bm25TopDocs: idf weighting, length normalization, absent-term zero slots") {
+    // doc 1 carries the RARE query term; docs 2..9 carry only the
+    // common one; doc 10 matches nothing. BM25 must rank the rare-term
+    // doc first (idf dominates), include common-only docs after, and
+    // exclude no-match docs entirely (no zero-score padding rows).
+    val corpus = (Seq((1L, "rare common filler"), (10L, "nothing here")) ++
+      (2L to 9L).map(i => (i, "common filler filler"))).toDF("doc_id", "text")
+    val got = graft.ext.Text.bm25TopDocs(corpus, Seq("rare", "common"), k = 20)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.head._2 == 1L, s"rare-term doc not ranked first: $got")
+    assert(got.map(_._2).toSet == (1L to 9L).toSet, s"wrong doc set: $got")
+    assert(got.map(_._1) == (1 to 9), s"ranks not dense: $got")
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, s"not score-desc: $got")
+    // length normalization: same tf, shorter doc scores higher (b > 0)
+    val lenCorpus = Seq((1L, "term pad"), (2L, "term pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val byLen = graft.ext.Text.bm25TopDocs(lenCorpus, Seq("term"), k = 2)
+      .as[(Int, Long, Double)].collect().sortBy(_._2)
+    assert(byLen(0)._3 > byLen(1)._3,
+      s"shorter doc did not outscore longer at equal tf: ${byLen.toSeq}")
+    // empty corpus degrades to an empty frame, not a 0/0 avgdl
+    assert(graft.ext.Text.bm25TopDocs(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), Seq("x"), 5).count() == 0L)
+    // duplicate query terms would double-count their fixed-order slots
+    intercept[IllegalArgumentException] {
+      graft.ext.Text.bm25TopDocs(corpus, Seq("a", "a"), 5)
+    }
+  }
+
   test("sketches aggregate across streaming micro-batches: final state equals the batch sketch") {
     // micro-batch boundaries force buffer serialize→store→restore→merge
     // cycles through the state store — the merge-safety the sketches

@@ -187,27 +187,36 @@ object Cluster {
           StructType(Seq(StructField("vec_id", LongType), StructField("cell", IntegerType))))
     }
 
+  /** ONE keyed aggregation from an assigned `(vec_id, q, cell)` frame to
+    * the occupancy long form `(cell, dim, s, n, mean)` — the shape every
+    * trained-state producer emits and [[centroidState]] reads back. */
+  private def occupancyLongForm(assigned: DataFrame, d: Int): DataFrame = {
+    val aggs = (count(lit(1)).as("n") +:
+      (1 to d).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
+    assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .select(col("cell"), col("n"),
+        posexplode(array((1 to d).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
+      .select(col("cell"), (col("pos") + 1).cast(IntegerType).as("dim"),
+        col("s"), col("n"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
+  }
+
+  private def emptyLongForm(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("cell", IntegerType), StructField("dim", IntegerType),
+        StructField("s", LongType), StructField("n", LongType),
+        StructField("mean", DoubleType))))
+  }
+
   /** Trained-centroid table in long form: one row per NON-EMPTY final
     * cell and dimension — exact component sum `s`, member count `n`, and
     * the IEEE mean `s/n`. (Empty-cell retention only matters BETWEEN
     * rounds; a cell nothing chose has no trained mean to report.) */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
     assignedFrame(embeddings, k, iters) match {
-      case Some((assigned, d)) =>
-        val aggs = (count(lit(1)).as("n") +:
-          (1 to d).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
-        assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
-          .select(col("cell"), col("n"),
-            posexplode(array((1 to d).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
-          .select(col("cell"), (col("pos") + 1).cast(IntegerType).as("dim"),
-            col("s"), col("n"),
-            (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
-      case None =>
-        val spark = embeddings.sparkSession
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("cell", IntegerType), StructField("dim", IntegerType),
-            StructField("s", LongType), StructField("n", LongType),
-            StructField("mean", DoubleType))))
+      case Some((assigned, d)) => occupancyLongForm(assigned, d)
+      case None                => emptyLongForm(embeddings)
     }
 
   /** The 100 TB training regime the object doc promises, as a concrete
@@ -246,20 +255,8 @@ object Cluster {
         val state = centroidStateOf(assignedSample, d)
         val full = embeddings.select(col("vec_id"), qCol(scale).as("q"))
           .withColumn("cell", assignCol(col("q"), state))
-        val aggs = (count(lit(1)).as("n") +:
-          (1 to d).map(i => sum(el(col("q"), i)).as(s"s$i"))).toList
-        full.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
-          .select(col("cell"), col("n"),
-            posexplode(array((1 to d).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
-          .select(col("cell"), (col("pos") + 1).cast(IntegerType).as("dim"),
-            col("s"), col("n"),
-            (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
-      case None =>
-        val spark = embeddings.sparkSession
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("cell", IntegerType), StructField("dim", IntegerType),
-            StructField("s", LongType), StructField("n", LongType),
-            StructField("mean", DoubleType))))
+        occupancyLongForm(full, d)
+      case None => emptyLongForm(embeddings)
     }
   }
 
@@ -268,6 +265,47 @@ object Cluster {
     * pass as `gridScale` so probes quantize onto the trained grid. */
   def sampledGridScale(embeddings: DataFrame, sampleMod: Int): Option[Double] =
     grid(embeddings.filter(col("vec_id") % sampleMod === 0)).map(_._1)
+
+  /** Incremental index maintenance — FAISS `add()` as a first-class
+    * operator: encode a DELTA frame against a SHIPPED quantizer (the
+    * [[centroidState]] long-form table + the trainer's `gridScale`)
+    * WITHOUT retraining, emitting the delta's occupancy of the trained
+    * cells in the usual long form. This is the streaming-ingest story
+    * for the vector stack: the quantizer trains once (on a bounded
+    * sample — [[kmeansCentroidsSampled]]'s regime), and every new batch
+    * of vectors is ONE stateless-narrow quantize+argmin pass plus ONE
+    * k-row aggregation against that fixed state.
+    *
+    * Because assignment is per-vector against FIXED state, occupancies
+    * COMPOSE exactly: `mergeOccupancy(indexAdd(A), indexAdd(B)) ≡
+    * indexAdd(A ∪ B)` bit-for-bit (exact int64 sums + counts; the IEEE
+    * mean re-derives from the merged integers) — the add+search ≡
+    * full-re-encode contract, driver-hash-checked as `index_add` and
+    * ExtSpec-asserted, including on a MemoryStream delta. */
+  def indexAdd(delta: DataFrame, centroids: DataFrame, gridScale: Double): DataFrame = {
+    require(gridScale > 0, s"gridScale must be positive, got $gridScale")
+    val state = centroidState(centroids)
+    if (state.isEmpty) return emptyLongForm(delta)
+    val d = state.head.s.length
+    val encoded = delta.select(col("vec_id"), qCol(gridScale).as("q"))
+      .withColumn("cell", assignCol(col("q"), state))
+    occupancyLongForm(encoded, d)
+  }
+
+  /** Exact merge of two occupancy long-form frames over the SAME
+    * quantizer: per (cell, dim) the int64 component sums and member
+    * counts add, and the mean re-derives from the merged integers — so
+    * the merge of two delta encodes is bit-identical to one encode of
+    * the union (the [[indexAdd]] composition contract). A cell occupied
+    * by only one side passes through; a cell occupied by neither stays
+    * absent (the non-empty-cells-only convention of every producer). */
+  def mergeOccupancy(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("cell"), col("dim"), col("s"), col("n"))
+      .unionByName(b.select(col("cell"), col("dim"), col("s"), col("n")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .select(col("cell"), col("dim"), col("s"), col("n"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
 
   /** Rebuild exact centroid state from a [[kmeansCentroids]]-shaped long
     * frame — the bounded k·d-row collect a trained-IVF search performs

@@ -358,6 +358,25 @@ object ExtRegistry {
         m = PqM, kSub = KmK, iters = KmIters, coarseK = KmK,
         sampleMod = KmSampleMod)),
 
+    // incremental index maintenance (FAISS add()): the quantizer trains
+    // ONCE on the residue class, then the corpus arrives as TWO delta
+    // frames (even/odd vec_ids) encoded independently against the
+    // shipped state and merged exactly — the result must hash-match the
+    // single-pass full encode (the shared oracle), proving
+    // add(A) ∪ add(B) ≡ encode(A ∪ B) at a fixed quantizer
+    "index_add" -> ((s, dir) => {
+      val emb = embeddingsDimChecked(s, dir)
+      val cen = graft.ext.Cluster.kmeansCentroids(
+        emb.filter(col("vec_id") % KmSampleMod === 0), k = KmK, iters = KmIters)
+      graft.ext.Cluster.sampledGridScale(emb, KmSampleMod) match {
+        case Some(scale) =>
+          graft.ext.Cluster.mergeOccupancy(
+            graft.ext.Cluster.indexAdd(emb.filter(col("vec_id") % 2 === 0), cen, scale),
+            graft.ext.Cluster.indexAdd(emb.filter(col("vec_id") % 2 =!= 0), cen, scale))
+        case None => cen // empty/all-zero corpus: both sides degrade empty
+      }
+    }),
+
     // train-on-sample, search-EVERYTHING: the quantizer trains on the
     // residue class, the full corpus probes/indexes against the
     // full-corpus occupancy of the trained cells — and the search
@@ -1377,6 +1396,23 @@ object ExtRegistry {
        |WHERE rank <= $kNeighbors""".stripMargin
   }
 
+  /** Sample-trained full-corpus occupancy SQL — shared verbatim by
+    * `kmeans_centroids_sampled` (the training split) and `index_add`
+    * (whose Spark side reaches the same frame through two delta encodes
+    * and an exact merge). */
+  private lazy val kmSampledOracle: String =
+    s"""WITH ${kmCtes(KmK, s"WHERE vec_id % $KmSampleMod = 0")},
+       |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+       |qf AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |${kmAssign("af", "g2", "qf")},
+       |gf AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM af GROUP BY cell)
+       |SELECT cell, CAST(d.i AS INTEGER) AS dim, s[d.i] AS s, n,
+       |       CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+       |FROM gf, (SELECT unnest(generate_series(1, $EmbDim)) AS i) d""".stripMargin
+
   private def kmEmbDot(a: String, b: String): String =
     (1 to EmbDim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE").mkString(" + ")
 
@@ -1427,18 +1463,14 @@ object ExtRegistry {
     // then the FULL corpus quantizes on that grid (qf) and assigns ONCE
     // against the final trained cells g2 — the same one-extra-argmin
     // encode step Cluster.kmeansCentroidsSampled performs
-    "kmeans_centroids_sampled" ->
-      s"""WITH ${kmCtes(KmK, s"WHERE vec_id % $KmSampleMod = 0")},
-         |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
-         |qf AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
-         |  FROM embeddings, sc),
-         |${kmAssign("af", "g2", "qf")},
-         |gf AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM af GROUP BY cell)
-         |SELECT cell, CAST(d.i AS INTEGER) AS dim, s[d.i] AS s, n,
-         |       CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE) AS mean
-         |FROM gf, (SELECT unnest(generate_series(1, $EmbDim)) AS i) d""".stripMargin,
+    "kmeans_centroids_sampled" -> kmSampledOracle,
+
+    // incremental-add twin: the SAME single-pass full encode — the Spark
+    // side computes mergeOccupancy(indexAdd(evens), indexAdd(odds))
+    // against the shipped sample-trained quantizer, so the hash match IS
+    // the add(A) ∪ add(B) ≡ encode(A ∪ B) composition contract,
+    // driver-checked (the FAISS add() invariant for streaming ingest)
+    "index_add" -> kmSampledOracle,
 
     // within-cluster cosine pairs over the original floats — the final
     // assignment a2 is the blocking key (sub-split by the SemMaxCluster

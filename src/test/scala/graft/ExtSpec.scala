@@ -1182,6 +1182,59 @@ class ExtSpec extends SparkSpec {
       s"curve np=2 recall $np2 != trained-IVF recall $recallTrained")
   }
 
+  test("indexAdd: delta encodes compose exactly and replay on a streaming ingest") {
+    val d = 16
+    val emb = spark.range(120).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(1, $d), i -> CAST(
+           CASE WHEN i = (id % 4) * 4 + 1 THEN 1.0
+                ELSE pmod(id * 2654435761 + i * 40503, 1000003) / 1000003.0 * 0.2 - 0.1
+           END AS FLOAT))""").as("embedding")).localCheckpoint(true)
+    // quantizer trained once, on the vec_id % 3 residue class
+    val cen = graft.ext.Cluster.kmeansCentroids(
+      emb.filter(col("vec_id") % 3 === 0), k = 4, iters = 2).localCheckpoint(true)
+    val scale = graft.ext.Cluster.sampledGridScale(emb, 3).get
+    def occRows(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val full = occRows(graft.ext.Cluster.indexAdd(emb, cen, scale))
+    assert(full.nonEmpty)
+    // three arbitrary deltas, added in two different association orders —
+    // the merge must be exact (int64 sums), so both equal the full encode
+    val parts = Seq(
+      emb.filter(col("vec_id") < 40),
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 80),
+      emb.filter(col("vec_id") >= 80)
+    ).map(p => graft.ext.Cluster.indexAdd(p, cen, scale))
+    val leftAssoc = graft.ext.Cluster.mergeOccupancy(
+      graft.ext.Cluster.mergeOccupancy(parts(0), parts(1)), parts(2))
+    val rightAssoc = graft.ext.Cluster.mergeOccupancy(
+      parts(0), graft.ext.Cluster.mergeOccupancy(parts(1), parts(2)))
+    assert(occRows(leftAssoc) == full, "merged delta encodes != full encode")
+    assert(occRows(rightAssoc) == full, "merge is not associative")
+    // streaming ingest twin: the SAME operator in a foreachBatch loop,
+    // each micro-batch encoded against the fixed quantizer and merged
+    // into the running occupancy — chunk boundaries cannot move a bit
+    val chunks = Seq(0L until 50L, 50L until 95L, 95L until 120L)
+      .map(r => emb.filter(col("vec_id").isin(r: _*))
+        .as[(Long, Array[Float])].collect().toSeq)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val occ = graft.ext.Cluster.indexAdd(batch.toDF(), cen, scale)
+        state = Some(state.fold(occ)(s => graft.ext.Cluster.mergeOccupancy(s, occ))
+          .localCheckpoint(true)) // materialize: the batch frame dies with the call
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(occRows(state.get) == full, "streaming ingest != batch encode")
+    } finally q.stop()
+  }
+
   test("near-dup/ANN operators register nothing in the session cache manager") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -34,11 +34,13 @@ import org.apache.spark.sql.types._
   *    regime. Ties take the lowest cell id (ascending-cell strict-<
   *    scan in [[org.apache.spark.sql.graft.KMeansArgmin]], the loop
   *    form of the oracle's `row_number() OVER (ORDER BY score, cell)`).
-  *  - Seeds are the k lowest-`vec_id` vectors as singleton clusters
-  *    `(1, q_seed)` — deterministic and SQL-expressible (`ORDER BY
-  *    vec_id LIMIT k`); a cell that loses all members keeps its previous
-  *    `(n, s)` for the next assignment round (standard empty-cluster
-  *    retention).
+  *  - Seeds are a deterministic MAXIMIN (k-means++-style farthest-point)
+  *    selection over the bounded lowest-`vec_id` pool, as singleton
+  *    clusters `(1, q_seed)` — exact integer distances with a total
+  *    tie order, so the greedy is SQL-expressible as k chained CTEs
+  *    (see [[maximinSeeds]]); a cell that loses all members keeps its
+  *    previous `(n, s)` for the next assignment round (standard
+  *    empty-cluster retention).
   *
   * Scale shape (100 TB): one narrow projection quantizes; each Lloyd
   * round is ONE narrow assignment pass (the k×d centroid table is
@@ -145,21 +147,64 @@ object Cluster {
     prev.map(c => got.getOrElse(c.cell, c))
   }
 
+  /** Seed-pool width for the maximin (k-means++-style) seeding: the
+    * greedy farthest-point pass runs over the `max(k, SeedPool)`
+    * lowest-vec_id vectors, NOT the whole corpus — a bounded,
+    * SQL-replayable candidate set (the oracle's `pool` CTE), so seeding
+    * cost is O(pool·k·d) driver arithmetic at any corpus size: the
+    * FAISS train-on-sample discipline applied to seeding itself. */
+  private[ext] val SeedPool = 256
+
+  /** Deterministic maximin (farthest-point) seeding over a collected
+    * pool of `(vec_id, q)` rows — the k-means++ idea with the random
+    * choice replaced by the exact greedy: seed 0 is the lowest vec_id;
+    * each next seed maximizes the minimum exact-int64 squared distance
+    * to the already-chosen set, ties to the lowest vec_id. Replayable
+    * as k chained CTEs (integer distances, total order), unlike
+    * D²-sampling. First-k-by-vec_id seeding strands clusters when
+    * adjacent ids come from one source (duplicate seeds → empty cells);
+    * maximin spreads seeds across the occupied space, which lifts every
+    * consumer (trained IVF, SemDeDup, contamination, residual PQ) —
+    * ClusterSpec gates strictly-better within-cluster SSE on a blob
+    * fixture. */
+  private[ext] def maximinSeeds(pool: IndexedSeq[(Long, Array[Long])], k: Int): Seq[Centroid] = {
+    if (pool.isEmpty) return Nil
+    def dist2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val diff = a(i) - b(i); s += diff * diff; i += 1 }
+      s
+    }
+    val sorted = pool.sortBy(_._1)
+    val chosen = scala.collection.mutable.ArrayBuffer(sorted.head)
+    // (vec_id, q, min distance² to the chosen set so far)
+    var rest = sorted.tail.map { case (id, q) => (id, q, dist2(q, sorted.head._2)) }
+    while (chosen.size < k && rest.nonEmpty) {
+      val pick = rest.minBy { case (id, _, md) => (-md, id) }
+      chosen += ((pick._1, pick._2))
+      rest = rest.filter(_._1 != pick._1)
+        .map { case (id, q, md) => (id, q, math.min(md, dist2(q, pick._2))) }
+    }
+    chosen.toSeq.zipWithIndex.map { case ((_, q), i) => Centroid(i, 1L, q) }
+  }
+
   /** The Lloyd core over an already-quantized `(vec_id, q)` frame of
-    * width `d`: seed with the k lowest-vec_id vectors, then `iters`
-    * assignment rounds with re-training (and empty-cell retention)
-    * between them. Checkpoints the q-frame once: it feeds every round
-    * plus the caller's aggregation, and a lineage re-read would
-    * re-quantize per use (see MinHash.nearDupPairs for the
-    * cache-vs-checkpoint note). */
-  private def lloydAssign(qf0: DataFrame, k: Int, iters: Int, d: Int): DataFrame = {
+    * width `d`: maximin seeds from the bounded lowest-vec_id pool
+    * ([[maximinSeeds]]), then `iters` assignment rounds with re-training
+    * (and empty-cell retention) between them. Checkpoints the q-frame
+    * once: it feeds every round plus the caller's aggregation, and a
+    * lineage re-read would re-quantize per use (see MinHash.nearDupPairs
+    * for the cache-vs-checkpoint note). */
+  private def lloydAssign(qf0: DataFrame, k: Int, iters: Int, d: Int,
+      maximin: Boolean = true): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val qf = qf0.localCheckpoint(false)
-    val seeds = qf.orderBy(col("vec_id")).limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => Centroid(i, 1L, r.getSeq[Long](1).toArray) }
-      .toSeq
+    val poolN = if (maximin) math.max(k, SeedPool) else k
+    val pool = qf.orderBy(col("vec_id")).limit(poolN).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toIndexedSeq
+    val seeds =
+      if (maximin) maximinSeeds(pool, k)
+      else pool.take(k).zipWithIndex.map { case ((_, q), i) => Centroid(i, 1L, q) }.toSeq
     var cens = seeds
     var assigned = qf.withColumn("cell", assignCol(col("q"), cens))
     (2 to iters).foreach { _ =>
@@ -181,6 +226,20 @@ object Cluster {
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
     assignedFrame(embeddings, k, iters) match {
       case Some((assigned, _)) => assigned.select(col("vec_id"), col("cell"))
+      case None =>
+        val spark = embeddings.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("vec_id", LongType), StructField("cell", IntegerType))))
+    }
+
+  /** The pre-maximin seeding (first k vectors by vec_id), kept ONLY as
+    * the ClusterSpec baseline that the SSE-improvement gate measures
+    * against — not reachable from any registered query. */
+  private[graft] def kmeansAssignFirstKSeeds(embeddings: DataFrame, k: Int,
+      iters: Int): DataFrame =
+    quantized(embeddings) match {
+      case Some((qf0, d)) =>
+        lloydAssign(qf0, k, iters, d, maximin = false).select(col("vec_id"), col("cell"))
       case None =>
         val spark = embeddings.sparkSession
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

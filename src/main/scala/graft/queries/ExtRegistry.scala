@@ -961,13 +961,49 @@ object ExtRegistry {
   private def kmSums: String =
     (1 to EmbDim).map(i => s"CAST(sum(q[$i]) AS BIGINT)").mkString(", ")
 
-  /** Shared CTE chain: global int8 grid → `k` lowest-vec_id seeds → two
-    * Lloyd rounds (assign a1, update c1 with empty-cell retention,
-    * assign a2). Parameterized by k so the coarse-quantizer entry
-    * (KmCentroidsK) and the SemDeDup/IVF family (KmK) share one
-    * definition; `where` restricts the TRAINING corpus (the
-    * contamination twin trains on the eval residue class only, so its
-    * grid scale and q-frame are eval-derived — exactly
+  /** Maximin seed chain — Cluster.maximinSeeds replayed as k chained
+    * CTEs: `pool` is the bounded lowest-vec_id candidate set, `sd0` the
+    * lowest-vec_id vector, each `sm{i}` carries every remaining pool
+    * vector's min exact-int64 squared distance to the chosen set
+    * (integer list_sum — order-free, so engine-agnostic), and `sd{i+1}`
+    * is the (md DESC, vec_id) argmax. A pool smaller than k exhausts
+    * gracefully (empty sd → empty sm → no seed row), matching the
+    * Spark side's truncated seed list. */
+  private def maximinSeedCtes(k: Int): String = {
+    val poolN = math.max(k, 256) // Cluster.SeedPool
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $EmbDim), i -> ($a.q[i] - $b.q[i]) * ($a.q[i] - $b.q[i])))"
+    val steps = (1 until k).map { i =>
+      val prev = s"sm${i - 1}"
+      val mNext =
+        if (i == k - 1) "" // the last pick needs no distance update
+        else
+          s""",
+             |sm$i AS MATERIALIZED (
+             |  SELECT m.vec_id, m.q, least(m.md, ${dist("m", "s")}) AS md
+             |  FROM $prev m, sd$i s WHERE m.vec_id <> s.vec_id)""".stripMargin
+      s"""sd$i AS (SELECT vec_id, q FROM $prev ORDER BY md DESC, vec_id LIMIT 1)$mNext"""
+    }.mkString(",\n")
+    val seedRows = (0 until k)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS cell, CAST(1 AS BIGINT) AS n, q AS s FROM sd$i")
+      .mkString("\n  UNION ALL ")
+    s"""pool AS MATERIALIZED (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT $poolN),
+       |sd0 AS (SELECT vec_id, q FROM pool ORDER BY vec_id LIMIT 1),
+       |sm0 AS MATERIALIZED (
+       |  SELECT p.vec_id, p.q, ${dist("p", "s")} AS md
+       |  FROM pool p, sd0 s WHERE p.vec_id <> s.vec_id),
+       |$steps,
+       |seeds AS (
+       |  $seedRows)""".stripMargin
+  }
+
+  /** Shared CTE chain: global int8 grid → maximin seeds over the bounded
+    * lowest-vec_id pool → two Lloyd rounds (assign a1, update c1 with
+    * empty-cell retention, assign a2). Parameterized by k so the
+    * coarse-quantizer entry (KmCentroidsK) and the SemDeDup/IVF family
+    * (KmK) share one definition; `where` restricts the TRAINING corpus
+    * (the contamination twin trains on the eval residue class only, so
+    * its grid scale and q-frame are eval-derived — exactly
     * Cluster.semanticContamination's static side). */
   private def kmCtes(k: Int, where: String = ""): String =
     s"""sc AS (
@@ -977,10 +1013,7 @@ object ExtRegistry {
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
        |  FROM embeddings, sc $where),
-       |seeds AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-       |         CAST(1 AS BIGINT) AS n, q AS s
-       |  FROM q ORDER BY vec_id LIMIT $k),
+       |${maximinSeedCtes(k)},
        |${kmAssign("a1", "seeds")},
        |g1 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a1 GROUP BY cell),
        |c1 AS (SELECT s0.cell, coalesce(g1.n, s0.n) AS n, coalesce(g1.s, s0.s) AS s

@@ -120,6 +120,17 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Cluster.kmeansCentroidsSampled(synthEmbeddings(s, 500L * f),
           k = 8, iters = 2, sampleMod = 10)),
+    // sampled residual-PQ: BOTH quantizers (coarse cells AND residual
+    // codebooks) train on the vec_id % 10 residue class; the full
+    // corpus is coarse-encoded, residualized and PQ-encoded in narrow
+    // passes + ONE keyed occupancy agg — the gates prove the
+    // deploy-encode term keeps a constant exchange shape and bounded
+    // heap as n grows 100× while training scans only n/10 (the /mod
+    // training-cost half is gated separately in proveResidualSampled).
+    ("embeddings->pqCodebookResidualSampled", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Cluster.pqCodebookResidualSampled(synthEmbeddings(s, 500L * f),
+          m = 4, kSub = 8, iters = 2, coarseK = 8, sampleMod = 10)),
     // cluster-routed decontamination: the EVAL side (training + index)
     // is FIXED at 500 vectors while the probe corpus grows 100× — the
     // streaming-decontamination regime, where eval state is bounded
@@ -452,15 +463,17 @@ object ScaleProof {
       val resBytesClose =
         math.abs(rBytes - pBytes).toDouble / math.max(pBytes, 1L) < 0.05
       // IndexRefine bound — the claim is "full vectors move for the R
-      // SURVIVORS per probe only, never per candidate". Byte delta over
-      // raw PQ ≤ 2 co-location passes × R·d floats per probe (the two
-      // refine joins; candidates per probe here are 1250, so an
-      // unbounded design would ship 25× this). Record delta is linear
-      // in R·n: ≤ R rows per probe into each of the two joins and the
-      // final window, the two n-row embedding sides, plus the ADC
-      // window's wider per-map-partition group limit (R instead of k
-      // per probed cell) — n·6R covers all of it with slack while
-      // staying far under the 62.5M per-candidate count.
+      // SURVIVORS per query vector only (pooled across its probed
+      // cells — the window partitions by vec_id alone), never per
+      // candidate". Byte delta over raw PQ ≤ 2 co-location passes ×
+      // R·d floats per query vector (the two refine joins; candidates
+      // per query vector here are 1250, so an unbounded design would
+      // ship 25× this). Record delta is linear in R·n: ≤ R rows per
+      // query vector into each of the two joins and the final window,
+      // the two n-row embedding sides, plus the ADC window's wider
+      // per-map-partition group limit (R instead of k per probed
+      // cell) — n·6R covers all of it with slack while staying far
+      // under the 62.5M per-candidate count.
       val refineExtra = fRecs - pRecs
       val refineExtraBytes = fBytes - pBytes
       val refineByteBudget = 2L * refineR * 50000L * 64L * 4L
@@ -480,6 +493,59 @@ object ScaleProof {
       ok && okRes && okRefine
     } finally prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
+  /** Sampled residual-PQ training-cost gate: at a FIXED 50k-vector
+    * corpus and production shape (m=8, kSub=64, coarseK=80 — the
+    * `pqtraffic` regime), sampleMod=10 must materialize the deploy
+    * occupancy strictly faster than sampleMod=1. The full-corpus
+    * deploy-encode work is IDENTICAL on both sides (same narrow
+    * coarse-encode/residualize/PQ-encode passes and the same one keyed
+    * occupancy agg over all 50k rows), so the wall-clock difference is
+    * the training term the sampled path divides by sampleMod — the
+    * train-on-sample/assign-everything split measured at the PQ level.
+    * Both sides must also report FULL-corpus occupancy (Σn over cells
+    * = 50k for every subspace) from the identical AQE-final exchange
+    * shape — sampling may cut training cost only, never coverage or
+    * plan structure. */
+  private def proveResidualSampled(spark: SparkSession): Boolean = {
+    val n = 50000L
+    val emb = synthEmbeddings(spark, n).localCheckpoint(true)
+    // codegen/shape warm-up at a size too small to distort timings
+    val warm = synthEmbeddings(spark, 2000L).localCheckpoint(true)
+    graft.ext.Cluster.pqCodebookResidualSampled(warm, m = 8, kSub = 64,
+      iters = 2, coarseK = 80, sampleMod = 10).count()
+    warm.unpersist()
+    def run(mod: Int): (Double, Long, Int, Boolean) = {
+      val t0 = System.nanoTime()
+      val df = graft.ext.Cluster.pqCodebookResidualSampled(emb, m = 8, kSub = 64,
+        iters = 2, coarseK = 80, sampleMod = mod)
+      val (rows, finalPlan) = LocalSession.runToFinalPlan(df)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val exchanges = finalPlan.toString()
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      // full-corpus coverage: every subspace's cells partition all n
+      // vectors (training state is already literal in df's plan, so
+      // this re-agg only replays the narrow encode passes)
+      val covered = df.groupBy(col("subspace"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("dim") === 1, col("n"))).as("vecs"))
+        .collect().forall(_.getLong(1) == n)
+      (sec, rows, exchanges, covered)
+    }
+    val (fullSec, fullRows, fullEx, fullCov) = run(1)
+    val (sampSec, sampRows, sampEx, sampCov) = run(10)
+    emb.unpersist()
+    val fasterOk = sampSec < fullSec
+    val coverOk = fullCov && sampCov && fullRows == sampRows
+    val planOk = fullEx == sampEx
+    val ok = fasterOk && coverOk && planOk
+    println(s"""{"metric":"residual_sampled_training","vectors":$n,""" +
+      s""""full":{"sec":${s2(fullSec)},"rows":$fullRows,"exchanges":$fullEx},""" +
+      s""""sampled_mod10":{"sec":${s2(sampSec)},"rows":$sampRows,"exchanges":$sampEx},""" +
+      s""""speedup":${s2(fullSec / math.max(sampSec, 1e-9))},""" +
+      s""""sampled_faster":$fasterOk,"full_coverage":$coverOk,"same_plan":$planOk}""")
+    ok
   }
 
   private def usedHeapMb(): Long = {
@@ -571,7 +637,9 @@ object ScaleProof {
     val semOk = if (only.forall(_.contains("sempairs"))) proveSemanticPairBound(spark) else true
     // the IVF-PQ candidate-compression measurement — selectable as "pqtraffic"
     val pqOk = if (only.forall(_.contains("pqtraffic"))) provePqTraffic(spark) else true
-    val allOk = pipelinesOk && skewOk && semOk && pqOk
+    // the sampled residual-PQ training-cost gate — selectable as "ressampled"
+    val rsOk = if (only.forall(_.contains("ressampled"))) proveResidualSampled(spark) else true
+    val allOk = pipelinesOk && skewOk && semOk && pqOk && rsOk
     // stop() BEFORE the exit-code decision: the failing path must not
     // skip session shutdown (stray /dev/shm shuffle dirs, noisy
     // shutdown-hook logs from an abrupt JVM teardown)

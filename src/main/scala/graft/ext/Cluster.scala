@@ -148,12 +148,20 @@ object Cluster {
   }
 
   /** Seed-pool width for the maximin (k-means++-style) seeding: the
-    * greedy farthest-point pass runs over the `max(k, SeedPool)`
-    * lowest-vec_id vectors, NOT the whole corpus — a bounded,
-    * SQL-replayable candidate set (the oracle's `pool` CTE), so seeding
-    * cost is O(pool·k·d) driver arithmetic at any corpus size: the
-    * FAISS train-on-sample discipline applied to seeding itself. */
-  private[ext] val SeedPool = 256
+    * greedy farthest-point pass runs over a `max(k, SeedPool)`-row
+    * RESIDUE-CLASS pool — ids with `(vec_id - min_id) % stride == 0`
+    * where `stride = ceil(n / poolN)` — NOT the whole corpus and NOT
+    * the poolN lowest ids (which can all be one source at real scale).
+    * The ceil-stride spreads the pool across the whole id range (the
+    * `kmeansCentroidsSampled` sampling discipline applied to seeding),
+    * anchoring at the minimum id so the pool is never empty and seed 0
+    * stays the lowest vec_id. Bounded and SQL-replayable (the oracle's
+    * `ps`/`pool` CTEs), so seeding cost is O(pool·k·d) driver
+    * arithmetic at any corpus size: the FAISS train-on-sample
+    * discipline applied to seeding itself. Referenced by
+    * ExtRegistry.maximinSeedCtes — widening or narrowing this value
+    * re-pins every kmeans-family oracle on both sides at once. */
+  private[graft] val SeedPool = 256
 
   /** Deterministic maximin (farthest-point) seeding over a collected
     * pool of `(vec_id, q)` rows — the k-means++ idea with the random
@@ -188,19 +196,32 @@ object Cluster {
   }
 
   /** The Lloyd core over an already-quantized `(vec_id, q)` frame of
-    * width `d`: maximin seeds from the bounded lowest-vec_id pool
-    * ([[maximinSeeds]]), then `iters` assignment rounds with re-training
-    * (and empty-cell retention) between them. Checkpoints the q-frame
-    * once: it feeds every round plus the caller's aggregation, and a
-    * lineage re-read would re-quantize per use (see MinHash.nearDupPairs
-    * for the cache-vs-checkpoint note). */
+    * width `d`: maximin seeds from the bounded residue-class pool
+    * ([[maximinSeeds]], [[SeedPool]]), then `iters` assignment rounds
+    * with re-training (and empty-cell retention) between them.
+    * Checkpoints the q-frame once: it feeds every round plus the
+    * caller's aggregation, and a lineage re-read would re-quantize per
+    * use (see MinHash.nearDupPairs for the cache-vs-checkpoint note). */
   private def lloydAssign(qf0: DataFrame, k: Int, iters: Int, d: Int,
       maximin: Boolean = true): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val qf = qf0.localCheckpoint(false)
     val poolN = if (maximin) math.max(k, SeedPool) else k
-    val pool = qf.orderBy(col("vec_id")).limit(poolN).collect()
+    val poolDf =
+      if (maximin) {
+        // corpus-spread pool: ceil-stride residue class anchored at the
+        // minimum id (exact integer arithmetic, replayed by the
+        // oracle's ps CTE); the count/min pass is over the checkpointed
+        // q-frame, so it costs one bounded agg, not a re-quantization
+        val fr = qf.agg(count(lit(1)), min(col("vec_id"))).head()
+        if (fr.getLong(0) == 0L) qf
+        else {
+          val stride = math.max(1L, (fr.getLong(0) + poolN - 1) / poolN)
+          qf.filter((col("vec_id") - lit(fr.getLong(1))) % lit(stride) === lit(0L))
+        }
+      } else qf
+    val pool = poolDf.orderBy(col("vec_id")).limit(poolN).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toIndexedSeq
     val seeds =
       if (maximin) maximinSeeds(pool, k)

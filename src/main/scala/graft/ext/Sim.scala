@@ -596,23 +596,25 @@ object Sim {
 
   /** IVF-PQ search WITH a re-ranking refine stage — FAISS's IndexRefine,
     * the standard recall recovery for PQ's quantization error: the ADC
-    * ranking selects the top-`refineR` candidates per probe (R ≈ 5–10×k),
-    * and ONLY those R rows are re-scored with the exact full-precision
-    * cosine over the original floats before the final top-k. ADC's error
-    * rarely pushes a true neighbor below rank R even when it reorders
-    * the top k, so recall recovers toward the routing ceiling while the
-    * exact scoring cost stays R rows per probe instead of every
-    * candidate.
+    * ranking selects the top-`refineR` candidates per QUERY VECTOR,
+    * pooled across all its probed cells (the window partitions by
+    * vec_id alone; R ≈ 5–10×k), and ONLY those R rows are re-scored
+    * with the exact full-precision cosine over the original floats
+    * before the final top-k. ADC's error rarely pushes a true neighbor
+    * below rank R even when it reorders the top k, so recall recovers
+    * toward the routing ceiling while the exact scoring cost stays R
+    * rows per query vector instead of every candidate.
     *
     * Scale shape: the candidate stream and its top-R window are
     * [[ivfPqTopK]]'s unchanged (compressed m-int payload, narrow window
     * rows); the refine stage then moves only NARROW `(vec_id,
-    * neighbor_id)` pairs — ≤ R per probe — into two equi-joins against
-    * the embeddings table that fetch the 2·R·d full-precision floats per
-    * probe the exact re-score needs. Candidate compression is preserved
-    * end-to-end: full vectors are fetched for the R survivors only,
-    * never shipped per candidate (the `refine_traffic_bounded` gate in
-    * ScaleProof's `ivfpq_traffic` measurement holds this bound). */
+    * neighbor_id)` pairs — ≤ R per query vector — into two equi-joins
+    * against the embeddings table that fetch the 2·R·d full-precision
+    * floats per query vector the exact re-score needs. Candidate
+    * compression is preserved end-to-end: full vectors are fetched for
+    * the R survivors only, never shipped per candidate (the
+    * `refine_traffic_bounded` gate in ScaleProof's `ivfpq_traffic`
+    * measurement holds this bound). */
   def ivfPqRefinedTopK(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
       coarseK: Int = 8, nProbe: Int = 2, k: Int = 5, refineR: Int = 25): DataFrame = {
     require(refineR >= k, s"refineR must be >= k ($k), got $refineR")

@@ -324,7 +324,9 @@ object ExtRegistry {
         m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5)),
 
     // IVF-PQ + IndexRefine: the ADC ranking keeps its top-25 candidates
-    // per probe and ONLY those re-score with the exact full-precision
+    // per query vector (pooled across its probed cells — the window
+    // partitions by vec_id alone) and ONLY those re-score with the exact
+    // full-precision
     // cosine — the standard recall recovery for PQ quantization error
     // (recall vs the unrefined ranking is driver-checked via
     // ann_recall_ivfpq_refined; refine traffic is ScaleProof-gated)
@@ -962,15 +964,20 @@ object ExtRegistry {
     (1 to EmbDim).map(i => s"CAST(sum(q[$i]) AS BIGINT)").mkString(", ")
 
   /** Maximin seed chain — Cluster.maximinSeeds replayed as k chained
-    * CTEs: `pool` is the bounded lowest-vec_id candidate set, `sd0` the
-    * lowest-vec_id vector, each `sm{i}` carries every remaining pool
-    * vector's min exact-int64 squared distance to the chosen set
-    * (integer list_sum — order-free, so engine-agnostic), and `sd{i+1}`
-    * is the (md DESC, vec_id) argmax. A pool smaller than k exhausts
-    * gracefully (empty sd → empty sm → no seed row), matching the
-    * Spark side's truncated seed list. */
+    * CTEs: `ps` computes the ceil-stride `greatest(1, (n + poolN - 1)
+    * // poolN)` and the minimum id (Cluster.lloydAssign's exact integer
+    * arithmetic), `pool` is the bounded residue-class candidate set
+    * `(vec_id - mn) % stride = 0` spread across the whole id range,
+    * `sd0` the lowest-vec_id vector, each `sm{i}` carries every
+    * remaining pool vector's min exact-int64 squared distance to the
+    * chosen set (integer list_sum — order-free, so engine-agnostic),
+    * and `sd{i+1}` is the (md DESC, vec_id) argmax. A pool smaller
+    * than k exhausts gracefully (empty sd → empty sm → no seed row),
+    * matching the Spark side's truncated seed list. */
   private def maximinSeedCtes(k: Int): String = {
-    val poolN = math.max(k, 256) // Cluster.SeedPool
+    require(k >= 2, s"maximin seed chain needs k >= 2 (k=1 would emit " +
+      s"malformed SQL — empty step list leaves a stray comma), got $k")
+    val poolN = math.max(k, graft.ext.Cluster.SeedPool)
     def dist(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, $EmbDim), i -> ($a.q[i] - $b.q[i]) * ($a.q[i] - $b.q[i])))"
     val steps = (1 until k).map { i =>
@@ -987,7 +994,11 @@ object ExtRegistry {
     val seedRows = (0 until k)
       .map(i => s"SELECT CAST($i AS INTEGER) AS cell, CAST(1 AS BIGINT) AS n, q AS s FROM sd$i")
       .mkString("\n  UNION ALL ")
-    s"""pool AS MATERIALIZED (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT $poolN),
+    s"""ps AS (SELECT greatest(1, (count(*) + ${poolN - 1}) // $poolN) AS stride,
+       |             min(vec_id) AS mn FROM q),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, q FROM q, ps
+       |  WHERE (vec_id - ps.mn) % ps.stride = 0 ORDER BY vec_id LIMIT $poolN),
        |sd0 AS (SELECT vec_id, q FROM pool ORDER BY vec_id LIMIT 1),
        |sm0 AS MATERIALIZED (
        |  SELECT p.vec_id, p.q, ${dist("p", "s")} AS md
@@ -998,7 +1009,7 @@ object ExtRegistry {
   }
 
   /** Shared CTE chain: global int8 grid → maximin seeds over the bounded
-    * lowest-vec_id pool → two Lloyd rounds (assign a1, update c1 with
+    * residue-class pool → two Lloyd rounds (assign a1, update c1 with
     * empty-cell retention, assign a2). Parameterized by k so the
     * coarse-quantizer entry (KmCentroidsK) and the SemDeDup/IVF family
     * (KmK) share one definition; `where` restricts the TRAINING corpus
@@ -1106,7 +1117,8 @@ object ExtRegistry {
     * per-subspace PARENTHESIZED |mean|² chains summed in subspace order
     * (the Spark side sums precomputed per-subspace doubles). */
   /** `refineR > 0` adds the IndexRefine stage: the ADC ranking keeps the
-    * top-R candidates per probe, and ONLY those rows re-score with the
+    * top-R candidates per query vector (pooled across its probed
+    * cells), and ONLY those rows re-score with the
     * exact full-precision cosine (the brute chain over the original
     * floats) before the final top-k — Sim.ivfPqRefinedTopK step for
     * step. */

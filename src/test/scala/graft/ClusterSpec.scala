@@ -53,6 +53,46 @@ class ClusterSpec extends SparkSpec {
     assert(b(2) > b(0) && b(3) > b(1))
   }
 
+  test("maximin seeding strictly beats first-k seeding on within-cluster SSE") {
+    // The failure mode maximin exists for: the k lowest vec_ids are one
+    // source's duplicates, so first-k seeding plants every seed on the
+    // same point — ties send all members to the lowest cell and Lloyd
+    // can never fully unstick the stranded seeds. Maximin's greedy
+    // farthest-point pass spreads seeds across the occupied space and
+    // recovers the three-blob partition.
+    val blobs3 = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)), // blob A: triplicate head ids
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 2.0f, 0.0f, 0.0f)), // blob B
+      (5L, Array(0.1f, 2.0f, 0.0f, 0.0f)),
+      (6L, Array(0.0f, 1.9f, 0.1f, 0.0f)),
+      (7L, Array(0.0f, 0.0f, 2.0f, 0.1f)), // blob C
+      (8L, Array(0.0f, 0.1f, 2.0f, 0.0f)),
+      (9L, Array(0.0f, 0.0f, 1.9f, 0.0f))
+    )
+    val df = blobs3.toDF("vec_id", "embedding")
+    val vecs = blobs3.map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    def sse(asg: Map[Long, Int]): Double =
+      asg.groupBy(_._2).values.map { members =>
+        val pts = members.keys.map(vecs).toSeq
+        val mean = pts.transpose.map(c => c.sum / c.size).toArray
+        pts.map(p => p.zip(mean).map { case (a, b) => (a - b) * (a - b) }.sum).sum
+      }.sum
+    def asgOf(res: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      res.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val maximin = asgOf(Cluster.kmeansAssign(df, k = 3, iters = 2))
+    val firstK = asgOf(Cluster.kmeansAssignFirstKSeeds(df, k = 3, iters = 2))
+    val (sseMax, sseFirst) = (sse(maximin), sse(firstK))
+    assert(sseMax < sseFirst,
+      s"maximin SSE $sseMax not strictly below first-k SSE $sseFirst")
+    // and the maximin partition is the true one: blob-pure, all 3 cells used
+    val cells = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(7L, 8L, 9L))
+      .map(ids => ids.map(maximin).toSet)
+    assert(cells.forall(_.size == 1) && cells.flatten.toSet.size == 3,
+      s"maximin partition not blob-pure: $maximin")
+  }
+
   test("kmeans result is invariant under repartitioning (exact arithmetic)") {
     val once = Cluster.kmeansCentroids(blobs, k = 2, iters = 2)
       .orderBy("cell", "dim").collect().toSeq

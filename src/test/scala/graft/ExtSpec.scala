@@ -1150,7 +1150,14 @@ class ExtSpec extends SparkSpec {
       s"refine $recallRefined exceeded its routing ceiling $recallTrained")
     // with R covering EVERY candidate the refine IS the exact-scored
     // routing: identical rows (ids, cosines, ranks) to trained-IVF —
-    // the two plans are different spellings of one computation
+    // the two plans are different spellings of one computation.
+    // Fixture precondition for the exact set equality: every fixture
+    // vector with exact nsq > 0 also has a nonzero PQ reconstruction
+    // (rnsq > 0) — the refine path screens candidates on rnsq > 0 while
+    // trained-IVF screens on nsq > 0, so a vector whose PQ
+    // reconstruction collapsed to zero would drop a row here even
+    // though the operator is correct. Holds on this spread fixture;
+    // revisit if the fixture geometry changes.
     def rows(res: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
       res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val refinedAll = rows(graft.ext.Sim.ivfPqRefinedTopK(df, m = 4, kSub = 8,

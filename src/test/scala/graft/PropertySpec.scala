@@ -344,19 +344,39 @@ class PropertySpec extends SparkSpec {
   test("property: kmeans matches an independent Scala Lloyd model exactly") {
     import graft.ext.Cluster
     // The distributed run and a single-threaded model must agree
-    // BIT-FOR-BIT: quantization, every assignment round, every centroid
-    // sum/count, and the final IEEE means — that exactness is the whole
-    // design (Cluster.scala scaladoc). d=5, k=3, 3 rounds.
+    // BIT-FOR-BIT: quantization, seeding, every assignment round, every
+    // centroid sum/count, and the final IEEE means — that exactness is
+    // the whole design (Cluster.scala scaladoc). d=5, k=3, 3 rounds.
+    // Both seedings are modeled: the maximin default and the first-k
+    // baseline that ClusterSpec's SSE gate measures against.
     val d = 5; val k = 3; val iters = 3
-    def model(rows: List[(Long, Array[Float])])
+    def model(rows: List[(Long, Array[Float])], maximin: Boolean)
         : (Map[Long, Int], Map[(Int, Int), (Long, Long, Double)]) = {
       val maxabs = rows.flatMap(_._2.map(x => math.abs(x.toDouble))).max
       val scale = maxabs / 127.0
       val q = rows.sortBy(_._1).map { case (id, e) =>
         id -> e.map(x => math.floor(x.toDouble / scale + 0.5).toLong)
       }
+      // independent maximin re-derivation: greedy farthest-point over
+      // the lowest-id pool (12 < SeedPool, so the pool is the whole
+      // set): seed 0 = lowest id, then argmax of min dist² to the
+      // chosen set, ties to the lowest id — exact integer distances
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      def maximinSeeds: List[(Long, Array[Long])] = {
+        var chosen = List(q.head)
+        var rest = q.tail.map { case (id, qv) => (id, qv, d2(qv, q.head._2)) }
+        while (chosen.size < k && rest.nonEmpty) {
+          val pick = rest.minBy { case (id, _, md) => (-md, id) }
+          chosen = chosen :+ ((pick._1, pick._2))
+          rest = rest.filter(_._1 != pick._1)
+            .map { case (id, qv, md) => (id, qv, math.min(md, d2(qv, pick._2))) }
+        }
+        chosen
+      }
       var cens: Seq[(Int, Long, Array[Long])] =
-        q.take(k).zipWithIndex.map { case ((_, qv), i) => (i, 1L, qv) }
+        (if (maximin) maximinSeeds else q.take(k))
+          .zipWithIndex.map { case ((_, qv), i) => (i, 1L, qv) }
       def assign(): Map[Long, Int] = q.map { case (id, qv) =>
         val scored = cens.map { case (c, n, s) =>
           val dot = qv.zip(s).map { case (a, b) => a * b }.sum
@@ -401,9 +421,14 @@ class PropertySpec extends SparkSpec {
         .map(r => (r.getInt(0), r.getInt(1)) ->
           ((r.getLong(2), r.getLong(3), r.getDouble(4))))
         .toMap
-      val (expAsg, expCen) = model(vecs)
+      val (expAsg, expCen) = model(vecs, maximin = true)
       assert(gotAsg == expAsg, s"assignments diverge on set $setIdx")
       assert(gotCen == expCen, s"centroids diverge on set $setIdx")
+      // the first-k baseline seeding must replay bit-for-bit too
+      val gotFirstK = Cluster.kmeansAssignFirstKSeeds(df, k, iters)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val (expFirstK, _) = model(vecs, maximin = false)
+      assert(gotFirstK == expFirstK, s"first-k assignments diverge on set $setIdx")
     }
   }
 }

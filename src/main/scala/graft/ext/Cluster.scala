@@ -534,6 +534,68 @@ object Cluster {
     }
   }
 
+  /** OPQ-lite: a variance-balancing DIMENSION PERMUTATION applied to
+    * the embedding before PQ — the cheap, SQL-replayable core of OPQ
+    * (Ge et al., "Optimized Product Quantization": learn a rotation so
+    * every subspace carries comparable variance; the permutation is
+    * the rotation restricted to coordinate swaps). Contiguous slicing
+    * can strand all the discriminative variance in one subspace, which
+    * then burns its kSub cells on structure the other m−1 subspaces
+    * never see; sorting dimensions by variance and dealing them
+    * ROUND-ROBIN across subspaces (rank rn → subspace rn % m, slot
+    * rn / m) gives every subspace one dimension from each variance
+    * tier at identical bits.
+    *
+    * Determinism/replay contract: per-dimension variance is ranked by
+    * the exact int64 metric `n·Σq² − (Σq)²` over the global int8 grid
+    * (floats would rank differently across engines; the metric is
+    * n²·Var, monotone in variance), ties to the lower dimension — the
+    * oracle's `ods`/`opm` CTEs replay the ranking and the permuted
+    * frame exactly. Overflow past int64 fails LOUDLY (bound ~2.4·10⁷
+    * rows at |q| ≤ 127 — past it, derive the permutation on a bounded
+    * residue-class sample, the [[kmeansCentroidsSampled]] discipline).
+    *
+    * Scale shape: ONE 2d+1-column aggregation collects a single row of
+    * bounded stats; the permuted projection is stateless-narrow. Dot
+    * products and norms are permutation-invariant, so a permuted
+    * search's neighbor ids compare directly against the unpermuted
+    * brute-force truth. Empty/all-zero corpora pass through
+    * unchanged. */
+  def opqPermute(embeddings: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    grid(embeddings) match {
+      case None => embeddings
+      case Some((scale, d)) =>
+        require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
+        val dsub = d / m
+        val qf = embeddings.select(col("vec_id"), qCol(scale).as("q"))
+        val aggs = (count(lit(1)).as("n") +:
+          (1 to d).flatMap(i => Seq(
+            sum(el(col("q"), i)).as(s"sx$i"),
+            sum(el(col("q"), i) * el(col("q"), i)).as(s"sxx$i")))).toList
+        val row = qf.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getLong(0)
+        val vm = Array.tabulate(d) { j =>
+          val sx = row.getLong(1 + 2 * j); val sxx = row.getLong(2 + 2 * j)
+          try Math.subtractExact(Math.multiplyExact(n, sxx), Math.multiplyExact(sx, sx))
+          catch {
+            case _: ArithmeticException => throw new IllegalArgumentException(
+              s"dim ${j + 1} (n=$n): n*Σq² overflows int64 — derive the " +
+                "permutation on a bounded residue-class sample instead")
+          }
+        }
+        val sorted = (1 to d).sortWith((a, b) =>
+          vm(a - 1) > vm(b - 1) || (vm(a - 1) == vm(b - 1) && a < b))
+        // src(pos) = the original 1-based dimension landing at pos
+        val src = Array.ofDim[Int](d + 1)
+        sorted.zipWithIndex.foreach { case (dim, rn) =>
+          src((rn % m) * dsub + rn / m + 1) = dim
+        }
+        embeddings.select(col("vec_id"),
+          array((1 to d).map(p => col("embedding")(src(p) - 1)): _*).as("embedding"))
+    }
+  }
+
   /** Trained PQ codebook in long form: one row per subspace, NON-EMPTY
     * final cell and dimension — exact component sum `s`, member count
     * `n`, IEEE mean `s/n` (the [[kmeansCentroids]] contract per

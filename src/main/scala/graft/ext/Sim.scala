@@ -641,6 +641,19 @@ object Sim {
     }
   }
 
+  /** IVF-PQ search over the OPQ-lite variance-balanced dimension
+    * permutation ([[graft.ext.Cluster.opqPermute]]): the embedding is
+    * permuted so each subspace carries comparable variance, then the
+    * UNCHANGED [[ivfPqTopK]] machinery trains, encodes and searches the
+    * permuted frame at identical bits. Dot products and norms are
+    * permutation-invariant, so neighbor ids compare directly against
+    * the unpermuted brute truth (`ann_recall_ivfpq_opq`); plan shape
+    * and candidate traffic are ivfPqTopK's — the permutation adds one
+    * bounded 2d-sum stats row and a narrow projection. */
+  def ivfPqOpqTopK(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
+      coarseK: Int = 8, nProbe: Int = 2, k: Int = 5): DataFrame =
+    ivfPqTopK(Cluster.opqPermute(embeddings, m), m, kSub, coarseK, nProbe, k)
+
   /** IVF-PQ search with RESIDUAL encoding — FAISS IVFPQ proper: the
     * codebook quantizes `x − centroid(cell(x))` instead of the raw
     * vector ([[graft.ext.Cluster.residualPqState]]), so the same m·log₂k

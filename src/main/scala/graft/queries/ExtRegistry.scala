@@ -335,6 +335,15 @@ object ExtRegistry {
         m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5,
         refineR = PqRefineR)),
 
+    // OPQ-lite: variance-balanced dimension permutation (exact-int64
+    // variance ranking, round-robin across subspaces) before the
+    // UNCHANGED ivfPqTopK chain — identical bits, better-spent
+    // subspaces on variance-skewed corpora (recall driver-checked via
+    // ann_recall_ivfpq_opq against the unpermuted brute truth)
+    "knn_cosine_ivfpq_opq" -> ((s, dir) =>
+      graft.ext.Sim.ivfPqOpqTopK(embeddingsDimChecked(s, dir),
+        m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5)),
+
     // the RESIDUAL codebook (FAISS IVFPQ proper): per-subspace Lloyd
     // over x − centroid(cell(x)), re-quantized onto the residual's own
     // int8 grid so training stays exact-int64 bit-replayable
@@ -1016,14 +1025,14 @@ object ExtRegistry {
     * (the contamination twin trains on the eval residue class only, so
     * its grid scale and q-frame are eval-derived — exactly
     * Cluster.semanticContamination's static side). */
-  private def kmCtes(k: Int, where: String = ""): String =
+  private def kmCtes(k: Int, where: String = "", src: String = "embeddings"): String =
     s"""sc AS (
        |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS scale
-       |  FROM embeddings $where),
+       |  FROM $src $where),
        |q AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
-       |  FROM embeddings, sc $where),
+       |  FROM $src, sc $where),
        |${maximinSeedCtes(k)},
        |${kmAssign("a1", "seeds")},
        |g1 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a1 GROUP BY cell),
@@ -1122,8 +1131,46 @@ object ExtRegistry {
     * exact full-precision cosine (the brute chain over the original
     * floats) before the final top-k — Sim.ivfPqRefinedTopK step for
     * step. */
+  /** OPQ-lite permutation CTEs — Cluster.opqPermute replayed: `oq` is
+    * the base corpus on its own int8 grid, `ods` the per-dimension
+    * exact int64 stats, `opm` ranks dimensions by `n·Σq² − (Σq)²`
+    * (ties to the lower dim) and deals them round-robin (rank rn →
+    * subspace rn % m, slot rn // m), and `eperm` is the permuted
+    * embedding frame the rest of the chain consumes via `src`. The
+    * list aggregate orders by pos, so element types and order match
+    * the Spark side's array projection exactly. */
+  private def opqCtes(m: Int): String = {
+    val dsub = EmbDim / m
+    s"""osc AS (
+       |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS scale
+       |  FROM embeddings),
+       |oq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / osc.scale + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, osc),
+       |ods AS (
+       |  SELECT i AS dim,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(q[i]) AS BIGINT) AS sx,
+       |         CAST(sum(q[i] * q[i]) AS BIGINT) AS sxx
+       |  FROM oq, generate_series(1, $EmbDim) t(i) GROUP BY i),
+       |opm AS (
+       |  SELECT dim, CAST((rn % $m) * $dsub + (rn // $m) + 1 AS INTEGER) AS pos FROM (
+       |    SELECT dim, row_number() OVER (ORDER BY n * sxx - sx * sx DESC, dim) - 1 AS rn
+       |    FROM ods) r),
+       |eperm AS MATERIALIZED (
+       |  SELECT e.vec_id, list(e.embedding[p.dim] ORDER BY p.pos) AS embedding
+       |  FROM embeddings e CROSS JOIN opm p GROUP BY e.vec_id)""".stripMargin
+  }
+
+  /** `src`/`prefixCtes`: the OPQ twin prepends its permutation CTEs and
+    * points the WHOLE chain (grid, training, encoding, probing) at the
+    * permuted frame `eperm` instead of the base table — everything else
+    * replays unchanged, exactly as Sim.ivfPqOpqTopK delegates to
+    * ivfPqTopK over Cluster.opqPermute's output. */
   private def ivfPqOracle(m: Int, kSub: Int, coarseK: Int, nProbe: Int,
-      kNeighbors: Int, refineR: Int = 0): String = {
+      kNeighbors: Int, refineR: Int = 0, src: String = "embeddings",
+      prefixCtes: String = ""): String = {
     val dsub = EmbDim / m
     val subs = (0 until m).map(pqSubChain(_, dsub, kSub)).mkString(",\n")
     val g2s = (0 until m).map(s =>
@@ -1177,7 +1224,7 @@ object ExtRegistry {
            |              JOIN e1 b ON b.vec_id = c.neighbor_id) t
            |WHERE rank <= $kNeighbors""".stripMargin
       }
-    s"""WITH ${kmCtes(coarseK)},
+    s"""WITH ${if (prefixCtes.isEmpty) "" else prefixCtes + ",\n"}${kmCtes(coarseK, src = src)},
        |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
        |$subs,
        |$g2s,
@@ -1185,7 +1232,7 @@ object ExtRegistry {
        |$codes,
        |e0 AS (
        |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
-       |  FROM embeddings m JOIN q v USING (vec_id)),
+       |  FROM $src m JOIN q v USING (vec_id)),
        |ranked AS MATERIALIZED (
        |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
        |         row_number() OVER (PARTITION BY v.vec_id
@@ -1616,6 +1663,9 @@ object ExtRegistry {
     "knn_cosine_ivfpq" -> ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5),
     "knn_cosine_ivfpq_refined" ->
       ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5, refineR = PqRefineR),
+    "knn_cosine_ivfpq_opq" ->
+      ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5,
+        src = "eperm", prefixCtes = opqCtes(PqSearchM)),
     "pq_codebook_residual" -> pqCodebookResOracle(PqM, KmK, KmK),
     "pq_codebook_residual_sampled" ->
       pqCodebookResSampledOracle(PqM, KmK, KmK, KmSampleMod),

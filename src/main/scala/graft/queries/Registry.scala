@@ -692,7 +692,8 @@ object Registry {
     "ivf" -> "knn_cosine_ivf", "ivf_trained" -> "knn_cosine_ivf_trained",
     "ivf_sampled" -> "knn_cosine_ivf_sampled",
     "ivfpq" -> "knn_cosine_ivfpq", "ivfpq_res" -> "knn_cosine_ivfpq_res",
-    "ivfpq_refined" -> "knn_cosine_ivfpq_refined")
+    "ivfpq_refined" -> "knn_cosine_ivfpq_refined",
+    "ivfpq_opq" -> "knn_cosine_ivfpq_opq")
 
   private def annRecallQuery(variant: String, underlying: String): (SparkSession, String) => DataFrame =
     (s, dir) => {

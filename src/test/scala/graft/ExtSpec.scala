@@ -1189,6 +1189,54 @@ class ExtSpec extends SparkSpec {
       s"curve np=2 recall $np2 != trained-IVF recall $recallTrained")
   }
 
+  test("OPQ-lite permutation spreads variance and lifts PQ recall on a skewed corpus") {
+    val d = 16; val m = 4; val dsub = 4
+    // 16 clusters sign-coded on dims 1-4 — ALL inside the first
+    // contiguous subspace — tiny deterministic noise elsewhere:
+    // contiguous slicing hands subspace 0 sixteen sign patterns to
+    // cover with kSub=8 cells (structurally impossible) while the
+    // other three subspaces quantize noise; variance-ranked
+    // round-robin deals one sign dim to EACH subspace, so every
+    // subspace separates its ± split with cells to spare. Coarse
+    // routing is permutation-invariant (exact int64 distances sum
+    // order-free), so the comparison isolates the subspace grouping.
+    val df = spark.range(200).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(1, $d), i -> CAST(
+           CASE WHEN i <= 4 THEN
+             CASE WHEN shiftright(CAST(id % 16 AS INT), CAST(i - 1 AS INT)) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END
+           ELSE pmod(id * 2654435761 + i * 40503, 1000003) / 1000003.0 * 0.2 - 0.1
+           END AS FLOAT))""").as("embedding")).localCheckpoint(true)
+    // the permutation is a value bijection per row, and each dsub-slice
+    // of the permuted frame holds exactly one sign dim (|x| = 1)
+    val permRow = graft.ext.Cluster.opqPermute(df, m)
+      .filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val origRow = df.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    assert(permRow.sorted == origRow.sorted, "permutation is not a value bijection")
+    (0 until m).foreach { s =>
+      val slice = permRow.slice(s * dsub, (s + 1) * dsub)
+      assert(slice.count(x => math.abs(x) == 1.0f) == 1,
+        s"subspace $s got ${slice.count(x => math.abs(x) == 1.0f)} sign dims, want 1")
+    }
+    def pairs(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      res.select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(graft.ext.Sim.bruteTopK(df, 5))
+    val raw = pairs(graft.ext.Sim.ivfPqTopK(df, m = m, kSub = 8,
+      coarseK = 8, nProbe = 2, k = 5))
+    val opq = pairs(graft.ext.Sim.ivfPqOpqTopK(df, m = m, kSub = 8,
+      coarseK = 8, nProbe = 2, k = 5))
+    val ceiling = pairs(graft.ext.Sim.ivfTopKTrained(df,
+      graft.ext.Cluster.kmeansCentroids(df, k = 8, iters = 2), 5, 2))
+    val recallRaw = (truth intersect raw).size.toDouble / truth.size
+    val recallOpq = (truth intersect opq).size.toDouble / truth.size
+    val recallCeil = (truth intersect ceiling).size.toDouble / truth.size
+    assert(recallOpq > recallRaw,
+      s"opq recall $recallOpq did not beat contiguous slicing $recallRaw at equal bits")
+    assert(recallOpq <= recallCeil + 1e-9,
+      s"opq recall $recallOpq exceeded its exact-scored routing ceiling $recallCeil")
+  }
+
   test("indexAdd: delta encodes compose exactly and replay on a streaming ingest") {
     val d = 16
     val emb = spark.range(120).select(col("id").as("vec_id"),

@@ -363,6 +363,14 @@ object Registry {
 
     "near_dup_ngram" -> ((s, dir) => Text.ngramJaccardPairs(Tables(s, dir).documents, 3)),
 
+    // web-graph-style document quality weighting: 3 damped PageRank
+    // rounds over the doc–shingle bipartite graph (df-window 2..20 caps
+    // supernode degree), exact-int64 rank units so the fixpoint prefix
+    // hash-replays in SQL
+    "doc_centrality" -> ((s, dir) =>
+      graft.ext.Graph.docCentrality(Tables(s, dir).documents, n = 3,
+        minDf = 2, maxDf = 20, iters = 3)),
+
     "knn_cosine_brute" -> ((s, dir) => Sim.bruteTopK(Tables(s, dir).embeddings, 5)),
 
     "knn_cosine_lsh" -> ((s, dir) => Sim.lshTopK(Tables(s, dir).embeddings, 5, 6)),
@@ -1101,6 +1109,44 @@ object Registry {
          |       CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
          |         / CAST(len(list_distinct(x.hashes || y.hashes)) AS DOUBLE) AS jaccard
          |FROM cand c JOIN h2 x ON c.doc_a = x.doc_id JOIN h2 y ON c.doc_b = y.doc_id""".stripMargin,
+
+    // doc–shingle bipartite PageRank, Graph.pageRank replayed: `ms`
+    // computes init = mass // V and base = (15·init) // 100 once, r0
+    // seeds every vertex at init, each r{i} is one damped round —
+    // contributions are exact floor divisions `rank // outdeg`, in-sums
+    // cast back to BIGINT (DuckDB sums to HUGEINT), update
+    // base + (85·in) // 100. UNION (distinct) in `v` mirrors the Spark
+    // side's union+distinct; the df window and shingle hashes reuse the
+    // near_dup_ngram machinery verbatim.
+    "doc_centrality" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v.vertex,
+           |         CAST((SELECT base FROM ms) + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank_units
+           |  FROM v LEFT JOIN (
+           |    SELECT eo.dst AS vertex, CAST(sum(r.rank_units // eo.outdeg) AS BIGINT) AS in_sum
+           |    FROM eo JOIN r${i - 1} r ON r.vertex = eo.src GROUP BY eo.dst) s USING (vertex))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ExtRegistry.shingleHashCtes},
+         |ex AS MATERIALIZED (SELECT doc_id, unnest(hashes) AS s FROM h2),
+         |kept AS MATERIALIZED (
+         |  SELECT ex.doc_id, ex.s FROM ex
+         |  JOIN (SELECT s FROM ex GROUP BY s HAVING count(*) >= 2 AND count(*) <= 20) k USING (s)),
+         |e AS MATERIALIZED (
+         |  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || CAST(s AS VARCHAR) AS dst FROM kept
+         |  UNION ALL
+         |  SELECT 't:' || CAST(s AS VARCHAR), 'd:' || CAST(doc_id AS VARCHAR) FROM kept),
+         |v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst AS vertex FROM e),
+         |ms AS (SELECT 1000000000000 // count(*) AS init,
+         |              (15 * (1000000000000 // count(*))) // 100 AS base FROM v),
+         |eo AS MATERIALIZED (
+         |  SELECT e.src, e.dst, od.outdeg FROM e
+         |  JOIN (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src) od USING (src)),
+         |r0 AS (SELECT vertex, CAST((SELECT init FROM ms) AS BIGINT) AS rank_units FROM v),
+         |$iterCtes
+         |SELECT CAST(vertex[3:] AS BIGINT) AS doc_id, rank_units
+         |FROM r3 WHERE vertex LIKE 'd:%'""".stripMargin
+    },
 
     "knn_cosine_brute" ->
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq FROM embeddings) t0 WHERE nsq > 0)

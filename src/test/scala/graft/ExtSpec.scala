@@ -1189,6 +1189,35 @@ class ExtSpec extends SparkSpec {
       s"curve np=2 recall $np2 != trained-IVF recall $recallTrained")
   }
 
+  test("docCentrality: hub outranks periphery; exact-int ranks are layout-invariant") {
+    // Star + isolated pair: the hub doc shares one trigram with each of
+    // 5 spokes (bridge trigrams inside the hub text are df=1 → pruned);
+    // docs 6/7 share exactly one trigram with each other. The hub sits
+    // on 5 informative shingles, the pair docs on 1 — three damped
+    // rounds must rank the hub strictly above a pair doc and above
+    // every spoke.
+    val docs = ((0L, (1 to 5).map(i => s"hub$i x$i y$i").mkString(" ")) +:
+      (1 to 5).map(i => (i.toLong, s"hub$i x$i y$i pad${i}a pad${i}b")) :+
+      (6L, "iso a b c6 d6") :+ (7L, "iso a b c7 d7"))
+      .toDF("doc_id", "text")
+    val ranks = graft.ext.Graph.docCentrality(docs, n = 3, minDf = 2,
+      maxDf = 20, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      s"every doc touches an in-window shingle, got ${ranks.keySet}")
+    assert(ranks(0L) > ranks(6L), s"hub ${ranks(0L)} <= pair doc ${ranks(6L)}")
+    (1 to 5).foreach(i => assert(ranks(0L) > ranks(i.toLong),
+      s"hub ${ranks(0L)} <= spoke $i ${ranks(i.toLong)}"))
+    // rank mass is conserved up to floor shedding: every rank >= the
+    // damping base, total <= the mass budget
+    assert(ranks.values.forall(_ > 0) && ranks.values.sum <= 1000000000000L)
+    // exact integer iteration => bit-identical under any partition layout
+    val spread = graft.ext.Graph.docCentrality(docs.repartition(7), n = 3,
+      minDf = 2, maxDf = 20, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spread == ranks, "ranks drifted under repartitioning")
+  }
+
   test("OPQ-lite permutation spreads variance and lifts PQ recall on a skewed corpus") {
     val d = 16; val m = 4; val dsub = 4
     // 16 clusters sign-coded on dims 1-4 — ALL inside the first

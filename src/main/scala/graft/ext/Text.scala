@@ -353,6 +353,75 @@ object Text {
       .limit(k)
   }
 
+  /** k greedy BPE merge rounds over word TYPES — [[bpePairCounts]]
+    * iterated into an actual tokenizer-training loop: each round counts
+    * adjacent symbol pairs weighted by word frequency, merges the
+    * (count DESC, left, right)-argmax pair everywhere it occurs, and
+    * the next round counts over the merged symbols. Returns the merge
+    * table `(merge_rank, left_sym, right_sym, merged, cnt)` — the
+    * artifact a BPE tokenizer ships.
+    *
+    * Merge application is the leftmost-non-overlapping string-replace
+    * convention: symbols live in a U+001F-prefixed string (`␟l␟o␟a␟n`),
+    * so replacing `␟l␟o` with `␟lo` merges every occurrence in one
+    * left-to-right scan — adjacent occurrences share no boundary
+    * character (each symbol carries its OWN leading marker), and both
+    * engines' `replace` define the identical scan, which is what makes
+    * round k's vocabulary (and so every count) bit-reproducible.
+    *
+    * Scale shape: the corpus-sized shuffle happens ONCE (the word-type
+    * frequency groupBy); every round then runs on the Zipf-small
+    * vocabulary table — one narrow pair explode, one pair-keyed agg,
+    * one 1-row TakeOrdered collect (the bounded driver state), one
+    * narrow replace. `merges` is a driver-loop bound (each round is a
+    * Spark job): this is the exact-replay reference trainer — a
+    * production 30k-merge run batches rounds over the same vocabulary
+    * frame, trading the per-round argmax barrier for throughput. A
+    * round with no remaining pairs ends training early (the oracle's
+    * never-matching `chr(2)` sentinel keeps later CTEs inert). */
+  def bpeTrainMerges(documents: DataFrame, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 32,
+      s"merges must be in [1, 32] (driver-loop bound), got $merges")
+    val spark = documents.sparkSession
+    val sep = "\u001f"
+    val cs = filter(split(col("term"), ""), c => c =!= "")
+    var cur = termStream(documents).groupBy(col("term")).agg(count(lit(1L)).as("freq"))
+      .select(col("freq"),
+        concat(lit(sep), array_join(cs, sep)).as("repr"))
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= merges && !done) {
+      val syms0 = split(col("repr"), sep)
+      val top = cur
+        .select(col("freq"), slice(syms0, lit(2), size(syms0) - 1).as("syms"))
+        .select(col("freq"), explode(
+          when(size(col("syms")) < 2, array().cast("array<struct<l:string,r:string>>"))
+            .otherwise(transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r"))))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val l = top.head.getString(0); val r = top.head.getString(1)
+        val cnt = top.head.getLong(2)
+        out += ((round, l, r, l + r, cnt))
+        cur = cur.select(col("freq"),
+            replace(col("repr"), lit(sep + l + sep + r), lit(sep + l + r)).as("repr"))
+          .localCheckpoint(false) // each round's vocabulary feeds the next
+        round += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt")
+      .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+        col("right_sym"), col("merged"), col("cnt"))
+  }
+
   /** Unicode NFC canonicalization over a deterministically "dirtied"
     * corpus. The testdata text is pure ASCII (already NFC — the
     * normalizer would be vacuous), so this INJECTS the real-world mess

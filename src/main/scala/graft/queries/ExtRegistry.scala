@@ -180,6 +180,14 @@ object ExtRegistry {
     "bpe_pair_counts" -> ((s, dir) =>
       graft.ext.Text.bpePairCounts(Tables(s, dir).documents)),
 
+    // the BPE loop executed: 6 greedy merge rounds over word types —
+    // the merge table a tokenizer ships (bpe_pair_counts is round 1's
+    // candidate list; each later round counts over MERGED symbols under
+    // the leftmost-non-overlapping replace convention both engines
+    // define identically)
+    "bpe_train_merges" -> ((s, dir) =>
+      graft.ext.Text.bpeTrainMerges(Tables(s, dir).documents, merges = 6)),
+
     // capped inverted index: df + first-20 posting list per term, all on
     // one term-keyed partitioning with map-side posting-list pruning
     // BM25 ranked retrieval for a fixed 4-term query — the query side
@@ -1809,6 +1817,46 @@ object ExtRegistry {
         |      FROM p)
         |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM e
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // BPE TRAINING twin: Text.bpeTrainMerges replayed as 6 chained CTE
+    // rounds. w0 = word types as U+001F-prefixed symbol strings; each
+    // round counts adjacent pairs (1-based list indexing both sides),
+    // takes the (cnt DESC, l, r) argmax via LIMIT 1, and rebuilds the
+    // vocabulary with `replace` — the leftmost-non-overlapping scan
+    // both engines define identically (each symbol carries its OWN
+    // leading marker, so adjacent occurrences share no boundary char).
+    // An exhausted round leaves m{i} empty: the chr(2) sentinel keeps
+    // the replace inert and the final UNION simply lacks that row,
+    // matching the Spark side's early stop.
+    "bpe_train_merges" -> {
+      val k = 6
+      def roundCtes(i: Int): String =
+        s"""p$i AS (
+           |  SELECT p['l'] AS l, p['r'] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(
+           |      CASE WHEN len(syms) < 2 THEN CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[])
+           |           ELSE list_transform(generate_series(1, len(syms) - 1),
+           |                  j -> {'l': syms[j], 'r': syms[j + 1]}) END) AS p
+           |    FROM (SELECT freq, string_split(repr, chr(31))[2:] AS syms FROM w${i - 1})) u
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT freq,
+           |         replace(repr,
+           |                 coalesce((SELECT chr(31) || l || chr(31) || r FROM m$i), chr(2)),
+           |                 coalesce((SELECT chr(31) || l || r FROM m$i), chr(2))) AS repr
+           |  FROM w${i - 1})""".stripMargin
+      val rows = (1 to k).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt FROM m$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS freq,
+         |         chr(31) || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), chr(31)) AS repr
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY word),
+         |${(1 to k).map(roundCtes).mkString(",\n")}
+         |$rows""".stripMargin
+    },
 
     // inverted-index twin: per-doc-distinct terms, true df, rank-capped
     // posting list concatenated in NUMERIC doc_id order (the Spark side

@@ -1189,6 +1189,27 @@ class ExtSpec extends SparkSpec {
       s"curve np=2 recall $np2 != trained-IVF recall $recallTrained")
   }
 
+  test("bpeTrainMerges: hand-traced merges, tie order, overlap convention, early stop") {
+    def merges(texts: Seq[String], k: Int): Seq[(Int, String, String, String, Long)] =
+      graft.ext.Text.bpeTrainMerges(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"), k)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    // word types: "abab" freq 3, "cd" freq 3. Round 1: (a,b) weighted
+    // 2·3=6 beats (b,a)=3 and (c,d)=3. Round 2: (ab,ab)=3 ties (c,d)=3,
+    // tie order (l, r) picks ab < c. Round 3: (c,d). Round 4: no pairs
+    // remain -> early stop at 3 rows though 6 were requested.
+    assert(merges(Seq("abab abab cd", "abab cd cd"), 6) == Seq(
+      (1, "a", "b", "ab", 6L),
+      (2, "ab", "ab", "abab", 3L),
+      (3, "c", "d", "cd", 3L)))
+    // leftmost-non-overlapping: 'aaa' merges to (aa)(a), so round 2
+    // sees the pair (aa, a) — never (a, aa)
+    assert(merges(Seq("aaa"), 4) == Seq(
+      (1, "a", "a", "aa", 2L),
+      (2, "aa", "a", "aaa", 1L)))
+  }
+
   test("docCentrality: hub outranks periphery; exact-int ranks are layout-invariant") {
     // Star + isolated pair: the hub doc shares one trigram with each of
     // 5 spokes (bridge trigrams inside the hub text are df=1 → pruned);

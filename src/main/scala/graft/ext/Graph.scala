@@ -91,9 +91,14 @@ object Graph {
       maxDf: Int = 20, iters: Int = 3): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     require(maxDf >= minDf, s"maxDf ($maxDf) must be >= minDf ($minDf)")
-    val ex = MinHash.shingleHashes(documents, n)
-      .select(col("doc_id"), explode(col("hashes")).as("s"))
-      .localCheckpoint(false) // feeds the df count AND the keep join
+    // checkpoint the (doc_id, hashes) frame BEFORE exploding — the
+    // ngramJaccardPairs discipline: explode() is a Generate node, and
+    // generating straight off the un-materialized hash expression
+    // re-evaluates the token-hash lambda without CSE (the
+    // O(tokens²·chars) pathology tokenHashFrame documents; measured
+    // 226 s vs 1.5 s at sf0.1 before this ordering)
+    val docSh = MinHash.shingleHashes(documents, n).localCheckpoint(false)
+    val ex = docSh.select(col("doc_id"), explode(col("hashes")).as("s"))
     val kept = ex.join(
       ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= minDf && col("df") <= maxDf)

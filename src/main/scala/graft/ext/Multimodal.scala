@@ -309,4 +309,133 @@ object Multimodal {
         targetW.toLong * targetH * ch, sum)
     })
   }
+
+  final case class DecodedAudio(doc_id: Long, channels: Int, sample_rate: Int,
+      n_samples: Long, duration_us: Long, sample_sum: Long, rms: Double,
+      zero_crossings: Long)
+
+  /** Encode a deterministic 16-bit PCM mono WAV per document — the
+    * AUDIO member of the pure-JVM container family beside PPM/BMP
+    * (RIFF/WAV PCM is uncompressed, so a real parser needs no codec
+    * library). Sample i = ((doc_id·2654435761 + i·40503) % 65536) −
+    * 32768, n = 256 + (doc_id·31) % 512 at 8 kHz — arithmetic off
+    * doc_id so a SQL oracle replays the expected decode without
+    * parsing bytes (the [[encodeMedia]] discipline). Even doc_ids get
+    * an ODD-sized junk `LIST` chunk between `fmt ` and `data`: the
+    * RIFF spec pads odd chunks with one byte, and a chunk walker that
+    * forgets the pad misreads every subsequent chunk id — encoding the
+    * hazard makes [[decodeAudio]] prove it handles it. */
+  def encodeAudio(documents: DataFrame): Dataset[EncodedMedia] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      EncodedMedia(id, "wav", wavBytes(id))
+    })
+  }
+
+  private[graft] def audioSampleCount(id: Long): Int = (256 + (id * 31) % 512).toInt
+
+  private[graft] def audioSample(id: Long, i: Int): Int =
+    (((id * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toInt
+
+  /** Canonical RIFF/WAVE layout: "RIFF" size "WAVE", then chunks, each
+    * 4-byte id + LE32 size + payload (+1 pad byte when size is odd).
+    * fmt : PCM(1), mono, 8 kHz, 16-bit. */
+  private[graft] def wavBytes(id: Long): Array[Byte] = {
+    val n = audioSampleCount(id)
+    val junk: Array[Byte] =
+      if (id % 2 == 0) Array.tabulate(5)(i => ((id + i) % 256).toByte) else Array.emptyByteArray
+    val junkChunk = if (junk.isEmpty) 0 else 8 + junk.length + (junk.length % 2) // pad to even
+    val dataBytes = n * 2
+    val riffPayload = 4 + (8 + 16) + junkChunk + (8 + dataBytes)
+    val out = new Array[Byte](8 + riffPayload)
+    var p = 0
+    def put(s: String): Unit = { s.foreach { c => out(p) = c.toByte; p += 1 } }
+    def le32(v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
+      out(p + 2) = ((v >> 16) & 0xff).toByte; out(p + 3) = ((v >> 24) & 0xff).toByte
+      p += 4
+    }
+    def le16(v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte; p += 2
+    }
+    put("RIFF"); le32(riffPayload); put("WAVE")
+    put("fmt "); le32(16)
+    le16(1); le16(1)               // PCM, mono
+    le32(8000); le32(8000 * 2)     // sample rate, byte rate
+    le16(2); le16(16)              // block align, bits per sample
+    if (junk.nonEmpty) {
+      put("LIST"); le32(junk.length)
+      junk.foreach { b => out(p) = b; p += 1 }
+      if (junk.length % 2 == 1) { out(p) = 0; p += 1 } // RIFF odd-size pad
+    }
+    put("data"); le32(dataBytes)
+    var i = 0
+    while (i < n) { le16(audioSample(id, i) & 0xffff); i += 1 }
+    out
+  }
+
+  /** REAL RIFF/WAV decoder + audio feature extractor: walks the chunk
+    * list (unknown chunks skipped, odd sizes padded per the RIFF spec),
+    * validates PCM/16-bit in `fmt `, then computes the standard cheap
+    * audio-curation features from the LE int16 samples — exact int64
+    * sample sum, RMS energy (Σs² is exact int64; the division and
+    * `sqrt` are both correctly-rounded IEEE ops, so even the double
+    * hash-replays — sqrt is the ONE transcendental-adjacent function
+    * the no-pow/exp/ln rule admits), and the zero-crossing count
+    * (adjacent sign flips, the classic voiced/unvoiced signal). Narrow
+    * mapPartitions like every decode stage; malformed containers
+    * (truncated, non-PCM, missing chunks) fail loudly. */
+  def decodeAudio(media: Dataset[EncodedMedia]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      val id = m.doc_id
+      def le32(off: Int): Int =
+        (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8) |
+        ((bs(off + 2) & 0xff) << 16) | ((bs(off + 3) & 0xff) << 24)
+      def le16(off: Int): Int = (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8)
+      def tag(off: Int): String = new String(bs, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(bs.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"doc $id: not a RIFF/WAVE container")
+      require(bs.length.toLong >= 8L + le32(4),
+        s"doc $id: truncated RIFF payload")
+      var pos = 12
+      var fmtOff = -1; var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= bs.length && (fmtOff < 0 || dataOff < 0)) {
+        val cid = tag(pos); val clen = le32(pos + 4)
+        require(clen >= 0 && pos + 8 + clen.toLong <= bs.length,
+          s"doc $id: chunk '$cid' overruns the container")
+        if (cid == "fmt ") fmtOff = pos + 8
+        else if (cid == "data") { dataOff = pos + 8; dataLen = clen }
+        pos += 8 + clen + (clen % 2) // RIFF: odd chunks carry a pad byte
+      }
+      require(fmtOff >= 0, s"doc $id: no fmt chunk")
+      require(dataOff >= 0, s"doc $id: no data chunk")
+      val audioFormat = le16(fmtOff)
+      val channels = le16(fmtOff + 2)
+      val sampleRate = le32(fmtOff + 4)
+      val bits = le16(fmtOff + 14)
+      require(audioFormat == 1, s"doc $id: non-PCM format tag $audioFormat")
+      require(bits == 16, s"doc $id: unsupported bit depth $bits")
+      require(channels >= 1, s"doc $id: bad channel count $channels")
+      require(dataLen % 2 == 0, s"doc $id: odd PCM16 data length $dataLen")
+      val n = dataLen / 2
+      var sum = 0L; var sumSq = 0L; var crossings = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val s = le16(dataOff + 2 * i).toShort.toInt
+        sum += s; sumSq += s.toLong * s
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+      DecodedAudio(id, channels, sampleRate, n.toLong,
+        n.toLong * 1000000L / sampleRate, sum, rms, crossings)
+    })
+  }
 }

@@ -134,6 +134,15 @@ object ExtRegistry {
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeMedia(Multimodal.encodeMedia(Tables(s, dir).documents), 4, 4).toDF()),
 
+    // AUDIO joins the pure-JVM container family: real RIFF/WAV
+    // chunk-walk decode (unknown chunks skipped, odd-size pad bytes
+    // honored) + exact-arithmetic curation features (int64 sample sum,
+    // IEEE-exact RMS via sqrt, zero crossings); the oracle replays the
+    // generator arithmetic, so a parser bug — pad byte missed, wrong
+    // data offset, sign error on the int16 decode — hash-fails
+    "audio_features" -> ((s, dir) =>
+      Multimodal.decodeAudio(Multimodal.encodeAudio(Tables(s, dir).documents)).toDF()),
+
     // Unicode NFC canonicalization (codegen NfcNormalize expression) over
     // a deterministically-dirtied corpus: decomposed sequences must
     // compose, precomposed ones must pass through — char counts prove it
@@ -2304,6 +2313,36 @@ object ExtRegistry {
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
         |       ps.pixel_sum
         |FROM m JOIN ps USING (doc_id)""".stripMargin,
+
+    // audio twin: the WAV generator arithmetic replayed — sample i of
+    // doc d is ((d·2654435761 + i·40503) % 65536) − 32768 over
+    // n = 256 + 31d % 512 samples at 8 kHz; rms divides the exact int64
+    // Σs² as ONE double division then sqrt (both correctly-rounded
+    // IEEE, the one transcendental-adjacent op the no-pow/exp/ln rule
+    // admits), zero crossings via a lag window on the sign
+    "audio_features" ->
+      """WITH m AS (SELECT doc_id, 256 + (doc_id * 31) % 512 AS n FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM m),
+        |sv AS (SELECT doc_id, i,
+        |              ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS s
+        |       FROM sm),
+        |ag AS (
+        |  SELECT doc_id,
+        |         CAST(sum(s) AS BIGINT) AS sample_sum,
+        |         CAST(sum(s * s) AS BIGINT) AS ssq,
+        |         CAST(sum(CASE WHEN sp IS NOT NULL AND (s < 0) <> (sp < 0)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |  FROM (SELECT doc_id, i, s,
+        |               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp FROM sv) w
+        |  GROUP BY 1)
+        |SELECT m.doc_id, CAST(1 AS INTEGER) AS channels,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(m.n AS BIGINT) AS n_samples,
+        |       CAST(m.n AS BIGINT) * 1000000 // 8000 AS duration_us,
+        |       ag.sample_sum,
+        |       sqrt(CAST(ag.ssq AS DOUBLE) / CAST(m.n AS DOUBLE)) AS rms,
+        |       ag.zero_crossings
+        |FROM m JOIN ag USING (doc_id)""".stripMargin,
 
     // resize twin: generator arithmetic replayed at the SAMPLED positions
     // — target (tx,ty,c) reads source byte (id + (sy*w + sx)*3 + c) % 256

@@ -175,6 +175,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("audio decode: WAV round-trip matches the model; chunk walk; corrupt fails") {
+    // independent model of the generator arithmetic — both parities, so
+    // the even ids exercise the junk LIST chunk + RIFF odd-size pad
+    val ids = Seq(0L, 1L, 2L, 7L)
+    val got = Multimodal.decodeAudio(Multimodal.encodeAudio(
+        ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")))
+      .collect().map(a => a.doc_id -> a).toMap
+    ids.foreach { id =>
+      val n = (256 + (id * 31) % 512).toInt
+      val s = (0 until n).map(i =>
+        (((id * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toInt)
+      val a = got(id)
+      assert(a.channels == 1 && a.sample_rate == 8000 && a.n_samples == n)
+      assert(a.duration_us == n.toLong * 1000000L / 8000L)
+      assert(a.sample_sum == s.map(_.toLong).sum)
+      assert(a.rms == math.sqrt(s.map(x => x.toLong * x).sum.toDouble / n))
+      assert(a.zero_crossings ==
+        s.sliding(2).count(p => (p.head < 0) != (p.last < 0)))
+    }
+    // a walker that forgets the odd-chunk pad byte misreads everything
+    // after the LIST chunk — even ids passing above proves the pad is
+    // honored; now the loud-failure contract:
+    val wav = Multimodal.wavBytes(4L)
+    val nonPcm = wav.clone()
+    nonPcm(20) = 3 // fmt audioFormat -> IEEE float
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(Seq(
+        Multimodal.EncodedMedia(4L, "wav", nonPcm)).toDS()).collect()
+    }
+    intercept[org.apache.spark.SparkException] { // truncated data chunk
+      Multimodal.decodeAudio(Seq(
+        Multimodal.EncodedMedia(4L, "wav", wav.dropRight(7))).toDS()).collect()
+    }
+    intercept[org.apache.spark.SparkException] { // not RIFF at all
+      Multimodal.decodeAudio(Seq(
+        Multimodal.EncodedMedia(4L, "wav", "JUNKJUNKJUNKJUNK".getBytes("US-ASCII"))).toDS()).collect()
+    }
+  }
+
   test("streaming dailyWorstDpd: tumbling day windows with watermark via MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Int)]

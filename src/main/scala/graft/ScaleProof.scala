@@ -83,6 +83,17 @@ object ScaleProof {
         "CAST(pmod(id * 2654435761 + i * 40503, 1000003) / 1000003.0 - 0.5 AS FLOAT))")
         .as("embedding"))
 
+  /** Deterministic synthetic documents for the text-graph ladder: doc i
+    * carries one trigram shared by its 5-doc group (df = 5, inside
+    * docCentrality's df window) plus unique trigrams (df = 1, pruned),
+    * so the doc–shingle graph grows LINEARLY with constant per-vertex
+    * degree — no supernodes, the regime the df window guarantees. One
+    * narrow range projection, embarrassingly parallel. */
+  private def synthDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"),
+      expr("concat('g', id div 5, 'a g', id div 5, 'b g', id div 5, 'c " +
+        "u', id, 'a u', id, 'b u', id, 'c')").as("text"))
+
   /** (name, pipeline-local session confs — applied for the pipeline's
     * runs and restored afterwards —, builder). */
   private val pipelines: Seq[(String, Map[String, String], (SparkSession, Int) => DataFrame)] = Seq(
@@ -131,6 +142,15 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Cluster.pqCodebookResidualSampled(synthEmbeddings(s, 500L * f),
           m = 4, kSub = 8, iters = 2, coarseK = 8, sampleMod = 10)),
+    // doc–shingle PageRank: rank state is a distributed V-row frame and
+    // every damped round is keyed joins + one keyed sum — the ladder
+    // proves wall grows ~linearly and driver heap stays flat while the
+    // graph grows 100× (the df window keeps per-vertex degree constant,
+    // so no round develops a supernode reducer)
+    ("docs->docCentrality", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Graph.docCentrality(synthDocs(s, 500L * f),
+          n = 3, minDf = 2, maxDf = 20, iters = 3)),
     // cluster-routed decontamination: the EVAL side (training + index)
     // is FIXED at 500 vectors while the probe corpus grows 100× — the
     // streaming-decontamination regime, where eval state is bounded

@@ -221,6 +221,52 @@ object Corpus {
       .filter(mixBucket(col("doc_id")) < col("mix_pct"))
   }
 
+  /** Temperature-balanced dataset mixing — the multilingual/multi-source
+    * rebalancing rule (sampling share ∝ n^α at the standard α = 0.5)
+    * that stops a dominant source from drowning the tail without
+    * hand-tuned per-source percentages ([[datasetMix]]'s knob): source s
+    * keeps `k_s = min(n_s, ⌊√n_s / Σ√n · target⌋)` documents, selected
+    * by the deterministic hash rank (exact counts, partition-layout-
+    * independent — the [[graft.operators.Sampling.samplePerGroup]]
+    * contract with a per-source k).
+    *
+    * Numeric-determinism: n_s are exact int64; each `sqrt` and the one
+    * share division/multiply are correctly-rounded IEEE ops, and the
+    * Σ√n accumulates in SOURCE-NAME order driver-side (source
+    * cardinality is config-sized — a parallel float sum would be
+    * partition-order-dependent and break the oracle), so k_s is
+    * bit-reproducible; the oracle's `list_sum(list(... ORDER BY
+    * source))` replays the same fold. Downsampling only: a source
+    * below its share keeps everything (`min(n_s, ·)`), mirroring the
+    * datasetMix downsampling-only contract.
+    *
+    * Scale shape: one source-keyed count (bounded rows collected), one
+    * per-source rank window — source cardinality bounds reducer
+    * parallelism exactly as in samplePerGroup; a corpus whose ONE
+    * source exceeds a reducer shards the rank via TopKPerGroup's
+    * map-side heaps, the documented escape hatch. */
+  def datasetMixTemperature(documents: DataFrame, targetDocs: Long): DataFrame = {
+    require(targetDocs >= 1, s"targetDocs must be positive, got $targetDocs")
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty)
+      return documents.select(col("doc_id"), col("source")).limit(0)
+    val total = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
+    val ks = counts.map { case (s, n) =>
+      s -> math.min(n, math.floor(math.sqrt(n.toDouble) / total * targetDocs).toLong)
+    }
+    val kCol = ks.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(col("source") === s, lit(k)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.operators.Sampling.hashOrder(col("doc_id")).asc, col("doc_id").asc)
+    documents.select(col("doc_id"), col("source"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= kCol)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Curriculum bucketing: documents assigned to difficulty quartiles by
     * token count — the SCALE-SAFE spelling of `ntile(4)`. A global ntile
     * is a single-task total sort at any size; here the quartile

@@ -630,6 +630,12 @@ object ExtRegistry {
       graft.ext.Corpus.datasetMix(Tables(s, dir).documents,
         Seq("src0" -> 100, "src1" -> 100, "src2" -> 60, "src3" -> 60), 30)),
 
+    // temperature rebalancing (share ∝ √n, the multilingual α=0.5
+    // rule): per-source exact-k hash-ranked keep, k from IEEE-exact
+    // sqrt/division in source-name fold order
+    "dataset_mix_temperature" -> ((s, dir) =>
+      graft.ext.Corpus.datasetMixTemperature(Tables(s, dir).documents, 300L)),
+
     // curriculum quartiles from bounded-state histogram boundaries —
     // the scale-safe ntile(4)
     "curriculum_buckets" -> ((s, dir) =>
@@ -2478,6 +2484,23 @@ object ExtRegistry {
         |SELECT doc_id, source, lang, mix_pct FROM m
         |WHERE ((doc_id % 1000003) * 1103515245 % 1000003 % 100 + 100) % 100
         |      < mix_pct""".stripMargin,
+
+    // temperature-mix twin: k_s = min(n_s, floor(sqrt(n_s)/Σsqrt·target))
+    // with the Σ accumulated in source-name order (list_sum over an
+    // ORDER BY source list — the Spark side's driver fold), then the
+    // samplePerGroup hash-rank keep with per-source k
+    "dataset_mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)) AS tot FROM c),
+        |k AS (SELECT source,
+        |             least(n, CAST(floor(sqrt(CAST(n AS DOUBLE)) / t.tot * 300) AS BIGINT)) AS k
+        |      FROM c, t),
+        |r AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY (doc_id % 1000003) * 2654435761 % 1000003, doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN k USING (source) WHERE r.rn <= k.k""".stripMargin,
 
     // global single-group twin of the quantile_histogram estimator
     // (width 8), boundaries then a CASE over them

@@ -175,6 +175,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("datasetMixTemperature: sqrt shares, exact per-source k, small source kept whole") {
+    // 64/16/4/1 docs across four sources, target 20: weights √n =
+    // 8/4/2/1, total 15 → k = ⌊8/15·20⌋=10, ⌊4/15·20⌋=5, ⌊2/15·20⌋=2,
+    // min(1, ⌊1/15·20⌋=1)=1. The dominant source drops from 75% of the
+    // corpus to 10/18 of the mix — the rebalancing the α=0.5 rule buys.
+    val docs = (
+      (0 until 64).map(i => (i.toLong, "big")) ++
+      (0 until 16).map(i => (100L + i, "mid")) ++
+      (0 until 4).map(i => (200L + i, "small")) ++
+      Seq((300L, "tiny"))).toDF("doc_id", "source")
+    val kept = graft.ext.Corpus.datasetMixTemperature(docs, 20L)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("big" -> 10, "mid" -> 5, "small" -> 2, "tiny" -> 1),
+      s"per-source keeps $bySrc")
+    // deterministic and partition-layout-independent (hash rank, not rand)
+    val again = graft.ext.Corpus.datasetMixTemperature(docs.repartition(7), 20L)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(again.toSet == kept.toSet, "selection changed with partition layout")
+  }
+
   test("audio decode: WAV round-trip matches the model; chunk walk; corrupt fails") {
     // independent model of the generator arithmetic — both parities, so
     // the even ids exercise the junk LIST chunk + RIFF odd-size pad

@@ -437,7 +437,11 @@ class PlanSpec extends SparkSpec {
       "knn_cosine_ivfpq" -> ((1, 1, Map("BroadcastHashJoin" -> 1))),
       // round-10: residual coding changes the codebook's TARGET, not the
       // search plan — same routing, same candidate traffic, same shape
-      "knn_cosine_ivfpq_res" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
+      "knn_cosine_ivfpq_res" -> ((1, 1, Map("BroadcastHashJoin" -> 1))),
+      // round-12: the OPQ permutation is a narrow pre-projection + one
+      // bounded driver stats collect — the SEARCH plan must stay
+      // ivfPqTopK's exactly
+      "knn_cosine_ivfpq_opq" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
     val observed = golden.keys.toSeq.sorted.map { name =>
       name -> planShape(SparkEntry.queries(name)(spark, sfDir))
     }

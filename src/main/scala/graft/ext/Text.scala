@@ -353,6 +353,55 @@ object Text {
       .limit(k)
   }
 
+  /** Exact duplicate-substring SPANS — the Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better") exact-substring
+    * dedup, the member of the dedup family the others don't cover:
+    * full-doc exact dedup misses shared boilerplate inside otherwise-
+    * distinct documents, MinHash/SimHash/Jaccard flag whole near-dup
+    * PAIRS, and repetitionStats/boilerplateNgrams only count — this
+    * returns the actual token RANGES to cut. A position is duplicated
+    * when its n-token shingle hash occurs ≥ `minOccurrences` times
+    * corpus-wide (INTRA-doc repeats count — a doc that repeats its own
+    * phrase is deduplicated against itself, per the paper); consecutive
+    * duplicated positions merge into maximal spans `[span_start,
+    * span_end]` (1-based token indices, end inclusive) via the
+    * sessionize-style gap grouping `pos − row_number()`.
+    *
+    * Scale shape: positional shingles checkpoint once behind the
+    * Generate (the docCentrality 49× lesson — never explode off the
+    * un-materialized hash lambda), then ONE shingle-keyed count + a
+    * semi-join back (the duplicated-hash table is Zipf-small; a
+    * boilerplate shingle contributes one count row, never an exploded
+    * pair set) + one doc-keyed island window. Shingles are int64
+    * hashes, the near-dup family's unit: the 1-in-10⁶ collision noise
+    * floor buys int-width shuffles instead of string spans. */
+  def duplicateSpans(documents: DataFrame, n: Int = 3,
+      minOccurrences: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(minOccurrences >= 2,
+      s"minOccurrences < 2 would flag every position, got $minOccurrences")
+    import org.apache.spark.sql.expressions.Window
+    val sh = MinHash.tokenHashFrame(documents)
+      .select(col("doc_id"), MinHash.shingleHashesFromTokens(col("th"), n).as("sharr"))
+      .localCheckpoint(false)
+    val ps = sh.select(col("doc_id"), posexplode(col("sharr")).as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(IntegerType).as("pos"), col("sh"))
+      .localCheckpoint(false) // feeds the occurrence count AND the keep join
+    val dup = ps.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccurrences).select(col("sh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    ps.join(dup, Seq("sh"))
+      .withColumn("g", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(
+        min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + (n - 1)).cast(LongType).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + n).cast(LongType).as("span_tokens"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_shingles"))
+  }
+
   /** k greedy BPE merge rounds over word TYPES — [[bpePairCounts]]
     * iterated into an actual tokenizer-training loop: each round counts
     * adjacent symbol pairs weighted by word frequency, merges the

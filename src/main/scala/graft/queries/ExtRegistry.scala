@@ -189,6 +189,15 @@ object ExtRegistry {
     "bpe_pair_counts" -> ((s, dir) =>
       graft.ext.Text.bpePairCounts(Tables(s, dir).documents)),
 
+    // exact duplicate-substring spans (Lee et al. exact-substring
+    // dedup): token ranges whose 3-gram shingle occurs >= 2 times
+    // corpus-wide (intra-doc repeats count), consecutive positions
+    // merged into maximal spans — the actual ranges a cleaning pass
+    // cuts, beside the pair-level near-dup family
+    "dup_spans" -> ((s, dir) =>
+      graft.ext.Text.duplicateSpans(Tables(s, dir).documents, n = 3,
+        minOccurrences = 2L)),
+
     // the BPE loop executed: 6 greedy merge rounds over word types —
     // the merge table a tokenizer ships (bpe_pair_counts is round 1's
     // candidate list; each later round counts over MERGED symbols under
@@ -1832,6 +1841,31 @@ object ExtRegistry {
         |      FROM p)
         |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM e
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // duplicate-span twin: POSITIONAL (non-distinct) shingle hashes via
+    // the shared composition, global occurrence count, then the
+    // pos − row_number() island grouping (the sessionize spelling)
+    "dup_spans" ->
+      s"""WITH ${tokenHashCte("toks")},
+         |ps0 AS MATERIALIZED (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(th) < 3 THEN CAST([] AS STRUCT(pos INTEGER, sh BIGINT)[])
+         |         ELSE list_transform(generate_series(1, len(th) - 2),
+         |                i -> {'pos': CAST(i AS INTEGER),
+         |                      'sh': CAST(($shingleComposition) % $P AS BIGINT)}) END) AS p
+         |  FROM toks),
+         |ps AS MATERIALIZED (SELECT doc_id, p['pos'] AS pos, p['sh'] AS sh FROM ps0),
+         |d AS (SELECT sh FROM ps GROUP BY sh HAVING count(*) >= 2),
+         |dp AS (SELECT ps.doc_id, ps.pos FROM ps JOIN d USING (sh)),
+         |isl AS (SELECT doc_id, pos,
+         |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |        FROM dp)
+         |SELECT doc_id,
+         |       CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + 2 AS BIGINT) AS span_end,
+         |       CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_shingles
+         |FROM isl GROUP BY doc_id, g""".stripMargin,
 
     // BPE TRAINING twin: Text.bpeTrainMerges replayed as 6 chained CTE
     // rounds. w0 = word types as U+001F-prefixed symbol strings; each

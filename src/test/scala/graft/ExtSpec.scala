@@ -175,6 +175,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans: cross-doc phrase, intra-doc repeat, clean doc, maximal merge") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),     // shares a 4-token phrase with 2
+      (2L, "x the quick brown fox y"),
+      (3L, "completely different words here"), // clean -> no spans
+      (4L, "a b c z w a b c")                  // repeats ITS OWN phrase
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Text.duplicateSpans(docs, n = 3, minOccurrences = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // doc 1: shingles (the,quick,brown)@1 and (quick,brown,fox)@2 both
+    // duplicated -> ONE maximal span tokens 1..4; doc 2 same phrase at
+    // offset 2..5; doc 4: (a,b,c) occurs at pos 1 and 6 -> two 3-token
+    // spans, the intra-doc case the paper dedups against itself
+    assert(got == Set(
+      (1L, 1L, 4L, 4L, 2L),
+      (2L, 2L, 5L, 4L, 2L),
+      (4L, 1L, 3L, 3L, 1L),
+      (4L, 6L, 8L, 3L, 1L)), s"spans: $got")
+    // partition-layout invariance (exact hashes, keyed plan)
+    val spread = graft.ext.Text.duplicateSpans(docs.repartition(5), n = 3,
+      minOccurrences = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(spread == got)
+  }
+
   test("datasetMixTemperature: sqrt shares, exact per-source k, small source kept whole") {
     // 64/16/4/1 docs across four sources, target 20: weights √n =
     // 8/4/2/1, total 15 → k = ⌊8/15·20⌋=10, ⌊4/15·20⌋=5, ⌊2/15·20⌋=2,

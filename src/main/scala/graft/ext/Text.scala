@@ -428,14 +428,20 @@ object Text {
     * frame, trading the per-round argmax barrier for throughput. A
     * round with no remaining pairs ends training early (the oracle's
     * never-matching `chr(2)` sentinel keeps later CTEs inert). */
-  def bpeTrainMerges(documents: DataFrame, merges: Int): DataFrame = {
+  private val BpeSep = "\u001f"
+
+  /** The shared BPE loop: runs `merges` greedy rounds and returns BOTH
+    * the merge table and the final vocabulary frame `(term, freq,
+    * repr)` — [[bpeTrainMerges]] ships the former, [[bpeEncodeCounts]]
+    * consumes the latter. */
+  private def bpeCore(documents: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(merges >= 1 && merges <= 32,
       s"merges must be in [1, 32] (driver-loop bound), got $merges")
-    val spark = documents.sparkSession
-    val sep = "\u001f"
+    val sep = BpeSep
     val cs = filter(split(col("term"), ""), c => c =!= "")
     var cur = termStream(documents).groupBy(col("term")).agg(count(lit(1L)).as("freq"))
-      .select(col("freq"),
+      .select(col("term"), col("freq"),
         concat(lit(sep), array_join(cs, sep)).as("repr"))
       .localCheckpoint(false)
     val out = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
@@ -459,16 +465,46 @@ object Text {
         val l = top.head.getString(0); val r = top.head.getString(1)
         val cnt = top.head.getLong(2)
         out += ((round, l, r, l + r, cnt))
-        cur = cur.select(col("freq"),
+        cur = cur.select(col("term"), col("freq"),
             replace(col("repr"), lit(sep + l + sep + r), lit(sep + l + r)).as("repr"))
           .localCheckpoint(false) // each round's vocabulary feeds the next
         round += 1
       }
     }
+    (out.toSeq, cur)
+  }
+
+  def bpeTrainMerges(documents: DataFrame, merges: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val out = bpeCore(documents, merges)._1
     import spark.implicits._
-    out.toSeq.toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt")
+    out.toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt")
       .select(col("merge_rank").cast(IntegerType), col("left_sym"),
         col("right_sym"), col("merged"), col("cnt"))
+  }
+
+  /** The ENCODE half of the BPE loop — apply `merges` trained rounds to
+    * the corpus and report per-document token counts: `bpe_tokens`
+    * (symbols after merging), `char_tokens` (the character baseline),
+    * and the compression ratio — the number a tokenizer-training run is
+    * actually judged by. Because [[bpeCore]] keeps the word TYPE →
+    * final-representation mapping, encoding is one vocab-sized symbol
+    * count + a term-keyed join onto per-doc term frequencies (the
+    * corpus-sized work is the one tf groupBy; the vocabulary side is
+    * Zipf-small and AQE-broadcasts). The ratio is one IEEE division of
+    * two exact int64 sums — hash-replayable. */
+  def bpeEncodeCounts(documents: DataFrame, merges: Int): DataFrame = {
+    val vocab = bpeCore(documents, merges)._2
+    val symCnt = vocab.select(col("term"),
+      (size(split(col("repr"), BpeSep)) - 1).cast(LongType).as("bpe_syms"),
+      length(col("term")).cast(LongType).as("char_syms"))
+    termStream(documents).groupBy(col("doc_id"), col("term")).agg(count(lit(1L)).as("tf"))
+      .join(symCnt, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("bpe_syms")).as("bpe_tokens"),
+        sum(col("tf") * col("char_syms")).as("char_tokens"))
+      .withColumn("compression",
+        col("char_tokens").cast(DoubleType) / col("bpe_tokens").cast(DoubleType))
   }
 
   /** Unicode NFC canonicalization over a deterministically "dirtied"

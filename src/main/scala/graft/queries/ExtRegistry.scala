@@ -206,6 +206,13 @@ object ExtRegistry {
     "bpe_train_merges" -> ((s, dir) =>
       graft.ext.Text.bpeTrainMerges(Tables(s, dir).documents, merges = 6)),
 
+    // the ENCODE half: apply the 6 trained merges to the corpus —
+    // per-doc BPE token counts vs the character baseline, compression
+    // ratio (the number a tokenizer run is judged by); vocab-sized
+    // symbol counting + one term-keyed join onto per-doc tf
+    "bpe_encode" -> ((s, dir) =>
+      graft.ext.Text.bpeEncodeCounts(Tables(s, dir).documents, merges = 6)),
+
     // capped inverted index: df + first-20 posting list per term, all on
     // one term-keyed partitioning with map-side posting-list pruning
     // BM25 ranked retrieval for a fixed 4-term query — the query side
@@ -793,6 +800,38 @@ object ExtRegistry {
        |  SELECT doc_id, $carried
        |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
        |  FROM documents)""".stripMargin
+  }
+
+  /** BPE TRAINING chain, shared by the training and encode twins:
+    * w0 = word types as U+001F-prefixed symbol strings (the `word`
+    * column rides the whole chain so the encode twin can read the final
+    * mapping), each round i emits p{i} (pair counts), m{i} (the
+    * (cnt DESC, l, r) argmax via LIMIT 1) and w{i} (the vocabulary
+    * after the leftmost-non-overlapping replace; the chr(2) sentinel
+    * keeps exhausted rounds inert). */
+  private[queries] def bpeChainCtes(k: Int): String = {
+    def roundCtes(i: Int): String =
+      s"""p$i AS (
+         |  SELECT p['l'] AS l, p['r'] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(
+         |      CASE WHEN len(syms) < 2 THEN CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[])
+         |           ELSE list_transform(generate_series(1, len(syms) - 1),
+         |                  j -> {'l': syms[j], 'r': syms[j + 1]}) END) AS p
+         |    FROM (SELECT freq, string_split(repr, chr(31))[2:] AS syms FROM w${i - 1})) u
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |         replace(repr,
+         |                 coalesce((SELECT chr(31) || l || chr(31) || r FROM m$i), chr(2)),
+         |                 coalesce((SELECT chr(31) || l || r FROM m$i), chr(2))) AS repr
+         |  FROM w${i - 1})""".stripMargin
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |         chr(31) || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), chr(31)) AS repr
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |${(1 to k).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 
   /** Shared with [[Registry]]'s near_dup_ngram oracle — one definition of
@@ -1877,35 +1916,31 @@ object ExtRegistry {
     // An exhausted round leaves m{i} empty: the chr(2) sentinel keeps
     // the replace inert and the final UNION simply lacks that row,
     // matching the Spark side's early stop.
-    "bpe_train_merges" -> {
-      val k = 6
-      def roundCtes(i: Int): String =
-        s"""p$i AS (
-           |  SELECT p['l'] AS l, p['r'] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, unnest(
-           |      CASE WHEN len(syms) < 2 THEN CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[])
-           |           ELSE list_transform(generate_series(1, len(syms) - 1),
-           |                  j -> {'l': syms[j], 'r': syms[j + 1]}) END) AS p
-           |    FROM (SELECT freq, string_split(repr, chr(31))[2:] AS syms FROM w${i - 1})) u
-           |  GROUP BY 1, 2),
-           |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-           |w$i AS MATERIALIZED (
-           |  SELECT freq,
-           |         replace(repr,
-           |                 coalesce((SELECT chr(31) || l || chr(31) || r FROM m$i), chr(2)),
-           |                 coalesce((SELECT chr(31) || l || r FROM m$i), chr(2))) AS repr
-           |  FROM w${i - 1})""".stripMargin
-      val rows = (1 to k).map(i =>
-        s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt FROM m$i")
-        .mkString("\n  UNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT CAST(count(*) AS BIGINT) AS freq,
-         |         chr(31) || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), chr(31)) AS repr
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE word <> '' GROUP BY word),
-         |${(1 to k).map(roundCtes).mkString(",\n")}
-         |$rows""".stripMargin
-    },
+    "bpe_train_merges" ->
+      s"""WITH ${bpeChainCtes(6)}
+         |${(1 to 6).map(i =>
+             s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt FROM m$i")
+           .mkString("\n  UNION ALL ")}""".stripMargin,
+
+    // BPE encode twin: the same 6-round chain carries the word column,
+    // so w6 IS the trained word-type -> representation mapping; symbol
+    // counts come from splitting the final repr, joined onto per-doc
+    // term frequencies, compression = one IEEE division of exact sums
+    "bpe_encode" ->
+      s"""WITH ${bpeChainCtes(6)},
+         |sy AS (SELECT word, CAST(len(string_split(repr, chr(31))) - 1 AS BIGINT) AS bpe_syms,
+         |              CAST(length(word) AS BIGINT) AS char_syms
+         |       FROM w6),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       WHERE word <> '' GROUP BY 1, 2),
+         |ag AS (SELECT doc_id,
+         |              CAST(sum(tf * bpe_syms) AS BIGINT) AS bpe_tokens,
+         |              CAST(sum(tf * char_syms) AS BIGINT) AS char_tokens
+         |       FROM tf JOIN sy USING (word) GROUP BY 1)
+         |SELECT doc_id, bpe_tokens, char_tokens,
+         |       CAST(char_tokens AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS compression
+         |FROM ag""".stripMargin,
 
     // inverted-index twin: per-doc-distinct terms, true df, rank-capped
     // posting list concatenated in NUMERIC doc_id order (the Spark side

@@ -1297,6 +1297,19 @@ class ExtSpec extends SparkSpec {
       (2, "aa", "a", "aaa", 1L)))
   }
 
+  test("bpeEncodeCounts: trained merges compress the fixture to hand-counted tokens") {
+    // after the 3 effective merges of the abab/cd fixture (see the
+    // trainer test) both word types collapse to ONE symbol each:
+    // doc 0 "abab abab cd" -> 3 bpe tokens vs 10 chars, doc 1
+    // "abab cd cd" -> 3 vs 8
+    val docs = Seq((0L, "abab abab cd"), (1L, "abab cd cd")).toDF("doc_id", "text")
+    val got = graft.ext.Text.bpeEncodeCounts(docs, merges = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) == ((3L, 10L, 10.0 / 3.0)), s"doc 0: ${got(0L)}")
+    assert(got(1L) == ((3L, 8L, 8.0 / 3.0)), s"doc 1: ${got(1L)}")
+  }
+
   test("docCentrality: hub outranks periphery; exact-int ranks are layout-invariant") {
     // Star + isolated pair: the hub doc shares one trigram with each of
     // 5 spokes (bridge trigrams inside the hub text are df=1 → pruned);

@@ -430,6 +430,58 @@ object Text {
     * never-matching `chr(2)` sentinel keeps later CTEs inert). */
   private val BpeSep = "\u001f"
 
+  /** [[duplicateSpans]] APPLIED — the cleaning cut, with the paper's
+    * keep-first semantics: every shingle occurrence except the globally
+    * FIRST (ordered by (doc_id, pos) — deterministic, engine-agnostic)
+    * is marked cut, cut positions merge into spans, and the spanned
+    * token ranges are EXCISED from the text; the first occurrence
+    * survives, so no shared phrase is lost from the corpus entirely.
+    * Returns `(doc_id, text_cleaned, tokens_kept, tokens_removed)`.
+    *
+    * Deliberately relational, no nested lambdas: occurrence rank is one
+    * shingle-keyed window, cut token indices explode from the bounded
+    * span list (Σ span lengths ≤ token count), the keep decision is a
+    * token-level LEFT ANTI join, and reassembly sorts `(index, token)`
+    * structs before joining — collect order never leaks into the
+    * output, which is what lets the cleaned STRING hash-match the
+    * oracle. All stages are doc- or shingle-keyed shuffles. */
+  def cutDuplicateSpans(documents: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val sh = MinHash.tokenHashFrame(documents)
+      .select(col("doc_id"), MinHash.shingleHashesFromTokens(col("th"), n).as("sharr"))
+      .localCheckpoint(false)
+    val ps = sh.select(col("doc_id"), posexplode(col("sharr")).as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(IntegerType).as("pos"), col("sh"))
+    // keep-first: the globally earliest occurrence of a shingle survives
+    val cut = ps.withColumn("rk", row_number().over(
+        Window.partitionBy(col("sh")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rk") >= 2)
+      .select(col("doc_id"), col("pos"))
+    // merge cut positions into spans, then explode to cut TOKEN indices
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cutToks = cut
+      .withColumn("g", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("i"))
+      .distinct()
+    val te = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "t")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("t"))
+    val kept = te.join(cutToks, Seq("doc_id", "i"), "left_anti")
+    val removed = cutToks.groupBy(col("doc_id")).agg(count(lit(1)).as("tokens_removed"))
+    kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("i"), col("t")))),
+          p => p("t")), " ").as("text_cleaned"),
+        count(lit(1)).as("tokens_kept"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_cleaned"), col("tokens_kept"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+  }
+
   /** The shared BPE loop: runs `merges` greedy rounds and returns BOTH
     * the merge table and the final vocabulary frame `(term, freq,
     * repr)` — [[bpeTrainMerges]] ships the former, [[bpeEncodeCounts]]

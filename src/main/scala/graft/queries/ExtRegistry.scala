@@ -198,6 +198,13 @@ object ExtRegistry {
       graft.ext.Text.duplicateSpans(Tables(s, dir).documents, n = 3,
         minOccurrences = 2L)),
 
+    // the cut APPLIED with keep-first semantics: every occurrence after
+    // the globally first is excised from the text; the hash-matched
+    // cleaned STRING is the proof the whole pipeline (rank, islands,
+    // token anti-join, ordered reassembly) is deterministic
+    "dup_spans_cut" -> ((s, dir) =>
+      graft.ext.Text.cutDuplicateSpans(Tables(s, dir).documents, n = 3)),
+
     // the BPE loop executed: 6 greedy merge rounds over word types —
     // the merge table a tokenizer ships (bpe_pair_counts is round 1's
     // candidate list; each later round counts over MERGED symbols under
@@ -801,6 +808,19 @@ object ExtRegistry {
        |         list_transform(string_split(text, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
        |  FROM documents)""".stripMargin
   }
+
+  /** Positional (non-distinct) shingle-hash CTEs ending in
+    * `ps(doc_id, pos, sh)` — shared by the duplicate-span twins. */
+  private def posShingleCtes: String =
+    s"""${tokenHashCte("toks")},
+       |ps0 AS MATERIALIZED (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(th) < 3 THEN CAST([] AS STRUCT(pos INTEGER, sh BIGINT)[])
+       |         ELSE list_transform(generate_series(1, len(th) - 2),
+       |                i -> {'pos': CAST(i AS INTEGER),
+       |                      'sh': CAST(($shingleComposition) % $P AS BIGINT)}) END) AS p
+       |  FROM toks),
+       |ps AS MATERIALIZED (SELECT doc_id, p['pos'] AS pos, p['sh'] AS sh FROM ps0)""".stripMargin
 
   /** BPE TRAINING chain, shared by the training and encode twins:
     * w0 = word types as U+001F-prefixed symbol strings (the `word`
@@ -1885,15 +1905,7 @@ object ExtRegistry {
     // the shared composition, global occurrence count, then the
     // pos − row_number() island grouping (the sessionize spelling)
     "dup_spans" ->
-      s"""WITH ${tokenHashCte("toks")},
-         |ps0 AS MATERIALIZED (
-         |  SELECT doc_id, unnest(
-         |    CASE WHEN len(th) < 3 THEN CAST([] AS STRUCT(pos INTEGER, sh BIGINT)[])
-         |         ELSE list_transform(generate_series(1, len(th) - 2),
-         |                i -> {'pos': CAST(i AS INTEGER),
-         |                      'sh': CAST(($shingleComposition) % $P AS BIGINT)}) END) AS p
-         |  FROM toks),
-         |ps AS MATERIALIZED (SELECT doc_id, p['pos'] AS pos, p['sh'] AS sh FROM ps0),
+      s"""WITH $posShingleCtes,
          |d AS (SELECT sh FROM ps GROUP BY sh HAVING count(*) >= 2),
          |dp AS (SELECT ps.doc_id, ps.pos FROM ps JOIN d USING (sh)),
          |isl AS (SELECT doc_id, pos,
@@ -1905,6 +1917,36 @@ object ExtRegistry {
          |       CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens,
          |       CAST(count(*) AS BIGINT) AS n_shingles
          |FROM isl GROUP BY doc_id, g""".stripMargin,
+
+    // cut twin: keep-first occurrence rank, islands, cut token indices,
+    // token-level anti join, ORDER BY-pinned reassembly
+    "dup_spans_cut" ->
+      s"""WITH $posShingleCtes,
+         |rk AS (SELECT doc_id, pos,
+         |              row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk
+         |       FROM ps),
+         |cut AS (SELECT doc_id, pos FROM rk WHERE rk >= 2),
+         |isl AS (SELECT doc_id, pos,
+         |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |        FROM cut),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e FROM isl GROUP BY doc_id, g),
+         |ct AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS i FROM sp),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |te AS (SELECT doc_id, p['i'] AS i, p['t'] AS t FROM (
+         |         SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |                  j -> {'i': CAST(j AS INTEGER), 't': toks[j]})) AS p
+         |         FROM tok)),
+         |keep AS (SELECT te.doc_id, te.i, te.t FROM te
+         |         LEFT JOIN ct ON te.doc_id = ct.doc_id AND te.i = ct.i
+         |         WHERE ct.i IS NULL),
+         |ka AS (SELECT doc_id,
+         |              array_to_string(list(t ORDER BY i), ' ') AS text_cleaned,
+         |              CAST(count(*) AS BIGINT) AS tokens_kept
+         |       FROM keep GROUP BY 1),
+         |rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_removed FROM ct GROUP BY 1)
+         |SELECT ka.doc_id, ka.text_cleaned, ka.tokens_kept,
+         |       CAST(coalesce(rm.tokens_removed, 0) AS BIGINT) AS tokens_removed
+         |FROM ka LEFT JOIN rm USING (doc_id)""".stripMargin,
 
     // BPE TRAINING twin: Text.bpeTrainMerges replayed as 6 chained CTE
     // rounds. w0 = word types as U+001F-prefixed symbol strings; each

@@ -202,6 +202,22 @@ class ExtSpec extends SparkSpec {
     assert(spread == got)
   }
 
+  test("cutDuplicateSpans: keep-first excision, clean doc untouched, self-dedup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),      // first occurrence -> kept whole
+      (2L, "x the quick brown fox y"),        // later occurrence -> excised
+      (3L, "completely different words here"),
+      (4L, "a b c z w a b c")                  // repeats itself -> 2nd cut
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Text.cutDuplicateSpans(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("the quick brown fox jumps", 5L, 0L)), got(1L))
+    assert(got(2L) == (("x y", 2L, 4L)), got(2L))
+    assert(got(3L) == (("completely different words here", 4L, 0L)), got(3L))
+    assert(got(4L) == (("a b c z w", 5L, 3L)), got(4L))
+  }
+
   test("datasetMixTemperature: sqrt shares, exact per-source k, small source kept whole") {
     // 64/16/4/1 docs across four sources, target 20: weights √n =
     // 8/4/2/1, total 15 → k = ⌊8/15·20⌋=10, ⌊4/15·20⌋=5, ⌊2/15·20⌋=2,

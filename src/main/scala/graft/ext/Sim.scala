@@ -626,19 +626,104 @@ object Sim {
         val cand = adc.withColumn("rk", row_number().over(w))
           .filter(col("rk") <= refineR)
           .select(col("vec_id"), col("neighbor_id"))
-        val e = embeddings.select(col("vec_id"), col("embedding"),
-            dot(col("embedding"), col("embedding")).as("nsq"))
-          .filter(col("nsq") > 0)
-        val exact = cand
-          .join(e.select(col("vec_id"), col("embedding").as("emb_a"),
-            col("nsq").as("nsq_a")), Seq("vec_id"))
-          .join(e.select(col("vec_id").as("neighbor_id"),
-            col("embedding").as("emb_b"), col("nsq").as("nsq_b")), Seq("neighbor_id"))
-          .withColumn("cosine",
-            dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
-          .select(col("vec_id"), col("neighbor_id"), col("cosine"))
-        topK(exact, k)
+        exactRescoreTopK(embeddings, cand, k)
     }
+  }
+
+  /** The IndexRefine re-scoring stage shared by every pre-filter +
+    * exact-refine search ([[ivfPqRefinedTopK]], [[jlRefinedTopK]]):
+    * ONLY narrow `(vec_id, neighbor_id)` candidate pairs join back to
+    * the embeddings table for the exact full-precision cosine, then the
+    * final top-k — full vectors move for the survivors, never per
+    * candidate. */
+  private def exactRescoreTopK(embeddings: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"))
+      .filter(col("nsq") > 0)
+    val exact = cand
+      .join(e.select(col("vec_id"), col("embedding").as("emb_a"),
+        col("nsq").as("nsq_a")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_b"), col("nsq").as("nsq_b")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+    topK(exact, k)
+  }
+
+  /** Deterministic ±1 entry of the JL sign-projection matrix — an
+    * affine parity in 1000003-space (the repo's hash family), baked as
+    * literals into both the Column expression and the oracle SQL, so
+    * the "random" matrix is the same matrix everywhere by
+    * construction. */
+  private[graft] def jlSign(i: Int, k: Int): Long =
+    if ((((i.toLong * 67L + k.toLong) * 2654435761L + 12345L) % 1000003L) % 2 == 0L)
+      1L
+    else -1L
+
+  /** Johnson–Lindenstrauss SIGN projection — the dimension-REDUCTION
+    * axis of the ANN taxonomy (routing = IVF, payload compression = PQ,
+    * hashing = LSH; JL shrinks the vectors themselves): each output
+    * component is `Σᵢ ±qᵢ` over the global int8 grid with the ±1s from
+    * [[jlSign]] — a dense sign-matrix projection, the d-bit
+    * generalization of [[lshBucket]]'s 1-bit hyperplanes. EXACT int64
+    * arithmetic (|p| ≤ d·127 ≪ 2²⁴, so even the float cast is exact),
+    * hence bit-reproducible and partition-independent where a float
+    * Gaussian projection could never hash-match.
+    *
+    * Scale shape: one narrow quantize pass (checkpointed once — the
+    * element_at-over-unmaterialized-lambda pathology strikes here too:
+    * outDim·d element reads against an inline transform would
+    * re-evaluate it per read) + one narrow projection; downstream
+    * search cost then scales with outDim instead of d (a 64→16
+    * projection cuts every brute/pair dot 4×). */
+  def jlProject(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
+    require(outDim >= 1, s"outDim must be positive, got $outDim")
+    val d = dim(embeddings)
+    if (d == 0) return embeddings.select(col("vec_id"), col("embedding"))
+    Cluster.sampledGridScale(embeddings, 1) match {
+      case None => embeddings.select(col("vec_id"), col("embedding")).limit(0)
+      case Some(scale) =>
+        val qf = embeddings.select(col("vec_id"), Cluster.qCol(scale).as("q"))
+          .localCheckpoint(false)
+        val comps = (1 to outDim).map { kk =>
+          (1 to d).map { i =>
+            val e = element_at(col("q"), i)
+            if (jlSign(i, kk) > 0) e else -e
+          }.reduce(_ + _).cast(FloatType)
+        }
+        qf.select(col("vec_id"), array(comps: _*).as("embedding"))
+    }
+  }
+
+  /** Brute-force top-k over the JL-projected frame — the RAW projected
+    * ranking: same exact [[bruteTopK]] kernel, outDim-wide dots.
+    * Vectors whose projection collapses to zero norm are excluded
+    * exactly as zero-norm originals are (the kernel's qn = 0 contract).
+    * On corpora whose top-k is decided by near-tie cosines (both
+    * uniform noise AND tight clusters — the gap between rank 5 and
+    * rank 6 is ≪ the JL distortion ~1/√outDim) this ranking is a
+    * recall FLOOR, which is why the production pairing is
+    * [[jlRefinedTopK]]: JL as the cheap CANDIDATE pre-filter, exact
+    * scoring for the final order. */
+  def jlTopK(embeddings: DataFrame, outDim: Int = 16, k: Int = 5): DataFrame =
+    bruteTopK(jlProject(embeddings, outDim), k)
+
+  /** JL pre-filter + exact refine — the production shape for the
+    * dimension-reduction axis (the IndexRefine pattern applied to JL):
+    * the projected ranking keeps its top-`refineR` candidates per query
+    * vector at outDim-wide pair cost, then ONLY those narrow pairs
+    * re-score with the exact full-width cosine. JL's distortion rarely
+    * pushes a true neighbor below rank R even though it scrambles the
+    * near-tie top-k order, so recall recovers while the all-pairs term
+    * runs at outDim/d of brute cost. */
+  def jlRefinedTopK(embeddings: DataFrame, outDim: Int = 16, k: Int = 5,
+      refineR: Int = 50): DataFrame = {
+    require(refineR >= k, s"refineR must be >= k ($k), got $refineR")
+    val cand = bruteTopK(jlProject(embeddings, outDim), refineR)
+      .select(col("vec_id"), col("neighbor_id"))
+    exactRescoreTopK(embeddings, cand, k)
   }
 
   /** IVF-PQ search over the OPQ-lite variance-balanced dimension

@@ -375,6 +375,20 @@ object ExtRegistry {
         m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5,
         refineR = PqRefineR)),
 
+    // JL sign projection (64 -> 32 dims): the dimension-reduction axis
+    // of the ANN taxonomy — exact ±1 int sums on the int8 grid, then
+    // the unchanged brute kernel at half the per-pair cost (recall
+    // driver-checked via ann_recall_jl)
+    "knn_cosine_jl" -> ((s, dir) =>
+      graft.ext.Sim.jlTopK(embeddingsDimChecked(s, dir), outDim = 32, k = 5)),
+
+    // the production pairing: JL pre-filter (top-100 per query at
+    // 32-wide pair cost) + exact refine — recall 0.3812 at sf0.01,
+    // rivaling multi-LSH's 0.375 from a deterministic projection
+    "knn_cosine_jl_refined" -> ((s, dir) =>
+      graft.ext.Sim.jlRefinedTopK(embeddingsDimChecked(s, dir), outDim = 32,
+        k = 5, refineR = 100)),
+
     // OPQ-lite: variance-balanced dimension permutation (exact-int64
     // variance ranking, round-robin across subspaces) before the
     // UNCHANGED ivfPqTopK chain — identical bits, better-spent
@@ -1222,6 +1236,70 @@ object ExtRegistry {
     * exact full-precision cosine (the brute chain over the original
     * floats) before the final top-k — Sim.ivfPqRefinedTopK step for
     * step. */
+  /** JL twin builder: the sign literals come from the SAME Sim.jlSign
+    * call that builds the Column expression, so the projection matrix
+    * cannot drift between the two sides; the projected scoring chains
+    * are the brute kernel's left-assoc order at width `outDim`.
+    * `refineR > 0` adds the IndexRefine stage: the projected ranking's
+    * top-R per query vector re-scores with the exact full-width
+    * cosine — Sim.jlRefinedTopK step for step. */
+  private def jlOracle(outDim: Int, refineR: Int): String = {
+    def comp(kk: Int): String =
+      "(0" + (1 to EmbDim).map { i =>
+        (if (graft.ext.Sim.jlSign(i, kk) > 0) " + " else " - ") + s"q[$i]"
+      }.mkString + ")"
+    def dotW(a: String, b: String): String =
+      (1 to outDim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE")
+        .mkString(" + ")
+    val nsqW = (1 to outDim).map(i => s"embedding[$i]::DOUBLE * embedding[$i]::DOUBLE")
+      .mkString(" + ")
+    def dotFull(a: String, b: String): String =
+      (1 to EmbDim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE")
+        .mkString(" + ")
+    val nsqFull = (1 to EmbDim).map(i => s"embedding[$i]::DOUBLE * embedding[$i]::DOUBLE")
+      .mkString(" + ")
+    val finalSelect =
+      if (refineR <= 0)
+        s"""SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+           |         (${dotW("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine,
+           |         row_number() OVER (PARTITION BY a.vec_id
+           |           ORDER BY (${dotW("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
+           |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+           |WHERE rank <= 5""".stripMargin
+      else
+        s""",cand AS MATERIALIZED (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY a.vec_id
+           |             ORDER BY (${dotW("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rk
+           |    FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+           |  WHERE rk <= $refineR),
+           |e1 AS (SELECT * FROM (
+           |         SELECT vec_id, embedding, ($nsqFull) AS nsq FROM embeddings) t0
+           |       WHERE nsq > 0)
+           |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT c.vec_id, c.neighbor_id,
+           |         (${dotFull("x", "y")}) / (sqrt(x.nsq) * sqrt(y.nsq)) AS cosine,
+           |         row_number() OVER (PARTITION BY c.vec_id
+           |           ORDER BY (${dotFull("x", "y")}) / (sqrt(x.nsq) * sqrt(y.nsq)) DESC, c.neighbor_id) AS rank
+           |  FROM cand c JOIN e1 x ON x.vec_id = c.vec_id
+           |              JOIN e1 y ON y.vec_id = c.neighbor_id) t
+           |WHERE rank <= 5""".stripMargin
+    s"""WITH sc AS (
+       |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) / 127.0 AS scale
+       |  FROM embeddings),
+       |qf AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |pj AS MATERIALIZED (
+       |  SELECT vec_id, [${(1 to outDim).map(kk => s"CAST(${comp(kk)} AS FLOAT)").mkString(", ")}] AS embedding
+       |  FROM qf),
+       |e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqW) AS nsq FROM pj) t0 WHERE nsq > 0)
+       |$finalSelect""".stripMargin
+  }
+
   /** OPQ-lite permutation CTEs — Cluster.opqPermute replayed: `oq` is
     * the base corpus on its own int8 grid, `ods` the per-dimension
     * exact int64 stats, `opm` ranks dimensions by `n·Σq² − (Σq)²`
@@ -1757,6 +1835,9 @@ object ExtRegistry {
     "knn_cosine_ivfpq_opq" ->
       ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5,
         src = "eperm", prefixCtes = opqCtes(PqSearchM)),
+
+    "knn_cosine_jl" -> jlOracle(32, 0),
+    "knn_cosine_jl_refined" -> jlOracle(32, 100),
     "pq_codebook_residual" -> pqCodebookResOracle(PqM, KmK, KmK),
     "pq_codebook_residual_sampled" ->
       pqCodebookResSampledOracle(PqM, KmK, KmK, KmSampleMod),

@@ -701,7 +701,9 @@ object Registry {
     "ivf_sampled" -> "knn_cosine_ivf_sampled",
     "ivfpq" -> "knn_cosine_ivfpq", "ivfpq_res" -> "knn_cosine_ivfpq_res",
     "ivfpq_refined" -> "knn_cosine_ivfpq_refined",
-    "ivfpq_opq" -> "knn_cosine_ivfpq_opq")
+    "ivfpq_opq" -> "knn_cosine_ivfpq_opq",
+    "jl" -> "knn_cosine_jl",
+    "jl_refined" -> "knn_cosine_jl_refined")
 
   private def annRecallQuery(variant: String, underlying: String): (SparkSession, String) => DataFrame =
     (s, dir) => {

@@ -1313,6 +1313,45 @@ class ExtSpec extends SparkSpec {
       (2, "aa", "a", "aaa", 1L)))
   }
 
+  test("jlProject: exact model match; refine at R=all IS brute; refined >= raw recall") {
+    val d = 8
+    val df = spark.range(60).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(1, $d), i -> CAST(
+           pmod(id * 2654435761 + i * 40503, 1000003) / 1000003.0 - 0.5 AS FLOAT))""")
+        .as("embedding")).localCheckpoint(true)
+    // independent model: maxabs grid, floor quantize, signed sums
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val scale = rows.flatMap(_._2.map(x => math.abs(x.toDouble))).max / 127.0
+    val outDim = 4
+    val exp = rows.map { case (id, e) =>
+      val q = e.map(x => math.floor(x.toDouble / scale + 0.5).toLong)
+      id -> (1 to outDim).map(kk =>
+        (1 to d).map(i => q(i - 1) * graft.ext.Sim.jlSign(i, kk)).sum.toFloat).toArray
+    }.toMap
+    val got = graft.ext.Sim.jlProject(df, outDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    exp.foreach { case (id, v) =>
+      assert(got(id).toSeq == v.toSeq, s"projection diverges on vec $id")
+    }
+    // refine with R covering every candidate IS brute force (exact
+    // scoring of the full candidate set) — precondition: no nonzero
+    // vector projects to zero norm on this fixture
+    def rows5(res: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows5(graft.ext.Sim.jlRefinedTopK(df, outDim, 5, refineR = 60)) ==
+      rows5(graft.ext.Sim.bruteTopK(df, 5)),
+      "refine at R=all != brute")
+    // and a bounded refine can only improve on the raw projected ranking
+    def pairs(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      res.select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(graft.ext.Sim.bruteTopK(df, 5))
+    val raw = (truth intersect pairs(graft.ext.Sim.jlTopK(df, outDim, 5))).size
+    val refined = (truth intersect
+      pairs(graft.ext.Sim.jlRefinedTopK(df, outDim, 5, refineR = 20))).size
+    assert(refined >= raw, s"refined $refined fell below raw $raw")
+  }
+
   test("bpeEncodeCounts: trained merges compress the fixture to hand-counted tokens") {
     // after the 3 effective merges of the abab/cd fixture (see the
     // trainer test) both word types collapse to ONE symbol each:

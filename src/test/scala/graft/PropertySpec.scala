@@ -341,6 +341,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: pageRank matches an independent exact-integer model on random graphs") {
+    // The distributed damped iteration and a single-threaded model must
+    // agree BIT-FOR-BIT on arbitrary multigraphs (duplicate edges and
+    // self-loops included — outdeg counts edge ROWS, each row carries
+    // its own contribution): exact int64 rank units are the whole
+    // design (Graph.scala scaladoc). 3 rounds, default mass.
+    val mass = 1000000000000L
+    val iters = 3
+    def model(edges: List[(String, String)]): Map[String, Long] = {
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val init = mass / verts.size
+      val base = 15L * init / 100L
+      val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var r = verts.map(_ -> init).toMap
+      (1 to iters).foreach { _ =>
+        val in = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum
+        }
+        r = verts.map(v => v -> (base + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    val vGen = Gen.chooseNum(0, 9).map(i => s"v$i")
+    val graphs = sample(Gen.nonEmptyListOf(Gen.zip(vGen, vGen)), 25)
+    graphs.zipWithIndex.foreach { case (edges, gi) =>
+      val got = graft.ext.Graph.pageRank(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == model(edges), s"ranks diverge on graph $gi (${edges.size} edges)")
+    }
+  }
+
+  test("property: duplicateSpans matches a brute-force span model on random corpora") {
+    // Model works on token-TRIPLE identity; the engine works on triple
+    // HASHES — agreement also certifies that no hash collision corrupts
+    // spans on these samples (seeded, so stable). n=3, minOccurrences=2.
+    def model(docs: List[(Long, List[String])]): Set[(Long, Long, Long, Long, Long)] = {
+      val triples = docs.flatMap { case (id, ts) =>
+        ts.sliding(3).filter(_.size == 3).zipWithIndex
+          .map { case (tr, i) => (id, i + 1, tr) }
+      }
+      val dupTriples = triples.groupBy(_._3).filter(_._2.size >= 2).keySet
+      val dupPos = triples.filter(t => dupTriples(t._3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      dupPos.flatMap { case (id, ps) =>
+        // gap grouping: consecutive positions merge
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map { isl =>
+          val s = isl.min; val e = isl.max + 2
+          (id, s.toLong, e.toLong, (e - s + 1).toLong, isl.size.toLong)
+        }
+      }.toSet
+    }
+    val tok = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tok))
+    val corpora = sample(Gen.listOfN(6, docGen), 25)
+    corpora.zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.ext.Text.duplicateSpans(df, n = 3, minOccurrences = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // empty texts tokenize to [""] — a 1-token doc, no triples; the
+      // model's sliding(3) on <3 tokens likewise yields nothing
+      val exp = model(docs.map { case (id, ts) =>
+        (id, if (ts.isEmpty) List("") else ts) })
+      assert(got == exp, s"spans diverge on corpus $ci: got $got, want $exp")
+    }
+  }
+
   test("property: kmeans matches an independent Scala Lloyd model exactly") {
     import graft.ext.Cluster
     // The distributed run and a single-threaded model must agree

@@ -310,6 +310,124 @@ object Multimodal {
     })
   }
 
+  final case class DecodedVideo(doc_id: Long, width: Int, height: Int,
+      fps_num: Int, fps_den: Int, n_frames: Long, frame_bytes: Long,
+      pixel_sum: Long, sampled_frames: Long, sampled_sum: Long)
+
+  /** Encode a deterministic tiny Y4M (YUV4MPEG2) clip per document —
+    * VIDEO completes the pure-JVM container triple beside PPM/BMP and
+    * WAV: Y4M is uncompressed (ASCII stream header, per-frame `FRAME`
+    * markers, raw planar YUV bytes), so a real parser needs no codec.
+    * W = 4 + id%4, H = 2 + id%3, C444 (three full planes → 3·W·H bytes
+    * per frame), 25:1 fps, n = 3 + id%5 frames; frame f's byte j is
+    * (id + f·131 + j) % 256 — arithmetic off doc_id so the oracle
+    * replays the decode without parsing bytes. Even doc_ids carry a
+    * parameter on their first FRAME marker (`FRAME Xtest`): the spec
+    * allows per-frame params up to the newline, and a parser that
+    * assumes a bare marker misreads every subsequent frame. */
+  def encodeVideo(documents: DataFrame): Dataset[EncodedMedia] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      EncodedMedia(id, "y4m", y4mBytes(id))
+    })
+  }
+
+  private[graft] def videoDims(id: Long): (Int, Int, Int) =
+    ((4 + id % 4).toInt, (2 + id % 3).toInt, (3 + id % 5).toInt)
+
+  private[graft] def y4mBytes(id: Long): Array[Byte] = {
+    val (w, h, n) = videoDims(id)
+    val frameBytes = 3 * w * h
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header, 0, header.length)
+    var f = 0
+    while (f < n) {
+      val marker = (if (f == 0 && id % 2 == 0) "FRAME Xtest\n" else "FRAME\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(marker, 0, marker.length)
+      var j = 0
+      while (j < frameBytes) {
+        out.write(((id + f.toLong * 131L + j) % 256L).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL Y4M decoder + frame sampler: parses the stream header's
+    * space-separated tagged fields (W/H/F/C — only C444's plane layout
+    * ships here; other colorspaces fail loudly like non-PCM WAV),
+    * walks `FRAME` markers tolerating per-frame parameters up to the
+    * newline, checksums every frame, and computes the every-`stride`-th
+    * frame-sampling checksum over the REAL bytes ([[frameSamplePlan]]
+    * is the metadata-only twin of this pass). Narrow mapPartitions;
+    * truncated frames, bad magic and unsupported colorspaces fail
+    * loudly. */
+  def decodeVideo(media: Dataset[EncodedMedia], stride: Int = 2): Dataset[DecodedVideo] = {
+    require(stride >= 1, s"stride must be positive, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      val id = m.doc_id
+      val magic = "YUV4MPEG2"
+      require(bs.length > magic.length &&
+        new String(bs, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
+        s"doc $id: not a YUV4MPEG2 stream")
+      var pos = magic.length
+      var w = -1; var h = -1; var fn = -1; var fd = -1; var cs = "420"
+      while (pos < bs.length && bs(pos) != '\n') {
+        require(bs(pos) == ' ', s"doc $id: malformed stream header")
+        pos += 1
+        val tag = bs(pos).toChar
+        pos += 1
+        val sb = new StringBuilder
+        while (pos < bs.length && bs(pos) != ' ' && bs(pos) != '\n') {
+          sb.append(bs(pos).toChar); pos += 1
+        }
+        val v = sb.toString
+        tag match {
+          case 'W' => w = v.toInt
+          case 'H' => h = v.toInt
+          case 'F' =>
+            val parts = v.split(":"); fn = parts(0).toInt; fd = parts(1).toInt
+          case 'C' => cs = v
+          case _ => () // Ip / A1:1 / X params: valid, irrelevant here
+        }
+      }
+      require(pos < bs.length, s"doc $id: header never terminated")
+      pos += 1 // consume the newline
+      require(w > 0 && h > 0, s"doc $id: missing or bad dimensions ${w}x$h")
+      require(cs == "444", s"doc $id: unsupported colorspace C$cs (only C444 ships)")
+      val frameBytes = 3L * w * h
+      var nFrames = 0L; var sum = 0L; var sampledFrames = 0L; var sampledSum = 0L
+      while (pos < bs.length) {
+        val mk = "FRAME"
+        require(pos + mk.length <= bs.length &&
+          new String(bs, pos, mk.length, java.nio.charset.StandardCharsets.US_ASCII) == mk,
+          s"doc $id: expected FRAME marker at byte $pos")
+        pos += mk.length
+        while (pos < bs.length && bs(pos) != '\n') pos += 1 // per-frame params
+        require(pos < bs.length, s"doc $id: FRAME marker never terminated")
+        pos += 1
+        require(pos + frameBytes <= bs.length, s"doc $id: truncated frame $nFrames")
+        var fs = 0L
+        var j = 0
+        while (j < frameBytes) { fs += bs(pos + j) & 0xff; j += 1 }
+        if (nFrames % stride == 0) { sampledFrames += 1; sampledSum += fs }
+        sum += fs
+        nFrames += 1
+        pos += frameBytes.toInt
+      }
+      DecodedVideo(id, w, h, fn, fd, nFrames, frameBytes, sum,
+        sampledFrames, sampledSum)
+    })
+  }
+
   final case class DecodedAudio(doc_id: Long, channels: Int, sample_rate: Int,
       n_samples: Long, duration_us: Long, sample_sum: Long, rms: Double,
       zero_crossings: Long)

@@ -134,6 +134,15 @@ object ExtRegistry {
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeMedia(Multimodal.encodeMedia(Tables(s, dir).documents), 4, 4).toDF()),
 
+    // VIDEO completes the pure-JVM container triple: real Y4M
+    // (YUV4MPEG2) stream parse — tagged header fields, per-frame FRAME
+    // markers with optional params, raw C444 planes — plus the
+    // every-2nd-frame sampling checksum over REAL bytes
+    // (frameSamplePlan's metadata-only twin made contentful)
+    "video_features" -> ((s, dir) =>
+      Multimodal.decodeVideo(Multimodal.encodeVideo(Tables(s, dir).documents),
+        stride = 2).toDF()),
+
     // AUDIO joins the pure-JVM container family: real RIFF/WAV
     // chunk-walk decode (unknown chunks skipped, odd-size pad bytes
     // honored) + exact-arithmetic curation features (int64 sample sum,
@@ -2511,6 +2520,36 @@ object ExtRegistry {
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
         |       ps.pixel_sum
         |FROM m JOIN ps USING (doc_id)""".stripMargin,
+
+    // video twin: the Y4M generator arithmetic replayed — frame f's
+    // byte j of doc d is (d + f·131 + j) % 256 over 3·w·h bytes
+    // (C444), w = 4 + d%4, h = 2 + d%3, n = 3 + d%5 frames; a parser
+    // bug (missed frame param, wrong plane size, marker misread)
+    // hash-fails
+    "video_features" ->
+      """WITH m AS (SELECT doc_id,
+        |                  CAST(4 + doc_id % 4 AS INTEGER) AS width,
+        |                  CAST(2 + doc_id % 3 AS INTEGER) AS height,
+        |                  3 + doc_id % 5 AS n
+        |           FROM documents),
+        |fr AS (SELECT doc_id, width, height,
+        |              unnest(generate_series(0, n - 1)) AS f FROM m),
+        |fs AS (SELECT doc_id, f,
+        |              CAST(list_sum(list_transform(
+        |                generate_series(0, 3 * width * height - 1),
+        |                j -> (doc_id + f * 131 + j) % 256)) AS BIGINT) AS fsum
+        |       FROM fr),
+        |ag AS (SELECT doc_id,
+        |              CAST(count(*) AS BIGINT) AS n_frames,
+        |              CAST(sum(fsum) AS BIGINT) AS pixel_sum,
+        |              CAST(sum(CASE WHEN f % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_frames,
+        |              CAST(sum(CASE WHEN f % 2 = 0 THEN fsum ELSE 0 END) AS BIGINT) AS sampled_sum
+        |       FROM fs GROUP BY 1)
+        |SELECT m.doc_id, m.width, m.height,
+        |       CAST(25 AS INTEGER) AS fps_num, CAST(1 AS INTEGER) AS fps_den,
+        |       ag.n_frames, CAST(3 AS BIGINT) * m.width * m.height AS frame_bytes,
+        |       ag.pixel_sum, ag.sampled_frames, ag.sampled_sum
+        |FROM m JOIN ag USING (doc_id)""".stripMargin,
 
     // audio twin: the WAV generator arithmetic replayed — sample i of
     // doc d is ((d·2654435761 + i·40503) % 65536) − 32768 over

@@ -239,6 +239,40 @@ class ExtSpec extends SparkSpec {
     assert(again.toSet == kept.toSet, "selection changed with partition layout")
   }
 
+  test("video decode: Y4M round-trip matches the model; frame params; corrupt fails") {
+    val ids = Seq(0L, 1L, 2L, 5L) // evens carry the FRAME-param hazard
+    val got = Multimodal.decodeVideo(Multimodal.encodeVideo(
+        ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")), stride = 2)
+      .collect().map(v => v.doc_id -> v).toMap
+    ids.foreach { id =>
+      val (w, h, n) = Multimodal.videoDims(id)
+      val fb = 3 * w * h
+      def fsum(f: Int) = (0 until fb).map(j => (id + f.toLong * 131L + j) % 256L).sum
+      val v = got(id)
+      assert(v.width == w && v.height == h && v.fps_num == 25 && v.fps_den == 1)
+      assert(v.n_frames == n && v.frame_bytes == fb)
+      assert(v.pixel_sum == (0 until n).map(fsum).sum)
+      assert(v.sampled_frames == (0 until n).count(_ % 2 == 0))
+      assert(v.sampled_sum == (0 until n).filter(_ % 2 == 0).map(fsum).sum)
+    }
+    // corrupt containers fail loudly
+    val good = Multimodal.y4mBytes(3L)
+    intercept[org.apache.spark.SparkException] { // truncated final frame
+      Multimodal.decodeVideo(Seq(
+        Multimodal.EncodedMedia(3L, "y4m", good.dropRight(5))).toDS()).collect()
+    }
+    intercept[org.apache.spark.SparkException] { // unsupported colorspace
+      val c420 = new String(good.takeWhile(_ != '\n'), "US-ASCII")
+        .replace("C444", "C420") + "\n"
+      Multimodal.decodeVideo(Seq(Multimodal.EncodedMedia(3L, "y4m",
+        c420.getBytes("US-ASCII") ++ good.dropWhile(_ != '\n').drop(1))).toDS()).collect()
+    }
+    intercept[org.apache.spark.SparkException] { // not Y4M at all
+      Multimodal.decodeVideo(Seq(Multimodal.EncodedMedia(3L, "y4m",
+        "MPEG4WHATEVER".getBytes("US-ASCII"))).toDS()).collect()
+    }
+  }
+
   test("audio decode: WAV round-trip matches the model; chunk walk; corrupt fails") {
     // independent model of the generator arithmetic — both parities, so
     // the even ids exercise the junk LIST chunk + RIFF odd-size pad

@@ -57,6 +57,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("duplicate-span queries join on keys only — never a cross product") {
+    Seq(
+      graft.ext.Text.duplicateSpans(tables.documents, 3, 2L),
+      graft.ext.Text.cutDuplicateSpans(tables.documents, 3)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    }
+  }
+
   test("sessionize and samplePerGroup plan exactly one shuffle (keyed window reuse)") {
     // sessionize runs TWO window functions (lag marker + running sum)
     // over the same (key, order) — they must share one exchange

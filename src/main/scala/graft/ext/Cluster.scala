@@ -155,12 +155,17 @@ object Cluster {
     * The ceil-stride spreads the pool across the whole id range (the
     * `kmeansCentroidsSampled` sampling discipline applied to seeding),
     * anchoring at the minimum id so the pool is never empty and seed 0
-    * stays the lowest vec_id. Bounded and SQL-replayable (the oracle's
-    * `ps`/`pool` CTEs), so seeding cost is O(pool·k·d) driver
-    * arithmetic at any corpus size: the FAISS train-on-sample
-    * discipline applied to seeding itself. Referenced by
-    * ExtRegistry.maximinSeedCtes — widening or narrowing this value
-    * re-pins every kmeans-family oracle on both sides at once. */
+    * stays the lowest vec_id. Because membership tests id VALUES, a
+    * sparse or hashed id space can collapse the class to fewer than k
+    * members — lloydAssign then falls back to the lowest-id pool
+    * (strictly better than a degenerate under-k seed set; the oracle's
+    * `poolr`-count branch replays the same test). Bounded and
+    * SQL-replayable (the oracle's `ps`/`poolr`/`pool` CTEs), so
+    * seeding cost is O(pool·k·d) driver arithmetic at any corpus size:
+    * the FAISS train-on-sample discipline applied to seeding itself.
+    * Referenced by ExtRegistry.maximinSeedCtes — widening or narrowing
+    * this value re-pins every kmeans-family oracle on both sides at
+    * once. */
   private[graft] val SeedPool = 256
 
   /** Deterministic maximin (farthest-point) seeding over a collected
@@ -218,7 +223,14 @@ object Cluster {
         if (fr.getLong(0) == 0L) qf
         else {
           val stride = math.max(1L, (fr.getLong(0) + poolN - 1) / poolN)
-          qf.filter((col("vec_id") - lit(fr.getLong(1))) % lit(stride) === lit(0L))
+          val res = qf.filter((col("vec_id") - lit(fr.getLong(1))) % lit(stride) === lit(0L))
+          // membership tests id VALUES, so a sparse/hashed id space can
+          // collapse the residue class to far fewer members than poolN
+          // (only the minimum id is guaranteed) — below k members the
+          // maximin pass cannot even produce k seeds, so fall back to
+          // the lowest-id pool (the limit(k) probe is bounded: it never
+          // counts the class, just checks k rows exist)
+          if (res.limit(k).count() < k) qf else res
         }
       } else qf
     val pool = poolDf.orderBy(col("vec_id")).limit(poolN).collect()

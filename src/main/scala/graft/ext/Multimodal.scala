@@ -394,7 +394,10 @@ object Multimodal {
           case 'W' => w = v.toInt
           case 'H' => h = v.toInt
           case 'F' =>
-            val parts = v.split(":"); fn = parts(0).toInt; fd = parts(1).toInt
+            val parts = v.split(":")
+            require(parts.length == 2 && parts.forall(_.nonEmpty),
+              s"doc $id: malformed frame-rate tag F$v")
+            fn = parts(0).toInt; fd = parts(1).toInt
           case 'C' => cs = v
           case _ => () // Ip / A1:1 / X params: valid, irrelevant here
         }
@@ -402,6 +405,7 @@ object Multimodal {
       require(pos < bs.length, s"doc $id: header never terminated")
       pos += 1 // consume the newline
       require(w > 0 && h > 0, s"doc $id: missing or bad dimensions ${w}x$h")
+      require(fn > 0 && fd > 0, s"doc $id: missing or bad frame rate $fn:$fd")
       require(cs == "444", s"doc $id: unsupported colorspace C$cs (only C444 ships)")
       val frameBytes = 3L * w * h
       var nFrames = 0L; var sum = 0L; var sampledFrames = 0L; var sampledSum = 0L

@@ -411,12 +411,17 @@ object Text {
     * artifact a BPE tokenizer ships.
     *
     * Merge application is the leftmost-non-overlapping string-replace
-    * convention: symbols live in a U+001F-prefixed string (`␟l␟o␟a␟n`),
-    * so replacing `␟l␟o` with `␟lo` merges every occurrence in one
-    * left-to-right scan — adjacent occurrences share no boundary
-    * character (each symbol carries its OWN leading marker), and both
-    * engines' `replace` define the identical scan, which is what makes
-    * round k's vocabulary (and so every count) bit-reproducible.
+    * convention: every symbol is WRAPPED in U+001F markers
+    * (`␟l␟␟o␟␟a␟␟n␟`), so the pattern `␟l␟␟o␟` only matches where the
+    * right side is the COMPLETE next symbol — a leading-marker-only
+    * encoding (`␟l␟o`) would also match when the following symbol
+    * merely STARTS with `o` (after a round-1 merge (b,c)→`bc`,
+    * applying (a,b) to `␟a␟bc` would fuse a+bc and invent a symbol no
+    * merge produced, corrupting the vocabulary and every later count).
+    * Adjacent occurrences share no boundary character (each symbol
+    * carries its OWN wrap), and both engines' `replace` define the
+    * identical left-to-right scan, which is what makes round k's
+    * vocabulary (and so every count) bit-reproducible.
     *
     * Scale shape: the corpus-sized shuffle happens ONCE (the word-type
     * frequency groupBy); every round then runs on the Zipf-small
@@ -432,19 +437,30 @@ object Text {
 
   /** [[duplicateSpans]] APPLIED — the cleaning cut, with the paper's
     * keep-first semantics: every shingle occurrence except the globally
-    * FIRST (ordered by (doc_id, pos) — deterministic, engine-agnostic)
-    * is marked cut, cut positions merge into spans, and the spanned
-    * token ranges are EXCISED from the text; the first occurrence
-    * survives, so no shared phrase is lost from the corpus entirely.
-    * Returns `(doc_id, text_cleaned, tokens_kept, tokens_removed)`.
+    * FIRST (min by (doc_id, pos) — deterministic, engine-agnostic) is
+    * marked cut, cut positions merge into spans, and the spanned token
+    * ranges are EXCISED from the text — MINUS any token inside a first
+    * occurrence's own range [pos₁, pos₁+n−1], so the kept occurrence
+    * survives INTACT even when cut ranges of overlapping intra-doc
+    * self-repeats (`a a a a a`) or of other duplicated shingles reach
+    * into it: no shared phrase is ever lost from the corpus entirely.
+    * Returns `(doc_id, text_cleaned, tokens_kept, tokens_removed)`;
+    * a document whose every token is excised drops out (no empty-text
+    * row), mirroring the oracle's keep-side group-by.
     *
-    * Deliberately relational, no nested lambdas: occurrence rank is one
-    * shingle-keyed window, cut token indices explode from the bounded
-    * span list (Σ span lengths ≤ token count), the keep decision is a
-    * token-level LEFT ANTI join, and reassembly sorts `(index, token)`
-    * structs before joining — collect order never leaks into the
-    * output, which is what lets the cleaned STRING hash-match the
-    * oracle. All stages are doc- or shingle-keyed shuffles. */
+    * Deliberately relational, no nested lambdas — and no per-shingle
+    * rank window: the surviving occurrence is the map-side-combinable
+    * aggregate `min(struct(doc_id, pos))` per shingle, so a
+    * boilerplate shingle with millions of occurrences costs one
+    * partially-aggregated count row, never a single-reducer sort (the
+    * 100 TB hot-shingle hazard of `row_number() OVER (PARTITION BY
+    * sh)`). Cut token indices explode from the bounded span list
+    * (Σ span lengths ≤ token count), the first-occurrence protection
+    * and the keep decision are token-level LEFT ANTI joins, and
+    * reassembly sorts `(index, token)` structs before joining —
+    * collect order never leaks into the output, which is what lets the
+    * cleaned STRING hash-match the oracle. All stages are doc- or
+    * shingle-keyed shuffles. */
   def cutDuplicateSpans(documents: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
@@ -453,11 +469,23 @@ object Text {
       .localCheckpoint(false)
     val ps = sh.select(col("doc_id"), posexplode(col("sharr")).as(Seq("pos0", "sh")))
       .select(col("doc_id"), (col("pos0") + 1).cast(IntegerType).as("pos"), col("sh"))
-    // keep-first: the globally earliest occurrence of a shingle survives
-    val cut = ps.withColumn("rk", row_number().over(
-        Window.partitionBy(col("sh")).orderBy(col("doc_id"), col("pos"))))
-      .filter(col("rk") >= 2)
+      .localCheckpoint(false) // feeds the keep-first agg AND the cut join
+    // keep-first: the globally earliest occurrence of each duplicated
+    // shingle, as a partial-agg-friendly min(struct) — never a window
+    val first = ps.groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .filter(col("cnt") >= 2)
+      .select(col("sh"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+      .localCheckpoint(false) // feeds the cut join AND the protected set
+    val cut = ps.join(first, Seq("sh"))
+      .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"), col("pos"))
+    // tokens inside any first occurrence's own range are never excised
+    val protTok = first
+      .select(col("fdoc").as("doc_id"),
+        explode(sequence(col("fpos"), col("fpos") + (n - 1))).as("i"))
+      .distinct()
     // merge cut positions into spans, then explode to cut TOKEN indices
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cutToks = cut
@@ -466,6 +494,7 @@ object Text {
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
       .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("i"))
       .distinct()
+      .join(protTok, Seq("doc_id", "i"), "left_anti")
     val te = documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "t")))
@@ -494,15 +523,16 @@ object Text {
     val cs = filter(split(col("term"), ""), c => c =!= "")
     var cur = termStream(documents).groupBy(col("term")).agg(count(lit(1L)).as("freq"))
       .select(col("term"), col("freq"),
-        concat(lit(sep), array_join(cs, sep)).as("repr"))
+        array_join(transform(cs, c => concat(lit(sep), c, lit(sep))), "").as("repr"))
       .localCheckpoint(false)
     val out = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
     var round = 1
     var done = false
     while (round <= merges && !done) {
-      val syms0 = split(col("repr"), sep)
+      // wrapped encoding splits to empty strings between/around markers
       val top = cur
-        .select(col("freq"), slice(syms0, lit(2), size(syms0) - 1).as("syms"))
+        .select(col("freq"),
+          filter(split(col("repr"), sep), s => s =!= "").as("syms"))
         .select(col("freq"), explode(
           when(size(col("syms")) < 2, array().cast("array<struct<l:string,r:string>>"))
             .otherwise(transform(sequence(lit(1), size(col("syms")) - 1),
@@ -518,7 +548,8 @@ object Text {
         val cnt = top.head.getLong(2)
         out += ((round, l, r, l + r, cnt))
         cur = cur.select(col("term"), col("freq"),
-            replace(col("repr"), lit(sep + l + sep + r), lit(sep + l + r)).as("repr"))
+            replace(col("repr"), lit(sep + l + sep + sep + r + sep),
+              lit(sep + l + r + sep)).as("repr"))
           .localCheckpoint(false) // each round's vocabulary feeds the next
         round += 1
       }
@@ -548,7 +579,8 @@ object Text {
   def bpeEncodeCounts(documents: DataFrame, merges: Int): DataFrame = {
     val vocab = bpeCore(documents, merges)._2
     val symCnt = vocab.select(col("term"),
-      (size(split(col("repr"), BpeSep)) - 1).cast(LongType).as("bpe_syms"),
+      size(filter(split(col("repr"), BpeSep), s => s =!= ""))
+        .cast(LongType).as("bpe_syms"),
       length(col("term")).cast(LongType).as("char_syms"))
     termStream(documents).groupBy(col("doc_id"), col("term")).agg(count(lit(1L)).as("tf"))
       .join(symCnt, Seq("term"))

@@ -208,9 +208,11 @@ object ExtRegistry {
         minOccurrences = 2L)),
 
     // the cut APPLIED with keep-first semantics: every occurrence after
-    // the globally first is excised from the text; the hash-matched
-    // cleaned STRING is the proof the whole pipeline (rank, islands,
-    // token anti-join, ordered reassembly) is deterministic
+    // the globally first is excised from the text, minus the protected
+    // first-occurrence token ranges (the kept phrase survives intact
+    // even under overlapping self-repeats); the hash-matched cleaned
+    // STRING is the proof the whole pipeline (keep-first agg, islands,
+    // token anti-joins, ordered reassembly) is deterministic
     "dup_spans_cut" -> ((s, dir) =>
       graft.ext.Text.cutDuplicateSpans(Tables(s, dir).documents, n = 3)),
 
@@ -846,12 +848,16 @@ object ExtRegistry {
        |ps AS MATERIALIZED (SELECT doc_id, p['pos'] AS pos, p['sh'] AS sh FROM ps0)""".stripMargin
 
   /** BPE TRAINING chain, shared by the training and encode twins:
-    * w0 = word types as U+001F-prefixed symbol strings (the `word`
-    * column rides the whole chain so the encode twin can read the final
-    * mapping), each round i emits p{i} (pair counts), m{i} (the
-    * (cnt DESC, l, r) argmax via LIMIT 1) and w{i} (the vocabulary
-    * after the leftmost-non-overlapping replace; the chr(2) sentinel
-    * keeps exhausted rounds inert). */
+    * w0 = word types as U+001F-WRAPPED symbol strings — every symbol
+    * carries BOTH markers (`␟l␟␟o␟`), so the replace pattern only
+    * matches a COMPLETE right symbol and can never fuse into a longer
+    * symbol that merely starts with r (the prefix-collision hazard of
+    * a leading-marker-only encoding). The `word` column rides the
+    * whole chain so the encode twin can read the final mapping; each
+    * round i emits p{i} (pair counts), m{i} (the (cnt DESC, l, r)
+    * argmax via LIMIT 1) and w{i} (the vocabulary after the
+    * leftmost-non-overlapping replace; the chr(2) sentinel keeps
+    * exhausted rounds inert). */
   private[queries] def bpeChainCtes(k: Int): String = {
     def roundCtes(i: Int): String =
       s"""p$i AS (
@@ -860,18 +866,18 @@ object ExtRegistry {
          |      CASE WHEN len(syms) < 2 THEN CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[])
          |           ELSE list_transform(generate_series(1, len(syms) - 1),
          |                  j -> {'l': syms[j], 'r': syms[j + 1]}) END) AS p
-         |    FROM (SELECT freq, string_split(repr, chr(31))[2:] AS syms FROM w${i - 1})) u
+         |    FROM (SELECT freq, list_filter(string_split(repr, chr(31)), s -> s <> '') AS syms FROM w${i - 1})) u
          |  GROUP BY 1, 2),
          |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |w$i AS MATERIALIZED (
          |  SELECT word, freq,
          |         replace(repr,
-         |                 coalesce((SELECT chr(31) || l || chr(31) || r FROM m$i), chr(2)),
-         |                 coalesce((SELECT chr(31) || l || r FROM m$i), chr(2))) AS repr
+         |                 coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM m$i), chr(2)),
+         |                 coalesce((SELECT chr(31) || l || r || chr(31) FROM m$i), chr(2))) AS repr
          |  FROM w${i - 1})""".stripMargin
     s"""w0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-       |         chr(31) || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), chr(31)) AS repr
+       |         array_to_string(list_transform(list_filter(string_split(word, ''), c -> c <> ''), c -> chr(31) || c || chr(31)), '') AS repr
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
        |${(1 to k).map(roundCtes).mkString(",\n")}""".stripMargin
@@ -1089,8 +1095,11 @@ object ExtRegistry {
   /** Maximin seed chain — Cluster.maximinSeeds replayed as k chained
     * CTEs: `ps` computes the ceil-stride `greatest(1, (n + poolN - 1)
     * // poolN)` and the minimum id (Cluster.lloydAssign's exact integer
-    * arithmetic), `pool` is the bounded residue-class candidate set
-    * `(vec_id - mn) % stride = 0` spread across the whole id range,
+    * arithmetic), `poolr` is the residue-class candidate set
+    * `(vec_id - mn) % stride = 0` spread across the whole id range and
+    * `pool` its bounded lowest-id prefix — falling back to the whole
+    * corpus's lowest-id pool when the class holds fewer than k members
+    * (sparse/hashed id spaces; the Spark side's limit(k) probe),
     * `sd0` the lowest-vec_id vector, each `sm{i}` carries every
     * remaining pool vector's min exact-int64 squared distance to the
     * chosen set (integer list_sum — order-free, so engine-agnostic),
@@ -1119,9 +1128,15 @@ object ExtRegistry {
       .mkString("\n  UNION ALL ")
     s"""ps AS (SELECT greatest(1, (count(*) + ${poolN - 1}) // $poolN) AS stride,
        |             min(vec_id) AS mn FROM q),
-       |pool AS MATERIALIZED (
+       |poolr AS MATERIALIZED (
        |  SELECT vec_id, q FROM q, ps
-       |  WHERE (vec_id - ps.mn) % ps.stride = 0 ORDER BY vec_id LIMIT $poolN),
+       |  WHERE (vec_id - ps.mn) % ps.stride = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, q FROM (
+       |    SELECT vec_id, q FROM poolr WHERE (SELECT count(*) FROM poolr) >= $k
+       |    UNION ALL
+       |    SELECT vec_id, q FROM q WHERE (SELECT count(*) FROM poolr) < $k) u
+       |  ORDER BY vec_id LIMIT $poolN),
        |sd0 AS (SELECT vec_id, q FROM pool ORDER BY vec_id LIMIT 1),
        |sm0 AS MATERIALIZED (
        |  SELECT p.vec_id, p.q, ${dist("p", "s")} AS md
@@ -2008,19 +2023,28 @@ object ExtRegistry {
          |       CAST(count(*) AS BIGINT) AS n_shingles
          |FROM isl GROUP BY doc_id, g""".stripMargin,
 
-    // cut twin: keep-first occurrence rank, islands, cut token indices,
-    // token-level anti join, ORDER BY-pinned reassembly
+    // cut twin: keep-first occurrence rank, islands, cut token indices
+    // MINUS the protected first-occurrence ranges (the kp anti join —
+    // the Spark side spells keep-first as min(struct(doc_id,pos)); the
+    // oracle's rank window picks the identical occurrence), token-level
+    // anti join, ORDER BY-pinned reassembly
     "dup_spans_cut" ->
       s"""WITH $posShingleCtes,
          |rk AS (SELECT doc_id, pos,
-         |              row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk
+         |              row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk,
+         |              count(*) OVER (PARTITION BY sh) AS cnt
          |       FROM ps),
          |cut AS (SELECT doc_id, pos FROM rk WHERE rk >= 2),
+         |fo AS (SELECT doc_id, pos FROM rk WHERE rk = 1 AND cnt >= 2),
+         |kp AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 2)) AS i FROM fo),
          |isl AS (SELECT doc_id, pos,
          |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
          |        FROM cut),
          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e FROM isl GROUP BY doc_id, g),
-         |ct AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS i FROM sp),
+         |ct0 AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS i FROM sp),
+         |ct AS (SELECT c.doc_id, c.i FROM ct0 c
+         |       LEFT JOIN kp ON c.doc_id = kp.doc_id AND c.i = kp.i
+         |       WHERE kp.i IS NULL),
          |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |te AS (SELECT doc_id, p['i'] AS i, p['t'] AS t FROM (
          |         SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
@@ -2039,12 +2063,12 @@ object ExtRegistry {
          |FROM ka LEFT JOIN rm USING (doc_id)""".stripMargin,
 
     // BPE TRAINING twin: Text.bpeTrainMerges replayed as 6 chained CTE
-    // rounds. w0 = word types as U+001F-prefixed symbol strings; each
+    // rounds. w0 = word types as U+001F-WRAPPED symbol strings; each
     // round counts adjacent pairs (1-based list indexing both sides),
     // takes the (cnt DESC, l, r) argmax via LIMIT 1, and rebuilds the
     // vocabulary with `replace` — the leftmost-non-overlapping scan
-    // both engines define identically (each symbol carries its OWN
-    // leading marker, so adjacent occurrences share no boundary char).
+    // both engines define identically (each symbol carries BOTH its
+    // markers, so the pattern only matches a complete right symbol).
     // An exhausted round leaves m{i} empty: the chr(2) sentinel keeps
     // the replace inert and the final UNION simply lacks that row,
     // matching the Spark side's early stop.
@@ -2060,7 +2084,7 @@ object ExtRegistry {
     // term frequencies, compression = one IEEE division of exact sums
     "bpe_encode" ->
       s"""WITH ${bpeChainCtes(6)},
-         |sy AS (SELECT word, CAST(len(string_split(repr, chr(31))) - 1 AS BIGINT) AS bpe_syms,
+         |sy AS (SELECT word, CAST(len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS BIGINT) AS bpe_syms,
          |              CAST(length(word) AS BIGINT) AS char_syms
          |       FROM w6),
          |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (

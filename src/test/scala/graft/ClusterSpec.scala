@@ -30,6 +30,32 @@ class ClusterSpec extends SparkSpec {
     assert(got(1L) != got(4L))
   }
 
+  test("sparse vec_id space: residue-class pool collapse falls back to the lowest-id pool") {
+    // 600 rows > SeedPool=256, so stride = ceil(600/256) = 3, and ids
+    // 0, 4, 7, 10, … (3i+1 except the anchor) leave ONLY the minimum
+    // id in the residue class (id % 3 == 1 for every other row).
+    // Without the fallback the seed pool is one vector -> one seed ->
+    // one cell; the lowest-id pool restores >= k seeds. Vectors cycle
+    // through 4 well-separated one-hot blobs, so k=4 must land 4
+    // distinct, blob-pure cells.
+    val df = spark.range(600).select(
+      when(col("id") === 0, 0L).otherwise(col("id") * 3 + 1).as("vec_id"),
+      expr("transform(sequence(1, 4), d -> CAST(CASE WHEN d - 1 = id % 4 THEN 1.0 ELSE 0.0 END AS FLOAT))")
+        .as("embedding"))
+    val got = Cluster.kmeansAssign(df, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(got.length == 600)
+    assert(got.map(_._2).distinct.length == 4,
+      s"expected 4 cells, got ${got.map(_._2).distinct.toSeq.sorted}")
+    // blob-pure: every vec assigned with its one-hot peers
+    val byBlob = got.groupBy { case (id, _) =>
+      (if (id == 0L) 0L else (id - 1) / 3) % 4
+    }.map { case (b, xs) => b -> xs.map(_._2).distinct }
+    byBlob.foreach { case (b, cells) =>
+      assert(cells.length == 1, s"blob $b split across cells $cells")
+    }
+  }
+
   test("kmeansCentroids: exact component sums and IEEE means, long form") {
     val cen = Cluster.kmeansCentroids(blobs, k = 2, iters = 2)
       .collect()

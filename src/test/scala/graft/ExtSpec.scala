@@ -218,6 +218,27 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == (("a b c z w", 5L, 3L)), got(4L))
   }
 
+  test("cutDuplicateSpans: overlapping self-repeat keeps the first occurrence intact") {
+    // 'a a a a a' (n=3): (a,a,a) occurs at pos 1,2,3; cuts at 2,3
+    // expand to tokens 2..5, which OVERLAP the kept occurrence's range
+    // 1..3 — the protection anti-join must spare tokens 2,3 so the
+    // first occurrence 'a a a' survives whole (without it the doc
+    // collapses to a single 'a' and the phrase is lost entirely)
+    val docs = Seq(
+      (1L, "a a a a a"),
+      (2L, "p q r s t"),   // later duplicate of doc 3's phrase
+      (3L, "p q r s u")    // doc_id 3 > 2: doc 2 holds the firsts
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Text.cutDuplicateSpans(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a a a", 3L, 2L)), got(1L))
+    // (p,q,r)@(2,1),(3,1) and (q,r,s)@(2,2),(3,2): firsts live in doc
+    // 2 (protected 1..4); doc 3's cuts span 1..4 -> 'u' survives
+    assert(got(2L) == (("p q r s t", 5L, 0L)), got(2L))
+    assert(got(3L) == (("u", 1L, 4L)), got(3L))
+  }
+
   test("datasetMixTemperature: sqrt shares, exact per-source k, small source kept whole") {
     // 64/16/4/1 docs across four sources, target 20: weights √n =
     // 8/4/2/1, total 15 → k = ⌊8/15·20⌋=10, ⌊4/15·20⌋=5, ⌊2/15·20⌋=2,
@@ -1301,8 +1322,19 @@ class ExtSpec extends SparkSpec {
       coarseK = 8, nProbe = 2, k = 5, refineR = 200))
     val trainedRows = rows(graft.ext.Sim.ivfTopKTrained(df,
       graft.ext.Cluster.kmeansCentroids(df, k = 8, iters = 2), 5, 2))
-    assert(refinedAll == trainedRows,
+    // (id, neighbor, rank) triples compare exactly; the cosines come
+    // from two different expression pipelines over the same floats, so
+    // they get a tolerance rather than bitwise set equality (a bitwise
+    // match would hinge on both plans folding the arithmetic the same
+    // way — a fixture coincidence, not the operator contract)
+    def keyed(s: Set[(Long, Long, Double, Int)]): Map[(Long, Long, Int), Double] =
+      s.map { case (v, nb, c, rk) => (v, nb, rk) -> c }.toMap
+    val (rm, tm) = (keyed(refinedAll), keyed(trainedRows))
+    assert(rm.keySet == tm.keySet,
       s"refine at R=all != exact-scored routing (${refinedAll.size} vs ${trainedRows.size} rows)")
+    rm.foreach { case (kk, c) =>
+      assert(math.abs(c - tm(kk)) <= 1e-12, s"cosine diverged at $kk: $c vs ${tm(kk)}")
+    }
     // the tuning curve over the same corpus: recall must be monotone in
     // nProbe, candidates strictly so, the full-probe row must hit 1.0
     // (probing every cell IS brute force over same-cell candidates plus
@@ -1345,6 +1377,28 @@ class ExtSpec extends SparkSpec {
     assert(merges(Seq("aaa"), 4) == Seq(
       (1, "a", "a", "aa", 2L),
       (2, "aa", "a", "aaa", 1L)))
+  }
+
+  test("bpeTrainMerges: right symbol that prefixes a longer merged symbol is NOT fused") {
+    // 'ab abc bc bc': round 1 merges (b,c)→bc (cnt 3), so 'abc' is
+    // [a, bc]. Round 2 merges (a,b) (tie with (a,bc) at cnt 1, r
+    // order 'b' < 'bc') — it must apply ONLY to 'ab', never to
+    // [a, bc] whose right symbol merely STARTS with b: a
+    // leading-marker-only encoding fuses a+bc there, inventing a
+    // symbol no merge produced and killing round 3's (a,bc) pair.
+    val docs = Seq((0L, "ab abc bc bc")).toDF("doc_id", "text")
+    val got = graft.ext.Text.bpeTrainMerges(docs, merges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "b", "c", "bc", 3L),
+      (2, "a", "b", "ab", 1L),
+      (3, "a", "bc", "abc", 1L)), s"merge table diverged: $got")
+    // at merges=2 'abc' must still be the two symbols [a, bc]:
+    // 1 (ab) + 2 (a,bc) + 1 + 1 = 5 bpe tokens over 9 chars
+    val enc = graft.ext.Text.bpeEncodeCounts(docs, merges = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(enc == ((5L, 9L)), s"encode counts diverged: $enc")
   }
 
   test("jlProject: exact model match; refine at R=all IS brute; refined >= raw recall") {

@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+      // keep-first must stay a partial aggregate, never a per-shingle
+      // sort window: the hottest boilerplate shingle's occurrence list
+      // would otherwise sort on ONE reducer (the 100 TB skew hazard) —
+      // the only windows allowed here partition by doc_id
+      assert(!plan.contains("windowspecdefinition(sh#"),
+        s"per-shingle window in:\n$plan")
     }
   }
 

@@ -240,31 +240,66 @@ object Corpus {
     * below its share keeps everything (`min(n_s, ·)`), mirroring the
     * datasetMix downsampling-only contract.
     *
-    * Scale shape: one source-keyed count (bounded rows collected), one
-    * per-source rank window — source cardinality bounds reducer
-    * parallelism exactly as in samplePerGroup; a corpus whose ONE
-    * source exceeds a reducer shards the rank via TopKPerGroup's
-    * map-side heaps, the documented escape hatch. */
+    * Scale shape: the selection is a per-source HASH-BUCKET cutoff,
+    * never a full per-source sort — a rank window partitioned by
+    * source would sort a dominant source's entire document list on ONE
+    * reducer. One combined aggregate pass histograms `hashOrder` into
+    * 1024 bands per source (bounded driver state: |sources|·1024
+    * counts, which also yields the exact n_s for the √-share k_s);
+    * every document in a band strictly below the source's threshold
+    * band is selected with a stateless filter, and only the ONE
+    * threshold band (≈ n_s/1024 rows) is rank-windowed to trim the
+    * exact remainder — identical selected set to the rank spelling
+    * (bands partition the hash order; ties share a band), which is why
+    * the oracle keeps the window SQL. */
   def datasetMixTemperature(documents: DataFrame, targetDocs: Long): DataFrame = {
     require(targetDocs >= 1, s"targetDocs must be positive, got $targetDocs")
+    Seq("__h", "__b", "__rn").foreach(c => require(!documents.columns.contains(c),
+      s"input already has internal column $c"))
     import org.apache.spark.sql.expressions.Window
-    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    if (counts.isEmpty)
+    // hashOrder ranges over [0, 1000003): 1024 bands of width 977
+    val bandW = 977L
+    val base = documents.select(col("doc_id"), col("source"),
+      graft.operators.Sampling.hashOrder(col("doc_id")).as("__h"))
+      .withColumn("__b", expr(s"__h div $bandW").cast("int"))
+    val hist = base.groupBy(col("source"), col("__b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    if (hist.isEmpty)
       return documents.select(col("doc_id"), col("source")).limit(0)
+    val counts = hist.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    // the Σ√n fold accumulates in source-name order (bit-reproducible)
     val total = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
     val ks = counts.map { case (s, n) =>
       s -> math.min(n, math.floor(math.sqrt(n.toDouble) / total * targetDocs).toLong)
     }
-    val kCol = ks.foldLeft(lit(0L)) { case (acc, (s, k)) =>
-      when(col("source") === s, lit(k)).otherwise(acc)
+    // threshold band b* = first band where the running count reaches
+    // k_s, and the exact count below it; b* = -1 keeps the whole source
+    val cuts = ks.map { case (s, k) =>
+      var cum = 0L; var b = 0; var bStar = -1; var below = 0L
+      while (b < 1024 && bStar < 0) {
+        val c = hist.getOrElse((s, b), 0L)
+        if (cum + c >= k) { bStar = b; below = cum }
+        cum += c; b += 1
+      }
+      s -> ((bStar, k - below))
+    }.toMap
+    val bStarCol = ks.foldLeft(lit(-2)) { case (acc, (s, _)) =>
+      when(col("source") === s, lit(cuts(s)._1)).otherwise(acc)
     }
-    val w = Window.partitionBy(col("source"))
-      .orderBy(graft.operators.Sampling.hashOrder(col("doc_id")).asc, col("doc_id").asc)
-    documents.select(col("doc_id"), col("source"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= kCol)
+    val remCol = ks.foldLeft(lit(0L)) { case (acc, (s, _)) =>
+      when(col("source") === s, lit(cuts(s)._2)).otherwise(acc)
+    }
+    val marked = base.withColumn("__bs", bStarCol)
+    val prefix = marked.filter(col("__bs") === -1 || col("__b") < col("__bs"))
       .select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h").asc, col("doc_id").asc)
+    val edge = marked.filter(col("__b") === col("__bs"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= remCol)
+      .select(col("doc_id"), col("source"))
+    prefix.union(edge)
   }
 
   /** Curriculum bucketing: documents assigned to difficulty quartiles by

@@ -260,6 +260,35 @@ class ExtSpec extends SparkSpec {
     assert(again.toSet == kept.toSet, "selection changed with partition layout")
   }
 
+  test("datasetMixTemperature: hash-band cutoff selects the exact rank-window set") {
+    import org.apache.spark.sql.expressions.Window
+    // 3000 docs over skewed sources so every source straddles many of
+    // the 1024 hash bands — the band-prefix filter + one-band trim must
+    // reproduce the per-source rank window's selection EXACTLY (bands
+    // partition the hash order; ties share a band)
+    val docs = spark.range(3000).select(
+      (col("id") * 7919 % 100003).as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("source"))
+    val got = graft.ext.Corpus.datasetMixTemperature(docs, 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
+    val kCol = counts.foldLeft(lit(0L)) { case (acc, (s, n)) =>
+      when(col("source") === s,
+        lit(math.min(n, math.floor(math.sqrt(n.toDouble) / total * 500L).toLong)))
+        .otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.operators.Sampling.hashOrder(col("doc_id")).asc, col("doc_id").asc)
+    val twin = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= kCol)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == twin,
+      s"band cutoff diverged from the window spelling: ${got.size} vs ${twin.size}")
+  }
+
   test("video decode: Y4M round-trip matches the model; frame params; corrupt fails") {
     val ids = Seq(0L, 1L, 2L, 5L) // evens carry the FRAME-param hazard
     val got = Multimodal.decodeVideo(Multimodal.encodeVideo(

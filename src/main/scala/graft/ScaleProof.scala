@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 
 import graft.credit.Marts
 import graft.synth.Synth
@@ -423,6 +423,50 @@ object ScaleProof {
     allOk
   }
 
+  /** Deterministic pseudo-word corpus for the batched-BPE gate: 20k
+    * docs × 20 three-character words from a 2000-type vocabulary where
+    * word type t spells characters 3t, 3t+1, 3t+2 of a 6000-character
+    * alphabet (one CJK block, as a literal array) — every adjacent
+    * pair in the corpus is unique to its word type, so a candidate
+    * window always yields a full batch of symbol-disjoint picks and
+    * the barrier-economics gate measures batching, not the alphabet's
+    * collision rate (an a-z corpus starves early rounds: its top pairs
+    * all share letters). One narrow range projection. */
+  private def synthWordDocs(spark: SparkSession, n: Long): DataFrame = {
+    val alpha = typedLit((0 until 6000).map(i => (0x4E00 + i).toChar.toString))
+    spark.range(n).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), lit(20)), j => {
+        val t = pmod(col("id") * 13 + j * j * 7, lit(2000)).cast(IntegerType)
+        concat(element_at(alpha, t * 3 + 1), element_at(alpha, t * 3 + 2),
+          element_at(alpha, t * 3 + 3))
+      }), " ").as("text"))
+  }
+
+  /** Batched-BPE barrier economics: 20 rounds × batch 16 must train at
+    * least 256 merges — merges-per-barrier is what lifts the trainer
+    * past the sequential loop's one-argmax-barrier-per-merge bound
+    * (a 30k-merge production run is ~merges/batch barriers). Conflict
+    * trims (a round picking fewer than 16 symbol-disjoint pairs) are
+    * expected and allowed; the gate is total merges + consecutive
+    * ranks. Wall-clock is reported evidence, not gated (the flap
+    * discipline). Corpus: SPARK_GRAFT_BPE_DOCS parquet when set (the
+    * real driver corpus, for recorded evidence) else the synthetic
+    * pseudo-word corpus. */
+  private def proveBpeBatched(spark: SparkSession): Boolean = {
+    val docs = sys.env.get("SPARK_GRAFT_BPE_DOCS")
+      .map(p => spark.read.parquet(p))
+      .getOrElse(synthWordDocs(spark, 20000L))
+    val t0 = System.nanoTime()
+    val m = graft.ext.Text.bpeTrainMergesBatched(docs, rounds = 20, batch = 16)
+      .collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val ranksOk = m.map(_.getInt(0)).sorted.toSeq == (1 to m.length)
+    val ok = m.length >= 256 && ranksOk
+    println(s"""{"metric":"bpe_batched","merges":${m.length},"rounds":20,""" +
+      s""""batch":16,"sec":${s2(sec)},"ranks_consecutive":$ranksOk,"ok":$ok}""")
+    ok
+  }
+
   /** IVF-PQ candidate-traffic proof: identical routing (8 trained
     * cells, nProbe 2) over 50k synthetic embeddings, autoBroadcast OFF
     * so the inverted-list join actually shuffles both sides. The PQ
@@ -698,7 +742,9 @@ object ScaleProof {
     val pqOk = if (only.forall(_.contains("pqtraffic"))) provePqTraffic(spark) else true
     // the sampled residual-PQ training-cost gate — selectable as "ressampled"
     val rsOk = if (only.forall(_.contains("ressampled"))) proveResidualSampled(spark) else true
-    val allOk = pipelinesOk && skewOk && semOk && pqOk && rsOk
+    // the batched-BPE barrier-economics gate — selectable as "bpebatched"
+    val bpeOk = if (only.forall(_.contains("bpebatched"))) proveBpeBatched(spark) else true
+    val allOk = pipelinesOk && skewOk && semOk && pqOk && rsOk && bpeOk
     // stop() BEFORE the exit-code decision: the failing path must not
     // skip session shutdown (stray /dev/shm shuffle dirs, noisy
     // shutdown-hook logs from an abrupt JVM teardown)

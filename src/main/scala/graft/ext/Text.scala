@@ -511,6 +511,39 @@ object Text {
         coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
   }
 
+  /** Initial BPE vocabulary: word types with exact frequencies and the
+    * U+001F-wrapped per-character symbol representation. */
+  private def bpeInitialVocab(documents: DataFrame): DataFrame = {
+    val cs = filter(split(col("term"), ""), c => c =!= "")
+    termStream(documents).groupBy(col("term")).agg(count(lit(1L)).as("freq"))
+      .select(col("term"), col("freq"),
+        array_join(transform(cs, c => concat(lit(BpeSep), c, lit(BpeSep))), "")
+          .as("repr"))
+      .localCheckpoint(false)
+  }
+
+  /** Adjacent-symbol pair counts over a vocabulary frame, ordered
+    * (cnt DESC, l, r) — the per-round candidate list both trainers
+    * argmax/window over. */
+  private def bpePairFrame(vocab: DataFrame): DataFrame =
+    vocab
+      // wrapped encoding splits to empty strings between/around markers
+      .select(col("freq"),
+        filter(split(col("repr"), BpeSep), s => s =!= "").as("syms"))
+      .select(col("freq"), explode(
+        when(size(col("syms")) < 2, array().cast("array<struct<l:string,r:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r"))))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+
+  /** One wrapped-symbol merge replace: `␟l␟␟r␟` → `␟lr␟`. */
+  private def bpeApply(repr: Column, l: String, r: String): Column =
+    replace(repr, lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+      lit(BpeSep + l + r + BpeSep))
+
   /** The shared BPE loop: runs `merges` greedy rounds and returns BOTH
     * the merge table and the final vocabulary frame `(term, freq,
     * repr)` — [[bpeTrainMerges]] ships the former, [[bpeEncodeCounts]]
@@ -519,42 +552,96 @@ object Text {
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(merges >= 1 && merges <= 32,
       s"merges must be in [1, 32] (driver-loop bound), got $merges")
-    val sep = BpeSep
-    val cs = filter(split(col("term"), ""), c => c =!= "")
-    var cur = termStream(documents).groupBy(col("term")).agg(count(lit(1L)).as("freq"))
-      .select(col("term"), col("freq"),
-        array_join(transform(cs, c => concat(lit(sep), c, lit(sep))), "").as("repr"))
-      .localCheckpoint(false)
+    var cur = bpeInitialVocab(documents)
     val out = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
     var round = 1
     var done = false
     while (round <= merges && !done) {
-      // wrapped encoding splits to empty strings between/around markers
-      val top = cur
-        .select(col("freq"),
-          filter(split(col("repr"), sep), s => s =!= "").as("syms"))
-        .select(col("freq"), explode(
-          when(size(col("syms")) < 2, array().cast("array<struct<l:string,r:string>>"))
-            .otherwise(transform(sequence(lit(1), size(col("syms")) - 1),
-              i => struct(element_at(col("syms"), i).as("l"),
-                element_at(col("syms"), i + 1).as("r"))))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+      val top = bpePairFrame(cur).limit(1).collect()
       if (top.isEmpty) done = true
       else {
         val l = top.head.getString(0); val r = top.head.getString(1)
         val cnt = top.head.getLong(2)
         out += ((round, l, r, l + r, cnt))
         cur = cur.select(col("term"), col("freq"),
-            replace(col("repr"), lit(sep + l + sep + sep + r + sep),
-              lit(sep + l + r + sep)).as("repr"))
+            bpeApply(col("repr"), l, r).as("repr"))
           .localCheckpoint(false) // each round's vocabulary feeds the next
         round += 1
       }
     }
     (out.toSeq, cur)
+  }
+
+  /** The BATCHED BPE loop — the production-scale trainer the sequential
+    * [[bpeCore]] cannot be (one driver argmax barrier per merge caps it
+    * at 32 merges; a 30k-merge tokenizer run needs merges-per-barrier).
+    * Each of exactly `rounds` rounds: ONE pair-count aggregation over
+    * the Zipf-small vocabulary, collect the W = 4·batch best pairs
+    * (bounded driver state), then greedily take up to `batch` pairs in
+    * (cnt DESC, l, r) order whose symbol sets {l, r, l+r} are disjoint
+    * from every pair already taken this round. Disjointness is what
+    * makes a round's merges independent: a replace for one taken pair
+    * can neither create, destroy, nor partially consume an occurrence
+    * of another (merging two symbols never makes two OTHER symbols
+    * adjacent, and the fused symbol l+r is excluded from later picks),
+    * so the chained application equals any other order and each round's
+    * counts are all measured against the same pre-round vocabulary —
+    * the documented semantic difference from the sequential trainer,
+    * which recounts after every single merge. `merge_rank` numbers the
+    * taken pairs round-major in selection order.
+    *
+    * Replayable: the oracle runs the same W-window and the same greedy
+    * sequence as chained argmax-with-NOT-EXISTS CTEs, so the batched
+    * table hash-matches end to end. A round that selects fewer than
+    * `batch` (conflicts) still always selects >= 1 while pairs remain;
+    * a round with no pairs at all ends training early. */
+  private[graft] def bpeCoreBatched(documents: DataFrame, rounds: Int, batch: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 2048,
+      s"rounds must be in [1, 2048] (driver-barrier bound), got $rounds")
+    require(batch >= 1 && batch <= 64, s"batch must be in [1, 64], got $batch")
+    var cur = bpeInitialVocab(documents)
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var rank = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val win = bpePairFrame(cur).limit(4 * batch).collect()
+      if (win.isEmpty) done = true
+      else {
+        val taken = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        while (i < win.length && taken.size < batch) {
+          val l = win(i).getString(0); val r = win(i).getString(1)
+          val syms = Seq(l, r, l + r)
+          if (!syms.exists(used.contains)) {
+            taken += ((l, r, win(i).getLong(2))); used ++= syms
+          }
+          i += 1
+        }
+        taken.foreach { case (l, r, c) => out += ((rank, l, r, l + r, c)); rank += 1 }
+        val newRepr = taken.foldLeft(col("repr")) { case (e, (l, r, _)) =>
+          bpeApply(e, l, r)
+        }
+        cur = cur.select(col("term"), col("freq"), newRepr.as("repr"))
+          .localCheckpoint(false)
+        round += 1
+      }
+    }
+    (out.toSeq, cur)
+  }
+
+  /** [[bpeCoreBatched]]'s merge table: up to `rounds · batch` merges in
+    * `rounds` driver barriers — same schema as [[bpeTrainMerges]]. */
+  def bpeTrainMergesBatched(documents: DataFrame, rounds: Int,
+      batch: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val out = bpeCoreBatched(documents, rounds, batch)._1
+    import spark.implicits._
+    out.toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt")
+      .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+        col("right_sym"), col("merged"), col("cnt"))
   }
 
   def bpeTrainMerges(documents: DataFrame, merges: Int): DataFrame = {

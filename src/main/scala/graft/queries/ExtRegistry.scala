@@ -231,6 +231,14 @@ object ExtRegistry {
     "bpe_encode" -> ((s, dir) =>
       graft.ext.Text.bpeEncodeCounts(Tables(s, dir).documents, merges = 6)),
 
+    // the BATCHED trainer: 3 rounds × up to 8 pairwise non-interacting
+    // merges per driver barrier — the production-scale path past the
+    // sequential trainer's one-barrier-per-merge bound (a 30k-merge
+    // tokenizer run is rounds ≈ merges/batch barriers, not merges)
+    "bpe_train_merges_batched" -> ((s, dir) =>
+      graft.ext.Text.bpeTrainMergesBatched(Tables(s, dir).documents,
+        rounds = 3, batch = 8)),
+
     // capped inverted index: df + first-20 posting list per term, all on
     // one term-keyed partitioning with map-side posting-list pruning
     // BM25 ranked retrieval for a fixed 4-term query — the query side
@@ -858,29 +866,83 @@ object ExtRegistry {
     * argmax via LIMIT 1) and w{i} (the vocabulary after the
     * leftmost-non-overlapping replace; the chr(2) sentinel keeps
     * exhausted rounds inert). */
-  private[queries] def bpeChainCtes(k: Int): String = {
-    def roundCtes(i: Int): String =
-      s"""p$i AS (
-         |  SELECT p['l'] AS l, p['r'] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-         |    SELECT freq, unnest(
-         |      CASE WHEN len(syms) < 2 THEN CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[])
-         |           ELSE list_transform(generate_series(1, len(syms) - 1),
-         |                  j -> {'l': syms[j], 'r': syms[j + 1]}) END) AS p
-         |    FROM (SELECT freq, list_filter(string_split(repr, chr(31)), s -> s <> '') AS syms FROM w${i - 1})) u
-         |  GROUP BY 1, 2),
-         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$i AS MATERIALIZED (
-         |  SELECT word, freq,
-         |         replace(repr,
-         |                 coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM m$i), chr(2)),
-         |                 coalesce((SELECT chr(31) || l || r || chr(31) FROM m$i), chr(2))) AS repr
-         |  FROM w${i - 1})""".stripMargin
+  private def bpeW0Cte: String =
     s"""w0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |         array_to_string(list_transform(list_filter(string_split(word, ''), c -> c <> ''), c -> chr(31) || c || chr(31)), '') AS repr
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE word <> '' GROUP BY word),
+       |  WHERE word <> '' GROUP BY word)""".stripMargin
+
+  /** Pair-count CTE `p{i}` over vocabulary CTE `w{i-1}` — shared by the
+    * sequential and batched chains. */
+  private def bpePairCte(i: Int): String =
+    s"""p$i AS (
+       |  SELECT p['l'] AS l, p['r'] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(
+       |      CASE WHEN len(syms) < 2 THEN CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[])
+       |           ELSE list_transform(generate_series(1, len(syms) - 1),
+       |                  j -> {'l': syms[j], 'r': syms[j + 1]}) END) AS p
+       |    FROM (SELECT freq, list_filter(string_split(repr, chr(31)), s -> s <> '') AS syms FROM w${i - 1})) u
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Wrapped-symbol replace for the selected pair in one-row CTE `src`,
+    * chr(2)-inert when `src` is empty. */
+  private def bpeReplaceSql(inner: String, src: String): String =
+    s"""replace($inner,
+       |                 coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM $src), chr(2)),
+       |                 coalesce((SELECT chr(31) || l || r || chr(31) FROM $src), chr(2)))""".stripMargin
+
+  private[queries] def bpeChainCtes(k: Int): String = {
+    def roundCtes(i: Int): String =
+      s"""${bpePairCte(i)},
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |         ${bpeReplaceSql("repr", s"m$i")} AS repr
+         |  FROM w${i - 1})""".stripMargin
+    s"""$bpeW0Cte,
        |${(1 to k).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** Batched-BPE twin chain (Text.bpeCoreBatched): per round i, p{i} =
+    * pair counts, c{i} = the W = 4·batch best candidates, then `batch`
+    * chained argmax CTEs s{i}j — each excludes (NOT EXISTS over the
+    * running selected set u{i}j) any pair sharing a symbol (l, r, or
+    * the fused l||r) with an earlier pick, replaying the Spark side's
+    * greedy scan pick for pick — and w{i} applies the selected
+    * replaces nested in selection order. The final `picks` CTE numbers
+    * merge_rank round-major via row_number over (i, j); empty s CTEs
+    * (conflict-starved or exhausted rounds) contribute no row, exactly
+    * the Spark side's shorter table. */
+  private[queries] def bpeBatchChainCtes(rounds: Int, batch: Int): String = {
+    val conflict =
+      "(x.l = s.l OR x.l = s.r OR x.l = s.l || s.r" +
+        " OR x.r = s.l OR x.r = s.r OR x.r = s.l || s.r" +
+        " OR x.l || x.r = s.l OR x.l || x.r = s.r OR x.l || x.r = s.l || s.r)"
+    def roundCtes(i: Int): String = {
+      val sel = (1 to batch).map { j =>
+        s"""s${i}_$j AS (SELECT l, r, cnt FROM c$i x
+           |  WHERE NOT EXISTS (SELECT 1 FROM u${i}_${j - 1} s WHERE $conflict)
+           |  ORDER BY cnt DESC, l, r LIMIT 1),
+           |u${i}_$j AS (SELECT * FROM u${i}_${j - 1} UNION ALL SELECT * FROM s${i}_$j)""".stripMargin
+      }.mkString(",\n")
+      val repl = (1 to batch).foldLeft("repr") { (acc, j) =>
+        bpeReplaceSql(acc, s"s${i}_$j")
+      }
+      s"""${bpePairCte(i)},
+         |c$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT ${4 * batch}),
+         |u${i}_0 AS (SELECT l, r, cnt FROM c$i WHERE false),
+         |$sel,
+         |w$i AS MATERIALIZED (
+         |  SELECT word, freq, $repl AS repr
+         |  FROM w${i - 1})""".stripMargin
+    }
+    val pickRows = (for (i <- 1 to rounds; j <- 1 to batch) yield
+      s"SELECT $i AS i, $j AS j, l, r, cnt FROM s${i}_$j").mkString("\n  UNION ALL ")
+    s"""$bpeW0Cte,
+       |${(1 to rounds).map(roundCtes).mkString(",\n")},
+       |picks AS (
+       |  $pickRows)""".stripMargin
   }
 
   /** Shared with [[Registry]]'s near_dup_ngram oracle — one definition of
@@ -2097,6 +2159,15 @@ object ExtRegistry {
          |SELECT doc_id, bpe_tokens, char_tokens,
          |       CAST(char_tokens AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS compression
          |FROM ag""".stripMargin,
+
+    // batched-BPE twin: 3 rounds × 8 greedy non-interacting picks from
+    // the 32-best candidate window, each pick an argmax CTE with a
+    // NOT-EXISTS symbol-conflict screen — see bpeBatchChainCtes
+    "bpe_train_merges_batched" ->
+      s"""WITH ${bpeBatchChainCtes(3, 8)}
+         |SELECT CAST(row_number() OVER (ORDER BY i, j) AS INTEGER) AS merge_rank,
+         |       l AS left_sym, r AS right_sym, l || r AS merged, cnt
+         |FROM picks""".stripMargin,
 
     // inverted-index twin: per-doc-distinct terms, true df, rank-capped
     // posting list concatenated in NUMERIC doc_id order (the Spark side

@@ -1430,6 +1430,46 @@ class ExtSpec extends SparkSpec {
     assert(enc == ((5L, 9L)), s"encode counts diverged: $enc")
   }
 
+  test("bpeTrainMergesBatched: batch=1 replays the sequential trainer; batched invariants hold") {
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    // batch=1: every round IS the sequential argmax (the candidate
+    // window is a prefix of the same total order), so the two trainers
+    // must emit the identical merge table — counts included
+    for (corpus <- Seq(Seq("abab abab cd", "abab cd cd"), Seq("ab abc bc bc"), Seq("aaa"))) {
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      assert(table(graft.ext.Text.bpeTrainMergesBatched(docs, rounds = 6, batch = 1)) ==
+        table(graft.ext.Text.bpeTrainMerges(docs, merges = 6)),
+        s"batch=1 diverged from sequential on $corpus")
+    }
+    // batched over the driver corpus: a round's picks are pairwise
+    // symbol-disjoint (what makes their replaces order-independent)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (r1, _) = graft.ext.Text.bpeCoreBatched(docs, rounds = 1, batch = 8)
+    assert(r1.nonEmpty && r1.length <= 8)
+    val symSets = r1.map(m => Set(m._2, m._3, m._4)).toIndexedSeq
+    for (a <- symSets.indices; b <- a + 1 until symSets.length)
+      assert((symSets(a) intersect symSets(b)).isEmpty,
+        s"round-1 picks share a symbol: ${symSets(a)} vs ${symSets(b)}")
+    // four rounds deep: ranks are consecutive, the vocabulary's symbols
+    // still partition every word exactly, and every multi-char symbol
+    // is the `merged` of an emitted row (no invented symbols — the
+    // invariant the prefix-collision bug broke)
+    val (merges, vocab) = graft.ext.Text.bpeCoreBatched(docs, rounds = 4, batch = 8)
+    assert(merges.map(_._1) == (1 to merges.length), "ranks not consecutive")
+    assert(merges.length > 8, s"4 rounds yielded only ${merges.length} merges")
+    val mergedSyms = merges.map(_._4).toSet
+    vocab.select(col("term"), col("repr")).collect().foreach { r =>
+      val syms = r.getString(1).split('\u001f').filter(_.nonEmpty)
+      assert(syms.mkString("") == r.getString(0),
+        s"symbols no longer partition '${r.getString(0)}': ${syms.toSeq}")
+      syms.filter(_.length > 1).foreach(sym =>
+        assert(mergedSyms.contains(sym), s"invented symbol '$sym'"))
+    }
+  }
+
   test("jlProject: exact model match; refine at R=all IS brute; refined >= raw recall") {
     val d = 8
     val df = spark.range(60).select(col("id").as("vec_id"),

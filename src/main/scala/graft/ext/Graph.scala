@@ -38,39 +38,116 @@ object Graph {
     df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.emptyRDD[Row], RankSchema)
 
-  /** `iters` damped PageRank rounds over a directed `(src, dst)` edge
-    * frame of STRING vertex ids; returns `(vertex, rank_units)` for
-    * every vertex that appears in an edge. Vertices with no out-edges
-    * shed their mass (documented dangling-mass loss — at a fixed
-    * iteration count the ranking signal survives); vertices with no
-    * in-edges settle at `base`. */
-  def pageRank(edges: DataFrame, iters: Int = 3,
-      mass: Long = 1000000000000L): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(mass > 0, s"mass must be positive, got $mass")
+  /** The shared per-round state: vertex frame, edge frame with riding
+    * out-degrees, vertex count, and the damped-update constants. */
+  private case class PrState(v: DataFrame, eo: DataFrame, nV: Long,
+      init: Long, base: Long)
+
+  private def prState(edges: DataFrame, mass: Long): Option[PrState] = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val v = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
       .distinct().localCheckpoint(false)
     val nV = v.count()
-    if (nV == 0) return emptyRanks(edges)
-    val init = mass / nV
-    val base = (15L * init) / 100L
-    // out-degrees ride WITH the edges so each round joins once on src
-    val eo = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .join(e, Seq("src")).localCheckpoint(false)
-    var r = v.select(col("vertex"), lit(init).as("rank_units"))
-    (1 to iters).foreach { _ =>
-      val in = eo.join(r, eo("src") === r("vertex"))
-        .select(col("dst").as("vertex"),
-          expr("rank_units div outdeg").as("contrib"))
-        .groupBy(col("vertex")).agg(sum(col("contrib")).as("in_sum"))
-      r = v.join(in, Seq("vertex"), "left")
-        .select(col("vertex"),
-          expr(s"$base + (85 * coalesce(in_sum, 0)) div 100").as("rank_units"))
-        .localCheckpoint(false) // each round feeds the next + the caller
+    if (nV == 0) None
+    else {
+      val init = mass / nV
+      // out-degrees ride WITH the edges so each round joins once on src
+      val eo = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .join(e, Seq("src")).localCheckpoint(false)
+      Some(PrState(v, eo, nV, init, (15L * init) / 100L))
     }
-    r
+  }
+
+  /** One damped round: src-keyed contribution join, dst-keyed sum,
+    * vertex-keyed update. With `redistribute`, the mass parked on
+    * DANGLING vertices (no out-edges) is shared back uniformly inside
+    * the damped term — `share = dsum div V` whole units to every
+    * vertex, a 1-row aggregate cross-joined into the update (stays in
+    * the plan, never collected) — so total mass is conserved up to
+    * floor shed instead of leaking through sinks. */
+  private def prRound(st: PrState, r: DataFrame,
+      redistribute: Boolean): DataFrame = {
+    val in = st.eo.join(r, st.eo("src") === r("vertex"))
+      .select(col("dst").as("vertex"),
+        expr("rank_units div outdeg").as("contrib"))
+      .groupBy(col("vertex")).agg(sum(col("contrib")).as("in_sum"))
+    val upd = st.v.join(in, Seq("vertex"), "left")
+    val next =
+      if (redistribute) {
+        val dsum = r.join(st.eo.select(col("src").as("vertex")).distinct(),
+            Seq("vertex"), "left_anti")
+          .agg(coalesce(sum(col("rank_units")), lit(0L)).as("dsum"))
+        upd.crossJoin(broadcast(dsum))
+          .select(col("vertex"),
+            expr(s"${st.base} + (85 * (coalesce(in_sum, 0) + dsum div ${st.nV})) div 100")
+              .as("rank_units"))
+      } else
+        upd.select(col("vertex"),
+          expr(s"${st.base} + (85 * coalesce(in_sum, 0)) div 100")
+            .as("rank_units"))
+    next.localCheckpoint(false) // each round feeds the next + the caller
+  }
+
+  /** `iters` damped PageRank rounds over a directed `(src, dst)` edge
+    * frame of STRING vertex ids; returns `(vertex, rank_units)` for
+    * every vertex that appears in an edge. By default vertices with no
+    * out-edges shed their mass (documented dangling-mass loss — at a
+    * fixed iteration count the ranking signal survives); with
+    * `redistributeDangling` their mass is returned uniformly to every
+    * vertex inside the damped term. Vertices with no in-edges settle
+    * at `base` (+ the share when redistributing). */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      mass: Long = 1000000000000L,
+      redistributeDangling: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(mass > 0, s"mass must be positive, got $mass")
+    prState(edges, mass) match {
+      case None => emptyRanks(edges)
+      case Some(st) =>
+        var r = st.v.select(col("vertex"), lit(st.init).as("rank_units"))
+        (1 to iters).foreach { _ => r = prRound(st, r, redistributeDangling) }
+        r
+    }
+  }
+
+  /** PageRank run to CONVERGENCE instead of a fixed round count: stops
+    * after the first round whose max per-vertex |Δrank| is at most
+    * `(init · epsPct) div 100` units (eps as a percentage of the
+    * per-vertex seed, so the stopping rule is scale-invariant across
+    * corpus sizes — hub vertices start several seeds away from their
+    * fixpoint, so useful thresholds sit ABOVE 100%), or after
+    * `maxIters` rounds. The per-round delta check is one 1-row
+    * aggregate collect — iterations are inherently sequential driver
+    * barriers already, so the check adds no new scaling term. Exact
+    * integer arithmetic means both engines compute bit-identical rank
+    * frames, hence the identical stopping round — what makes a
+    * convergence RULE (not just a fixed prefix) oracle-replayable. */
+  def pageRankConverged(edges: DataFrame, maxIters: Int = 12,
+      epsPct: Long = 800L, mass: Long = 1000000000000L,
+      redistributeDangling: Boolean = false): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(epsPct >= 1, s"epsPct must be >= 1, got $epsPct")
+    require(mass > 0, s"mass must be positive, got $mass")
+    prState(edges, mass) match {
+      case None => emptyRanks(edges)
+      case Some(st) =>
+        val eps = (st.init * epsPct) / 100L
+        var r = st.v.select(col("vertex"), lit(st.init).as("rank_units"))
+        var round = 0
+        var converged = false
+        while (round < maxIters && !converged) {
+          val next = prRound(st, r, redistributeDangling)
+          val delta = next.join(r.withColumnRenamed("rank_units", "prev"),
+              Seq("vertex"))
+            .agg(coalesce(max(abs(col("rank_units") - col("prev"))), lit(0L)))
+            .head().getLong(0)
+          r = next
+          round += 1
+          converged = delta <= eps
+        }
+        r
+    }
   }
 
   /** Document centrality over the doc–shingle bipartite graph — the
@@ -88,7 +165,29 @@ object Graph {
     * Documents with no in-window shingles are absent from the output,
     * exactly as they are absent from the pruned graph. */
   def docCentrality(documents: DataFrame, n: Int = 3, minDf: Int = 2,
-      maxDf: Int = 20, iters: Int = 3): DataFrame = {
+      maxDf: Int = 20, iters: Int = 3): DataFrame =
+    docRanks(docShingleEdges(documents, n, minDf, maxDf), df =>
+      pageRank(df, iters))
+
+  /** [[docCentrality]] under the CONVERGENCE stopping rule — identical
+    * graph, [[pageRankConverged]] engine. The bipartite graph has no
+    * dangling vertices (every edge ships both ways), so redistribution
+    * is structurally a no-op here and stays off. */
+  def docCentralityConverged(documents: DataFrame, n: Int = 3,
+      minDf: Int = 2, maxDf: Int = 20, maxIters: Int = 12,
+      epsPct: Long = 800L): DataFrame =
+    docRanks(docShingleEdges(documents, n, minDf, maxDf), df =>
+      pageRankConverged(df, maxIters, epsPct))
+
+  private def docRanks(edges: DataFrame,
+      rank: DataFrame => DataFrame): DataFrame =
+    rank(edges)
+      .filter(col("vertex").startsWith("d:"))
+      .select(expr("CAST(substring(vertex, 3) AS BIGINT)").as("doc_id"),
+        col("rank_units"))
+
+  private def docShingleEdges(documents: DataFrame, n: Int, minDf: Int,
+      maxDf: Int): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     require(maxDf >= minDf, s"maxDf ($maxDf) must be >= minDf ($minDf)")
     // checkpoint the (doc_id, hashes) frame BEFORE exploding — the
@@ -106,11 +205,7 @@ object Graph {
       Seq("s"))
     val docV = concat(lit("d:"), col("doc_id").cast(StringType))
     val termV = concat(lit("t:"), col("s").cast(StringType))
-    val edges = kept.select(docV.as("src"), termV.as("dst"))
+    kept.select(docV.as("src"), termV.as("dst"))
       .union(kept.select(termV.as("src"), docV.as("dst")))
-    pageRank(edges, iters)
-      .filter(col("vertex").startsWith("d:"))
-      .select(expr("CAST(substring(vertex, 3) AS BIGINT)").as("doc_id"),
-        col("rank_units"))
   }
 }

@@ -371,6 +371,27 @@ object Registry {
       graft.ext.Graph.docCentrality(Tables(s, dir).documents, n = 3,
         minDf = 2, maxDf = 20, iters = 3)),
 
+    // the CONVERGENCE stopping rule over the same graph: run until the
+    // max per-vertex |Δrank| falls to 8× the per-vertex seed (hub
+    // vertices start ~28 seeds from their fixpoint, decaying ~0.85×
+    // per round) or 12 rounds — exact-int determinism makes the
+    // stopping ROUND itself oracle-replayable, not just a fixed prefix
+    "doc_centrality_converged" -> ((s, dir) =>
+      graft.ext.Graph.docCentralityConverged(Tables(s, dir).documents,
+        n = 3, minDf = 2, maxDf = 20, maxIters = 12, epsPct = 800L)),
+
+    // dangling-mass redistribution on a graph that is ALL sinks on one
+    // side (customer→order edges; orders have no out-edges): each
+    // round returns the parked mass uniformly inside the damped term,
+    // so total mass is conserved up to floor shed instead of leaking
+    "page_rank_dangling" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      graft.ext.Graph.pageRank(
+        o.select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("o:"), col("o_orderkey").cast("string")).as("dst")),
+        iters = 3, redistributeDangling = true)
+    }),
+
     "knn_cosine_brute" -> ((s, dir) => Sim.bruteTopK(Tables(s, dir).embeddings, 5)),
 
     "knn_cosine_lsh" -> ((s, dir) => Sim.lshTopK(Tables(s, dir).embeddings, 5, 6)),
@@ -1148,6 +1169,88 @@ object Registry {
          |$iterCtes
          |SELECT CAST(vertex[3:] AS BIGINT) AS doc_id, rank_units
          |FROM r3 WHERE vertex LIKE 'd:%'""".stripMargin
+    },
+
+    // the convergence twin: 12 chained rounds, each with a 1-row delta
+    // CTE (max |Δrank| vs the prior round); `fi` is the FIRST round
+    // whose delta is at or below eps = 8·init (else 12), and the final
+    // select reads exactly r{fi} — the oracle replays the stopping
+    // RULE, not a pre-agreed round count, which only works because the
+    // exact-int update makes both engines' rank frames bit-identical
+    "doc_centrality_converged" -> {
+      val maxIters = 12
+      val iterCtes = (1 to maxIters).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v.vertex,
+           |         CAST((SELECT base FROM ms) + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank_units
+           |  FROM v LEFT JOIN (
+           |    SELECT eo.dst AS vertex, CAST(sum(r.rank_units // eo.outdeg) AS BIGINT) AS in_sum
+           |    FROM eo JOIN r${i - 1} r ON r.vertex = eo.src GROUP BY eo.dst) s USING (vertex)),
+           |d$i AS (SELECT coalesce(max(abs(a.rank_units - b.rank_units)), 0) AS d
+           |        FROM r$i a JOIN r${i - 1} b USING (vertex))""".stripMargin
+      }.mkString(",\n")
+      val deltaRows = (1 to maxIters)
+        .map(i => s"SELECT $i AS i, (SELECT d FROM d$i) AS d")
+        .mkString("\n  UNION ALL ")
+      val pick = (1 to maxIters)
+        .map(i => s"SELECT vertex, rank_units FROM r$i WHERE (SELECT i FROM fi) = $i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${ExtRegistry.shingleHashCtes},
+         |ex AS MATERIALIZED (SELECT doc_id, unnest(hashes) AS s FROM h2),
+         |kept AS MATERIALIZED (
+         |  SELECT ex.doc_id, ex.s FROM ex
+         |  JOIN (SELECT s FROM ex GROUP BY s HAVING count(*) >= 2 AND count(*) <= 20) k USING (s)),
+         |e AS MATERIALIZED (
+         |  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || CAST(s AS VARCHAR) AS dst FROM kept
+         |  UNION ALL
+         |  SELECT 't:' || CAST(s AS VARCHAR), 'd:' || CAST(doc_id AS VARCHAR) FROM kept),
+         |v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst AS vertex FROM e),
+         |ms AS (SELECT 1000000000000 // count(*) AS init,
+         |              (15 * (1000000000000 // count(*))) // 100 AS base,
+         |              ((1000000000000 // count(*)) * 800) // 100 AS eps FROM v),
+         |eo AS MATERIALIZED (
+         |  SELECT e.src, e.dst, od.outdeg FROM e
+         |  JOIN (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src) od USING (src)),
+         |r0 AS (SELECT vertex, CAST((SELECT init FROM ms) AS BIGINT) AS rank_units FROM v),
+         |$iterCtes,
+         |dd AS (
+         |  $deltaRows),
+         |fi AS (SELECT coalesce(min(i), $maxIters) AS i FROM dd WHERE d <= (SELECT eps FROM ms)),
+         |pk AS (
+         |  $pick)
+         |SELECT CAST(vertex[3:] AS BIGINT) AS doc_id, rank_units
+         |FROM pk WHERE vertex LIKE 'd:%'""".stripMargin
+    },
+
+    // dangling-redistribution twin: per round, ds{i} sums the mass
+    // parked on vertices with no out-edges (anti-join against edge
+    // sources) and every vertex's damped term gains the floor share
+    // ds // V — Graph.prRound's redistribute branch, CTE for CTE
+    "page_rank_dangling" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""ds$i AS (SELECT CAST(coalesce(sum(rank_units), 0) AS BIGINT) AS ds FROM r${i - 1}
+           |        WHERE vertex NOT IN (SELECT DISTINCT src FROM e)),
+           |r$i AS MATERIALIZED (
+           |  SELECT v.vertex,
+           |         CAST((SELECT base FROM ms) + (85 * (coalesce(s.in_sum, 0)
+           |              + (SELECT ds FROM ds$i) // (SELECT n FROM vc))) // 100 AS BIGINT) AS rank_units
+           |  FROM v LEFT JOIN (
+           |    SELECT eo.dst AS vertex, CAST(sum(r.rank_units // eo.outdeg) AS BIGINT) AS in_sum
+           |    FROM eo JOIN r${i - 1} r ON r.vertex = eo.src GROUP BY eo.dst) s USING (vertex))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         |         'o:' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders),
+         |v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst AS vertex FROM e),
+         |vc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |ms AS (SELECT 1000000000000 // count(*) AS init,
+         |              (15 * (1000000000000 // count(*))) // 100 AS base FROM v),
+         |eo AS MATERIALIZED (
+         |  SELECT e.src, e.dst, od.outdeg FROM e
+         |  JOIN (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src) od USING (src)),
+         |r0 AS (SELECT vertex, CAST((SELECT init FROM ms) AS BIGINT) AS rank_units FROM v),
+         |$iterCtes
+         |SELECT vertex, rank_units FROM r3""".stripMargin
     },
 
     "knn_cosine_brute" ->

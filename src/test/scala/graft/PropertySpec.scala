@@ -372,6 +372,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: pageRankConverged + dangling redistribution match an independent model") {
+    // One single-threaded model covers BOTH new options: per round,
+    // dangling mass (vertices with no out-edge row) is optionally
+    // shared back as the floor `dsum / V` inside the damped term, and
+    // the loop stops at the first round whose max |Δrank| is at most
+    // (init·epsPct)/100, else at maxIters. Random multigraphs are
+    // heavy in dangling vertices by construction (dst-only ids).
+    val mass = 1000000000000L
+    def model(edges: List[(String, String)], maxIters: Int, epsPct: Long,
+        redistribute: Boolean): (Map[String, Long], Int) = {
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val init = mass / verts.size
+      val base = 15L * init / 100L
+      val eps = init * epsPct / 100L
+      val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var r = verts.map(_ -> init).toMap
+      var round = 0
+      var converged = false
+      while (round < maxIters && !converged) {
+        val in = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum
+        }
+        val share =
+          if (redistribute)
+            verts.filterNot(outdeg.contains).map(r).sum / verts.size
+          else 0L
+        val next = verts.map(v =>
+          v -> (base + 85L * (in.getOrElse(v, 0L) + share) / 100L)).toMap
+        val delta = verts.map(v => math.abs(next(v) - r(v))).max
+        r = next
+        round += 1
+        converged = delta <= eps
+      }
+      (r, round)
+    }
+    val vGen = Gen.chooseNum(0, 9).map(i => s"v$i")
+    val cases = sample(Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(vGen, vGen)),
+      Gen.chooseNum(1, 6), Gen.chooseNum(1L, 400L), Gen.oneOf(true, false)), 20)
+    cases.zipWithIndex.foreach { case ((edges, maxIters, epsPct, redis), gi) =>
+      val (exp, _) = model(edges, maxIters, epsPct, redis)
+      val got = graft.ext.Graph.pageRankConverged(edges.toDF("src", "dst"),
+          maxIters, epsPct, mass, redis)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exp,
+        s"converged ranks diverge on case $gi (${edges.size} edges, " +
+          s"maxIters=$maxIters epsPct=$epsPct redistribute=$redis)")
+      // fixed-iteration pageRank with redistribution must equal the
+      // model run with convergence disabled (epsPct tiny, same rounds)
+      val (expFixed, _) = model(edges, 2, 1L, redistribute = true)
+      val gotFixed = graft.ext.Graph.pageRank(edges.toDF("src", "dst"),
+          iters = 2, mass, redistributeDangling = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotFixed == expFixed, s"fixed-iter redistribution diverges on case $gi")
+    }
+  }
+
   test("property: duplicateSpans matches a brute-force span model on random corpora") {
     // Model works on token-TRIPLE identity; the engine works on triple
     // HASHES — agreement also certifies that no hash collision corrupts

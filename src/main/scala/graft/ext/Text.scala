@@ -380,15 +380,28 @@ object Text {
     require(n >= 1, s"n must be positive, got $n")
     require(minOccurrences >= 2,
       s"minOccurrences < 2 would flag every position, got $minOccurrences")
-    import org.apache.spark.sql.expressions.Window
+    val ps = posShingles(documents, n)
+    val dup = ps.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccurrences).select(col("sh"))
+    spansFromPs(ps, dup, n)
+  }
+
+  /** Positional (non-distinct) shingle hashes `(doc_id, pos, sh)`,
+    * 1-based, checkpointed behind the Generate (the docCentrality 49×
+    * lesson — never explode off the un-materialized hash lambda). */
+  private def posShingles(documents: DataFrame, n: Int): DataFrame = {
     val sh = MinHash.tokenHashFrame(documents)
       .select(col("doc_id"), MinHash.shingleHashesFromTokens(col("th"), n).as("sharr"))
       .localCheckpoint(false)
-    val ps = sh.select(col("doc_id"), posexplode(col("sharr")).as(Seq("pos0", "sh")))
+    sh.select(col("doc_id"), posexplode(col("sharr")).as(Seq("pos0", "sh")))
       .select(col("doc_id"), (col("pos0") + 1).cast(IntegerType).as("pos"), col("sh"))
       .localCheckpoint(false) // feeds the occurrence count AND the keep join
-    val dup = ps.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minOccurrences).select(col("sh"))
+  }
+
+  /** Island grouping + span aggregation over a positional shingle frame
+    * semi-joined to the duplicated-hash set. */
+  private def spansFromPs(ps: DataFrame, dup: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     ps.join(dup, Seq("sh"))
       .withColumn("g", col("pos") - row_number().over(w))
@@ -400,6 +413,47 @@ object Text {
         count(lit(1)).as("n_shingles"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"), col("n_shingles"))
+  }
+
+  /** Incremental duplicate-span maintenance — the [[Cluster.indexAdd]]
+    * composition contract applied to the shingle-count state a
+    * streaming corpus ingest keeps: [[shingleCountAdd]] encodes ONE
+    * delta's positional shingle occurrences as a `(sh, cnt)` count
+    * frame, [[mergeShingleCounts]] merges two count frames with exact
+    * int64 sums, and [[duplicateSpansFromCounts]] derives the span
+    * table from documents plus ANY such state. Because counting is a
+    * pure per-occurrence sum, `mergeShingleCounts(add(A), add(B)) ≡
+    * add(A ∪ B)` bit-for-bit, so chunk boundaries in the ingest can
+    * never move a span — driver-hash-checked as `dup_spans_stream`
+    * (two-delta merge vs the single-pass `dup_spans` oracle) and
+    * ExtSpec-asserted on a MemoryStream ingest with associativity.
+    * The count state is Zipf-small (one row per distinct shingle, the
+    * same partial-agg shape as the batch count), so the maintained
+    * table stays a fraction of corpus size at any scale. */
+  def shingleCountAdd(delta: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    posShingles(delta, n).groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Exact merge of two [[shingleCountAdd]] states: per-shingle int64
+    * count sums — associative and order-free. */
+  def mergeShingleCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("sh"), col("cnt"))
+      .unionByName(b.select(col("sh"), col("cnt")))
+      .groupBy(col("sh")).agg(sum(col("cnt")).as("cnt"))
+
+  /** [[duplicateSpans]] driven off an EXTERNAL count state instead of a
+    * fresh corpus-wide count — the read side of the incremental
+    * contract. `counts` must cover the documents' shingles (a merged
+    * ingest state does by construction). */
+  def duplicateSpansFromCounts(documents: DataFrame, counts: DataFrame,
+      n: Int = 3, minOccurrences: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(minOccurrences >= 2,
+      s"minOccurrences < 2 would flag every position, got $minOccurrences")
+    spansFromPs(posShingles(documents, n),
+      counts.filter(col("cnt") >= minOccurrences).select(col("sh")), n)
   }
 
   /** k greedy BPE merge rounds over word TYPES — [[bpePairCounts]]

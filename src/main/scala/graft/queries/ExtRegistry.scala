@@ -207,6 +207,22 @@ object ExtRegistry {
       graft.ext.Text.duplicateSpans(Tables(s, dir).documents, n = 3,
         minOccurrences = 2L)),
 
+    // incremental maintenance of the same span table: the corpus
+    // arrives as TWO deltas (even/odd doc_ids) whose shingle-count
+    // states are built independently and merged exactly (int64 sums),
+    // then spans derive from the merged state — must hash-match the
+    // single-pass dup_spans oracle, proving merge(add(A), add(B)) ≡
+    // add(A ∪ B) for the streaming-ingest state (the indexAdd
+    // composition contract applied to exact-substring dedup)
+    "dup_spans_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merged = graft.ext.Text.mergeShingleCounts(
+        graft.ext.Text.shingleCountAdd(docs.filter(col("doc_id") % 2 === 0), n = 3),
+        graft.ext.Text.shingleCountAdd(docs.filter(col("doc_id") % 2 =!= 0), n = 3))
+      graft.ext.Text.duplicateSpansFromCounts(docs, merged, n = 3,
+        minOccurrences = 2L)
+    }),
+
     // the cut APPLIED with keep-first semantics: every occurrence after
     // the globally first is excised from the text, minus the protected
     // first-occurrence token ranges (the kept phrase survives intact
@@ -854,6 +870,24 @@ object ExtRegistry {
        |                      'sh': CAST(($shingleComposition) % $P AS BIGINT)}) END) AS p
        |  FROM toks),
        |ps AS MATERIALIZED (SELECT doc_id, p['pos'] AS pos, p['sh'] AS sh FROM ps0)""".stripMargin
+
+  /** The single-pass duplicate-span twin — shared verbatim by
+    * `dup_spans` and `dup_spans_stream` (the incremental two-delta
+    * merge is contractually bit-identical to the single pass, so one
+    * oracle checks both). */
+  private lazy val dupSpansOracle: String =
+    s"""WITH $posShingleCtes,
+       |d AS (SELECT sh FROM ps GROUP BY sh HAVING count(*) >= 2),
+       |dp AS (SELECT ps.doc_id, ps.pos FROM ps JOIN d USING (sh)),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |        FROM dp)
+       |SELECT doc_id,
+       |       CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) + 2 AS BIGINT) AS span_end,
+       |       CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_shingles
+       |FROM isl GROUP BY doc_id, g""".stripMargin
 
   /** BPE TRAINING chain, shared by the training and encode twins:
     * w0 = word types as U+001F-WRAPPED symbol strings — every symbol
@@ -2071,19 +2105,11 @@ object ExtRegistry {
     // duplicate-span twin: POSITIONAL (non-distinct) shingle hashes via
     // the shared composition, global occurrence count, then the
     // pos − row_number() island grouping (the sessionize spelling)
-    "dup_spans" ->
-      s"""WITH $posShingleCtes,
-         |d AS (SELECT sh FROM ps GROUP BY sh HAVING count(*) >= 2),
-         |dp AS (SELECT ps.doc_id, ps.pos FROM ps JOIN d USING (sh)),
-         |isl AS (SELECT doc_id, pos,
-         |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
-         |        FROM dp)
-         |SELECT doc_id,
-         |       CAST(min(pos) AS BIGINT) AS span_start,
-         |       CAST(max(pos) + 2 AS BIGINT) AS span_end,
-         |       CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens,
-         |       CAST(count(*) AS BIGINT) AS n_shingles
-         |FROM isl GROUP BY doc_id, g""".stripMargin,
+    "dup_spans" -> dupSpansOracle,
+
+    // the incremental two-delta merge must be bit-identical to the
+    // single pass, so its oracle IS the single-pass twin
+    "dup_spans_stream" -> dupSpansOracle,
 
     // cut twin: keep-first occurrence rank, islands, cut token indices
     // MINUS the protected first-occurrence ranges (the kp anti join —

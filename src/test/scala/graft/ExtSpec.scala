@@ -202,6 +202,63 @@ class ExtSpec extends SparkSpec {
     assert(spread == got)
   }
 
+  test("shingleCountAdd: delta counts compose exactly and replay on a streaming ingest") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    def cnts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def spans(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val full = cnts(graft.ext.Text.shingleCountAdd(docs, n = 3))
+    assert(full.nonEmpty)
+    // three arbitrary deltas merged in both association orders — the
+    // int64 count sums make merge exact AND associative
+    val parts = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2)
+    ).map(p => graft.ext.Text.shingleCountAdd(p, n = 3))
+    val leftAssoc = graft.ext.Text.mergeShingleCounts(
+      graft.ext.Text.mergeShingleCounts(parts(0), parts(1)), parts(2))
+    val rightAssoc = graft.ext.Text.mergeShingleCounts(
+      parts(0), graft.ext.Text.mergeShingleCounts(parts(1), parts(2)))
+    assert(cnts(leftAssoc) == full, "merged delta counts != full count")
+    assert(cnts(rightAssoc) == full, "merge is not associative")
+    // the span table derived from merged state IS the batch span table
+    val batchSpans = spans(graft.ext.Text.duplicateSpans(docs, n = 3,
+      minOccurrences = 2L))
+    assert(spans(graft.ext.Text.duplicateSpansFromCounts(docs, leftAssoc,
+      n = 3, minOccurrences = 2L)) == batchSpans,
+      "spans from merged state != single-pass spans")
+    // streaming ingest twin: micro-batches counted against nothing but
+    // themselves and merged into the running state — chunk boundaries
+    // cannot move a span
+    val chunks = Seq(0, 1, 2).map(m =>
+      docs.filter(col("doc_id") % 3 === m)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val c = graft.ext.Text.shingleCountAdd(batch.toDF(), n = 3)
+        state = Some(state.fold(c)(s => graft.ext.Text.mergeShingleCounts(s, c))
+          .localCheckpoint(true)) // materialize: the batch frame dies with the call
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(cnts(state.get) == full, "streaming ingest != batch count")
+      assert(spans(graft.ext.Text.duplicateSpansFromCounts(docs, state.get,
+        n = 3, minOccurrences = 2L)) == batchSpans,
+        "spans from streamed state != single-pass spans")
+    } finally q.stop()
+  }
+
   test("cutDuplicateSpans: keep-first excision, clean doc untouched, self-dedup") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),      // first occurrence -> kept whole

@@ -151,6 +151,15 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Graph.docCentrality(synthDocs(s, 500L * f),
           n = 3, minDf = 2, maxDf = 20, iters = 3)),
+    // the CONVERGENCE-stopped variant: each round adds exactly one
+    // 1-row |Δrank| aggregate to an already-sequential barrier, so the
+    // ladder must hold docCentrality's shape — wall ~linear, flat
+    // driver heap — while the stopping round itself stays
+    // data-dependent (maxIters bounds the worst case)
+    ("docs->docCentralityConverged", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Graph.docCentralityConverged(synthDocs(s, 500L * f),
+          n = 3, minDf = 2, maxDf = 20, maxIters = 6, epsPct = 800L)),
     // cluster-routed decontamination: the EVAL side (training + index)
     // is FIXED at 500 vectors while the probe corpus grows 100× — the
     // streaming-decontamination regime, where eval state is bounded

@@ -257,10 +257,15 @@ object Corpus {
     Seq("__h", "__b", "__rn").foreach(c => require(!documents.columns.contains(c),
       s"input already has internal column $c"))
     import org.apache.spark.sql.expressions.Window
-    // hashOrder ranges over [0, 1000003): 1024 bands of width 977
-    val bandW = 977L
+    // __h is the FLOOR-MOD hash order: Sampling.hashOrder uses Spark's
+    // sign-preserving %, so a negative doc_id hashes negative — pmod
+    // folds it into [0, 1000003) so every value lands in a band the
+    // threshold scan covers (a negative band would never be scanned yet
+    // always pass the __b < b* prefix filter: silent overselection).
+    // The oracle orders by the same floor-mod spelling.
+    val bandW = 977L // 1024 bands of width 977 cover [0, 1000003)
     val base = documents.select(col("doc_id"), col("source"),
-      graft.operators.Sampling.hashOrder(col("doc_id")).as("__h"))
+      pmod(graft.operators.Sampling.hashOrder(col("doc_id")), lit(1000003L)).as("__h"))
       .withColumn("__b", expr(s"__h div $bandW").cast("int"))
     val hist = base.groupBy(col("source"), col("__b")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap

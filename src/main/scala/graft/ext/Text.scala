@@ -517,13 +517,7 @@ object Text {
     * shingle-keyed shuffles. */
   def cutDuplicateSpans(documents: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
-    import org.apache.spark.sql.expressions.Window
-    val sh = MinHash.tokenHashFrame(documents)
-      .select(col("doc_id"), MinHash.shingleHashesFromTokens(col("th"), n).as("sharr"))
-      .localCheckpoint(false)
-    val ps = sh.select(col("doc_id"), posexplode(col("sharr")).as(Seq("pos0", "sh")))
-      .select(col("doc_id"), (col("pos0") + 1).cast(IntegerType).as("pos"), col("sh"))
-      .localCheckpoint(false) // feeds the keep-first agg AND the cut join
+    val ps = posShingles(documents, n) // feeds the keep-first agg AND the cut join
     // keep-first: the globally earliest occurrence of each duplicated
     // shingle, as a partial-agg-friendly min(struct) — never a window
     val first = ps.groupBy(col("sh"))
@@ -532,6 +526,60 @@ object Text {
       .filter(col("cnt") >= 2)
       .select(col("sh"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
       .localCheckpoint(false) // feeds the cut join AND the protected set
+    cutCore(documents, ps, first, n)
+  }
+
+  /** ONE delta's shingle state for the INCREMENTAL cut: per-shingle
+    * occurrence count AND the delta-local first occurrence — the
+    * [[shingleCountAdd]] contract extended with the keep-first seat.
+    * `min(struct(doc_id, pos))` is associative and order-free, so
+    * `mergeShingleFirsts(add(A), add(B)) ≡ add(A ∪ B)` bit-for-bit and
+    * chunk boundaries can never move the kept occurrence. State stays
+    * Zipf-small (one row per distinct shingle). */
+  def shingleFirstAdd(delta: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    posShingles(delta, n).groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("sh"), col("cnt"), col("f.doc_id").as("fdoc"),
+        col("f.pos").as("fpos"))
+  }
+
+  /** Exact merge of two [[shingleFirstAdd]] states: int64 count sums +
+    * the struct-min of the two first occurrences. */
+  def mergeShingleFirsts(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("sh", "cnt", "fdoc", "fpos").map(col)
+    a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(col("sh"))
+      .agg(sum(col("cnt")).as("cnt"),
+        min(struct(col("fdoc"), col("fpos"))).as("f"))
+      .select(col("sh"), col("cnt"), col("f.fdoc").as("fdoc"),
+        col("f.fpos").as("fpos"))
+  }
+
+  /** [[cutDuplicateSpans]] driven off an EXTERNAL
+    * [[shingleFirstAdd]]/[[mergeShingleFirsts]] state instead of a
+    * fresh corpus-wide keep-first aggregation — the read side of the
+    * incremental contract, closing the loop [[duplicateSpansFromCounts]]
+    * opened for detection: a streamed ingest maintains `(sh, cnt,
+    * fdoc, fpos)` and the cleaning cut re-scans only the documents
+    * being cleaned, never recounting the corpus. A first occurrence
+    * that lives in a chunk OUTSIDE `documents` still wins (all local
+    * occurrences are cut, no local protection row materializes for
+    * it) — exactly the global keep-first semantics. */
+  def cutDuplicateSpansFromCounts(documents: DataFrame, state: DataFrame,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    cutCore(documents, posShingles(documents, n),
+      state.filter(col("cnt") >= 2)
+        .select(col("sh"), col("fdoc"), col("fpos")), n)
+  }
+
+  /** The shared cut pipeline: `ps` = the documents' positional
+    * shingles, `first` = (sh, fdoc, fpos) for duplicated shingles. */
+  private def cutCore(documents: DataFrame, ps: DataFrame, first: DataFrame,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cut = ps.join(first, Seq("sh"))
       .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"), col("pos"))
@@ -565,16 +613,41 @@ object Text {
         coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
   }
 
-  /** Initial BPE vocabulary: word types with exact frequencies and the
-    * U+001F-wrapped per-character symbol representation. */
-  private def bpeInitialVocab(documents: DataFrame): DataFrame = {
+  /** Initial BPE vocabulary from an explicit word-frequency state
+    * `(term, freq)` — the FromCounts seam the streamed-ingest trainer
+    * shares with the direct one: U+001F-wrapped per-character symbol
+    * representation per word type. */
+  private def bpeVocabFromFreqs(freqs: DataFrame): DataFrame = {
     val cs = filter(split(col("term"), ""), c => c =!= "")
-    termStream(documents).groupBy(col("term")).agg(count(lit(1L)).as("freq"))
-      .select(col("term"), col("freq"),
+    freqs
+      .select(col("term"), col("freq").cast(LongType).as("freq"),
         array_join(transform(cs, c => concat(lit(BpeSep), c, lit(BpeSep))), "")
           .as("repr"))
       .localCheckpoint(false)
   }
+
+  /** Initial BPE vocabulary: word types with exact frequencies and the
+    * U+001F-wrapped per-character symbol representation. */
+  private def bpeInitialVocab(documents: DataFrame): DataFrame =
+    bpeVocabFromFreqs(
+      termStream(documents).groupBy(col("term")).agg(count(lit(1L)).as("freq")))
+
+  /** ONE delta's word-type frequencies `(term, freq)` — the
+    * [[shingleCountAdd]] contract applied to tokenizer training: a
+    * streamed corpus ingest keeps this Zipf-small state and the BPE
+    * trainers consume ANY merged state via
+    * [[bpeTrainMergesBatchedFromCounts]]. Pure per-occurrence counting,
+    * so `mergeWordFreqs(add(A), add(B)) ≡ add(A ∪ B)` bit-for-bit —
+    * chunk boundaries in the ingest can never move a merge. */
+  def wordFreqAdd(delta: DataFrame): DataFrame =
+    termStream(delta).groupBy(col("term")).agg(count(lit(1L)).as("freq"))
+
+  /** Exact merge of two [[wordFreqAdd]] states: per-term int64 sums —
+    * associative and order-free. */
+  def mergeWordFreqs(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("term"), col("freq"))
+      .unionByName(b.select(col("term"), col("freq")))
+      .groupBy(col("term")).agg(sum(col("freq")).as("freq"))
 
   /** Adjacent-symbol pair counts over a vocabulary frame, ordered
     * (cnt DESC, l, r) — the per-round candidate list both trainers
@@ -650,11 +723,15 @@ object Text {
     * `batch` (conflicts) still always selects >= 1 while pairs remain;
     * a round with no pairs at all ends training early. */
   private[graft] def bpeCoreBatched(documents: DataFrame, rounds: Int, batch: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    bpeCoreBatchedFrom(bpeInitialVocab(documents), rounds, batch)
+
+  private def bpeCoreBatchedFrom(vocab0: DataFrame, rounds: Int, batch: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 2048,
       s"rounds must be in [1, 2048] (driver-barrier bound), got $rounds")
     require(batch >= 1 && batch <= 64, s"batch must be in [1, 64], got $batch")
-    var cur = bpeInitialVocab(documents)
+    var cur = vocab0
     val out = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
     var round = 1
     var rank = 1
@@ -698,6 +775,23 @@ object Text {
         col("right_sym"), col("merged"), col("cnt"))
   }
 
+  /** [[bpeTrainMergesBatched]] driven off an EXTERNAL word-frequency
+    * state `(term, freq)` instead of a fresh corpus scan — the read
+    * side of the [[wordFreqAdd]]/[[mergeWordFreqs]] ingest contract.
+    * Because the trainer's only corpus-sized pass IS the word-type
+    * frequency count, a maintained state makes tokenizer training
+    * fully incremental: the merge table from a merged ingest state is
+    * bit-identical to training on the concatenated corpus. */
+  def bpeTrainMergesBatchedFromCounts(wordFreqs: DataFrame, rounds: Int,
+      batch: Int): DataFrame = {
+    val spark = wordFreqs.sparkSession
+    val out = bpeCoreBatchedFrom(bpeVocabFromFreqs(wordFreqs), rounds, batch)._1
+    import spark.implicits._
+    out.toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt")
+      .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+        col("right_sym"), col("merged"), col("cnt"))
+  }
+
   def bpeTrainMerges(documents: DataFrame, merges: Int): DataFrame = {
     val spark = documents.sparkSession
     val out = bpeCore(documents, merges)._1
@@ -717,8 +811,14 @@ object Text {
     * corpus-sized work is the one tf groupBy; the vocabulary side is
     * Zipf-small and AQE-broadcasts). The ratio is one IEEE division of
     * two exact int64 sums — hash-replayable. */
-  def bpeEncodeCounts(documents: DataFrame, merges: Int): DataFrame = {
-    val vocab = bpeCore(documents, merges)._2
+  def bpeEncodeCounts(documents: DataFrame, merges: Int): DataFrame =
+    bpeCountsFromVocab(bpeCore(documents, merges)._2, documents)
+
+  /** The shared encode tail: per-doc token counts off a final
+    * vocabulary frame `(term, freq, repr)` — one Zipf-small symbol
+    * count (AQE-broadcasts) + the one corpus-sized tf groupBy. */
+  private def bpeCountsFromVocab(vocab: DataFrame,
+      documents: DataFrame): DataFrame = {
     val symCnt = vocab.select(col("term"),
       size(filter(split(col("repr"), BpeSep), s => s =!= ""))
         .cast(LongType).as("bpe_syms"),
@@ -730,6 +830,37 @@ object Text {
         sum(col("tf") * col("char_syms")).as("char_tokens"))
       .withColumn("compression",
         col("char_tokens").cast(DoubleType) / col("bpe_tokens").cast(DoubleType))
+  }
+
+  /** Merge-table-DRIVEN encode — the deployment contract a tokenizer
+    * actually has: train ONCE (either trainer, any merge count), ship
+    * the table `(merge_rank, left_sym, right_sym)`, apply it to any
+    * corpus — where [[bpeEncodeCounts]] retrains inline under the
+    * sequential trainer's 32-merge barrier cap, this encodes with a
+    * 30k-merge production vocabulary in zero training barriers. The
+    * table is collected in `merge_rank` order (bounded driver state —
+    * tokenizer merge files are small by construction) and replayed as
+    * wrapped-symbol replaces, 16 per checkpointed projection so the
+    * codegen'd expression depth stays bounded at any merge count.
+    * Rank-order application reproduces BOTH trainers' final
+    * vocabularies exactly: the sequential trainer applies merges one
+    * at a time in rank order, and the batched trainer's within-round
+    * picks are symbol-disjoint (their replaces commute), so the
+    * round-major rank chain is one of the equivalent orders. */
+  def bpeEncodeWith(mergeTable: DataFrame, documents: DataFrame): DataFrame = {
+    val ms = mergeTable
+      .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+        col("right_sym"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    var cur = bpeInitialVocab(documents)
+    ms.grouped(16).foreach { g =>
+      // foldLeft nests the FIRST merge innermost = applied first
+      val repr = g.foldLeft(col("repr")) { case (e, (l, r)) => bpeApply(e, l, r) }
+      cur = cur.select(col("term"), col("freq"), repr.as("repr"))
+        .localCheckpoint(false)
+    }
+    bpeCountsFromVocab(cur, documents)
   }
 
   /** Unicode NFC canonicalization over a deterministically "dirtied"

@@ -232,6 +232,18 @@ object ExtRegistry {
     "dup_spans_cut" -> ((s, dir) =>
       graft.ext.Text.cutDuplicateSpans(Tables(s, dir).documents, n = 3)),
 
+    // the cleaning cut driven off a MERGED first-occurrence ingest
+    // state (shingleFirstAdd per delta, count-sum + struct-min merge) —
+    // detection AND excision both incremental now; bit-identical to
+    // the single-pass cut, so the oracle is the cut twin verbatim
+    "dup_spans_cut_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val state = graft.ext.Text.mergeShingleFirsts(
+        graft.ext.Text.shingleFirstAdd(docs.filter(col("doc_id") % 2 === 0), n = 3),
+        graft.ext.Text.shingleFirstAdd(docs.filter(col("doc_id") % 2 =!= 0), n = 3))
+      graft.ext.Text.cutDuplicateSpansFromCounts(docs, state, n = 3)
+    }),
+
     // the BPE loop executed: 6 greedy merge rounds over word types —
     // the merge table a tokenizer ships (bpe_pair_counts is round 1's
     // candidate list; each later round counts over MERGED symbols under
@@ -254,6 +266,30 @@ object ExtRegistry {
     "bpe_train_merges_batched" -> ((s, dir) =>
       graft.ext.Text.bpeTrainMergesBatched(Tables(s, dir).documents,
         rounds = 3, batch = 8)),
+
+    // tokenizer training off a MERGED word-frequency ingest state
+    // (wordFreqAdd per delta, exact int64 mergeWordFreqs) — the
+    // trainer's only corpus-sized pass made incremental; bit-identical
+    // to the direct scan, so the oracle is the batched twin verbatim
+    "bpe_train_merges_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val state = graft.ext.Text.mergeWordFreqs(
+        graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 2 === 0)),
+        graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 2 =!= 0)))
+      graft.ext.Text.bpeTrainMergesBatchedFromCounts(state, rounds = 3, batch = 8)
+    }),
+
+    // production-scale ENCODE: train ONCE with the batched trainer (12
+    // rounds × up to 8 merges — probing this corpus' own ~107-merge
+    // vocabulary ceiling, 3× past the sequential encoder's 32-merge
+    // barrier cap), ship the merge TABLE, and encode the corpus with
+    // it — the train-once/encode-many deployment contract. The table
+    // is bounded driver state; encoding is zero training barriers.
+    "bpe_encode_batched" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.bpeEncodeWith(
+        graft.ext.Text.bpeTrainMergesBatched(docs, rounds = 12, batch = 8), docs)
+    }),
 
     // capped inverted index: df + first-20 posting list per term, all on
     // one term-keyed partitioning with map-side posting-list pruning
@@ -889,6 +925,61 @@ object ExtRegistry {
        |       CAST(count(*) AS BIGINT) AS n_shingles
        |FROM isl GROUP BY doc_id, g""".stripMargin
 
+  /** The keep-first cut twin — shared verbatim by `dup_spans_cut` and
+    * `dup_spans_cut_stream` (the cut off a merged two-delta
+    * first-occurrence state is contractually bit-identical to the
+    * single pass). Keep-first occurrence rank, islands, cut token
+    * indices MINUS the protected first-occurrence ranges (the kp anti
+    * join — the Spark side spells keep-first as min(struct(doc_id,
+    * pos)); the oracle's rank window picks the identical occurrence),
+    * token-level anti join, ORDER BY-pinned reassembly. */
+  private lazy val dupSpansCutOracle: String =
+    s"""WITH $posShingleCtes,
+       |rk AS (SELECT doc_id, pos,
+       |              row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk,
+       |              count(*) OVER (PARTITION BY sh) AS cnt
+       |       FROM ps),
+       |cut AS (SELECT doc_id, pos FROM rk WHERE rk >= 2),
+       |fo AS (SELECT doc_id, pos FROM rk WHERE rk = 1 AND cnt >= 2),
+       |kp AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 2)) AS i FROM fo),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |        FROM cut),
+       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e FROM isl GROUP BY doc_id, g),
+       |ct0 AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS i FROM sp),
+       |ct AS (SELECT c.doc_id, c.i FROM ct0 c
+       |       LEFT JOIN kp ON c.doc_id = kp.doc_id AND c.i = kp.i
+       |       WHERE kp.i IS NULL),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |te AS (SELECT doc_id, p['i'] AS i, p['t'] AS t FROM (
+       |         SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+       |                  j -> {'i': CAST(j AS INTEGER), 't': toks[j]})) AS p
+       |         FROM tok)),
+       |keep AS (SELECT te.doc_id, te.i, te.t FROM te
+       |         LEFT JOIN ct ON te.doc_id = ct.doc_id AND te.i = ct.i
+       |         WHERE ct.i IS NULL),
+       |ka AS (SELECT doc_id,
+       |              array_to_string(list(t ORDER BY i), ' ') AS text_cleaned,
+       |              CAST(count(*) AS BIGINT) AS tokens_kept
+       |       FROM keep GROUP BY 1),
+       |rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_removed FROM ct GROUP BY 1)
+       |SELECT ka.doc_id, ka.text_cleaned, ka.tokens_kept,
+       |       CAST(coalesce(rm.tokens_removed, 0) AS BIGINT) AS tokens_removed
+       |FROM ka LEFT JOIN rm USING (doc_id)""".stripMargin
+
+  /** The batched-trainer twin — shared verbatim by
+    * `bpe_train_merges_batched` and `bpe_train_merges_stream` (the
+    * trainer off a merged two-delta word-frequency state is
+    * contractually bit-identical to the direct corpus scan): 3 rounds
+    * × 8 greedy non-interacting picks from the 32-best candidate
+    * window, each pick an argmax CTE with a NOT-EXISTS
+    * symbol-conflict screen — see [[bpeBatchChainCtes]]. */
+  private lazy val bpeTrainMergesBatchedOracle: String =
+    s"""WITH ${bpeBatchChainCtes(3, 8)}
+       |SELECT CAST(row_number() OVER (ORDER BY i, j) AS INTEGER) AS merge_rank,
+       |       l AS left_sym, r AS right_sym, l || r AS merged, cnt
+       |FROM picks""".stripMargin
+
   /** BPE TRAINING chain, shared by the training and encode twins:
     * w0 = word types as U+001F-WRAPPED symbol strings — every symbol
     * carries BOTH markers (`␟l␟␟o␟`), so the replace pattern only
@@ -954,11 +1045,13 @@ object ExtRegistry {
         " OR x.r = s.l OR x.r = s.r OR x.r = s.l || s.r" +
         " OR x.l || x.r = s.l OR x.l || x.r = s.r OR x.l || x.r = s.l || s.r)"
     def roundCtes(i: Int): String = {
+      // s/u MATERIALIZED: u{i}_j references u{i}_{j-1} twice (via
+      // s{i}_j and directly) — re-inlining would grow the plan ~2^batch
       val sel = (1 to batch).map { j =>
-        s"""s${i}_$j AS (SELECT l, r, cnt FROM c$i x
+        s"""s${i}_$j AS MATERIALIZED (SELECT l, r, cnt FROM c$i x
            |  WHERE NOT EXISTS (SELECT 1 FROM u${i}_${j - 1} s WHERE $conflict)
            |  ORDER BY cnt DESC, l, r LIMIT 1),
-           |u${i}_$j AS (SELECT * FROM u${i}_${j - 1} UNION ALL SELECT * FROM s${i}_$j)""".stripMargin
+           |u${i}_$j AS MATERIALIZED (SELECT * FROM u${i}_${j - 1} UNION ALL SELECT * FROM s${i}_$j)""".stripMargin
       }.mkString(",\n")
       val repl = (1 to batch).foldLeft("repr") { (acc, j) =>
         bpeReplaceSql(acc, s"s${i}_$j")
@@ -2116,39 +2209,11 @@ object ExtRegistry {
     // the Spark side spells keep-first as min(struct(doc_id,pos)); the
     // oracle's rank window picks the identical occurrence), token-level
     // anti join, ORDER BY-pinned reassembly
-    "dup_spans_cut" ->
-      s"""WITH $posShingleCtes,
-         |rk AS (SELECT doc_id, pos,
-         |              row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk,
-         |              count(*) OVER (PARTITION BY sh) AS cnt
-         |       FROM ps),
-         |cut AS (SELECT doc_id, pos FROM rk WHERE rk >= 2),
-         |fo AS (SELECT doc_id, pos FROM rk WHERE rk = 1 AND cnt >= 2),
-         |kp AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 2)) AS i FROM fo),
-         |isl AS (SELECT doc_id, pos,
-         |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
-         |        FROM cut),
-         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e FROM isl GROUP BY doc_id, g),
-         |ct0 AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS i FROM sp),
-         |ct AS (SELECT c.doc_id, c.i FROM ct0 c
-         |       LEFT JOIN kp ON c.doc_id = kp.doc_id AND c.i = kp.i
-         |       WHERE kp.i IS NULL),
-         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |te AS (SELECT doc_id, p['i'] AS i, p['t'] AS t FROM (
-         |         SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
-         |                  j -> {'i': CAST(j AS INTEGER), 't': toks[j]})) AS p
-         |         FROM tok)),
-         |keep AS (SELECT te.doc_id, te.i, te.t FROM te
-         |         LEFT JOIN ct ON te.doc_id = ct.doc_id AND te.i = ct.i
-         |         WHERE ct.i IS NULL),
-         |ka AS (SELECT doc_id,
-         |              array_to_string(list(t ORDER BY i), ' ') AS text_cleaned,
-         |              CAST(count(*) AS BIGINT) AS tokens_kept
-         |       FROM keep GROUP BY 1),
-         |rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_removed FROM ct GROUP BY 1)
-         |SELECT ka.doc_id, ka.text_cleaned, ka.tokens_kept,
-         |       CAST(coalesce(rm.tokens_removed, 0) AS BIGINT) AS tokens_removed
-         |FROM ka LEFT JOIN rm USING (doc_id)""".stripMargin,
+    "dup_spans_cut" -> dupSpansCutOracle,
+
+    // the cut off a merged two-delta first-occurrence state must be
+    // bit-identical to the single pass, so its oracle IS the cut twin
+    "dup_spans_cut_stream" -> dupSpansCutOracle,
 
     // BPE TRAINING twin: Text.bpeTrainMerges replayed as 6 chained CTE
     // rounds. w0 = word types as U+001F-WRAPPED symbol strings; each
@@ -2186,14 +2251,34 @@ object ExtRegistry {
          |       CAST(char_tokens AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS compression
          |FROM ag""".stripMargin,
 
-    // batched-BPE twin: 3 rounds × 8 greedy non-interacting picks from
-    // the 32-best candidate window, each pick an argmax CTE with a
-    // NOT-EXISTS symbol-conflict screen — see bpeBatchChainCtes
-    "bpe_train_merges_batched" ->
-      s"""WITH ${bpeBatchChainCtes(3, 8)}
-         |SELECT CAST(row_number() OVER (ORDER BY i, j) AS INTEGER) AS merge_rank,
-         |       l AS left_sym, r AS right_sym, l || r AS merged, cnt
-         |FROM picks""".stripMargin,
+    "bpe_train_merges_batched" -> bpeTrainMergesBatchedOracle,
+
+    // the batched trainer off a merged two-delta word-frequency state
+    // must be bit-identical to the direct scan: oracle IS the twin
+    "bpe_train_merges_stream" -> bpeTrainMergesBatchedOracle,
+
+    // batched-ENCODE twin: replay the 12×8 batched rounds to the final
+    // vocabulary w12 (the same chain the train twin picks from), then
+    // the encode tail — symbol counts off w12 joined onto per-doc tf.
+    // 12 rounds × up to 8 picks probes the corpus' own merge ceiling
+    // (this vocabulary admits at most ~107 merges before every word
+    // type is one symbol); conflict-starved or exhausted rounds leave
+    // their s CTEs empty and the replaces inert on BOTH engines.
+    "bpe_encode_batched" ->
+      s"""WITH ${bpeBatchChainCtes(12, 8)},
+         |sy AS (SELECT word, CAST(len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS BIGINT) AS bpe_syms,
+         |              CAST(length(word) AS BIGINT) AS char_syms
+         |       FROM w12),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       WHERE word <> '' GROUP BY 1, 2),
+         |ag AS (SELECT doc_id,
+         |              CAST(sum(tf * bpe_syms) AS BIGINT) AS bpe_tokens,
+         |              CAST(sum(tf * char_syms) AS BIGINT) AS char_tokens
+         |       FROM tf JOIN sy USING (word) GROUP BY 1)
+         |SELECT doc_id, bpe_tokens, char_tokens,
+         |       CAST(char_tokens AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS compression
+         |FROM ag""".stripMargin,
 
     // inverted-index twin: per-doc-distinct terms, true df, rank-capped
     // posting list concatenated in NUMERIC doc_id order (the Spark side
@@ -2850,7 +2935,7 @@ object ExtRegistry {
         |      FROM c, t),
         |r AS (SELECT doc_id, source,
         |             row_number() OVER (PARTITION BY source
-        |               ORDER BY (doc_id % 1000003) * 2654435761 % 1000003, doc_id) AS rn
+        |               ORDER BY ((doc_id % 1000003) * 2654435761 % 1000003 + 1000003) % 1000003, doc_id) AS rn
         |      FROM documents)
         |SELECT r.doc_id, r.source FROM r JOIN k USING (source) WHERE r.rn <= k.k""".stripMargin,
 

@@ -1228,8 +1228,8 @@ object Registry {
     // ds // V — Graph.prRound's redistribute branch, CTE for CTE
     "page_rank_dangling" -> {
       val iterCtes = (1 to 3).map { i =>
-        s"""ds$i AS (SELECT CAST(coalesce(sum(rank_units), 0) AS BIGINT) AS ds FROM r${i - 1}
-           |        WHERE vertex NOT IN (SELECT DISTINCT src FROM e)),
+        s"""ds$i AS (SELECT CAST(coalesce(sum(rank_units), 0) AS BIGINT) AS ds FROM r${i - 1} rr
+           |        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = rr.vertex)),
            |r$i AS MATERIALIZED (
            |  SELECT v.vertex,
            |         CAST((SELECT base FROM ms) + (85 * (coalesce(s.in_sum, 0)

@@ -228,7 +228,14 @@ object Corpus {
     * keeps `k_s = min(n_s, ⌊√n_s / Σ√n · target⌋)` documents, selected
     * by the deterministic hash rank (exact counts, partition-layout-
     * independent — the [[graft.operators.Sampling.samplePerGroup]]
-    * contract with a per-source k).
+    * contract with a per-source k). INTENTIONAL divergence from
+    * samplePerGroup's ordering: this ranks by `pmod(hashOrder, 1000003)`
+    * (floor-mod — every value, negative ids included, lands in a band
+    * the threshold scan covers), while samplePerGroup keeps Spark's
+    * sign-preserving `%` order; for negative ids the two samplers
+    * therefore select different (equally deterministic) orders. The
+    * `docs_sample_stratified` oracle pins samplePerGroup's spelling,
+    * this function's oracle pins the floor-mod spelling.
     *
     * Numeric-determinism: n_s are exact int64; each `sqrt` and the one
     * share division/multiply are correctly-rounded IEEE ops, and the

@@ -570,9 +570,13 @@ object Text {
   def cutDuplicateSpansFromCounts(documents: DataFrame, state: DataFrame,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
+    // the filtered state feeds BOTH the cut join and the protected-token
+    // set — checkpoint it like the single-pass path does, or an expensive
+    // merged ingest state is recomputed twice per run
     cutCore(documents, posShingles(documents, n),
       state.filter(col("cnt") >= 2)
-        .select(col("sh"), col("fdoc"), col("fpos")), n)
+        .select(col("sh"), col("fdoc"), col("fpos"))
+        .localCheckpoint(false), n)
   }
 
   /** The shared cut pipeline: `ps` = the documents' positional
@@ -848,19 +852,39 @@ object Text {
     * picks are symbol-disjoint (their replaces commute), so the
     * round-major rank chain is one of the equivalent orders. */
   def bpeEncodeWith(mergeTable: DataFrame, documents: DataFrame): DataFrame = {
-    val ms = mergeTable
+    val ms = collectMergeTable(mergeTable)
+    bpeCountsFromVocab(bpeReplayMerges(bpeInitialVocab(documents), ms),
+      documents)
+  }
+
+  /** Collect a shipped merge table in rank order, with the driver-state
+    * bound ENFORCED (<= 2048·64 rows, the batched trainer's own ceiling)
+    * rather than assumed — a pathological table must fail loud, not OOM
+    * the driver. */
+  private def collectMergeTable(mergeTable: DataFrame): Seq[(String, String)] = {
+    val maxMerges = 2048 * 64 // rounds-bound × batch-bound of bpeCoreBatched
+    val rows = mergeTable
       .select(col("merge_rank").cast(IntegerType), col("left_sym"),
         col("right_sym"))
-      .collect().sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2)))
-    var cur = bpeInitialVocab(documents)
+      .limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"merge table exceeds the bounded-driver-state contract ($maxMerges rows)")
+    rows.sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** Replay a collected merge list over a vocabulary frame in rank order,
+    * 16 wrapped-symbol replaces per checkpointed projection so codegen'd
+    * expression depth stays bounded at any merge count. */
+  private def bpeReplayMerges(vocab0: DataFrame,
+      ms: Seq[(String, String)]): DataFrame = {
+    var cur = vocab0
     ms.grouped(16).foreach { g =>
       // foldLeft nests the FIRST merge innermost = applied first
       val repr = g.foldLeft(col("repr")) { case (e, (l, r)) => bpeApply(e, l, r) }
       cur = cur.select(col("term"), col("freq"), repr.as("repr"))
         .localCheckpoint(false)
     }
-    bpeCountsFromVocab(cur, documents)
+    cur
   }
 
   /** Unicode NFC canonicalization over a deterministically "dirtied"

@@ -238,9 +238,14 @@ object ExtRegistry {
     // the single-pass cut, so the oracle is the cut twin verbatim
     "dup_spans_cut_stream" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
+      // null-SAFE split (<=> and its negation PARTITION the corpus even
+      // if a doc_id were null — a % predicate would drop nulls from BOTH
+      // deltas and silently break the bit-identity with the twin)
+      val even = docs.filter(col("doc_id") % 2 <=> 0)
+      val odd = docs.filter(!(col("doc_id") % 2 <=> 0))
       val state = graft.ext.Text.mergeShingleFirsts(
-        graft.ext.Text.shingleFirstAdd(docs.filter(col("doc_id") % 2 === 0), n = 3),
-        graft.ext.Text.shingleFirstAdd(docs.filter(col("doc_id") % 2 =!= 0), n = 3))
+        graft.ext.Text.shingleFirstAdd(even, n = 3),
+        graft.ext.Text.shingleFirstAdd(odd, n = 3))
       graft.ext.Text.cutDuplicateSpansFromCounts(docs, state, n = 3)
     }),
 
@@ -273,9 +278,10 @@ object ExtRegistry {
     // to the direct scan, so the oracle is the batched twin verbatim
     "bpe_train_merges_stream" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
+      // null-safe split, same rationale as dup_spans_cut_stream
       val state = graft.ext.Text.mergeWordFreqs(
-        graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 2 === 0)),
-        graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 2 =!= 0)))
+        graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 2 <=> 0)),
+        graft.ext.Text.wordFreqAdd(docs.filter(!(col("doc_id") % 2 <=> 0))))
       graft.ext.Text.bpeTrainMergesBatchedFromCounts(state, rounds = 3, batch = 8)
     }),
 

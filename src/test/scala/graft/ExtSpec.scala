@@ -296,6 +296,91 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == (("u", 1L, 4L)), got(3L))
   }
 
+  private def cutRows(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (String, Long, Long)] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+  private def firstState(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Int)] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+
+  test("shingleFirstAdd: first-occurrence state composes exactly and drives the cut") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val full = firstState(graft.ext.Text.shingleFirstAdd(docs, n = 3))
+    assert(full.nonEmpty)
+    // three arbitrary deltas merged in both association orders — count
+    // sums AND struct-min firsts are exact and associative
+    val parts = Seq(0, 1, 2).map(m =>
+      graft.ext.Text.shingleFirstAdd(docs.filter(col("doc_id") % 3 === m), n = 3))
+    val leftAssoc = graft.ext.Text.mergeShingleFirsts(
+      graft.ext.Text.mergeShingleFirsts(parts(0), parts(1)), parts(2))
+    val rightAssoc = graft.ext.Text.mergeShingleFirsts(
+      parts(0), graft.ext.Text.mergeShingleFirsts(parts(1), parts(2)))
+    assert(firstState(leftAssoc) == full, "merged first-state != full state")
+    assert(firstState(rightAssoc) == full, "merge is not associative")
+    // the cut driven off merged state IS the single-pass cut, text and all
+    val batchCut = cutRows(graft.ext.Text.cutDuplicateSpans(docs, n = 3))
+    assert(cutRows(graft.ext.Text.cutDuplicateSpansFromCounts(docs, leftAssoc,
+      n = 3)) == batchCut, "cut from merged state != single-pass cut")
+  }
+
+  test("shingleFirstAdd: streaming ingest replays the single-pass cut exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val chunks = Seq(0, 1, 2).map(m =>
+      docs.filter(col("doc_id") % 3 === m)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = graft.ext.Text.shingleFirstAdd(batch.toDF(), n = 3)
+        state = Some(state.fold(s)(p => graft.ext.Text.mergeShingleFirsts(p, s))
+          .localCheckpoint(true)) // materialize: the batch frame dies with the call
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(firstState(state.get) ==
+        firstState(graft.ext.Text.shingleFirstAdd(docs, n = 3)),
+        "streamed first-state != batch state")
+      assert(cutRows(graft.ext.Text.cutDuplicateSpansFromCounts(docs, state.get,
+        n = 3)) == cutRows(graft.ext.Text.cutDuplicateSpans(docs, n = 3)),
+        "cut from streamed state != single-pass cut")
+    } finally q.stop()
+  }
+
+  test("cutDuplicateSpansFromCounts: a first occurrence OUTSIDE the cleaned slice still wins") {
+    // global state over both chunks; only chunk B is cleaned. The first
+    // occurrence lives in chunk A, so no local protection row exists for
+    // it in B — every B occurrence must be cut (global keep-first), and
+    // cleaning chunk A alone must leave the first intact.
+    val chunkA = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val chunkB = Seq(
+      (2L, "x the quick brown fox y"),
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val state = graft.ext.Text.mergeShingleFirsts(
+      graft.ext.Text.shingleFirstAdd(chunkA, n = 3),
+      graft.ext.Text.shingleFirstAdd(chunkB, n = 3))
+    val gotB = cutRows(graft.ext.Text.cutDuplicateSpansFromCounts(chunkB, state, n = 3))
+    assert(gotB(2L) == (("x y", 2L, 4L)), gotB(2L))
+    assert(gotB(3L) == (("unrelated words entirely here", 4L, 0L)), gotB(3L))
+    val gotA = cutRows(graft.ext.Text.cutDuplicateSpansFromCounts(chunkA, state, n = 3))
+    assert(gotA(1L) == (("the quick brown fox jumps", 5L, 0L)), gotA(1L))
+    // sanity: cleaning the union through the same state IS the single-pass cut
+    val union = chunkA.unionByName(chunkB)
+    assert(cutRows(graft.ext.Text.cutDuplicateSpansFromCounts(union, state, n = 3)) ==
+      cutRows(graft.ext.Text.cutDuplicateSpans(union, n = 3)))
+  }
+
   test("datasetMixTemperature: sqrt shares, exact per-source k, small source kept whole") {
     // 64/16/4/1 docs across four sources, target 20: weights √n =
     // 8/4/2/1, total 15 → k = ⌊8/15·20⌋=10, ⌊4/15·20⌋=5, ⌊2/15·20⌋=2,
@@ -1525,6 +1610,102 @@ class ExtSpec extends SparkSpec {
       syms.filter(_.length > 1).foreach(sym =>
         assert(mergedSyms.contains(sym), s"invented symbol '$sym'"))
     }
+  }
+
+  private def encRows(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Double)] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("bpeEncodeWith: a shipped sequential merge table reproduces the inline encode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    // merges=20 crosses the encoder's 16-replaces-per-checkpoint chunk
+    // boundary — rank order must survive the chunked replay
+    for (k <- Seq(6, 20)) {
+      val table = graft.ext.Text.bpeTrainMerges(docs, merges = k)
+      assert(encRows(graft.ext.Text.bpeEncodeWith(table, docs)) ==
+        encRows(graft.ext.Text.bpeEncodeCounts(docs, merges = k)),
+        s"table-driven encode != inline encode at merges=$k")
+    }
+  }
+
+  test("bpeEncodeWith: batch=1 batched table encodes like the sequential trainer; bound enforced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    // rounds=6/batch=1 IS the sequential trainer (prefix of the same
+    // total order), so its table through the encoder must match the
+    // sequential inline encode
+    val table = graft.ext.Text.bpeTrainMergesBatched(docs, rounds = 6, batch = 1)
+    assert(encRows(graft.ext.Text.bpeEncodeWith(table, docs)) ==
+      encRows(graft.ext.Text.bpeEncodeCounts(docs, merges = 6)),
+      "batched-table encode != sequential inline encode")
+    // the bounded-driver-state contract is ENFORCED: a table past the
+    // trainer's own 2048·64 ceiling fails loud instead of OOMing
+    val huge = spark.range(2048L * 64L + 1L)
+      .select((col("id") + 1).cast("int").as("merge_rank"),
+        lit("a").as("left_sym"), lit("b").as("right_sym"))
+    val err = intercept[IllegalArgumentException] {
+      graft.ext.Text.bpeEncodeWith(huge, docs)
+    }
+    assert(err.getMessage.contains("bounded-driver-state"))
+  }
+
+  test("wordFreqAdd: word-frequency state composes exactly and trains bit-identically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    def freqs(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    val full = freqs(graft.ext.Text.wordFreqAdd(docs))
+    assert(full.nonEmpty)
+    val parts = Seq(0, 1, 2).map(m =>
+      graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 3 === m)))
+    val leftAssoc = graft.ext.Text.mergeWordFreqs(
+      graft.ext.Text.mergeWordFreqs(parts(0), parts(1)), parts(2))
+    val rightAssoc = graft.ext.Text.mergeWordFreqs(
+      parts(0), graft.ext.Text.mergeWordFreqs(parts(1), parts(2)))
+    assert(freqs(leftAssoc) == full, "merged word freqs != full count")
+    assert(freqs(rightAssoc) == full, "merge is not associative")
+    // the trainer off merged state emits the identical merge table —
+    // counts included — to the direct corpus scan
+    assert(table(graft.ext.Text.bpeTrainMergesBatchedFromCounts(leftAssoc,
+      rounds = 3, batch = 8)) ==
+      table(graft.ext.Text.bpeTrainMergesBatched(docs, rounds = 3, batch = 8)),
+      "training from merged state != direct scan")
+  }
+
+  test("wordFreqAdd: streaming ingest trains the identical merge table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    val chunks = Seq(0, 1, 2).map(m =>
+      docs.filter(col("doc_id") % 3 === m)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val f = graft.ext.Text.wordFreqAdd(batch.toDF())
+        state = Some(state.fold(f)(p => graft.ext.Text.mergeWordFreqs(p, f))
+          .localCheckpoint(true))
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(table(graft.ext.Text.bpeTrainMergesBatchedFromCounts(state.get,
+        rounds = 3, batch = 8)) ==
+        table(graft.ext.Text.bpeTrainMergesBatched(docs, rounds = 3, batch = 8)),
+        "training from streamed state != direct scan")
+    } finally q.stop()
   }
 
   test("jlProject: exact model match; refine at R=all IS brute; refined >= raw recall") {

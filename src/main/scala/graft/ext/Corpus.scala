@@ -347,17 +347,31 @@ object Corpus {
     * corpus — packing is embarrassingly parallel across shards (what a
     * real pipeline does per input split), never a global sort. */
   def packSequences(documents: DataFrame, capacity: Long = 256L,
-      shardSize: Long = 10000L): DataFrame = {
+      shardSize: Long = 10000L): DataFrame =
+    packCore(documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("token_cnt")),
+      capacity, shardSize)
+
+  /** [[packSequences]] with the token counts SUPPLIED by the caller —
+    * the seam that packs a corpus by its REAL tokenizer counts (e.g.
+    * [[graft.ext.Text.bpeTokenize]]'s `n_tokens`) instead of the
+    * whitespace proxy. Input: `(doc_id, source, token_cnt)`. */
+  def packSequencesCounted(counted: DataFrame, capacity: Long = 256L,
+      shardSize: Long = 10000L): DataFrame =
+    packCore(counted.select(col("doc_id"), col("source"), col("token_cnt")),
+      capacity, shardSize)
+
+  private def packCore(counted: DataFrame, capacity: Long,
+      shardSize: Long): DataFrame = {
     require(capacity > 0 && shardSize > 0,
       s"capacity/shardSize must be positive, got $capacity/$shardSize")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
-      .select(col("doc_id"), col("source"),
-        expr(s"doc_id div ${shardSize}L").as("shard"),
-        size(split(col("text"), " ")).cast("long").as("token_cnt"))
+    counted
+      .withColumn("shard", expr(s"doc_id div ${shardSize}L"))
       .withColumn("cum_tokens", sum(col("token_cnt")).over(w))
       // integer div, exact at any id/token magnitude (a double round-trip
       // would round above 2^53); cum_tokens >= 1 so div == floor here

@@ -887,6 +887,57 @@ object Text {
     cur
   }
 
+  /** The tokenized REPRESENTATION itself — per-document token-ID
+    * sequences from a shipped merge table, the artifact a training
+    * pipeline feeds downstream (where [[bpeEncodeWith]] reports only
+    * counts): `(doc_id, n_tokens, token_ids)` with `token_ids` the
+    * comma-joined id sequence in document order. Ids follow the
+    * tokenizer-file convention: the corpus' base alphabet in codepoint
+    * order takes 0..A-1, merged symbols take A, A+1, … in merge_rank
+    * order (first rank wins if two merges ever fuse to the same
+    * string). The dictionary is bounded driver state (alphabet +
+    * merge-table-sized); the corpus-sized work is one word explode
+    * joined to the Zipf-small per-word id mapping (AQE-broadcasts),
+    * then one doc-keyed rollup whose `(pos, ids)` structs are sorted
+    * before joining — collect order never leaks into the string, which
+    * is what lets it hash-match the oracle. */
+  def bpeTokenize(mergeTable: DataFrame, documents: DataFrame): DataFrame = {
+    val ms = collectMergeTable(mergeTable)
+    val vocab = bpeReplayMerges(bpeInitialVocab(documents), ms)
+    // base alphabet: distinct single chars across word types — bounded
+    // driver state by construction (an alphabet, not a corpus)
+    val alphabet = vocab
+      .select(explode(filter(split(col("term"), ""), c => c =!= "")).as("sym"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val dict = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    alphabet.foreach(c => dict.getOrElseUpdate(c, dict.size.toLong))
+    ms.foreach { case (l, r) => dict.getOrElseUpdate(l + r, dict.size.toLong) }
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dictDf = dict.toSeq.toDF("sym", "id")
+    // per word type: its symbol-id sequence on the trained vocabulary
+    val termIds = vocab
+      .select(col("term"),
+        posexplode(filter(split(col("repr"), BpeSep), s => s =!= ""))
+          .as(Seq("spos", "sym")))
+      .join(broadcast(dictDf), Seq("sym"))
+      .groupBy(col("term"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("spos"), col("id")))),
+          p => p("id").cast(StringType)), ",").as("term_ids"),
+        count(lit(1)).as("term_toks"))
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "term")))
+      .filter(col("term") =!= "")
+      .join(termIds, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("term_toks")).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("wpos"), col("term_ids")))),
+          p => p("term_ids")), ",").as("token_ids"))
+      .select(col("doc_id"), col("n_tokens"), col("token_ids"))
+  }
+
   /** Unicode NFC canonicalization over a deterministically "dirtied"
     * corpus. The testdata text is pure ASCII (already NFC — the
     * normalizer would be vacuous), so this INJECTS the real-world mess

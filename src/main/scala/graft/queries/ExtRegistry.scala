@@ -297,6 +297,30 @@ object ExtRegistry {
         graft.ext.Text.bpeTrainMergesBatched(docs, rounds = 12, batch = 8), docs)
     }),
 
+    // the tokenized REPRESENTATION itself: per-doc token-ID sequences
+    // on the 6-merge trained vocabulary (base-alphabet ids then merge
+    // ids, the tokenizer-file convention) — the train → tokenize
+    // handoff of an LLM data pipeline; the comma-joined id string is
+    // order-sorted before assembly so it hash-replays
+    "bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.bpeTokenize(
+        graft.ext.Text.bpeTrainMerges(docs, merges = 6), docs)
+    }),
+
+    // train tokenizer → tokenize corpus → pack: sequence packing by the
+    // REAL BPE token counts (not the whitespace proxy) — the end-to-end
+    // composition a training-batch assembly actually runs
+    "bpe_tokenize_pack" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = graft.ext.Text.bpeTokenize(
+        graft.ext.Text.bpeTrainMerges(docs, merges = 6), docs)
+      graft.ext.Corpus.packSequencesCounted(
+        toks.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            col("n_tokens").as("token_cnt")))
+    }),
+
     // capped inverted index: df + first-20 posting list per term, all on
     // one term-keyed partitioning with map-side posting-list pruning
     // BM25 ranked retrieval for a fixed 4-term query — the query side
@@ -2256,6 +2280,59 @@ object ExtRegistry {
          |SELECT doc_id, bpe_tokens, char_tokens,
          |       CAST(char_tokens AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS compression
          |FROM ag""".stripMargin,
+
+    // tokenize twin: the same 6-round chain to w6, a dictionary CTE
+    // (base alphabet in codepoint order, then merged symbols by first
+    // rank — min(rk) dedupes a string two merges could fuse to), then
+    // per-word symbol-id sequences joined onto positioned doc words;
+    // both string_aggs carry explicit ORDER BY so the id string is
+    // total-ordered on both engines
+    "bpe_tokenize" ->
+      s"""WITH ${bpeChainCtes(6)},
+         |alpha AS (SELECT c AS sym, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS id
+         |          FROM (SELECT DISTINCT unnest(list_filter(string_split(word, ''), c -> c <> '')) AS c FROM w0)),
+         |mgr AS (SELECT sym, min(rk) AS rk FROM (
+         |          ${(1 to 6).map(i => s"SELECT l || r AS sym, $i AS rk FROM m$i").mkString("\n          UNION ALL ")}) mm
+         |        GROUP BY 1),
+         |mgid AS (SELECT sym, CAST((SELECT count(*) FROM alpha) + row_number() OVER (ORDER BY rk) - 1 AS BIGINT) AS id FROM mgr),
+         |dict AS (SELECT sym, id FROM alpha UNION ALL SELECT sym, id FROM mgid),
+         |ws AS (SELECT word, u['j'] AS spos, u['s'] AS sym FROM (
+         |         SELECT word, unnest(list_transform(generate_series(1, len(syms)), j -> {'j': j, 's': syms[j]})) AS u
+         |         FROM (SELECT word, list_filter(string_split(repr, chr(31)), s -> s <> '') AS syms FROM w6) v) e),
+         |tid AS (SELECT word, string_agg(CAST(id AS VARCHAR), ',' ORDER BY spos) AS term_ids,
+         |               CAST(count(*) AS BIGINT) AS term_toks
+         |        FROM ws JOIN dict USING (sym) GROUP BY 1),
+         |dw AS (SELECT doc_id, u['j'] AS wpos, u['w'] AS word FROM (
+         |         SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
+         |         FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS wl FROM documents) d) e)
+         |SELECT doc_id, CAST(sum(term_toks) AS BIGINT) AS n_tokens,
+         |       string_agg(term_ids, ',' ORDER BY wpos) AS token_ids
+         |FROM dw JOIN tid USING (word)
+         |GROUP BY doc_id""".stripMargin,
+
+    // tokenize→pack twin: w6's per-word symbol counts onto per-doc tf
+    // give the exact BPE n_tokens (the bpe_encode tail), then the
+    // pack_sequences window over those REAL counts
+    "bpe_tokenize_pack" ->
+      s"""WITH ${bpeChainCtes(6)},
+         |sy AS (SELECT word, CAST(len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS BIGINT) AS bpe_syms
+         |       FROM w6),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       WHERE word <> '' GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, CAST(sum(tf * bpe_syms) AS BIGINT) AS token_cnt
+         |       FROM tf JOIN sy USING (word) GROUP BY 1),
+         |j AS (SELECT d.doc_id, d.source, ag.token_cnt FROM ag JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, shard, token_cnt,
+         |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, source,
+         |         CAST(doc_id // 10000 AS BIGINT) AS shard, token_cnt,
+         |         sum(token_cnt)
+         |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM j)""".stripMargin,
 
     "bpe_train_merges_batched" -> bpeTrainMergesBatchedOracle,
 

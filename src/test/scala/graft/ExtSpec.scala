@@ -1651,6 +1651,34 @@ class ExtSpec extends SparkSpec {
     assert(err.getMessage.contains("bounded-driver-state"))
   }
 
+  test("bpeTokenize: hand-traced ids, alphabet-then-merges convention, n_tokens = encode") {
+    // 'ab abc bc bc', sequential trainer: rank1 (b,c)->bc, rank2
+    // (a,b)->ab, rank3 (a,bc)->abc. Alphabet a,b,c -> ids 0,1,2;
+    // merges take 3,4,5 in rank order.
+    val docs = Seq((0L, "ab abc bc bc")).toDF("doc_id", "text")
+    def tok(merges: Int): (Long, String) = {
+      val t = graft.ext.Text.bpeTokenize(
+        graft.ext.Text.bpeTrainMerges(docs, merges), docs)
+      val r = t.collect().head
+      (r.getLong(1), r.getString(2))
+    }
+    // full table: every word is one symbol — bc=3, ab=4, abc=5
+    assert(tok(6) == ((4L, "4,5,3,3")), tok(6))
+    // one merge: ab=[a,b]=0,1; abc=[a,bc]=0,3; bc=[bc]=3
+    assert(tok(1) == ((6L, "0,1,0,3,3,3")), tok(1))
+    // corpus-level: n_tokens must equal the encode report's bpe_tokens
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val table = graft.ext.Text.bpeTrainMerges(corpus, merges = 6)
+    val n = graft.ext.Text.bpeTokenize(table, corpus)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val enc = graft.ext.Text.bpeEncodeCounts(corpus, merges = 6)
+      .select(col("doc_id"), col("bpe_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n == enc, "tokenize n_tokens != encode bpe_tokens")
+  }
+
   test("wordFreqAdd: word-frequency state composes exactly and trains bit-identically") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .localCheckpoint(true)

@@ -606,15 +606,20 @@ object Text {
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "t")))
       .select(col("doc_id"), (col("i0") + 1).as("i"), col("t"))
     val kept = te.join(cutToks, Seq("doc_id", "i"), "left_anti")
-    val removed = cutToks.groupBy(col("doc_id")).agg(count(lit(1)).as("tokens_removed"))
+    // tokens_removed = total − kept: cut indices are distinct and within
+    // 1..total, so the count identity is exact — deriving it from the
+    // narrow per-doc total keeps cutToks SINGLE-consumer (the expensive
+    // cut subtree is planned and computed once, not once per output col)
+    val totals = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
     kept.groupBy(col("doc_id"))
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("i"), col("t")))),
           p => p("t")), " ").as("text_cleaned"),
         count(lit(1)).as("tokens_kept"))
-      .join(removed, Seq("doc_id"), "left")
+      .join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("text_cleaned"), col("tokens_kept"),
-        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+        (col("n_toks") - col("tokens_kept")).as("tokens_removed"))
   }
 
   /** Initial BPE vocabulary from an explicit word-frequency state

@@ -74,6 +74,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pre-built span state: the cut side plans one shingle-keyed join — maintain state, pay only the cut") {
+    // deployment shape of the incremental cleaning cut: the (sh, cnt,
+    // fdoc, fpos) state is MAINTAINED by the ingest
+    // (shingleFirstAdd/mergeShingleFirsts); a cleaning pass plans ONLY
+    // the cut side against the materialized state — the documents being
+    // cleaned are re-shingled, the corpus is never recounted, and the
+    // state meets the shingle stream in exactly one sh-keyed equi-join
+    val docs = tables.documents
+    val state = graft.ext.Text.shingleFirstAdd(docs, 3).localCheckpoint(true)
+    val cut = graft.ext.Text.cutDuplicateSpansFromCounts(docs, state, 3)
+    val plan = cut.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    // same skew invariant as the single-pass cut: no per-shingle window
+    assert(!plan.contains("windowspecdefinition(sh#"),
+      s"per-shingle window in:\n$plan")
+    val shJoins = "Join \\[sh#".r.findAllIn(plan).length
+    assert(shJoins == 1, s"$shJoins shingle-keyed joins, want exactly 1:\n$plan")
+  }
+
   test("sessionize and samplePerGroup plan exactly one shuffle (keyed window reuse)") {
     // sessionize runs TWO window functions (lag marker + running sum)
     // over the same (key, order) — they must share one exchange

@@ -561,4 +561,65 @@ class PropertySpec extends SparkSpec {
       assert(gotFirstK == expFirstK, s"first-k assignments diverge on set $setIdx")
     }
   }
+
+  test("property: datasetMixTemperature band cutoff == rank model (negative ids, boundary k, one-band source)") {
+    // independent model of the rank-window spelling: per source, order
+    // by (pmod(hashOrder(id), P), id) and take the sqrt-share k — the
+    // band-histogram cutoff must select the identical set, including
+    // for negative ids (the r14 pmod fold), a k landing exactly on a
+    // band boundary, and a source living entirely inside ONE band
+    val P = 1000003L
+    def h(id: Long): Long = { val x = (id % P) * 2654435761L % P; ((x % P) + P) % P }
+    def model(docs: Seq[(Long, String)], target: Long): Set[(Long, String)] = {
+      val bySrc = docs.groupBy(_._2)
+      val counts = bySrc.view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val total = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
+      counts.flatMap { case (s, n) =>
+        val k = math.min(n, math.floor(math.sqrt(n.toDouble) / total * target).toLong)
+        bySrc(s).sortBy { case (id, _) => (h(id), id) }.take(k.toInt)
+      }.toSet
+    }
+    def check(docs: Seq[(Long, String)], target: Long, tag: String): Unit = {
+      val got = graft.ext.Corpus.datasetMixTemperature(
+        docs.toDF("doc_id", "source"), target)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == model(docs, target), s"$tag: band cutoff != rank model " +
+        s"(got ${got.size}, want ${model(docs, target).size})")
+    }
+    // random skewed corpora with ids across the full signed range
+    val cases = sample(for {
+      nSrc <- Gen.chooseNum(1, 4)
+      sizes <- Gen.listOfN(nSrc, Gen.chooseNum(1, 120))
+      seed <- Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4)
+    } yield (sizes, seed), 8)
+    cases.zipWithIndex.foreach { case ((sizes, seed), ci) =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, si) =>
+        // deterministic spread incl. NEGATIVE ids (odd slots negated)
+        (0 until n).map { j =>
+          val raw = seed + si * 7919L + j * 104729L
+          (if (j % 2 == 1) -math.abs(raw) else math.abs(raw), s"src$si")
+        }
+      }.distinctBy(_._1)
+      val target = math.max(1L, docs.size.toLong / 3L)
+      check(docs, target, s"random case $ci")
+    }
+    // engineered band placement: id = h·A⁻¹ mod P lands hash h exactly
+    val invA = BigInt(2654435761L).modInverse(BigInt(P)).toLong
+    def idAt(hv: Long): Long = hv * invA % P
+    // (a) one-band source: 30 docs all hashing into band 0 (h in 0..29),
+    // half shifted by -P (negative ids, same residue) — the threshold
+    // band IS the whole source; k=10 trims inside it
+    val oneBand = (0L until 30L).map(j =>
+      (if (j % 2 == 1) idAt(j) - P else idAt(j), "solo"))
+    check(oneBand, 10L, "one-band source")
+    // (b) k exactly on a band boundary: 7 docs in band 0, 7 in band 1,
+    // single source → k = target = 7 = |band 0| (remainder consumes the
+    // full threshold band, prefix empty)
+    val boundary = (0L until 7L).map(j => (idAt(j), "b")) ++
+      (0L until 7L).map(j => (idAt(977L + j), "b"))
+    check(boundary, 7L, "boundary k")
+    // (c) mixed: the engineered sources together with a random one
+    check(oneBand ++ boundary.map { case (id, _) => (id + P, "b") } ++
+      (0 until 50).map(j => (1000000000L + j * 37L, "c")), 25L, "mixed")
+  }
 }

@@ -94,6 +94,18 @@ object ScaleProof {
       expr("concat('g', id div 5, 'a g', id div 5, 'b g', id div 5, 'c " +
         "u', id, 'a u', id, 'b u', id, 'c')").as("text"))
 
+  /** Deterministic synthetic DIRECTED graph with dangling tails for the
+    * convergence+redistribution ladder: 5-vertex chains (i → i+1 within
+    * each group of 5), so every 5th vertex has no out-edge and ~20% of
+    * the walk's mass parks on dangling sinks each round — the regime
+    * where redistribution genuinely runs (the doc–shingle bipartite
+    * graph has no dangling vertices). Constant degree, linear growth,
+    * one narrow range projection. */
+  private def synthChainEdges(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).filter(col("id") % 5 =!= 4)
+      .select(concat(lit("v"), col("id")).as("src"),
+        concat(lit("v"), col("id") + 1).as("dst"))
+
   /** (name, pipeline-local session confs — applied for the pipeline's
     * runs and restored afterwards —, builder). */
   private val pipelines: Seq[(String, Map[String, String], (SparkSession, Int) => DataFrame)] = Seq(
@@ -160,6 +172,16 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Graph.docCentralityConverged(synthDocs(s, 500L * f),
           n = 3, minDf = 2, maxDf = 20, maxIters = 6, epsPct = 800L)),
+    // convergence stopping AND dangling redistribution TOGETHER, on a
+    // graph that actually HAS dangling vertices (20% of the chain graph
+    // parks mass each round — docCentrality's bipartite graph has
+    // none): redistribution adds one broadcast 1-row cross-join per
+    // round, so the gate asserts the exchange count and heap stay
+    // exactly docCentralityConverged-flat while both features run
+    ("graph->pageRankConvergedDangling", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Graph.pageRankConverged(synthChainEdges(s, 500L * f),
+          maxIters = 6, epsPct = 800L, redistributeDangling = true)),
     // cluster-routed decontamination: the EVAL side (training + index)
     // is FIXED at 500 vectors while the probe corpus grows 100× — the
     // streaming-decontamination regime, where eval state is bounded

@@ -558,6 +558,30 @@ object ExtRegistry {
         gridScale = graft.ext.Cluster.sampledGridScale(emb, KmSampleMod))
     }),
 
+    // streaming ANN END-TO-END: the quantizer ships once (trained on
+    // the residue class), the corpus arrives as TWO deltas encoded
+    // independently and merged exactly into the maintained index state
+    // (the index_add contract), and the SEARCH runs against that state
+    // on the trainer's grid — bit-identical to searching the
+    // single-pass sampled index, so the oracle is the
+    // knn_cosine_ivf_sampled twin verbatim (the dup_spans_stream
+    // pattern applied to the vector stack)
+    "knn_cosine_ivf_stream" -> ((s, dir) => {
+      val emb = embeddingsDimChecked(s, dir)
+      val cen = graft.ext.Cluster.kmeansCentroids(
+        emb.filter(col("vec_id") % KmSampleMod === 0), k = KmK, iters = KmIters)
+      graft.ext.Cluster.sampledGridScale(emb, KmSampleMod) match {
+        case Some(scale) =>
+          val state = graft.ext.Cluster.mergeOccupancy(
+            graft.ext.Cluster.indexAdd(emb.filter(col("vec_id") % 2 <=> 0), cen, scale),
+            graft.ext.Cluster.indexAdd(emb.filter(!(col("vec_id") % 2 <=> 0)), cen, scale))
+          graft.ext.Sim.ivfTopKTrained(emb, state, k = 5, nProbe = 2,
+            gridScale = Some(scale))
+        case None => // empty/all-zero corpus: the search degrades empty
+          graft.ext.Sim.ivfTopKTrained(emb, cen, k = 5, nProbe = 2)
+      }
+    }),
+
     // cluster-ROUTED decontamination: the stream-static Bloom
     // discipline with the trained quantizer as the router. The eval
     // residue class is the held-out set, k-means trains ON IT (bounded
@@ -1917,6 +1941,44 @@ object ExtRegistry {
        |       CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE) AS mean
        |FROM gf, (SELECT unnest(generate_series(1, $EmbDim)) AS i) d""".stripMargin
 
+  /** Sample-trained full-corpus IVF SEARCH SQL — shared verbatim by
+    * `knn_cosine_ivf_sampled` (single-pass index) and
+    * `knn_cosine_ivf_stream` (whose Spark side searches the MERGED
+    * two-delta ingest state, bit-identical to the single-pass index by
+    * the `index_add` composition contract). */
+  private lazy val ivfSampledOracle: String =
+    s"""WITH ${kmCtes(KmK, s"WHERE vec_id % $KmSampleMod = 0")},
+       |g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+       |qf AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |${kmAssign("af", "g2", "qf", mat = true)},
+       |gf AS MATERIALIZED (SELECT cell, count(*) AS n, [$kmSums] AS s FROM af GROUP BY cell),
+       |e0 AS (
+       |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
+       |  FROM embeddings m JOIN qf v USING (vec_id)),
+       |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
+       |ranked AS MATERIALIZED (
+       |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+       |  FROM e1 v CROSS JOIN gf c),
+       |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE rk <= 2),
+       |indexed AS (SELECT vec_id AS neighbor_id, embedding, nsq, cell
+       |            FROM ranked WHERE rk = 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT p.vec_id, i.neighbor_id,
+       |         (${kmEmbDot("p", "i")}) / (sqrt(p.nsq) * sqrt(i.nsq)) AS cosine
+       |  FROM probes p JOIN indexed i
+       |    ON p.cell = i.cell AND p.vec_id <> i.neighbor_id)
+       |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= 5""".stripMargin
+
   private def kmEmbDot(a: String, b: String): String =
     (1 to EmbDim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE").mkString(" + ")
 
@@ -2035,38 +2097,13 @@ object ExtRegistry {
     // class, the FULL corpus quantizes on the sample grid (qf), assigns
     // once (af) to build the occupancy table gf, and BOTH the probe and
     // index sides rank against gf — Sim.ivfTopKTrained(gridScale=sample)
-    "knn_cosine_ivf_sampled" ->
-      s"""WITH ${kmCtes(KmK, s"WHERE vec_id % $KmSampleMod = 0")},
-         |g2 AS MATERIALIZED (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
-         |qf AS MATERIALIZED (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS q
-         |  FROM embeddings, sc),
-         |${kmAssign("af", "g2", "qf", mat = true)},
-         |gf AS MATERIALIZED (SELECT cell, count(*) AS n, [$kmSums] AS s FROM af GROUP BY cell),
-         |e0 AS (
-         |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
-         |  FROM embeddings m JOIN qf v USING (vec_id)),
-         |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
-         |ranked AS MATERIALIZED (
-         |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
-         |         row_number() OVER (PARTITION BY v.vec_id
-         |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
-         |  FROM e1 v CROSS JOIN gf c),
-         |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE rk <= 2),
-         |indexed AS (SELECT vec_id AS neighbor_id, embedding, nsq, cell
-         |            FROM ranked WHERE rk = 1),
-         |pairs AS MATERIALIZED (
-         |  SELECT p.vec_id, i.neighbor_id,
-         |         (${kmEmbDot("p", "i")}) / (sqrt(p.nsq) * sqrt(i.nsq)) AS cosine
-         |  FROM probes p JOIN indexed i
-         |    ON p.cell = i.cell AND p.vec_id <> i.neighbor_id)
-         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT vec_id, neighbor_id, cosine,
-         |         row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM pairs) t
-         |WHERE rank <= 5""".stripMargin,
+    "knn_cosine_ivf_sampled" -> ivfSampledOracle,
+
+    // streaming-ANN twin: searching the MERGED two-delta ingest state
+    // (mergeOccupancy ∘ indexAdd, the index_add contract) on the
+    // trainer's grid is bit-identical to searching the single-pass
+    // sampled index — the oracle is the sampled-search twin verbatim
+    "knn_cosine_ivf_stream" -> ivfSampledOracle,
 
     // product-quantization twins: per-subspace Lloyd chains — offsets
     // mirror the Spark side's slice windows

@@ -906,20 +906,44 @@ object Text {
     * then one doc-keyed rollup whose `(pos, ids)` structs are sorted
     * before joining — collect order never leaks into the string, which
     * is what lets it hash-match the oracle. */
-  def bpeTokenize(mergeTable: DataFrame, documents: DataFrame): DataFrame = {
-    val ms = collectMergeTable(mergeTable)
-    val vocab = bpeReplayMerges(bpeInitialVocab(documents), ms)
-    // base alphabet: distinct single chars across word types — bounded
-    // driver state by construction (an alphabet, not a corpus)
-    val alphabet = vocab
+  /** The shared token-id dictionary: base alphabet chars (codepoint
+    * order) take 0..A−1, merged symbols take A, A+1, … in merge_rank
+    * order (first rank wins when two merges fuse the same string).
+    * Returns (sym → id) in insertion order plus the alphabet size.
+    * Bounded driver state by construction (an alphabet + a merge
+    * table, never a corpus). */
+  private def bpeTokenDict(vocab0: DataFrame, ms: Seq[(String, String)])
+      : (Seq[(String, Long)], Int) = {
+    val alphabet = vocab0
       .select(explode(filter(split(col("term"), ""), c => c =!= "")).as("sym"))
       .distinct().collect().map(_.getString(0)).sorted
     val dict = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     alphabet.foreach(c => dict.getOrElseUpdate(c, dict.size.toLong))
     ms.foreach { case (l, r) => dict.getOrElseUpdate(l + r, dict.size.toLong) }
+    (dict.toSeq, alphabet.length)
+  }
+
+  /** The token DICTIONARY artifact a tokenizer ships beside its merge
+    * table: `(token_id, sym, is_merge)` — [[bpeTokenize]]'s id
+    * convention as a first-class frame, so a consumer can decode id
+    * sequences without re-deriving the mapping. */
+  def bpeVocabulary(mergeTable: DataFrame, documents: DataFrame): DataFrame = {
+    val ms = collectMergeTable(mergeTable)
+    val (dict, nAlpha) = bpeTokenDict(bpeInitialVocab(documents), ms)
     val spark = documents.sparkSession
     import spark.implicits._
-    val dictDf = dict.toSeq.toDF("sym", "id")
+    dict.map { case (sym, id) => (id, sym, id >= nAlpha) }
+      .toDF("token_id", "sym", "is_merge")
+  }
+
+  def bpeTokenize(mergeTable: DataFrame, documents: DataFrame): DataFrame = {
+    val ms = collectMergeTable(mergeTable)
+    val vocab0 = bpeInitialVocab(documents)
+    val vocab = bpeReplayMerges(vocab0, ms)
+    val (dict, _) = bpeTokenDict(vocab0, ms)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dictDf = dict.toDF("sym", "id")
     // per word type: its symbol-id sequence on the trained vocabulary
     val termIds = vocab
       .select(col("term"),

@@ -308,6 +308,15 @@ object ExtRegistry {
         graft.ext.Text.bpeTrainMerges(docs, merges = 6), docs)
     }),
 
+    // the token DICTIONARY artifact itself (id → symbol, alphabet then
+    // merges) — the third tokenizer deliverable beside the merge table
+    // and the tokenized corpus, so id sequences are decodable
+    "bpe_vocab" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.bpeVocabulary(
+        graft.ext.Text.bpeTrainMerges(docs, merges = 6), docs)
+    }),
+
     // train tokenizer → tokenize corpus → pack: sequence packing by the
     // REAL BPE token counts (not the whitespace proxy) — the end-to-end
     // composition a training-batch assembly actually runs
@@ -2346,6 +2355,20 @@ object ExtRegistry {
          |       string_agg(term_ids, ',' ORDER BY wpos) AS token_ids
          |FROM dw JOIN tid USING (word)
          |GROUP BY doc_id""".stripMargin,
+
+    // dictionary twin: the same alpha/mgr/mgid CTEs as bpe_tokenize,
+    // emitted as the (token_id, sym, is_merge) artifact
+    "bpe_vocab" ->
+      s"""WITH ${bpeChainCtes(6)},
+         |alpha AS (SELECT c AS sym, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS id
+         |          FROM (SELECT DISTINCT unnest(list_filter(string_split(word, ''), c -> c <> '')) AS c FROM w0)),
+         |mgr AS (SELECT sym, min(rk) AS rk FROM (
+         |          ${(1 to 6).map(i => s"SELECT l || r AS sym, $i AS rk FROM m$i").mkString("\n          UNION ALL ")}) mm
+         |        GROUP BY 1),
+         |mgid AS (SELECT sym, CAST((SELECT count(*) FROM alpha) + row_number() OVER (ORDER BY rk) - 1 AS BIGINT) AS id FROM mgr)
+         |SELECT id AS token_id, sym, FALSE AS is_merge FROM alpha
+         |UNION ALL
+         |SELECT id AS token_id, sym, TRUE AS is_merge FROM mgid""".stripMargin,
 
     // tokenize→pack twin: w6's per-word symbol counts onto per-doc tf
     // give the exact BPE n_tokens (the bpe_encode tail), then the

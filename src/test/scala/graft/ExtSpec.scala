@@ -1679,6 +1679,28 @@ class ExtSpec extends SparkSpec {
     assert(n == enc, "tokenize n_tokens != encode bpe_tokens")
   }
 
+  test("bpeVocabulary: the dictionary decodes bpeTokenize id sequences back to the text") {
+    val docs = Seq((0L, "ab abc bc bc"), (1L, "xyz ab")).toDF("doc_id", "text")
+    val table = graft.ext.Text.bpeTrainMerges(docs, merges = 4)
+    val vocab = graft.ext.Text.bpeVocabulary(table, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    // ids are dense, alphabet ids strictly precede merge ids
+    assert(vocab.keySet == (0L until vocab.size.toLong).toSet)
+    val nAlpha = vocab.count(!_._2._2)
+    vocab.foreach { case (id, (_, isMerge)) =>
+      assert(isMerge == (id >= nAlpha), s"id $id flag wrong") }
+    // decoding each doc's id sequence reproduces its text minus spaces
+    // (word boundaries are not tokens) — the closed decode loop
+    val texts = Map(0L -> "ab abc bc bc", 1L -> "xyz ab")
+    graft.ext.Text.bpeTokenize(table, docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .foreach { case (docId, ids) =>
+        val decoded = ids.split(",").map(i => vocab(i.toLong)._1).mkString("")
+        assert(decoded == texts(docId).replace(" ", ""),
+          s"doc $docId decodes to '$decoded'")
+      }
+  }
+
   test("wordFreqAdd: word-frequency state composes exactly and trains bit-identically") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .localCheckpoint(true)

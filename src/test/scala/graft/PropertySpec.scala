@@ -145,6 +145,16 @@ class PropertySpec extends SparkSpec {
         assert(r._6 == (r._5 - 1) / 64L, s"pack quantization broken for doc ${r._1}")
       }
     }
+    // the counted seam shares packCore: feeding the whitespace counts
+    // explicitly must reproduce packSequences bit-for-bit
+    val counted = df.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("token_cnt"))
+    val viaCounted = graft.ext.Corpus
+      .packSequencesCounted(counted, capacity = 64L, shardSize = 100L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("shard"), r.getAs[Long]("token_cnt"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("pack_id"))).toSet
+    assert(viaCounted == got.toSet, "packSequencesCounted != packSequences")
   }
 
   test("property: mixBucket model-matches Spark and is uniform-ish over arbitrary ids") {

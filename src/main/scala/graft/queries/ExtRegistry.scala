@@ -59,6 +59,33 @@ object ExtRegistry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // the WHOLE corpus-preparation pipeline composed in ONE declarative
+    // plan — what a user runs before training: clean (quality screen +
+    // near-dup family collapse) → train split → weighted source mix →
+    // token-budget packing. Every stage is an already-proven operator;
+    // the value here is the COMPOSITION staying one Catalyst plan (the
+    // split and mix are stateless narrow filters riding the clean
+    // corpus — no extra shuffle between stages until the pack window)
+    "corpus_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val comp = graft.ext.Dedup.connectedComponents(
+        MinHash.simHashNearDups(docs), "doc_a", "doc_b")
+      val dupDrops = comp.filter(col("doc_id") =!= col("component_id"))
+        .select(col("doc_id"))
+      val quality = graft.ext.Text.textStats(docs)
+        .filter(col("quality_flag")).select(col("doc_id"))
+      val clean = docs.join(dupDrops, Seq("doc_id"), "left_anti")
+        .join(quality, Seq("doc_id"), "left_semi")
+      val train = graft.ext.Corpus.hashSplit(clean, "doc_id", 90)
+        .filter(col("split") === "train")
+      val mixed = graft.ext.Corpus.datasetMix(train,
+        Seq("src0" -> 100, "src1" -> 100, "src2" -> 60, "src3" -> 60), 30)
+        .select(col("doc_id"))
+      graft.ext.Corpus.packSequences(
+        train.join(mixed, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"), col("text")))
+    }),
+
     // deterministic, partition-independent train/test assignment
     "corpus_split" -> ((s, dir) =>
       graft.ext.Corpus.hashSplit(Tables(s, dir).documents, "doc_id", 90)
@@ -2624,6 +2651,53 @@ object ExtRegistry {
          |JOIN q ON q.doc_id = d.doc_id
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id AND c.component_id <> d.doc_id)""".stripMargin
+    },
+
+    // pipeline twin: the clean_corpus CTEs (quality predicate + closure
+    // components) carried through the split/mix stateless filters into
+    // the pack window — one SQL program mirroring the one Spark plan
+    "corpus_pipeline" -> {
+      val stop = graft.ext.Text.Stopwords.map("'" + _ + "'").mkString(",")
+      s"""WITH RECURSIVE $componentsCtes,
+         |tstats AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS char_cnt,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS BIGINT) AS stopword_cnt,
+         |         CAST(len(regexp_extract_all(text, '[.,;:!?"''()\\[\\]]')) AS BIGINT) AS punct_cnt
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id FROM tstats
+         |  WHERE token_cnt >= 10 AND token_cnt <= 100000
+         |    AND CAST(stopword_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 0.01
+         |    AND CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) >= 2.0
+         |    AND CAST(char_cnt - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) <= 12.0
+         |    AND (CASE WHEN char_cnt = 0 THEN 0.0
+         |              ELSE CAST(punct_cnt AS DOUBLE) / CAST(char_cnt AS DOUBLE) END) <= 0.2),
+         |cln AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id AND c.component_id <> d.doc_id)),
+         |mx AS (
+         |  SELECT doc_id, source, text FROM cln
+         |  WHERE ((doc_id % 1000003) * 2654435761 % 1000003 % 100 + 100) % 100 < 90
+         |    AND ((doc_id % 1000003) * 1103515245 % 1000003 % 100 + 100) % 100
+         |        < CASE WHEN source IN ('src0', 'src1') THEN 100
+         |               WHEN source IN ('src2', 'src3') THEN 60
+         |               ELSE 30 END)
+         |SELECT doc_id, source, shard, token_cnt,
+         |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, source,
+         |         CAST(doc_id // 10000 AS BIGINT) AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+         |         sum(len(string_split(text, ' ')))
+         |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM mx)""".stripMargin
     },
 
     "corpus_split" ->

@@ -94,6 +94,21 @@ object ScaleProof {
       expr("concat('g', id div 5, 'a g', id div 5, 'b g', id div 5, 'c " +
         "u', id, 'a u', id, 'b u', id, 'c')").as("text"))
 
+  /** Docs with a genuine duplicated SPAN for the winnow ladder: each
+    * group of 5 shares a 12-token prefix (10 shared shingles — enough
+    * full winnow windows inside the span that every group member
+    * selects ≥ minShared common fingerprints) and carries an 8-token
+    * unique tail, so pair counts grow linearly (10 pairs per group)
+    * while the df prune keeps every hash at df ≤ 5. */
+  private def synthDupDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"),
+      expr("concat('c', id div 5, 't1 c', id div 5, 't2 c', id div 5, 't3 " +
+        "c', id div 5, 't4 c', id div 5, 't5 c', id div 5, 't6 " +
+        "c', id div 5, 't7 c', id div 5, 't8 c', id div 5, 't9 " +
+        "c', id div 5, 't10 c', id div 5, 't11 c', id div 5, 't12 " +
+        "u', id, 'a u', id, 'b u', id, 'c u', id, 'd " +
+        "u', id, 'e u', id, 'f u', id, 'g u', id, 'h')").as("text"))
+
   /** Deterministic synthetic DIRECTED graph with dangling tails for the
     * convergence+redistribution ladder: 5-vertex chains (i → i+1 within
     * each group of 5), so every 5th vertex has no out-edge and ~20% of
@@ -225,6 +240,30 @@ object ScaleProof {
         val k = math.max(8, (8.0 * math.sqrt(f.toDouble)).toInt)
         graft.ext.Sim.ivfPqResidualTopK(emb, m = 8, kSub = 64,
           coarseK = k, nProbe = 2, k = 5)
+      }),
+    // winnowed fingerprint near-dup: selection is one doc-keyed window
+    // pass (constant exchanges), and the pair join runs on the
+    // 2/(w+1)-density winnowed postings with the df<=maxDocFreq prune —
+    // the gate proves the MOSS pipeline keeps its keyed-join shape and
+    // flat heap while the corpus grows 100×. The fixture shares a
+    // 12-token span within each group of 5 (docs must actually pair:
+    // synthDocs' 6-token rows yield ONE fingerprint each, below
+    // minShared, and an empty stream lets AQE erase the exchanges the
+    // gate is meant to pin). autoBroadcast pinned OFF: the rare-hash
+    // side sits at the AQE broadcast<->SMJ flip size.
+    ("docs->fingerprintNearDups", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.fingerprintNearDups(synthDupDocs(s, 500L * f), n = 3, w = 4)),
+    // IVF-SQ8 at the corpus-scaled coarseK regime: min/max state is one
+    // bounded aggregate (2·d doubles), encode is a narrow literal
+    // projection, and the search keeps trained-IVF's probe shape with
+    // the byte-coded payload — the no-training-payload point of the
+    // quantizer family holds the same ladder the PQ stack does
+    ("embeddings->ivfSqTopK", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) => {
+        val emb = synthEmbeddings(s, 500L * f)
+        val k = math.max(8, (8.0 * math.sqrt(f.toDouble)).toInt)
+        graft.ext.Sim.ivfSqTopK(emb, coarseK = k, nProbe = 2, k = 5)
       }),
     // SemDeDup at the bench's own parameters (k=8, maxCluster=1024) —
     // the slowest bench query gets its own ladder. autoBroadcast pinned

@@ -739,6 +739,89 @@ object Sim {
       coarseK: Int = 8, nProbe: Int = 2, k: Int = 5): DataFrame =
     ivfPqTopK(Cluster.opqPermute(embeddings, m), m, kSub, coarseK, nProbe, k)
 
+  /** IVF-SQ8 search — FAISS's `IVF,SQ8` index: trained coarse routing
+    * (identical to [[ivfPqTopK]]'s), with the candidate payload
+    * compressed by SCALAR quantization instead of PQ — each dimension
+    * independently affine-coded into a byte on its corpus [min, max]
+    * range, `code_i = floor((x_i − mn_i)/(mx_i − mn_i)·255)`,
+    * reconstructed at the bucket CENTER `mn_i + (code_i + 0.5)·st_i`
+    * (st = range/255). SQ8 is the no-training-payload point of the
+    * quantizer family: d bytes/vector (4× compression vs float — PQ's
+    * m·log₂k bits is far smaller but needs per-subspace Lloyd), zero
+    * codebook training, and much lower distortion than PQ at the same
+    * probe width, so it is the standard first stop when recall matters
+    * more than the last 4× of memory.
+    *
+    * Implementation: the per-dim (min, max) pair is ONE aggregate over
+    * the corpus (map-side combined, 2·d doubles of driver state — the
+    * bounded-codebook contract); encode and the reconstruction-norm
+    * are narrow projections with per-dim literals; the ADC scorer is
+    * the unchanged [[org.apache.spark.sql.graft.PqAdcDot]] kernel with
+    * d one-wide "subspaces" of 256 affine cells, so the asymmetric
+    * cosine `dot(q, recon_b)/(|q|·|recon_b|)` replays in SQL exactly
+    * like the PQ family's. Constant dims (mx = mn) code to 0 and
+    * reconstruct at mn exactly.
+    *
+    * Scale shape: identical to [[ivfPqTopK]] — the indexed side ships
+    * d ints + one norm per vector through the cell join, never floats;
+    * candidates are bounded by the probed cells. */
+  def ivfSqTopK(embeddings: DataFrame, coarseK: Int = 8, nProbe: Int = 2,
+      k: Int = 5): DataFrame = {
+    import graft.ext.Cluster
+    import org.apache.spark.sql.graft.{KMeansCells, PqAdcDot}
+    val gridOpt = Cluster.grid(embeddings)
+    val coarse =
+      if (gridOpt.isEmpty) Nil
+      else Cluster.centroidState(Cluster.kmeansCentroids(embeddings, coarseK, 2))
+    if (gridOpt.isEmpty || coarse.isEmpty) return emptyNeighbors(embeddings)
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val np = math.min(nProbe, coarse.size)
+    val (scale, d) = gridOpt.get
+    // per-dim [min, max] over the corpus: one aggregate, 2·d doubles
+    val mmRow = embeddings.select(
+      (1 to d).flatMap(i =>
+        Seq(min(el(col("embedding"), i)), max(el(col("embedding"), i)))): _*)
+      .collect().head
+    val mn = (0 until d).map(i => mmRow.getDouble(2 * i))
+    val mx = (0 until d).map(i => mmRow.getDouble(2 * i + 1))
+    val st = (0 until d).map(i => (mx(i) - mn(i)) / 255.0)
+    // the SQ "codebook" as a PqAdcDot mean table: d subspaces of width
+    // 1 with 256 affine reconstruction points each
+    val means: Seq[Seq[Seq[Double]]] = (0 until d).map { i =>
+      (0 until 256).map(c => Seq(mn(i) + (c + 0.5) * st(i)))
+    }
+    val msq: Seq[Seq[Double]] = means.map(_.map(v => v.head * v.head))
+    val qc = Cluster.qCol(scale)
+    val sqCodes = array((0 until d).map { i =>
+      if (mx(i) == mn(i)) lit(0)
+      else least(lit(255L), greatest(lit(0L),
+        floor((el(col("embedding"), i + 1) - lit(mn(i))) /
+          lit(mx(i) - mn(i)) * lit(255.0)))).cast(IntegerType)
+    }: _*)
+    val reconNsq = (0 until d).map(i =>
+        element_at(typedlit(msq(i)), element_at(col("codes"), i + 1) + 1))
+      .reduceLeft(_ + _)
+    val base = spread(embeddings, col("vec_id")).select(
+        col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"),
+        KMeansCells.probe(qc, Cluster.exprState(coarse), np).as("cells"),
+        sqCodes.as("codes"))
+      .withColumn("rnsq", reconNsq)
+      .localCheckpoint(false)
+    val probes = base.filter(col("nsq") > 0)
+      .select(col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"),
+        explode(col("cells")).as("cell"))
+    val indexed = base.filter(col("rnsq") > 0)
+      .select(col("vec_id").as("neighbor_id"), col("codes").as("codes_b"),
+        element_at(col("cells"), 1).as("cell"), col("rnsq"))
+    topK(probes.join(indexed, Seq("cell"), "inner")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        PqAdcDot.adcDot(col("emb_a"), col("codes_b"), means) /
+          (sqrt(col("nsq_a")) * sqrt(col("rnsq"))))
+      .select(col("vec_id"), col("neighbor_id"), col("cosine")), k)
+  }
+
   /** IVF-PQ search with RESIDUAL encoding — FAISS IVFPQ proper: the
     * codebook quantizes `x − centroid(cell(x))` instead of the raw
     * vector ([[graft.ext.Cluster.residualPqState]]), so the same m·log₂k

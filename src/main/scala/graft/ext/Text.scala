@@ -992,4 +992,102 @@ object Text {
         org.apache.spark.sql.graft.NfcNormalize.nfc(col("raw")).as("text_nfc"))
       .withColumn("n_chars_nfc", length(col("text_nfc")).cast(LongType))
   }
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm; cf. the reference's exact-hash dedup at
+    * `airflows/generator/pg_oltp_synth.py` — the reference has no
+    * sub-document fingerprinting; this is the LLM-pipeline extension):
+    * over the positional n-gram shingle hashes `(doc_id, pos, sh)`,
+    * slide a window of `w` consecutive shingles and select each
+    * window's MINIMUM hash, breaking ties on the RIGHTMOST position
+    * (robust winnowing — guarantees the same shingle is selected from
+    * overlapping content in different documents). Adjacent windows
+    * usually share their minimum, so the distinct selected set has
+    * expected density 2/(w+1) of the shingle count — the standard
+    * fingerprint-compression knob for corpus-scale containment
+    * detection. Documents with 1..w-1 shingles yield exactly one
+    * fingerprint (their global minimum); empty/short docs (< n tokens)
+    * yield none.
+    *
+    * The (hash, rightmost-pos) argmin is computed as an integer
+    * `min` over the packed key `sh·2³² + (2³²−1 − pos)` — hash is the
+    * major component and the complemented position makes larger
+    * positions win ties; all arithmetic is exact BIGINT in both
+    * engines (sh < 2³¹ from the shingle mod, pos is a 32-bit count).
+    *
+    * Output: `(doc_id, pos, sh)` — one row per selected fingerprint.
+    *
+    * Scale: one shuffle on doc_id for the running-window min (the same
+    * exchange the island grouping in [[duplicateSpans]] pays), then a
+    * map-side-combined distinct. No cross join, no driver state. */
+  def winnowFingerprints(documents: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(w >= 2, s"w must be >= 2, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val ps = posShingles(documents, n)
+    val key = col("sh") * lit(4294967296L) + (lit(4294967295L) - col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    ps
+      .withColumn("k", key)
+      .withColumn("nsh", count(lit(1)).over(byDoc))
+      // full windows exist only once pos reaches w; short docs collapse
+      // to a single whole-doc window
+      .withColumn("selkey",
+        when(col("nsh") >= w, min(col("k")).over(run))
+          .otherwise(min(col("k")).over(byDoc)))
+      .filter(col("pos") >= w || col("nsh") < w)
+      .select(col("doc_id"), col("selkey")).distinct()
+      .select(
+        col("doc_id"),
+        (lit(4294967295L) - pmod(col("selkey"), lit(4294967296L)))
+          .cast(IntegerType).as("pos"),
+        shiftright(col("selkey"), 32).as("sh"))
+  }
+
+  /** Fingerprint-overlap near-duplicate candidates (the MOSS report
+    * step): documents sharing at least `minShared` winnowed
+    * fingerprint hashes, scored by containment = shared / min(|fpA|,
+    * |fpB|). Fingerprint hashes appearing in more than `maxDocFreq`
+    * documents are pruned before the pair join — exactly the
+    * boilerplate-shingle pruning of [[ngramJaccardPairs]], and for the
+    * same two reasons: frequent fingerprints carry no near-dup signal
+    * and are precisely the join-skew keys. Against [[ngramJaccardPairs]]
+    * this compares ~2/(w+1) as many postings for the same candidate
+    * recall on spans ≥ n+w−1 tokens — the winnowing guarantee — which
+    * is the whole point at corpus scale: the pair-generating join's
+    * input shrinks by the window factor.
+    *
+    * Output: `(doc_a, doc_b, shared, containment)`, doc_a < doc_b.
+    *
+    * Scale: distinct-hash postings → df-prune (one agg) → equi-join on
+    * the hash (one shuffle) → pair count agg. The n² pair space is
+    * never built. */
+  def fingerprintNearDups(documents: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDocFreq: Long = 5L): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    require(maxDocFreq >= 1, s"maxDocFreq must be positive, got $maxDocFreq")
+    // distinct hash per doc: a doc can select the same hash at several
+    // positions (repeated content); postings are per (doc, hash)
+    val fp = winnowFingerprints(documents, n, w)
+      .select(col("doc_id"), col("sh")).distinct()
+      .localCheckpoint(false) // feeds per-doc counts AND the pair join
+    val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("fp_cnt"))
+    val rare = fp.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("sh"))
+    val posting = fp.join(rare, Seq("sh"))
+    val pairs = posting.as("a")
+      .join(posting.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("fp_cnt").as("cnt_a")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("fp_cnt").as("cnt_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast(DoubleType) /
+          least(col("cnt_a"), col("cnt_b")).cast(DoubleType)).as("containment"))
+  }
 }

@@ -276,6 +276,22 @@ object ExtRegistry {
       graft.ext.Text.cutDuplicateSpansFromCounts(docs, state, n = 3)
     }),
 
+    // winnowing fingerprint selection (the MOSS algorithm): each w=4
+    // window of consecutive 3-gram shingle hashes contributes its
+    // MINIMUM hash (rightmost on ties — robust winnowing), giving the
+    // ~2/(w+1)-density sub-document fingerprint set a corpus-scale
+    // containment detector indexes instead of every shingle
+    "winnow_fingerprints" -> ((s, dir) =>
+      graft.ext.Text.winnowFingerprints(Tables(s, dir).documents, n = 3, w = 4)),
+
+    // fingerprint-overlap near-dup (the MOSS report step): pairs
+    // sharing >= 2 rare winnowed hashes, scored by containment —
+    // the ngram-Jaccard candidate generator run on winnowed postings
+    // (~2/(w+1) of the join input for the same guaranteed recall on
+    // matches >= n+w-1 tokens)
+    "near_dup_winnow" -> ((s, dir) =>
+      graft.ext.Text.fingerprintNearDups(Tables(s, dir).documents, n = 3, w = 4)),
+
     // the BPE loop executed: 6 greedy merge rounds over word types —
     // the merge table a tokenizer ships (bpe_pair_counts is round 1's
     // candidate list; each later round counts over MERGED symbols under
@@ -499,6 +515,15 @@ object ExtRegistry {
     "knn_cosine_ivfpq" -> ((s, dir) =>
       graft.ext.Sim.ivfPqTopK(embeddingsDimChecked(s, dir),
         m = PqSearchM, kSub = PqSearchKSub, coarseK = KmK, nProbe = 2, k = 5)),
+
+    // IVF-SQ8 (FAISS `IVF,SQ8`): the same trained coarse routing with
+    // the payload SCALAR-quantized — one byte per dimension on the
+    // corpus [min, max] range, no codebook training — the
+    // low-distortion / moderate-compression point of the quantizer
+    // family (recall driver-checked via ann_recall_ivfsq)
+    "knn_cosine_ivfsq" -> ((s, dir) =>
+      graft.ext.Sim.ivfSqTopK(embeddingsDimChecked(s, dir),
+        coarseK = KmK, nProbe = 2, k = 5)),
 
     // IVF-PQ + IndexRefine: the ADC ranking keeps its top-25 candidates
     // per query vector (pooled across its probed cells — the window
@@ -996,6 +1021,31 @@ object ExtRegistry {
        |                      'sh': CAST(($shingleComposition) % $P AS BIGINT)}) END) AS p
        |  FROM toks),
        |ps AS MATERIALIZED (SELECT doc_id, p['pos'] AS pos, p['sh'] AS sh FROM ps0)""".stripMargin
+
+  /** Winnowing-selection CTEs ending in `wfp(doc_id, pos, sh)` —
+    * Text.winnowFingerprints(n=3, w=4) replayed: the packed
+    * (hash, complemented-pos) argmin key `sh·2³² + (2³²−1 − pos)`
+    * (exact BIGINT — sh < 10⁶ from the shingle mod), a running 4-row
+    * window min for docs with ≥ 4 shingles, the whole-doc min for
+    * shorter docs, then distinct selected keys decoded back to
+    * (pos, sh). */
+  private def winnowCtes: String =
+    s"""$posShingleCtes,
+       |wk AS (SELECT doc_id, pos,
+       |              sh * 4294967296 + (4294967295 - pos) AS k,
+       |              count(*) OVER (PARTITION BY doc_id) AS nsh
+       |       FROM ps),
+       |ws AS (SELECT doc_id, pos, nsh,
+       |              CASE WHEN nsh >= 4
+       |                   THEN min(k) OVER (PARTITION BY doc_id ORDER BY pos
+       |                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       |                   ELSE min(k) OVER (PARTITION BY doc_id) END AS selkey
+       |       FROM wk),
+       |wfp AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(4294967295 - (selkey % 4294967296) AS INTEGER) AS pos,
+       |         CAST(selkey // 4294967296 AS BIGINT) AS sh
+       |  FROM (SELECT DISTINCT doc_id, selkey FROM ws WHERE pos >= 4 OR nsh < 4))""".stripMargin
 
   /** The single-pass duplicate-span twin — shared verbatim by
     * `dup_spans` and `dup_spans_stream` (the incremental two-delta
@@ -1722,6 +1772,60 @@ object ExtRegistry {
        |$finalSelect""".stripMargin
   }
 
+  /** IVF-SQ8 twin — Sim.ivfSqTopK replayed: the trained coarse routing
+    * is [[kmCtes]]' chain verbatim (identical to the ivfpq twin's), and
+    * the payload side replays the scalar quantizer: `mm` is the one
+    * per-dim (min, max) aggregate (floats cast to double — exact),
+    * codes are the affine byte `floor((x − mn)/(mx − mn)·255)` clamped
+    * to [0, 255] (constant dims code to 0), and the ADC cosine chain
+    * multiplies each query float by the reconstruction
+    * `mn + (code + 0.5)·((mx − mn)/255)` in dimension order — the
+    * exact IEEE sequence PqAdcDot's accumulator and the driver-built
+    * mean table perform, so even the approximate ranking hash-matches. */
+  private def ivfSqOracle(coarseK: Int, nProbe: Int, kNeighbors: Int): String = {
+    val d = EmbDim
+    val mnExprs = (1 to d).map(i => s"min(CAST(embedding[$i] AS DOUBLE))").mkString(", ")
+    val mxExprs = (1 to d).map(i => s"max(CAST(embedding[$i] AS DOUBLE))").mkString(", ")
+    def stExpr(i: Int) = s"((mm.mx[$i] - mm.mn[$i]) / 255.0)"
+    val codeList = (1 to d).map(i =>
+      s"CASE WHEN mm.mx[$i] = mm.mn[$i] THEN 0 ELSE " +
+        s"CAST(least(255, greatest(0, floor((CAST(r.embedding[$i] AS DOUBLE) - mm.mn[$i])" +
+        s" / (mm.mx[$i] - mm.mn[$i]) * 255.0))) AS INTEGER) END").mkString(", ")
+    def recon(tbl: String, i: Int) =
+      s"(mm.mn[$i] + (CAST($tbl.cds[$i] AS DOUBLE) + 0.5) * ${stExpr(i)})"
+    val rnsqChain = (1 to d).map(i => s"${recon("c0", i)} * ${recon("c0", i)}").mkString(" + ")
+    val adcChain = (1 to d).map(i => s"p.embedding[$i]::DOUBLE * ${recon("y", i)}").mkString(" + ")
+    val cosExpr = s"($adcChain) / (sqrt(p.nsq) * sqrt(y.rnsq))"
+    s"""WITH ${kmCtes(coarseK)},
+       |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+       |mm AS MATERIALIZED (SELECT [$mnExprs] AS mn, [$mxExprs] AS mx FROM embeddings),
+       |e0 AS (
+       |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
+       |  FROM embeddings m JOIN q v USING (vec_id)),
+       |ranked AS MATERIALIZED (
+       |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+       |  FROM e0 v CROSS JOIN g2 c),
+       |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked
+       |           WHERE rk <= $nProbe AND nsq > 0),
+       |coded0 AS MATERIALIZED (
+       |  SELECT r.vec_id AS neighbor_id, r.cell, [$codeList] AS cds
+       |  FROM ranked r CROSS JOIN mm
+       |  WHERE r.rk = 1),
+       |coded AS (SELECT * FROM (
+       |    SELECT c0.neighbor_id, c0.cell, c0.cds, ($rnsqChain) AS rnsq
+       |    FROM coded0 c0 CROSS JOIN mm) t
+       |  WHERE rnsq > 0)
+       |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT p.vec_id, y.neighbor_id, $cosExpr AS cosine,
+       |         row_number() OVER (PARTITION BY p.vec_id
+       |           ORDER BY $cosExpr DESC, y.neighbor_id) AS rank
+       |  FROM probes p JOIN coded y ON p.cell = y.cell AND p.vec_id <> y.neighbor_id
+       |  CROSS JOIN mm) t
+       |WHERE rank <= $kNeighbors""".stripMargin
+  }
+
   /** IVF nProbe tuning-curve twin: trained routing replayed once at the
     * max probe width WITH the probe rank kept, each operating point a
     * `pr <= np` prefix re-ranked and scored against the brute truth —
@@ -2146,6 +2250,8 @@ object ExtRegistry {
     "pq_codes" -> pqOracle(PqM, KmK),
     "pq_codebook" -> pqCodebookOracle(PqM, KmK),
     "knn_cosine_ivfpq" -> ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5),
+
+    "knn_cosine_ivfsq" -> ivfSqOracle(KmK, 2, 5),
     "knn_cosine_ivfpq_refined" ->
       ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5, refineR = PqRefineR),
     "knn_cosine_ivfpq_opq" ->
@@ -2317,6 +2423,30 @@ object ExtRegistry {
     // the cut off a merged two-delta first-occurrence state must be
     // bit-identical to the single pass, so its oracle IS the cut twin
     "dup_spans_cut_stream" -> dupSpansCutOracle,
+
+    // winnowing twin: the shared selection CTEs emit the fingerprint
+    // rows directly
+    "winnow_fingerprints" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, pos, sh FROM wfp""".stripMargin,
+
+    // fingerprint-overlap twin: distinct per-doc hashes, df <= 5
+    // pruning, the pair join on the hash, containment =
+    // shared / min(|fpA|, |fpB|) as one IEEE division of exact ints
+    "near_dup_winnow" ->
+      s"""WITH $winnowCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM wfp),
+         |fcnt AS (SELECT doc_id, count(*) AS fp_cnt FROM fps GROUP BY doc_id),
+         |frare AS (SELECT sh FROM fps GROUP BY sh HAVING count(*) <= 5),
+         |fpost AS MATERIALIZED (SELECT fps.doc_id, fps.sh FROM fps JOIN frare USING (sh)),
+         |fpair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 CAST(count(*) AS BIGINT) AS shared
+         |          FROM fpost a JOIN fpost b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.doc_a, p.doc_b, p.shared,
+         |       CAST(p.shared AS DOUBLE) / CAST(least(ca.fp_cnt, cb.fp_cnt) AS DOUBLE) AS containment
+         |FROM fpair p JOIN fcnt ca ON p.doc_a = ca.doc_id
+         |             JOIN fcnt cb ON p.doc_b = cb.doc_id""".stripMargin,
 
     // BPE TRAINING twin: Text.bpeTrainMerges replayed as 6 chained CTE
     // rounds. w0 = word types as U+001F-WRAPPED symbol strings; each

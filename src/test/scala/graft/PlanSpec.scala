@@ -57,6 +57,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnow fingerprint pairing is a hash equi-join — never a cross product") {
+    Seq(
+      graft.ext.Text.winnowFingerprints(tables.documents, 3, 4),
+      graft.ext.Text.fingerprintNearDups(tables.documents, 3, 4)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    }
+  }
+
   test("duplicate-span queries join on keys only — never a cross product") {
     Seq(
       graft.ext.Text.duplicateSpans(tables.documents, 3, 2L),

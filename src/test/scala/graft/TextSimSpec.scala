@@ -186,4 +186,99 @@ class TextSimSpec extends SparkSpec {
     val viol = graft.dq.Checks.relationshipViolations(child, parent, "k")
     assert(viol.select(col("k")).as[Long].collect().toSeq == Seq(99L))
   }
+
+  /** Driver-side reference winnow over one doc's positional shingle
+    * hashes: per w-window minimum with rightmost tie-break, whole-doc
+    * window when there are fewer than w shingles. 1-based positions. */
+  private def refWinnow(sh: Seq[Long], w: Int): Set[(Int, Long)] =
+    if (sh.isEmpty) Set.empty
+    else if (sh.length < w)
+      Set(sh.zipWithIndex.minBy { case (h, i) => (h, -i) } match {
+        case (h, i) => (i + 1, h)
+      })
+    else (w to sh.length).map { p =>
+      val (h, i) = ((p - w) until p).map(i => (sh(i), i))
+        .minBy { case (h, i) => (h, -i) }
+      (i + 1, h)
+    }.toSet
+
+  private def posHashes(docs: org.apache.spark.sql.DataFrame, n: Int): Map[Long, Seq[Long]] =
+    graft.ext.MinHash.tokenHashFrame(docs)
+      .select(col("doc_id"),
+        graft.ext.MinHash.shingleHashesFromTokens(col("th"), n).as("sharr"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+  test("winnowFingerprints matches the reference per-window argmin on every doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "a a a a a a a a"),             // all-equal hashes: rightmost ties
+      (3L, "one two three four five"),     // 3 shingles < w=4: one global min
+      (4L, "x y"),                         // no shingles at all
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val got = Text.winnowFingerprints(docs, n = 3, w = 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) =>
+        d -> rs.map(r => (r.getAs[Int]("pos"), r.getAs[Long]("sh"))).toSet
+      }
+    val hashes = posHashes(docs, 3)
+    for (d <- Seq(1L, 2L, 3L, 5L))
+      assert(got.getOrElse(d, Set.empty) == refWinnow(hashes(d), 4),
+        s"doc $d selection mismatch")
+    assert(!got.contains(4L)) // shingle-less doc yields no fingerprints
+  }
+
+  test("winnowing guarantee: every full window contains a selected position") {
+    val docs = Seq((1L,
+      "m n b v c x z l k j h g f d s a p o i u y t r e w q m1 n1 b1 v1 c1 x1"))
+      .toDF("doc_id", "text")
+    val sel = Text.winnowFingerprints(docs, n = 3, w = 4).collect()
+      .map(_.getAs[Int]("pos")).toSet
+    val nsh = posHashes(docs, 3)(1L).length
+    assert(nsh >= 8)
+    for (p <- 4 to nsh)
+      assert((p - 3 to p).exists(sel), s"window ending at $p uncovered")
+    // density: far fewer fingerprints than shingles (expected 2/(w+1))
+    assert(sel.size < nsh)
+  }
+
+  test("winnow rightmost tie-break: identical hashes select each window's last slot") {
+    val docs = Seq((2L, "a a a a a a a a")).toDF("doc_id", "text") // 6 equal shingles
+    val got = Text.winnowFingerprints(docs, n = 3, w = 4).collect()
+      .map(r => r.getAs[Int]("pos"))
+    // windows end at pos 4,5,6; each selects its rightmost (= ending) slot
+    assert(got.sorted.toSeq == Seq(4, 5, 6))
+  }
+
+  test("ivfSqTopK: identical vectors are mutual top-1 despite byte quantization") {
+    // d1 spans [-1,1]; d2 spans [0,1]; d3/d4 constant (code 0, recon at min)
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Sim.ivfSqTopK(e, coarseK = 2, nProbe = 2, k = 1).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"))).toSeq
+    val m = top.map(t => t._1 -> t).toMap
+    // SQ8 distortion is ~1/255 per dim: the identical pair stays on top
+    assert(m(1L)._2 == 2L && m(1L)._3 > 0.99, s"got ${m.get(1L)}")
+    assert(m(2L)._2 == 1L && m(2L)._3 > 0.99, s"got ${m.get(2L)}")
+    // approximate cosine of an identical pair cannot exceed 1 by more
+    // than reconstruction error
+    assert(top.forall(_._3 <= 1.01))
+  }
+
+  test("fingerprintNearDups pairs exact dups with containment 1.0, skips disjoint docs") {
+    val docs = Seq(
+      (1L, "p q r s t u v w x y z aa bb cc"),
+      (2L, "p q r s t u v w x y z aa bb cc"), // exact dup of 1
+      (3L, "completely unrelated tokens in this document body here now")
+    ).toDF("doc_id", "text")
+    val pairs = Text.fingerprintNearDups(docs, n = 3, w = 4).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Long]("shared") >= 2L)
+    assert(p.getAs[Double]("containment") == 1.0)
+  }
 }

@@ -244,8 +244,8 @@ object ExtRegistry {
     "dup_spans_stream" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val merged = graft.ext.Text.mergeShingleCounts(
-        graft.ext.Text.shingleCountAdd(docs.filter(col("doc_id") % 2 === 0), n = 3),
-        graft.ext.Text.shingleCountAdd(docs.filter(col("doc_id") % 2 =!= 0), n = 3))
+        graft.ext.Text.shingleCountAdd(docs.filter(col("doc_id") % 2 <=> 0), n = 3),
+        graft.ext.Text.shingleCountAdd(docs.filter(!(col("doc_id") % 2 <=> 0)), n = 3))
       graft.ext.Text.duplicateSpansFromCounts(docs, merged, n = 3,
         minOccurrences = 2L)
     }),
@@ -598,8 +598,8 @@ object ExtRegistry {
       graft.ext.Cluster.sampledGridScale(emb, KmSampleMod) match {
         case Some(scale) =>
           graft.ext.Cluster.mergeOccupancy(
-            graft.ext.Cluster.indexAdd(emb.filter(col("vec_id") % 2 === 0), cen, scale),
-            graft.ext.Cluster.indexAdd(emb.filter(col("vec_id") % 2 =!= 0), cen, scale))
+            graft.ext.Cluster.indexAdd(emb.filter(col("vec_id") % 2 <=> 0), cen, scale),
+            graft.ext.Cluster.indexAdd(emb.filter(!(col("vec_id") % 2 <=> 0)), cen, scale))
         case None => cen // empty/all-zero corpus: both sides degrade empty
       }
     }),

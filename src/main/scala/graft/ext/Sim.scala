@@ -822,6 +822,85 @@ object Sim {
       .select(col("vec_id"), col("neighbor_id"), col("cosine")), k)
   }
 
+  /** IVF-BQ search — binary (1-bit sign) quantization with a symmetric
+    * Hamming pre-filter and an exact refine, the extreme-compression
+    * endpoint of the quantizer family (float 32 → SQ8 8 → PQ ~1 →
+    * BQ exactly 1 bit/dim): each dimension contributes its SIGN
+    * (`bit = x_i > 0`), packed into ⌈d/32⌉ 32-bit words, and candidate
+    * ranking is the symmetric Hamming distance
+    * `Σ_j popcount(words_a[j] XOR words_b[j])` — both sides binarized,
+    * the cheapest possible compare (one XOR+POPCNT per 32 dims, no
+    * floats, no table lookups). Because 1-bit distortion is too coarse
+    * to rank a final top-k, the Hamming ranking only SELECTS the
+    * `refineR` nearest codes per query (pooled across its probed cells,
+    * ties to the lower neighbor id) and the exact full-precision cosine
+    * re-ranks those survivors — the mandatory-refine deployment shape
+    * (binary codes prune, floats decide) every production BQ system
+    * uses. Routing is the same trained coarse quantizer as
+    * [[ivfTopKTrained]]/[[ivfSqTopK]]/[[ivfPqTopK]].
+    *
+    * Everything the ranking touches is exact integer arithmetic (sign
+    * test, XOR, popcount, id tie-break), so unlike the ADC families the
+    * candidate ORDER itself is engine-independent by construction; the
+    * refine stage is [[ivfPqRefinedTopK]]'s exactRescore verbatim.
+    *
+    * Scale shape: the indexed side ships ⌈d/32⌉ longs + a cell id per
+    * vector — 8 bytes per 64 dims, 32× under the float payload and 4×
+    * under SQ8 — and the refine fetches full vectors for ≤ refineR
+    * survivors per query only (the [[ivfPqRefinedTopK]] traffic
+    * contract). Zero training state beyond the coarse centroids: sign
+    * codes need no corpus statistics at all, so codes stay valid under
+    * any ingest that preserves signs. */
+  def ivfBqTopK(embeddings: DataFrame, coarseK: Int = 8, nProbe: Int = 2,
+      k: Int = 5, refineR: Int = 25): DataFrame = {
+    import graft.ext.Cluster
+    import org.apache.spark.sql.graft.KMeansCells
+    require(refineR >= k, s"refineR must be >= k ($k), got $refineR")
+    val gridOpt = Cluster.grid(embeddings)
+    val coarse =
+      if (gridOpt.isEmpty) Nil
+      else Cluster.centroidState(Cluster.kmeansCentroids(embeddings, coarseK, 2))
+    if (gridOpt.isEmpty || coarse.isEmpty) return emptyNeighbors(embeddings)
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val np = math.min(nProbe, coarse.size)
+    val (scale, d) = gridOpt.get
+    val nw = (d + 31) / 32
+    // sign-bit packing: 32 dims per word (32, not 64 — DuckDB's BIGINT
+    // `<<` refuses bit 63, and 32-bit words keep every literal and OR
+    // fold trivially exact in both engines)
+    val words = (0 until nw).map { j =>
+      val lo = 32 * j + 1
+      val hi = math.min(d, 32 * j + 32)
+      (lo to hi).map(i =>
+          when(el(col("embedding"), i) > 0, lit(1L << (i - lo))).otherwise(lit(0L)))
+        .reduceLeft((a, b) => a.bitwiseOR(b)).as(s"w$j")
+    }
+    val qc = Cluster.qCol(scale)
+    val base = spread(embeddings, col("vec_id")).select(
+        Seq(col("vec_id"),
+          dot(col("embedding"), col("embedding")).as("nsq"),
+          KMeansCells.probe(qc, Cluster.exprState(coarse), np).as("cells")) ++ words: _*)
+      .filter(col("nsq") > 0) // zero vectors neither query nor index (no cosine)
+      .localCheckpoint(false) // feeds both sides of the Hamming join
+    val probes = base.select(
+      Seq(col("vec_id"), explode(col("cells")).as("cell")) ++
+        (0 until nw).map(j => col(s"w$j").as(s"a$j")): _*)
+    val indexed = base.select(
+      Seq(col("vec_id").as("neighbor_id"), element_at(col("cells"), 1).as("cell")) ++
+        (0 until nw).map(j => col(s"w$j").as(s"b$j")): _*)
+    val ham = (0 until nw)
+      .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ham"), col("neighbor_id"))
+    val cand = probes.join(indexed, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("ham", ham)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= refineR)
+      .select(col("vec_id"), col("neighbor_id"))
+    exactRescoreTopK(embeddings, cand, k)
+  }
+
   /** IVF-PQ search with RESIDUAL encoding — FAISS IVFPQ proper: the
     * codebook quantizes `x − centroid(cell(x))` instead of the raw
     * vector ([[graft.ext.Cluster.residualPqState]]), so the same m·log₂k

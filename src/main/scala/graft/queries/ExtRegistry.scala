@@ -525,6 +525,15 @@ object ExtRegistry {
       graft.ext.Sim.ivfSqTopK(embeddingsDimChecked(s, dir),
         coarseK = KmK, nProbe = 2, k = 5)),
 
+    // IVF-BQ: binary sign codes (1 bit/dim, packed into 32-bit words)
+    // rank candidates by symmetric Hamming distance, the exact cosine
+    // re-ranks the top-25 survivors — the extreme-compression +
+    // mandatory-refine point of the family (recall driver-checked via
+    // ann_recall_ivfbq)
+    "knn_cosine_ivfbq" -> ((s, dir) =>
+      graft.ext.Sim.ivfBqTopK(embeddingsDimChecked(s, dir),
+        coarseK = KmK, nProbe = 2, k = 5, refineR = PqRefineR)),
+
     // IVF-PQ + IndexRefine: the ADC ranking keeps its top-25 candidates
     // per query vector (pooled across its probed cells — the window
     // partitions by vec_id alone) and ONLY those re-score with the exact
@@ -1826,6 +1835,61 @@ object ExtRegistry {
        |WHERE rank <= $kNeighbors""".stripMargin
   }
 
+  /** IVF-BQ twin — Sim.ivfBqTopK replayed: the trained coarse routing
+    * is [[kmCtes]]' chain verbatim, sign codes pack `embedding[i] > 0`
+    * into ⌈d/32⌉ 32-bit words as a CASE-`|` fold (32-bit words because
+    * DuckDB's BIGINT `<<` refuses bit 63), candidates rank by the
+    * symmetric Hamming sum `Σ bit_count(xor(...))` with the neighbor-id
+    * tie-break — ALL exact integers, so the candidate order is
+    * engine-independent by construction — and the top-`refineR`
+    * survivors re-score with the exact full-precision cosine (the
+    * ivfpq_refined twin's refine block verbatim). */
+  private def ivfBqOracle(coarseK: Int, nProbe: Int, kNeighbors: Int,
+      refineR: Int): String = {
+    val d = EmbDim
+    val nw = (d + 31) / 32
+    def wordExpr(tbl: String, j: Int): String = {
+      val lo = 32 * j + 1
+      val hi = math.min(d, 32 * j + 32)
+      (lo to hi).map(i =>
+        s"(CASE WHEN CAST($tbl.embedding[$i] AS DOUBLE) > 0 " +
+          s"THEN CAST(${1L << (i - lo)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" | ")
+    }
+    val probeWords = (0 until nw).map(j => s"(${wordExpr("r", j)}) AS w$j").mkString(", ")
+    val hamExpr = (0 until nw).map(j => s"bit_count(xor(p.w$j, y.w$j))").mkString(" + ")
+    val exactCos = s"(${kmEmbDot("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq))"
+    s"""WITH ${kmCtes(coarseK)},
+       |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+       |e0 AS (
+       |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
+       |  FROM embeddings m JOIN q v USING (vec_id)),
+       |ranked AS MATERIALIZED (
+       |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+       |  FROM e0 v CROSS JOIN g2 c),
+       |coded AS MATERIALIZED (
+       |  SELECT r.vec_id, r.cell, r.rk, $probeWords
+       |  FROM ranked r WHERE r.rk <= $nProbe AND r.nsq > 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT p.vec_id, y.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ($hamExpr), y.vec_id) AS crk
+       |    FROM coded p JOIN coded y
+       |      ON p.cell = y.cell AND y.rk = 1 AND p.vec_id <> y.vec_id) t
+       |  WHERE crk <= $refineR),
+       |e1 AS (SELECT vec_id, embedding, nsq FROM e0 WHERE nsq > 0)
+       |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT c.vec_id, c.neighbor_id, $exactCos AS cosine,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY $exactCos DESC, c.neighbor_id) AS rank
+       |  FROM cand c JOIN e1 a ON a.vec_id = c.vec_id
+       |              JOIN e1 b ON b.vec_id = c.neighbor_id) t
+       |WHERE rank <= $kNeighbors""".stripMargin
+  }
+
   /** IVF nProbe tuning-curve twin: trained routing replayed once at the
     * max probe width WITH the probe rank kept, each operating point a
     * `pr <= np` prefix re-ranked and scored against the brute truth —
@@ -2252,6 +2316,7 @@ object ExtRegistry {
     "knn_cosine_ivfpq" -> ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5),
 
     "knn_cosine_ivfsq" -> ivfSqOracle(KmK, 2, 5),
+    "knn_cosine_ivfbq" -> ivfBqOracle(KmK, 2, 5, PqRefineR),
     "knn_cosine_ivfpq_refined" ->
       ivfPqOracle(PqSearchM, PqSearchKSub, KmK, 2, 5, refineR = PqRefineR),
     "knn_cosine_ivfpq_opq" ->

@@ -721,7 +721,7 @@ object Registry {
     "ivf" -> "knn_cosine_ivf", "ivf_trained" -> "knn_cosine_ivf_trained",
     "ivf_sampled" -> "knn_cosine_ivf_sampled",
     "ivfpq" -> "knn_cosine_ivfpq", "ivfpq_res" -> "knn_cosine_ivfpq_res",
-    "ivfsq" -> "knn_cosine_ivfsq",
+    "ivfsq" -> "knn_cosine_ivfsq", "ivfbq" -> "knn_cosine_ivfbq",
     "ivfpq_refined" -> "knn_cosine_ivfpq_refined",
     "ivfpq_opq" -> "knn_cosine_ivfpq_opq",
     "jl" -> "knn_cosine_jl",

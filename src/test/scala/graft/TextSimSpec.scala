@@ -268,6 +268,41 @@ class TextSimSpec extends SparkSpec {
     assert(top.forall(_._3 <= 1.01))
   }
 
+  test("ivfBqTopK: identical vectors are mutual top-1 at full-precision cosine") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.5f, -0.25f, 0.0f)), (2L, Seq(1.0f, 0.5f, -0.25f, 0.0f)),
+      (3L, Seq(-1.0f, 2.0f, 0.75f, -0.5f)), (4L, Seq(0.25f, -0.5f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val m = Sim.ivfBqTopK(e, coarseK = 2, nProbe = 2, k = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    // the refine stage scores with exact floats: the identical pair's
+    // cosine is 1.0 up to the sqrt roundtrip, never BQ distortion
+    assert(m(1L)._1 == 2L && m(1L)._2 > 0.999999, s"got ${m.get(1L)}")
+    assert(m(2L)._1 == 1L && m(2L)._2 > 0.999999, s"got ${m.get(2L)}")
+  }
+
+  test("ivfBqTopK: the Hamming stage gates candidates before the exact rerank") {
+    // query a: b is 1 sign-flip away but nearly anti-parallel in floats;
+    // c is 2 sign-flips away but the better float neighbor. refineR=1
+    // admits only the Hamming winner (b) — proving the 1-bit pre-filter,
+    // not the exact cosine, selects the candidate set.
+    val e = Seq(
+      (1L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Seq(0.1f, 0.1f, 0.1f, -2.9f)),   // signs +++-: ham 1, cosine < 0
+      (3L, Seq(-0.01f, -0.01f, 1.4f, 1.4f)) // signs --++: ham 2, cosine ~0.7
+    ).toDF("vec_id", "embedding")
+    val top = Sim.ivfBqTopK(e, coarseK = 2, nProbe = 2, k = 1, refineR = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(top(1L)._1 == 2L, s"Hamming gate bypassed: ${top.get(1L)}")
+    assert(top(1L)._2 < 0.0) // the reported score is still the exact cosine
+    // with a wide refine the exact rerank recovers the float-best pick
+    val wide = Sim.ivfBqTopK(e, coarseK = 2, nProbe = 2, k = 1, refineR = 25)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(wide(1L) == 3L)
+  }
+
   test("fingerprintNearDups pairs exact dups with containment 1.0, skips disjoint docs") {
     val docs = Seq(
       (1L, "p q r s t u v w x y z aa bb cc"),

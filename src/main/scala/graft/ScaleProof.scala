@@ -265,6 +265,18 @@ object ScaleProof {
         val k = math.max(8, (8.0 * math.sqrt(f.toDouble)).toInt)
         graft.ext.Sim.ivfSqTopK(emb, coarseK = k, nProbe = 2, k = 5)
       }),
+    // IVF-BQ at the same corpus-scaled coarseK regime: the candidate
+    // compare ships ⌈d/32⌉ longs/vector (32× under floats) through the
+    // cell join, the Hamming window is integer-only, and the refine
+    // stage moves full vectors for ≤ refineR survivors per query — the
+    // gate proves the probe+refine shape and heap stay flat while the
+    // corpus grows 100×
+    ("embeddings->ivfBqTopK", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) => {
+        val emb = synthEmbeddings(s, 500L * f)
+        val k = math.max(8, (8.0 * math.sqrt(f.toDouble)).toInt)
+        graft.ext.Sim.ivfBqTopK(emb, coarseK = k, nProbe = 2, k = 5, refineR = 25)
+      }),
     // SemDeDup at the bench's own parameters (k=8, maxCluster=1024) —
     // the slowest bench query gets its own ladder. autoBroadcast pinned
     // OFF like the ANN pipeline: the label/self joins sit at the size

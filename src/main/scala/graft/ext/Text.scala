@@ -1090,4 +1090,106 @@ object Text {
         (col("shared").cast(DoubleType) /
           least(col("cnt_a"), col("cnt_b")).cast(DoubleType)).as("containment"))
   }
+
+  /** Modulus of the per-chunk content fingerprint fold — the largest
+    * prime below 2³¹, so `acc·P + sh < 2³¹·2²⁰ + 2²⁰ ≪ 2⁶³` keeps every
+    * fold step exact BIGINT in both engines. */
+  private val ChunkHashMod = 2147483629L
+
+  /** Content-defined chunking (the Rabin/rsync/FastCDC idea on a token
+    * stream; cf. the reference's whole-row exact dedup — it has no
+    * sub-document chunking; this is the LLM-pipeline extension): split
+    * each document's n-gram shingle stream at DATA-DEPENDENT
+    * boundaries — a shingle position `p` ends a chunk iff its hash
+    * satisfies `sh(p) mod divisor = 0` — so an insertion or deletion
+    * reshapes only the chunks it touches, never the rest of the
+    * document (byte-offset chunking would shift every later chunk,
+    * defeating dedup across document versions). The shingle hash IS
+    * the rolling window hash: the boundary decision at `p` depends on
+    * the n tokens ending there, exactly Rabin CDC's window condition.
+    * Expected chunk length = `divisor` shingles.
+    *
+    * Each chunk carries a content fingerprint: the left fold
+    * `acc → (acc·1000003 + sh) mod 2147483629` over its shingle hashes
+    * in position order — exact integer arithmetic, engine-independent,
+    * and order-sensitive (a permuted chunk is a different chunk).
+    *
+    * Output: `(doc_id, chunk_id, start_pos, end_pos, n_shingles,
+    * chunk_hash)` — chunk_id is 0-based within the document, positions
+    * are 1-based shingle positions. Documents with < n tokens have no
+    * shingles and no chunks.
+    *
+    * Scale: one doc-keyed window pass (the running boundary count —
+    * the same exchange [[duplicateSpans]]' island grouping pays) and
+    * one (doc_id, chunk_id) aggregation; the per-group fold is bounded
+    * by the chunk length. No driver state, no joins. */
+  def cdcChunks(documents: DataFrame, n: Int = 3, divisor: Long = 32L): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(divisor >= 1, s"divisor must be positive, got $divisor")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    posShingles(documents, n)
+      // chunk_id = number of boundaries STRICTLY BEFORE this position
+      // (a boundary ends its own chunk); empty frame on row 1 → 0
+      .withColumn("chunk_id",
+        coalesce(sum((col("sh") % divisor === 0).cast(LongType)).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        min(col("pos")).as("start_pos"),
+        max(col("pos")).as("end_pos"),
+        count(lit(1)).as("n_shingles"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("sh")))),
+            x => x.getField("sh")),
+          lit(0L),
+          (acc, x) => (acc * lit(MinHash.P) + x) % lit(ChunkHashMod)).as("chunk_hash"))
+  }
+
+  /** Duplicated-chunk report over [[cdcChunks]]: chunk contents (keyed
+    * by `(chunk_hash, n_shingles)` — the length key squeezes residual
+    * fold collisions) occurring ≥ 2 times anywhere in the corpus, with
+    * their global keep-first occurrence (lexicographic min
+    * `(doc_id, start_pos)` — [[duplicateSpans]]' keep-first rule at
+    * chunk granularity). This is the storage/near-version dedup
+    * primitive: identical chunks across document revisions surface
+    * here without any pair join.
+    *
+    * Output: `(chunk_hash, n_shingles, occurrences, n_docs, first_doc,
+    * first_pos)`.
+    *
+    * Scale: [[cdcChunks]] + one hash-keyed aggregation — never a pair
+    * space; skew-immune (a boilerplate chunk repeated millions of
+    * times is one group with counters, not a join fan-out). */
+  def cdcDupChunks(documents: DataFrame, n: Int = 3, divisor: Long = 32L): DataFrame =
+    cdcChunks(documents, n, divisor)
+      .groupBy(col("chunk_hash"), col("n_shingles"))
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("start_pos"))).as("f"))
+      .filter(col("occurrences") >= 2)
+      .select(col("chunk_hash"), col("n_shingles"), col("occurrences"),
+        col("n_docs"), col("f.doc_id").as("first_doc"),
+        col("f.start_pos").as("first_pos"))
+
+  /** Corpus-level CDC dedup economics in one row: how many chunks the
+    * corpus splits into, how many are distinct, and how many shingles
+    * a chunk-store that keeps one copy per distinct chunk would drop —
+    * the number a storage-dedup or incremental-crawl design reads
+    * before choosing `divisor`.
+    *
+    * Output: `(total_chunks, unique_chunks, dup_chunks,
+    * removable_shingles)` — removable = Σ (occurrences − 1) ·
+    * n_shingles over distinct chunk contents. */
+  def cdcDedupStats(documents: DataFrame, n: Int = 3, divisor: Long = 32L): DataFrame =
+    cdcChunks(documents, n, divisor)
+      .groupBy(col("chunk_hash"), col("n_shingles"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum(col("c")), lit(0L)).as("total_chunks"),
+        count(lit(1)).as("unique_chunks"),
+        coalesce(sum((col("c") > 1).cast(LongType)), lit(0L)).as("dup_chunks"),
+        coalesce(sum((col("c") - 1) * col("n_shingles")), lit(0L))
+          .as("removable_shingles"))
 }

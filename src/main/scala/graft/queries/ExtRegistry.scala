@@ -292,6 +292,25 @@ object ExtRegistry {
     "near_dup_winnow" -> ((s, dir) =>
       graft.ext.Text.fingerprintNearDups(Tables(s, dir).documents, n = 3, w = 4)),
 
+    // content-defined chunking (Rabin/FastCDC on the token stream):
+    // chunk boundaries where the 3-gram rolling hash ≡ 0 mod 32, each
+    // chunk fingerprinted by an exact integer fold — the dedup-storage
+    // primitive whose boundaries survive insertions/deletions
+    "cdc_chunks" -> ((s, dir) =>
+      graft.ext.Text.cdcChunks(Tables(s, dir).documents, n = 3, divisor = 32L)),
+
+    // duplicated-chunk report: chunk contents occurring >= 2 times with
+    // their global keep-first occurrence — version/boilerplate dedup
+    // without a pair join (one hash-keyed aggregation)
+    "cdc_dup_chunks" -> ((s, dir) =>
+      graft.ext.Text.cdcDupChunks(Tables(s, dir).documents, n = 3, divisor = 32L)),
+
+    // corpus-level CDC economics: total/unique/dup chunks + removable
+    // shingles — the one-row answer to "what does chunk-store dedup buy
+    // at this divisor"
+    "cdc_dedup_stats" -> ((s, dir) =>
+      graft.ext.Text.cdcDedupStats(Tables(s, dir).documents, n = 3, divisor = 32L)),
+
     // the BPE loop executed: 6 greedy merge rounds over word types —
     // the merge table a tokenizer ships (bpe_pair_counts is round 1's
     // candidate list; each later round counts over MERGED symbols under
@@ -1055,6 +1074,31 @@ object ExtRegistry {
        |         CAST(4294967295 - (selkey % 4294967296) AS INTEGER) AS pos,
        |         CAST(selkey // 4294967296 AS BIGINT) AS sh
        |  FROM (SELECT DISTINCT doc_id, selkey FROM ws WHERE pos >= 4 OR nsh < 4))""".stripMargin
+
+  /** Content-defined-chunking CTEs ending in `ck(doc_id, chunk_id,
+    * start_pos, end_pos, n_shingles, chunk_hash)` —
+    * Text.cdcChunks(n=3, divisor=32) replayed: chunk_id counts
+    * boundary shingles (`sh % 32 = 0`) STRICTLY BEFORE each position
+    * (empty leading frame coalesces to 0), and the chunk fingerprint
+    * is the position-ordered left fold `(acc·1000003 + sh) %
+    * 2147483629` — `list_reduce(list_prepend(0, ...))` is DuckDB's
+    * spelling of Spark's `aggregate(…, 0, fold)`, exact BIGINT at
+    * every step. */
+  private def cdcCtes: String =
+    s"""$posShingleCtes,
+       |ckb AS (SELECT doc_id, pos, sh,
+       |               coalesce(sum(CASE WHEN sh % 32 = 0 THEN 1 ELSE 0 END)
+       |                 OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |        FROM ps),
+       |ck AS MATERIALIZED (
+       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |         CAST(min(pos) AS INTEGER) AS start_pos,
+       |         CAST(max(pos) AS INTEGER) AS end_pos,
+       |         CAST(count(*) AS BIGINT) AS n_shingles,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(CAST(sh AS BIGINT) ORDER BY pos)),
+       |                     (a, b) -> (a * 1000003 + b) % 2147483629) AS chunk_hash
+       |  FROM ckb GROUP BY doc_id, chunk_id)""".stripMargin
 
   /** The single-pass duplicate-span twin — shared verbatim by
     * `dup_spans` and `dup_spans_stream` (the incremental two-delta
@@ -2512,6 +2556,43 @@ object ExtRegistry {
          |       CAST(p.shared AS DOUBLE) / CAST(least(ca.fp_cnt, cb.fp_cnt) AS DOUBLE) AS containment
          |FROM fpair p JOIN fcnt ca ON p.doc_a = ca.doc_id
          |             JOIN fcnt cb ON p.doc_b = cb.doc_id""".stripMargin,
+
+    // CDC chunking twin: the shared chunk CTEs emit the rows directly
+    "cdc_chunks" ->
+      s"""WITH $cdcCtes
+         |SELECT doc_id, chunk_id, start_pos, end_pos, n_shingles, chunk_hash
+         |FROM ck""".stripMargin,
+
+    // duplicated-chunk twin: per-(content, doc) rollup first, then the
+    // content-level aggregate — first_pos rejoins the keep-first doc's
+    // own min start (the lexicographic (doc_id, start_pos) min the
+    // Spark side computes as min(struct))
+    "cdc_dup_chunks" ->
+      s"""WITH $cdcCtes,
+         |per AS MATERIALIZED (
+         |  SELECT chunk_hash, n_shingles, doc_id,
+         |         min(start_pos) AS mpos, count(*) AS c
+         |  FROM ck GROUP BY 1, 2, 3),
+         |agg AS (SELECT chunk_hash, n_shingles,
+         |               CAST(sum(c) AS BIGINT) AS occurrences,
+         |               CAST(count(*) AS BIGINT) AS n_docs,
+         |               min(doc_id) AS first_doc
+         |        FROM per GROUP BY 1, 2 HAVING sum(c) >= 2)
+         |SELECT a.chunk_hash, a.n_shingles, a.occurrences, a.n_docs,
+         |       a.first_doc, p.mpos AS first_pos
+         |FROM agg a JOIN per p
+         |  ON p.chunk_hash = a.chunk_hash AND p.n_shingles = a.n_shingles
+         | AND p.doc_id = a.first_doc""".stripMargin,
+
+    // CDC economics twin: one aggregate over the per-content counts
+    "cdc_dedup_stats" ->
+      s"""WITH $cdcCtes,
+         |g AS (SELECT chunk_hash, n_shingles, count(*) AS c FROM ck GROUP BY 1, 2)
+         |SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total_chunks,
+         |       CAST(count(*) AS BIGINT) AS unique_chunks,
+         |       CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_chunks,
+         |       CAST(coalesce(sum((c - 1) * n_shingles), 0) AS BIGINT) AS removable_shingles
+         |FROM g""".stripMargin,
 
     // BPE TRAINING twin: Text.bpeTrainMerges replayed as 6 chained CTE
     // rounds. w0 = word types as U+001F-WRAPPED symbol strings; each

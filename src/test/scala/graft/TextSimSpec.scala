@@ -303,6 +303,72 @@ class TextSimSpec extends SparkSpec {
     assert(wide(1L) == 3L)
   }
 
+  test("cdcChunks partitions every document's shingle stream exactly") {
+    val text = (1 to 80).map(i => s"tok${i * 7 % 23}x$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b"), (3L, "p q r s t u")).toDF("doc_id", "text")
+    val ch = Text.cdcChunks(docs, n = 3, divisor = 4L).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(!ch.contains(2L)) // < n tokens: no shingles, no chunks
+    for ((d, rows) <- ch) {
+      val nsh = posHashes(docs.filter(col("doc_id") === d), 3)(d).length
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.head.getAs[Int]("start_pos") == 1)
+      assert(sorted.last.getAs[Int]("end_pos") == nsh)
+      // contiguous, gap-free, 0-based chunk ids
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq == sorted.indices.map(_.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("start_pos") == a.getAs[Int]("end_pos") + 1)
+        case _ =>
+      }
+      assert(sorted.forall(r =>
+        r.getAs[Long]("n_shingles") ==
+          r.getAs[Int]("end_pos") - r.getAs[Int]("start_pos") + 1))
+    }
+    assert(ch(1L).length > 1, "expected the 80-token doc to split at divisor=4")
+  }
+
+  test("cdcChunks boundaries are content-defined: an edit only reshapes its own chunk") {
+    val toks = (1 to 90).map(i => s"w${i * 13 % 31}q$i")
+    val a = toks.mkString(" ")
+    val b = ("EDITED" +: toks.tail).mkString(" ") // replace token 1 only
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val ch = Text.cdcChunks(docs, n = 3, divisor = 4L).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.sortBy(_.getAs[Long]("chunk_id")).map(r =>
+        (r.getAs[Int]("start_pos"), r.getAs[Int]("end_pos"), r.getAs[Long]("chunk_hash"))) }
+    // token 1 lives only in the shingle at pos 1, so every chunk not
+    // containing pos 1 is bit-identical between the two versions —
+    // byte-offset chunking would instead shift every chunk
+    val (ca, cb) = (ch(1L), ch(2L))
+    assert(ca.length > 2)
+    assert(ca.tail.toSeq == cb.tail.toSeq, "chunks after the edited one must be identical")
+    assert(ca.head._3 != cb.head._3, "the edited chunk must re-fingerprint")
+  }
+
+  test("cdcDupChunks reports duplicated chunk contents with global keep-first") {
+    val text = (1 to 60).map(i => s"d${i * 11 % 29}z$i").mkString(" ")
+    val docs = Seq((5L, text), (9L, text), // exact dup pair
+      (7L, "entirely different content tokens here all unique ones"))
+      .toDF("doc_id", "text")
+    val perDoc = Text.cdcChunks(docs, n = 3, divisor = 4L).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val dups = Text.cdcDupChunks(docs, n = 3, divisor = 4L).collect()
+    // every chunk of the duplicated doc appears exactly twice; doc 7
+    // shares nothing
+    assert(dups.length == perDoc(5L).length)
+    assert(dups.forall(_.getAs[Long]("occurrences") == 2L))
+    assert(dups.forall(_.getAs[Long]("n_docs") == 2L))
+    assert(dups.forall(_.getAs[Long]("first_doc") == 5L)) // keep-first = lowest doc
+    val stats = Text.cdcDedupStats(docs, n = 3, divisor = 4L).collect().head
+    assert(stats.getAs[Long]("total_chunks") ==
+      perDoc.values.map(_.length.toLong).sum)
+    assert(stats.getAs[Long]("dup_chunks") == dups.length.toLong)
+    // removing second copies saves exactly one full copy of doc 5's shingles
+    assert(stats.getAs[Long]("removable_shingles") ==
+      perDoc(5L).map(_.getAs[Long]("n_shingles")).sum)
+  }
+
   test("fingerprintNearDups pairs exact dups with containment 1.0, skips disjoint docs") {
     val docs = Seq(
       (1L, "p q r s t u v w x y z aa bb cc"),

@@ -1096,6 +1096,39 @@ object Text {
     * fold step exact BIGINT in both engines. */
   private val ChunkHashMod = 2147483629L
 
+  /** Modulus of the SECOND shingle-hash family (phrase matching joins
+    * on both families — see [[phraseMatches]]). */
+  private[graft] val P2 = 999983L
+
+  /** 257^d mod P2 — the second family's composition weights. */
+  private[graft] def shingleWeight2(d: Int): Long =
+    (0 until d).foldLeft(1L)((a, _) => a * 257L % P2)
+
+  /** Positional n-gram hashes in BOTH families:
+    * `(doc_id, pos, sh, sh2)` — `sh` is [[MinHash.shingleHashesFromTokens]]'
+    * 131-weighted composition mod P, `sh2` the 257-weighted composition
+    * mod P2 over the same token hashes. Every term stays < P·P2 < 2⁴⁰,
+    * exact BIGINT in both engines. */
+  private def posShingles2(documents: DataFrame, n: Int): DataFrame = {
+    val sh2arr = {
+      val th = col("th")
+      when(size(th) < n, array().cast(ArrayType(LongType)))
+        .otherwise(transform(sequence(lit(1), size(th) - (n - 1)), i =>
+          (0 until n).map(d =>
+            element_at(th, i + d) % P2 * lit(shingleWeight2(d)) % P2)
+            .reduce(_ + _) % P2))
+    }
+    MinHash.tokenHashFrame(documents)
+      .select(col("doc_id"),
+        MinHash.shingleHashesFromTokens(col("th"), n).as("sharr"),
+        sh2arr.as("sharr2"))
+      .localCheckpoint(false)
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("sharr"), col("sharr2"))).as(Seq("pos0", "z")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(IntegerType).as("pos"),
+        col("z.sharr").as("sh"), col("z.sharr2").as("sh2"))
+  }
+
   /** Content-defined chunking (the Rabin/rsync/FastCDC idea on a token
     * stream; cf. the reference's whole-row exact dedup — it has no
     * sub-document chunking; this is the LLM-pipeline extension): split
@@ -1192,4 +1225,77 @@ object Text {
         coalesce(sum((col("c") > 1).cast(LongType)), lit(0L)).as("dup_chunks"),
         coalesce(sum((col("c") - 1) * col("n_shingles")), lit(0L))
           .as("removable_shingles"))
+
+  /** Token-boundary phrase matching against a config-sized phrase list
+    * (the C4/Gopher "badwords"-filter primitive; cf. the reference's
+    * `dbt/credit_mart/models/schema.yml` accepted-values tests — its
+    * only string matching is whole-value; this is the LLM-pipeline
+    * extension): every occurrence of every listed phrase as a
+    * contiguous token sequence in a document. Matching is by EQUALITY
+    * OF THE TOKEN-HASH SHINGLE in TWO independent hash families (the
+    * 131-weighted mod-1000003 family every shingle operator uses AND a
+    * 257-weighted mod-999983 family over the same token hashes), so a
+    * spurious match needs a simultaneous collision in both ≈ 10⁻¹² —
+    * substring `LIKE` scans would cost O(docs·|phrases|·len) and match
+    * across token boundaries; this is one hash-equijoin per distinct
+    * phrase LENGTH against a broadcast phrase table.
+    *
+    * Phrases must be non-empty and single-space-separated (the corpus
+    * tokenizer's convention); the phrase list is driver/broadcast
+    * state, bounded at 10 000 — the blocklist-file deployment contract.
+    * The phrase side is hashed by the SAME Spark pipeline as the
+    * corpus, so phrase hashing can never drift from corpus hashing.
+    *
+    * Output: `(doc_id, phrase_id, pos)` — phrase_id is the 0-based
+    * index into `phrases`, pos the 1-based token position of the
+    * match start.
+    *
+    * Scale: one token-hash pass per distinct phrase length (lengths
+    * are few by construction), each probed by a broadcast join —
+    * no shuffle of the corpus at all; match rows are the only output
+    * traffic. */
+  def phraseMatches(documents: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrase list must be non-empty")
+    require(phrases.size <= 10000,
+      s"phrase list is driver/broadcast state, bounded at 10000; got ${phrases.size}")
+    require(phrases.forall(_.matches("\\S+( \\S+)*")),
+      "phrases must be non-empty and single-space separated")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pdf = phrases.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("doc_id", "text")
+    // lengths via the corpus tokenizer itself (bounded collect)
+    val lens: Map[Long, Int] = MinHash.tokenHashFrame(pdf)
+      .select(col("doc_id"), size(col("th")).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lens.keySet.groupBy(lens).toSeq.sortBy(_._1).map { case (l, idSet) =>
+      val ids = idSet.toSeq.sorted
+      val ph = posShingles2(pdf.filter(col("doc_id").isInCollection(ids)), l)
+        .filter(col("pos") === 1) // a length-l phrase has exactly one l-gram
+        .select(col("doc_id").as("phrase_id"), col("sh"), col("sh2"))
+      posShingles2(documents, l)
+        .join(broadcast(ph), Seq("sh", "sh2"))
+        .select(col("doc_id"), col("phrase_id"), col("pos"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-document blocklist verdict over [[phraseMatches]]: every
+    * document with its match count, the number of distinct listed
+    * phrases it contains, and the 0/1 `blocked` flag (any match blocks
+    * — the C4 rule). Clean documents appear with zeros: the output is
+    * a total annotation of the corpus, directly usable as a semi/anti
+    * join side or a quality-score feature column.
+    *
+    * Scale: the match stream (sparse) aggregates on doc_id, then one
+    * left join back to the doc-id spine. */
+  def blocklistFilter(documents: DataFrame, phrases: Seq[String]): DataFrame = {
+    val m = phraseMatches(documents, phrases)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("m_cnt"), countDistinct(col("phrase_id")).as("p_cnt"))
+    documents.select(col("doc_id")).join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m_cnt"), lit(0L)).as("n_matches"),
+        coalesce(col("p_cnt"), lit(0L)).as("n_phrases"),
+        (coalesce(col("m_cnt"), lit(0L)) > 0).cast(IntegerType).as("blocked"))
+  }
 }

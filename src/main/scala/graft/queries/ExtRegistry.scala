@@ -311,6 +311,18 @@ object ExtRegistry {
     "cdc_dedup_stats" -> ((s, dir) =>
       graft.ext.Text.cdcDedupStats(Tables(s, dir).documents, n = 3, divisor = 32L)),
 
+    // token-boundary phrase matching (the C4 badwords primitive): every
+    // occurrence of every listed phrase, matched by double-family
+    // shingle-hash equality against a broadcast phrase table — one
+    // corpus pass per distinct phrase length, zero corpus shuffle
+    "phrase_matches" -> ((s, dir) =>
+      graft.ext.Text.phraseMatches(Tables(s, dir).documents, DemoBlocklist)),
+
+    // per-doc blocklist verdict: match counts + the any-match 0/1 flag
+    // over the full doc spine (clean docs appear with zeros)
+    "blocklist_filter" -> ((s, dir) =>
+      graft.ext.Text.blocklistFilter(Tables(s, dir).documents, DemoBlocklist)),
+
     // the BPE loop executed: 6 greedy merge rounds over word types —
     // the merge table a tokenizer ships (bpe_pair_counts is round 1's
     // candidate list; each later round counts over MERGED symbols under
@@ -1074,6 +1086,70 @@ object ExtRegistry {
        |         CAST(4294967295 - (selkey % 4294967296) AS INTEGER) AS pos,
        |         CAST(selkey // 4294967296 AS BIGINT) AS sh
        |  FROM (SELECT DISTINCT doc_id, selkey FROM ws WHERE pos >= 4 OR nsh < 4))""".stripMargin
+
+  /** The registered demo blocklist: phrases of two lengths that occur
+    * in the synthetic corpus, plus one that cannot. */
+  private val DemoBlocklist: Seq[String] =
+    Seq("table table", "scan scan slow", "big big", "flux capacitor")
+
+  /** Phrase-matching CTEs ending in `pm(doc_id, phrase_id, pos)` —
+    * Text.phraseMatches replayed: the phrase list as a VALUES table
+    * hashed by the tokenHashCte spelling, per-distinct-length corpus
+    * shingles in BOTH hash families (131-weighted mod P and
+    * 257-weighted mod 999983 — `%` and `*` are same-precedence
+    * left-associative in both engines, so the term spelling
+    * `th[i+d] % P2 * w % P2` replays Spark's operator order exactly),
+    * and one equi-join per length on the (sh, sh2) pair. */
+  private def phraseCtes(phrases: Seq[String]): String = {
+    val P2 = graft.ext.Text.P2
+    val lens = phrases.map(_.split(" ").length)
+    val distinctLens = lens.distinct.sorted
+    val values = phrases.zipWithIndex
+      .map { case (p, i) => s"(CAST($i AS BIGINT), '${p.replace("'", "''")}')" }
+      .mkString(", ")
+    def comp1(l: Int) = (0 until l)
+      .map(d => s"th[i + $d] * ${MinHash.shingleWeight(d)}").mkString(" + ")
+    def comp2(l: Int) = (0 until l)
+      .map(d => s"th[i + $d] % $P2 * ${graft.ext.Text.shingleWeight2(d)} % $P2")
+      .mkString(" + ")
+    def pComp1(l: Int) = (0 until l)
+      .map(d => s"th[${d + 1}] * ${MinHash.shingleWeight(d)}").mkString(" + ")
+    def pComp2(l: Int) = (0 until l)
+      .map(d => s"th[${d + 1}] % $P2 * ${graft.ext.Text.shingleWeight2(d)} % $P2")
+      .mkString(" + ")
+    val phSh1 = distinctLens
+      .map(l => s"WHEN $l THEN CAST((${pComp1(l)}) % $P AS BIGINT)").mkString(" ")
+    val phSh2 = distinctLens
+      .map(l => s"WHEN $l THEN CAST((${pComp2(l)}) % $P2 AS BIGINT)").mkString(" ")
+    val perLen = distinctLens.map { l =>
+      s"""cs$l AS MATERIALIZED (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(th) < $l THEN CAST([] AS STRUCT(pos INTEGER, sh BIGINT, sh2 BIGINT)[])
+         |         ELSE list_transform(generate_series(1, len(th) - ${l - 1}),
+         |                i -> {'pos': CAST(i AS INTEGER),
+         |                      'sh': CAST((${comp1(l)}) % $P AS BIGINT),
+         |                      'sh2': CAST((${comp2(l)}) % $P2 AS BIGINT)}) END) AS p
+         |  FROM toks),
+         |m$l AS (SELECT c.doc_id, f.phrase_id, c.p['pos'] AS pos
+         |        FROM cs$l c JOIN ph f
+         |          ON f.l = $l AND f.sh = c.p['sh'] AND f.sh2 = c.p['sh2'])""".stripMargin
+    }.mkString(",\n")
+    val union = distinctLens.map(l => s"SELECT doc_id, phrase_id, pos FROM m$l")
+      .mkString("\n  UNION ALL ")
+    s"""${tokenHashCte("toks")},
+       |plist(phrase_id, ptext) AS (VALUES $values),
+       |ptoks AS (
+       |  SELECT phrase_id,
+       |         list_transform(string_split(ptext, ' '), t -> ${MinHash.stringHashSql("t")}) AS th
+       |  FROM plist),
+       |ph AS (SELECT phrase_id, len(th) AS l,
+       |              CASE len(th) $phSh1 END AS sh,
+       |              CASE len(th) $phSh2 END AS sh2
+       |       FROM ptoks),
+       |$perLen,
+       |pm AS MATERIALIZED (
+       |  $union)""".stripMargin
+  }
 
   /** Content-defined-chunking CTEs ending in `ck(doc_id, chunk_id,
     * start_pos, end_pos, n_shingles, chunk_hash)` —
@@ -2583,6 +2659,23 @@ object ExtRegistry {
          |FROM agg a JOIN per p
          |  ON p.chunk_hash = a.chunk_hash AND p.n_shingles = a.n_shingles
          | AND p.doc_id = a.first_doc""".stripMargin,
+
+    // phrase-matching twin: the shared CTEs emit match rows directly
+    "phrase_matches" ->
+      s"""WITH ${phraseCtes(DemoBlocklist)}
+         |SELECT doc_id, phrase_id, pos FROM pm""".stripMargin,
+
+    // blocklist-verdict twin: match rollup left-joined to the doc spine
+    "blocklist_filter" ->
+      s"""WITH ${phraseCtes(DemoBlocklist)},
+         |ba AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |              CAST(count(DISTINCT phrase_id) AS BIGINT) AS n_phrases
+         |       FROM pm GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+         |       CAST(coalesce(a.n_phrases, 0) AS BIGINT) AS n_phrases,
+         |       CASE WHEN coalesce(a.n_matches, 0) > 0 THEN 1 ELSE 0 END AS blocked
+         |FROM documents d LEFT JOIN ba a USING (doc_id)""".stripMargin,
 
     // CDC economics twin: one aggregate over the per-content counts
     "cdc_dedup_stats" ->

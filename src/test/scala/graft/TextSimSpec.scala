@@ -369,6 +369,35 @@ class TextSimSpec extends SparkSpec {
       perDoc(5L).map(_.getAs[Long]("n_shingles")).sum)
   }
 
+  test("phraseMatches finds every token-boundary occurrence, mixed lengths, no substring hits") {
+    val docs = Seq(
+      (1L, "the bad word here and bad word again plus very bad phrase now"),
+      (2L, "badword is one token so bad word split differently"),
+      (3L, "clean text only nothing listed at all")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("bad word", "very bad phrase", "absent entirely")
+    val got = Text.phraseMatches(docs, phrases).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_id"), r.getAs[Int]("pos")))
+      .toSet
+    // doc 1: "bad word" at token 2 and 6; "very bad phrase" at 10
+    // doc 2: "bad word" at 6 — "badword" (one token) must NOT match
+    assert(got == Set((1L, 0L, 2), (1L, 0L, 6), (1L, 1L, 10), (2L, 0L, 6)))
+  }
+
+  test("blocklistFilter annotates the full doc spine with the any-match verdict") {
+    val docs = Seq(
+      (1L, "x bad word y bad word z"),
+      (2L, "all fine here"),
+      (3L, "very bad phrase and bad word together")
+    ).toDF("doc_id", "text")
+    val f = Text.blocklistFilter(docs, Seq("bad word", "very bad phrase")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("n_phrases"), r.getAs[Int]("blocked"))).toMap
+    assert(f(1L) == ((2L, 1L, 1)))
+    assert(f(2L) == ((0L, 0L, 0))) // clean doc present with zeros
+    assert(f(3L) == ((2L, 2L, 1)))
+  }
+
   test("fingerprintNearDups pairs exact dups with containment 1.0, skips disjoint docs") {
     val docs = Seq(
       (1L, "p q r s t u v w x y z aa bb cc"),

@@ -109,6 +109,15 @@ object ScaleProof {
         "u', id, 'a u', id, 'b u', id, 'c u', id, 'd " +
         "u', id, 'e u', id, 'f u', id, 'g u', id, 'h')").as("text"))
 
+  /** Docs with per-doc unique noise around two FIXED boilerplate
+    * phrases, so blocklist matches grow linearly with the corpus (every
+    * doc matches both listed phrases) while the phrase table stays
+    * constant driver state. */
+  private def synthPhraseDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"),
+      expr("concat('j', id, 'a alpha beta j', id, 'b gamma delta epsilon j', id, 'c')")
+        .as("text"))
+
   /** Deterministic synthetic DIRECTED graph with dangling tails for the
     * convergence+redistribution ladder: 5-vertex chains (i → i+1 within
     * each group of 5), so every 5th vertex has no out-edge and ~20% of
@@ -277,6 +286,25 @@ object ScaleProof {
         val k = math.max(8, (8.0 * math.sqrt(f.toDouble)).toInt)
         graft.ext.Sim.ivfBqTopK(emb, coarseK = k, nProbe = 2, k = 5, refineR = 25)
       }),
+    // CDC duplicate-chunk report: one doc-keyed window pass + two
+    // hash-keyed aggregations, no joins at all — the gate proves the
+    // chunk/dedup pipeline never grows a plan node or a pair space as
+    // the corpus (and its duplicated-chunk population) grows 100×.
+    // synthDupDocs' shared 12-token group prefixes guarantee genuinely
+    // duplicated chunks at every factor.
+    ("docs->cdcDupChunks", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.cdcDupChunks(synthDupDocs(s, 500L * f), n = 3, divisor = 4L)),
+    // blocklist filter: the phrase side is constant broadcast state, the
+    // corpus is never shuffled before the match joins (explicit
+    // broadcast), and the per-doc rollup + spine join are the only
+    // exchanges — matches grow linearly (2 per doc) while the plan and
+    // heap stay flat. autoBroadcast pinned OFF so the spine join keeps
+    // one shape across factors.
+    ("docs->blocklistFilter", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.blocklistFilter(synthPhraseDocs(s, 500L * f),
+          Seq("alpha beta", "gamma delta epsilon", "never present"))),
     // SemDeDup at the bench's own parameters (k=8, maxCluster=1024) —
     // the slowest bench query gets its own ladder. autoBroadcast pinned
     // OFF like the ANN pipeline: the label/self joins sit at the size

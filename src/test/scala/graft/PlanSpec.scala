@@ -68,6 +68,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("phrase matching broadcasts the phrase side and never shuffles a pair space") {
+    val phrases = Seq("table table", "scan scan slow")
+    Seq(
+      graft.ext.Text.phraseMatches(tables.documents, phrases),
+      graft.ext.Text.blocklistFilter(tables.documents, phrases)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"phrase probe expected as a broadcast hash join in:\n$plan")
+    }
+  }
+
+  test("CDC chunking stays join-free: window + aggregations only") {
+    Seq(
+      graft.ext.Text.cdcChunks(tables.documents, 3, 32L),
+      graft.ext.Text.cdcDupChunks(tables.documents, 3, 32L),
+      graft.ext.Text.cdcDedupStats(tables.documents, 3, 32L)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"unexpected join in CDC plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    }
+  }
+
   test("duplicate-span queries join on keys only — never a cross product") {
     Seq(
       graft.ext.Text.duplicateSpans(tables.documents, 3, 2L),

@@ -658,10 +658,10 @@ object Text {
       .unionByName(b.select(col("term"), col("freq")))
       .groupBy(col("term")).agg(sum(col("freq")).as("freq"))
 
-  /** Adjacent-symbol pair counts over a vocabulary frame, ordered
-    * (cnt DESC, l, r) — the per-round candidate list both trainers
-    * argmax/window over. */
-  private def bpePairFrame(vocab: DataFrame): DataFrame =
+  /** Adjacent-symbol pair counts over a vocabulary frame, UNORDERED —
+    * the shared aggregation both ranking policies (BPE's raw count,
+    * WordPiece's likelihood score) rank on top of. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
     vocab
       // wrapped encoding splits to empty strings between/around markers
       .select(col("freq"),
@@ -673,7 +673,21 @@ object Text {
               element_at(col("syms"), i + 1).as("r"))))).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("cnt"))
+
+  /** Adjacent-symbol pair counts over a vocabulary frame, ordered
+    * (cnt DESC, l, r) — the per-round candidate list both BPE trainers
+    * argmax/window over. */
+  private def bpePairFrame(vocab: DataFrame): DataFrame =
+    bpePairCounts(vocab)
       .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+
+  /** Per-SYMBOL occurrence totals over a vocabulary frame (freq-weighted,
+    * exact int64) — the denominator state of the WordPiece score. */
+  private def bpeSymCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"),
+        explode(filter(split(col("repr"), BpeSep), s => s =!= "")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("scnt"))
 
   /** One wrapped-symbol merge replace: `␟l␟␟r␟` → `␟lr␟`. */
   private def bpeApply(repr: Column, l: String, r: String): Column =
@@ -808,6 +822,85 @@ object Text {
     out.toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt")
       .select(col("merge_rank").cast(IntegerType), col("left_sym"),
         col("right_sym"), col("merged"), col("cnt"))
+  }
+
+  /** WordPiece-SCORED merge trainer (Schuster & Nakajima 2012; the
+    * BERT tokenizer's ranking — cf. the reference's generator at
+    * `airflows/generator/pg_oltp_synth.py`, which has no tokenizer;
+    * this is the LLM-pipeline extension): the second greedy-merge
+    * policy over the SAME wrapped-symbol vocabulary machinery as
+    * [[bpeTrainMerges]], ranking each adjacent pair by the likelihood
+    * gain `cnt(l,r) / (cnt(l) · cnt(r))` instead of the raw count —
+    * WordPiece prefers pairs whose parts rarely occur apart (high
+    * mutual information), where BPE prefers the most frequent pair
+    * outright. Ties break on (l, r) lexicographic, like BPE.
+    *
+    * Replayability: all three counts are exact freq-weighted int64
+    * aggregates; the score is ONE IEEE multiply + ONE divide of those
+    * ints (each < 2⁵³, so the int→double conversions are exact and
+    * both ops are correctly rounded) — bit-identical in any IEEE-754
+    * engine, so the oracle's ORDER BY sees the same order. Obeys the
+    * repo's no-pow/exp/ln rule: no log-likelihood, the RATIO itself is
+    * the ranking key (log is monotone — same argmax).
+    *
+    * Output: `(merge_rank, left_sym, right_sym, merged, cnt, score)` —
+    * a superset of the BPE merge-table schema, so the table feeds
+    * [[bpeEncodeWith]]/[[bpeTokenize]]/[[bpeVocabulary]] unchanged
+    * (train with either policy, ship the table, encode identically).
+    *
+    * Scale: one driver barrier per merge (the scored argmax collect —
+    * pair counts and the two symbol-count joins are ONE job), each
+    * over the Zipf-small vocabulary frame, never the corpus; the
+    * corpus-sized work is only [[bpeInitialVocab]]'s word count, so a
+    * maintained [[wordFreqAdd]] state serves this trainer exactly as
+    * it serves the BPE one. */
+  def wordpieceTrainMerges(documents: DataFrame, merges: Int): DataFrame =
+    wordpieceTrainMergesFrom(bpeInitialVocab(documents), documents.sparkSession,
+      merges)
+
+  /** [[wordpieceTrainMerges]] driven off an EXTERNAL word-frequency
+    * state `(term, freq)` — the [[wordFreqAdd]]/[[mergeWordFreqs]]
+    * ingest contract applied to the WordPiece policy: both trainer
+    * families share the one corpus-sized pass. */
+  def wordpieceTrainMergesFromCounts(wordFreqs: DataFrame,
+      merges: Int): DataFrame =
+    wordpieceTrainMergesFrom(bpeVocabFromFreqs(wordFreqs),
+      wordFreqs.sparkSession, merges)
+
+  private def wordpieceTrainMergesFrom(vocab0: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 32,
+      s"merges must be in [1, 32] (driver-loop bound), got $merges")
+    var cur = vocab0
+    val out = scala.collection.mutable.Buffer
+      .empty[(Int, String, String, String, Long, Double)]
+    var round = 1
+    var done = false
+    while (round <= merges && !done) {
+      val sc = bpeSymCounts(cur)
+      val top = bpePairCounts(cur)
+        .join(sc.select(col("sym").as("l"), col("scnt").as("lcnt")), Seq("l"))
+        .join(sc.select(col("sym").as("r"), col("scnt").as("rcnt")), Seq("r"))
+        .select(col("l"), col("r"), col("cnt"),
+          (col("cnt").cast(DoubleType) /
+            (col("lcnt").cast(DoubleType) * col("rcnt").cast(DoubleType)))
+            .as("score"))
+        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val l = top.head.getString(0); val r = top.head.getString(1)
+        out += ((round, l, r, l + r, top.head.getLong(2), top.head.getDouble(3)))
+        cur = cur.select(col("term"), col("freq"),
+            bpeApply(col("repr"), l, r).as("repr"))
+          .localCheckpoint(false) // each round's vocabulary feeds the next
+        round += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt", "score")
+      .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+        col("right_sym"), col("merged"), col("cnt"), col("score"))
   }
 
   /** The ENCODE half of the BPE loop — apply `merges` trained rounds to

@@ -371,6 +371,25 @@ object ExtRegistry {
         graft.ext.Text.bpeTrainMergesBatched(docs, rounds = 12, batch = 8), docs)
     }),
 
+    // the SECOND greedy-merge policy: WordPiece likelihood ranking
+    // (cnt/(cnt_l·cnt_r), the BERT tokenizer's score) over the same
+    // wrapped-symbol vocabulary — BPE picks the most frequent pair,
+    // WordPiece the most mutually-informative one; the two tables
+    // genuinely diverge on this corpus
+    "wordpiece_train_merges" -> ((s, dir) =>
+      graft.ext.Text.wordpieceTrainMerges(Tables(s, dir).documents,
+        merges = 6)),
+
+    // cross-family deployment composition: train under the WORDPIECE
+    // policy, ship the table, encode with the SHARED encoder — the
+    // merge-table contract is policy-agnostic (bpeEncodeWith consumes
+    // (merge_rank, left_sym, right_sym) from either trainer)
+    "wordpiece_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.bpeEncodeWith(
+        graft.ext.Text.wordpieceTrainMerges(docs, merges = 6), docs)
+    }),
+
     // the tokenized REPRESENTATION itself: per-doc token-ID sequences
     // on the 6-merge trained vocabulary (base-alphabet ids then merge
     // ids, the tokenizer-file convention) — the train → tokenize
@@ -1290,6 +1309,33 @@ object ExtRegistry {
     def roundCtes(i: Int): String =
       s"""${bpePairCte(i)},
          |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |         ${bpeReplaceSql("repr", s"m$i")} AS repr
+         |  FROM w${i - 1})""".stripMargin
+    s"""$bpeW0Cte,
+       |${(1 to k).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** WordPiece TRAINING chain — the same wrapped-symbol machinery as
+    * [[bpeChainCtes]] with the likelihood ranking: per round i, p{i} =
+    * pair counts, sc{i} = freq-weighted SYMBOL counts, m{i} = the
+    * argmax by `cnt / (scnt_l · scnt_r)` (one IEEE multiply + divide of
+    * exact int64s < 2⁵³ — correctly rounded, engine-identical bits;
+    * ties on (l, r)), w{i} = the replace. */
+  private[queries] def wpChainCtes(k: Int): String = {
+    def roundCtes(i: Int): String =
+      s"""${bpePairCte(i)},
+         |sc$i AS (
+         |  SELECT sym, CAST(sum(freq) AS BIGINT) AS scnt FROM (
+         |    SELECT freq, unnest(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS sym
+         |    FROM w${i - 1}) u
+         |  GROUP BY 1),
+         |m$i AS (
+         |  SELECT x.l, x.r, x.cnt,
+         |         CAST(x.cnt AS DOUBLE) / (CAST(ls.scnt AS DOUBLE) * CAST(rs.scnt AS DOUBLE)) AS score
+         |  FROM p$i x JOIN sc$i ls ON x.l = ls.sym JOIN sc$i rs ON x.r = rs.sym
+         |  ORDER BY score DESC, x.l, x.r LIMIT 1),
          |w$i AS MATERIALIZED (
          |  SELECT word, freq,
          |         ${bpeReplaceSql("repr", s"m$i")} AS repr
@@ -2709,6 +2755,32 @@ object ExtRegistry {
     // term frequencies, compression = one IEEE division of exact sums
     "bpe_encode" ->
       s"""WITH ${bpeChainCtes(6)},
+         |sy AS (SELECT word, CAST(len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS BIGINT) AS bpe_syms,
+         |              CAST(length(word) AS BIGINT) AS char_syms
+         |       FROM w6),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       WHERE word <> '' GROUP BY 1, 2),
+         |ag AS (SELECT doc_id,
+         |              CAST(sum(tf * bpe_syms) AS BIGINT) AS bpe_tokens,
+         |              CAST(sum(tf * char_syms) AS BIGINT) AS char_tokens
+         |       FROM tf JOIN sy USING (word) GROUP BY 1)
+         |SELECT doc_id, bpe_tokens, char_tokens,
+         |       CAST(char_tokens AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS compression
+         |FROM ag""".stripMargin,
+
+    // WordPiece-trainer twin: the scored chain (see wpChainCtes) —
+    // contiguous early stop exactly like the BPE twin
+    "wordpiece_train_merges" ->
+      s"""WITH ${wpChainCtes(6)}
+         |${(1 to 6).map(i =>
+             s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt, score FROM m$i")
+           .mkString("\n  UNION ALL ")}""".stripMargin,
+
+    // WordPiece-table encode twin: the scored chain's final vocabulary
+    // w6 through the SAME encode tail as bpe_encode
+    "wordpiece_encode" ->
+      s"""WITH ${wpChainCtes(6)},
          |sy AS (SELECT word, CAST(len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS BIGINT) AS bpe_syms,
          |              CAST(length(word) AS BIGINT) AS char_syms
          |       FROM w6),

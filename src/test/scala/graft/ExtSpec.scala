@@ -1651,6 +1651,54 @@ class ExtSpec extends SparkSpec {
     assert(err.getMessage.contains("bounded-driver-state"))
   }
 
+  test("wordpieceTrainMerges: likelihood ranking diverges from BPE, hand-traced") {
+    // "ab"×4 + "cd"×1: pair (a,b) cnt=4 with sym counts a=4,b=4 scores
+    // 4/16 = 0.25; pair (c,d) cnt=1 with c=1,d=1 scores 1/1 = 1.0 —
+    // WordPiece picks the mutually-informative RARE pair first, BPE the
+    // frequent one. Round 2 leaves only (a,b); round 3 has no pairs and
+    // stops early (2 rows at merges=6).
+    val fx = Seq((0L, "ab ab ab ab cd")).toDF("doc_id", "text")
+    val wp = graft.ext.Text.wordpieceTrainMerges(fx, merges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(wp.toSeq == Seq((1, "c", "d", "cd", 1L, 1.0),
+      (2, "a", "b", "ab", 4L, 0.25)), wp.toSeq)
+    val bpe1 = graft.ext.Text.bpeTrainMerges(fx, merges = 1).collect().head
+    assert((bpe1.getString(1), bpe1.getString(2)) == (("a", "b")),
+      "BPE rank-1 should be the frequent pair — fixture lost its divergence")
+  }
+
+  test("wordpiece table is policy-agnostic: FromCounts twin matches, tokenize decodes") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    def table(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, String)] =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    // the trainer off a merged two-delta word-frequency ingest state is
+    // bit-identical to the direct corpus scan (the wordFreqAdd contract
+    // extended to the WordPiece policy)
+    val state = graft.ext.Text.mergeWordFreqs(
+      graft.ext.Text.wordFreqAdd(corpus.filter(col("doc_id") % 2 <=> 0)),
+      graft.ext.Text.wordFreqAdd(corpus.filter(!(col("doc_id") % 2 <=> 0))))
+    assert(table(graft.ext.Text.wordpieceTrainMergesFromCounts(state, merges = 4)) ==
+      table(graft.ext.Text.wordpieceTrainMerges(corpus, merges = 4)),
+      "ingest-state WordPiece table != direct-scan table")
+    // cross-family composition: the shared encoder/tokenizer consumes a
+    // WORDPIECE table unchanged, and the decode loop closes
+    val fx = Seq((0L, "ab ab ab ab cd"), (1L, "xyz cd")).toDF("doc_id", "text")
+    val wpTable = graft.ext.Text.wordpieceTrainMerges(fx, merges = 6)
+    val vocab = graft.ext.Text.bpeVocabulary(wpTable, fx).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = Map(0L -> "ab ab ab ab cd", 1L -> "xyz cd")
+    graft.ext.Text.bpeTokenize(wpTable, fx).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .foreach { case (docId, ids) =>
+        val decoded = ids.split(",").map(i => vocab(i.toLong)).mkString("")
+        assert(decoded == texts(docId).replace(" ", ""),
+          s"doc $docId decodes to '$decoded'")
+      }
+  }
+
   test("bpeTokenize: hand-traced ids, alphabet-then-merges convention, n_tokens = encode") {
     // 'ab abc bc bc', sequential trainer: rank1 (b,c)->bc, rank2
     // (a,b)->ab, rank3 (a,bc)->abc. Alphabet a,b,c -> ids 0,1,2;

@@ -1060,6 +1060,63 @@ object Text {
       .select(col("doc_id"), col("n_tokens"), col("token_ids"))
   }
 
+  /** Linear text-quality classifier margin (the fastText-style filter
+    * of web-corpus curation — a trained linear model over token
+    * features deciding keep/drop; cf. the reference's
+    * `dbt/credit_mart/models/schema.yml` rule checks — it has no
+    * learned filter; this is the LLM-pipeline extension): per-document
+    * margin = Σ over token OCCURRENCES of the shipped per-term weight,
+    * plus the accept verdict `margin > threshold`. Weights are the
+    * model artifact — config-sized state shipped with the pipeline,
+    * exactly like [[bpeEncodeWith]]'s merge table — and terms absent
+    * from the weight table contribute zero (sparse models score only
+    * their vocabulary). All arithmetic is exact int64 (integer weights
+    * are standard for quantized/exported linear filters), so the
+    * margin hash-replays with no IEEE concerns at all.
+    *
+    * Output: `(doc_id, n_scored, margin, accepted)` — a total
+    * annotation of the corpus (clean docs appear with zeros), directly
+    * usable as a filter side or a feature column like
+    * [[blocklistFilter]].
+    *
+    * Scale: the weight table broadcasts (model vocabularies are
+    * bounded by construction); the corpus-sized work is one token
+    * explode + broadcast probe + doc-keyed aggregation, then the
+    * doc-spine left join. No shuffle of the corpus except the one
+    * doc-keyed agg. */
+  def qualityMargin(documents: DataFrame, weights: DataFrame,
+      threshold: Long = 0L): DataFrame = {
+    val w = broadcast(weights
+      .select(col("term"), col("weight").cast(LongType).as("weight")))
+    val m = termStream(documents)
+      .join(w, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("weight")).as("margin"))
+    documents.select(col("doc_id")).join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("margin"), lit(0L)).as("margin"),
+        (coalesce(col("margin"), lit(0L)) > threshold)
+          .cast(IntegerType).as("accepted"))
+  }
+
+  /** Deterministic stand-in WEIGHT TABLE for [[qualityMargin]]'s
+    * shipped-model contract (the sandbox has no trained model to load):
+    * one integer weight per corpus vocabulary term, derived from the
+    * house string hash — `(stringHash(term)·131 + 17) mod 41 − 20`,
+    * spanning [−20, 20] — with zero-weight terms DROPPED so the table
+    * is a proper sparse vocabulary (some corpus terms are unscored and
+    * the zero-contribution path is exercised). Exact integer
+    * arithmetic end-to-end; the engine contract under test is the
+    * broadcast probe + int64 dot product, not these placeholder
+    * values. */
+  def hashWeights(documents: DataFrame): DataFrame =
+    termStream(documents).select(col("term")).distinct()
+      .select(col("term"),
+        ((MinHash.stringHash(col("term")) * 131L + 17L) % 41L - 20L)
+          .as("weight"))
+      .filter(col("weight") =!= 0L)
+
   /** Unicode NFC canonicalization over a deterministically "dirtied"
     * corpus. The testdata text is pure ASCII (already NFC — the
     * normalizer would be vacuous), so this INJECTS the real-world mess

@@ -323,6 +323,17 @@ object ExtRegistry {
     "blocklist_filter" -> ((s, dir) =>
       graft.ext.Text.blocklistFilter(Tables(s, dir).documents, DemoBlocklist)),
 
+    // linear quality-classifier margin (the fastText-style keep/drop
+    // filter): exact int64 dot product of per-term shipped weights over
+    // token occurrences, broadcast probe, verdict margin > 0 — the
+    // weight table is the deterministic hash-derived stand-in for a
+    // trained model artifact
+    "quality_classifier" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs),
+        threshold = 0L)
+    }),
+
     // the BPE loop executed: 6 greedy merge rounds over word types —
     // the merge table a tokenizer ships (bpe_pair_counts is round 1's
     // candidate list; each later round counts over MERGED symbols under
@@ -2722,6 +2733,30 @@ object ExtRegistry {
          |       CAST(coalesce(a.n_phrases, 0) AS BIGINT) AS n_phrases,
          |       CASE WHEN coalesce(a.n_matches, 0) > 0 THEN 1 ELSE 0 END AS blocked
          |FROM documents d LEFT JOIN ba a USING (doc_id)""".stripMargin,
+
+    // quality-classifier twin: the same hash-derived sparse weight
+    // table (zero weights dropped), int64 occurrence-weight sum per
+    // doc, margin > 0 verdict over the full doc spine
+    "quality_classifier" ->
+      s"""WITH ts AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> ''),
+         |w AS (
+         |  SELECT term, weight FROM (
+         |    SELECT term,
+         |           CAST(((${MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
+         |    FROM (SELECT DISTINCT term FROM ts))
+         |  WHERE weight <> 0),
+         |m AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+         |         CAST(sum(weight) AS BIGINT) AS margin
+         |  FROM ts JOIN w USING (term) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(m.n_scored, 0) AS BIGINT) AS n_scored,
+         |       CAST(coalesce(m.margin, 0) AS BIGINT) AS margin,
+         |       CASE WHEN coalesce(m.margin, 0) > 0 THEN 1 ELSE 0 END AS accepted
+         |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin,
 
     // CDC economics twin: one aggregate over the per-content counts
     "cdc_dedup_stats" ->

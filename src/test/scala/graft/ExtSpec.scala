@@ -1651,6 +1651,27 @@ class ExtSpec extends SparkSpec {
     assert(err.getMessage.contains("bounded-driver-state"))
   }
 
+  test("qualityMargin: hand-traced int64 margins, sparse weights, threshold verdict") {
+    val fx = Seq(
+      (1L, "good good bad"),        // 5 + 5 - 3 = 7, all 3 tokens scored
+      (2L, "neutral unknown"),      // nothing in the weight table -> zeros
+      (3L, "bad bad bad")           // -9, rejected
+    ).toDF("doc_id", "text")
+    val w = Seq(("good", 5L), ("bad", -3L)).toDF("term", "weight")
+    def rows(threshold: Long): Map[Long, (Long, Long, Int)] =
+      graft.ext.Text.qualityMargin(fx, w, threshold).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(rows(0L) == Map(1L -> ((3L, 7L, 1)), 2L -> ((0L, 0L, 0)),
+      3L -> ((3L, -9L, 0))), rows(0L))
+    // threshold is strict: margin 7 rejected at threshold 7
+    assert(rows(7L)(1L) == ((3L, 7L, 0)), rows(7L))
+    // the stand-in weight table: sparse (no zero weights), bounded range
+    val hw = graft.ext.Text.hashWeights(fx).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hw.values.forall(v => v != 0L && v >= -20L && v <= 20L), hw)
+    assert(hw.keySet.subsetOf(Set("good", "bad", "neutral", "unknown")), hw)
+  }
+
   test("wordpieceTrainMerges: likelihood ranking diverges from BPE, hand-traced") {
     // "ab"×4 + "cd"×1: pair (a,b) cnt=4 with sym counts a=4,b=4 scores
     // 4/16 = 0.25; pair (c,d) cnt=1 with c=1,d=1 scores 1/1 = 1.0 —

@@ -82,6 +82,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier probes the weight table as a broadcast hash join") {
+    val df = graft.ext.Text.qualityMargin(tables.documents,
+      graft.ext.Text.hashWeights(tables.documents))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight probe expected as a broadcast hash join in:\n$plan")
+  }
+
   test("CDC chunking stays join-free: window + aggregations only") {
     Seq(
       graft.ext.Text.cdcChunks(tables.documents, 3, 32L),

@@ -1356,6 +1356,58 @@ object Text {
         col("n_docs"), col("f.doc_id").as("first_doc"),
         col("f.start_pos").as("first_pos"))
 
+  /** ONE delta's CDC chunk state for the INCREMENTAL duplicate-chunk
+    * report: per chunk CONTENT (keyed `(chunk_hash, n_shingles)` like
+    * [[cdcDupChunks]]) the occurrence count, the document count, and
+    * the keep-first occurrence — the [[shingleFirstAdd]] contract at
+    * chunk granularity. Because chunks never span documents, a delta's
+    * state is complete for its documents; under the ingest contract
+    * every operator in this family shares (each doc_id arrives in
+    * EXACTLY ONE delta), per-content doc sets are disjoint across
+    * deltas, so `n_docs` merges by exact int64 SUM — and count-sum +
+    * struct-min are associative, so
+    * `mergeChunkCounts(add(A), add(B)) ≡ add(A ∪ B)` bit-for-bit.
+    * State is one row per distinct chunk content — the dedup-economics
+    * frame itself, Zipf-small relative to the corpus. */
+  def cdcChunkAdd(delta: DataFrame, n: Int = 3, divisor: Long = 32L): DataFrame =
+    cdcChunks(delta, n, divisor)
+      .groupBy(col("chunk_hash"), col("n_shingles"))
+      .agg(
+        count(lit(1)).as("occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("start_pos"))).as("f"))
+      .select(col("chunk_hash"), col("n_shingles"), col("occ"),
+        col("n_docs"), col("f.doc_id").as("fdoc"),
+        col("f.start_pos").as("fpos"))
+
+  /** Exact merge of two [[cdcChunkAdd]] states: int64 count sums (doc
+    * sets are delta-disjoint by the ingest contract) + the struct-min
+    * of the two first occurrences. */
+  def mergeChunkCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("chunk_hash", "n_shingles", "occ", "n_docs", "fdoc", "fpos")
+      .map(col)
+    a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(col("chunk_hash"), col("n_shingles"))
+      .agg(sum(col("occ")).as("occ"), sum(col("n_docs")).as("n_docs"),
+        min(struct(col("fdoc"), col("fpos"))).as("f"))
+      .select(col("chunk_hash"), col("n_shingles"), col("occ"),
+        col("n_docs"), col("f.fdoc").as("fdoc"), col("f.fpos").as("fpos"))
+  }
+
+  /** [[cdcDupChunks]] read off an EXTERNAL
+    * [[cdcChunkAdd]]/[[mergeChunkCounts]] state instead of a fresh
+    * corpus-wide chunk aggregation — the read side of the incremental
+    * CDC contract: a streamed ingest maintains the per-content state
+    * and the duplicate report is one FILTER + projection, no corpus
+    * re-scan at all (where even [[cutDuplicateSpansFromCounts]] still
+    * re-shingles the documents being cleaned, this consumes state
+    * alone). */
+  def cdcDupChunksFromCounts(state: DataFrame): DataFrame =
+    state.filter(col("occ") >= 2)
+      .select(col("chunk_hash"), col("n_shingles"),
+        col("occ").as("occurrences"), col("n_docs"),
+        col("fdoc").as("first_doc"), col("fpos").as("first_pos"))
+
   /** Corpus-level CDC dedup economics in one row: how many chunks the
     * corpus splits into, how many are distinct, and how many shingles
     * a chunk-store that keeps one copy per distinct chunk would drop —

@@ -311,6 +311,22 @@ object ExtRegistry {
     "cdc_dedup_stats" -> ((s, dir) =>
       graft.ext.Text.cdcDedupStats(Tables(s, dir).documents, n = 3, divisor = 32L)),
 
+    // the duplicate-chunk report off a MERGED two-delta CDC chunk state
+    // (cdcChunkAdd per delta, exact count-sum + struct-min merge) — the
+    // report side pays one filter over the state, zero corpus re-scan;
+    // bit-identical to the single pass, so the oracle is the
+    // cdc_dup_chunks twin verbatim
+    "cdc_dup_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      // null-safe split, same rationale as dup_spans_cut_stream
+      val state = graft.ext.Text.mergeChunkCounts(
+        graft.ext.Text.cdcChunkAdd(docs.filter(col("doc_id") % 2 <=> 0),
+          n = 3, divisor = 32L),
+        graft.ext.Text.cdcChunkAdd(docs.filter(!(col("doc_id") % 2 <=> 0)),
+          n = 3, divisor = 32L))
+      graft.ext.Text.cdcDupChunksFromCounts(state)
+    }),
+
     // token-boundary phrase matching (the C4 badwords primitive): every
     // occurrence of every listed phrase, matched by double-family
     // shingle-hash equality against a broadcast phrase table — one
@@ -1205,6 +1221,27 @@ object ExtRegistry {
        |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(CAST(sh AS BIGINT) ORDER BY pos)),
        |                     (a, b) -> (a * 1000003 + b) % 2147483629) AS chunk_hash
        |  FROM ckb GROUP BY doc_id, chunk_id)""".stripMargin
+
+  /** The duplicate-chunk report twin — shared verbatim by
+    * `cdc_dup_chunks` and `cdc_dup_stream` (the report off a merged
+    * two-delta chunk state is contractually bit-identical to the
+    * single pass, so one oracle checks both). */
+  private lazy val cdcDupChunksOracle: String =
+    s"""WITH $cdcCtes,
+       |per AS MATERIALIZED (
+       |  SELECT chunk_hash, n_shingles, doc_id,
+       |         min(start_pos) AS mpos, count(*) AS c
+       |  FROM ck GROUP BY 1, 2, 3),
+       |agg AS (SELECT chunk_hash, n_shingles,
+       |               CAST(sum(c) AS BIGINT) AS occurrences,
+       |               CAST(count(*) AS BIGINT) AS n_docs,
+       |               min(doc_id) AS first_doc
+       |        FROM per GROUP BY 1, 2 HAVING sum(c) >= 2)
+       |SELECT a.chunk_hash, a.n_shingles, a.occurrences, a.n_docs,
+       |       a.first_doc, p.mpos AS first_pos
+       |FROM agg a JOIN per p
+       |  ON p.chunk_hash = a.chunk_hash AND p.n_shingles = a.n_shingles
+       | AND p.doc_id = a.first_doc""".stripMargin
 
   /** The single-pass duplicate-span twin — shared verbatim by
     * `dup_spans` and `dup_spans_stream` (the incremental two-delta
@@ -2700,22 +2737,12 @@ object ExtRegistry {
     // content-level aggregate — first_pos rejoins the keep-first doc's
     // own min start (the lexicographic (doc_id, start_pos) min the
     // Spark side computes as min(struct))
-    "cdc_dup_chunks" ->
-      s"""WITH $cdcCtes,
-         |per AS MATERIALIZED (
-         |  SELECT chunk_hash, n_shingles, doc_id,
-         |         min(start_pos) AS mpos, count(*) AS c
-         |  FROM ck GROUP BY 1, 2, 3),
-         |agg AS (SELECT chunk_hash, n_shingles,
-         |               CAST(sum(c) AS BIGINT) AS occurrences,
-         |               CAST(count(*) AS BIGINT) AS n_docs,
-         |               min(doc_id) AS first_doc
-         |        FROM per GROUP BY 1, 2 HAVING sum(c) >= 2)
-         |SELECT a.chunk_hash, a.n_shingles, a.occurrences, a.n_docs,
-         |       a.first_doc, p.mpos AS first_pos
-         |FROM agg a JOIN per p
-         |  ON p.chunk_hash = a.chunk_hash AND p.n_shingles = a.n_shingles
-         | AND p.doc_id = a.first_doc""".stripMargin,
+    "cdc_dup_chunks" -> cdcDupChunksOracle,
+
+    // the duplicate-chunk report off a merged two-delta CDC chunk
+    // state must be bit-identical to the single pass: oracle IS the
+    // twin
+    "cdc_dup_stream" -> cdcDupChunksOracle,
 
     // phrase-matching twin: the shared CTEs emit match rows directly
     "phrase_matches" ->

@@ -1651,6 +1651,65 @@ class ExtSpec extends SparkSpec {
     assert(err.getMessage.contains("bounded-driver-state"))
   }
 
+  private def chunkState(df: org.apache.spark.sql.DataFrame)
+      : Map[(Long, Long), (Long, Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+
+  test("cdcChunkAdd: chunk state composes exactly and replays the duplicate report") {
+    // divisor=4 gives many chunk boundaries on the small corpus, so the
+    // duplicate report is non-trivial (shared group prefixes — the
+    // ScaleProof fixture rationale)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val full = chunkState(graft.ext.Text.cdcChunkAdd(docs, n = 3, divisor = 4L))
+    assert(full.nonEmpty)
+    val parts = Seq(0, 1, 2).map(m =>
+      graft.ext.Text.cdcChunkAdd(docs.filter(col("doc_id") % 3 === m),
+        n = 3, divisor = 4L))
+    val leftAssoc = graft.ext.Text.mergeChunkCounts(
+      graft.ext.Text.mergeChunkCounts(parts(0), parts(1)), parts(2))
+    val rightAssoc = graft.ext.Text.mergeChunkCounts(
+      parts(0), graft.ext.Text.mergeChunkCounts(parts(1), parts(2)))
+    assert(chunkState(leftAssoc) == full, "merged chunk state != full state")
+    assert(chunkState(rightAssoc) == full, "merge is not associative")
+    // the report off the merged state IS the single-pass report
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    val single = report(graft.ext.Text.cdcDupChunks(docs, n = 3, divisor = 4L))
+    assert(single.nonEmpty, "fixture produced no duplicate chunks")
+    assert(report(graft.ext.Text.cdcDupChunksFromCounts(leftAssoc)) == single,
+      "report from merged state != single-pass report")
+  }
+
+  test("cdcChunkAdd: streaming ingest replays the duplicate-chunk report exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val chunks = Seq(0, 1, 2).map(m =>
+      docs.filter(col("doc_id") % 3 === m)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = graft.ext.Text.cdcChunkAdd(batch.toDF(), n = 3, divisor = 4L)
+        state = Some(state.fold(s)(p => graft.ext.Text.mergeChunkCounts(p, s))
+          .localCheckpoint(true)) // materialize: the batch frame dies with the call
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(chunkState(state.get) ==
+        chunkState(graft.ext.Text.cdcChunkAdd(docs, n = 3, divisor = 4L)),
+        "streamed chunk state != batch state")
+    } finally q.stop()
+  }
+
   test("qualityMargin: hand-traced int64 margins, sparse weights, threshold verdict") {
     val fx = Seq(
       (1L, "good good bad"),        // 5 + 5 - 3 = 7, all 3 tokens scored

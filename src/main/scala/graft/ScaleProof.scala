@@ -305,6 +305,17 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Text.blocklistFilter(synthPhraseDocs(s, 500L * f),
           Seq("alpha beta", "gamma delta epsilon", "never present"))),
+    // quality-classifier margin: the weight table is CONSTANT model
+    // state (a 1×-corpus vocabulary standing in for a shipped model —
+    // explicit broadcast), so only the corpus side grows: one token
+    // explode + broadcast probe + doc-keyed agg + spine join. The gate
+    // proves the plan and heap stay flat at 100× corpus while the model
+    // scores an ever-sparser fraction of tokens (the deployment shape:
+    // model vocabulary fixed, corpus unbounded).
+    ("docs->qualityMargin", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.qualityMargin(synthPhraseDocs(s, 500L * f),
+          graft.ext.Text.hashWeights(synthPhraseDocs(s, 500L)))),
     // SemDeDup at the bench's own parameters (k=8, maxCluster=1024) —
     // the slowest bench query gets its own ladder. autoBroadcast pinned
     // OFF like the ANN pipeline: the label/self joins sit at the size

@@ -661,7 +661,7 @@ object Text {
   /** Adjacent-symbol pair counts over a vocabulary frame, UNORDERED —
     * the shared aggregation both ranking policies (BPE's raw count,
     * WordPiece's likelihood score) rank on top of. */
-  private def bpePairCounts(vocab: DataFrame): DataFrame =
+  private def bpePairCountFrame(vocab: DataFrame): DataFrame =
     vocab
       // wrapped encoding splits to empty strings between/around markers
       .select(col("freq"),
@@ -678,7 +678,7 @@ object Text {
     * (cnt DESC, l, r) — the per-round candidate list both BPE trainers
     * argmax/window over. */
   private def bpePairFrame(vocab: DataFrame): DataFrame =
-    bpePairCounts(vocab)
+    bpePairCountFrame(vocab)
       .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
 
   /** Per-SYMBOL occurrence totals over a vocabulary frame (freq-weighted,
@@ -878,7 +878,7 @@ object Text {
     var done = false
     while (round <= merges && !done) {
       val sc = bpeSymCounts(cur)
-      val top = bpePairCounts(cur)
+      val top = bpePairCountFrame(cur)
         .join(sc.select(col("sym").as("l"), col("scnt").as("lcnt")), Seq("l"))
         .join(sc.select(col("sym").as("r"), col("scnt").as("rcnt")), Seq("r"))
         .select(col("l"), col("r"), col("cnt"),

@@ -278,6 +278,63 @@ class PropertySpec extends SparkSpec {
     assert(gotBpe == modelBpe)
   }
 
+  test("property: wordpieceTrainMerges matches an independent scored-trainer model on random corpora") {
+    // independent full-trainer model: per-word symbol lists, adjacent
+    // pair counts + symbol counts (freq-weighted), argmax by
+    // (score DESC, l, r) with score = the SAME IEEE double ops Spark
+    // runs (long→double casts, one multiply, one divide — correctly
+    // rounded, so bit comparison is legitimate), then the leftmost
+    // non-overlapping fuse — three rounds deep, early stop included
+    def applyMerge(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r =>
+          (a + b) :: applyMerge(rest, l, r)
+        case a :: rest => a :: applyMerge(rest, l, r)
+        case Nil => Nil
+      }
+    def model(wf: Map[String, Long], merges: Int)
+        : List[(Int, String, String, Long, Double)] = {
+      var reprs: Map[String, List[String]] =
+        wf.map { case (w, _) => w -> w.split("").filter(_.nonEmpty).toList }
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(Int, String, String, Long, Double)]
+      var round = 1
+      var done = false
+      while (round <= merges && !done) {
+        val pairs = reprs.toSeq.flatMap { case (w, syms) =>
+          syms.zip(syms.drop(1)).map(p => p -> wf(w)) }
+          .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+        if (pairs.isEmpty) done = true
+        else {
+          val syms = reprs.toSeq.flatMap { case (w, ss) => ss.map(_ -> wf(w)) }
+            .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+          val scored = pairs.toSeq.map { case ((l, r), c) =>
+            (l, r, c, c.toDouble / (syms(l).toDouble * syms(r).toDouble)) }
+          val (l, r, c, sc) = scored.minBy { case (l, r, _, s) => (-s, l, r) }
+          out += ((round, l, r, c, sc))
+          reprs = reprs.map { case (w, ss) => w -> applyMerge(ss, l, r) }
+          round += 1
+        }
+      }
+      out.toList
+    }
+    val textGen = Gen.listOfN(4,
+      Gen.oneOf("aa", "ab", "abc", "b", "ccc", "dd", "cd", "abd", "dab"))
+      .map(_.mkString(" "))
+    // 10 independent random corpora, each trained 3 rounds deep
+    sample(textGen, 250).grouped(25).zipWithIndex.foreach { case (texts, trial) =>
+      val corpus = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val wf = corpus.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+      val got = graft.ext.Text.wordpieceTrainMerges(corpus.toDF("doc_id", "text"),
+        merges = 3).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4),
+          r.getDouble(5))).toList
+      assert(got == model(wf, 3), s"trial $trial: $got vs ${model(wf, 3)}")
+    }
+  }
+
   test("property: PPM/BMP decode inverts encode on arbitrary dims (all padding widths)") {
     import graft.ext.Multimodal
     // w mod 4 ∈ {0..3} exercises every BMP row-padding width; ids beyond

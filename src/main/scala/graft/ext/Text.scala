@@ -583,7 +583,6 @@ object Text {
     * shingles, `first` = (sh, fdoc, fpos) for duplicated shingles. */
   private def cutCore(documents: DataFrame, ps: DataFrame, first: DataFrame,
       n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cut = ps.join(first, Seq("sh"))
       .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"), col("pos"))
@@ -592,15 +591,27 @@ object Text {
       .select(col("fdoc").as("doc_id"),
         explode(sequence(col("fpos"), col("fpos") + (n - 1))).as("i"))
       .distinct()
+    excise(documents, cut, Some(protTok), n)
+  }
+
+  /** The shared excision tail: merge cut shingle positions `(doc_id,
+    * pos)` into spans, explode to cut TOKEN indices (minus the
+    * optional protected set), anti-join the token stream, and
+    * reassemble — `(doc_id, text_cleaned, tokens_kept,
+    * tokens_removed)`, fully-excised docs drop out. */
+  private def excise(documents: DataFrame, cut: DataFrame,
+      protTok: Option[DataFrame], n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // merge cut positions into spans, then explode to cut TOKEN indices
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val cutToks = cut
+    val cutToks0 = cut
       .withColumn("g", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
       .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("i"))
       .distinct()
-      .join(protTok, Seq("doc_id", "i"), "left_anti")
+    val cutToks = protTok.fold(cutToks0)(p =>
+      cutToks0.join(p, Seq("doc_id", "i"), "left_anti"))
     val te = documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "t")))
@@ -620,6 +631,39 @@ object Text {
       .join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("text_cleaned"), col("tokens_kept"),
         (col("n_toks") - col("tokens_kept")).as("tokens_removed"))
+  }
+
+  /** Contaminated-span EXCISION — the removal step the contamination
+    * family's detectors ([[graft.ext.Corpus.contamination]] exact,
+    * `bloomContamination` screening, `Cluster.semanticContamination])
+    * feed (the GPT-3 appendix-C decontamination shape: rather than
+    * dropping a flagged training document wholesale, cut exactly the
+    * token spans its n-gram overlap with the eval/benchmark set
+    * covers): every training token inside a shingle whose hash appears
+    * ANYWHERE in the eval side is excised, overlapping matches merge
+    * into spans via the same island grouping as [[cutDuplicateSpans]],
+    * and reassembly is order-pinned so the cleaned string
+    * hash-replays. A training doc fully covered by eval content drops
+    * out entirely (the doc-drop decontamination is the degenerate
+    * case).
+    *
+    * Output: `(doc_id, text_cleaned, tokens_kept, tokens_removed)`
+    * over the TRAIN side only.
+    *
+    * Scale: the eval side (a benchmark suite) is bounded, so its
+    * distinct shingle set BROADCASTS and the training side is never
+    * shuffled for the match — one broadcast probe, one doc-keyed
+    * window for islands, one doc-keyed reassembly. The same
+    * economics as [[graft.ext.Corpus.contamination]]'s audit, now
+    * producing the cleaned corpus itself. */
+  def cutContaminatedSpans(train: DataFrame, eval: DataFrame,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val evalSh = posShingles(eval, n).select(col("sh")).distinct()
+    val cut = posShingles(train, n)
+      .join(broadcast(evalSh), Seq("sh"))
+      .select(col("doc_id"), col("pos"))
+    excise(train, cut, None, n)
   }
 
   /** Initial BPE vocabulary from an explicit word-frequency state

@@ -200,6 +200,18 @@ object ExtRegistry {
     "contamination_check" -> ((s, dir) =>
       graft.ext.Corpus.contamination(Tables(s, dir).documents, 3)),
 
+    // the decontamination REMOVAL step: excise from every training doc
+    // exactly the token spans covered by an n-gram shared with the eval
+    // residue class — the doc survives minus the overlap (the doc-drop
+    // rule is the fully-covered degenerate case); eval shingles
+    // broadcast, the train side is never shuffled for the match
+    "decontaminate_spans" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.cutContaminatedSpans(
+        docs.filter(col("doc_id") % 40 =!= 0),
+        docs.filter(col("doc_id") % 40 === 0), n = 3)
+    }),
+
     // one-pass table profile: counts, nulls, KMV distinct estimate,
     // min/max — and a fixed-grid doc-length histogram — for every column
     // in a single partial+final aggregation
@@ -2611,6 +2623,39 @@ object ExtRegistry {
          |                  - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
          |        END) > CAST(0.05 AS DOUBLE) AS repetitive
          |FROM rsh""".stripMargin,
+
+    // decontamination-excision twin: eval-side distinct shingles, the
+    // train positions they cover, the SAME island/span/token-index
+    // machinery as the dup-cut twin (no keep-first protection — eval
+    // content is cut wherever it appears), ORDER BY-pinned reassembly
+    // over train docs only
+    "decontaminate_spans" ->
+      s"""WITH $posShingleCtes,
+         |ev AS (SELECT DISTINCT sh FROM ps WHERE doc_id % 40 = 0),
+         |ct0 AS (SELECT p.doc_id, p.pos FROM ps p JOIN ev USING (sh)
+         |        WHERE p.doc_id % 40 <> 0),
+         |isl AS (SELECT doc_id, pos,
+         |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |        FROM ct0),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e FROM isl GROUP BY doc_id, g),
+         |ci AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS i FROM sp),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |        WHERE doc_id % 40 <> 0),
+         |te AS (SELECT doc_id, p['i'] AS i, p['t'] AS t FROM (
+         |         SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |                  j -> {'i': CAST(j AS INTEGER), 't': toks[j]})) AS p
+         |         FROM tok)),
+         |keep AS (SELECT te.doc_id, te.i, te.t FROM te
+         |         LEFT JOIN ci ON te.doc_id = ci.doc_id AND te.i = ci.i
+         |         WHERE ci.i IS NULL),
+         |ka AS (SELECT doc_id,
+         |              array_to_string(list(t ORDER BY i), ' ') AS text_cleaned,
+         |              CAST(count(*) AS BIGINT) AS tokens_kept
+         |       FROM keep GROUP BY 1),
+         |rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_removed FROM ci GROUP BY 1)
+         |SELECT ka.doc_id, ka.text_cleaned, ka.tokens_kept,
+         |       CAST(coalesce(rm.tokens_removed, 0) AS BIGINT) AS tokens_removed
+         |FROM ka LEFT JOIN rm USING (doc_id)""".stripMargin,
 
     "contamination_check" ->
       s"""WITH $shingleHashCtes,

@@ -1651,6 +1651,27 @@ class ExtSpec extends SparkSpec {
     assert(err.getMessage.contains("bounded-driver-state"))
   }
 
+  test("cutContaminatedSpans: overlap spans excised, clean docs intact, covered docs drop") {
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x the quick brown fox y"),      // interior overlap -> "x y"
+      (2L, "clean text entirely here"),     // no overlap -> unchanged
+      (3L, "the quick brown fox")           // fully covered -> drops out
+    ).toDF("doc_id", "text")
+    val got = cutRows(graft.ext.Text.cutContaminatedSpans(train, eval, n = 3))
+    assert(got == Map(
+      1L -> (("x y", 2L, 4L)),
+      2L -> (("clean text entirely here", 4L, 0L))), got)
+    // the doc-drop rule is the degenerate case: doc 3 has no output row
+    assert(!got.contains(3L))
+    // overlapping matches merge into ONE span (no double-cutting): a
+    // 5-token eval phrase cuts exactly its 5 tokens from a 7-token doc
+    val eval2 = Seq((200L, "a b c d e")).toDF("doc_id", "text")
+    val train2 = Seq((4L, "p a b c d e q")).toDF("doc_id", "text")
+    assert(cutRows(graft.ext.Text.cutContaminatedSpans(train2, eval2, n = 3)) ==
+      Map(4L -> (("p q", 2L, 5L))))
+  }
+
   private def chunkState(df: org.apache.spark.sql.DataFrame)
       : Map[(Long, Long), (Long, Long, Long, Int)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1)) ->

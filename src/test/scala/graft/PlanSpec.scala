@@ -82,6 +82,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontamination excision broadcasts the eval shingles — train side never pair-shuffled") {
+    val docs = tables.documents
+    val df = graft.ext.Text.cutContaminatedSpans(
+      docs.filter(col("doc_id") % 40 =!= 0),
+      docs.filter(col("doc_id") % 40 === 0), n = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-shingle probe expected as a broadcast hash join in:\n$plan")
+  }
+
   test("quality classifier probes the weight table as a broadcast hash join") {
     val df = graft.ext.Text.qualityMargin(tables.documents,
       graft.ext.Text.hashWeights(tables.documents))

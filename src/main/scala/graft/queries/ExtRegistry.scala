@@ -44,6 +44,27 @@ object ExtRegistry {
       graft.ext.Dedup.connectedComponents(
         MinHash.simHashNearDups(Tables(s, dir).documents), "doc_a", "doc_b")),
 
+    // quality-aware survivor selection: within every near-dup family,
+    // keep the member with the HIGHEST classifier margin (tie -> min
+    // doc_id) instead of the min-id representative — the "keep best,
+    // not first" dedup rule of curation pipelines. The argmax is the
+    // map-side-combinable `min(struct(-margin, doc_id))`, never a
+    // per-component window (the hot-family hazard at corpus scale)
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val comp = graft.ext.Dedup.connectedComponents(
+        MinHash.simHashNearDups(docs), "doc_a", "doc_b")
+      val margin = graft.ext.Text.qualityMargin(docs,
+        graft.ext.Text.hashWeights(docs))
+      comp.join(margin.select(col("doc_id"), col("margin")), Seq("doc_id"))
+        .groupBy(col("component_id"))
+        .agg(
+          count(lit(1)).as("members"),
+          min(struct((-col("margin")).as("nm"), col("doc_id").as("d"))).as("w"))
+        .select(col("component_id"), col("members"),
+          col("w.d").as("keep_doc"), (-col("w.nm")).as("keep_margin"))
+    }),
+
     // the composed LLM-corpus materialization: quality-screened docs
     // minus every near-dup family member except its representative —
     // stats filter + component clustering + two (anti/semi) joins
@@ -3173,6 +3194,36 @@ object ExtRegistry {
     "near_dup_components" ->
       s"""WITH RECURSIVE $componentsCtes
          |SELECT doc_id, component_id FROM comps""".stripMargin,
+
+    // keep-best twin: the closure components joined to the
+    // quality-classifier margin CTEs, argmax via the rank window (the
+    // Spark side spells it min(struct(-margin, doc_id)) — same pick)
+    "dedup_keep_best" -> {
+      s"""WITH RECURSIVE $componentsCtes,
+         |kts AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> ''),
+         |kw AS (
+         |  SELECT term, weight FROM (
+         |    SELECT term,
+         |           CAST(((${MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
+         |    FROM (SELECT DISTINCT term FROM kts))
+         |  WHERE weight <> 0),
+         |km AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS margin
+         |  FROM kts JOIN kw USING (term) GROUP BY 1),
+         |cm AS (
+         |  SELECT c.doc_id, c.component_id, CAST(coalesce(km.margin, 0) AS BIGINT) AS margin
+         |  FROM comps c LEFT JOIN km USING (doc_id))
+         |SELECT component_id, members, keep_doc, keep_margin FROM (
+         |  SELECT component_id, doc_id AS keep_doc, margin AS keep_margin,
+         |         row_number() OVER (PARTITION BY component_id
+         |                            ORDER BY margin DESC, doc_id) AS rk,
+         |         CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS members
+         |  FROM cm)
+         |WHERE rk = 1""".stripMargin
+    },
 
     "clean_corpus" -> {
       // the same stats derivations the text_stats oracle proves against

@@ -282,25 +282,69 @@ object Text {
     * TakeOrdered (orderBy+limit, never a global rank window). */
   def bm25TopDocs(documents: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = termStream(documents)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1L)).as("dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1L)).as("tf"))
+    bm25Core(tf, dl, documents.sparkSession, queryTerms, k, k1, b)
+  }
+
+  /** ONE delta's POSTINGS state `(doc_id, term, tf)` — the retrieval
+    * index as ingest state: everything the search side needs (document
+    * lengths = Σ tf per doc, corpus N/avgdl, per-term df, the tf
+    * themselves) derives from this one frame, so maintaining it makes
+    * BM25/tf-idf retrieval fully incremental. Under the family's
+    * ingest contract (each doc_id arrives in exactly one delta) the
+    * per-key sums make `mergePostings(add(A), add(B)) ≡ add(A ∪ B)`
+    * bit-for-bit. State is one row per distinct (doc, term) — the
+    * inverted index's own size. */
+  def postingsAdd(delta: DataFrame): DataFrame =
+    termStream(delta).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1L)).as("tf"))
+
+  /** Exact merge of two [[postingsAdd]] states: per-(doc, term) int64
+    * sums — associative and order-free. */
+  def mergePostings(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("doc_id"), col("term"), col("tf"))
+      .unionByName(b.select(col("doc_id"), col("term"), col("tf")))
+      .groupBy(col("doc_id"), col("term")).agg(sum(col("tf")).as("tf"))
+
+  /** [[bm25TopDocs]] driven off an EXTERNAL [[postingsAdd]]/
+    * [[mergePostings]] state instead of a fresh corpus scan — the read
+    * side of the incremental-retrieval contract: document lengths are
+    * Σ tf per doc (identical int64 to the direct token count), the
+    * query-term tf rows are a filter over the state, and the scoring
+    * tail is shared — bit-identical to the single-pass search. A
+    * streamed ingest maintains the index-sized state; a query pays no
+    * corpus scan at all. */
+  def bm25TopDocsFromCounts(postings: DataFrame, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast(LongType).as("dl"))
+    val tf = postings.filter(col("term").isin(queryTerms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    bm25Core(tf, dl, postings.sparkSession, queryTerms, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail: `tf` = (doc_id, term, tf) for the
+    * query terms, `dl` = (doc_id, dl) document lengths. */
+  private def bm25Core(tf: DataFrame, dl0: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, queryTerms: Seq[String],
+      k: Int, k1: Double, b: Double): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate query terms would double-count their slots: $queryTerms")
     require(k > 0, s"k must be positive, got $k")
-    val toks = termStream(documents)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1L)).as("dl"))
-      .localCheckpoint(false) // feeds the corpus stats AND the score join
+    val dl = dl0.localCheckpoint(false) // feeds the corpus stats AND the score join
     // bounded 1-row corpus state: token total + doc count -> avgdl, N
     val st = dl.agg(sum(col("dl")), count(lit(1L))).first()
     if (st.isNullAt(0)) {
-      val spark = documents.sparkSession
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("rank", IntegerType), StructField("doc_id", LongType),
           StructField("bm25", DoubleType))))
     }
     val nDocs = st.getLong(1)
     val avgdl = st.getLong(0).toDouble / nDocs.toDouble
-    val tf = toks.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1L)).as("tf"))
     // tf is distinct per (doc, term) so df is a plain count — ≤|Q| rows
     val dfr = tf.groupBy(col("term")).agg(count(lit(1L)).as("df"))
     val idf = (lit(nDocs) - col("df")).cast(DoubleType) + lit(0.5)

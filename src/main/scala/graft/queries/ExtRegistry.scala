@@ -489,6 +489,21 @@ object ExtRegistry {
     // of the curation search loop (rational idf, k1=1.2 / b=0.75, the
     // fixed-order per-document term sum); term order is load-bearing
     // for hash parity (the Σ chain is left-assoc in this order)
+    // BM25 search off a MERGED two-delta POSTINGS ingest state
+    // (postingsAdd per delta, exact per-(doc,term) sum merge) — the
+    // retrieval index maintained incrementally, the query paying no
+    // corpus scan; bit-identical to the single-pass search, so the
+    // oracle is the bm25_top_docs twin verbatim
+    "bm25_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      // null-safe split, same rationale as dup_spans_cut_stream
+      val state = graft.ext.Text.mergePostings(
+        graft.ext.Text.postingsAdd(docs.filter(col("doc_id") % 2 <=> 0)),
+        graft.ext.Text.postingsAdd(docs.filter(!(col("doc_id") % 2 <=> 0))))
+      graft.ext.Text.bm25TopDocsFromCounts(state,
+        Seq("hash", "join", "vector", "window"), k = 20)
+    }),
+
     "bm25_top_docs" -> ((s, dir) =>
       Text.bm25TopDocs(Tables(s, dir).documents,
         Seq("hash", "join", "vector", "window"), k = 20)),
@@ -1254,6 +1269,38 @@ object ExtRegistry {
        |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(CAST(sh AS BIGINT) ORDER BY pos)),
        |                     (a, b) -> (a * 1000003 + b) % 2147483629) AS chunk_hash
        |  FROM ckb GROUP BY doc_id, chunk_id)""".stripMargin
+
+  /** The BM25 search twin — shared verbatim by `bm25_top_docs` and
+    * `bm25_stream` (the search off a merged two-delta postings state
+    * is contractually bit-identical to the single pass). */
+  private lazy val bm25TopDocsOracle: String =
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+        |  WHERE term <> ''),
+        |dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |st AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |              count(*) AS n FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('hash', 'join', 'vector', 'window') GROUP BY doc_id, term),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT t.doc_id, t.term,
+        |         (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)
+        |           * (CAST(t.tf AS DOUBLE) * 2.2)
+        |           / (CAST(t.tf AS DOUBLE)
+        |              + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl))) AS score
+        |  FROM tf t JOIN dfr d USING (term) JOIN dl l USING (doc_id) CROSS JOIN st s),
+        |tot AS (
+        |  SELECT doc_id,
+        |         coalesce(max(CASE WHEN term = 'hash' THEN score END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'join' THEN score END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'vector' THEN score END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'window' THEN score END), 0.0) AS bm25
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank,
+        |       doc_id, bm25
+        |FROM tot ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   /** The duplicate-chunk report twin — shared verbatim by
     * `cdc_dup_chunks` and `cdc_dup_stream` (the report off a merged
@@ -3040,34 +3087,13 @@ object ExtRegistry {
     // k1+1 in IEEE — verified bit-equal), avgdl as ONE division of the
     // two exact corpus aggregates, per-document Σ as the SAME
     // fixed-order conditional-max chain (hash/join/vector/window)
-    "bm25_top_docs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, term FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
-        |  WHERE term <> ''),
-        |dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-        |st AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-        |              count(*) AS n FROM dl),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        |       WHERE term IN ('hash', 'join', 'vector', 'window') GROUP BY doc_id, term),
-        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |sc AS (
-        |  SELECT t.doc_id, t.term,
-        |         (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)
-        |           * (CAST(t.tf AS DOUBLE) * 2.2)
-        |           / (CAST(t.tf AS DOUBLE)
-        |              + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl))) AS score
-        |  FROM tf t JOIN dfr d USING (term) JOIN dl l USING (doc_id) CROSS JOIN st s),
-        |tot AS (
-        |  SELECT doc_id,
-        |         coalesce(max(CASE WHEN term = 'hash' THEN score END), 0.0)
-        |         + coalesce(max(CASE WHEN term = 'join' THEN score END), 0.0)
-        |         + coalesce(max(CASE WHEN term = 'vector' THEN score END), 0.0)
-        |         + coalesce(max(CASE WHEN term = 'window' THEN score END), 0.0) AS bm25
-        |  FROM sc GROUP BY doc_id)
-        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank,
-        |       doc_id, bm25
-        |FROM tot ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // bm25_stream shares this twin verbatim: the search off a merged
+    // two-delta postings state is contractually bit-identical to the
+    // single pass
+    "bm25_stream" -> bm25TopDocsOracle,
+
+    "bm25_top_docs" -> bm25TopDocsOracle,
+
 
     // top-values twin: UNION ALL the profiled columns into one pair
     // stream, count, rank by (cnt DESC, value) — the total order the

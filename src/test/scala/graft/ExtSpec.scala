@@ -1651,6 +1651,63 @@ class ExtSpec extends SparkSpec {
     assert(err.getMessage.contains("bounded-driver-state"))
   }
 
+  private def postState(df: org.apache.spark.sql.DataFrame)
+      : Map[(Long, String), Long] =
+    df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  private def bm25Rows(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Int, Long, Double)] =
+    df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("postingsAdd: the retrieval index composes exactly and searches bit-identically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val full = postState(graft.ext.Text.postingsAdd(docs))
+    assert(full.nonEmpty)
+    val parts = Seq(0, 1, 2).map(m =>
+      graft.ext.Text.postingsAdd(docs.filter(col("doc_id") % 3 === m)))
+    val leftAssoc = graft.ext.Text.mergePostings(
+      graft.ext.Text.mergePostings(parts(0), parts(1)), parts(2))
+    val rightAssoc = graft.ext.Text.mergePostings(
+      parts(0), graft.ext.Text.mergePostings(parts(1), parts(2)))
+    assert(postState(leftAssoc) == full, "merged postings != full postings")
+    assert(postState(rightAssoc) == full, "merge is not associative")
+    // the search off the merged state IS the single-pass search — ranks,
+    // ids, AND the IEEE scores
+    val qs = Seq("hash", "join", "vector", "window")
+    assert(bm25Rows(graft.ext.Text.bm25TopDocsFromCounts(leftAssoc, qs, k = 20)) ==
+      bm25Rows(graft.ext.Text.bm25TopDocs(docs, qs, k = 20)),
+      "search from merged state != single-pass search")
+  }
+
+  test("postingsAdd: streaming ingest replays the single-pass search exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val chunks = Seq(0, 1, 2).map(m =>
+      docs.filter(col("doc_id") % 3 === m)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = graft.ext.Text.postingsAdd(batch.toDF())
+        state = Some(state.fold(s)(p => graft.ext.Text.mergePostings(p, s))
+          .localCheckpoint(true)) // materialize: the batch frame dies with the call
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val qs = Seq("hash", "join", "vector", "window")
+      assert(bm25Rows(graft.ext.Text.bm25TopDocsFromCounts(state.get, qs, k = 20)) ==
+        bm25Rows(graft.ext.Text.bm25TopDocs(docs, qs, k = 20)),
+        "search from streamed state != single-pass search")
+    } finally q.stop()
+  }
+
   test("cutContaminatedSpans: overlap spans excised, clean docs intact, covered docs drop") {
     val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
     val train = Seq(

@@ -309,6 +309,46 @@ object Text {
       .unionByName(b.select(col("doc_id"), col("term"), col("tf")))
       .groupBy(col("doc_id"), col("term")).agg(sum(col("tf")).as("tf"))
 
+  /** [[tfIdfTopTerms]] driven off an EXTERNAL [[postingsAdd]]/
+    * [[mergePostings]] state — the same maintained index serving the
+    * whole retrieval family (BM25 search, tf-idf ranking, the inverted
+    * index) without a corpus scan. `nDocs` is passed explicitly: the
+    * postings state cannot see token-free documents, so the ingest
+    * maintains the document count beside it (one exact int64 sum). */
+  def tfIdfTopTermsFromCounts(postings: DataFrame, nDocs: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = postings.select(col("doc_id"), col("term"), col("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        (col("tf") * lit(nDocs)).cast(DoubleType) / col("df").cast(DoubleType))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** [[invertedIndex]] driven off an EXTERNAL [[postingsAdd]]/
+    * [[mergePostings]] state — df and the capped posting lists read
+    * directly from the maintained index rows (tf > 0 by construction,
+    * so the state's keys ARE the distinct (term, doc) postings). */
+  def invertedIndexFromCounts(postings: DataFrame,
+      maxPostings: Int = 20): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    val terms = postings.select(col("term"), col("doc_id"))
+    val df = terms.groupBy(col("term")).agg(count(lit(1L)).as("df"))
+    val capped = org.apache.spark.sql.graft.TopKPerGroup
+      .topK(terms, Seq(col("term")), Seq(col("doc_id").asc), maxPostings)
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string")), ",")
+        .as("postings"))
+    df.join(capped, Seq("term"))
+  }
+
   /** [[bm25TopDocs]] driven off an EXTERNAL [[postingsAdd]]/
     * [[mergePostings]] state instead of a fresh corpus scan — the read
     * side of the incremental-retrieval contract: document lengths are

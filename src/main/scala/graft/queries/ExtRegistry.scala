@@ -489,6 +489,29 @@ object ExtRegistry {
     // of the curation search loop (rational idf, k1=1.2 / b=0.75, the
     // fixed-order per-document term sum); term order is load-bearing
     // for hash parity (the Σ chain is left-assoc in this order)
+    // the SAME maintained postings state serving the other two members
+    // of the retrieval family: tf-idf ranking (nDocs rides beside the
+    // state as the ingest's 1-row doc counter — here the two delta
+    // counts summed) and the capped inverted index — one incremental
+    // index, three read sides, each bit-identical to its single pass
+    "tfidf_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val even = docs.filter(col("doc_id") % 2 <=> 0)
+      val odd = docs.filter(!(col("doc_id") % 2 <=> 0))
+      val state = graft.ext.Text.mergePostings(
+        graft.ext.Text.postingsAdd(even), graft.ext.Text.postingsAdd(odd))
+      graft.ext.Text.tfIdfTopTermsFromCounts(state,
+        nDocs = even.count() + odd.count(), k = 3)
+    }),
+
+    "inverted_index_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val state = graft.ext.Text.mergePostings(
+        graft.ext.Text.postingsAdd(docs.filter(col("doc_id") % 2 <=> 0)),
+        graft.ext.Text.postingsAdd(docs.filter(!(col("doc_id") % 2 <=> 0))))
+      graft.ext.Text.invertedIndexFromCounts(state, maxPostings = 20)
+    }),
+
     // BM25 search off a MERGED two-delta POSTINGS ingest state
     // (postingsAdd per delta, exact per-(doc,term) sum merge) — the
     // retrieval index maintained incrementally, the query paying no
@@ -1269,6 +1292,41 @@ object ExtRegistry {
        |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(CAST(sh AS BIGINT) ORDER BY pos)),
        |                     (a, b) -> (a * 1000003 + b) % 2147483629) AS chunk_hash
        |  FROM ckb GROUP BY doc_id, chunk_id)""".stripMargin
+
+  /** The inverted-index twin — shared verbatim by `inverted_index`
+    * and `inverted_index_stream`. */
+  private lazy val invertedIndexOracle: String =
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+        |r AS (SELECT term, doc_id,
+        |             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |      FROM t),
+        |p AS (SELECT term,
+        |             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |      FROM r WHERE rn <= 20 GROUP BY 1)
+        |SELECT d.term, d.df, p.postings FROM d JOIN p USING (term)""".stripMargin
+
+  /** The tf-idf ranking twin — shared verbatim by `tfidf_top_terms`
+    * and `tfidf_stream`. */
+  private lazy val tfIdfTopTermsOracle: String =
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3""".stripMargin
 
   /** The BM25 search twin — shared verbatim by `bm25_top_docs` and
     * `bm25_stream` (the search off a merged two-delta postings state
@@ -3069,19 +3127,11 @@ object ExtRegistry {
     // inverted-index twin: per-doc-distinct terms, true df, rank-capped
     // posting list concatenated in NUMERIC doc_id order (the Spark side
     // sorts the long array before stringifying for the same reason)
-    "inverted_index" ->
-      """WITH t AS (
-        |  SELECT DISTINCT doc_id, term FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |  WHERE term <> ''),
-        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
-        |r AS (SELECT term, doc_id,
-        |             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
-        |      FROM t),
-        |p AS (SELECT term,
-        |             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-        |      FROM r WHERE rn <= 20 GROUP BY 1)
-        |SELECT d.term, d.df, p.postings FROM d JOIN p USING (term)""".stripMargin,
+    "inverted_index" -> invertedIndexOracle,
+
+    // the index read off a merged two-delta postings state is
+    // contractually bit-identical to the single pass
+    "inverted_index_stream" -> invertedIndexOracle,
 
     // BM25 twin: same rational idf, same k1/b literals (2.2 is exactly
     // k1+1 in IEEE — verified bit-equal), avgdl as ONE division of the
@@ -3719,22 +3769,11 @@ object ExtRegistry {
 
     // same rational-idf formula, same single multiply-then-divide order,
     // so the double is bit-identical (see Text.tfIdfTopTerms scaladoc)
-    "tfidf_top_terms" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-        |         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS tfidf
-        |  FROM tf JOIN df USING (term) CROSS JOIN n),
-        |r AS (
-        |  SELECT *, CAST(row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
-        |  FROM scored)
-        |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3""".stripMargin,
+    "tfidf_top_terms" -> tfIdfTopTermsOracle,
+
+    // the ranking off a merged two-delta postings state is
+    // contractually bit-identical to the single pass
+    "tfidf_stream" -> tfIdfTopTermsOracle,
 
     // explicit RANGE-frame peer count / partition count with ONE cast
     // division — the contractual spelling of cume_dist on both engines

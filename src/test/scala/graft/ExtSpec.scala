@@ -1678,6 +1678,17 @@ class ExtSpec extends SparkSpec {
     assert(bm25Rows(graft.ext.Text.bm25TopDocsFromCounts(leftAssoc, qs, k = 20)) ==
       bm25Rows(graft.ext.Text.bm25TopDocs(docs, qs, k = 20)),
       "search from merged state != single-pass search")
+    // the SAME state serves the other two read sides of the retrieval
+    // family bit-identically
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(graft.ext.Text.tfIdfTopTermsFromCounts(leftAssoc,
+        nDocs = docs.count(), k = 3)) ==
+      rows(graft.ext.Text.tfIdfTopTerms(docs, 3)),
+      "tf-idf from merged state != single pass")
+    assert(rows(graft.ext.Text.invertedIndexFromCounts(leftAssoc, 20)) ==
+      rows(graft.ext.Text.invertedIndex(docs, 20)),
+      "inverted index from merged state != single pass")
   }
 
   test("postingsAdd: streaming ingest replays the single-pass search exactly") {

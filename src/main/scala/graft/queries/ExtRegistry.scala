@@ -177,6 +177,14 @@ object ExtRegistry {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMedia(Multimodal.encodeMedia(Tables(s, dir).documents)).toDF()),
 
+    // REAL compressed-image decode: spec-correct PNGs (zlib IDAT, all
+    // five filter types cycling per row, per-chunk CRC32s, multi-IDAT
+    // every third image) round-tripped through the full decoder — the
+    // oracle replays the expected output arithmetically, so a botched
+    // inflate, filter reconstruction, or chunk walk hash-fails
+    "multimodal_png" -> ((s, dir) =>
+      Multimodal.decodePng(Multimodal.encodePng(Tables(s, dir).documents)).toDF()),
+
     // real nearest-neighbor resize to 4x4 over the decoded pixel grid
     // (floor sampling, integer-exact -> the resized checksum replays in SQL)
     "multimodal_resize" -> ((s, dir) =>
@@ -3614,6 +3622,29 @@ object ExtRegistry {
         |  SELECT doc_id, CAST(SUM((doc_id + i) % 256) AS BIGINT) AS pixel_sum
         |  FROM px GROUP BY 1)
         |SELECT m.doc_id, m.fmt, m.width, m.height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
+        |       ps.pixel_sum
+        |FROM m JOIN ps USING (doc_id)""".stripMargin,
+
+    // PNG twin: the generator arithmetic replayed — pixel byte i of doc
+    // d is (d + i) % 256 over w·h·3 bytes, w = 3 + 7d%13, h = 5 + 11d%9;
+    // the Spark side must reproduce this through a REAL zlib inflate +
+    // filter reconstruction, so any codec bug hash-fails
+    "multimodal_png" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(3 + (doc_id * 7) % 13 AS INTEGER) AS width,
+        |         CAST(5 + (doc_id * 11) % 9 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, CAST(width AS BIGINT) * height * 3 - 1)) AS i
+        |  FROM m),
+        |ps AS (
+        |  SELECT doc_id, CAST(SUM((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+        |  FROM px GROUP BY 1)
+        |SELECT m.doc_id, 'png' AS fmt, m.width, m.height,
         |       CAST(3 AS INTEGER) AS channels,
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
         |       ps.pixel_sum

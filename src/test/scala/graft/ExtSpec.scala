@@ -1651,6 +1651,45 @@ class ExtSpec extends SparkSpec {
     assert(err.getMessage.contains("bounded-driver-state"))
   }
 
+  test("PNG codec: real zlib round-trip, multi-IDAT, CRC and malformation fail loud") {
+    import graft.ext.Multimodal
+    // id 6 hits the multi-IDAT split (6 % 3 == 0); id 7 the single-IDAT
+    // path; both must reconstruct the exact generator arithmetic through
+    // inflate + all five row filters (h >= 5 by construction)
+    for (id <- Seq(6L, 7L)) {
+      val (w, h) = (Multimodal.pngW(id), Multimodal.pngH(id))
+      assert(h >= 5, "fixture must exercise every filter type")
+      val d = Multimodal.decodePngBytes(id, Multimodal.pngBytes(id, w, h))
+      assert((d.width, d.height, d.channels) == ((w, h, 3)))
+      val expected = (0L until w.toLong * h * 3).map(i => (id + i) % 256).sum
+      assert(d.pixel_sum == expected, s"id $id: ${d.pixel_sum} != $expected")
+    }
+    val good = Multimodal.pngBytes(9L, Multimodal.pngW(9L), Multimodal.pngH(9L))
+    // flip one byte inside the first IDAT's data: CRC must catch it
+    val corrupt = good.clone(); corrupt(8 + 12 + 13 + 12) =
+      (corrupt(8 + 12 + 13 + 12) ^ 0x01).toByte
+    val crcErr = intercept[IllegalArgumentException] {
+      Multimodal.decodePngBytes(9L, corrupt) }
+    assert(crcErr.getMessage.contains("CRC mismatch"), crcErr.getMessage)
+    // truncation fails loud, never a silent partial decode
+    val truncErr = intercept[IllegalArgumentException] {
+      Multimodal.decodePngBytes(9L, good.take(good.length - 6)) }
+    assert(truncErr.getMessage.contains("truncated"), truncErr.getMessage)
+    // an unsupported color type is refused, not misparsed (rebuild the
+    // IHDR with color type 6 and a RECOMPUTED CRC so only the type check
+    // can object)
+    val rgba = good.clone(); rgba(8 + 8 + 9) = 6.toByte
+    val crc = new java.util.zip.CRC32(); crc.update(rgba, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    rgba(8 + 8 + 13) = ((cv >> 24) & 0xff).toByte
+    rgba(8 + 8 + 13 + 1) = ((cv >> 16) & 0xff).toByte
+    rgba(8 + 8 + 13 + 2) = ((cv >> 8) & 0xff).toByte
+    rgba(8 + 8 + 13 + 3) = (cv & 0xff).toByte
+    val typeErr = intercept[IllegalArgumentException] {
+      Multimodal.decodePngBytes(9L, rgba) }
+    assert(typeErr.getMessage.contains("unsupported PNG"), typeErr.getMessage)
+  }
+
   private def postState(df: org.apache.spark.sql.DataFrame)
       : Map[(Long, String), Long] =
     df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -305,6 +305,17 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Text.blocklistFilter(synthPhraseDocs(s, 500L * f),
           Seq("alpha beta", "gamma delta epsilon", "never present"))),
+    // decontamination excision: the eval/benchmark side is constant
+    // broadcast state (one doc sharing the 'gamma delta epsilon' 3-gram
+    // with every train doc), so each factor cuts exactly one span per
+    // document — the gate proves the probe + island window + reassembly
+    // plan and heap stay flat while the corpus grows 100×.
+    ("docs->cutContaminatedSpans", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.cutContaminatedSpans(
+          synthPhraseDocs(s, 500L * f),
+          s.range(1).select(lit(0L).as("doc_id"),
+            lit("x gamma delta epsilon y").as("text")), n = 3)),
     // quality-classifier margin: the weight table is CONSTANT model
     // state (a 1×-corpus vocabulary standing in for a shipped model —
     // explicit broadcast), so only the corpus side grows: one token

@@ -448,6 +448,18 @@ object ExtRegistry {
       graft.ext.Text.wordpieceTrainMerges(Tables(s, dir).documents,
         merges = 6)),
 
+    // the WordPiece trainer off a MERGED word-frequency ingest state —
+    // the wordFreqAdd contract serves BOTH trainer families from the
+    // one corpus-sized pass; bit-identical to the direct scan, so the
+    // oracle is the wordpiece twin verbatim
+    "wordpiece_train_merges_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val state = graft.ext.Text.mergeWordFreqs(
+        graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 2 <=> 0)),
+        graft.ext.Text.wordFreqAdd(docs.filter(!(col("doc_id") % 2 <=> 0))))
+      graft.ext.Text.wordpieceTrainMergesFromCounts(state, merges = 6)
+    }),
+
     // cross-family deployment composition: train under the WORDPIECE
     // policy, ship the table, encode with the SHARED encoder — the
     // merge-table contract is policy-agnostic (bpeEncodeWith consumes
@@ -1300,6 +1312,14 @@ object ExtRegistry {
        |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(CAST(sh AS BIGINT) ORDER BY pos)),
        |                     (a, b) -> (a * 1000003 + b) % 2147483629) AS chunk_hash
        |  FROM ckb GROUP BY doc_id, chunk_id)""".stripMargin
+
+  /** The WordPiece-trainer twin — shared verbatim by
+    * `wordpiece_train_merges` and `wordpiece_train_merges_stream`. */
+  private lazy val wordpieceTrainOracle: String =
+      s"""WITH ${wpChainCtes(6)}
+         |${(1 to 6).map(i =>
+             s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt, score FROM m$i")
+           .mkString("\n  UNION ALL ")}""".stripMargin
 
   /** The inverted-index twin — shared verbatim by `inverted_index`
     * and `inverted_index_stream`. */
@@ -3011,12 +3031,12 @@ object ExtRegistry {
          |FROM ag""".stripMargin,
 
     // WordPiece-trainer twin: the scored chain (see wpChainCtes) —
-    // contiguous early stop exactly like the BPE twin
-    "wordpiece_train_merges" ->
-      s"""WITH ${wpChainCtes(6)}
-         |${(1 to 6).map(i =>
-             s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt, score FROM m$i")
-           .mkString("\n  UNION ALL ")}""".stripMargin,
+    // contiguous early stop exactly like the BPE twin; the stream
+    // variant (trainer off a merged word-frequency state) shares it
+    // verbatim
+    "wordpiece_train_merges" -> wordpieceTrainOracle,
+    "wordpiece_train_merges_stream" -> wordpieceTrainOracle,
+
 
     // WordPiece-table encode twin: the scored chain's final vocabulary
     // w6 through the SAME encode tail as bpe_encode

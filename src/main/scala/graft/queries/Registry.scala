@@ -673,6 +673,23 @@ object Registry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
     }),
 
+    // gzip-compressed JSONL round-trip: how 100 TB corpora actually
+    // arrive (.jsonl.gz shards — CommonCrawl WET/WARC derivatives, most
+    // public text dumps). The codec is Hadoop-built-in; the cost is
+    // SPLITTABILITY: a gzip member can only be decoded from byte 0, so
+    // one .gz file = one task and read parallelism comes from the SHARD
+    // COUNT — hence the explicit repartition(8) before the write (the
+    // knob that decides ingest parallelism at scale; bzip2/zstd-seekable
+    // are the splittable alternatives when shard counts are low)
+    "source_jsonl_gz_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      val path = graft.sources.Scratch.dir("graft_jsonl_gz").resolve("docs").toString
+      docs.repartition(8).write.option("compression", "gzip").json(path)
+      s.read.schema(docs.schema).json(path) // .gz sniffed by extension
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+    }),
+
     // CSV round-trip under ADVERSARIAL content: the sf corpus text is
     // delimiter-clean, so hostile bytes (comma, RFC-doubled quote,
     // embedded newline, backslash) are INJECTED before the write — the
@@ -1499,6 +1516,10 @@ object Registry {
       """SELECT event_id, user_id, event_type, value FROM events""".stripMargin,
 
     "source_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, text FROM documents""".stripMargin,
+
+    // losslessness through the gzip codec — same identity twin
+    "source_jsonl_gz_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, text FROM documents""".stripMargin,
 
     "source_orc_roundtrip" ->

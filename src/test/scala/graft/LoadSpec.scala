@@ -226,4 +226,22 @@ class LoadSpec extends SparkSpec {
     val plain = spark.read.parquet(dir)
     assert(plain.columns.toSet.subsetOf(Set("id", "currency", "amount")))
   }
+
+  test("jsonl gzip sink writes real .json.gz shards that read back losslessly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "c \"quoted\" d")).toDF("doc_id", "text")
+    val path = graft.sources.Scratch.dir("graft_gz_spec").resolve("d").toString
+    docs.repartition(2).write.option("compression", "gzip").json(path)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")),
+      parts.map(_.getName).toSeq.toString)
+    // gzip magic on disk — the codec option must not be silently ignored
+    val head = java.nio.file.Files.readAllBytes(parts.head.toPath)
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
+      "shard is not gzip on disk")
+    val back = spark.read.schema(docs.schema).json(path)
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      docs.collect().map(_.toString).sorted.toSeq)
+  }
 }

@@ -429,6 +429,215 @@ object Multimodal {
     DecodedMedia(id, "png", w, h, 3, rowBytes.toLong * h, sum)
   }
 
+  /** GIF87a is the second real compressed codec here — its compression
+    * is LZW, implemented in full (variable code width 9→12 bits for
+    * 8-bit images, LSB-first bit packing, CLEAR/EOI codes, dictionary
+    * reset at 4096, the KwKwK case, 255-byte data sub-blocks).
+    * [[encodeGif]] writes spec-correct containers: header, logical
+    * screen descriptor, a 256-entry global color table, image
+    * descriptor (little-endian u16 dims), LZW-compressed index stream,
+    * trailer. Index byte i (row-major) is (id + i) % 256 — the shared
+    * generator arithmetic, so the SQL oracle replays the decode.
+    * Dimensions are large enough (≥ 256 pixels) that every container
+    * exercises a 9→10-bit width growth and multi-sub-block packing. */
+  def encodeGif(documents: DataFrame): Dataset[EncodedMedia] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      EncodedMedia(id, "gif", gifBytes(id, gifW(id), gifH(id)))
+    })
+  }
+
+  private[graft] def gifW(id: Long): Int = (16 + (id * 5) % 17).toInt
+  private[graft] def gifH(id: Long): Int = (16 + (id * 13) % 11).toInt
+
+  /** GIF-variant LZW compress of an 8-bit-per-pixel index stream:
+    * `minCode` is the image's LZW minimum code size (8 for 256-color,
+    * the spec floor of 2 for tiny palettes). Returns the packed code
+    * bytes (no sub-block framing). */
+  private[graft] def lzwCompress(pixels: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = minCode + 1
+    var free = eoi + 1
+    // THE load-bearing off-by-one: the decoder's dictionary lags the
+    // encoder's by exactly one entry (it can only add after it has seen
+    // the next code), so the width check runs AFTER emitting a code,
+    // against `free` BEFORE that emit's add — the compress(1)/GIF
+    // convention. Bumping at the add site instead desynchronizes the
+    // two sides one code early (verified by the hand-packed fixture).
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      if (free > (1 << width) - 1 && width < 12) width += 1
+    }
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    emit(clear)
+    var w = pixels(0)
+    var i = 1
+    while (i < pixels.length) {
+      val k = pixels(i)
+      dict.get((w, k)) match {
+        case Some(code) => w = code
+        case None =>
+          emit(w)
+          if (free < 4096) { dict((w, k)) = free; free += 1 }
+          else { // table full: reset, like every mainstream encoder
+            emit(clear)
+            dict = scala.collection.mutable.HashMap.empty
+            free = eoi + 1; width = minCode + 1
+          }
+          w = k
+      }
+      i += 1
+    }
+    emit(w); emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompress: returns the index stream. Fail-loud on
+    * malformed codes or a missing EOI. */
+  private[graft] def lzwDecompress(id: Long, data: Array[Byte], minCode: Int,
+      expected: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var width = minCode + 1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    def read(): Int = {
+      while (bitCnt < width) {
+        require(pos < data.length, s"doc $id: LZW stream truncated")
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      val c = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      c
+    }
+    val out = new Array[Int](expected)
+    var n = 0
+    // dictionary as (prefix code, appended byte); roots are implicit
+    val prefix = new Array[Int](4096); val append = new Array[Int](4096)
+    var free = eoi + 1
+    def first(code: Int): Int = { // first byte of a code's expansion
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    def write(code: Int): Unit = { // expand a code into out (in order)
+      var c = code; var len = 0
+      var d = c
+      while (d >= clear) { len += 1; d = prefix(d) }
+      len += 1
+      require(n + len <= expected, s"doc $id: LZW output overruns $expected pixels")
+      var j = n + len - 1
+      while (c >= clear) { out(j) = append(c); c = prefix(c); j -= 1 }
+      out(j) = c
+      n += len
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == clear) { free = eoi + 1; width = minCode + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else {
+        require(code < free || (code == free && prev >= 0),
+          s"doc $id: LZW code $code out of range (free=$free)")
+        if (prev < 0) { require(code < clear, s"doc $id: first code not a root"); write(code) }
+        else {
+          if (code == free) { // the KwKwK case
+            val start = n
+            write(prev)
+            require(n < expected, s"doc $id: KwKwK overruns")
+            out(n) = out(start); n += 1
+          } else write(code)
+          if (free < 4096) {
+            prefix(free) = prev
+            append(free) = first(code)
+            free += 1
+            if (free == (1 << width) && width < 12) width += 1
+          }
+        }
+        prev = code
+      }
+    }
+    require(n == expected, s"doc $id: LZW decoded $n pixels, expected $expected")
+    out
+  }
+
+  private[graft] def gifBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0)
+    var j = 0
+    while (j < 256) { out.write(j); out.write(j); out.write(j); j += 1 } // gray GCT
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size for 8-bit indices
+    val pixels = Array.tabulate(w * h)(i => ((id + i) % 256).toInt)
+    val lzw = lzwCompress(pixels, 8)
+    var off = 0
+    while (off < lzw.length) { // 255-byte data sub-blocks
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF87a decode: header + screen descriptor, global color
+    * table skip, image descriptor (little-endian dims), sub-block
+    * reassembly, and the full LZW expansion. Output mirrors the other
+    * image decoders; `channels` = 1 (a paletted image IS its index
+    * stream; the palette maps indices to RGB downstream). */
+  def decodeGif(media: Dataset[EncodedMedia]): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => decodeGifBytes(m.doc_id, m.bytes)))
+  }
+
+  private[graft] def decodeGifBytes(id: Long, bs: Array[Byte]): DecodedMedia = {
+    require(bs.length >= 13, s"doc $id: GIF too short")
+    val magic = new String(bs, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    require(magic == "GIF87a" || magic == "GIF89a", s"doc $id: bad GIF magic '$magic'")
+    def le16(o: Int): Int = (bs(o) & 0xff) | ((bs(o + 1) & 0xff) << 8)
+    val packed = bs(10) & 0xff
+    var off = 13
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 0x07) + 1)) // skip GCT
+    require(off < bs.length && (bs(off) & 0xff) == 0x2c,
+      s"doc $id: expected image descriptor at $off")
+    val w = le16(off + 5); val h = le16(off + 7)
+    require(w > 0 && h > 0, s"doc $id: bad image dims ${w}x$h")
+    val ipacked = bs(off + 9) & 0xff
+    require((ipacked & 0xc0) == 0, s"doc $id: local table/interlace unsupported")
+    off += 10
+    val minCode = bs(off) & 0xff; off += 1
+    require(minCode >= 2 && minCode <= 8, s"doc $id: bad LZW min code $minCode")
+    val data = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) { // reassemble the sub-block chain
+      require(off < bs.length, s"doc $id: truncated sub-block chain")
+      val n = bs(off) & 0xff; off += 1
+      if (n == 0) done = true
+      else {
+        require(off + n <= bs.length, s"doc $id: truncated sub-block")
+        data.write(bs, off, n); off += n
+      }
+    }
+    require(off < bs.length && (bs(off) & 0xff) == 0x3b, s"doc $id: missing trailer")
+    val px = lzwDecompress(id, data.toByteArray, minCode, w * h)
+    var sum = 0L; var i = 0
+    while (i < px.length) { sum += px(i); i += 1 }
+    DecodedMedia(id, "gif", w, h, 1, w.toLong * h, sum)
+  }
+
   final case class ResizedMedia(doc_id: Long, fmt: String, src_width: Int,
       src_height: Int, width: Int, height: Int, channels: Int,
       pixel_bytes: Long, pixel_sum: Long)

@@ -185,6 +185,13 @@ object ExtRegistry {
     "multimodal_png" -> ((s, dir) =>
       Multimodal.decodePng(Multimodal.encodePng(Tables(s, dir).documents)).toDF()),
 
+    // REAL LZW decode: spec-correct GIF87a (variable 9->12-bit codes,
+    // LSB-first packing, CLEAR/EOI, the KwKwK case, 255-byte sub-blocks,
+    // every container crossing a code-width growth) round-tripped
+    // through the full decoder; the oracle replays the index arithmetic
+    "multimodal_gif" -> ((s, dir) =>
+      Multimodal.decodeGif(Multimodal.encodeGif(Tables(s, dir).documents)).toDF()),
+
     // real nearest-neighbor resize to 4x4 over the decoded pixel grid
     // (floor sampling, integer-exact -> the resized checksum replays in SQL)
     "multimodal_resize" -> ((s, dir) =>
@@ -3667,6 +3674,28 @@ object ExtRegistry {
         |SELECT m.doc_id, 'png' AS fmt, m.width, m.height,
         |       CAST(3 AS INTEGER) AS channels,
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
+        |       ps.pixel_sum
+        |FROM m JOIN ps USING (doc_id)""".stripMargin,
+
+    // GIF twin: index byte i of doc d is (d + i) % 256 over w·h bytes
+    // (paletted = 1 channel), w = 16 + 5d%17, h = 16 + 13d%11; the
+    // Spark side must reproduce this through a REAL LZW expansion
+    "multimodal_gif" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(16 + (doc_id * 5) % 17 AS INTEGER) AS width,
+        |         CAST(16 + (doc_id * 13) % 11 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS i
+        |  FROM m),
+        |ps AS (
+        |  SELECT doc_id, CAST(SUM((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+        |  FROM px GROUP BY 1)
+        |SELECT m.doc_id, 'gif' AS fmt, m.width, m.height,
+        |       CAST(1 AS INTEGER) AS channels,
+        |       CAST(m.width AS BIGINT) * m.height AS pixel_bytes,
         |       ps.pixel_sum
         |FROM m JOIN ps USING (doc_id)""".stripMargin,
 

@@ -1690,6 +1690,45 @@ class ExtSpec extends SparkSpec {
     assert(typeErr.getMessage.contains("unsupported PNG"), typeErr.getMessage)
   }
 
+  test("GIF codec: LZW round-trip across width growth; hand-packed spec fixture decodes") {
+    import graft.ext.Multimodal
+    // round-trip: every fixture crosses the 9->10-bit code-width growth
+    // (>= 256 pixels of period-256 content) and multi-sub-block packing
+    for (id <- Seq(3L, 10L)) {
+      val (w, h) = (Multimodal.gifW(id), Multimodal.gifH(id))
+      assert(w * h >= 256, "fixture must cross a code-width growth")
+      val d = Multimodal.decodeGifBytes(id, Multimodal.gifBytes(id, w, h))
+      assert((d.width, d.height, d.channels) == ((w, h, 1)))
+      val expected = (0L until w.toLong * h).map(i => (id + i) % 256).sum
+      assert(d.pixel_sum == expected, s"id $id: ${d.pixel_sum} != $expected")
+    }
+    // HAND-PACKED fixture (indices [0,1,0], min code 2): codes
+    // clear(100) 0(000) 1(001) 0(000 at STILL 3 bits — the decoder's
+    // dictionary lags one entry) then EOI(0101 at 4 bits) packed
+    // LSB-first = 0x44 0x50. Pins the bit-level format independently of
+    // the encoder, so a symmetric encoder/decoder bug cannot hide.
+    val bs = new java.io.ByteArrayOutputStream()
+    bs.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bs.write(Array[Byte](3, 0, 1, 0)) // 3x1, little-endian
+    bs.write(0xf1); bs.write(0); bs.write(0) // GCT present, 4 entries
+    for (j <- 0 until 4) { bs.write(j * 80); bs.write(j * 80); bs.write(j * 80) }
+    bs.write(0x2c); bs.write(Array[Byte](0, 0, 0, 0, 3, 0, 1, 0)); bs.write(0)
+    bs.write(2) // LZW min code size
+    bs.write(2); bs.write(0x44); bs.write(0x50) // one 2-byte sub-block
+    bs.write(0); bs.write(0x3b)
+    val d = Multimodal.decodeGifBytes(42L, bs.toByteArray)
+    assert((d.width, d.height, d.pixel_sum) == ((3, 1, 1L)), d)
+    // and the encoder produces EXACTLY those data bytes for [0,1,0]
+    assert(Multimodal.lzwCompress(Array(0, 1, 0), 2).toSeq ==
+      Seq(0x44.toByte, 0x50.toByte), "encoder bit packing drifted from the spec fixture")
+    // truncation fails loud
+    val good = Multimodal.gifBytes(3L, Multimodal.gifW(3L), Multimodal.gifH(3L))
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.decodeGifBytes(3L, good.take(good.length - 3)) }
+    assert(err.getMessage.contains("truncated") || err.getMessage.contains("trailer"),
+      err.getMessage)
+  }
+
   private def postState(df: org.apache.spark.sql.DataFrame)
       : Map[(Long, String), Long] =
     df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap

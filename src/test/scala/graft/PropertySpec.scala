@@ -335,6 +335,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: PNG decode inverts encode on arbitrary dims (1x1 up, all filter mixes)") {
+    import graft.ext.Multimodal
+    // w=1 exercises the no-left-neighbor edge of Sub/Average/Paeth on
+    // every pixel; h<5 exercises partial filter coverage; larger dims
+    // cross several deflate block boundaries
+    val dims = sample(for {
+      w <- Gen.chooseNum(1, 20); h <- Gen.chooseNum(1, 20)
+    } yield (w, h), 40) ++ List((1, 1), (1, 8), (20, 1))
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      val id = 1000L + i // includes id % 3 == 0 -> the multi-IDAT split
+      val d = Multimodal.decodePngBytes(id, Multimodal.pngBytes(id, w, h))
+      val expected = (0L until w.toLong * h * 3).map(j => (id + j) % 256).sum
+      assert((d.width, d.height, d.pixel_sum) == ((w, h, expected)),
+        s"id=$id ${w}x$h -> $d")
+    }
+  }
+
   test("property: LZW decode inverts encode on random streams, incl. dictionary reset and KwKwK") {
     import graft.ext.Multimodal
     // KwKwK smallest case: run of identical symbols makes the decoder

@@ -1797,6 +1797,29 @@ class ExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keep-best survivor: quality argmax per near-dup family, ties to min doc_id") {
+    // the dedup_keep_best aggregation idiom on crafted frames (the full
+    // composition is hash-proven by its oracle): min(struct(-margin,
+    // doc_id)) must pick the highest margin, NEGATIVE margins included,
+    // and break ties on the minimum id — never a per-component window
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "component_id")
+    val margin = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, -4L), (9L, -4L))
+      .toDF("doc_id", "margin")
+    val got = comp.join(margin, Seq("doc_id"))
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("members"),
+        min(struct((-col("margin")).as("nm"), col("doc_id").as("d"))).as("w"))
+      .select(col("component_id"), col("members"),
+        col("w.d").as("keep_doc"), (-col("w.nm")).as("keep_margin"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, 9L)),   // margin 9 beats 5; tie 2 vs 3 -> min id 2
+      7L -> ((2L, 7L, -4L))), // all-negative family: keep min id at -4
+      got)
+  }
+
   test("cutContaminatedSpans: overlap spans excised, clean docs intact, covered docs drop") {
     val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
     val train = Seq(

@@ -567,6 +567,12 @@ object Multimodal {
     out
   }
 
+  /** Logical row order of a GIF interlaced image's STORAGE rows: the
+    * four spec passes (8k, 8k+4, 4k+2, 2k+1). */
+  private[graft] def interlaceRows(h: Int): Array[Int] =
+    (Seq.range(0, h, 8) ++ Seq.range(4, h, 8) ++
+      Seq.range(2, h, 4) ++ Seq.range(1, h, 2)).toArray
+
   private[graft] def gifBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -576,11 +582,15 @@ object Multimodal {
     out.write(0); out.write(0)
     var j = 0
     while (j < 256) { out.write(j); out.write(j); out.write(j); j += 1 } // gray GCT
+    val interlaced = id % 5 == 0 // every fifth image ships interlaced
     out.write(0x2c) // image descriptor
     le16(0); le16(0); le16(w); le16(h)
-    out.write(0) // no local table, not interlaced
+    out.write(if (interlaced) 0x40 else 0) // no local table; interlace flag
     out.write(8) // LZW minimum code size for 8-bit indices
-    val pixels = Array.tabulate(w * h)(i => ((id + i) % 256).toInt)
+    val logical = Array.tabulate(w * h)(i => ((id + i) % 256).toInt)
+    val pixels =
+      if (!interlaced) logical
+      else interlaceRows(h).flatMap(y => logical.slice(y * w, (y + 1) * w))
     val lzw = lzwCompress(pixels, 8)
     var off = 0
     while (off < lzw.length) { // 255-byte data sub-blocks
@@ -592,18 +602,28 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** [[DecodedMedia]] plus an ORDER-SENSITIVE pixel fold
+    * `(acc·1000003 + px) mod 2147483629` over the LOGICAL row-major
+    * stream: the sum alone cannot distinguish correctly de-interlaced
+    * rows from misplaced ones (any permutation sums alike); the fold
+    * pins row placement, so interlace handling is oracle-checked. */
+  final case class GifDecoded(doc_id: Long, fmt: String, width: Int,
+      height: Int, channels: Int, pixel_bytes: Long, pixel_sum: Long,
+      pixel_fold: Long)
+
   /** REAL GIF87a decode: header + screen descriptor, global color
-    * table skip, image descriptor (little-endian dims), sub-block
-    * reassembly, and the full LZW expansion. Output mirrors the other
-    * image decoders; `channels` = 1 (a paletted image IS its index
-    * stream; the palette maps indices to RGB downstream). */
-  def decodeGif(media: Dataset[EncodedMedia]): Dataset[DecodedMedia] = {
+    * table skip, image descriptor (little-endian dims, INTERLACE flag
+    * honored — storage rows map back through the four spec passes),
+    * sub-block reassembly, and the full LZW expansion. `channels` = 1
+    * (a paletted image IS its index stream; the palette maps indices
+    * to RGB downstream). */
+  def decodeGif(media: Dataset[EncodedMedia]): Dataset[GifDecoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map(m => decodeGifBytes(m.doc_id, m.bytes)))
   }
 
-  private[graft] def decodeGifBytes(id: Long, bs: Array[Byte]): DecodedMedia = {
+  private[graft] def decodeGifBytes(id: Long, bs: Array[Byte]): GifDecoded = {
     require(bs.length >= 13, s"doc $id: GIF too short")
     val magic = new String(bs, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     require(magic == "GIF87a" || magic == "GIF89a", s"doc $id: bad GIF magic '$magic'")
@@ -616,7 +636,8 @@ object Multimodal {
     val w = le16(off + 5); val h = le16(off + 7)
     require(w > 0 && h > 0, s"doc $id: bad image dims ${w}x$h")
     val ipacked = bs(off + 9) & 0xff
-    require((ipacked & 0xc0) == 0, s"doc $id: local table/interlace unsupported")
+    require((ipacked & 0x80) == 0, s"doc $id: local color table unsupported")
+    val interlaced = (ipacked & 0x40) != 0
     off += 10
     val minCode = bs(off) & 0xff; off += 1
     require(minCode >= 2 && minCode <= 8, s"doc $id: bad LZW min code $minCode")
@@ -632,10 +653,27 @@ object Multimodal {
       }
     }
     require(off < bs.length && (bs(off) & 0xff) == 0x3b, s"doc $id: missing trailer")
-    val px = lzwDecompress(id, data.toByteArray, minCode, w * h)
-    var sum = 0L; var i = 0
-    while (i < px.length) { sum += px(i); i += 1 }
-    DecodedMedia(id, "gif", w, h, 1, w.toLong * h, sum)
+    val stored = lzwDecompress(id, data.toByteArray, minCode, w * h)
+    // de-interlace: storage row j carries logical row interlaceRows(h)(j)
+    val px =
+      if (!interlaced) stored
+      else {
+        val logical = new Array[Int](w * h)
+        val order = interlaceRows(h)
+        var j = 0
+        while (j < h) {
+          System.arraycopy(stored, j * w, logical, order(j) * w, w)
+          j += 1
+        }
+        logical
+      }
+    var sum = 0L; var fold = 0L; var i = 0
+    while (i < px.length) {
+      sum += px(i)
+      fold = (fold * 1000003L + px(i)) % 2147483629L
+      i += 1
+    }
+    GifDecoded(id, "gif", w, h, 1, w.toLong * h, sum, fold)
   }
 
   final case class ResizedMedia(doc_id: Long, fmt: String, src_width: Int,

@@ -187,8 +187,11 @@ object ExtRegistry {
 
     // REAL LZW decode: spec-correct GIF87a (variable 9->12-bit codes,
     // LSB-first packing, CLEAR/EOI, the KwKwK case, 255-byte sub-blocks,
-    // every container crossing a code-width growth) round-tripped
-    // through the full decoder; the oracle replays the index arithmetic
+    // every container crossing a code-width growth; every FIFTH image
+    // INTERLACED — the order-sensitive pixel_fold column pins the
+    // de-interlaced row placement, which the sum alone cannot)
+    // round-tripped through the full decoder; the oracle replays the
+    // index arithmetic
     "multimodal_gif" -> ((s, dir) =>
       Multimodal.decodeGif(Multimodal.encodeGif(Tables(s, dir).documents)).toDF()),
 
@@ -3692,12 +3695,20 @@ object ExtRegistry {
         |  FROM m),
         |ps AS (
         |  SELECT doc_id, CAST(SUM((doc_id + i) % 256) AS BIGINT) AS pixel_sum
-        |  FROM px GROUP BY 1)
+        |  FROM px GROUP BY 1),
+        |pf AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(generate_series(0, CAST(width AS BIGINT) * height - 1),
+        |               i -> (doc_id + i) % 256)),
+        |           (a, b) -> (a * 1000003 + b) % 2147483629) AS pixel_fold
+        |  FROM m)
         |SELECT m.doc_id, 'gif' AS fmt, m.width, m.height,
         |       CAST(1 AS INTEGER) AS channels,
         |       CAST(m.width AS BIGINT) * m.height AS pixel_bytes,
-        |       ps.pixel_sum
-        |FROM m JOIN ps USING (doc_id)""".stripMargin,
+        |       ps.pixel_sum, pf.pixel_fold
+        |FROM m JOIN ps USING (doc_id) JOIN pf USING (doc_id)""".stripMargin,
 
     // video twin: the Y4M generator arithmetic replayed — frame f's
     // byte j of doc d is (d + f·131 + j) % 256 over 3·w·h bytes

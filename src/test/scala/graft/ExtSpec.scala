@@ -1693,7 +1693,10 @@ class ExtSpec extends SparkSpec {
   test("GIF codec: LZW round-trip across width growth; hand-packed spec fixture decodes") {
     import graft.ext.Multimodal
     // round-trip: every fixture crosses the 9->10-bit code-width growth
-    // (>= 256 pixels of period-256 content) and multi-sub-block packing
+    // (>= 256 pixels of period-256 content) and multi-sub-block packing;
+    // id 10 ships INTERLACED (10 % 5 == 0) — the order-sensitive fold
+    // proves its rows land back in logical positions, which the
+    // order-invariant sum cannot
     for (id <- Seq(3L, 10L)) {
       val (w, h) = (Multimodal.gifW(id), Multimodal.gifH(id))
       assert(w * h >= 256, "fixture must cross a code-width growth")
@@ -1701,7 +1704,16 @@ class ExtSpec extends SparkSpec {
       assert((d.width, d.height, d.channels) == ((w, h, 1)))
       val expected = (0L until w.toLong * h).map(i => (id + i) % 256).sum
       assert(d.pixel_sum == expected, s"id $id: ${d.pixel_sum} != $expected")
+      val fold = (0L until w.toLong * h).foldLeft(0L)((a, i) =>
+        (a * 1000003L + (id + i) % 256) % 2147483629L)
+      assert(d.pixel_fold == fold, s"id $id: row placement broken (fold mismatch)")
     }
+    // the interlaced container really is interlaced on the wire: its
+    // image-descriptor flag byte carries 0x40
+    val ibytes = Multimodal.gifBytes(10L, Multimodal.gifW(10L), Multimodal.gifH(10L))
+    val descOff = 13 + 3 * 256 // header + screen descriptor + 256-entry GCT
+    assert((ibytes(descOff) & 0xff) == 0x2c && (ibytes(descOff + 9) & 0x40) != 0,
+      "id 10 should set the interlace flag")
     // HAND-PACKED fixture (indices [0,1,0], min code 2): codes
     // clear(100) 0(000) 1(001) 0(000 at STILL 3 bits — the decoder's
     // dictionary lags one entry) then EOI(0101 at 4 bits) packed

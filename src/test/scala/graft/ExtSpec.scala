@@ -1690,6 +1690,33 @@ class ExtSpec extends SparkSpec {
     assert(typeErr.getMessage.contains("unsupported PNG"), typeErr.getMessage)
   }
 
+  test("PNG ancillary chunks: skipped when valid, CRC-enforced when corrupt") {
+    import graft.ext.Multimodal
+    val good = Multimodal.pngBytes(7L, Multimodal.pngW(7L), Multimodal.pngH(7L))
+    val base = Multimodal.decodePngBytes(7L, good)
+    // splice a tEXt chunk (ancillary — decoders must skip unknown types)
+    // right after IHDR (signature 8 + IHDR 25 = offset 33)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      out.toByteArray
+    }
+    val tExt = chunk("tEXt", "Comment spliced".getBytes("US-ASCII"))
+    val spliced = good.take(33) ++ tExt ++ good.drop(33)
+    assert(Multimodal.decodePngBytes(7L, spliced) == base,
+      "a valid ancillary chunk must be skipped without changing the decode")
+    // even a SKIPPED chunk's CRC is verified — corrupt media fails loud
+    val bad = spliced.clone()
+    bad(33 + 8 + 2) = (bad(33 + 8 + 2) ^ 0x01).toByte
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.decodePngBytes(7L, bad) }
+    assert(err.getMessage.contains("CRC mismatch"), err.getMessage)
+  }
+
   test("GIF codec: LZW round-trip across width growth; hand-packed spec fixture decodes") {
     import graft.ext.Multimodal
     // round-trip: every fixture crosses the 9->10-bit code-width growth

@@ -885,6 +885,31 @@ object ExtRegistry {
         countDistinct(col("user_id")).as("exact_distinct"))
     }),
 
+    // HyperLogLog beside KMV: the industry-standard distinct sketch as
+    // plain declarative aggregations (256 registers = one groupBy.max),
+    // exact-integer harmonic sum, raw estimate audited against the
+    // exact count. No ln means no small-range linear-counting
+    // correction, so the subject is event_id (n >= 1000 >> 2.5m = 640,
+    // raw HLL's valid regime; user_id's 15-150 would need the
+    // correction — KMV covers that range exactly)
+    "hll_distinct_events" -> ((s, dir) =>
+      graft.operators.Hll.hllDistinct(Tables(s, dir).events, "event_id")),
+
+    // the register state is MAX-mergeable (idempotent — overlapping
+    // deltas and replays are harmless, unlike the count-sum states):
+    // two-delta ingest merged, then the shared estimate read side;
+    // bit-identical to the single pass, so the oracle is the twin
+    "hll_distinct_stream" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val state = graft.operators.Hll.mergeHll(
+        graft.operators.Hll.hllAdd(ev.filter(col("event_id") % 2 <=> 0), "event_id"),
+        graft.operators.Hll.hllAdd(ev.filter(!(col("event_id") % 2 <=> 0)), "event_id"))
+      graft.operators.Hll.hllEstimateFromCounts(state)
+        .crossJoin(ev.agg(countDistinct(col("event_id")).as("exact_distinct")))
+        .select(col("m"), col("used_registers"), col("raw_estimate"),
+          col("exact_distinct"))
+    }),
+
     // ordered group-concat (string_agg): collect_set is order-free, so
     // determinism comes from array_sort before the join — the only
     // contract under which a concatenated list can hash-match anywhere
@@ -1365,6 +1390,36 @@ object ExtRegistry {
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
         |  FROM scored)
         |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3""".stripMargin
+
+  /** The HyperLogLog twin — shared verbatim by `hll_distinct_events` and
+    * `hll_distinct_stream` (the register state is MAX-mergeable, so the
+    * merged two-delta sketch is contractually bit-identical to the
+    * single pass): two salted quadratic-mix draws (route + rank word),
+    * rho = 32 − bitlen(w) via `length(bin(w))` (both engines
+    * print minimal binary), per-bucket max, the exact-integer harmonic
+    * sum over the 2³² common denominator, and the one-division raw
+    * estimate — literals spelled with the same ops in the same order,
+    * so the IEEE result is bit-identical. */
+  private lazy val hllOracle: String =
+    """WITH h AS (
+      |  SELECT ((((((event_id) % 2147483648) * 1103515245 + 101) % 2147483648) * ((((((event_id) % 2147483648) * 1103515245 + 101) % 2147483648) * 1103515245 + 12345) % 2147483648) + 12345) % 2147483648) AS b,
+      |         ((((((event_id) % 2147483648) * 1103515245 + 202) % 2147483648) * ((((((event_id) % 2147483648) * 1103515245 + 202) % 2147483648) * 1103515245 + 12345) % 2147483648) + 12345) % 2147483648) AS w
+      |  FROM events),
+      |r AS (
+      |  SELECT b // 8388608 AS bucket,
+      |         max(CASE WHEN w = 0 THEN 32
+      |                  ELSE 32 - length(bin(w)) END) AS rho_max
+      |  FROM h GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS used,
+      |         CAST(sum(CAST(1 AS BIGINT) << CAST(32 - rho_max AS INTEGER)) AS BIGINT) AS s_present
+      |  FROM r)
+      |SELECT CAST(256 AS INTEGER) AS m,
+      |       used AS used_registers,
+      |       0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 4294967296.0
+      |         / CAST(s_present + (256 - used) * 4294967296 AS DOUBLE) AS raw_estimate,
+      |       (SELECT CAST(count(DISTINCT event_id) AS BIGINT) FROM events) AS exact_distinct
+      |FROM s""".stripMargin
 
   /** The BM25 search twin — shared verbatim by `bm25_top_docs` and
     * `bm25_stream` (the search off a merged two-delta postings state
@@ -3490,6 +3545,10 @@ object ExtRegistry {
     // relationally; the estimator is the same exact product + one IEEE
     // division ((k-1)·M exact in double), so values hash-match the
     // sketch's eval. nd < k falls back to the exact distinct count.
+    "hll_distinct_events" -> hllOracle,
+    // max-merge idempotence makes the two-delta sketch identical
+    "hll_distinct_stream" -> hllOracle,
+
     "kmv_distinct_users" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

@@ -1690,6 +1690,31 @@ class ExtSpec extends SparkSpec {
     assert(typeErr.getMessage.contains("unsupported PNG"), typeErr.getMessage)
   }
 
+  test("HLL: register state is max-mergeable and IDEMPOTENT; estimate inside the error band") {
+    import graft.operators.Hll
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .localCheckpoint(true)
+    def state(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = state(Hll.hllAdd(ev, "event_id"))
+    assert(full.nonEmpty && full.keySet.forall(b => b >= 0 && b < 256))
+    // disjoint three-way split, both association orders
+    val parts = Seq(0, 1, 2).map(m => Hll.hllAdd(ev.filter(col("event_id") % 3 === m), "event_id"))
+    assert(state(Hll.mergeHll(Hll.mergeHll(parts(0), parts(1)), parts(2))) == full)
+    assert(state(Hll.mergeHll(parts(0), Hll.mergeHll(parts(1), parts(2)))) == full)
+    // OVERLAPPING deltas — the property the count-sum states do NOT
+    // have: max absorbs duplicates, so replays/overlaps are harmless
+    val a = Hll.hllAdd(ev.filter(col("event_id") % 3 =!= 2), "event_id") // thirds 0,1
+    val b = Hll.hllAdd(ev.filter(col("event_id") % 3 =!= 0), "event_id") // thirds 1,2
+    assert(state(Hll.mergeHll(a, b)) == full, "overlapping deltas must merge to the full sketch")
+    assert(state(Hll.mergeHll(parts(0), parts(0))) == state(parts(0)), "merge must be idempotent")
+    // estimate accuracy: within 3 standard errors (3·1.04/√256 ≈ 20%)
+    val r = Hll.hllDistinct(ev, "event_id").collect().head
+    val (est, exact) = (r.getDouble(2), r.getLong(3))
+    assert(math.abs(est - exact) / exact < 0.20,
+      s"raw HLL estimate $est vs exact $exact outside the 3σ band")
+  }
+
   test("PNG ancillary chunks: skipped when valid, CRC-enforced when corrupt") {
     import graft.ext.Multimodal
     val good = Multimodal.pngBytes(7L, Multimodal.pngW(7L), Multimodal.pngH(7L))

@@ -26,7 +26,30 @@ object Bench {
     // one-time cost, and leaving it in calPre would make every run look
     // like load "decreased" between pre and post
     calibrate()
-    val calPre = calibrate()
+    // CALIBRATION GATE (round-15 finding: the committed artifact was
+    // captured in a degraded-host window — probe 1.37 s vs the 0.60–0.92 s
+    // idle band — and nothing in the pipeline objected). The band is
+    // PINNED here: a sweep only counts as cross-round comparable when
+    // pre and post probes are both inside the band AND agree within the
+    // ratio (load arriving mid-sweep inflates post but not pre). The
+    // pre-probe retries with a backoff so a transient co-located burst
+    // (the driver's DuckDB oracle, a GC storm) can pass; the verdict is
+    // RECORDED in the JSON either way — a hard abort would cost the
+    // round its numbers entirely when the box never settles, which is
+    // strictly worse than a labeled-incomparable artifact.
+    val calMax = sys.env.get("SPARK_GRAFT_CAL_MAX").map(_.toDouble).getOrElse(0.90)
+    val calMaxRatio = 1.3
+    val calRetries = sys.env.get("SPARK_GRAFT_CAL_RETRIES").map(_.toInt).getOrElse(3)
+    val calWaitSec = sys.env.get("SPARK_GRAFT_CAL_WAIT_SEC").map(_.toInt).getOrElse(20)
+    var calPre = calibrate()
+    var preAttempts = 1
+    while (calPre > calMax && preAttempts <= calRetries) {
+      System.err.println(f"[bench] calibration probe $calPre%.2fs above the " +
+        f"$calMax%.2fs band (attempt $preAttempts/$calRetries); waiting ${calWaitSec}s")
+      Thread.sleep(calWaitSec * 1000L)
+      calPre = calibrate()
+      preAttempts += 1
+    }
     // A failed query must NOT masquerade as a fast timing (judge flagged
     // this round 1): record -1 and list it in "errors".
     // Each query runs TWICE and reports the min: this box's noisy external
@@ -79,7 +102,14 @@ object Bench {
     // idle-box figure (~1s on this class of machine), the totals in this
     // very artifact were taken under external load
     def s2c(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val cal = s""""calibration_sec":{"pre":${s2c(calPre)},"post":${s2c(calPost)}}"""
+    val calOk = calPre <= calMax && calPost <= calMax &&
+      math.max(calPre, calPost) / math.min(calPre, calPost) <= calMaxRatio
+    if (!calOk) System.err.println(f"[bench] WARNING: calibration out of band " +
+      f"(pre $calPre%.2f post $calPost%.2f, band <=$calMax%.2f ratio<=$calMaxRatio) — " +
+      "totals in this artifact are NOT cross-round comparable")
+    val cal = s""""calibration_sec":{"pre":${s2c(calPre)},"post":${s2c(calPost)},""" +
+      s""""band_max":${s2c(calMax)},"band_max_ratio":$calMaxRatio,""" +
+      s""""pre_attempts":$preAttempts,"ok":$calOk}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$cal,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout FIRST — a file-write failure (read-only cwd, disk full)
     // must not cost the round its headline number

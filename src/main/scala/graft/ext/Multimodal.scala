@@ -392,6 +392,10 @@ object Multimodal {
       }
       off += 12 + len
     }
+    // appended garbage must fail as loudly as truncation: IEND is the
+    // spec's final chunk, so the container ends exactly where it does
+    require(off == bs.length,
+      s"doc $id: ${bs.length - off} trailing bytes after IEND")
     require(w > 0 && h > 0, s"doc $id: missing or empty IHDR")
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
@@ -456,6 +460,7 @@ object Multimodal {
     * the spec floor of 2 for tiny palettes). Returns the packed code
     * bytes (no sub-block framing). */
   private[graft] def lzwCompress(pixels: Array[Int], minCode: Int): Array[Byte] = {
+    require(pixels.nonEmpty, "LZW input is empty: nothing to compress")
     val clear = 1 << minCode
     val eoi = clear + 1
     val out = new java.io.ByteArrayOutputStream()
@@ -653,6 +658,10 @@ object Multimodal {
       }
     }
     require(off < bs.length && (bs(off) & 0xff) == 0x3b, s"doc $id: missing trailer")
+    // the trailer is the container's last byte: appended garbage fails
+    // loud like every other malformation (truncation already does)
+    require(off + 1 == bs.length,
+      s"doc $id: ${bs.length - off - 1} trailing bytes after GIF trailer")
     val stored = lzwDecompress(id, data.toByteArray, minCode, w * h)
     // de-interlace: storage row j carries logical row interlaceRows(h)(j)
     val px =

@@ -45,10 +45,16 @@ object Hll {
     * consecutive ids to an arithmetic progression whose stride can
     * share a factor with m, silently halving the usable registers;
     * the h1·h2 quadratic term breaks the progression). Exact int64 at
-    * every step, `%` sign-preserving like the oracle's. */
+    * every step. The FIRST reduction is `pmod`, not `%`: Scala/SQL `%`
+    * is sign-preserving, so a negative id would produce negative mix
+    * values, buckets outside [0, m), and a silently garbage estimate —
+    * pmod pins the domain to [0, 2³¹) for any int64 id (identical to
+    * `%` for nonnegative ids), and every later step stays nonnegative
+    * by construction. The oracle spells the same
+    * `((x % m) + m) % m` normalization. */
   private def mix(id: Column, salt: Long): Column = {
     val m31 = 2147483648L
-    val h1 = (id % m31 * 1103515245L + salt) % m31
+    val h1 = (pmod(id, lit(m31)) * 1103515245L + salt) % m31
     val h2 = (h1 * 1103515245L + 12345L) % m31
     (h1 * h2 + 12345L) % m31
   }

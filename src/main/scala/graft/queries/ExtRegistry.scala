@@ -530,8 +530,11 @@ object ExtRegistry {
       val odd = docs.filter(!(col("doc_id") % 2 <=> 0))
       val state = graft.ext.Text.mergePostings(
         graft.ext.Text.postingsAdd(even), graft.ext.Text.postingsAdd(odd))
-      graft.ext.Text.tfIdfTopTermsFromCounts(state,
-        nDocs = even.count() + odd.count(), k = 3)
+      // nDocs rides beside the state as the ingest's doc counter; the
+      // two filtered views partition the table, so ONE base count is
+      // the counter's merged value (two eager filtered scans would
+      // measure the same number twice as slowly)
+      graft.ext.Text.tfIdfTopTermsFromCounts(state, nDocs = docs.count(), k = 3)
     }),
 
     "inverted_index_stream" -> ((s, dir) => {
@@ -1399,11 +1402,13 @@ object ExtRegistry {
     * print minimal binary), per-bucket max, the exact-integer harmonic
     * sum over the 2³² common denominator, and the one-division raw
     * estimate — literals spelled with the same ops in the same order,
-    * so the IEEE result is bit-identical. */
+    * so the IEEE result is bit-identical. The first id reduction is
+    * the pmod normalization `((x % m) + m) % m`, mirroring the Scala
+    * side's negative-id guard (identical for nonnegative ids). */
   private lazy val hllOracle: String =
     """WITH h AS (
-      |  SELECT ((((((event_id) % 2147483648) * 1103515245 + 101) % 2147483648) * ((((((event_id) % 2147483648) * 1103515245 + 101) % 2147483648) * 1103515245 + 12345) % 2147483648) + 12345) % 2147483648) AS b,
-      |         ((((((event_id) % 2147483648) * 1103515245 + 202) % 2147483648) * ((((((event_id) % 2147483648) * 1103515245 + 202) % 2147483648) * 1103515245 + 12345) % 2147483648) + 12345) % 2147483648) AS w
+      |  SELECT (((((event_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 101) % 2147483648) * ((((((event_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 101) % 2147483648) * 1103515245 + 12345) % 2147483648) + 12345) % 2147483648 AS b,
+      |         (((((event_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 202) % 2147483648) * ((((((event_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 202) % 2147483648) * 1103515245 + 12345) % 2147483648) + 12345) % 2147483648 AS w
       |  FROM events),
       |r AS (
       |  SELECT b // 8388608 AS bucket,

@@ -2343,4 +2343,25 @@ class ExtSpec extends SparkSpec {
         s"operator left a session cache entry:\n${df.queryExecution.optimizedPlan}")
     }
   }
+
+  test("PNG/GIF containers reject trailing junk; empty LZW input fails loud") {
+    import graft.ext.Multimodal
+    // appended garbage after the terminal structure must fail as loudly
+    // as truncation — a silently-ignored tail is a smuggling channel
+    val png = Multimodal.pngBytes(7L, Multimodal.pngW(7L), Multimodal.pngH(7L))
+    val pngErr = intercept[IllegalArgumentException] {
+      Multimodal.decodePngBytes(7L, png ++ Array[Byte](1, 2, 3)) }
+    assert(pngErr.getMessage.contains("trailing bytes after IEND"), pngErr.getMessage)
+    val gif = Multimodal.gifBytes(3L, Multimodal.gifW(3L), Multimodal.gifH(3L))
+    val gifErr = intercept[IllegalArgumentException] {
+      Multimodal.decodeGifBytes(3L, gif ++ Array[Byte](0x3b)) }
+    assert(gifErr.getMessage.contains("trailing bytes after GIF trailer"), gifErr.getMessage)
+    // the clean containers still decode after the stricter walk
+    assert(Multimodal.decodePngBytes(7L, png).width == Multimodal.pngW(7L))
+    assert(Multimodal.decodeGifBytes(3L, gif).width == Multimodal.gifW(3L))
+    // an empty index stream is a labeled require, not a bare AIOOBE
+    val emptyErr = intercept[IllegalArgumentException] {
+      Multimodal.lzwCompress(Array.empty[Int], 8) }
+    assert(emptyErr.getMessage.contains("LZW input is empty"), emptyErr.getMessage)
+  }
 }

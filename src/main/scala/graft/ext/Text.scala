@@ -1245,6 +1245,89 @@ object Text {
           .as("weight"))
       .filter(col("weight") =!= 0L)
 
+  /** Character-trigram occurrences `(doc_id, lang, gram)` — the shared
+    * feature stream of the language-ID pair ([[langProfiles]] trains on
+    * it, [[languageId]] scores it). Whole-text trigrams including
+    * spaces, the Cavnar–Trenkle convention (spaces carry word-boundary
+    * signal). Docs shorter than 3 chars contribute nothing — the
+    * `when` guard matters because Spark's `sequence(1, 0)` would step
+    * DOWNWARD, not return empty. */
+  private def charTrigrams(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        explode(when(length(col("text")) >= 3,
+            transform(sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3))))
+          .otherwise(array().cast(ArrayType(StringType)))).as("gram"))
+
+  /** N-gram language-ID profile trainer (Cavnar & Trenkle 1994, the
+    * rank-order profile method — the first filter of every multilingual
+    * web-corpus pipeline; cf. the reference's fixed `lang` column at
+    * `airflows/generator/pg_oltp_synth.py` — it classifies nothing;
+    * this is the LLM-pipeline extension): per language, the top-`k`
+    * character trigrams by frequency with their rank (1 = most
+    * frequent; ties break on the gram itself, so the order is total
+    * and the cut deterministic). The profile table is the shipped
+    * model artifact — `langs · k` rows, config-sized state like
+    * [[qualityMargin]]'s weights.
+    *
+    * Scale: one corpus-sized trigram explode + (lang, gram) count,
+    * then [[org.apache.spark.sql.graft.TopKPerGroup]]'s bounded-heap
+    * selection (map-side pruned — never a full rank window over the
+    * gram vocabulary); the rank window runs on the ≤ langs·k survivor
+    * frame. */
+  def langProfiles(documents: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 512, s"profile size must be in [1, 512], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = charTrigrams(documents)
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+    org.apache.spark.sql.graft.TopKPerGroup.topK(counts,
+        Seq(col("lang")), Seq(col("cnt").desc, col("gram").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram").asc)))
+      .select(col("lang"), col("rank").cast(IntegerType).as("rank"),
+        col("gram"), col("cnt"))
+  }
+
+  /** Language-ID classifier over a shipped [[langProfiles]] table:
+    * score(doc, lang) = Σ over the doc's trigram OCCURRENCES of the
+    * rank weight `k + 1 − rank(gram in lang's profile)` (unlisted
+    * grams contribute zero — the out-of-place measure reduced to
+    * exact-integer rank-order scoring, the same no-log reduction as
+    * [[qualityMargin]]); the predicted language is the argmax, ties
+    * broken on the language code. Total annotation: docs matching no
+    * profile gram predict `'und'` with score 0.
+    *
+    * Output: `(doc_id, pred_lang, score, lang, is_correct)` — the
+    * actual label rides along so classifier accuracy is measured, not
+    * asserted (the [[graft.operators.Hll]] raw-estimate discipline).
+    *
+    * Scale: the profile table broadcasts (langs·k rows by
+    * construction); corpus-sized work is one trigram explode +
+    * broadcast probe + (doc, lang)-keyed sum; the per-doc argmax is
+    * the map-side-combinable `min(struct(-score, lang))`, never a
+    * window; then the one doc-spine left join. */
+  def languageId(documents: DataFrame, profiles: DataFrame,
+      k: Int = 50): DataFrame = {
+    val prof = broadcast(profiles.select(
+      col("lang").as("cand_lang"), col("gram"),
+      (lit(k + 1).cast(LongType) - col("rank")).as("weight")))
+    val best = charTrigrams(documents)
+      .join(prof, Seq("gram"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(col("weight")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cand_lang").as("l"))).as("w"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w.l"), lit("und")).as("pred_lang"),
+        coalesce(-col("w.ns"), lit(0L)).as("score"),
+        col("lang"),
+        (coalesce(col("w.l"), lit("und")) === col("lang"))
+          .cast(IntegerType).as("is_correct"))
+  }
+
   /** Unicode NFC canonicalization over a deterministically "dirtied"
     * corpus. The testdata text is pure ASCII (already NFC — the
     * normalizer would be vacuous), so this INJECTS the real-world mess

@@ -401,6 +401,23 @@ object ExtRegistry {
         threshold = 0L)
     }),
 
+    // language-ID profile trainer (Cavnar–Trenkle rank-order method):
+    // per-language top-40 character trigrams with deterministic ranks —
+    // the shipped model artifact (langs·k rows), selected through the
+    // TopKPerGroup bounded heap, never a vocabulary-wide rank window
+    "lang_profiles" -> ((s, dir) =>
+      graft.ext.Text.langProfiles(Tables(s, dir).documents, k = 40)),
+
+    // the classifier: exact-integer rank-weight scoring of every doc
+    // against every broadcast profile, min(struct) argmax, total
+    // annotation with the actual label riding along so accuracy is
+    // measured, not asserted
+    "lang_id" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.languageId(docs,
+        graft.ext.Text.langProfiles(docs, k = 40), k = 40)
+    }),
+
     // the BPE loop executed: 6 greedy merge rounds over word types —
     // the merge table a tokenizer ships (bpe_pair_counts is round 1's
     // candidate list; each later round counts over MERGED symbols under
@@ -1275,6 +1292,21 @@ object ExtRegistry {
     * left-associative in both engines, so the term spelling
     * `th[i+d] % P2 * w % P2` replays Spark's operator order exactly),
     * and one equi-join per length on the (sh, sh2) pair. */
+  /** Shared language-ID CTEs: `tg` = whole-text character-trigram
+    * OCCURRENCES `(doc_id, lang, gram)` (1-based substr over positions
+    * 1..len−2 — identical semantics both engines; docs shorter than 3
+    * chars yield an empty series), `pc` = per-(lang, gram) counts.
+    * Shared verbatim by the `lang_profiles` and `lang_id` twins so the
+    * trainer the classifier scores against is the audited one. */
+  private lazy val langTrigramCtes: String =
+    """tg AS (
+      |  SELECT doc_id, lang, substr(text, i, 3) AS gram
+      |  FROM (SELECT doc_id, lang, text,
+      |               unnest(generate_series(1, length(text) - 2)) AS i
+      |        FROM documents)),
+      |pc AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM tg GROUP BY 1, 2)""".stripMargin
+
   private def phraseCtes(phrases: Seq[String]): String = {
     val P2 = graft.ext.Text.P2
     val lens = phrases.map(_.split(" ").length)
@@ -3053,6 +3085,48 @@ object ExtRegistry {
          |       CAST(coalesce(m.margin, 0) AS BIGINT) AS margin,
          |       CASE WHEN coalesce(m.margin, 0) > 0 THEN 1 ELSE 0 END AS accepted
          |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    // language-ID profile twin: whole-text character trigrams
+    // (1-based substr, identical both engines), per-(lang, gram)
+    // counts, rank by (cnt DESC, gram) — a total order, so the top-40
+    // cut is deterministic
+    "lang_profiles" ->
+      s"""WITH $langTrigramCtes,
+         |pr AS (
+         |  SELECT lang, gram, cnt,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY lang ORDER BY cnt DESC, gram) AS INTEGER) AS rank
+         |  FROM pc)
+         |SELECT lang, rank, gram, cnt FROM pr WHERE rank <= 40""".stripMargin,
+
+    // classifier twin: rank weight 41 − rank per profile hit, summed
+    // over trigram OCCURRENCES per (doc, candidate lang), argmax on
+    // (score DESC, lang), docs with no profile hit predict 'und'
+    "lang_id" ->
+      s"""WITH $langTrigramCtes,
+         |pr AS (
+         |  SELECT lang AS cand_lang, gram,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY lang ORDER BY cnt DESC, gram) AS INTEGER) AS rank
+         |  FROM pc),
+         |prof AS (SELECT cand_lang, gram, CAST(41 - rank AS BIGINT) AS weight
+         |         FROM pr WHERE rank <= 40),
+         |sc AS (
+         |  SELECT t.doc_id, p.cand_lang, CAST(sum(p.weight) AS BIGINT) AS score
+         |  FROM tg t JOIN prof p USING (gram) GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, cand_lang, score,
+         |         row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+         |  FROM sc)
+         |SELECT d.doc_id,
+         |       coalesce(b.cand_lang, 'und') AS pred_lang,
+         |       CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+         |       d.lang,
+         |       CASE WHEN coalesce(b.cand_lang, 'und') = d.lang
+         |            THEN 1 ELSE 0 END AS is_correct
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
 
     // CDC economics twin: one aggregate over the per-content counts
     "cdc_dedup_stats" ->

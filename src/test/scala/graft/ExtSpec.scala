@@ -2364,4 +2364,36 @@ class ExtSpec extends SparkSpec {
       Multimodal.lzwCompress(Array.empty[Int], 8) }
     assert(emptyErr.getMessage.contains("LZW input is empty"), emptyErr.getMessage)
   }
+
+  test("language-ID: trained profiles rank deterministically; scoring, und fallback, tie-break") {
+    import graft.ext.Text
+    val corpus = Seq(
+      (1L, "aa", "ababa"),  // trigrams aba:2, bab:1
+      (2L, "bb", "cdcdc"),  // cdc:2, dcd:1
+      (3L, "aa", "xy"),     // too short: no trigrams
+      (4L, "bb", "abacd")   // aba, bac, acd
+    ).toDF("doc_id", "lang", "text")
+    val prof = Text.langProfiles(corpus, k = 2)
+    val pm = prof.collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // aa counts: aba 2, bab 1; bb counts: cdc 2 then cnt-1 ties break
+    // on the gram itself -> aba beats acd/bac/dcd
+    assert(pm(("aa", 1)) == (("aba", 2L)) && pm(("aa", 2)) == (("bab", 1L)))
+    assert(pm(("bb", 1)) == (("cdc", 2L)) && pm(("bb", 2)) == (("aba", 1L)))
+    assert(pm.size == 4)
+    val ids = Text.languageId(corpus, prof, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(4)))).toMap
+    // weights: k+1-rank -> aa: aba 2, bab 1; bb: cdc 2, aba 1
+    assert(ids(1L) == (("aa", 5L, 1)), s"doc 1: ${ids(1L)}") // 2*2 + 1
+    assert(ids(2L) == (("bb", 4L, 1)), s"doc 2: ${ids(2L)}") // 2*2 (dcd unlisted)
+    assert(ids(3L) == (("und", 0L, 0)), s"doc 3: ${ids(3L)}") // no trigram
+    assert(ids(4L) == (("aa", 2L, 0)), s"doc 4: ${ids(4L)}") // aba: aa 2 > bb 1
+    // exact score tie -> language code ascending wins
+    val handProf = Seq(("bb", 1, "xxy", 9L), ("aa", 1, "xxy", 9L))
+      .toDF("lang", "rank", "gram", "cnt")
+    val tied = Text.languageId(
+      Seq((7L, "bb", "xxy")).toDF("doc_id", "lang", "text"), handProf, k = 1)
+      .collect().head
+    assert((tied.getString(1), tied.getLong(2)) == (("aa", 1L)), tied)
+  }
 }

@@ -104,6 +104,20 @@ class PlanSpec extends SparkSpec {
       s"weight probe expected as a broadcast hash join in:\n$plan")
   }
 
+  test("language-ID probes the profile table as a broadcast hash join; argmax is an aggregate, not a window") {
+    val df = graft.ext.Text.languageId(tables.documents,
+      graft.ext.Text.langProfiles(tables.documents, k = 40), k = 40)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"profile probe expected as a broadcast hash join in:\n$plan")
+    // the per-doc argmax must be the map-side-combinable min(struct),
+    // never a doc-keyed rank window over the scored stream
+    assert(!plan.contains("windowspecdefinition(doc_id#"),
+      s"per-doc window in:\n$plan")
+  }
+
   test("CDC chunking stays join-free: window + aggregations only") {
     Seq(
       graft.ext.Text.cdcChunks(tables.documents, 3, 32L),

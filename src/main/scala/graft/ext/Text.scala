@@ -1213,20 +1213,49 @@ object Text {
     * doc-spine left join. No shuffle of the corpus except the one
     * doc-keyed agg. */
   def qualityMargin(documents: DataFrame, weights: DataFrame,
-      threshold: Long = 0L): DataFrame = {
+      threshold: Long = 0L): DataFrame =
+    qualityMarginFromCounts(documents, marginAdd(documents, weights), threshold)
+
+  /** ONE delta's quality-margin state `(doc_id, n_scored, margin)` —
+    * the [[postingsAdd]] contract applied to the linear classifier: a
+    * streamed corpus ingest maintains per-doc scored-occurrence counts
+    * and exact int64 weight sums, and [[qualityMarginFromCounts]]
+    * reads any merged state. Docs scoring nothing carry NO row (the
+    * read side's spine join restores their zeros). Pure per-occurrence
+    * summing, so `mergeMargins(add(A), add(B)) ≡ add(A ∪ B)`
+    * bit-for-bit under the doc-disjoint-delta ingest contract. */
+  def marginAdd(delta: DataFrame, weights: DataFrame): DataFrame = {
     val w = broadcast(weights
       .select(col("term"), col("weight").cast(LongType).as("weight")))
-    val m = termStream(documents)
+    termStream(delta)
       .join(w, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"), sum(col("weight")).as("margin"))
-    documents.select(col("doc_id")).join(m, Seq("doc_id"), "left")
+  }
+
+  /** Exact merge of two [[marginAdd]] states: per-doc int64 sums —
+    * associative and order-free (docs SPLIT across deltas also merge
+    * exactly, since both fields are plain occurrence sums). */
+  def mergeMargins(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("doc_id"), col("n_scored"), col("margin"))
+      .unionByName(b.select(col("doc_id"), col("n_scored"), col("margin")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_scored")).as("n_scored"), sum(col("margin")).as("margin"))
+
+  /** The read side of the margin-state contract: total annotation off a
+    * maintained state — one doc-spine left join, no corpus scan. Output
+    * schema identical to [[qualityMargin]] (which IS this read over its
+    * own single-delta state). */
+  def qualityMarginFromCounts(documents: DataFrame, state: DataFrame,
+      threshold: Long = 0L): DataFrame =
+    documents.select(col("doc_id"))
+      .join(state.select(col("doc_id"), col("n_scored"), col("margin")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_scored"), lit(0L)).as("n_scored"),
         coalesce(col("margin"), lit(0L)).as("margin"),
         (coalesce(col("margin"), lit(0L)) > threshold)
           .cast(IntegerType).as("accepted"))
-  }
 
   /** Deterministic stand-in WEIGHT TABLE for [[qualityMargin]]'s
     * shipped-model contract (the sandbox has no trained model to load):

@@ -401,6 +401,21 @@ object ExtRegistry {
         threshold = 0L)
     }),
 
+    // the quality margin off a MERGED two-delta state (marginAdd per
+    // delta, exact per-doc int64 sum merge) — the classifier maintained
+    // incrementally, the annotation paying one spine join and no corpus
+    // scan; bit-identical to the single pass, so the oracle is the
+    // quality_classifier twin verbatim
+    "quality_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val w = graft.ext.Text.hashWeights(docs)
+      // null-safe split, same rationale as dup_spans_cut_stream
+      val state = graft.ext.Text.mergeMargins(
+        graft.ext.Text.marginAdd(docs.filter(col("doc_id") % 2 <=> 0), w),
+        graft.ext.Text.marginAdd(docs.filter(!(col("doc_id") % 2 <=> 0)), w))
+      graft.ext.Text.qualityMarginFromCounts(docs, state, threshold = 0L)
+    }),
+
     // language-ID profile trainer (Cavnar–Trenkle rank-order method):
     // per-language top-40 character trigrams with deterministic ranks —
     // the shipped model artifact (langs·k rows), selected through the
@@ -1306,6 +1321,32 @@ object ExtRegistry {
       |        FROM documents)),
       |pc AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
       |       FROM tg GROUP BY 1, 2)""".stripMargin
+
+  /** The quality-margin twin — shared verbatim by `quality_classifier`
+    * and `quality_stream` (the read off a merged two-delta margin state
+    * is contractually bit-identical to the single pass): hash-derived
+    * sparse weight table (zero weights dropped), int64 occurrence-weight
+    * sum per doc, margin > 0 verdict over the full doc spine. */
+  private lazy val qualityMarginOracle: String =
+    s"""WITH ts AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term <> ''),
+       |w AS (
+       |  SELECT term, weight FROM (
+       |    SELECT term,
+       |           CAST(((${MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
+       |    FROM (SELECT DISTINCT term FROM ts))
+       |  WHERE weight <> 0),
+       |m AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       |         CAST(sum(weight) AS BIGINT) AS margin
+       |  FROM ts JOIN w USING (term) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(m.n_scored, 0) AS BIGINT) AS n_scored,
+       |       CAST(coalesce(m.margin, 0) AS BIGINT) AS margin,
+       |       CASE WHEN coalesce(m.margin, 0) > 0 THEN 1 ELSE 0 END AS accepted
+       |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin
 
   private def phraseCtes(phrases: Seq[String]): String = {
     val P2 = graft.ext.Text.P2
@@ -3065,26 +3106,11 @@ object ExtRegistry {
     // quality-classifier twin: the same hash-derived sparse weight
     // table (zero weights dropped), int64 occurrence-weight sum per
     // doc, margin > 0 verdict over the full doc spine
-    "quality_classifier" ->
-      s"""WITH ts AS (
-         |  SELECT doc_id, term FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-         |  WHERE term <> ''),
-         |w AS (
-         |  SELECT term, weight FROM (
-         |    SELECT term,
-         |           CAST(((${MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
-         |    FROM (SELECT DISTINCT term FROM ts))
-         |  WHERE weight <> 0),
-         |m AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
-         |         CAST(sum(weight) AS BIGINT) AS margin
-         |  FROM ts JOIN w USING (term) GROUP BY 1)
-         |SELECT d.doc_id,
-         |       CAST(coalesce(m.n_scored, 0) AS BIGINT) AS n_scored,
-         |       CAST(coalesce(m.margin, 0) AS BIGINT) AS margin,
-         |       CASE WHEN coalesce(m.margin, 0) > 0 THEN 1 ELSE 0 END AS accepted
-         |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin,
+    "quality_classifier" -> qualityMarginOracle,
+
+    // the margin-state read is contractually bit-identical to the
+    // single pass, so the stream twin shares the oracle verbatim
+    "quality_stream" -> qualityMarginOracle,
 
     // language-ID profile twin: whole-text character trigrams
     // (1-based substr, identical both engines), per-(lang, gram)

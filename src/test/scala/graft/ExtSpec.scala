@@ -2396,4 +2396,44 @@ class ExtSpec extends SparkSpec {
       .collect().head
     assert((tied.getString(1), tied.getLong(2)) == (("aa", 1L)), tied)
   }
+
+  test("quality-margin state: merge associative both orders; streaming ingest == batch") {
+    import graft.ext.Text
+    val docsP = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val w = Text.hashWeights(docsP).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Int)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    val full = rows(Text.qualityMargin(docsP, w))
+    assert(full.nonEmpty && full.values.exists(_._2 != 0L))
+    // three doc-disjoint deltas, merged in both association orders
+    val parts = Seq(0, 1, 2).map(m =>
+      Text.marginAdd(docsP.filter(col("doc_id") % 3 === m), w))
+    val la = Text.mergeMargins(Text.mergeMargins(parts(0), parts(1)), parts(2))
+    val ra = Text.mergeMargins(parts(0), Text.mergeMargins(parts(1), parts(2)))
+    assert(rows(Text.qualityMarginFromCounts(docsP, la)) == full)
+    assert(rows(Text.qualityMarginFromCounts(docsP, ra)) == full)
+    // streaming ingest twin: the SAME marginAdd in a foreachBatch loop,
+    // each micro-batch merged into the running state — chunk boundaries
+    // cannot move a margin
+    val chunks = docsP.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.grouped(250).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val add = Text.marginAdd(batch.toDF(), w)
+        state = Some(state.fold(add)(s => Text.mergeMargins(s, add))
+          .localCheckpoint(true)) // materialize: the batch frame dies with the call
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(rows(Text.qualityMarginFromCounts(docsP, state.get)) == full,
+        "streaming ingest != batch classifier")
+    } finally q.stop()
+  }
 }

@@ -195,6 +195,18 @@ object ExtRegistry {
     "multimodal_gif" -> ((s, dir) =>
       Multimodal.decodeGif(Multimodal.encodeGif(Tables(s, dir).documents)).toDF()),
 
+    // REAL baseline JPEG decode: spec-correct containers (standard
+    // Annex K Huffman tables shipped in DHT, DC DPCM across MCUs, AC
+    // run-length with ZRL/EOB, 0xFF00 stuffing, interleaved 4:4:4)
+    // round-tripped through the full decoder with a PINNED fixed-point
+    // integer IDCT; the oracle replays the coefficient arithmetic
+    // through the same interpolated cosine table, so a botched marker
+    // walk, Huffman decode, de-stuffing, prediction, zigzag, dequant,
+    // or IDCT hash-fails (pixel_fold pins block/plane placement)
+    "multimodal_jpeg" -> ((s, dir) =>
+      graft.ext.Jpeg.decodeJpeg(
+        graft.ext.Jpeg.encodeJpeg(Tables(s, dir).documents)).toDF()),
+
     // real nearest-neighbor resize to 4x4 over the decoded pixel grid
     // (floor sampling, integer-exact -> the resized checksum replays in SQL)
     "multimodal_resize" -> ((s, dir) =>
@@ -3873,6 +3885,65 @@ object ExtRegistry {
         |       CAST(m.width AS BIGINT) * m.height AS pixel_bytes,
         |       ps.pixel_sum, pf.pixel_fold
         |FROM m JOIN ps USING (doc_id) JOIN pf USING (doc_id)""".stripMargin,
+
+    // JPEG twin: the quantized-coefficient generator replayed through
+    // the SAME pinned integer-IDCT table (interpolated from
+    // graft.ext.Jpeg, so the two sides cannot drift): per block b
+    // (MCU-raster-major, component within) three coefficients — DC at
+    // zigzag 0 and two ACs at data-dependent zigzag positions — are
+    // dequantized and inverse-transformed with exact int64 products,
+    // one floor-division round (spelled with the pmod identity so
+    // DuckDB's truncating // divides an exact multiple), level shift,
+    // clamp; the fold pins (plane, row, col) order
+    "multimodal_jpeg" ->
+      s"""WITH co AS (SELECT ${graft.ext.Jpeg.idctSqlList} AS t,
+        |                   ${graft.ext.Jpeg.zigRowSqlList} AS zr,
+        |                   ${graft.ext.Jpeg.zigColSqlList} AS zc),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+        |         CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, width, height, width // 8 AS mcusx,
+        |         unnest(generate_series(0, CAST((width // 8) * (height // 8) * 3 - 1 AS BIGINT))) AS b
+        |  FROM m),
+        |bco AS (
+        |  SELECT doc_id, (b // 3) % mcusx AS mx, (b // 3) // mcusx AS my, b % 3 AS comp,
+        |         ((doc_id * 7 + b * 13) % 201) - 100 AS dc,
+        |         1 + ((doc_id + b) % 10) AS z1,
+        |         ((doc_id * 11 + b * 5) % 41) - 20 AS v1,
+        |         20 + ((doc_id * 3 + b) % 40) AS z2,
+        |         ((doc_id * 13 + b * 7) % 21) - 10 AS v2
+        |  FROM blk),
+        |px AS (
+        |  SELECT doc_id, comp, my * 8 + y AS gy, mx * 8 + x AS gx,
+        |         LEAST(255, GREATEST(0,
+        |           (s + 134217728
+        |              - ((s + 134217728) % 268435456 + 268435456) % 268435456)
+        |             // 268435456 + 128)) AS p
+        |  FROM (
+        |    SELECT doc_id, comp, mx, my, y, x,
+        |           CAST(t[y + 1] AS BIGINT) * t[x + 1] * dc
+        |           + CAST(t[zr[z1 + 1] * 8 + y + 1] AS BIGINT) * t[zc[z1 + 1] * 8 + x + 1]
+        |             * v1 * (CASE WHEN comp = 0 THEN 1 + (z1 * 7) % 16 ELSE 1 + (z1 * 3) % 12 END)
+        |           + CAST(t[zr[z2 + 1] * 8 + y + 1] AS BIGINT) * t[zc[z2 + 1] * 8 + x + 1]
+        |             * v2 * (CASE WHEN comp = 0 THEN 1 + (z2 * 7) % 16 ELSE 1 + (z2 * 3) % 12 END) AS s
+        |    FROM bco
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
+        |    CROSS JOIN co)),
+        |ag AS (
+        |  SELECT doc_id, CAST(sum(p) AS BIGINT) AS pixel_sum,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list(CAST(p AS BIGINT) ORDER BY comp, gy, gx)),
+        |           (a, b) -> (a * 1000003 + b) % 2147483629) AS pixel_fold
+        |  FROM px GROUP BY 1)
+        |SELECT m.doc_id, 'jpeg' AS fmt, m.width, m.height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
+        |       ag.pixel_sum, ag.pixel_fold
+        |FROM m JOIN ag USING (doc_id)""".stripMargin,
 
     // video twin: the Y4M generator arithmetic replayed — frame f's
     // byte j of doc d is (d + f·131 + j) % 256 over 3·w·h bytes

@@ -2436,4 +2436,99 @@ class ExtSpec extends SparkSpec {
         "streaming ingest != batch classifier")
     } finally q.stop()
   }
+
+  test("JPEG codec: round-trip vs pinned IDCT arithmetic; stuffing exercised; malformations fail loud") {
+    import graft.ext.Jpeg
+    // independent expectation: the oracle's 3-sparse-term IDCT replay
+    // (the decoder runs the dense 64-term loop — different code path,
+    // shared pinned constants)
+    def expected(id: Long): (Long, Long) = {
+      val (w, h) = (Jpeg.jpegW(id), Jpeg.jpegH(id))
+      val mcusX = w / 8
+      val planes = Array.fill(3)(Array.ofDim[Int](w * h))
+      for (m <- 0 until mcusX * (h / 8); c <- 0 until 3) {
+        val b = m * 3 + c
+        val mx = m % mcusX; val my = m / mcusX
+        def q(z: Int) = if (c == 0) Jpeg.qLum(z) else Jpeg.qChr(z)
+        val terms = Seq(
+          (0, Jpeg.coefDc(id, b) * q(0)),
+          (Jpeg.coefZ1(id, b), Jpeg.coefV1(id, b) * q(Jpeg.coefZ1(id, b))),
+          (Jpeg.coefZ2(id, b), Jpeg.coefV2(id, b) * q(Jpeg.coefZ2(id, b))))
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val s = terms.map { case (z, fq) =>
+            Jpeg.Idct8k(Jpeg.zigRow(z) * 8 + y).toLong *
+              Jpeg.Idct8k(Jpeg.zigCol(z) * 8 + x) * fq }.sum
+          val p0 = Math.floorDiv(s + Jpeg.IdctHalf, Jpeg.IdctDiv) + 128L
+          planes(c)((my * 8 + y) * w + (mx * 8 + x)) =
+            math.max(0L, math.min(255L, p0)).toInt
+        }
+      }
+      val all = planes.flatten
+      (all.map(_.toLong).sum,
+        all.foldLeft(0L)((a, p) => (a * 1000003L + p) % 2147483629L))
+    }
+    var sawStuffing = false
+    for (id <- 0L until 24L) {
+      val bytes = Jpeg.jpegBytes(id, Jpeg.jpegW(id), Jpeg.jpegH(id))
+      // count 0xFF 0x00 pairs AFTER the scan start to prove the
+      // stuffing path runs somewhere in the fixture range
+      sawStuffing ||= bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && p(1) == 0x00)
+      val d = Jpeg.decodeJpegBytes(id, bytes)
+      val (sum, fold) = expected(id)
+      assert((d.width, d.height, d.channels) ==
+        ((Jpeg.jpegW(id), Jpeg.jpegH(id), 3)), s"id $id dims")
+      assert(d.pixel_sum == sum, s"id $id: sum ${d.pixel_sum} != $sum")
+      assert(d.pixel_fold == fold, s"id $id: fold (block/plane placement) broken")
+    }
+    assert(sawStuffing, "fixture range never exercised 0xFF00 byte stuffing")
+    val good = Jpeg.jpegBytes(5L, Jpeg.jpegW(5L), Jpeg.jpegH(5L))
+    // truncated entropy data fails loud
+    val trunc = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpegBytes(5L, good.take(good.length - 6)) }
+    assert(trunc.getMessage.contains("truncated") ||
+      trunc.getMessage.contains("missing EOI"), trunc.getMessage)
+    // trailing junk after EOI fails loud (the PNG/GIF posture)
+    val junk = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpegBytes(5L, good ++ Array[Byte](7)) }
+    assert(junk.getMessage.contains("trailing bytes after EOI"), junk.getMessage)
+    // progressive frames are refused BY NAME, not misparsed
+    val prog = good.clone()
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    val perr = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpegBytes(5L, prog) }
+    assert(perr.getMessage.contains("SOF2"), perr.getMessage)
+    // bad SOI fails loud
+    val soi = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpegBytes(5L, good.drop(2)) }
+    assert(soi.getMessage.contains("SOI"), soi.getMessage)
+  }
+
+  test("JPEG hand-packed grayscale fixture pins the bit-level format") {
+    import graft.ext.Jpeg
+    // minimal 8x8 single-component JPEG built byte by byte: flat quant
+    // table (all 1), custom 1-bit Huffman tables (DC: category 3 ->
+    // code '0'; AC: EOB -> code '0'), scan bits 0|101|0 padded with 1s
+    // = 0x57. DC=5, q=1 -> flat block: round(5/8) + 128 = 129.
+    val bs = new java.io.ByteArrayOutputStream()
+    def mk(m: Int): Unit = { bs.write(0xff); bs.write(m) }
+    def seg(m: Int, payload: Seq[Int]): Unit = {
+      mk(m); bs.write(0); bs.write(payload.length + 2); payload.foreach(bs.write)
+    }
+    mk(0xd8)
+    seg(0xdb, Seq(0) ++ Seq.fill(64)(1))
+    seg(0xc0, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(0xc4, Seq(0x00, 1) ++ Seq.fill(15)(0) ++ Seq(3) ++   // DC: '0' -> cat 3
+      Seq(0x10, 1) ++ Seq.fill(15)(0) ++ Seq(0x00))          // AC: '0' -> EOB
+    seg(0xda, Seq(1, 1, 0x00, 0, 63, 0))
+    bs.write(0x57)
+    mk(0xd9)
+    val d = Jpeg.decodeJpegBytes(99L, bs.toByteArray)
+    assert((d.width, d.height, d.channels) == ((8, 8, 1)), d)
+    assert(d.pixel_sum == 64L * 129, s"flat DC-only block decoded wrong: ${d.pixel_sum}")
+    val fold = (1 to 64).foldLeft(0L)((a, _) => (a * 1000003L + 129) % 2147483629L)
+    assert(d.pixel_fold == fold)
+  }
 }

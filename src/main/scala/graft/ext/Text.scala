@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1186,6 +1186,178 @@ object Text {
         array_join(transform(array_sort(collect_list(struct(col("wpos"), col("term_ids")))),
           p => p("term_ids")), ",").as("token_ids"))
       .select(col("doc_id"), col("n_tokens"), col("token_ids"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Unigram LM (SentencePiece-style) tokenizer — the third production
+  // trainer family beside BPE and WordPiece.
+  // ---------------------------------------------------------------------
+
+  /** Max piece length and the EM round count baked into the registered
+    * queries (the oracle replays exactly this many Viterbi passes). */
+  private[graft] val UnigramMaxPiece = 4
+
+  /** Viterbi segmentation of one word under a piece→probability model:
+    * maximize the probability PRODUCT over pieces (the unigram-LM
+    * objective — log is monotone, so the product argmax IS the
+    * log-likelihood argmax without ever calling the banned `ln`), ties
+    * broken toward FEWER pieces, then the LONGER piece at the split
+    * point. Every probability is one IEEE divide of exact int64 counts
+    * and every DP value a pinned-order chain of correctly-rounded
+    * multiplies, so the winning path — and therefore every integer
+    * output downstream — is bit-identical in any IEEE-754 engine (the
+    * [[wordpieceTrainMerges]] ratio-score argument extended from one
+    * multiply to a chain). Unreachable prefixes carry the −1 sentinel
+    * (the oracle's recursive CTE does the same). */
+  private[graft] def viterbiSeg(term: String, vocab: Map[String, Double],
+      maxLen: Int): Array[String] = {
+    val n = term.length
+    val best = new Array[Double](n + 1)
+    val np = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    best(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var bScore = -1.0; var bNp = Int.MaxValue; var bL = 0
+      var l = 1
+      while (l <= math.min(maxLen, j)) {
+        if (best(j - l) >= 0) {
+          vocab.get(term.substring(j - l, j)) match {
+            case Some(p) =>
+              val sc = best(j - l) * p
+              val cnt = np(j - l) + 1
+              if (sc > bScore || (sc == bScore &&
+                  (cnt < bNp || (cnt == bNp && l > bL)))) {
+                bScore = sc; bNp = cnt; bL = l
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      best(j) = bScore; np(j) = bNp; back(j) = bL
+      j += 1
+    }
+    require(back(n) > 0, s"word '$term' not segmentable under the vocabulary")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = n
+    while (p > 0) { out += term.substring(p - back(p), p); p -= back(p) }
+    out.reverseIterator.toArray
+  }
+
+  /** The unigram-LM core: hard-EM (Viterbi-EM) over word TYPES.
+    * Initial vocabulary = every single character PLUS the top
+    * `vocabMulti` multi-char substrings (length ≤ [[UnigramMaxPiece]])
+    * by freq-weighted occurrence count (cnt DESC, piece ASC — a total
+    * order, so the cut is deterministic); piece probability =
+    * cnt / Σcnt (exact ints, one divide). Each round: Viterbi-segment
+    * every word type (E-step — INTEGER piece counts, freq-weighted,
+    * which is what makes the whole trainer replayable where soft-EM's
+    * order-sensitive float accumulations are not), re-estimate
+    * probabilities from the counts, prune pieces the corpus stopped
+    * using (count 0; a word's round-k pieces all survive, so round k+1
+    * can always reproduce round k's segmentation — coverage never
+    * breaks). Returns the final segmentation frame
+    * `(term, freq, n_pieces, seg)` and the final counts
+    * `(piece, cnt)`.
+    *
+    * Scale: the only corpus-sized pass is the word-type frequency
+    * count ([[wordFreqAdd]]'s contract — the FromCounts variants skip
+    * even that); everything else runs on the Zipf-small type frame.
+    * The model is bounded driver/broadcast state by construction
+    * (alphabet + vocabMulti pieces), collected once per round — the
+    * same bounded-barrier economics as the BPE/WordPiece trainers. */
+  private def unigramCore(freqs0: DataFrame, vocabMulti: Int, rounds: Int)
+      : (DataFrame, DataFrame) = {
+    require(vocabMulti >= 1 && vocabMulti <= 4096,
+      s"vocabMulti must be in [1, 4096] (bounded model state), got $vocabMulti")
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1, 8] (driver-barrier bound), got $rounds")
+    val spark = freqs0.sparkSession
+    import spark.implicits._
+    val maxLen = UnigramMaxPiece
+    val freqs = freqs0.select(col("term"), col("freq").cast(LongType).as("freq"))
+      .as[(String, Long)].localCheckpoint(false)
+    // initial piece counts: freq-weighted substring occurrences
+    val sub = freqs.flatMap { case (t, f) =>
+      for {
+        i <- 0 until t.length
+        l <- 1 to math.min(maxLen, t.length - i)
+      } yield (t.substring(i, i + l), f)
+    }.toDF("piece", "freq")
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint(false)
+    val chars = sub.filter(length(col("piece")) === 1)
+    val multi = sub.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabMulti)
+    // bounded collect: alphabet + vocabMulti rows — the model artifact
+    var counts: Map[String, Long] = chars.unionByName(multi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var segs: Dataset[(String, Long, Array[String])] = null
+    var r = 0
+    while (r < rounds) {
+      val total = counts.values.sum
+      val vocab = counts.map { case (p, c) => p -> c.toDouble / total.toDouble }
+      segs = freqs.map { case (t, f) => (t, f, viterbiSeg(t, vocab, maxLen)) }
+        .localCheckpoint(false)
+      // E-step: exact freq-weighted piece counts; pieces the corpus
+      // stopped using drop out (their next-round probability would be
+      // 0 — never selectable — so pruning changes nothing)
+      counts = segs.flatMap { case (_, f, ps) => ps.iterator.map(_ -> f) }
+        .toDF("piece", "freq")
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      r += 1
+    }
+    val segDf = segs.map { case (t, f, ps) =>
+      (t, f, ps.length.toLong, ps.mkString("|")) }
+      .toDF("term", "freq", "n_pieces", "seg")
+    val cntDf = counts.toSeq.toDF("piece", "cnt")
+    (segDf, cntDf)
+  }
+
+  private def unigramWordFreqs(documents: DataFrame): DataFrame =
+    termStream(documents).groupBy(col("term")).agg(count(lit(1L)).as("freq"))
+
+  /** The trained unigram model `(piece, cnt)` — final Viterbi-EM piece
+    * counts (probability = cnt / Σcnt). See [[unigramCore]]. */
+  def unigramTrain(documents: DataFrame, vocabMulti: Int = 24,
+      rounds: Int = 2): DataFrame =
+    unigramCore(unigramWordFreqs(documents), vocabMulti, rounds)._2
+
+  /** [[unigramTrain]] off an EXTERNAL word-frequency state — the
+    * [[wordFreqAdd]]/[[mergeWordFreqs]] ingest contract serving its
+    * third trainer family. */
+  def unigramTrainFromCounts(wordFreqs: DataFrame, vocabMulti: Int = 24,
+      rounds: Int = 2): DataFrame =
+    unigramCore(wordFreqs, vocabMulti, rounds)._2
+
+  /** Per-word-type Viterbi segmentations under the final model:
+    * `(term, freq, n_pieces, seg)` with `seg` the '|'-joined pieces in
+    * order — the most discriminating artifact (any drift in the DP,
+    * tie-breaks, or EM counts moves some segmentation). */
+  def unigramSegments(documents: DataFrame, vocabMulti: Int = 24,
+      rounds: Int = 2): DataFrame =
+    unigramCore(unigramWordFreqs(documents), vocabMulti, rounds)._1
+
+  /** The encode half: per-document token counts under the final model —
+    * `(doc_id, unigram_tokens, char_tokens, compression)`, the
+    * [[bpeEncodeCounts]] deliverable for the third trainer family. One
+    * corpus-sized tf groupBy + a term-keyed join onto the Zipf-small
+    * segmentation frame (AQE-broadcasts). */
+  def unigramEncode(documents: DataFrame, vocabMulti: Int = 24,
+      rounds: Int = 2): DataFrame = {
+    val seg = unigramCore(unigramWordFreqs(documents), vocabMulti, rounds)._1
+      .select(col("term"), col("n_pieces"),
+        length(col("term")).cast(LongType).as("char_syms"))
+    termStream(documents).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1L)).as("tf"))
+      .join(seg, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("n_pieces")).as("unigram_tokens"),
+        sum(col("tf") * col("char_syms")).as("char_tokens"))
+      .withColumn("compression",
+        col("char_tokens").cast(DoubleType) / col("unigram_tokens").cast(DoubleType))
   }
 
   /** Linear text-quality classifier margin (the fastText-style filter

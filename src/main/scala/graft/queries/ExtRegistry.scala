@@ -445,6 +445,42 @@ object ExtRegistry {
         graft.ext.Text.langProfiles(docs, k = 40), k = 40)
     }),
 
+    // unigram-LM (SentencePiece-style) trainer — the third production
+    // tokenizer family beside BPE and WordPiece: hard-EM (Viterbi
+    // E-step with exact integer counts, one-divide M-step) over word
+    // types; the oracle replays both EM rounds as recursive-CTE
+    // Viterbi DPs over the identical pinned multiply chains
+    "unigram_train" -> ((s, dir) =>
+      graft.ext.Text.unigramTrain(Tables(s, dir).documents,
+        vocabMulti = 24, rounds = 2)),
+
+    // the trainer off a MERGED two-delta word-frequency state — the
+    // wordFreqAdd/mergeWordFreqs ingest contract serving its THIRD
+    // trainer family (BPE batched, WordPiece, now unigram); the merged
+    // state is contractually bit-identical to the single pass, so the
+    // oracle is the unigram_train twin verbatim
+    "unigram_train_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val state = graft.ext.Text.mergeWordFreqs(
+        graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 2 <=> 0)),
+        graft.ext.Text.wordFreqAdd(docs.filter(!(col("doc_id") % 2 <=> 0))))
+      graft.ext.Text.unigramTrainFromCounts(state, vocabMulti = 24, rounds = 2)
+    }),
+
+    // the per-word-type Viterbi segmentations themselves — the most
+    // drift-sensitive artifact (any change to the DP, its tie order,
+    // or the EM counts moves some '|'-joined path)
+    "unigram_segments" -> ((s, dir) =>
+      graft.ext.Text.unigramSegments(Tables(s, dir).documents,
+        vocabMulti = 24, rounds = 2)),
+
+    // the encode half: per-doc token counts under the final unigram
+    // model vs the character baseline — bpe_encode's deliverable for
+    // the third trainer family
+    "unigram_encode" -> ((s, dir) =>
+      graft.ext.Text.unigramEncode(Tables(s, dir).documents,
+        vocabMulti = 24, rounds = 2)),
+
     // the BPE loop executed: 6 greedy merge rounds over word types —
     // the merge table a tokenizer ships (bpe_pair_counts is round 1's
     // candidate list; each later round counts over MERGED symbols under
@@ -1333,6 +1369,94 @@ object ExtRegistry {
       |        FROM documents)),
       |pc AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
       |       FROM tg GROUP BY 1, 2)""".stripMargin
+
+  /** One unigram-LM Viterbi round as CTEs (suffix `r`, scored against
+    * vocab CTE `vcb` = (piece, cnt)): a regular (j, l) candidate-prob
+    * grid per term (NULL when l > j or the piece is unlisted), then the
+    * DP as a recursive CTE carrying best/np/seg lists — each step
+    * filters the ≤4 candidates, sorts structs by (−score, n_pieces,
+    * −piece_len) and appends the winner (−1 sentinel = unreachable,
+    * mirroring graft.ext.Text.viterbiSeg exactly: same divide, same
+    * multiply chain, same total tie order). `seg$r` = (term, seg);
+    * `c${r+1}` = the round's freq-weighted E-step piece counts. */
+  private def unigramRound(r: Int, vcb: String): String =
+    s"""cand$r AS (
+       |  SELECT w.term, length(w.term) AS len, jl.j, jl.l,
+       |         CASE WHEN jl.l <= jl.j THEN
+       |           CAST(v.cnt AS DOUBLE) /
+       |             CAST((SELECT CAST(sum(cnt) AS BIGINT) FROM $vcb) AS DOUBLE)
+       |         END AS p
+       |  FROM wf w
+       |  CROSS JOIN (SELECT jj.j, ll.l
+       |              FROM (SELECT unnest(generate_series(1, 24)) AS j) jj,
+       |                   (SELECT unnest(generate_series(1, 4)) AS l) ll) jl
+       |  LEFT JOIN $vcb v
+       |    ON jl.l <= jl.j AND v.piece = substr(w.term, jl.j - jl.l + 1, jl.l)
+       |  WHERE jl.j <= length(w.term)),
+       |cl$r AS (SELECT term, len, list(p ORDER BY j, l) AS cp
+       |         FROM cand$r GROUP BY 1, 2),
+       |rec$r AS (
+       |  SELECT term, len, cp, 0 AS j,
+       |         [CAST(1.0 AS DOUBLE)] AS best, [0] AS np, [''] AS seg
+       |  FROM cl$r
+       |  UNION ALL
+       |  SELECT term, len, cp, j + 1,
+       |         list_append(best, CASE WHEN w.s IS NULL THEN CAST(-1.0 AS DOUBLE)
+       |                                ELSE -w.s END),
+       |         list_append(np, coalesce(w.n, 2147483647)),
+       |         list_append(seg, CASE WHEN w.s IS NULL THEN ''
+       |           WHEN j + 1 = w.pl THEN substr(term, j + 2 - w.pl, w.pl)
+       |           ELSE seg[j + 2 - w.pl] || '|' || substr(term, j + 2 - w.pl, w.pl)
+       |           END)
+       |  FROM (
+       |    SELECT term, len, cp, j, best, np, seg,
+       |           (list_sort(list_filter(
+       |              list_transform(generate_series(1, least(4, j + 1)), l ->
+       |                CASE WHEN cp[j * 4 + l] IS NOT NULL
+       |                          AND best[j + 2 - l] >= 0
+       |                     THEN struct_pack(
+       |                            s := -(best[j + 2 - l] * cp[j * 4 + l]),
+       |                            n := np[j + 2 - l] + 1,
+       |                            nl := -l, pl := l)
+       |                END),
+       |              x -> x IS NOT NULL)))[1] AS w
+       |    FROM rec$r WHERE j < len)),
+       |seg$r AS (SELECT term, seg[len + 1] AS seg FROM rec$r WHERE j = len),
+       |c${r + 1} AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT w.freq, unnest(string_split(s.seg, '|')) AS piece
+       |        FROM seg$r s JOIN wf w USING (term))
+       |  GROUP BY 1)""".stripMargin
+
+  /** The shared unigram-LM oracle prelude: word-type frequencies, the
+    * initial substring vocabulary (every single char + top-24 multis),
+    * then TWO chained Viterbi-EM rounds ([[unigramRound]] — generated,
+    * so the rounds cannot drift from each other). `seg2` carries the
+    * final segmentations, `c3` the final counts — the three unigram
+    * twins select different tails off the same prelude. */
+  private lazy val unigramCtes: String =
+    s"""wf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY 1),
+       |sub AS (
+       |  SELECT substr(term, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT term, freq, ii.i, ll.l
+       |        FROM wf,
+       |             (SELECT unnest(generate_series(1, 24)) AS i) ii,
+       |             (SELECT unnest(generate_series(1, 4)) AS l) ll
+       |        WHERE ii.i + ll.l - 1 <= length(term))
+       |  GROUP BY 1),
+       |c1 AS (
+       |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |           row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM sub WHERE length(piece) > 1)
+       |  WHERE rn <= 24),
+       |${unigramRound(1, "c1")},
+       |${unigramRound(2, "c2")}""".stripMargin
 
   /** The quality-margin twin — shared verbatim by `quality_classifier`
     * and `quality_stream` (the read off a merged two-delta margin state
@@ -3123,6 +3247,43 @@ object ExtRegistry {
     // the margin-state read is contractually bit-identical to the
     // single pass, so the stream twin shares the oracle verbatim
     "quality_stream" -> qualityMarginOracle,
+
+    // unigram trainer twin: final E-step counts after two replayed
+    // Viterbi-EM rounds (shared verbatim by the FromCounts stream twin
+    // — the merged word-frequency state is contractually bit-identical
+    // to the single pass)
+    "unigram_train" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT piece, cnt FROM c3""".stripMargin,
+
+    "unigram_train_stream" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT piece, cnt FROM c3""".stripMargin,
+
+    // segmentation twin: the round-2 Viterbi paths with type counts
+    "unigram_segments" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT s.term, w.freq,
+         |       CAST(length(string_split(s.seg, '|')) AS BIGINT) AS n_pieces,
+         |       s.seg
+         |FROM seg2 s JOIN wf w USING (term)""".stripMargin,
+
+    // encode twin: per-doc tf × final segmentation piece counts
+    "unigram_encode" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |np AS (SELECT term, CAST(length(string_split(seg, '|')) AS BIGINT) AS n_pieces
+         |       FROM seg2),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> '' GROUP BY 1, 2)
+         |SELECT tf.doc_id,
+         |       CAST(sum(tf.tf * np.n_pieces) AS BIGINT) AS unigram_tokens,
+         |       CAST(sum(tf.tf * length(tf.term)) AS BIGINT) AS char_tokens,
+         |       CAST(CAST(sum(tf.tf * length(tf.term)) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(sum(tf.tf * np.n_pieces) AS BIGINT) AS DOUBLE) AS compression
+         |FROM tf JOIN np USING (term)
+         |GROUP BY 1""".stripMargin,
 
     // language-ID profile twin: whole-text character trigrams
     // (1-based substr, identical both engines), per-(lang, gram)

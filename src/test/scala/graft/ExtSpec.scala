@@ -2531,4 +2531,37 @@ class ExtSpec extends SparkSpec {
     val fold = (1 to 64).foldLeft(0L)((a, _) => (a * 1000003L + 129) % 2147483629L)
     assert(d.pixel_fold == fold)
   }
+
+  test("unigram-LM: hand-traced 2-round Viterbi-EM fixture; DP tie-breaks") {
+    import graft.ext.Text
+    // word types: abab (freq 2), ab (freq 1); vocabMulti=2 selects
+    // multi pieces {ab:5, aba:2} beside chars {a:5, b:5} (T=17).
+    // Round 1 (hand-traced): 'abab' -> ab|ab (j3 prefers aba at 2/17
+    // over a-extension at 25/289, but j4 backtracks through j2),
+    // 'ab' -> ab. E-step leaves ONLY {ab:5} — chars a, b and piece aba
+    // all prune, and round 2 still segments everything (coverage via
+    // the surviving round-1 pieces, never re-derived from chars).
+    val corpus = Seq((1L, "abab ab"), (2L, "abab")).toDF("doc_id", "text")
+    val train = Text.unigramTrain(corpus, vocabMulti = 2, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(train == Map("ab" -> 5L), s"final model drifted: $train")
+    val segs = Text.unigramSegments(corpus, vocabMulti = 2, rounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(segs == Map(
+      "abab" -> ((2L, 2L, "ab|ab")),
+      "ab" -> ((1L, 1L, "ab"))), s"segmentations drifted: $segs")
+    // DP tie-breaks, exact-double ties: equal product -> FEWER pieces
+    assert(Text.viterbiSeg("ab",
+      Map("a" -> 0.5, "b" -> 0.5, "ab" -> 0.25), 4).toSeq == Seq("ab"))
+    assert(Text.viterbiSeg("aa",
+      Map("a" -> 0.5, "aa" -> 0.25), 4).toSeq == Seq("aa"))
+    // strictly better split wins over the single piece
+    assert(Text.viterbiSeg("ab",
+      Map("a" -> 0.5, "b" -> 0.5, "ab" -> 0.2), 4).toSeq == Seq("a", "b"))
+    // unsegmentable word fails loud
+    val err = intercept[IllegalArgumentException] {
+      Text.viterbiSeg("ax", Map("a" -> 1.0), 4) }
+    assert(err.getMessage.contains("not segmentable"), err.getMessage)
+  }
 }

@@ -745,4 +745,33 @@ class PropertySpec extends SparkSpec {
     check(oneBand ++ boundary.map { case (id, _) => (id + P, "b") } ++
       (0 until 50).map(j => (1000000000L + j * 37L, "c")), 25L, "mixed")
   }
+
+  test("unigram-LM invariants: segs concatenate to terms; counts conserve; encode compresses") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val segs = graft.ext.Text.unigramSegments(docs, vocabMulti = 24, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(segs.nonEmpty)
+    // (1) every segmentation concatenates back to its term, piece count matches
+    segs.foreach { case (term, _, np, seg) =>
+      val ps = seg.split('|')
+      assert(ps.mkString("") == term, s"'$seg' does not rebuild '$term'")
+      assert(ps.length.toLong == np)
+    }
+    // (2) count conservation: final table totals == freq-weighted usage
+    val train = graft.ext.Text.unigramTrain(docs, vocabMulti = 24, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val usage = segs.flatMap { case (_, f, _, seg) => seg.split('|').map(_ -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(train == usage, "final counts != freq-weighted piece usage")
+    // (3) pruning: every counted piece is used, none counts zero
+    assert(train.values.forall(_ > 0))
+    // (4) the model never expands a doc beyond its character baseline
+    val enc = graft.ext.Text.unigramEncode(docs, vocabMulti = 24, rounds = 2)
+      .collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: unigram tokens exceed the char baseline") }
+  }
 }

@@ -118,6 +118,16 @@ object ScaleProof {
       expr("concat('j', id, 'a alpha beta j', id, 'b gamma delta epsilon j', id, 'c')")
         .as("text"))
 
+  /** Labeled docs for the language-ID ladder: the phrase-doc template
+    * plus a 5-value lang label. The profile side is always trained on
+    * the FIXED 1× corpus (constant model state), so only the classified
+    * corpus grows — the deployment shape. */
+  private def synthLangDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("l"), (col("id") % 5).cast("string")).as("lang"),
+      expr("concat('j', id, 'a alpha beta j', id, 'b gamma delta epsilon j', id, 'c')")
+        .as("text"))
+
   /** Deterministic synthetic DIRECTED graph with dangling tails for the
     * convergence+redistribution ladder: 5-vertex chains (i → i+1 within
     * each group of 5), so every 5th vertex has no out-edge and ~20% of
@@ -327,6 +337,39 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Text.qualityMargin(synthPhraseDocs(s, 500L * f),
           graft.ext.Text.hashWeights(synthPhraseDocs(s, 500L)))),
+    // language-ID annotation: the profile table is CONSTANT broadcast
+    // model state (trained on the fixed 1× corpus), so only the
+    // classified corpus grows — one trigram explode + broadcast probe +
+    // two keyed aggs + the spine join; plan and heap flat at 100×.
+    ("docs->languageId", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.languageId(synthLangDocs(s, 500L * f),
+          graft.ext.Text.langProfiles(synthLangDocs(s, 500L), k = 40), k = 40)),
+    // WordPiece trainer off a maintained word-frequency state: the only
+    // corpus-sized pass is the word count (linear); the 8 scored-argmax
+    // barriers run on the bounded type vocabulary (constant work) —
+    // wall-time must stay linear and heap flat while the corpus grows
+    // 100× (the bpebatched claim, proven for the second trainer family).
+    ("docs->wordpieceTrainer", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.wordpieceTrainMergesFromCounts(
+          graft.ext.Text.wordFreqAdd(synthWordDocs(s, 500L * f)), merges = 8)),
+    // tokenize→pack: a shipped 1×-trained merge table (constant model
+    // state) applied to a growing corpus, then the pack window — the
+    // full training-batch assembly tail: tokenize explode + dictionary
+    // probe + doc rollup + source join + capacity window.
+    ("docs->bpeTokenizePack", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) => {
+        val table = graft.ext.Text.bpeTrainMergesBatched(
+          synthWordDocs(s, 500L), rounds = 2, batch = 8)
+        val toks = graft.ext.Text.bpeTokenize(table, synthWordDocs(s, 500L * f))
+        graft.ext.Corpus.packSequencesCounted(
+          toks.join(synthWordDocs(s, 500L * f)
+              .select(col("doc_id"),
+                concat(lit("s"), (col("doc_id") % 4).cast("string")).as("source")),
+            Seq("doc_id"))
+            .select(col("doc_id"), col("source"), col("n_tokens").as("token_cnt")))
+      }),
     // SemDeDup at the bench's own parameters (k=8, maxCluster=1024) —
     // the slowest bench query gets its own ladder. autoBroadcast pinned
     // OFF like the ANN pipeline: the label/self joins sit at the size

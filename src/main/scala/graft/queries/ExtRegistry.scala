@@ -207,6 +207,40 @@ object ExtRegistry {
       graft.ext.Jpeg.decodeJpeg(
         graft.ext.Jpeg.encodeJpeg(Tables(s, dir).documents)).toDF()),
 
+    // the codec path under a chunked ingest: each delta encoded and
+    // decoded independently, results unioned — decode is stateless per
+    // row, so the union is contractually bit-identical to the single
+    // pass and the oracle is the multimodal_png twin verbatim (the
+    // foreachBatch MemoryStream twin is pinned in ExtSpec)
+    "multimodal_png_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      def half(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        Multimodal.decodePng(Multimodal.encodePng(docs.filter(p(col("doc_id"))))).toDF()
+      half(_ % 2 <=> 0).unionByName(half(c => !(c % 2 <=> 0)))
+    }),
+
+    // keep-best at CHUNK granularity — the storage-dedup decision a
+    // 100 TB pipeline actually makes, composing three operators: CDC
+    // chunking finds duplicated content, the quality classifier ranks
+    // the source docs, and the survivor occurrence per duplicate chunk
+    // content is the min(struct(-margin, doc, pos)) argmax (map-side
+    // combinable — never a per-content window, the hot-chunk hazard)
+    "cdc_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val margin = graft.ext.Text.qualityMargin(docs,
+        graft.ext.Text.hashWeights(docs)).select(col("doc_id"), col("margin"))
+      graft.ext.Text.cdcChunks(docs, 3, 32L)
+        .join(margin, Seq("doc_id"))
+        .groupBy(col("chunk_hash"), col("n_shingles"))
+        .agg(count(lit(1)).as("occurrences"),
+          min(struct((-col("margin")).as("nm"), col("doc_id").as("d"),
+            col("start_pos").as("p"))).as("w"))
+        .filter(col("occurrences") >= 2)
+        .select(col("chunk_hash"), col("n_shingles"), col("occurrences"),
+          col("w.d").as("keep_doc"), col("w.p").as("keep_pos"),
+          (-col("w.nm")).as("keep_margin"))
+    }),
+
     // real nearest-neighbor resize to 4x4 over the decoded pixel grid
     // (floor sampling, integer-exact -> the resized checksum replays in SQL)
     "multimodal_resize" -> ((s, dir) =>
@@ -1457,6 +1491,28 @@ object ExtRegistry {
        |  WHERE rn <= 24),
        |${unigramRound(1, "c1")},
        |${unigramRound(2, "c2")}""".stripMargin
+
+  /** The PNG decode twin — shared verbatim by `multimodal_png` and
+    * `multimodal_png_stream` (decode is stateless per row, so the
+    * two-delta union equals the single pass). */
+  private lazy val pngDecodeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(3 + (doc_id * 7) % 13 AS INTEGER) AS width,
+      |         CAST(5 + (doc_id * 11) % 9 AS INTEGER) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, CAST(width AS BIGINT) * height * 3 - 1)) AS i
+      |  FROM m),
+      |ps AS (
+      |  SELECT doc_id, CAST(SUM((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+      |  FROM px GROUP BY 1)
+      |SELECT m.doc_id, 'png' AS fmt, m.width, m.height,
+      |       CAST(3 AS INTEGER) AS channels,
+      |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
+      |       ps.pixel_sum
+      |FROM m JOIN ps USING (doc_id)""".stripMargin
 
   /** The quality-margin twin — shared verbatim by `quality_classifier`
     * and `quality_stream` (the read off a merged two-delta margin state
@@ -3998,24 +4054,43 @@ object ExtRegistry {
     // d is (d + i) % 256 over w·h·3 bytes, w = 3 + 7d%13, h = 5 + 11d%9;
     // the Spark side must reproduce this through a REAL zlib inflate +
     // filter reconstruction, so any codec bug hash-fails
-    "multimodal_png" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |         CAST(3 + (doc_id * 7) % 13 AS INTEGER) AS width,
-        |         CAST(5 + (doc_id * 11) % 9 AS INTEGER) AS height
-        |  FROM documents),
-        |px AS (
-        |  SELECT doc_id,
-        |         unnest(generate_series(0, CAST(width AS BIGINT) * height * 3 - 1)) AS i
-        |  FROM m),
-        |ps AS (
-        |  SELECT doc_id, CAST(SUM((doc_id + i) % 256) AS BIGINT) AS pixel_sum
-        |  FROM px GROUP BY 1)
-        |SELECT m.doc_id, 'png' AS fmt, m.width, m.height,
-        |       CAST(3 AS INTEGER) AS channels,
-        |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
-        |       ps.pixel_sum
-        |FROM m JOIN ps USING (doc_id)""".stripMargin,
+    "multimodal_png" -> pngDecodeOracle,
+
+    // per-row-stateless decode: the two-delta union is contractually
+    // bit-identical to the single pass, so the twin is shared verbatim
+    "multimodal_png_stream" -> pngDecodeOracle,
+
+    // chunk-granularity keep-best twin: the CDC chunk CTEs joined to
+    // the quality-margin CTEs, survivor per duplicated content via the
+    // (margin DESC, doc, pos) rank
+    "cdc_keep_best" ->
+      s"""WITH $cdcCtes,
+         |qts AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> ''),
+         |qw AS (
+         |  SELECT term, weight FROM (
+         |    SELECT term,
+         |           CAST(((${MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
+         |    FROM (SELECT DISTINCT term FROM qts))
+         |  WHERE weight <> 0),
+         |qm AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS margin
+         |  FROM qts JOIN qw USING (term) GROUP BY 1),
+         |jc AS (
+         |  SELECT ck.chunk_hash, ck.n_shingles, ck.doc_id, ck.start_pos,
+         |         CAST(coalesce(qm.margin, 0) AS BIGINT) AS margin
+         |  FROM ck LEFT JOIN qm USING (doc_id)),
+         |rk AS (
+         |  SELECT chunk_hash, n_shingles, doc_id, start_pos, margin,
+         |         CAST(count(*) OVER (PARTITION BY chunk_hash, n_shingles) AS BIGINT) AS occurrences,
+         |         row_number() OVER (PARTITION BY chunk_hash, n_shingles
+         |                            ORDER BY margin DESC, doc_id, start_pos) AS rn
+         |  FROM jc)
+         |SELECT chunk_hash, n_shingles, occurrences,
+         |       doc_id AS keep_doc, start_pos AS keep_pos, margin AS keep_margin
+         |FROM rk WHERE rn = 1 AND occurrences >= 2""".stripMargin,
 
     // GIF twin: index byte i of doc d is (d + i) % 256 over w·h bytes
     // (paletted = 1 channel), w = 16 + 5d%17, h = 16 + 13d%11; the

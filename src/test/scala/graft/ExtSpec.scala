@@ -2564,4 +2564,35 @@ class ExtSpec extends SparkSpec {
       Text.viterbiSeg("ax", Map("a" -> 1.0), 4) }
     assert(err.getMessage.contains("not segmentable"), err.getMessage)
   }
+
+  test("codec path runs under foreachBatch: streamed PNG decode == batch decode") {
+    import graft.ext.Multimodal
+    val docsP = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getAs[Int]("width"),
+        r.getAs[Int]("height"), r.getAs[Long]("pixel_sum"))).toSet
+    val full = rows(Multimodal.decodePng(Multimodal.encodePng(docsP)).toDF())
+    assert(full.nonEmpty)
+    // the multimodal family's streaming twin: encode+decode each
+    // micro-batch inside foreachBatch (decode is stateless per row, so
+    // the accumulated union must equal the batch pass bit-for-bit) —
+    // proves the codec closures serialize into streaming tasks
+    val chunks = docsP.select(col("doc_id")).as[Long].collect().toSeq.grouped(200).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dec = Multimodal.decodePng(Multimodal.encodePng(batch.toDF())).toDF()
+        state = Some(state.fold(dec)(_.unionByName(dec)).localCheckpoint(true))
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(rows(state.get) == full, "streamed codec decode != batch decode")
+    } finally q.stop()
+  }
 }

@@ -1360,6 +1360,43 @@ object Text {
         col("char_tokens").cast(DoubleType) / col("unigram_tokens").cast(DoubleType))
   }
 
+  /** The tokenized REPRESENTATION under the unigram model —
+    * [[bpeTokenize]]'s deliverable for the third trainer family:
+    * `(doc_id, n_tokens, token_ids)` with ids following the
+    * tokenizer-file convention of FREQUENCY-RANKED pieces (final-count
+    * order `cnt DESC, piece ASC` → ids 0, 1, …). The dictionary is
+    * bounded driver state (⊆ the bounded initial vocabulary); the
+    * corpus-sized work is one word explode joined to the Zipf-small
+    * per-word id mapping (broadcast), then one doc-keyed rollup whose
+    * structs are sorted before joining — collect order never leaks. */
+  def unigramTokenize(documents: DataFrame, vocabMulti: Int = 24,
+      rounds: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (segDf, cntDf) = unigramCore(unigramWordFreqs(documents), vocabMulti, rounds)
+    val dict = cntDf.orderBy(col("cnt").desc, col("piece").asc).collect()
+      .zipWithIndex.map { case (r, i) => (r.getString(0), i.toLong) }.toSeq
+    val dictDf = broadcast(dict.toDF("piece", "id"))
+    val termIds = segDf
+      .select(col("term"), posexplode(split(col("seg"), "\\|")).as(Seq("spos", "piece")))
+      .join(dictDf, Seq("piece"))
+      .groupBy(col("term"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("spos"), col("id")))),
+          p => p("id").cast(StringType)), ",").as("term_ids"),
+        count(lit(1)).as("term_toks"))
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "term")))
+      .filter(col("term") =!= "")
+      .join(termIds, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("term_toks")).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("wpos"), col("term_ids")))),
+          p => p("term_ids")), ",").as("token_ids"))
+      .select(col("doc_id"), col("n_tokens"), col("token_ids"))
+  }
+
   /** Linear text-quality classifier margin (the fastText-style filter
     * of web-corpus curation — a trained linear model over token
     * features deciding keep/drop; cf. the reference's
@@ -1477,12 +1514,35 @@ object Text {
     * selection (map-side pruned — never a full rank window over the
     * gram vocabulary); the rank window runs on the ≤ langs·k survivor
     * frame. */
-  def langProfiles(documents: DataFrame, k: Int = 50): DataFrame = {
+  def langProfiles(documents: DataFrame, k: Int = 50): DataFrame =
+    langProfilesFromCounts(trigramAdd(documents), k)
+
+  /** ONE delta's trigram-count state `(lang, gram, cnt)` — the
+    * add/merge ingest contract applied to language-ID training: a
+    * streamed labeled-corpus ingest maintains per-(lang, gram)
+    * occurrence counts and [[langProfilesFromCounts]] ranks ANY merged
+    * state. Pure per-occurrence counting, so
+    * `mergeTrigrams(add(A), add(B)) ≡ add(A ∪ B)` bit-for-bit with no
+    * doc-disjointness caveat beyond the usual whole-doc-per-delta
+    * ingest shape. */
+  def trigramAdd(delta: DataFrame): DataFrame =
+    charTrigrams(delta)
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+
+  /** Exact merge of two [[trigramAdd]] states: per-(lang, gram) int64
+    * sums — associative and order-free. */
+  def mergeTrigrams(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("lang"), col("gram"), col("cnt"))
+      .unionByName(b.select(col("lang"), col("gram"), col("cnt")))
+      .groupBy(col("lang"), col("gram")).agg(sum(col("cnt")).as("cnt"))
+
+  /** The profile-ranking read side off a maintained trigram state —
+    * the trainer with its one corpus-sized pass already paid. */
+  def langProfilesFromCounts(counts: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 1 && k <= 512, s"profile size must be in [1, 512], got $k")
     import org.apache.spark.sql.expressions.Window
-    val counts = charTrigrams(documents)
-      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
-    org.apache.spark.sql.graft.TopKPerGroup.topK(counts,
+    org.apache.spark.sql.graft.TopKPerGroup.topK(
+        counts.select(col("lang"), col("gram"), col("cnt")),
         Seq(col("lang")), Seq(col("cnt").desc, col("gram").asc), k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram").asc)))

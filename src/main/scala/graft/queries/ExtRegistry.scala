@@ -479,6 +479,27 @@ object ExtRegistry {
         graft.ext.Text.langProfiles(docs, k = 40), k = 40)
     }),
 
+    // the classifier against profiles ranked off a MERGED two-delta
+    // trigram state (trigramAdd per delta, exact per-(lang, gram) sum
+    // merge) — language-ID training maintained incrementally;
+    // bit-identical to the single pass, so the oracle is the lang_id
+    // twin verbatim
+    "lang_id_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val state = graft.ext.Text.mergeTrigrams(
+        graft.ext.Text.trigramAdd(docs.filter(col("doc_id") % 2 <=> 0)),
+        graft.ext.Text.trigramAdd(docs.filter(!(col("doc_id") % 2 <=> 0))))
+      graft.ext.Text.languageId(docs,
+        graft.ext.Text.langProfilesFromCounts(state, k = 40), k = 40)
+    }),
+
+    // the tokenized representation under the unigram model — ids are
+    // frequency-ranked final pieces, sequences assembled in document
+    // order (bpe_tokenize's deliverable for the third trainer family)
+    "unigram_tokenize" -> ((s, dir) =>
+      graft.ext.Text.unigramTokenize(Tables(s, dir).documents,
+        vocabMulti = 24, rounds = 2)),
+
     // unigram-LM (SentencePiece-style) trainer — the third production
     // tokenizer family beside BPE and WordPiece: hard-EM (Viterbi
     // E-step with exact integer counts, one-divide M-step) over word
@@ -1539,6 +1560,36 @@ object ExtRegistry {
        |       CAST(coalesce(m.margin, 0) AS BIGINT) AS margin,
        |       CASE WHEN coalesce(m.margin, 0) > 0 THEN 1 ELSE 0 END AS accepted
        |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin
+
+  /** The language-ID classifier twin — shared verbatim by `lang_id`
+    * and `lang_id_stream` (profiles ranked off a merged two-delta
+    * trigram state are contractually bit-identical to the single
+    * pass). */
+  private lazy val langIdOracle: String =
+    s"""WITH $langTrigramCtes,
+       |pr AS (
+       |  SELECT lang AS cand_lang, gram,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY lang ORDER BY cnt DESC, gram) AS INTEGER) AS rank
+       |  FROM pc),
+       |prof AS (SELECT cand_lang, gram, CAST(41 - rank AS BIGINT) AS weight
+       |         FROM pr WHERE rank <= 40),
+       |sc AS (
+       |  SELECT t.doc_id, p.cand_lang, CAST(sum(p.weight) AS BIGINT) AS score
+       |  FROM tg t JOIN prof p USING (gram) GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, cand_lang, score,
+       |         row_number() OVER (
+       |           PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+       |  FROM sc)
+       |SELECT d.doc_id,
+       |       coalesce(b.cand_lang, 'und') AS pred_lang,
+       |       CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+       |       d.lang,
+       |       CASE WHEN coalesce(b.cand_lang, 'und') = d.lang
+       |            THEN 1 ELSE 0 END AS is_correct
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
 
   private def phraseCtes(phrases: Seq[String]): String = {
     val P2 = graft.ext.Text.P2
@@ -3341,6 +3392,32 @@ object ExtRegistry {
          |FROM tf JOIN np USING (term)
          |GROUP BY 1""".stripMargin,
 
+    // tokenize twin: frequency-ranked ids over the final unigram
+    // pieces, per-word id strings ordered by piece position, per-doc
+    // assembly ordered by word position (the bpe_tokenize pattern)
+    "unigram_tokenize" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |dict AS (SELECT piece,
+         |                CAST(row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS BIGINT) AS id
+         |         FROM c3),
+         |ws AS (SELECT term, u['j'] AS spos, u['p'] AS piece FROM (
+         |         SELECT term, unnest(list_transform(generate_series(1, len(ps)), j -> {'j': j, 'p': ps[j]})) AS u
+         |         FROM (SELECT term, string_split(seg, '|') AS ps FROM seg2) v) e),
+         |tid AS (SELECT term, string_agg(CAST(id AS VARCHAR), ',' ORDER BY spos) AS term_ids,
+         |               CAST(count(*) AS BIGINT) AS term_toks
+         |        FROM ws JOIN dict USING (piece) GROUP BY 1),
+         |dw AS (SELECT doc_id, u['j'] AS wpos, u['w'] AS term FROM (
+         |         SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
+         |         FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS wl FROM documents) d) e)
+         |SELECT doc_id, CAST(sum(term_toks) AS BIGINT) AS n_tokens,
+         |       string_agg(term_ids, ',' ORDER BY wpos) AS token_ids
+         |FROM dw JOIN tid USING (term)
+         |GROUP BY doc_id""".stripMargin,
+
+    // the profile-state read is contractually bit-identical to the
+    // single pass, so the stream twin shares the lang_id oracle
+    "lang_id_stream" -> langIdOracle,
+
     // language-ID profile twin: whole-text character trigrams
     // (1-based substr, identical both engines), per-(lang, gram)
     // counts, rank by (cnt DESC, gram) — a total order, so the top-40
@@ -3357,31 +3434,7 @@ object ExtRegistry {
     // classifier twin: rank weight 41 − rank per profile hit, summed
     // over trigram OCCURRENCES per (doc, candidate lang), argmax on
     // (score DESC, lang), docs with no profile hit predict 'und'
-    "lang_id" ->
-      s"""WITH $langTrigramCtes,
-         |pr AS (
-         |  SELECT lang AS cand_lang, gram,
-         |         CAST(row_number() OVER (
-         |           PARTITION BY lang ORDER BY cnt DESC, gram) AS INTEGER) AS rank
-         |  FROM pc),
-         |prof AS (SELECT cand_lang, gram, CAST(41 - rank AS BIGINT) AS weight
-         |         FROM pr WHERE rank <= 40),
-         |sc AS (
-         |  SELECT t.doc_id, p.cand_lang, CAST(sum(p.weight) AS BIGINT) AS score
-         |  FROM tg t JOIN prof p USING (gram) GROUP BY 1, 2),
-         |best AS (
-         |  SELECT doc_id, cand_lang, score,
-         |         row_number() OVER (
-         |           PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
-         |  FROM sc)
-         |SELECT d.doc_id,
-         |       coalesce(b.cand_lang, 'und') AS pred_lang,
-         |       CAST(coalesce(b.score, 0) AS BIGINT) AS score,
-         |       d.lang,
-         |       CASE WHEN coalesce(b.cand_lang, 'und') = d.lang
-         |            THEN 1 ELSE 0 END AS is_correct
-         |FROM documents d
-         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+    "lang_id" -> langIdOracle,
 
     // CDC economics twin: one aggregate over the per-content counts
     "cdc_dedup_stats" ->

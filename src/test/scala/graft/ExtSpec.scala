@@ -2595,4 +2595,38 @@ class ExtSpec extends SparkSpec {
       assert(rows(state.get) == full, "streamed codec decode != batch decode")
     } finally q.stop()
   }
+
+  test("language-ID trigram state: merge associative both orders; streaming ingest == batch") {
+    import graft.ext.Text
+    val docsP = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    def profRows(state: org.apache.spark.sql.DataFrame): Set[(String, Int, String, Long)] =
+      Text.langProfilesFromCounts(state, k = 40).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val full = profRows(Text.trigramAdd(docsP))
+    assert(full.nonEmpty)
+    val parts = Seq(0, 1, 2).map(m => Text.trigramAdd(docsP.filter(col("doc_id") % 3 === m)))
+    assert(profRows(Text.mergeTrigrams(Text.mergeTrigrams(parts(0), parts(1)), parts(2))) == full)
+    assert(profRows(Text.mergeTrigrams(parts(0), Text.mergeTrigrams(parts(1), parts(2)))) == full)
+    // streaming ingest twin: trigramAdd per micro-batch, merged into
+    // the running state — chunk boundaries cannot move a profile rank
+    val chunks = docsP.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toSeq.grouped(250).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "lang", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val add = Text.trigramAdd(batch.toDF())
+        state = Some(state.fold(add)(s => Text.mergeTrigrams(s, add))
+          .localCheckpoint(true))
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(profRows(state.get) == full, "streaming trigram ingest != batch profiles")
+    } finally q.stop()
+  }
 }

@@ -1397,6 +1397,20 @@ object Text {
       .select(col("doc_id"), col("n_tokens"), col("token_ids"))
   }
 
+  /** The unigram token DICTIONARY artifact — [[bpeVocabulary]]'s
+    * deliverable for the third trainer family: `(token_id, piece,
+    * cnt)` under the same frequency-ranked id convention as
+    * [[unigramTokenize]], so shipped id sequences are decodable. */
+  def unigramVocabulary(documents: DataFrame, vocabMulti: Int = 24,
+      rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    unigramCore(unigramWordFreqs(documents), vocabMulti, rounds)._2
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("piece").asc))
+          - 1).cast(LongType))
+      .select(col("token_id"), col("piece"), col("cnt"))
+  }
+
   /** Linear text-quality classifier margin (the fastText-style filter
     * of web-corpus curation — a trained linear model over token
     * features deciding keep/drop; cf. the reference's

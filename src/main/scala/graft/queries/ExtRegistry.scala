@@ -500,6 +500,12 @@ object ExtRegistry {
       graft.ext.Text.unigramTokenize(Tables(s, dir).documents,
         vocabMulti = 24, rounds = 2)),
 
+    // the dictionary artifact (id -> piece, frequency-ranked) — the
+    // third tokenizer deliverable, so id sequences are decodable
+    "unigram_vocab" -> ((s, dir) =>
+      graft.ext.Text.unigramVocabulary(Tables(s, dir).documents,
+        vocabMulti = 24, rounds = 2)),
+
     // unigram-LM (SentencePiece-style) trainer — the third production
     // tokenizer family beside BPE and WordPiece: hard-EM (Viterbi
     // E-step with exact integer counts, one-divide M-step) over word
@@ -3413,6 +3419,13 @@ object ExtRegistry {
          |       string_agg(term_ids, ',' ORDER BY wpos) AS token_ids
          |FROM dw JOIN tid USING (term)
          |GROUP BY doc_id""".stripMargin,
+
+    // dictionary twin: the tokenize twin's dict CTE as the artifact
+    "unigram_vocab" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS BIGINT) AS token_id,
+         |       piece, cnt
+         |FROM c3""".stripMargin,
 
     // the profile-state read is contractually bit-identical to the
     // single pass, so the stream twin shares the lang_id oracle

@@ -2504,6 +2504,16 @@ class ExtSpec extends SparkSpec {
     val soi = intercept[IllegalArgumentException] {
       Jpeg.decodeJpegBytes(5L, good.drop(2)) }
     assert(soi.getMessage.contains("SOI"), soi.getMessage)
+    // id 5 ships DRI=2 over 6 MCUs: the container carries real RST0/RST1
+    // (already round-tripped above); corrupting the first RST's index
+    // must fail the restart sequence check, not decode garbage
+    assert(Jpeg.restartInterval(5L) == 2 && Jpeg.jpegW(5L) / 8 * (Jpeg.jpegH(5L) / 8) == 6)
+    val rstAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xd0).get
+    val badRst = good.clone(); badRst(rstAt + 1) = 0xd3.toByte
+    val rerr = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpegBytes(5L, badRst) }
+    assert(rerr.getMessage.contains("expected RST0"), rerr.getMessage)
   }
 
   test("JPEG hand-packed grayscale fixture pins the bit-level format") {

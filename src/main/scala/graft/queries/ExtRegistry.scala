@@ -107,6 +107,28 @@ object ExtRegistry {
           .select(col("doc_id"), col("source"), col("text")))
     }),
 
+    // the round-16 curation stack composed in ONE declarative plan —
+    // what a multilingual corpus run executes before training:
+    // language-ID screen (keep docs the classifier gets RIGHT — the
+    // confident-label rule) → quality-classifier screen → train split
+    // → token-budget packing. Both screens are broadcast probes +
+    // doc-keyed aggs riding the same spine; the split is a stateless
+    // filter; only the pack window adds an exchange
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val lid = graft.ext.Text.languageId(docs,
+          graft.ext.Text.langProfiles(docs, k = 40), k = 40)
+        .filter(col("is_correct") === 1).select(col("doc_id"))
+      val q = graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
+        .filter(col("accepted") === 1).select(col("doc_id"))
+      val kept = docs.join(lid, Seq("doc_id"), "left_semi")
+        .join(q, Seq("doc_id"), "left_semi")
+      val train = graft.ext.Corpus.hashSplit(kept, "doc_id", 90)
+        .filter(col("split") === "train")
+      graft.ext.Corpus.packSequences(
+        train.select(col("doc_id"), col("source"), col("text")))
+    }),
+
     // deterministic, partition-independent train/test assignment
     "corpus_split" -> ((s, dir) =>
       graft.ext.Corpus.hashSplit(Tables(s, dir).documents, "doc_id", 90)
@@ -1571,8 +1593,8 @@ object ExtRegistry {
     * and `lang_id_stream` (profiles ranked off a merged two-delta
     * trigram state are contractually bit-identical to the single
     * pass). */
-  private lazy val langIdOracle: String =
-    s"""WITH $langTrigramCtes,
+  private lazy val langIdCtes: String =
+    s"""$langTrigramCtes,
        |pr AS (
        |  SELECT lang AS cand_lang, gram,
        |         CAST(row_number() OVER (
@@ -1587,7 +1609,10 @@ object ExtRegistry {
        |  SELECT doc_id, cand_lang, score,
        |         row_number() OVER (
        |           PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+
+  private lazy val langIdOracle: String =
+    s"""WITH $langIdCtes
        |SELECT d.doc_id,
        |       coalesce(b.cand_lang, 'und') AS pred_lang,
        |       CAST(coalesce(b.score, 0) AS BIGINT) AS score,
@@ -3867,6 +3892,49 @@ object ExtRegistry {
          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
          |  FROM mx)""".stripMargin
     },
+
+    // curation-pipeline twin: the lang-ID CTEs (keep correctly
+    // identified docs), the margin CTEs (keep accepted), the split
+    // hash, then the pack window — each stage the audited twin of its
+    // standalone query
+    "curation_pipeline" ->
+      s"""WITH $langIdCtes,
+         |lidok AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         |  WHERE coalesce(b.cand_lang, 'und') = d.lang),
+         |qts AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> ''),
+         |qw AS (
+         |  SELECT term, weight FROM (
+         |    SELECT term,
+         |           CAST(((${MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
+         |    FROM (SELECT DISTINCT term FROM qts))
+         |  WHERE weight <> 0),
+         |qm AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS margin
+         |  FROM qts JOIN qw USING (term) GROUP BY 1),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d
+         |  JOIN lidok USING (doc_id)
+         |  JOIN (SELECT doc_id FROM qm WHERE margin > 0) qq USING (doc_id)),
+         |tr AS (
+         |  SELECT doc_id, source, text FROM kept
+         |  WHERE ((doc_id % 1000003) * 2654435761 % 1000003 % 100 + 100) % 100 < 90)
+         |SELECT doc_id, source, shard, token_cnt,
+         |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, source,
+         |         CAST(doc_id // 10000 AS BIGINT) AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+         |         sum(len(string_split(text, ' ')))
+         |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM tr)""".stripMargin,
 
     "corpus_split" ->
       """SELECT doc_id,

@@ -229,6 +229,15 @@ object ExtRegistry {
       graft.ext.Jpeg.decodeJpeg(
         graft.ext.Jpeg.encodeJpeg(Tables(s, dir).documents)).toDF()),
 
+    // the layout nearly every camera/web JPEG uses: 4:2:0 chroma
+    // subsampling — Y sampled 2x2 (four blocks per MCU in spec
+    // interleave order), chroma decoded at natural half resolution;
+    // DC prediction chains through all four Y blocks, so a block-order
+    // or predictor bug moves the fold
+    "multimodal_jpeg420" -> ((s, dir) =>
+      graft.ext.Jpeg.decodeJpeg(
+        graft.ext.Jpeg.encodeJpeg420(Tables(s, dir).documents)).toDF()),
+
     // the codec path under a chunked ingest: each delta encoded and
     // decoded independently, results unioned — decode is stateless per
     // row, so the union is contractually bit-identical to the single
@@ -4312,6 +4321,66 @@ object ExtRegistry {
         |SELECT m.doc_id, 'jpeg' AS fmt, m.width, m.height,
         |       CAST(3 AS INTEGER) AS channels,
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
+        |       ag.pixel_sum, ag.pixel_fold
+        |FROM m JOIN ag USING (doc_id)""".stripMargin,
+
+    // 4:2:0 twin: identical pinned-IDCT arithmetic, changed GEOMETRY —
+    // block b = mcu·6 + j (j 0–3 the four Y blocks raster-placed
+    // inside the 16×16 MCU, j 4/5 the half-res chroma planes);
+    // pixel_bytes = w·h·3/2, fold over (plane, row, col)
+    "multimodal_jpeg420" ->
+      s"""WITH co AS (SELECT ${graft.ext.Jpeg.idctSqlList} AS t,
+        |                   ${graft.ext.Jpeg.zigRowSqlList} AS zr,
+        |                   ${graft.ext.Jpeg.zigColSqlList} AS zc),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(16 * (1 + doc_id % 2) AS INTEGER) AS width,
+        |         CAST(16 AS INTEGER) AS height
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, width, height, width // 16 AS mcusx,
+        |         unnest(generate_series(0, CAST((width // 16) * (height // 16) * 6 - 1 AS BIGINT))) AS b
+        |  FROM m),
+        |bco AS (
+        |  SELECT doc_id, (b // 6) % mcusx AS mx, (b // 6) // mcusx AS my,
+        |         b % 6 AS j,
+        |         CASE WHEN b % 6 < 4 THEN 0 WHEN b % 6 = 4 THEN 1 ELSE 2 END AS comp,
+        |         ((doc_id * 7 + b * 13) % 201) - 100 AS dc,
+        |         1 + ((doc_id + b) % 10) AS z1,
+        |         ((doc_id * 11 + b * 5) % 41) - 20 AS v1,
+        |         20 + ((doc_id * 3 + b) % 40) AS z2,
+        |         ((doc_id * 13 + b * 7) % 21) - 10 AS v2
+        |  FROM blk),
+        |px AS (
+        |  SELECT doc_id, comp,
+        |         CASE WHEN comp = 0 THEN my * 16 + (j // 2) * 8 + y
+        |              ELSE my * 8 + y END AS gy,
+        |         CASE WHEN comp = 0 THEN mx * 16 + (j % 2) * 8 + x
+        |              ELSE mx * 8 + x END AS gx,
+        |         LEAST(255, GREATEST(0,
+        |           (s + 134217728
+        |              - ((s + 134217728) % 268435456 + 268435456) % 268435456)
+        |             // 268435456 + 128)) AS p
+        |  FROM (
+        |    SELECT doc_id, comp, j, mx, my, y, x,
+        |           CAST(t[y + 1] AS BIGINT) * t[x + 1] * dc
+        |           + CAST(t[zr[z1 + 1] * 8 + y + 1] AS BIGINT) * t[zc[z1 + 1] * 8 + x + 1]
+        |             * v1 * (CASE WHEN comp = 0 THEN 1 + (z1 * 7) % 16 ELSE 1 + (z1 * 3) % 12 END)
+        |           + CAST(t[zr[z2 + 1] * 8 + y + 1] AS BIGINT) * t[zc[z2 + 1] * 8 + x + 1]
+        |             * v2 * (CASE WHEN comp = 0 THEN 1 + (z2 * 7) % 16 ELSE 1 + (z2 * 3) % 12 END) AS s
+        |    FROM bco
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
+        |    CROSS JOIN co)),
+        |ag AS (
+        |  SELECT doc_id, CAST(sum(p) AS BIGINT) AS pixel_sum,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list(CAST(p AS BIGINT) ORDER BY comp, gy, gx)),
+        |           (a, b) -> (a * 1000003 + b) % 2147483629) AS pixel_fold
+        |  FROM px GROUP BY 1)
+        |SELECT m.doc_id, 'jpeg' AS fmt, m.width, m.height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(m.width AS BIGINT) * m.height * 3 // 2 AS pixel_bytes,
         |       ag.pixel_sum, ag.pixel_fold
         |FROM m JOIN ag USING (doc_id)""".stripMargin,
 

@@ -2639,4 +2639,59 @@ class ExtSpec extends SparkSpec {
       assert(profRows(state.get) == full, "streaming trigram ingest != batch profiles")
     } finally q.stop()
   }
+
+  test("JPEG 4:2:0: four-Y-block MCU interleave, half-res chroma planes, independent replay") {
+    import graft.ext.Jpeg
+    def expected(id: Long): (Long, Long, Long) = {
+      val (w, h) = (Jpeg.jpeg420W(id), Jpeg.jpeg420H(id))
+      val mcusX = w / 16
+      val yPlane = Array.ofDim[Int](w * h)
+      val cb = Array.ofDim[Int]((w / 2) * (h / 2))
+      val cr = Array.ofDim[Int]((w / 2) * (h / 2))
+      for (m <- 0 until mcusX * (h / 16); j <- 0 until 6) {
+        val b = m * 6 + j
+        val mx = m % mcusX; val my = m / mcusX
+        val c = if (j < 4) 0 else j - 3
+        def q(z: Int) = if (c == 0) Jpeg.qLum(z) else Jpeg.qChr(z)
+        val terms = Seq(
+          (0, Jpeg.coefDc(id, b) * q(0)),
+          (Jpeg.coefZ1(id, b), Jpeg.coefV1(id, b) * q(Jpeg.coefZ1(id, b))),
+          (Jpeg.coefZ2(id, b), Jpeg.coefV2(id, b) * q(Jpeg.coefZ2(id, b))))
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val s = terms.map { case (z, fq) =>
+            Jpeg.Idct8k(Jpeg.zigRow(z) * 8 + y).toLong *
+              Jpeg.Idct8k(Jpeg.zigCol(z) * 8 + x) * fq }.sum
+          val p = math.max(0L, math.min(255L,
+            Math.floorDiv(s + Jpeg.IdctHalf, Jpeg.IdctDiv) + 128L)).toInt
+          if (c == 0)
+            yPlane((my * 16 + (j / 2) * 8 + y) * w + (mx * 16 + (j % 2) * 8 + x)) = p
+          else if (c == 1) cb((my * 8 + y) * (w / 2) + (mx * 8 + x)) = p
+          else cr((my * 8 + y) * (w / 2) + (mx * 8 + x)) = p
+        }
+      }
+      val all = yPlane ++ cb ++ cr
+      (all.map(_.toLong).sum,
+        all.foldLeft(0L)((a, p) => (a * 1000003L + p) % 2147483629L),
+        all.length.toLong)
+    }
+    for (id <- 0L until 12L) {
+      val d = Jpeg.decodeJpegBytes(id,
+        Jpeg.jpeg420Bytes(id, Jpeg.jpeg420W(id), Jpeg.jpeg420H(id)))
+      val (sum, fold, bytes) = expected(id)
+      assert((d.width, d.height, d.channels) ==
+        ((Jpeg.jpeg420W(id), Jpeg.jpeg420H(id), 3)), s"id $id dims")
+      assert(d.pixel_bytes == bytes, s"id $id: chroma planes not half-res")
+      assert(d.pixel_sum == sum, s"id $id: sum ${d.pixel_sum} != $sum")
+      assert(d.pixel_fold == fold,
+        s"id $id: Y-block interleave or plane placement broken")
+    }
+    // sampling factors above 2 are refused by name, not misparsed
+    val good = Jpeg.jpeg420Bytes(1L, 32, 16)
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val bad = good.clone(); bad(sofAt + 11) = 0x33.toByte // Y sampling 3x3
+    val err = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpegBytes(1L, bad) }
+    assert(err.getMessage.contains("sampling 3x3 unsupported"), err.getMessage)
+  }
 }

@@ -354,6 +354,16 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Text.wordpieceTrainMergesFromCounts(
           graft.ext.Text.wordFreqAdd(synthWordDocs(s, 500L * f)), merges = 8)),
+    // unigram-LM trainer off a maintained word-frequency state: the
+    // corpus-sized pass is ONLY the word count; both Viterbi-EM rounds
+    // run on the bounded type vocabulary with a bounded collected model
+    // (alphabet + 24 multis) — the third trainer family's flat-barrier
+    // claim, measured.
+    ("docs->unigramTrainer", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.unigramTrainFromCounts(
+          graft.ext.Text.wordFreqAdd(synthWordDocs(s, 500L * f)),
+          vocabMulti = 24, rounds = 2)),
     // tokenize→pack: a shipped 1×-trained merge table (constant model
     // state) applied to a growing corpus, then the pack window — the
     // full training-batch assembly tail: tokenize explode + dictionary

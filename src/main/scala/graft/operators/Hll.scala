@@ -102,6 +102,57 @@ object Hll {
             .cast(DoubleType))
           .as("raw_estimate"))
 
+  /** GROUPED sketch state: one ≤[[M]]-row register set PER KEY —
+    * `(key, bucket, rho_max)`. The grouped form is what a monitoring
+    * or profiling pass actually runs (distinct users per event type,
+    * per source, per day) and it shares every property of the global
+    * sketch: bounded per-key state, idempotent max-merge, one
+    * aggregation. A hot key is ≤ 256 rows like any other key — the
+    * sketch IS the skew mitigation. */
+  def hllAddBy(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val w = mix(col(idCol), 202L)
+    val rho = when(w === 0L, lit(MaxRho))
+      .otherwise(lit(MaxRho) - length(bin(w)))
+    df.select(col(keyCol).as("key"),
+        shiftright(mix(col(idCol), 101L), 23).as("bucket"),
+        rho.cast(LongType).as("rho"))
+      .groupBy(col("key"), col("bucket")).agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Exact merge of two grouped states: per-(key, bucket) MAX —
+    * idempotent like [[mergeHll]]. */
+  def mergeHllBy(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("key"), col("bucket"), col("rho_max"))
+      .unionByName(b.select(col("key"), col("bucket"), col("rho_max")))
+      .groupBy(col("key"), col("bucket")).agg(max(col("rho_max")).as("rho_max"))
+
+  /** Per-key raw estimates off a grouped register state — one bounded
+    * aggregation over ≤ keys·[[M]] rows. */
+  def hllEstimateByFromCounts(state: DataFrame): DataFrame =
+    state.groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($MaxRho - rho_max AS INT))"))
+          .as("s_present"))
+      .select(
+        col("key"),
+        lit(M).cast(IntegerType).as("m"),
+        col("used").as("used_registers"),
+        (lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) * lit(4294967296.0) /
+          (col("s_present") + (lit(M.toLong) - col("used")) * lit(Pow2_32))
+            .cast(DoubleType))
+          .as("raw_estimate"))
+
+  /** Grouped estimate + exact audit: the registered query's shape. */
+  def hllDistinctBy(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val est = hllEstimateByFromCounts(hllAddBy(df, keyCol, idCol))
+    val exact = df.groupBy(col(keyCol).as("key"))
+      .agg(countDistinct(col(idCol)).as("exact_distinct"))
+    est.join(exact, Seq("key"))
+      .select(col("key"), col("m"), col("used_registers"),
+        col("raw_estimate"), col("exact_distinct"))
+  }
+
   /** Direct estimate + exact-count audit over a column: the registered
     * query's shape — sketch accuracy measured against the truth. */
   def hllDistinct(df: DataFrame, idCol: String): DataFrame = {

@@ -1070,6 +1070,14 @@ object ExtRegistry {
     "hll_distinct_events" -> ((s, dir) =>
       graft.operators.Hll.hllDistinct(Tables(s, dir).events, "event_id")),
 
+    // the GROUPED sketch — distinct ids per event type, one bounded
+    // register set per key (a hot key is ≤256 state rows like any
+    // other: the sketch IS the skew mitigation), exact audit beside
+    // every estimate
+    "hll_distinct_by_type" -> ((s, dir) =>
+      graft.operators.Hll.hllDistinctBy(Tables(s, dir).events,
+        "event_type", "event_id")),
+
     // the register state is MAX-mergeable (idempotent — overlapping
     // deltas and replays are harmless, unlike the count-sum states):
     // two-delta ingest merged, then the shared estimate read side;
@@ -1781,6 +1789,34 @@ object ExtRegistry {
       |         / CAST(s_present + (256 - used) * 4294967296 AS DOUBLE) AS raw_estimate,
       |       (SELECT CAST(count(DISTINCT event_id) AS BIGINT) FROM events) AS exact_distinct
       |FROM s""".stripMargin
+
+  /** The grouped-HLL twin: the [[hllOracle]] hash/route/rank pipeline
+    * keyed by event_type, per-key harmonic sums, exact audit joined. */
+  private lazy val hllByTypeOracle: String =
+    """WITH h AS (
+      |  SELECT event_type AS key,
+      |         (((((event_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 101) % 2147483648) * ((((((event_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 101) % 2147483648) * 1103515245 + 12345) % 2147483648) + 12345) % 2147483648 AS b,
+      |         (((((event_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 202) % 2147483648) * ((((((event_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 202) % 2147483648) * 1103515245 + 12345) % 2147483648) + 12345) % 2147483648 AS w
+      |  FROM events),
+      |r AS (
+      |  SELECT key, b // 8388608 AS bucket,
+      |         max(CASE WHEN w = 0 THEN 32
+      |                  ELSE 32 - length(bin(w)) END) AS rho_max
+      |  FROM h GROUP BY 1, 2),
+      |s AS (
+      |  SELECT key, CAST(count(*) AS BIGINT) AS used,
+      |         CAST(sum(CAST(1 AS BIGINT) << CAST(32 - rho_max AS INTEGER)) AS BIGINT) AS s_present
+      |  FROM r GROUP BY 1),
+      |ex AS (
+      |  SELECT event_type AS key,
+      |         CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+      |  FROM events GROUP BY 1)
+      |SELECT s.key, CAST(256 AS INTEGER) AS m,
+      |       s.used AS used_registers,
+      |       0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 4294967296.0
+      |         / CAST(s.s_present + (256 - s.used) * 4294967296 AS DOUBLE) AS raw_estimate,
+      |       ex.exact_distinct
+      |FROM s JOIN ex USING (key)""".stripMargin
 
   /** The BM25 search twin — shared verbatim by `bm25_top_docs` and
     * `bm25_stream` (the search off a merged two-delta postings state
@@ -4023,6 +4059,7 @@ object ExtRegistry {
     // division ((k-1)·M exact in double), so values hash-match the
     // sketch's eval. nd < k falls back to the exact distinct count.
     "hll_distinct_events" -> hllOracle,
+    "hll_distinct_by_type" -> hllByTypeOracle,
     // max-merge idempotence makes the two-delta sketch identical
     "hll_distinct_stream" -> hllOracle,
 

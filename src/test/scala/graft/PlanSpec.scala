@@ -573,4 +573,24 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
   }
+
+  test("curation pipeline: both screens broadcast; no cartesian anywhere in the composed plan") {
+    val docs = tables.documents
+    val lid = graft.ext.Text.languageId(docs,
+        graft.ext.Text.langProfiles(docs, k = 40), k = 40)
+      .filter(col("is_correct") === 1).select(col("doc_id"))
+    val q = graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
+      .filter(col("accepted") === 1).select(col("doc_id"))
+    val kept = docs.join(lid, Seq("doc_id"), "left_semi")
+      .join(q, Seq("doc_id"), "left_semi")
+    val train = graft.ext.Corpus.hashSplit(kept, "doc_id", 90)
+      .filter(col("split") === "train")
+    val df = graft.ext.Corpus.packSequences(
+      train.select(col("doc_id"), col("source"), col("text")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"profile/weight probes expected as broadcast hash joins in:\n$plan")
+  }
 }

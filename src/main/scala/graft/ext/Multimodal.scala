@@ -359,6 +359,17 @@ object Multimodal {
   }
 
   private[graft] def decodePngBytes(id: Long, bs: Array[Byte]): DecodedMedia = {
+    val (w, h, px) = pngRaster(id, bs)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i); i += 1 }
+    DecodedMedia(id, "png", w, h, 3, px.length.toLong, sum)
+  }
+
+  /** The full decoded RGB raster (row-major, 3 bytes/pixel) — the
+    * checksum decode above and the resize stage below share this one
+    * codec walk. */
+  private[graft] def pngRaster(id: Long, bs: Array[Byte]): (Int, Int, Array[Int]) = {
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     require(bs.length >= 8 && (0 until 8).forall(i => (bs(i) & 0xff) == sig(i)),
       s"doc $id: bad PNG signature")
@@ -411,9 +422,9 @@ object Multimodal {
     val scan = scanOut.toByteArray
     require(scan.length == (rowBytes + 1) * h,
       s"doc $id: scanline stream is ${scan.length} bytes, expected ${(rowBytes + 1) * h}")
+    val raster = new Array[Int](rowBytes * h)
     val recon = new Array[Int](rowBytes)
     val prior = new Array[Int](rowBytes)
-    var sum = 0L
     var y = 0
     while (y < h) {
       val ft = scan(y * (rowBytes + 1)) & 0xff
@@ -424,13 +435,45 @@ object Multimodal {
         val c = if (x >= 3) prior(x - 3) else 0
         recon(x) = ((scan(y * (rowBytes + 1) + 1 + x) & 0xff) +
           pngFilterPredict(ft, a, prior(x), c)) & 0xff
-        sum += recon(x)
+        raster(y * rowBytes + x) = recon(x)
         x += 1
       }
       Array.copy(recon, 0, prior, 0, rowBytes)
       y += 1
     }
-    DecodedMedia(id, "png", w, h, 3, rowBytes.toLong * h, sum)
+    (w, h, raster)
+  }
+
+  /** Nearest-neighbor resize over the DECODED PNG raster — the codec
+    * output composed into the preprocessing step ([[resizeMedia]]'s
+    * contract extended from the uncompressed containers to a real
+    * compressed one): the full chunk walk / inflate / filter
+    * reconstruction runs, then the standard floor sampling. One narrow
+    * mapPartitions, one codec walk per row. */
+  def resizePng(media: Dataset[EncodedMedia], targetW: Int,
+      targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive, got ${targetW}x$targetH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, px) = pngRaster(m.doc_id, m.bytes)
+      var sum = 0L
+      var ty = 0
+      while (ty < targetH) {
+        val sy = ty * h / targetH
+        var tx = 0
+        while (tx < targetW) {
+          val sx = tx * w / targetW
+          var c = 0
+          while (c < 3) { sum += px((sy * w + sx) * 3 + c); c += 1 }
+          tx += 1
+        }
+        ty += 1
+      }
+      ResizedMedia(m.doc_id, m.fmt, w, h, targetW, targetH, 3,
+        targetW.toLong * targetH * 3, sum)
+    })
   }
 
   /** GIF87a is the second real compressed codec here — its compression

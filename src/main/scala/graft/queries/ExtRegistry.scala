@@ -277,6 +277,12 @@ object ExtRegistry {
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeMedia(Multimodal.encodeMedia(Tables(s, dir).documents), 4, 4).toDF()),
 
+    // the same preprocessing step over a COMPRESSED container: full
+    // zlib/filter decode, then the floor-sampled 4x4 thumbnail — the
+    // codec output composed into the pipeline, not just checksummed
+    "multimodal_resize_png" -> ((s, dir) =>
+      Multimodal.resizePng(Multimodal.encodePng(Tables(s, dir).documents), 4, 4).toDF()),
+
     // VIDEO completes the pure-JVM container triple: real Y4M
     // (YUV4MPEG2) stream parse — tagged header fields, per-frame FRAME
     // markers with optional params, raw C444 planes — plus the
@@ -1077,6 +1083,24 @@ object ExtRegistry {
     "hll_distinct_by_type" -> ((s, dir) =>
       graft.operators.Hll.hllDistinctBy(Tables(s, dir).events,
         "event_type", "event_id")),
+
+    // the grouped sketch maintained incrementally: per-(key, bucket)
+    // max-merge of two deltas, then the shared per-key estimate read —
+    // idempotent like the global sketch, bit-identical to the single
+    // pass, oracle shared verbatim
+    "hll_by_type_stream" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val state = graft.operators.Hll.mergeHllBy(
+        graft.operators.Hll.hllAddBy(ev.filter(col("event_id") % 2 <=> 0),
+          "event_type", "event_id"),
+        graft.operators.Hll.hllAddBy(ev.filter(!(col("event_id") % 2 <=> 0)),
+          "event_type", "event_id"))
+      graft.operators.Hll.hllEstimateByFromCounts(state)
+        .join(ev.groupBy(col("event_type").as("key"))
+          .agg(countDistinct(col("event_id")).as("exact_distinct")), Seq("key"))
+        .select(col("key"), col("m"), col("used_registers"),
+          col("raw_estimate"), col("exact_distinct"))
+    }),
 
     // the register state is MAX-mergeable (idempotent — overlapping
     // deltas and replays are harmless, unlike the count-sum states):
@@ -4060,6 +4084,7 @@ object ExtRegistry {
     // sketch's eval. nd < k falls back to the exact distinct count.
     "hll_distinct_events" -> hllOracle,
     "hll_distinct_by_type" -> hllByTypeOracle,
+    "hll_by_type_stream" -> hllByTypeOracle,
     // max-merge idempotence makes the two-delta sketch identical
     "hll_distinct_stream" -> hllOracle,
 
@@ -4420,6 +4445,30 @@ object ExtRegistry {
         |       CAST(m.width AS BIGINT) * m.height * 3 // 2 AS pixel_bytes,
         |       ag.pixel_sum, ag.pixel_fold
         |FROM m JOIN ag USING (doc_id)""".stripMargin,
+
+    // PNG-resize twin: floor sampling replayed over the generator
+    // arithmetic — source pixel (ty·h div 4, tx·w div 4), 3 channels
+    "multimodal_resize_png" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(3 + (doc_id * 7) % 13 AS INTEGER) AS src_width,
+        |         CAST(5 + (doc_id * 11) % 9 AS INTEGER) AS src_height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |         CAST(SUM((doc_id + ((ty * src_height // 4) * src_width
+        |                   + (tx * src_width // 4)) * 3 + c) % 256) AS BIGINT) AS pixel_sum
+        |  FROM m
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS ty)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS tx)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c)
+        |  GROUP BY 1)
+        |SELECT m.doc_id, 'png' AS fmt, m.src_width, m.src_height,
+        |       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(48 AS BIGINT) AS pixel_bytes,
+        |       px.pixel_sum
+        |FROM m JOIN px USING (doc_id)""".stripMargin,
 
     // video twin: the Y4M generator arithmetic replayed — frame f's
     // byte j of doc d is (d + f·131 + j) % 256 over 3·w·h bytes

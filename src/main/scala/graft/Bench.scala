@@ -37,10 +37,19 @@ object Bench {
     // RECORDED in the JSON either way — a hard abort would cost the
     // round its numbers entirely when the box never settles, which is
     // strictly worse than a labeled-incomparable artifact.
-    val calMax = sys.env.get("SPARK_GRAFT_CAL_MAX").map(_.toDouble).getOrElse(0.90)
+    // A typo'd override must not cost the round its numbers: fall back
+    // to the default on any unparseable value (stdout-first posture).
+    def envNum[A](name: String, parse: String => A, default: A): A =
+      sys.env.get(name).flatMap(v => scala.util.Try(parse(v)).toOption match {
+        case None =>
+          System.err.println(s"[bench] ignoring malformed $name='$v'; using $default")
+          None
+        case ok => ok
+      }).getOrElse(default)
+    val calMax = envNum("SPARK_GRAFT_CAL_MAX", _.toDouble, 0.90)
     val calMaxRatio = 1.3
-    val calRetries = sys.env.get("SPARK_GRAFT_CAL_RETRIES").map(_.toInt).getOrElse(3)
-    val calWaitSec = sys.env.get("SPARK_GRAFT_CAL_WAIT_SEC").map(_.toInt).getOrElse(20)
+    val calRetries = envNum("SPARK_GRAFT_CAL_RETRIES", _.toInt, 3)
+    val calWaitSec = envNum("SPARK_GRAFT_CAL_WAIT_SEC", _.toInt, 20)
     var calPre = calibrate()
     var preAttempts = 1
     while (calPre > calMax && preAttempts <= calRetries) {

@@ -1197,6 +1197,12 @@ object Text {
     * queries (the oracle replays exactly this many Viterbi passes). */
   private[graft] val UnigramMaxPiece = 4
 
+  /** The DuckDB unigram twins' DP grid bound (their
+    * `generate_series(1, 24)` position lattice). [[unigramCore]]
+    * refuses longer terms loudly rather than letting the oracle
+    * silently ignore tail substrings. */
+  private[graft] val UnigramMaxOracleTerm = 24
+
   /** Viterbi segmentation of one word under a piece→probability model:
     * maximize the probability PRODUCT over pieces (the unigram-LM
     * objective — log is monotone, so the product argmax IS the
@@ -1278,6 +1284,17 @@ object Text {
     val maxLen = UnigramMaxPiece
     val freqs = freqs0.select(col("term"), col("freq").cast(LongType).as("freq"))
       .as[(String, Long)].localCheckpoint(false)
+    // The DuckDB oracle twins replay the Viterbi DP over a fixed
+    // generate_series(1, UnigramMaxOracleTerm) position grid; a longer
+    // term would silently diverge (tail positions unreachable) instead
+    // of failing loud. Guard it here like the other bounded-model
+    // requires — the check runs on the Zipf-small TYPE frame (already
+    // checkpointed), not the corpus.
+    val maxTermLen = freqs.toDF("term", "freq")
+      .agg(coalesce(max(length(col("term"))), lit(0))).head().getInt(0)
+    require(maxTermLen <= UnigramMaxOracleTerm,
+      s"term length $maxTermLen exceeds the oracle DP grid bound " +
+        s"$UnigramMaxOracleTerm (raise generate_series bounds in the twins first)")
     // initial piece counts: freq-weighted substring occurrences
     val sub = freqs.flatMap { case (t, f) =>
       for {

@@ -380,6 +380,31 @@ object ScaleProof {
             Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("n_tokens").as("token_cnt")))
       }),
+    // the composed curation pipeline off MAINTAINED states — the
+    // deployment shape: profiles ranked from a FIXED 1×-trained trigram
+    // state (constant broadcast model), margin state maintained over
+    // the growing corpus (its add pass is the linear ingest a stream
+    // run has already paid), screens as spine semi-joins, then split +
+    // shard-bounded pack window. The gate proves the END-TO-END
+    // composition keeps a constant exchange count and flat heap at
+    // 100× — the claim the bench's curation_pipeline asserts but
+    // cannot measure (it retrains inline at one scale). threshold is
+    // pinned below any reachable margin so the quality screen's
+    // SELECTIVITY stays constant across factors (1×-trained weights
+    // score only 1× id-bearing terms; a 0 threshold would make the
+    // kept fraction collapse with growth and let AQE erase the very
+    // exchanges under test) — the plan shape is identical at any
+    // threshold.
+    ("docs->curationPipelineFromStates", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) => {
+        val docs = synthLangDocs(s, 500L * f)
+          .withColumn("source", concat(lit("s"), (col("doc_id") % 4).cast("string")))
+        graft.ext.Corpus.curationPipelineFromStates(docs,
+          graft.ext.Text.trigramAdd(synthLangDocs(s, 500L)),
+          graft.ext.Text.marginAdd(docs,
+            graft.ext.Text.hashWeights(synthLangDocs(s, 500L))),
+          k = 40, threshold = -(1L << 40))
+      }),
     // SemDeDup at the bench's own parameters (k=8, maxCluster=1024) —
     // the slowest bench query gets its own ladder. autoBroadcast pinned
     // OFF like the ANN pipeline: the label/self joins sit at the size

@@ -419,4 +419,45 @@ object Corpus {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("pos"), col("h").as("order_key"))
   }
+
+  /** The composed curation pipeline off MAINTAINED model/annotation
+    * states — what a 100 TB run actually executes, with nothing
+    * retrained inline: language-ID screen (keep docs the classifier
+    * labels correctly — confident-label rule) over a profile table
+    * ranked from `trigramState` ([[Text.trigramAdd]]/
+    * [[Text.mergeTrigrams]] contract), quality screen read off
+    * `marginState` ([[Text.marginAdd]]/[[Text.mergeMargins]] contract —
+    * NO corpus re-scan for this screen at all), deterministic train
+    * split, token-budget packing.
+    *
+    * Scale: the only corpus-sized passes are the lang-ID scoring
+    * probe (one trigram explode + broadcast profile probe + two keyed
+    * aggs) and the final pack window (shard-bounded sort); the margin
+    * screen is a doc-keyed join against already-maintained state. Both
+    * screens ride the same doc_id spine as left-semi joins. */
+  def curationPipelineFromStates(documents: DataFrame, trigramState: DataFrame,
+      marginState: DataFrame, k: Int = 40, threshold: Long = 0L,
+      trainPct: Int = 90): DataFrame = {
+    val lid = Text.languageId(documents,
+        Text.langProfilesFromCounts(trigramState, k), k)
+      .filter(col("is_correct") === 1).select(col("doc_id"))
+    val q = Text.qualityMarginFromCounts(documents, marginState, threshold)
+      .filter(col("accepted") === 1).select(col("doc_id"))
+    val kept = documents.join(lid, Seq("doc_id"), "left_semi")
+      .join(q, Seq("doc_id"), "left_semi")
+    val train = hashSplit(kept, "doc_id", trainPct)
+      .filter(col("split") === "train")
+    packSequences(train.select(col("doc_id"), col("source"), col("text")))
+  }
+
+  /** Self-training form of [[curationPipelineFromStates]]: both states
+    * built from the corpus itself in one delta (profiles from the
+    * labeled corpus, margins from the supplied weight table). By the
+    * add/merge contracts this is bit-identical to the FromStates read
+    * over any merged ingest of the same corpus — which is exactly what
+    * the `curation_pipeline_stream` twin asserts. */
+  def curationPipeline(documents: DataFrame, weights: DataFrame,
+      k: Int = 40, threshold: Long = 0L, trainPct: Int = 90): DataFrame =
+    curationPipelineFromStates(documents, Text.trigramAdd(documents),
+      Text.marginAdd(documents, weights), k, threshold, trainPct)
 }

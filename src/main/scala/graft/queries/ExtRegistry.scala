@@ -116,17 +116,26 @@ object ExtRegistry {
     // filter; only the pack window adds an exchange
     "curation_pipeline" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      val lid = graft.ext.Text.languageId(docs,
-          graft.ext.Text.langProfiles(docs, k = 40), k = 40)
-        .filter(col("is_correct") === 1).select(col("doc_id"))
-      val q = graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
-        .filter(col("accepted") === 1).select(col("doc_id"))
-      val kept = docs.join(lid, Seq("doc_id"), "left_semi")
-        .join(q, Seq("doc_id"), "left_semi")
-      val train = graft.ext.Corpus.hashSplit(kept, "doc_id", 90)
-        .filter(col("split") === "train")
-      graft.ext.Corpus.packSequences(
-        train.select(col("doc_id"), col("source"), col("text")))
+      graft.ext.Corpus.curationPipeline(docs,
+        graft.ext.Text.hashWeights(docs), k = 40)
+    }),
+
+    // the SAME composition read off MERGED two-delta states for BOTH
+    // screen models (trigramAdd + marginAdd per delta, exact int64 sum
+    // merges) — the pipeline a 100 TB run executes: nothing retrained
+    // inline, the quality screen never re-scans the corpus at all.
+    // Bit-identical to the single pass by both add/merge contracts, so
+    // the oracle is the curation_pipeline twin verbatim
+    "curation_pipeline_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val w = graft.ext.Text.hashWeights(docs)
+      val even = docs.filter(col("doc_id") % 2 <=> 0)
+      val odd = docs.filter(!(col("doc_id") % 2 <=> 0))
+      val trig = graft.ext.Text.mergeTrigrams(
+        graft.ext.Text.trigramAdd(even), graft.ext.Text.trigramAdd(odd))
+      val marg = graft.ext.Text.mergeMargins(
+        graft.ext.Text.marginAdd(even, w), graft.ext.Text.marginAdd(odd, w))
+      graft.ext.Corpus.curationPipelineFromStates(docs, trig, marg, k = 40)
     }),
 
     // deterministic, partition-independent train/test assignment
@@ -1662,6 +1671,51 @@ object ExtRegistry {
        |            THEN 1 ELSE 0 END AS is_correct
        |FROM documents d
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
+
+  /** Curation-pipeline twin: the lang-ID CTEs (keep correctly
+    * identified docs), the margin CTEs (keep accepted), the split
+    * hash, then the pack window — each stage the audited twin of its
+    * standalone query. Shared verbatim by `curation_pipeline` and
+    * `curation_pipeline_stream` (merged two-delta states are
+    * contractually bit-identical to the single pass). */
+  private lazy val curationPipelineOracle: String =
+    s"""WITH $langIdCtes,
+       |lidok AS (
+       |  SELECT d.doc_id FROM documents d
+       |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+       |  WHERE coalesce(b.cand_lang, 'und') = d.lang),
+       |qts AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term <> ''),
+       |qw AS (
+       |  SELECT term, weight FROM (
+       |    SELECT term,
+       |           CAST(((${MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
+       |    FROM (SELECT DISTINCT term FROM qts))
+       |  WHERE weight <> 0),
+       |qm AS (
+       |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS margin
+       |  FROM qts JOIN qw USING (term) GROUP BY 1),
+       |kept AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d
+       |  JOIN lidok USING (doc_id)
+       |  JOIN (SELECT doc_id FROM qm WHERE margin > 0) qq USING (doc_id)),
+       |tr AS (
+       |  SELECT doc_id, source, text FROM kept
+       |  WHERE ((doc_id % 1000003) * 2654435761 % 1000003 % 100 + 100) % 100 < 90)
+       |SELECT doc_id, source, shard, token_cnt,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |       CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id
+       |FROM (
+       |  SELECT doc_id, source,
+       |         CAST(doc_id // 10000 AS BIGINT) AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+       |         sum(len(string_split(text, ' ')))
+       |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM tr)""".stripMargin
 
   private def phraseCtes(phrases: Seq[String]): String = {
     val P2 = graft.ext.Text.P2
@@ -3962,48 +4016,11 @@ object ExtRegistry {
          |  FROM mx)""".stripMargin
     },
 
-    // curation-pipeline twin: the lang-ID CTEs (keep correctly
-    // identified docs), the margin CTEs (keep accepted), the split
-    // hash, then the pack window — each stage the audited twin of its
-    // standalone query
-    "curation_pipeline" ->
-      s"""WITH $langIdCtes,
-         |lidok AS (
-         |  SELECT d.doc_id FROM documents d
-         |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
-         |  WHERE coalesce(b.cand_lang, 'und') = d.lang),
-         |qts AS (
-         |  SELECT doc_id, term FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-         |  WHERE term <> ''),
-         |qw AS (
-         |  SELECT term, weight FROM (
-         |    SELECT term,
-         |           CAST(((${MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
-         |    FROM (SELECT DISTINCT term FROM qts))
-         |  WHERE weight <> 0),
-         |qm AS (
-         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS margin
-         |  FROM qts JOIN qw USING (term) GROUP BY 1),
-         |kept AS (
-         |  SELECT d.doc_id, d.source, d.text
-         |  FROM documents d
-         |  JOIN lidok USING (doc_id)
-         |  JOIN (SELECT doc_id FROM qm WHERE margin > 0) qq USING (doc_id)),
-         |tr AS (
-         |  SELECT doc_id, source, text FROM kept
-         |  WHERE ((doc_id % 1000003) * 2654435761 % 1000003 % 100 + 100) % 100 < 90)
-         |SELECT doc_id, source, shard, token_cnt,
-         |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
-         |       CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id
-         |FROM (
-         |  SELECT doc_id, source,
-         |         CAST(doc_id // 10000 AS BIGINT) AS shard,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
-         |         sum(len(string_split(text, ' ')))
-         |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-         |  FROM tr)""".stripMargin,
+    "curation_pipeline" -> curationPipelineOracle,
+
+    // the stream twin reads merged two-delta states that are
+    // contractually bit-identical to the single pass — same oracle
+    "curation_pipeline_stream" -> curationPipelineOracle,
 
     "corpus_split" ->
       """SELECT doc_id,

@@ -576,17 +576,26 @@ class PlanSpec extends SparkSpec {
 
   test("curation pipeline: both screens broadcast; no cartesian anywhere in the composed plan") {
     val docs = tables.documents
-    val lid = graft.ext.Text.languageId(docs,
-        graft.ext.Text.langProfiles(docs, k = 40), k = 40)
-      .filter(col("is_correct") === 1).select(col("doc_id"))
-    val q = graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
-      .filter(col("accepted") === 1).select(col("doc_id"))
-    val kept = docs.join(lid, Seq("doc_id"), "left_semi")
-      .join(q, Seq("doc_id"), "left_semi")
-    val train = graft.ext.Corpus.hashSplit(kept, "doc_id", 90)
-      .filter(col("split") === "train")
-    val df = graft.ext.Corpus.packSequences(
-      train.select(col("doc_id"), col("source"), col("text")))
+    val df = graft.ext.Corpus.curationPipeline(docs,
+      graft.ext.Text.hashWeights(docs), k = 40)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"profile/weight probes expected as broadcast hash joins in:\n$plan")
+  }
+
+  test("curation pipeline FromStates (merged two-delta states): same pinned shape") {
+    val docs = tables.documents
+    val w = graft.ext.Text.hashWeights(docs)
+    val even = docs.filter(col("doc_id") % 2 <=> 0)
+    val odd = docs.filter(!(col("doc_id") % 2 <=> 0))
+    val df = graft.ext.Corpus.curationPipelineFromStates(docs,
+      graft.ext.Text.mergeTrigrams(
+        graft.ext.Text.trigramAdd(even), graft.ext.Text.trigramAdd(odd)),
+      graft.ext.Text.mergeMargins(
+        graft.ext.Text.marginAdd(even, w), graft.ext.Text.marginAdd(odd, w)),
+      k = 40)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")

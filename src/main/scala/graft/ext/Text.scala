@@ -1363,8 +1363,14 @@ object Text {
     * corpus-sized tf groupBy + a term-keyed join onto the Zipf-small
     * segmentation frame (AQE-broadcasts). */
   def unigramEncode(documents: DataFrame, vocabMulti: Int = 24,
-      rounds: Int = 2): DataFrame = {
-    val seg = unigramCore(unigramWordFreqs(documents), vocabMulti, rounds)._1
+      rounds: Int = 2): DataFrame =
+    unigramEncodeCore(
+      unigramCore(unigramWordFreqs(documents), vocabMulti, rounds)._1,
+      documents)
+
+  private def unigramEncodeCore(segDf: DataFrame,
+      documents: DataFrame): DataFrame = {
+    val seg = segDf
       .select(col("term"), col("n_pieces"),
         length(col("term")).cast(LongType).as("char_syms"))
     termStream(documents).groupBy(col("doc_id"), col("term"))
@@ -1388,9 +1394,14 @@ object Text {
     * structs are sorted before joining — collect order never leaks. */
   def unigramTokenize(documents: DataFrame, vocabMulti: Int = 24,
       rounds: Int = 2): DataFrame = {
+    val (segDf, cntDf) = unigramCore(unigramWordFreqs(documents), vocabMulti, rounds)
+    unigramTokenizeCore(segDf, cntDf, documents)
+  }
+
+  private def unigramTokenizeCore(segDf: DataFrame, cntDf: DataFrame,
+      documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (segDf, cntDf) = unigramCore(unigramWordFreqs(documents), vocabMulti, rounds)
     val dict = cntDf.orderBy(col("cnt").desc, col("piece").asc).collect()
       .zipWithIndex.map { case (r, i) => (r.getString(0), i.toLong) }.toSeq
     val dictDf = broadcast(dict.toDF("piece", "id"))
@@ -1427,6 +1438,76 @@ object Text {
           - 1).cast(LongType))
       .select(col("token_id"), col("piece"), col("cnt"))
   }
+
+  /** Collect a shipped unigram model `(piece, cnt)` with the
+    * bounded-driver-state contract ENFORCED ([[bpeEncodeWith]]'s
+    * [[collectMergeTable]] discipline): model vocabularies are small by
+    * construction (alphabet + ≤4096 multis from [[unigramCore]]'s own
+    * bound); a pathological frame must fail loud, not OOM the driver. */
+  private def collectUnigramModel(model: DataFrame): Map[String, Long] = {
+    val maxRows = 65536
+    val rows = model.select(col("piece"), col("cnt").cast(LongType))
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"unigram model exceeds the bounded-driver-state contract ($maxRows rows)")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Viterbi segmentations of a corpus's word types under a SHIPPED
+    * model — the deployment seam: probabilities are the model's
+    * `cnt / Σcnt` (the same single-divide-of-exact-ints arithmetic the
+    * trainer uses), applied with zero training barriers. NOTE the
+    * deliberate semantic difference from [[unigramSegments]]: the
+    * self-training queries segment under the PENULTIMATE EM state
+    * (the trainer's last E-step then updates the counts), while the
+    * With family segments under the shipped FINAL model — what a
+    * production tokenizer does with a model file. A word containing a
+    * character absent from the model fails loud (viterbiSeg's
+    * non-segmentable require), matching [[bpeEncodeWith]]'s
+    * fail-on-unknown posture. */
+  private def unigramSegWithModel(counts: Map[String, Long],
+      documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val total = counts.values.sum
+    val vocab = counts.map { case (p, c) => p -> (c.toDouble / total.toDouble) }
+    val maxLen = UnigramMaxPiece
+    val freqs = unigramWordFreqs(documents).as[(String, Long)]
+      .localCheckpoint(false)
+    val maxTermLen = freqs.toDF("term", "freq")
+      .agg(coalesce(max(length(col("term"))), lit(0))).head().getInt(0)
+    require(maxTermLen <= UnigramMaxOracleTerm,
+      s"term length $maxTermLen exceeds the oracle DP grid bound " +
+        s"$UnigramMaxOracleTerm (raise generate_series bounds in the twins first)")
+    freqs.map { case (t, f) =>
+      val ps = viterbiSeg(t, vocab, maxLen)
+      (t, f, ps.length.toLong, ps.mkString("|"))
+    }.toDF("term", "freq", "n_pieces", "seg")
+  }
+
+  /** [[unigramSegments]]' model-driven twin: segmentations of ANY
+    * corpus under a shipped `(piece, cnt)` frame. */
+  def unigramSegmentsWith(model: DataFrame, documents: DataFrame): DataFrame =
+    unigramSegWithModel(collectUnigramModel(model), documents)
+
+  /** [[unigramTokenize]]'s model-driven twin — train once, ship the
+    * `(piece, cnt)` frame, tokenize any corpus (the [[bpeEncodeWith]]
+    * contract for the third trainer family): ids are the MODEL's
+    * frequency-ranked pieces, so sequences produced here are decodable
+    * against the shipped artifact's own dictionary. */
+  def unigramTokenizeWith(model: DataFrame, documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val counts = collectUnigramModel(model)
+    val cntDf = counts.toSeq.toDF("piece", "cnt")
+    unigramTokenizeCore(unigramSegWithModel(counts, documents), cntDf, documents)
+  }
+
+  /** [[unigramEncode]]'s model-driven twin: per-document token counts
+    * of any corpus under a shipped model, zero training barriers. */
+  def unigramEncodeWith(model: DataFrame, documents: DataFrame): DataFrame =
+    unigramEncodeCore(
+      unigramSegWithModel(collectUnigramModel(model), documents), documents)
 
   /** Linear text-quality classifier margin (the fastText-style filter
     * of web-corpus curation — a trained linear model over token

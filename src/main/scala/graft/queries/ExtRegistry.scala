@@ -552,6 +552,27 @@ object ExtRegistry {
       graft.ext.Text.unigramVocabulary(Tables(s, dir).documents,
         vocabMulti = 24, rounds = 2)),
 
+    // model-DRIVEN tokenize (the bpeEncodeWith contract for the third
+    // trainer family): train once, ship the (piece, cnt) frame, apply
+    // it with zero training barriers. Deliberately segments under the
+    // shipped FINAL model — what a production tokenizer does with a
+    // model file — where the self-training unigram_tokenize segments
+    // under the penultimate EM state (its trainer's last E-step then
+    // updates the counts); the oracle replays a THIRD Viterbi round
+    // over the final counts
+    "unigram_tokenize_with" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.unigramTokenizeWith(
+        graft.ext.Text.unigramTrain(docs, vocabMulti = 24, rounds = 2), docs)
+    }),
+
+    // model-driven encode: per-doc token counts under the shipped model
+    "unigram_encode_with" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.unigramEncodeWith(
+        graft.ext.Text.unigramTrain(docs, vocabMulti = 24, rounds = 2), docs)
+    }),
+
     // unigram-LM (SentencePiece-style) trainer — the third production
     // tokenizer family beside BPE and WordPiece: hard-EM (Viterbi
     // E-step with exact integer counts, one-divide M-step) over word
@@ -3574,6 +3595,47 @@ object ExtRegistry {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS BIGINT) AS token_id,
          |       piece, cnt
          |FROM c3""".stripMargin,
+
+    // model-driven tokenize twin: a THIRD generated Viterbi round over
+    // the final counts (seg3 = segmentation under the shipped model),
+    // dict unchanged (the model's own frequency ranks)
+    "unigram_tokenize_with" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |${unigramRound(3, "c3")},
+         |dict AS (SELECT piece,
+         |                CAST(row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS BIGINT) AS id
+         |         FROM c3),
+         |ws AS (SELECT term, u['j'] AS spos, u['p'] AS piece FROM (
+         |         SELECT term, unnest(list_transform(generate_series(1, len(ps)), j -> {'j': j, 'p': ps[j]})) AS u
+         |         FROM (SELECT term, string_split(seg, '|') AS ps FROM seg3) v) e),
+         |tid AS (SELECT term, string_agg(CAST(id AS VARCHAR), ',' ORDER BY spos) AS term_ids,
+         |               CAST(count(*) AS BIGINT) AS term_toks
+         |        FROM ws JOIN dict USING (piece) GROUP BY 1),
+         |dw AS (SELECT doc_id, u['j'] AS wpos, u['w'] AS term FROM (
+         |         SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
+         |         FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS wl FROM documents) d) e)
+         |SELECT doc_id, CAST(sum(term_toks) AS BIGINT) AS n_tokens,
+         |       string_agg(term_ids, ',' ORDER BY wpos) AS token_ids
+         |FROM dw JOIN tid USING (term)
+         |GROUP BY doc_id""".stripMargin,
+
+    // model-driven encode twin: the encode tail off seg3
+    "unigram_encode_with" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |${unigramRound(3, "c3")},
+         |np AS (SELECT term, CAST(length(string_split(seg, '|')) AS BIGINT) AS n_pieces
+         |       FROM seg3),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> '' GROUP BY 1, 2)
+         |SELECT tf.doc_id,
+         |       CAST(sum(tf.tf * np.n_pieces) AS BIGINT) AS unigram_tokens,
+         |       CAST(sum(tf.tf * length(tf.term)) AS BIGINT) AS char_tokens,
+         |       CAST(CAST(sum(tf.tf * length(tf.term)) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(sum(tf.tf * np.n_pieces) AS BIGINT) AS DOUBLE) AS compression
+         |FROM tf JOIN np USING (term)
+         |GROUP BY 1""".stripMargin,
 
     // the profile-state read is contractually bit-identical to the
     // single pass, so the stream twin shares the lang_id oracle

@@ -2575,6 +2575,39 @@ class ExtSpec extends SparkSpec {
     assert(err.getMessage.contains("not segmentable"), err.getMessage)
   }
 
+  test("unigram *With family: shipped final-model application, decodable ids, cross-corpus") {
+    import graft.ext.Text
+    val corpus = Seq((1L, "abab ab"), (2L, "abab")).toDF("doc_id", "text")
+    // the hand-traced fixture's final model is exactly {ab: 5}
+    val model = Text.unigramTrain(corpus, vocabMulti = 2, rounds = 2)
+      .localCheckpoint(true)
+    // With-family semantics: segment under the SHIPPED final counts
+    val segs = Text.unigramSegmentsWith(model, corpus).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(segs == Map("abab" -> "ab|ab", "ab" -> "ab"), s"segs drifted: $segs")
+    // zero-retraining cross-corpus application: an UNSEEN word of seen
+    // pieces segments under the shipped model (the deployment contract)
+    val other = Seq((9L, "ababab")).toDF("doc_id", "text")
+    assert(Text.unigramSegmentsWith(model, other).collect()
+      .map(_.getString(3)).toSeq == Seq("ab|ab|ab"))
+    // tokenize ids follow the model's own frequency-ranked dictionary
+    // ({ab} -> id 0), so shipped sequences decode against the artifact
+    val toks = Text.unigramTokenizeWith(model, corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(toks == Map(1L -> ((3L, "0,0,0")), 2L -> ((2L, "0,0"))),
+      s"token ids drifted: $toks")
+    // encode counts + compression off the same segmentations
+    val enc = Text.unigramEncodeWith(model, corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(enc == Map(1L -> ((3L, 6L)), 2L -> ((2L, 4L))), s"encode drifted: $enc")
+    // a word with a character outside the model fails loud (the
+    // bpeEncodeWith fail-on-unknown posture)
+    val bad = Seq((3L, "ax")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Text.unigramSegmentsWith(model, bad).collect() }
+    assert(e.getMessage.contains("not segmentable"), e.getMessage)
+  }
+
   test("codec path runs under foreachBatch: streamed PNG decode == batch decode") {
     import graft.ext.Multimodal
     val docsP = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -1701,6 +1701,54 @@ object Text {
           .cast(IntegerType).as("is_correct"))
   }
 
+  /** [[languageId]] with the ABSTAIN rule real pipelines use: a
+    * prediction only counts when the top-1 − top-2 score margin clears
+    * `minMargin` (docs the profiles cannot separate keep `'und'`
+    * rather than a coin-flip label — thresholding confidence, not just
+    * argmax). Margin semantics: second place scores 0 when only one
+    * language matched at all (margin = the full top score), and a
+    * clean tie is margin 0 (always abstains for `minMargin ≥ 1`); the
+    * margin column rides along on every row so the accuracy/coverage
+    * tradeoff is measured in the output, not asserted — the
+    * [[graft.operators.Hll]] raw-estimate discipline.
+    *
+    * Scale: identical corpus-sized work to [[languageId]] (one trigram
+    * explode + broadcast profile probe + two keyed aggs + the spine
+    * join). The per-doc candidate array inside the second agg is
+    * BOUNDED by the shipped profile table's language count (config
+    * state by construction), so the sorted-pair selection is
+    * constant-size per doc — not a window, and never corpus-bounded. */
+  def languageIdConfident(documents: DataFrame, profiles: DataFrame,
+      k: Int = 50, minMargin: Long = 1L): DataFrame = {
+    val prof = broadcast(profiles.select(
+      col("lang").as("cand_lang"), col("gram"),
+      (lit(k + 1).cast(LongType) - col("rank")).as("weight")))
+    val top2 = charTrigrams(documents)
+      .join(prof, Seq("gram"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(col("weight")).as("score"))
+      .groupBy(col("doc_id"))
+      // ≤ langs candidates per doc; (ns, l) pairs are unique, so the
+      // sorted array is a total order identical to the rank window's
+      .agg(array_sort(collect_list(
+        struct((-col("score")).as("ns"), col("cand_lang").as("l")))).as("c"))
+      .select(col("doc_id"),
+        col("c")(0)("l").as("top1"),
+        (-col("c")(0)("ns")).as("s1"),
+        when(size(col("c")) > 1, -col("c")(1)("ns"))
+          .otherwise(lit(0L)).as("s2"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("top1").isNotNull && col("s1") - col("s2") >= minMargin,
+          col("top1")).otherwise(lit("und")).as("pred_lang"),
+        coalesce(col("s1"), lit(0L)).as("score"),
+        coalesce(col("s1") - col("s2"), lit(0L)).as("margin"),
+        col("lang"))
+      .withColumn("is_correct",
+        (col("pred_lang") === col("lang")).cast(IntegerType))
+  }
+
   /** Unicode NFC canonicalization over a deterministically "dirtied"
     * corpus. The testdata text is pure ASCII (already NFC — the
     * normalizer would be vacuous), so this INJECTS the real-world mess

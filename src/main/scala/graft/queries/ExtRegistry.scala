@@ -525,6 +525,17 @@ object ExtRegistry {
         graft.ext.Text.langProfiles(docs, k = 40), k = 40)
     }),
 
+    // the abstain rule real pipelines threshold on: a label only
+    // counts when the top1 − top2 score margin clears 25 (ties and
+    // near-ties keep 'und' instead of a coin-flip label); the margin
+    // rides along so the accuracy/coverage tradeoff is measured in
+    // the output, not asserted
+    "lang_id_confident" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.languageIdConfident(docs,
+        graft.ext.Text.langProfiles(docs, k = 40), k = 40, minMargin = 25L)
+    }),
+
     // the classifier against profiles ranked off a MERGED two-delta
     // trigram state (trigramAdd per delta, exact per-(lang, gram) sum
     // merge) — language-ID training maintained incrementally;
@@ -3640,6 +3651,27 @@ object ExtRegistry {
     // the profile-state read is contractually bit-identical to the
     // single pass, so the stream twin shares the lang_id oracle
     "lang_id_stream" -> langIdOracle,
+
+    // abstain twin: ranks 1 and 2 off the shared best CTE, margin vs a
+    // 0-scoring absent second place, 'und' below the 25 threshold
+    "lang_id_confident" ->
+      s"""WITH $langIdCtes
+         |SELECT d.doc_id,
+         |       CASE WHEN b1.cand_lang IS NOT NULL
+         |                 AND coalesce(b1.score, 0) - coalesce(b2.score, 0) >= 25
+         |            THEN b1.cand_lang ELSE 'und' END AS pred_lang,
+         |       CAST(coalesce(b1.score, 0) AS BIGINT) AS score,
+         |       CAST(CASE WHEN b1.cand_lang IS NULL THEN 0
+         |                 ELSE coalesce(b1.score, 0) - coalesce(b2.score, 0)
+         |            END AS BIGINT) AS margin,
+         |       d.lang,
+         |       CASE WHEN (CASE WHEN b1.cand_lang IS NOT NULL
+         |                            AND coalesce(b1.score, 0) - coalesce(b2.score, 0) >= 25
+         |                       THEN b1.cand_lang ELSE 'und' END) = d.lang
+         |            THEN 1 ELSE 0 END AS is_correct
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b1 USING (doc_id)
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 2) b2 USING (doc_id)""".stripMargin,
 
     // language-ID profile twin: whole-text character trigrams
     // (1-based substr, identical both engines), per-(lang, gram)

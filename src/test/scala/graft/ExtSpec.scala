@@ -2639,6 +2639,31 @@ class ExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("language-ID abstain rule: tie, exact-threshold, single-candidate, and no-match edges") {
+    import graft.ext.Text
+    // hand-built profile table, k=2 -> rank-1 weight = 2
+    val profiles = Seq(("aa", 1, "abc", 10L), ("bb", 1, "xyz", 10L))
+      .toDF("lang", "rank", "gram", "cnt")
+    val docs = Seq(
+      (1L, "aa", "abc"),       // single candidate: margin = full score 2
+      (2L, "aa", "abcxyz"),    // clean tie (aa 2, bb 2): margin 0 -> abstain
+      (3L, "und", "qqqq"),     // no profile gram: 'und', score 0, margin 0
+      (4L, "aa", "abcabcxyz")  // aa 4, bb 2: margin exactly == threshold
+    ).toDF("doc_id", "lang", "text")
+    val out = Text.languageIdConfident(docs, profiles, k = 2, minMargin = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(5)))).toMap
+    assert(out(1L) == (("aa", 2L, 2L, 1)), s"single-candidate edge: ${out(1L)}")
+    assert(out(2L) == (("und", 2L, 0L, 0)), s"tie edge: ${out(2L)}")
+    assert(out(3L) == (("und", 0L, 0L, 1)), s"no-match edge: ${out(3L)}")
+    // >= semantics: a margin exactly at the threshold KEEPS the label
+    assert(out(4L) == (("aa", 4L, 2L, 1)), s"exact-threshold edge: ${out(4L)}")
+    // raising the threshold by 1 flips the boundary doc to abstain
+    val strict = Text.languageIdConfident(docs, profiles, k = 2, minMargin = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(4L) == "und" && strict(1L) == "und", s"strict: $strict")
+  }
+
   test("language-ID trigram state: merge associative both orders; streaming ingest == batch") {
     import graft.ext.Text
     val docsP = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

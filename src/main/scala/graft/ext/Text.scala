@@ -1189,6 +1189,204 @@ object Text {
   }
 
   // ---------------------------------------------------------------------
+  // Byte-level BPE (the GPT-2 byte alphabet) — the fourth and
+  // most-shipped production tokenizer family: merges run over the
+  // word's UTF-8 BYTES (each mapped to a printable unicode char), so
+  // the base alphabet is exactly the 256 byte symbols and NO input can
+  // ever be out-of-vocabulary — the no-unknown guarantee char-level
+  // BPE cannot make (cf. the reference's generator at
+  // airflows/generator/pg_oltp_synth.py — it has no tokenizer; this is
+  // the LLM-pipeline extension).
+  // ---------------------------------------------------------------------
+
+  /** GPT-2's `bytes_to_unicode` as a CLOSED FORM (so the DuckDB twin
+    * can replay it as arithmetic, not a lookup file): printable bytes
+    * (0x21–0x7E, 0xA1–0xAC, 0xAE–0xFF) map to their own codepoint; the
+    * 68 others (0x00–0x20, 0x7F–0xA0, 0xAD) map to 256 + their index
+    * among the non-printables in byte order. Bijective into
+    * [0x21, 0x143] — every mapped codepoint is one BMP char. */
+  private[graft] def byteToCodepoint(b: Int): Int =
+    if ((b >= 0x21 && b <= 0x7e) || (b >= 0xa1 && b <= 0xac) || b >= 0xae) b
+    else if (b <= 0x20) 256 + b
+    else if (b <= 0xa0) 256 + 33 + (b - 0x7f)
+    else 256 + 67 // 0xAD, the lone high non-printable
+
+  /** Inverse of [[byteToCodepoint]] — total on its image, fails loud
+    * off it (a symbol not produced by the mapping is a corrupt model). */
+  private[graft] def codepointToByte(cp: Int): Int = {
+    val b =
+      if (cp <= 255) cp
+      else if (cp <= 256 + 32) cp - 256
+      else if (cp <= 256 + 66) cp - 289 + 0x7f
+      else if (cp == 256 + 67) 0xad
+      else -1
+    require(b >= 0 && byteToCodepoint(b) == cp,
+      s"codepoint $cp is not in the byte-alphabet image")
+    b
+  }
+
+  /** A word's UTF-8 bytes through the byte→char map: the string the
+    * byte-level trainer actually merges over. */
+  private[graft] def byteMapStr(term: String): String = {
+    val bs = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    bs.foreach(b => sb.appendCodePoint(byteToCodepoint(b & 0xff)))
+    sb.toString
+  }
+
+  /** Inverse of [[byteMapStr]]: mapped symbol string → original bytes →
+    * string. The decode half of the no-unknown round trip. */
+  private[graft] def byteUnmapStr(mapped: String): String = {
+    val out = new Array[Byte](mapped.length)
+    var i = 0
+    while (i < mapped.length) {
+      out(i) = codepointToByte(mapped.charAt(i).toInt).toByte
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Deterministically "dirtied" corpus for the byte-level family (the
+    * [[normalizeNfc]] injection pattern): the testdata text is pure
+    * ASCII, where the byte map is the identity on every word char —
+    * the mapping would be vacuously exercised. Keyed on doc_id, inject
+    * real 2-byte UTF-8 chars (é U+00E9, ü U+00FC, ø U+00F8) so the
+    * trainer and its oracle genuinely decompose multi-byte chars into
+    * mapped byte symbols. Narrow projection, no shuffle. */
+  def utf8Dirty(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 1,
+          replace(col("text"), lit("e"), lit("é")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          replace(col("text"), lit("u"), lit("ü")))
+        .when(pmod(col("doc_id"), lit(4)) === 3,
+          replace(col("text"), lit("o"), lit("ø")))
+        .otherwise(col("text")).as("text"))
+
+  /** Byte-level initial vocabulary off a word-frequency state: the
+    * wrapped-symbol convention of [[bpeVocabFromFreqs]], but each
+    * symbol is one MAPPED UTF-8 BYTE of the term rather than one char.
+    * The mapping runs as a typed transform over the Zipf-small TYPE
+    * frame (never the corpus), keeping the trainer's only corpus-sized
+    * pass the word count — [[wordFreqAdd]]'s contract unchanged. */
+  private def byteBpeVocabFromFreqs(freqs: DataFrame): DataFrame = {
+    val spark = freqs.sparkSession
+    import spark.implicits._
+    freqs.select(col("term"), col("freq").cast(LongType).as("freq"))
+      .as[(String, Long)]
+      .map { case (t, f) =>
+        (t, f, byteMapStr(t).map(c => s"$BpeSep$c$BpeSep").mkString) }
+      .toDF("term", "freq", "repr")
+      .localCheckpoint(false)
+  }
+
+  /** Byte-level BPE trainer — [[bpeTrainMergesBatched]]'s batched
+    * greedy policy over the byte alphabet. Same schema, same driver
+    * barriers, same replay guarantees; merges are over mapped byte
+    * symbols, so the shipped table plus the FIXED 256-symbol base
+    * alphabet tokenizes ANY byte sequence (no unknowns). */
+  def byteBpeTrainMerges(documents: DataFrame, rounds: Int,
+      batch: Int): DataFrame =
+    byteBpeTrainMergesFromCounts(wordFreqAdd(documents), rounds, batch)
+
+  /** [[byteBpeTrainMerges]] off an EXTERNAL word-frequency state — the
+    * [[wordFreqAdd]]/[[mergeWordFreqs]] ingest contract serving its
+    * FOURTH trainer family. */
+  def byteBpeTrainMergesFromCounts(wordFreqs: DataFrame, rounds: Int,
+      batch: Int): DataFrame = {
+    val spark = wordFreqs.sparkSession
+    val out = bpeCoreBatchedFrom(byteBpeVocabFromFreqs(wordFreqs),
+      rounds, batch)._1
+    import spark.implicits._
+    out.toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt")
+      .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+        col("right_sym"), col("merged"), col("cnt"))
+  }
+
+  /** Byte-level token ids: the base alphabet is ALL 256 byte symbols
+    * with `token_id = byte value` (fixed by convention, corpus-free —
+    * the no-unknown guarantee is that this table never depends on what
+    * was seen), merges appended at 256 + (merge_rank − 1), first
+    * occurrence winning when two merges fuse to the same string. */
+  private def byteBpeDict(ms: Seq[(String, String)]): Map[String, Long] = {
+    val dict = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    (0 until 256).foreach(b =>
+      dict.put(new String(Character.toChars(byteToCodepoint(b))), b.toLong))
+    var next = 256L
+    ms.foreach { case (l, r) =>
+      if (!dict.contains(l + r)) { dict.put(l + r, next) }
+      next += 1
+    }
+    dict.toMap
+  }
+
+  /** The byte-level token dictionary artifact `(token_id, sym, bytes,
+    * is_merge)` — ids 0–255 are the raw byte values (sym = the mapped
+    * char), merges follow in rank order; `bytes` is the DECODED byte
+    * content as hex so shipped id sequences are decodable without the
+    * char map. Duplicate fusions keep their first id ([[bpeTokenDict]]'s
+    * convention). */
+  def byteBpeVocabulary(mergeTable: DataFrame): DataFrame = {
+    val spark = mergeTable.sparkSession
+    import spark.implicits._
+    val ms = collectMergeTable(mergeTable)
+    byteBpeDict(ms).toSeq.map { case (sym, id) =>
+      (id, sym,
+        sym.map(c => f"${codepointToByte(c.toInt)}%02x").mkString,
+        if (id >= 256L) 1 else 0)
+    }.toDF("token_id", "sym", "bytes_hex", "is_merge")
+  }
+
+  /** Byte-level tokenize — [[bpeTokenize]]'s deliverable for the
+    * fourth family: `(doc_id, n_tokens, token_ids)` under the fixed
+    * byte-id convention. Merge replay and the id probe run on the
+    * TYPE frame; the corpus-sized work is the word explode + broadcast
+    * term join + doc rollup, exactly the char-level path. Total by
+    * construction: every word decomposes to byte symbols, so no term
+    * can fail to tokenize. */
+  def byteBpeTokenize(mergeTable: DataFrame, documents: DataFrame): DataFrame = {
+    val ms = collectMergeTable(mergeTable)
+    val vocab = bpeReplayMerges(
+      byteBpeVocabFromFreqs(
+        termStream(documents).groupBy(col("term")).agg(count(lit(1L)).as("freq"))),
+      ms)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dictDf = byteBpeDict(ms).toSeq.toDF("sym", "id")
+    val termIds = vocab
+      .select(col("term"),
+        posexplode(filter(split(col("repr"), BpeSep), s => s =!= ""))
+          .as(Seq("spos", "sym")))
+      .join(broadcast(dictDf), Seq("sym"))
+      .groupBy(col("term"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("spos"), col("id")))),
+          p => p("id").cast(StringType)), ",").as("term_ids"),
+        count(lit(1)).as("term_toks"))
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "term")))
+      .filter(col("term") =!= "")
+      .join(termIds, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("term_toks")).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("wpos"), col("term_ids")))),
+          p => p("term_ids")), ",").as("token_ids"))
+      .select(col("doc_id"), col("n_tokens"), col("token_ids"))
+  }
+
+  /** Driver-side decode of a byte-level id sequence against a shipped
+    * merge table — the round-trip half of the no-unknown guarantee
+    * (PropertySpec drives decode(tokenize(x)) == x). Ids 0–255 are raw
+    * bytes; merge ids resolve through the same first-wins dictionary. */
+  def byteBpeDecodeIds(mergeTable: DataFrame, ids: Seq[Long]): String = {
+    val inv = byteBpeDict(collectMergeTable(mergeTable))
+      .groupBy(_._2).map { case (id, kv) => id -> kv.keys.head }
+    byteUnmapStr(ids.map(id => inv.getOrElse(id,
+      throw new IllegalArgumentException(s"unknown token id $id"))).mkString)
+  }
+
+  // ---------------------------------------------------------------------
   // Unigram LM (SentencePiece-style) tokenizer — the third production
   // trainer family beside BPE and WordPiece.
   // ---------------------------------------------------------------------

@@ -732,6 +732,37 @@ object ExtRegistry {
             col("n_tokens").as("token_cnt")))
     }),
 
+    // byte-level BPE (GPT-2 byte alphabet) — the FOURTH and
+    // most-shipped production tokenizer family: merges over the word's
+    // UTF-8 bytes (each mapped to a printable char), base alphabet =
+    // ALL 256 byte symbols, so nothing is ever out-of-vocabulary. Runs
+    // on the deterministically dirtied corpus (2-byte UTF-8 chars
+    // injected keyed on doc_id) so the byte decomposition is genuinely
+    // exercised — testdata ASCII would make the map the identity
+    "byte_bpe_train" -> ((s, dir) =>
+      graft.ext.Text.byteBpeTrainMerges(
+        graft.ext.Text.utf8Dirty(Tables(s, dir).documents),
+        rounds = 3, batch = 8)),
+
+    // byte-level tokenize: per-doc id sequences under the fixed
+    // byte-id convention (ids 0-255 = raw byte values, merges follow
+    // in rank order) — decodable against the vocab artifact below
+    "byte_bpe_tokenize" -> ((s, dir) => {
+      val docs = graft.ext.Text.utf8Dirty(Tables(s, dir).documents)
+      graft.ext.Text.byteBpeTokenize(
+        graft.ext.Text.byteBpeTrainMerges(docs, rounds = 3, batch = 8), docs)
+    }),
+
+    // the byte-level dictionary artifact: 256 corpus-FREE byte ids
+    // (the no-unknown guarantee is that this table never depends on
+    // what was seen) + the trained merges, with decoded byte content
+    // as hex so shipped id sequences decode without the char map
+    "byte_bpe_vocab" -> ((s, dir) =>
+      graft.ext.Text.byteBpeVocabulary(
+        graft.ext.Text.byteBpeTrainMerges(
+          graft.ext.Text.utf8Dirty(Tables(s, dir).documents),
+          rounds = 3, batch = 8))),
+
     // capped inverted index: df + first-20 posting list per term, all on
     // one term-keyed partitioning with map-side posting-list pruning
     // BM25 ranked retrieval for a fixed 4-term query — the query side
@@ -2140,7 +2171,60 @@ object ExtRegistry {
     * merge_rank round-major via row_number over (i, j); empty s CTEs
     * (conflict-starved or exhausted rounds) contribute no row, exactly
     * the Spark side's shorter table. */
-  private[queries] def bpeBatchChainCtes(rounds: Int, batch: Int): String = {
+  private[queries] def bpeBatchChainCtes(rounds: Int, batch: Int): String =
+    bpeBatchChainCtesFrom(rounds, batch, bpeW0Cte)
+
+  /** GPT-2 byte→codepoint map as SQL arithmetic over a byte value `b`
+    * — the closed form of Text.byteToCodepoint (printables keep their
+    * codepoint; the 68 non-printables get 256 + their byte-order
+    * index: 256+b below 0x21, 162+b for 0x7F–0xA0, 323 for 0xAD). */
+  private def byteMapCpSql(b: String): String =
+    s"""CASE WHEN ($b BETWEEN 33 AND 126) OR ($b BETWEEN 161 AND 172) OR $b >= 174 THEN $b
+       |     WHEN $b <= 32 THEN 256 + $b
+       |     WHEN $b <= 160 THEN 162 + $b
+       |     ELSE 323 END""".stripMargin
+  /** Inverse map: mapped codepoint `cp` → byte value. */
+  private def byteUnmapSql(cp: String): String =
+    s"""CASE WHEN $cp <= 255 THEN $cp
+       |     WHEN $cp <= 288 THEN $cp - 256
+       |     WHEN $cp <= 322 THEN $cp - 162
+       |     ELSE 173 END""".stripMargin
+  /** UTF-8 byte list of one codepoint `u` (1–4 bytes, RFC 3629). */
+  private def utf8BytesSql(u: String): String =
+    s"""CASE WHEN $u < 128 THEN [$u]
+       |     WHEN $u < 2048 THEN [192 + $u // 64, 128 + $u % 64]
+       |     WHEN $u < 65536 THEN [224 + $u // 4096, 128 + ($u // 64) % 64, 128 + $u % 64]
+       |     ELSE [240 + $u // 262144, 128 + ($u // 4096) % 64, 128 + ($u // 64) % 64, 128 + $u % 64] END""".stripMargin
+
+  /** The deterministic non-ASCII injection (Text.utf8Dirty's twin):
+    * 2-byte UTF-8 chars keyed on doc_id so the byte decomposition is
+    * genuinely exercised. */
+  private def utf8DirtyCte: String =
+    """dd AS (
+      |  SELECT doc_id,
+      |         CASE ((doc_id % 4 + 4) % 4)
+      |           WHEN 1 THEN replace(text, 'e', 'é')
+      |           WHEN 2 THEN replace(text, 'u', 'ü')
+      |           WHEN 3 THEN replace(text, 'o', 'ø')
+      |           ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** Byte-level w0: word types over the dirtied corpus, repr = each
+    * word char decomposed to UTF-8 bytes, each byte mapped to its
+    * printable char and U+001F-wrapped — Text.byteBpeVocabFromFreqs's
+    * twin. Reads the `dd` CTE ([[utf8DirtyCte]] must precede). */
+  private def byteBpeW0Cte: String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |         array_to_string(flatten(list_transform(
+       |           list_filter(string_split(word, ''), c -> c <> ''),
+       |           c -> list_transform(${utf8BytesSql("unicode(c)")},
+       |                  b -> chr(31) || chr(${byteMapCpSql("b")}) || chr(31)))), '') AS repr
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM dd)
+       |  WHERE word <> '' GROUP BY word)""".stripMargin
+
+  private[queries] def bpeBatchChainCtesFrom(rounds: Int, batch: Int,
+      w0: String): String = {
     val conflict =
       "(x.l = s.l OR x.l = s.r OR x.l = s.l || s.r" +
         " OR x.r = s.l OR x.r = s.r OR x.r = s.l || s.r" +
@@ -2167,7 +2251,7 @@ object ExtRegistry {
     }
     val pickRows = (for (i <- 1 to rounds; j <- 1 to batch) yield
       s"SELECT $i AS i, $j AS j, l, r, cnt FROM s${i}_$j").mkString("\n  UNION ALL ")
-    s"""$bpeW0Cte,
+    s"""$w0,
        |${(1 to rounds).map(roundCtes).mkString(",\n")},
        |picks AS (
        |  $pickRows)""".stripMargin
@@ -3831,6 +3915,66 @@ object ExtRegistry {
          |  FROM j)""".stripMargin,
 
     "bpe_train_merges_batched" -> bpeTrainMergesBatchedOracle,
+
+    // byte-level BPE trainer twin: the batched chain over the byte w0
+    // (UTF-8 decomposition + GPT-2 map as arithmetic) on the dirtied
+    // corpus
+    "byte_bpe_train" ->
+      s"""WITH $utf8DirtyCte,
+         |${bpeBatchChainCtesFrom(3, 8, byteBpeW0Cte)}
+         |SELECT CAST(row_number() OVER (ORDER BY i, j) AS INTEGER) AS merge_rank,
+         |       l AS left_sym, r AS right_sym, l || r AS merged, cnt
+         |FROM picks""".stripMargin,
+
+    // byte-level tokenize twin: w3 = the trained representations; ids
+    // via the corpus-free 256-byte base dict + merge ids 255 + rank
+    // (min per fused string = the Scala first-wins convention)
+    "byte_bpe_tokenize" ->
+      s"""WITH $utf8DirtyCte,
+         |${bpeBatchChainCtesFrom(3, 8, byteBpeW0Cte)},
+         |base AS (SELECT chr(${byteMapCpSql("b")}) AS sym, CAST(b AS BIGINT) AS id
+         |         FROM (SELECT CAST(unnest(generate_series(0, 255)) AS INTEGER) AS b)),
+         |mg AS (SELECT l || r AS sym,
+         |              CAST(255 + row_number() OVER (ORDER BY i, j) AS BIGINT) AS id
+         |       FROM picks),
+         |dict AS (SELECT sym, min(id) AS id FROM (
+         |           SELECT sym, id FROM base UNION ALL SELECT sym, id FROM mg) u
+         |         GROUP BY 1),
+         |ws AS (SELECT word, u['j'] AS spos, u['p'] AS sym FROM (
+         |         SELECT word, unnest(list_transform(generate_series(1, len(ss)), j -> {'j': j, 'p': ss[j]})) AS u
+         |         FROM (SELECT word, list_filter(string_split(repr, chr(31)), s -> s <> '') AS ss FROM w3) v) e),
+         |tid AS (SELECT word, string_agg(CAST(id AS VARCHAR), ',' ORDER BY spos) AS term_ids,
+         |               CAST(count(*) AS BIGINT) AS term_toks
+         |        FROM ws JOIN dict USING (sym) GROUP BY 1),
+         |dw AS (SELECT doc_id, u['j'] AS wpos, u['w'] AS word FROM (
+         |         SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
+         |         FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS wl FROM dd) d) e)
+         |SELECT doc_id, CAST(sum(term_toks) AS BIGINT) AS n_tokens,
+         |       string_agg(term_ids, ',' ORDER BY wpos) AS token_ids
+         |FROM dw JOIN tid USING (word)
+         |GROUP BY doc_id""".stripMargin,
+
+    // byte-level dictionary twin: the 256 corpus-free byte rows + the
+    // trained merges (first-wins ids), hex via the inverse map per
+    // symbol char
+    "byte_bpe_vocab" ->
+      s"""WITH $utf8DirtyCte,
+         |${bpeBatchChainCtesFrom(3, 8, byteBpeW0Cte)},
+         |base AS (SELECT CAST(b AS BIGINT) AS token_id, chr(${byteMapCpSql("b")}) AS sym,
+         |                printf('%02x', b) AS bytes_hex, CAST(0 AS INTEGER) AS is_merge
+         |         FROM (SELECT CAST(unnest(generate_series(0, 255)) AS INTEGER) AS b)),
+         |mg AS (SELECT l || r AS sym,
+         |              CAST(255 + row_number() OVER (ORDER BY i, j) AS BIGINT) AS id
+         |       FROM picks),
+         |mgd AS (SELECT sym, min(id) AS token_id FROM mg GROUP BY 1)
+         |SELECT token_id, sym, bytes_hex, is_merge FROM base
+         |UNION ALL
+         |SELECT token_id, sym,
+         |       array_to_string(list_transform(
+         |         list_filter(string_split(sym, ''), c -> c <> ''),
+         |         c -> printf('%02x', ${byteUnmapSql("unicode(c)")})), '') AS bytes_hex,
+         |       CAST(1 AS INTEGER) AS is_merge
+         |FROM mgd""".stripMargin,
 
     // the batched trainer off a merged two-delta word-frequency state
     // must be bit-identical to the direct scan: oracle IS the twin

@@ -278,6 +278,43 @@ class PropertySpec extends SparkSpec {
     assert(gotBpe == modelBpe)
   }
 
+  test("property: byte-level BPE round-trips arbitrary unicode text (no unknowns by construction)") {
+    import graft.ext.Text
+    // the GPT-2 byte<->codepoint closed form is a bijection on all 256 bytes
+    val cps = (0 until 256).map(Text.byteToCodepoint)
+    assert(cps.distinct.length == 256, "byte map not injective")
+    (0 until 256).foreach(b =>
+      assert(Text.codepointToByte(Text.byteToCodepoint(b)) == b, s"byte $b"))
+    // arbitrary words: ASCII, 2-byte (é ß), 3-byte (中), 4-byte (🎉 —
+    // surrogate pair), control bytes, and the lone 0xAD special case
+    val wordGen = Gen.listOfN(6, Gen.frequency(
+      5 -> Gen.alphaNumChar.map(_.toString),
+      3 -> Gen.oneOf("é", "ü", "ø", "ß", "λ", "中", "🎉", "", "­"),
+      1 -> Gen.choose(0x21, 0x7e).map(_.toChar.toString))).map(_.mkString)
+    val words = sample(wordGen, 40).filter(_.nonEmpty).distinct
+    // the string-level map inverts on the UTF-8 bytes of ANY string
+    words.foreach(w =>
+      assert(Text.byteUnmapStr(Text.byteMapStr(w)) == w, s"map round trip: $w"))
+    val corpus = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val table = Text.byteBpeTrainMerges(corpus, rounds = 2, batch = 4)
+      .localCheckpoint(true)
+    def roundTrip(docs: Seq[(Long, String)]): Unit = {
+      val toks = Text.byteBpeTokenize(table, docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      docs.foreach { case (id, w) =>
+        val ids = toks(id).split(",").map(_.toLong).toSeq
+        assert(Text.byteBpeDecodeIds(table, ids) == w,
+          s"decode(encode('$w')) failed")
+      }
+    }
+    roundTrip(words.zipWithIndex.map { case (w, i) => (i.toLong, w) })
+    // the no-unknown guarantee: a DISJOINT corpus tokenizes under the
+    // same table (every word decomposes to the 256-byte base alphabet)
+    val unseen = sample(wordGen, 20).filter(_.nonEmpty).map("zq" + _).distinct
+    roundTrip(unseen.zipWithIndex.map { case (w, i) => (1000L + i, w) })
+  }
+
   test("property: wordpieceTrainMerges matches an independent scored-trainer model on random corpora") {
     // independent full-trainer model: per-word symbol lists, adjacent
     // pair counts + symbol counts (freq-weighted), argmax by

@@ -238,6 +238,16 @@ object ExtRegistry {
       graft.ext.Jpeg.decodeJpeg(
         graft.ext.Jpeg.encodeJpeg(Tables(s, dir).documents)).toDF()),
 
+    // EXIF/APP1 metadata walk — where orientation lives in real
+    // camera/web JPEGs, the field a curation pipeline needs before
+    // resizing or training: the fixture splices a REAL TIFF structure
+    // (both byte orders, an offset-valued ASCII tag, the SHORT
+    // orientation inline) after SOI; the decoder parses it from the
+    // bytes while the pixel decode rides its APPn skip path untouched
+    "multimodal_jpeg_exif" -> ((s, dir) =>
+      graft.ext.Jpeg.decodeJpegExif(
+        graft.ext.Jpeg.encodeJpegExif(Tables(s, dir).documents)).toDF()),
+
     // the layout nearly every camera/web JPEG uses: 4:2:0 chroma
     // subsampling — Y sampled 2x2 (four blocks per MCU in spec
     // interleave order), chroma decoded at natural half resolution;
@@ -1734,6 +1744,55 @@ object ExtRegistry {
        |            THEN 1 ELSE 0 END AS is_correct
        |FROM documents d
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
+
+  /** Baseline 4:4:4 JPEG decode CTEs (pinned-IDCT replay of the
+    * coefficient arithmetic) ending in `m` (dims) and `ag`
+    * (pixel_sum/pixel_fold) — shared by `multimodal_jpeg` and the
+    * EXIF variant, whose containers differ only in metadata. */
+  private lazy val jpeg444Ctes: String =
+    s"""co AS (SELECT ${graft.ext.Jpeg.idctSqlList} AS t,
+        |                   ${graft.ext.Jpeg.zigRowSqlList} AS zr,
+        |                   ${graft.ext.Jpeg.zigColSqlList} AS zc),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+        |         CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, width, height, width // 8 AS mcusx,
+        |         unnest(generate_series(0, CAST((width // 8) * (height // 8) * 3 - 1 AS BIGINT))) AS b
+        |  FROM m),
+        |bco AS (
+        |  SELECT doc_id, (b // 3) % mcusx AS mx, (b // 3) // mcusx AS my, b % 3 AS comp,
+        |         ((doc_id * 7 + b * 13) % 201) - 100 AS dc,
+        |         1 + ((doc_id + b) % 10) AS z1,
+        |         ((doc_id * 11 + b * 5) % 41) - 20 AS v1,
+        |         20 + ((doc_id * 3 + b) % 40) AS z2,
+        |         ((doc_id * 13 + b * 7) % 21) - 10 AS v2
+        |  FROM blk),
+        |px AS (
+        |  SELECT doc_id, comp, my * 8 + y AS gy, mx * 8 + x AS gx,
+        |         LEAST(255, GREATEST(0,
+        |           (s + 134217728
+        |              - ((s + 134217728) % 268435456 + 268435456) % 268435456)
+        |             // 268435456 + 128)) AS p
+        |  FROM (
+        |    SELECT doc_id, comp, mx, my, y, x,
+        |           CAST(t[y + 1] AS BIGINT) * t[x + 1] * dc
+        |           + CAST(t[zr[z1 + 1] * 8 + y + 1] AS BIGINT) * t[zc[z1 + 1] * 8 + x + 1]
+        |             * v1 * (CASE WHEN comp = 0 THEN 1 + (z1 * 7) % 16 ELSE 1 + (z1 * 3) % 12 END)
+        |           + CAST(t[zr[z2 + 1] * 8 + y + 1] AS BIGINT) * t[zc[z2 + 1] * 8 + x + 1]
+        |             * v2 * (CASE WHEN comp = 0 THEN 1 + (z2 * 7) % 16 ELSE 1 + (z2 * 3) % 12 END) AS s
+        |    FROM bco
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
+        |    CROSS JOIN co)),
+        |ag AS (
+        |  SELECT doc_id, CAST(sum(p) AS BIGINT) AS pixel_sum,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list(CAST(p AS BIGINT) ORDER BY comp, gy, gx)),
+        |           (a, b) -> (a * 1000003 + b) % 2147483629) AS pixel_fold
+        |  FROM px GROUP BY 1)""".stripMargin
 
   /** Curation-pipeline twin: the lang-ID CTEs (keep correctly
     * identified docs), the margin CTEs (keep accepted), the split
@@ -4592,53 +4651,24 @@ object ExtRegistry {
     // DuckDB's truncating // divides an exact multiple), level shift,
     // clamp; the fold pins (plane, row, col) order
     "multimodal_jpeg" ->
-      s"""WITH co AS (SELECT ${graft.ext.Jpeg.idctSqlList} AS t,
-        |                   ${graft.ext.Jpeg.zigRowSqlList} AS zr,
-        |                   ${graft.ext.Jpeg.zigColSqlList} AS zc),
-        |m AS (
-        |  SELECT doc_id,
-        |         CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
-        |         CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
-        |  FROM documents),
-        |blk AS (
-        |  SELECT doc_id, width, height, width // 8 AS mcusx,
-        |         unnest(generate_series(0, CAST((width // 8) * (height // 8) * 3 - 1 AS BIGINT))) AS b
-        |  FROM m),
-        |bco AS (
-        |  SELECT doc_id, (b // 3) % mcusx AS mx, (b // 3) // mcusx AS my, b % 3 AS comp,
-        |         ((doc_id * 7 + b * 13) % 201) - 100 AS dc,
-        |         1 + ((doc_id + b) % 10) AS z1,
-        |         ((doc_id * 11 + b * 5) % 41) - 20 AS v1,
-        |         20 + ((doc_id * 3 + b) % 40) AS z2,
-        |         ((doc_id * 13 + b * 7) % 21) - 10 AS v2
-        |  FROM blk),
-        |px AS (
-        |  SELECT doc_id, comp, my * 8 + y AS gy, mx * 8 + x AS gx,
-        |         LEAST(255, GREATEST(0,
-        |           (s + 134217728
-        |              - ((s + 134217728) % 268435456 + 268435456) % 268435456)
-        |             // 268435456 + 128)) AS p
-        |  FROM (
-        |    SELECT doc_id, comp, mx, my, y, x,
-        |           CAST(t[y + 1] AS BIGINT) * t[x + 1] * dc
-        |           + CAST(t[zr[z1 + 1] * 8 + y + 1] AS BIGINT) * t[zc[z1 + 1] * 8 + x + 1]
-        |             * v1 * (CASE WHEN comp = 0 THEN 1 + (z1 * 7) % 16 ELSE 1 + (z1 * 3) % 12 END)
-        |           + CAST(t[zr[z2 + 1] * 8 + y + 1] AS BIGINT) * t[zc[z2 + 1] * 8 + x + 1]
-        |             * v2 * (CASE WHEN comp = 0 THEN 1 + (z2 * 7) % 16 ELSE 1 + (z2 * 3) % 12 END) AS s
-        |    FROM bco
-        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)
-        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
-        |    CROSS JOIN co)),
-        |ag AS (
-        |  SELECT doc_id, CAST(sum(p) AS BIGINT) AS pixel_sum,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list(CAST(p AS BIGINT) ORDER BY comp, gy, gx)),
-        |           (a, b) -> (a * 1000003 + b) % 2147483629) AS pixel_fold
-        |  FROM px GROUP BY 1)
+      s"""WITH $jpeg444Ctes
         |SELECT m.doc_id, 'jpeg' AS fmt, m.width, m.height,
         |       CAST(3 AS INTEGER) AS channels,
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
         |       ag.pixel_sum, ag.pixel_fold
+        |FROM m JOIN ag USING (doc_id)""".stripMargin,
+
+    // EXIF twin: pixels identical to multimodal_jpeg (APP1 is
+    // metadata), orientation/byte order replayed from the fixture
+    // formulas (all 8 orientations cycle; endianness alternates)
+    "multimodal_jpeg_exif" ->
+      s"""WITH $jpeg444Ctes
+        |SELECT m.doc_id, 'jpeg' AS fmt, m.width, m.height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
+        |       ag.pixel_sum, ag.pixel_fold,
+        |       CAST(1 + ((m.doc_id % 8 + 8) % 8) AS INTEGER) AS orientation,
+        |       CASE WHEN (m.doc_id % 2 + 2) % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
         |FROM m JOIN ag USING (doc_id)""".stripMargin,
 
     // 4:2:0 twin: identical pinned-IDCT arithmetic, changed GEOMETRY —

@@ -2516,6 +2516,45 @@ class ExtSpec extends SparkSpec {
     assert(rerr.getMessage.contains("expected RST0"), rerr.getMessage)
   }
 
+  test("JPEG EXIF walk: both endiannesses, offset tags, absence vs corruption") {
+    import graft.ext.Jpeg
+    // fixture containers: every orientation 1-8 and both byte orders
+    (0L to 15L).foreach { id =>
+      val bytes = Jpeg.jpegExifBytes(id, Jpeg.jpegW(id), Jpeg.jpegH(id))
+      val (o, ord) = Jpeg.exifMeta(id, bytes)
+      assert(o == (1 + id % 8).toInt, s"id $id orientation $o")
+      assert(ord == (if (id % 2 == 0) "II" else "MM"), s"id $id order $ord")
+      // APP1 is metadata: the pixel decode must equal the plain container
+      val withExif = Jpeg.decodeJpegBytes(id, bytes)
+      val plain = Jpeg.decodeJpegBytes(id,
+        Jpeg.jpegBytes(id, Jpeg.jpegW(id), Jpeg.jpegH(id)))
+      assert(withExif == plain, s"id $id: APP1 changed the decode")
+    }
+    // a container with no APP1 at all: orientation-unknown, not an error
+    val plain7 = Jpeg.jpegBytes(7L, Jpeg.jpegW(7L), Jpeg.jpegH(7L))
+    assert(Jpeg.exifMeta(7L, plain7) == ((0, "")))
+    // EXIF present but no orientation tag: strip the 0x0112 entry by
+    // hand-packing an APP1 with only the Make entry (count 1)
+    val app1 = Jpeg.exifApp1(4L) // little-endian fixture
+    val tiffOff = 4 + 6 // marker+len, then "Exif\0\0"
+    val noTag = app1.clone()
+    noTag(tiffOff + 8) = 1 // IFD0 entry count 2 -> 1 (LE low byte)
+    val spliced = plain7.take(2) ++ noTag ++ plain7.drop(2)
+    assert(Jpeg.exifMeta(7L, spliced) == ((0, "II")))
+    // corruption fails loud BY NAME: bad byte-order mark / bad magic /
+    // IFD overrun / out-of-range orientation
+    def corrupt(mut: Array[Byte] => Unit, msg: String): Unit = {
+      val a = Jpeg.exifApp1(4L).clone(); mut(a)
+      val c = plain7.take(2) ++ a ++ plain7.drop(2)
+      val e = intercept[IllegalArgumentException] { Jpeg.exifMeta(7L, c) }
+      assert(e.getMessage.contains(msg), s"$msg: ${e.getMessage}")
+    }
+    corrupt(a => a(tiffOff) = 'X'.toByte, "byte-order mark")
+    corrupt(a => a(tiffOff + 2) = 43, "TIFF magic")
+    corrupt(a => a(tiffOff + 8) = 99, "overruns the APP1") // entry count 99
+    corrupt(a => a(tiffOff + 10 + 12 + 8) = 9, "out of range") // orientation 9
+  }
+
   test("JPEG hand-packed grayscale fixture pins the bit-level format") {
     import graft.ext.Jpeg
     // minimal 8x8 single-component JPEG built byte by byte: flat quant

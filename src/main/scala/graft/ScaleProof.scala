@@ -380,6 +380,19 @@ object ScaleProof {
             Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("n_tokens").as("token_cnt")))
       }),
+    // the codec family's shared ladder: encode→decode JPEG (the
+    // heaviest codec — full Huffman + pinned-IDCT per row) as the
+    // representative narrow map. Decode is stateless per row with
+    // per-partition contexts, so the gate proves what the family
+    // asserts by construction: zero exchanges at every factor, flat
+    // driver heap, ~linear wall while the corpus grows 100×. The
+    // PNG/GIF/PPM/BMP/WAV/Y4M paths share this exact plan shape
+    // (mapPartitions over a doc_id-only scan — PlanSpec pins the
+    // schema; this row pins the measured scaling).
+    ("docs->jpegEncodeDecode", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Jpeg.decodeJpeg(graft.ext.Jpeg.encodeJpeg(
+          s.range(500L * f).select(col("id").as("doc_id")))).toDF()),
     // the composed curation pipeline off MAINTAINED states — the
     // deployment shape: profiles ranked from a FIXED 1×-trained trigram
     // state (constant broadcast model), margin state maintained over

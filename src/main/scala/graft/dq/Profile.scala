@@ -169,4 +169,58 @@ object Profile {
     org.apache.spark.sql.graft.TopKPerGroup.topK(counted,
       Seq(col("col_name")), Seq(col("cnt").desc, col("value").asc), k)
   }
+
+  // -------------------------------------------------------------------
+  // Daily distinct-cardinality monitoring — the table a production
+  // pipeline actually materializes (distinct users per type per day),
+  // built on the grouped-HLL add/merge contract so the day's state is
+  // maintained incrementally and replays/overlaps are harmless
+  // (per-(key, bucket) MAX is idempotent).
+  // -------------------------------------------------------------------
+
+  /** The composite (key, day) grouping key: `key|day_bucket`, where
+    * day_bucket is exact-integer days since epoch off the nanos ts
+    * (`ts div 1000` → micros — the cross-engine meeting point — then
+    * div 86.4e9). The '|' separator is safe for the profile's key
+    * columns by contract (enum-like type columns, never free text). */
+  private def typeDayKey(keyCol: String, tsCol: String): Column =
+    concat(col(keyCol), lit("|"),
+      expr(s"($tsCol div 1000) div 86400000000").cast("string"))
+
+  /** ONE delta's (type, day)-grouped HLL register state — ≤ 256 rows
+    * per (type, day) no matter how hot the day is (the sketch IS the
+    * skew mitigation). [[graft.operators.Hll.mergeHllBy]] merges any
+    * two deltas exactly. */
+  def hllDailyAdd(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame =
+    graft.operators.Hll.hllAddBy(
+      events.withColumn("type_day", typeDayKey(keyCol, tsCol)),
+      "type_day", idCol)
+
+  /** The read side off any merged daily state: per-(type, day) raw HLL
+    * estimates with the EXACT distinct count riding beside (the raw
+    * estimate is biased below ~2.5m ≈ 640 distincts — small daily
+    * slices sit in that regime, and the table says so instead of
+    * hiding it). */
+  def hllDailyFromCounts(state: DataFrame, events: DataFrame,
+      keyCol: String, tsCol: String, idCol: String): DataFrame = {
+    val exact = events
+      .groupBy(typeDayKey(keyCol, tsCol).as("key"))
+      .agg(countDistinct(col(idCol)).as("exact_distinct"))
+    graft.operators.Hll.hllEstimateByFromCounts(state)
+      .join(exact, Seq("key"))
+      .select(
+        split(col("key"), "\\|").getItem(0).as(keyCol),
+        split(col("key"), "\\|").getItem(1).cast("long").as("day_bucket"),
+        col("m"), col("used_registers"), col("raw_estimate"),
+        col("exact_distinct"))
+  }
+
+  /** Single-pass daily profile (state built and read in one shot) —
+    * bit-identical to any merged-ingest read by the add/merge
+    * contract, which is exactly what the stream twin asserts. */
+  def hllDailyDistinct(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame =
+    hllDailyFromCounts(hllDailyAdd(events, keyCol, tsCol, idCol),
+      events, keyCol, tsCol, idCol)
 }

@@ -1184,6 +1184,29 @@ object ExtRegistry {
           col("raw_estimate"), col("exact_distinct"))
     }),
 
+    // the monitoring table a production pipeline materializes:
+    // distinct users per (type, day) off the grouped-HLL contract —
+    // ≤256 state rows per (type, day) however hot the day, exact
+    // count riding beside the raw estimate (daily slices sit in the
+    // raw sketch's biased small-n regime, and the table SAYS so)
+    "hll_daily_profile" -> ((s, dir) =>
+      graft.dq.Profile.hllDailyDistinct(Tables(s, dir).events,
+        "event_type", "ts", "user_id")),
+
+    // the same profile read off a MERGED two-delta state — the
+    // idempotent max-merge means replayed/overlapping deltas cannot
+    // move a register; bit-identical to the single pass, oracle shared
+    "hll_daily_profile_stream" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val state = graft.operators.Hll.mergeHllBy(
+        graft.dq.Profile.hllDailyAdd(ev.filter(col("event_id") % 2 <=> 0),
+          "event_type", "ts", "user_id"),
+        graft.dq.Profile.hllDailyAdd(ev.filter(!(col("event_id") % 2 <=> 0)),
+          "event_type", "ts", "user_id"))
+      graft.dq.Profile.hllDailyFromCounts(state, ev,
+        "event_type", "ts", "user_id")
+    }),
+
     // the register state is MAX-mergeable (idempotent — overlapping
     // deltas and replays are harmless, unlike the count-sum states):
     // two-delta ingest merged, then the shared estimate read side;
@@ -2017,6 +2040,49 @@ object ExtRegistry {
       |         / CAST(s.s_present + (256 - s.used) * 4294967296 AS DOUBLE) AS raw_estimate,
       |       ex.exact_distinct
       |FROM s JOIN ex USING (key)""".stripMargin
+
+  /** The house HLL mix hash as SQL over any id expression — the
+    * quadratic-mix formula inlined in [[hllByTypeOracle]], factored so
+    * the daily profile can hash user_id with the same constants. */
+  private def hllMixSql(idExpr: String, salt: Long): String = {
+    val x = s"(($idExpr % 2147483648 + 2147483648) % 2147483648)"
+    val h1 = s"(($x * 1103515245 + $salt) % 2147483648)"
+    s"($h1 * (($h1 * 1103515245 + 12345) % 2147483648) + 12345) % 2147483648"
+  }
+
+  /** Daily distinct-users profile twin — shared verbatim by
+    * `hll_daily_profile` and its stream twin (per-(key, bucket)
+    * max-merge is idempotent, so the merged two-delta state is
+    * contractually identical to the single pass). */
+  private lazy val hllDailyOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_type || '|' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS key,
+       |         user_id
+       |  FROM events),
+       |h AS (
+       |  SELECT key, ${hllMixSql("user_id", 101L)} AS b,
+       |         ${hllMixSql("user_id", 202L)} AS w
+       |  FROM e),
+       |r AS (
+       |  SELECT key, b // 8388608 AS bucket,
+       |         max(CASE WHEN w = 0 THEN 32
+       |                  ELSE 32 - length(bin(w)) END) AS rho_max
+       |  FROM h GROUP BY 1, 2),
+       |s AS (
+       |  SELECT key, CAST(count(*) AS BIGINT) AS used,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST(32 - rho_max AS INTEGER)) AS BIGINT) AS s_present
+       |  FROM r GROUP BY 1),
+       |ex AS (
+       |  SELECT key, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM e GROUP BY 1)
+       |SELECT string_split(s.key, '|')[1] AS event_type,
+       |       CAST(string_split(s.key, '|')[2] AS BIGINT) AS day_bucket,
+       |       CAST(256 AS INTEGER) AS m,
+       |       s.used AS used_registers,
+       |       0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 4294967296.0
+       |         / CAST(s.s_present + (256 - s.used) * 4294967296 AS DOUBLE) AS raw_estimate,
+       |       ex.exact_distinct
+       |FROM s JOIN ex USING (key)""".stripMargin
 
   /** The BM25 search twin — shared verbatim by `bm25_top_docs` and
     * `bm25_stream` (the search off a merged two-delta postings state
@@ -4399,6 +4465,8 @@ object ExtRegistry {
     "hll_distinct_events" -> hllOracle,
     "hll_distinct_by_type" -> hllByTypeOracle,
     "hll_by_type_stream" -> hllByTypeOracle,
+    "hll_daily_profile" -> hllDailyOracle,
+    "hll_daily_profile_stream" -> hllDailyOracle,
     // max-merge idempotence makes the two-delta sketch identical
     "hll_distinct_stream" -> hllOracle,
 

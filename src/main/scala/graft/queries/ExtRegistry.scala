@@ -238,6 +238,18 @@ object ExtRegistry {
       graft.ext.Jpeg.decodeJpeg(
         graft.ext.Jpeg.encodeJpeg(Tables(s, dir).documents)).toDF()),
 
+    // progressive JPEG (SOF2) — spectral selection AND successive
+    // approximation, transmitted as EIGHT real scans (DC first/refine
+    // interleaved, per-component AC first/refine with EOBRUN and
+    // buffered correction bits) carrying the SAME quantized
+    // coefficients as the baseline container: progressive transmission
+    // must reconstruct the baseline image bit-for-bit, so the oracle
+    // is the multimodal_jpeg twin verbatim and any scan-machinery bug
+    // hash-fails
+    "multimodal_jpeg_progressive" -> ((s, dir) =>
+      graft.ext.Jpeg.decodeJpegProgressive(
+        graft.ext.Jpeg.encodeJpegProgressive(Tables(s, dir).documents)).toDF()),
+
     // EXIF/APP1 metadata walk — where orientation lives in real
     // camera/web JPEGs, the field a curation pipeline needs before
     // resizing or training: the fixture splices a REAL TIFF structure
@@ -4719,6 +4731,16 @@ object ExtRegistry {
     // DuckDB's truncating // divides an exact multiple), level shift,
     // clamp; the fold pins (plane, row, col) order
     "multimodal_jpeg" ->
+      s"""WITH $jpeg444Ctes
+        |SELECT m.doc_id, 'jpeg' AS fmt, m.width, m.height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
+        |       ag.pixel_sum, ag.pixel_fold
+        |FROM m JOIN ag USING (doc_id)""".stripMargin,
+
+    // progressive twin: eight scans must reconstruct the SAME
+    // coefficients, so the oracle is the baseline replay verbatim
+    "multimodal_jpeg_progressive" ->
       s"""WITH $jpeg444Ctes
         |SELECT m.doc_id, 'jpeg' AS fmt, m.width, m.height,
         |       CAST(3 AS INTEGER) AS channels,

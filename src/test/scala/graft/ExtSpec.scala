@@ -2493,13 +2493,19 @@ class ExtSpec extends SparkSpec {
       Jpeg.decodeJpegBytes(5L, good ++ Array[Byte](7)) }
     assert(junk.getMessage.contains("trailing bytes after EOI"), junk.getMessage)
     // progressive frames are refused BY NAME, not misparsed
+    // a BASELINE container mislabeled SOF2 routes to the progressive
+    // decoder (r17: SOF2 decodes for real now) and fails ITS
+    // constraints loudly — id 5 ships DRI, which the progressive path
+    // refuses by name (the Se=0 scan-shape check is covered in the
+    // progressive test)
     val prog = good.clone()
     val sofAt = good.indices.find(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     val perr = intercept[IllegalArgumentException] {
       Jpeg.decodeJpegBytes(5L, prog) }
-    assert(perr.getMessage.contains("SOF2"), perr.getMessage)
+    assert(perr.getMessage.contains("restart intervals in progressive"),
+      perr.getMessage)
     // bad SOI fails loud
     val soi = intercept[IllegalArgumentException] {
       Jpeg.decodeJpegBytes(5L, good.drop(2)) }
@@ -2514,6 +2520,43 @@ class ExtSpec extends SparkSpec {
     val rerr = intercept[IllegalArgumentException] {
       Jpeg.decodeJpegBytes(5L, badRst) }
     assert(rerr.getMessage.contains("expected RST0"), rerr.getMessage)
+  }
+
+  test("JPEG progressive: eight scans reconstruct the baseline image bit-for-bit") {
+    import graft.ext.Jpeg
+    // every geometry (1-3 MCUs wide, 1-2 tall) and coefficient shape in
+    // the first 30 ids: progressive decode must equal baseline decode
+    // EXACTLY — same dims, sums, and order-sensitive fold
+    (0L to 29L).foreach { id =>
+      val base = Jpeg.decodeJpegBytes(id,
+        Jpeg.jpegBytes(id, Jpeg.jpegW(id), Jpeg.jpegH(id)))
+      val prog = Jpeg.decodeJpegProgressiveBytes(id,
+        Jpeg.jpegProgressiveBytes(id, Jpeg.jpegW(id), Jpeg.jpegH(id)))
+      assert(prog == base, s"id $id: progressive != baseline\n$prog\n$base")
+    }
+    // the baseline walk auto-routes SOF2 containers (a curation run
+    // decodes whatever arrives)
+    val id1 = 1L // no DRI at id 1
+    val pbytes = Jpeg.jpegProgressiveBytes(id1, Jpeg.jpegW(id1), Jpeg.jpegH(id1))
+    assert(Jpeg.decodeJpegBytes(id1, pbytes) ==
+      Jpeg.decodeJpegBytes(id1, Jpeg.jpegBytes(id1, Jpeg.jpegW(id1), Jpeg.jpegH(id1))))
+    // malformed progressive scan shapes fail loud by name: flip the
+    // first SOS of a progressive container to a full-band DC scan
+    val sosAt = pbytes.indices.find(i =>
+      (pbytes(i) & 0xff) == 0xff && (pbytes(i + 1) & 0xff) == 0xda).get
+    val seOff = sosAt + 4 + 1 + 2 * 3 + 1 // len(2) + ns + comps + Ss, -> Se byte
+    val badSe = pbytes.clone(); badSe(seOff) = 63
+    val e1 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpegProgressiveBytes(id1, badSe) }
+    assert(e1.getMessage.contains("DC scan must have Se=0"), e1.getMessage)
+    // refinement must step one bit: Ah=2/Al=0 on the DC refinement scan
+    val sos2 = pbytes.indices.find(i =>
+      (pbytes(i) & 0xff) == 0xff && (pbytes(i + 1) & 0xff) == 0xda && i > sosAt).get
+    val ahOff = sos2 + 4 + 1 + 2 * 3 + 2
+    val badAh = pbytes.clone(); badAh(ahOff) = 0x20
+    val e2 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpegProgressiveBytes(id1, badAh) }
+    assert(e2.getMessage.contains("must step by one bit"), e2.getMessage)
   }
 
   test("JPEG EXIF walk: both endiannesses, offset tags, absence vs corruption") {

@@ -380,6 +380,16 @@ object ScaleProof {
             Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("n_tokens").as("token_cnt")))
       }),
+    // byte-level BPE trainer off a maintained word-frequency state:
+    // the fourth trainer family on the same FromCounts economics as
+    // BPE/WordPiece/unigram — the only corpus-sized pass is the word
+    // count; the byte mapping runs on the Zipf-small TYPE frame and
+    // every round is one pair-count agg + a bounded 32-row collect.
+    ("docs->byteBpeTrainer", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.byteBpeTrainMergesFromCounts(
+          graft.ext.Text.wordFreqAdd(synthWordDocs(s, 500L * f)),
+          rounds = 3, batch = 8)),
     // the codec family's shared ladder: encode→decode JPEG (the
     // heaviest codec — full Huffman + pinned-IDCT per row) as the
     // representative narrow map. Decode is stateless per row with

@@ -775,6 +775,18 @@ object ExtRegistry {
         graft.ext.Text.byteBpeTrainMerges(docs, rounds = 3, batch = 8), docs)
     }),
 
+    // the byte-level trainer off a MERGED two-delta word-frequency
+    // state — the wordFreqAdd/mergeWordFreqs ingest contract serving
+    // its FOURTH trainer family; bit-identical to the single pass, so
+    // the oracle is the byte_bpe_train twin verbatim
+    "byte_bpe_train_stream" -> ((s, dir) => {
+      val docs = graft.ext.Text.utf8Dirty(Tables(s, dir).documents)
+      val state = graft.ext.Text.mergeWordFreqs(
+        graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 2 <=> 0)),
+        graft.ext.Text.wordFreqAdd(docs.filter(!(col("doc_id") % 2 <=> 0))))
+      graft.ext.Text.byteBpeTrainMergesFromCounts(state, rounds = 3, batch = 8)
+    }),
+
     // the byte-level dictionary artifact: 256 corpus-FREE byte ids
     // (the no-unknown guarantee is that this table never depends on
     // what was seen) + the trained merges, with decoded byte content
@@ -4057,6 +4069,15 @@ object ExtRegistry {
     // (UTF-8 decomposition + GPT-2 map as arithmetic) on the dirtied
     // corpus
     "byte_bpe_train" ->
+      s"""WITH $utf8DirtyCte,
+         |${bpeBatchChainCtesFrom(3, 8, byteBpeW0Cte)}
+         |SELECT CAST(row_number() OVER (ORDER BY i, j) AS INTEGER) AS merge_rank,
+         |       l AS left_sym, r AS right_sym, l || r AS merged, cnt
+         |FROM picks""".stripMargin,
+
+    // the merged word-frequency state is contractually bit-identical
+    // to the single pass, so the stream twin shares the trainer oracle
+    "byte_bpe_train_stream" ->
       s"""WITH $utf8DirtyCte,
          |${bpeBatchChainCtesFrom(3, 8, byteBpeW0Cte)}
          |SELECT CAST(row_number() OVER (ORDER BY i, j) AS INTEGER) AS merge_rank,

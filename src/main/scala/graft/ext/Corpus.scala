@@ -450,6 +450,37 @@ object Corpus {
     packSequences(train.select(col("doc_id"), col("source"), col("text")))
   }
 
+  /** The UNLABELED-data form of the curation pipeline — what actually
+    * runs on scraped web text, where no `lang` label exists to check
+    * against: the language screen keeps docs the classifier is
+    * CONFIDENT about ([[Text.languageIdConfident]]'s top1 − top2
+    * margin rule — near-ties and profile-less docs drop as 'und')
+    * instead of docs it labels correctly. Same maintained-state reads,
+    * same spine semi-joins, split, and pack as
+    * [[curationPipelineFromStates]]. */
+  def curationPipelineConfidentFromStates(documents: DataFrame,
+      trigramState: DataFrame, marginState: DataFrame, k: Int = 40,
+      minMargin: Long = 25L, threshold: Long = 0L,
+      trainPct: Int = 90): DataFrame = {
+    val lid = Text.languageIdConfident(documents,
+        Text.langProfilesFromCounts(trigramState, k), k, minMargin)
+      .filter(col("pred_lang") =!= "und").select(col("doc_id"))
+    val q = Text.qualityMarginFromCounts(documents, marginState, threshold)
+      .filter(col("accepted") === 1).select(col("doc_id"))
+    val kept = documents.join(lid, Seq("doc_id"), "left_semi")
+      .join(q, Seq("doc_id"), "left_semi")
+    val train = hashSplit(kept, "doc_id", trainPct)
+      .filter(col("split") === "train")
+    packSequences(train.select(col("doc_id"), col("source"), col("text")))
+  }
+
+  /** Self-training form of [[curationPipelineConfidentFromStates]]. */
+  def curationPipelineConfident(documents: DataFrame, weights: DataFrame,
+      k: Int = 40, minMargin: Long = 25L, threshold: Long = 0L,
+      trainPct: Int = 90): DataFrame =
+    curationPipelineConfidentFromStates(documents, Text.trigramAdd(documents),
+      Text.marginAdd(documents, weights), k, minMargin, threshold, trainPct)
+
   /** Self-training form of [[curationPipelineFromStates]]: both states
     * built from the corpus itself in one delta (profiles from the
     * labeled corpus, margins from the supplied weight table). By the

@@ -138,6 +138,16 @@ object ExtRegistry {
       graft.ext.Corpus.curationPipelineFromStates(docs, trig, marg, k = 40)
     }),
 
+    // the UNLABELED-data curation run — what executes on scraped web
+    // text where no lang label exists: the language screen keeps docs
+    // the classifier is CONFIDENT about (margin >= 25; near-ties and
+    // profile-less docs drop as 'und') instead of label-correct ones
+    "curation_pipeline_confident" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Corpus.curationPipelineConfident(docs,
+        graft.ext.Text.hashWeights(docs), k = 40, minMargin = 25L)
+    }),
+
     // deterministic, partition-independent train/test assignment
     "corpus_split" -> ((s, dir) =>
       graft.ext.Corpus.hashSplit(Tables(s, dir).documents, "doc_id", 90)
@@ -1847,12 +1857,25 @@ object ExtRegistry {
     * standalone query. Shared verbatim by `curation_pipeline` and
     * `curation_pipeline_stream` (merged two-delta states are
     * contractually bit-identical to the single pass). */
-  private lazy val curationPipelineOracle: String =
+  private lazy val curationPipelineOracle: String = curationOracleWith(
+    """lidok AS (
+      |  SELECT d.doc_id FROM documents d
+      |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+      |  WHERE coalesce(b.cand_lang, 'und') = d.lang)""".stripMargin)
+
+  /** The unlabeled-data screen: keep docs the classifier is CONFIDENT
+    * about (top1 − top2 margin ≥ 25), the lang_id_confident rule. */
+  private lazy val curationConfidentOracle: String = curationOracleWith(
+    """lidok AS (
+      |  SELECT d.doc_id FROM documents d
+      |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b1 USING (doc_id)
+      |  LEFT JOIN (SELECT * FROM best WHERE rn = 2) b2 USING (doc_id)
+      |  WHERE b1.cand_lang IS NOT NULL
+      |        AND coalesce(b1.score, 0) - coalesce(b2.score, 0) >= 25)""".stripMargin)
+
+  private def curationOracleWith(lidok: String): String =
     s"""WITH $langIdCtes,
-       |lidok AS (
-       |  SELECT d.doc_id FROM documents d
-       |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
-       |  WHERE coalesce(b.cand_lang, 'und') = d.lang),
+       |$lidok,
        |qts AS (
        |  SELECT doc_id, term FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
@@ -4417,6 +4440,7 @@ object ExtRegistry {
     // the stream twin reads merged two-delta states that are
     // contractually bit-identical to the single pass — same oracle
     "curation_pipeline_stream" -> curationPipelineOracle,
+    "curation_pipeline_confident" -> curationConfidentOracle,
 
     "corpus_split" ->
       """SELECT doc_id,
@@ -4779,7 +4803,9 @@ object ExtRegistry {
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
         |       ag.pixel_sum, ag.pixel_fold,
         |       CAST(1 + ((m.doc_id % 8 + 8) % 8) AS INTEGER) AS orientation,
-        |       CASE WHEN (m.doc_id % 2 + 2) % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+        |       CASE WHEN (m.doc_id % 2 + 2) % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |       CASE WHEN 1 + ((m.doc_id % 8 + 8) % 8) >= 5 THEN m.height ELSE m.width END AS oriented_width,
+        |       CASE WHEN 1 + ((m.doc_id % 8 + 8) % 8) >= 5 THEN m.width ELSE m.height END AS oriented_height
         |FROM m JOIN ag USING (doc_id)""".stripMargin,
 
     // 4:2:0 twin: identical pinned-IDCT arithmetic, changed GEOMETRY —

@@ -1776,6 +1776,77 @@ object Text {
         (coalesce(col("margin"), lit(0L)) > threshold)
           .cast(IntegerType).as("accepted"))
 
+  /** Gopher/MassiveText repetition filters (Rae et al. 2021 §A1.1 —
+    * the rule family every production curation run applies beside the
+    * learned quality screen; cf. the reference's
+    * `dbt/credit_mart/models/schema.yml` rule checks — it has no text
+    * filters; this is the LLM-pipeline extension), adapted to the
+    * single-line corpus: per document,
+    *  - `dup_word_frac`: fraction of word occurrences whose word
+    *    appears ≥ 2 times in the doc,
+    *  - `top_bigram_frac`: occurrences of the most frequent word
+    *    bigram (ties break on the bigram) × 2 / word count,
+    *  - `dup_trigram_frac`: duplicate trigram occurrences
+    *    (occurrences − distinct) / occurrences,
+    * plus the keep verdict vs the pinned thresholds (≤ 0.9 / ≤ 0.1 /
+    * ≤ 0.05). Fractions are single IEEE divides of exact int64s; the
+    * VERDICT compares cross-multiplied INTEGERS (dup·10 ≤ n·9 etc.),
+    * so acceptance never rides a floating-point edge.
+    *
+    * Scale: three doc-keyed aggregations (word counts, bigram argmax
+    * via map-side-combinable `min(struct)`, trigram occurrence/distinct
+    * counts) joined back onto the doc spine — no window, no self-join
+    * (n-grams come from the doc's own word array), nothing
+    * corpus-keyed. */
+  def gopherRepetition(documents: DataFrame): DataFrame = {
+    val arr = documents.select(col("doc_id"),
+      filter(split(col("text"), " "), x => x =!= "").as("ws"))
+    def ngrams(n: Int) = arr.select(col("doc_id"),
+      explode(when(size(col("ws")) < n, array().cast(ArrayType(StringType)))
+        .otherwise(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(d =>
+            element_at(col("ws"), i + d)): _*)))).as("g"))
+    val dw = ngrams(1)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_words"))
+    val top = ngrams(2)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("g").as("b"))).as("t"))
+      .select(col("doc_id"), (-col("t.nc")).as("top_bigram_cnt"))
+    val tri = ngrams(3)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("tri_occ"), count(lit(1)).as("tri_distinct"))
+    documents.select(col("doc_id"))
+      .join(dw, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        coalesce(col("tri_occ"), lit(0L)).as("tri_occ"),
+        coalesce(col("tri_distinct"), lit(0L)).as("tri_distinct"))
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") > 0,
+          col("dup_words").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .otherwise(lit(0.0)).as("dup_word_frac"),
+        when(col("n_words") > 0,
+          (col("top_bigram_cnt") * 2L).cast(DoubleType) / col("n_words").cast(DoubleType))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        when(col("tri_occ") > 0,
+          (col("tri_occ") - col("tri_distinct")).cast(DoubleType)
+            / col("tri_occ").cast(DoubleType))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        (col("dup_words") * 10L <= col("n_words") * 9L &&
+          col("top_bigram_cnt") * 20L <= col("n_words") &&
+          (col("tri_occ") - col("tri_distinct")) * 20L <= col("tri_occ"))
+          .cast(IntegerType).as("accepted"))
+  }
+
   /** Deterministic stand-in WEIGHT TABLE for [[qualityMargin]]'s
     * shipped-model contract (the sandbox has no trained model to load):
     * one integer weight per corpus vocabulary term, derived from the

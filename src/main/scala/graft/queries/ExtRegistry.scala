@@ -518,6 +518,14 @@ object ExtRegistry {
     // filter): exact int64 dot product of per-term shipped weights over
     // token occurrences, broadcast probe, verdict margin > 0 — the
     // weight table is the deterministic hash-derived stand-in for a
+    // Gopher/MassiveText repetition filters — the rule family every
+    // production curation run applies beside the learned screen:
+    // duplicate-word fraction, top-bigram fraction, duplicate-trigram
+    // fraction, with the keep verdict compared in cross-multiplied
+    // INTEGERS so acceptance never rides a floating-point edge
+    "gopher_repetition" -> ((s, dir) =>
+      graft.ext.Text.gopherRepetition(Tables(s, dir).documents)),
+
     // trained model artifact
     "quality_classifier" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -3796,6 +3804,55 @@ object ExtRegistry {
     // the margin-state read is contractually bit-identical to the
     // single pass, so the stream twin shares the oracle verbatim
     "quality_stream" -> qualityMarginOracle,
+
+    // repetition-rule twin: positional word stream, per-doc word
+    // counts, bigram argmax by (cnt DESC, bigram), trigram
+    // occurrence/distinct counts, integer-compared verdict
+    "gopher_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, u['j'] AS p, u['w'] AS word FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl FROM documents) d) e),
+        |wc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2),
+        |dw AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |              CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_words
+        |       FROM wc GROUP BY 1),
+        |bgc AS (SELECT doc_id, big, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |         SELECT a.doc_id, a.word || ' ' || b.word AS big
+        |         FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.p = a.p + 1) u
+        |        GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, cnt AS top_bigram_cnt FROM (
+        |        SELECT doc_id, cnt,
+        |               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, big) AS rn
+        |        FROM bgc) r WHERE rn = 1),
+        |tgc AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |         SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS tri
+        |         FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |                  JOIN w c ON a.doc_id = c.doc_id AND c.p = a.p + 2) u
+        |        GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tri_occ,
+        |              CAST(count(*) AS BIGINT) AS tri_distinct
+        |       FROM tgc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_words, 0) AS n_words,
+        |       CASE WHEN coalesce(n_words, 0) > 0
+        |            THEN CAST(coalesce(dup_words, 0) AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |            ELSE 0.0 END AS dup_word_frac,
+        |       CASE WHEN coalesce(n_words, 0) > 0
+        |            THEN CAST(coalesce(top_bigram_cnt, 0) * 2 AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |            ELSE 0.0 END AS top_bigram_frac,
+        |       CASE WHEN coalesce(tri_occ, 0) > 0
+        |            THEN CAST(coalesce(tri_occ, 0) - coalesce(tri_distinct, 0) AS DOUBLE)
+        |                   / CAST(tri_occ AS DOUBLE)
+        |            ELSE 0.0 END AS dup_trigram_frac,
+        |       CASE WHEN coalesce(dup_words, 0) * 10 <= coalesce(n_words, 0) * 9
+        |                 AND coalesce(top_bigram_cnt, 0) * 20 <= coalesce(n_words, 0)
+        |                 AND (coalesce(tri_occ, 0) - coalesce(tri_distinct, 0)) * 20 <= coalesce(tri_occ, 0)
+        |            THEN 1 ELSE 0 END AS accepted
+        |FROM documents d
+        |LEFT JOIN dw USING (doc_id)
+        |LEFT JOIN tb USING (doc_id)
+        |LEFT JOIN tg USING (doc_id)""".stripMargin,
 
     // unigram trainer twin: final E-step counts after two replayed
     // Viterbi-EM rounds (shared verbatim by the FromCounts stream twin

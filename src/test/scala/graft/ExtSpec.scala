@@ -2721,6 +2721,31 @@ class ExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopher repetition rules: hand-computed fractions, integer-edge verdicts, short-doc edges") {
+    import graft.ext.Text
+    val docs = Seq(
+      (1L, "a a a b"),                     // top bigram 'a a'x2 -> frac 1.0, reject
+      (2L, (0 until 22).map(i => ('a' + i).toChar.toString).mkString(" ")), // clean
+      (3L, "x"),                           // 1 word: no n-grams, accept
+      (4L, "a b c d e f g h i j a c e g i b d f h j"), // every word twice, unique bigrams
+      (5L, "x y z x y z")                  // repeated trigram
+    ).toDF("doc_id", "text")
+    val out = Text.gopherRepetition(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5)))).toMap
+    assert(out(1L) == ((4L, 0.75, 1.0, 0.0, 0)), s"doc1: ${out(1L)}")
+    // 22 distinct words: dup 0, top bigram 1 (2/22), all rules pass —
+    // top_bigram_cnt*20 == 20 <= 22 exercises the integer comparison
+    assert(out(2L)._1 == 22L && out(2L)._5 == 1, s"doc2: ${out(2L)}")
+    assert(out(3L) == ((1L, 0.0, 0.0, 0.0, 1)), s"doc3: ${out(3L)}")
+    // doc4: n=20, every word twice -> dup_frac 1.0 > 0.9 rejects; the
+    // bigram rule sits EXACTLY at its edge (1*20 <= 20 passes)
+    assert(out(4L)._1 == 20L && out(4L)._2 == 1.0 && out(4L)._3 == 0.1 &&
+      out(4L)._5 == 0, s"doc4: ${out(4L)}")
+    // doc5: trigrams xyz,yzx,zxy,xyz -> occ 4, distinct 3, frac 0.25
+    assert(out(5L)._4 == 0.25 && out(5L)._5 == 0, s"doc5: ${out(5L)}")
+  }
+
   test("language-ID abstain rule: tie, exact-threshold, single-candidate, and no-match edges") {
     import graft.ext.Text
     // hand-built profile table, k=2 -> rank-1 weight = 2

@@ -380,6 +380,14 @@ object ScaleProof {
             Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("n_tokens").as("token_cnt")))
       }),
+    // Gopher repetition rules: three doc-keyed aggregations (word
+    // counts, bigram min-struct argmax, trigram occurrence/distinct)
+    // joined onto the doc spine — the gate proves the rule family
+    // keeps a constant exchange count and flat heap while the corpus
+    // grows 100× (no window, no self-join anywhere).
+    ("docs->gopherRepetition", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.gopherRepetition(synthDupDocs(s, 500L * f))),
     // byte-level BPE trainer off a maintained word-frequency state:
     // the fourth trainer family on the same FromCounts economics as
     // BPE/WordPiece/unigram — the only corpus-sized pass is the word

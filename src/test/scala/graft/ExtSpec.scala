@@ -2885,4 +2885,53 @@ class ExtSpec extends SparkSpec {
         s"key ${r.getString(0)}: estimate $est vs exact $exact outside 4 sigma")
     }
   }
+
+  test("daily HLL profile: streaming ingest == batch; exact audit column is exact") {
+    import graft.dq.Profile
+    import graft.operators.Hll
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .localCheckpoint(true)
+    val evN = graft.Tables(spark, "/root/testdata/sf0.001").events
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(3), r.getLong(5))).toSet
+    val full = rows(Profile.hllDailyDistinct(evN, "event_type", "ts", "user_id"))
+    assert(full.nonEmpty && full.map(_._2).size > 1, "expected multiple day buckets")
+    // streaming ingest twin: hllDailyAdd per micro-batch, idempotent
+    // max-merge into the running state — chunk boundaries (and even
+    // replayed chunks) cannot move a register
+    val chunks = evN.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq.grouped(200).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val add = Profile.hllDailyAdd(batch.toDF(), "event_type", "ts", "user_id")
+        state = Some(state.fold(add)(s => Hll.mergeHllBy(s, add))
+          .localCheckpoint(true))
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      // replay the LAST chunk: idempotence means the state cannot move
+      mem.addData(chunks.last); q.processAllAvailable()
+      assert(rows(Profile.hllDailyFromCounts(state.get, evN,
+        "event_type", "ts", "user_id")) == full,
+        "streamed daily-HLL ingest != batch profile")
+    } finally q.stop()
+    // the exact_distinct audit column really is exact per (type, day)
+    val exact = evN.groupBy(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day_bucket"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Profile.hllDailyDistinct(evN, "event_type", "ts", "user_id").collect()
+      .foreach { r =>
+        assert(r.getLong(5) == exact((r.getString(0), r.getLong(1))),
+          s"exact audit drifted for ${r.getString(0)}/${r.getLong(1)}")
+      }
+  }
 }

@@ -585,6 +585,25 @@ class PlanSpec extends SparkSpec {
       s"profile/weight probes expected as broadcast hash joins in:\n$plan")
   }
 
+  test("byte-level BPE tokenize: dict probe broadcasts; no cartesian") {
+    val docs = graft.ext.Text.utf8Dirty(tables.documents)
+    val df = graft.ext.Text.byteBpeTokenize(
+      graft.ext.Text.byteBpeTrainMerges(docs, rounds = 2, batch = 4), docs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"byte-id dictionary expected as a broadcast hash join in:\n$plan")
+  }
+
+  test("gopher repetition: no window, no self-join — three keyed aggs on the doc spine") {
+    val df = graft.ext.Text.gopherRepetition(tables.documents)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
+  }
+
   test("curation pipeline FromStates (merged two-delta states): same pinned shape") {
     val docs = tables.documents
     val w = graft.ext.Text.hashWeights(docs)

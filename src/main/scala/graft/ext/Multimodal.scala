@@ -1034,4 +1034,86 @@ object Multimodal {
         n.toLong * 1000000L / sampleRate, sum, rms, crossings)
     })
   }
+
+  // -------------------------------------------------------------------
+  // Perceptual image hashing (pHash) — PIXEL-space image dedup, the
+  // multimodal counterpart of SimHash: near-identical images (resize,
+  // mild recompression) land at small Hamming distance. SemDeDup
+  // dedups in embedding space; this dedups the rasters themselves —
+  // the first screen a 100 TB image-curation run applies.
+  // -------------------------------------------------------------------
+
+  /** Perceptual hash row: the 63-bit AC-sign hash + its popcount. */
+  final case class ImagePhash(doc_id: Long, fmt: String, width: Int,
+      height: Int, phash: Long, n_bits: Int)
+
+  /** The pHash core over a decoded RGB raster, exact-integer end to
+    * end so the DuckDB twin replays it bit-for-bit:
+    * 1. nearest-neighbor resample to 8×8 (the [[resizeMedia]] floor
+    *    mapping), gray = r + g + b (an exact integer in [0, 765] —
+    *    no luma weights, which would need a rounding convention),
+    * 2. forward 8×8 2-D DCT with the PINNED [[Jpeg.Idct8k]] basis
+    *    (the forward transform is the transposed basis product —
+    *    exact int64 sums of 64 products, no normalization needed
+    *    because only SIGNS of mean-centered coefficients survive),
+    * 3. one bit per AC coefficient j = 1..63: set when
+    *    63·F_j > Σ_{k≥1} F_k — the mean threshold compared in
+    *    cross-multiplied integers, never a float.
+    * The DC coefficient is excluded (it is overall brightness — pHash
+    * convention), so the hash has 63 bits and fits a positive int64. */
+  private[graft] def phash64(w: Int, h: Int, px: Array[Int]): (Long, Int) = {
+    val gray = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val sy = (i / 8) * h / 8; val sx = (i % 8) * w / 8
+      val o = (sy * w + sx) * 3
+      gray(i) = (px(o) + px(o + 1) + px(o + 2)).toLong
+      i += 1
+    }
+    val t = graft.ext.Jpeg.Idct8k
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          val ty = t(u * 8 + y).toLong
+          var x = 0
+          while (x < 8) {
+            s += ty * t(v * 8 + x) * gray(y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    var total = 0L
+    var j = 1
+    while (j < 64) { total += f(j); j += 1 }
+    var hash = 0L; var bits = 0
+    j = 1
+    while (j < 64) {
+      if (63L * f(j) > total) { hash |= 1L << (j - 1); bits += 1 }
+      j += 1
+    }
+    (hash, bits)
+  }
+
+  /** pHash over PNG containers: the full codec walk (chunk CRCs,
+    * inflate, filter reconstruction) feeds the hash — one narrow
+    * mapPartitions, no shuffle, no driver state. */
+  def phashPng(media: Dataset[EncodedMedia]): Dataset[ImagePhash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, px) = pngRaster(m.doc_id, m.bytes)
+      val (hash, bits) = phash64(w, h, px)
+      ImagePhash(m.doc_id, "png", w, h, hash, bits)
+    })
+  }
 }

@@ -248,6 +248,16 @@ object ExtRegistry {
       graft.ext.Jpeg.decodeJpeg(
         graft.ext.Jpeg.encodeJpeg(Tables(s, dir).documents)).toDF()),
 
+    // perceptual image hash (pHash) — PIXEL-space image dedup, the
+    // multimodal counterpart of SimHash and the first screen a 100 TB
+    // image-curation run applies (SemDeDup dedups embeddings; this
+    // dedups the rasters): full PNG codec walk → 8x8 nearest-neighbor
+    // gray resample → pinned-DCT → 63 AC-sign bits vs the
+    // cross-multiplied integer mean
+    "image_phash" -> ((s, dir) =>
+      graft.ext.Multimodal.phashPng(
+        graft.ext.Multimodal.encodePng(Tables(s, dir).documents)).toDF()),
+
     // progressive JPEG (SOF2) — spectral selection AND successive
     // approximation, transmitted as EIGHT real scans (DC first/refine
     // interleaved, per-component AC first/refine with EOBRUN and
@@ -4839,6 +4849,45 @@ object ExtRegistry {
         |       CAST(m.width AS BIGINT) * m.height * 3 AS pixel_bytes,
         |       ag.pixel_sum, ag.pixel_fold
         |FROM m JOIN ag USING (doc_id)""".stripMargin,
+
+    // pHash twin: the PNG pixel formula through the same floor
+    // resample, the interpolated pinned DCT basis, and the
+    // integer-mean sign rule — any drift in the codec walk upstream
+    // already hash-fails multimodal_png; this gates the hash itself
+    "image_phash" ->
+      s"""WITH co AS (SELECT ${graft.ext.Jpeg.idctSqlList} AS t),
+        |m AS (SELECT doc_id,
+        |             CAST(3 + (doc_id * 7) % 13 AS INTEGER) AS w,
+        |             CAST(5 + (doc_id * 11) % 9 AS INTEGER) AS h
+        |      FROM documents),
+        |g AS (
+        |  SELECT doc_id, gy, gx,
+        |         CAST((doc_id + ((gy * h // 8) * w + gx * w // 8) * 3) % 256
+        |            + (doc_id + ((gy * h // 8) * w + gx * w // 8) * 3 + 1) % 256
+        |            + (doc_id + ((gy * h // 8) * w + gx * w // 8) * 3 + 2) % 256 AS BIGINT) AS gray
+        |  FROM m
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gx)),
+        |f AS (
+        |  SELECT doc_id, u, v,
+        |         CAST(sum(CAST(t[CAST(u * 8 + gy + 1 AS INTEGER)] AS BIGINT)
+        |                  * t[CAST(v * 8 + gx + 1 AS INTEGER)] * gray) AS BIGINT) AS fv
+        |  FROM g
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS u)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS v)
+        |  CROSS JOIN co
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id, CAST(sum(fv) AS BIGINT) AS total
+        |       FROM f WHERE u * 8 + v >= 1 GROUP BY 1),
+        |b AS (SELECT f.doc_id,
+        |             CAST(sum(CASE WHEN 63 * fv > total
+        |                           THEN CAST(1 AS BIGINT) << CAST(u * 8 + v - 1 AS INTEGER)
+        |                           ELSE 0 END) AS BIGINT) AS phash,
+        |             CAST(sum(CASE WHEN 63 * fv > total THEN 1 ELSE 0 END) AS INTEGER) AS n_bits
+        |      FROM f JOIN st USING (doc_id) WHERE u * 8 + v >= 1 GROUP BY 1)
+        |SELECT m.doc_id, 'png' AS fmt, m.w AS width, m.h AS height,
+        |       b.phash, b.n_bits
+        |FROM m JOIN b USING (doc_id)""".stripMargin,
 
     // progressive twin: eight scans must reconstruct the SAME
     // coefficients, so the oracle is the baseline replay verbatim

@@ -2721,6 +2721,32 @@ class ExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pHash: deterministic, scale-invariant under NN, locality vs inversion") {
+    import graft.ext.Multimodal
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = Array.tabulate(8 * 8 * 3)(i => (i * 37 + 11) % 256)
+    val (h1, bits1) = Multimodal.phash64(8, 8, base)
+    assert(bits1 > 0 && bits1 < 63, s"degenerate hash: $bits1 bits")
+    // deterministic on an identical raster
+    assert(Multimodal.phash64(8, 8, base.clone())._1 == h1)
+    // scale invariance: a 2x nearest-neighbor upscale floor-samples
+    // back to the identical 8x8 grid, so the hash cannot move
+    val up = Array.tabulate(16 * 16 * 3) { i =>
+      val p = i / 3; val ch = i % 3
+      base(((p / 16 / 2) * 8 + (p % 16) / 2) * 3 + ch)
+    }
+    assert(Multimodal.phash64(16, 16, up)._1 == h1, "NN upscale moved the hash")
+    // locality: a tiny single-channel blip flips at most a few bits
+    val blip = base.clone(); blip(0) = (blip(0) + 4) % 256
+    assert(ham(Multimodal.phash64(8, 8, blip)._1, h1) <= 12,
+      "tiny perturbation moved the hash too far")
+    // inversion negates every AC coefficient AND the mean, so nearly
+    // every bit flips — far rasters must land far apart
+    val inv = base.map(255 - _)
+    assert(ham(Multimodal.phash64(8, 8, inv)._1, h1) >= 40,
+      "inverted raster landed too close")
+  }
+
   test("gopher repetition rules: hand-computed fractions, integer-edge verdicts, short-doc edges") {
     import graft.ext.Text
     val docs = Seq(

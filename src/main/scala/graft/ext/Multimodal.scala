@@ -1116,4 +1116,20 @@ object Multimodal {
       ImagePhash(m.doc_id, "png", w, h, hash, bits)
     })
   }
+
+  /** Duplicate-image groups by EXACT pHash — the image analogue of
+    * exact text dedup (the common case: re-uploaded byte-identical or
+    * trivially re-encoded copies collapse to one hash; near-dups at
+    * small Hamming distance ride the [[graft.ext.MinHash.simHash]]
+    * banding machinery if needed). One hash-keyed aggregation —
+    * hot hashes are bounded by real duplication, members kept sorted
+    * so the group row is deterministic. Returns only groups with ≥ 2
+    * members: `(phash, n_docs, doc_ids)`. */
+  def phashDupGroups(media: Dataset[EncodedMedia]): DataFrame =
+    phashPng(media).toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          d => d.cast("string")), ",").as("doc_ids"))
+      .filter(col("n_docs") >= 2)
 }

@@ -258,6 +258,21 @@ object ExtRegistry {
       graft.ext.Multimodal.phashPng(
         graft.ext.Multimodal.encodePng(Tables(s, dir).documents)).toDF()),
 
+    // duplicate-image detection by exact pHash over a RE-UPLOAD
+    // fixture: every container also arrives under a second doc id
+    // (bytes unchanged — the re-uploaded-copy case), so each raster's
+    // group must contain exactly its two ids plus any true formula
+    // collisions; the oracle recomputes every hash and groups, so
+    // nothing about collisions is assumed
+    "image_phash_dups" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val media = graft.ext.Multimodal.encodePng(docs)
+      val reupload = media.map(m =>
+        graft.ext.Multimodal.EncodedMedia(m.doc_id + 1000000L, m.fmt, m.bytes))(
+        org.apache.spark.sql.Encoders.product[graft.ext.Multimodal.EncodedMedia])
+      graft.ext.Multimodal.phashDupGroups(media.unionByName(reupload))
+    }),
+
     // progressive JPEG (SOF2) — spectral selection AND successive
     // approximation, transmitted as EIGHT real scans (DC first/refine
     // interleaved, per-component AC first/refine with EOBRUN and
@@ -1819,6 +1834,40 @@ object ExtRegistry {
        |            THEN 1 ELSE 0 END AS is_correct
        |FROM documents d
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
+
+  /** pHash CTE chain ending in `m` (dims) and `b` (phash, n_bits) —
+    * shared by `image_phash` and the duplicate-group twin. */
+  private lazy val phashCtes: String =
+    s"""co AS (SELECT ${graft.ext.Jpeg.idctSqlList} AS t),
+        |m AS (SELECT doc_id,
+        |             CAST(3 + (doc_id * 7) % 13 AS INTEGER) AS w,
+        |             CAST(5 + (doc_id * 11) % 9 AS INTEGER) AS h
+        |      FROM documents),
+        |g AS (
+        |  SELECT doc_id, gy, gx,
+        |         CAST((doc_id + ((gy * h // 8) * w + gx * w // 8) * 3) % 256
+        |            + (doc_id + ((gy * h // 8) * w + gx * w // 8) * 3 + 1) % 256
+        |            + (doc_id + ((gy * h // 8) * w + gx * w // 8) * 3 + 2) % 256 AS BIGINT) AS gray
+        |  FROM m
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gx)),
+        |f AS (
+        |  SELECT doc_id, u, v,
+        |         CAST(sum(CAST(t[CAST(u * 8 + gy + 1 AS INTEGER)] AS BIGINT)
+        |                  * t[CAST(v * 8 + gx + 1 AS INTEGER)] * gray) AS BIGINT) AS fv
+        |  FROM g
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS u)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS v)
+        |  CROSS JOIN co
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id, CAST(sum(fv) AS BIGINT) AS total
+        |       FROM f WHERE u * 8 + v >= 1 GROUP BY 1),
+        |b AS (SELECT f.doc_id,
+        |             CAST(sum(CASE WHEN 63 * fv > total
+        |                           THEN CAST(1 AS BIGINT) << CAST(u * 8 + v - 1 AS INTEGER)
+        |                           ELSE 0 END) AS BIGINT) AS phash,
+        |             CAST(sum(CASE WHEN 63 * fv > total THEN 1 ELSE 0 END) AS INTEGER) AS n_bits
+        |      FROM f JOIN st USING (doc_id) WHERE u * 8 + v >= 1 GROUP BY 1)""".stripMargin
 
   /** Baseline 4:4:4 JPEG decode CTEs (pinned-IDCT replay of the
     * coefficient arithmetic) ending in `m` (dims) and `ag`
@@ -4855,39 +4904,20 @@ object ExtRegistry {
     // integer-mean sign rule — any drift in the codec walk upstream
     // already hash-fails multimodal_png; this gates the hash itself
     "image_phash" ->
-      s"""WITH co AS (SELECT ${graft.ext.Jpeg.idctSqlList} AS t),
-        |m AS (SELECT doc_id,
-        |             CAST(3 + (doc_id * 7) % 13 AS INTEGER) AS w,
-        |             CAST(5 + (doc_id * 11) % 9 AS INTEGER) AS h
-        |      FROM documents),
-        |g AS (
-        |  SELECT doc_id, gy, gx,
-        |         CAST((doc_id + ((gy * h // 8) * w + gx * w // 8) * 3) % 256
-        |            + (doc_id + ((gy * h // 8) * w + gx * w // 8) * 3 + 1) % 256
-        |            + (doc_id + ((gy * h // 8) * w + gx * w // 8) * 3 + 2) % 256 AS BIGINT) AS gray
-        |  FROM m
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy)
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gx)),
-        |f AS (
-        |  SELECT doc_id, u, v,
-        |         CAST(sum(CAST(t[CAST(u * 8 + gy + 1 AS INTEGER)] AS BIGINT)
-        |                  * t[CAST(v * 8 + gx + 1 AS INTEGER)] * gray) AS BIGINT) AS fv
-        |  FROM g
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS u)
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS v)
-        |  CROSS JOIN co
-        |  GROUP BY 1, 2, 3),
-        |st AS (SELECT doc_id, CAST(sum(fv) AS BIGINT) AS total
-        |       FROM f WHERE u * 8 + v >= 1 GROUP BY 1),
-        |b AS (SELECT f.doc_id,
-        |             CAST(sum(CASE WHEN 63 * fv > total
-        |                           THEN CAST(1 AS BIGINT) << CAST(u * 8 + v - 1 AS INTEGER)
-        |                           ELSE 0 END) AS BIGINT) AS phash,
-        |             CAST(sum(CASE WHEN 63 * fv > total THEN 1 ELSE 0 END) AS INTEGER) AS n_bits
-        |      FROM f JOIN st USING (doc_id) WHERE u * 8 + v >= 1 GROUP BY 1)
+      s"""WITH $phashCtes
         |SELECT m.doc_id, 'png' AS fmt, m.w AS width, m.h AS height,
         |       b.phash, b.n_bits
         |FROM m JOIN b USING (doc_id)""".stripMargin,
+
+    // duplicate-group twin: every hash recomputed, the re-upload ids
+    // unioned in, groups of >= 2 with numerically sorted members
+    "image_phash_dups" ->
+      s"""WITH $phashCtes,
+        |alldocs AS (SELECT doc_id, phash FROM b
+        |            UNION ALL SELECT doc_id + 1000000, phash FROM b)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM alldocs GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     // progressive twin: eight scans must reconstruct the SAME
     // coefficients, so the oracle is the baseline replay verbatim

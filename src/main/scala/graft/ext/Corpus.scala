@@ -380,6 +380,29 @@ object Corpus {
         col("cum_tokens"), col("pack_id"))
   }
 
+  /** The per-pack MANIFEST a training loader actually reads —
+    * [[packSequences]]' assignment rolled up to one row per pack:
+    * member doc ids in order and each doc's END offset within the
+    * pack's token budget (offsets are `cum_tokens − pack_id·capacity`,
+    * always in (0, capacity] by the pack quantization — the attention
+    * boundary list for packed-sequence training). Per-pack state is
+    * bounded by construction (≤ capacity docs fit a pack), so the
+    * sorted member list is safe at any corpus size; the rollup rides
+    * the pack window's own (source, shard) partitioning. */
+  def packManifest(documents: DataFrame, capacity: Long = 256L,
+      shardSize: Long = 10000L): DataFrame =
+    packSequences(documents, capacity, shardSize)
+      .withColumn("end_off", col("cum_tokens") - col("pack_id") * capacity)
+      .groupBy(col("source"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("token_cnt")).as("pack_tokens"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("doc_id"), col("doc_id").as("d")))),
+          p => p("d").cast("string")), ",").as("doc_ids"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("doc_id"), col("end_off").as("e")))),
+          p => p("e").cast("string")), ",").as("boundaries"))
+
   /** Deterministic training-order shuffle: every document gets a
     * reproducible pseudo-random position — (shard, pos) — that is a pure
     * function of its id, independent of partition layout and engine.

@@ -913,6 +913,13 @@ object ExtRegistry {
 
     // training-batch sequence packing: capacity-quantized running token
     // count per (source, bounded shard) window
+    // the per-pack manifest a training loader reads: member ids in
+    // order plus each doc's END offset inside the pack's token budget
+    // (the attention-boundary list for packed-sequence training);
+    // per-pack state bounded by the capacity itself
+    "pack_manifest" -> ((s, dir) =>
+      graft.ext.Corpus.packManifest(Tables(s, dir).documents)),
+
     "pack_sequences" -> ((s, dir) =>
       graft.ext.Corpus.packSequences(Tables(s, dir).documents)),
 
@@ -4407,6 +4414,28 @@ object ExtRegistry {
         |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM documents)""".stripMargin,
+
+    // manifest twin: the pack assignment rolled up, members and their
+    // in-pack end offsets ordered by doc_id
+    "pack_manifest" ->
+      """WITH pk AS (
+        |  SELECT doc_id, source, shard, token_cnt,
+        |         CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |         CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id
+        |  FROM (
+        |    SELECT doc_id, source,
+        |           CAST(doc_id // 10000 AS BIGINT) AS shard,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+        |           sum(len(string_split(text, ' ')))
+        |             OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    FROM documents) i)
+        |SELECT source, shard, pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(token_cnt) AS BIGINT) AS pack_tokens,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+        |       string_agg(CAST(cum_tokens - pack_id * 256 AS VARCHAR), ',' ORDER BY doc_id) AS boundaries
+        |FROM pk GROUP BY 1, 2, 3""".stripMargin,
 
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -1132,4 +1132,35 @@ object Multimodal {
         array_join(transform(array_sort(collect_list(col("doc_id"))),
           d => d.cast("string")), ",").as("doc_ids"))
       .filter(col("n_docs") >= 2)
+
+  /** NEAR-duplicate image pairs at Hamming ≤ `maxHamming` over the
+    * 63-bit pHash — [[graft.ext.MinHash.simHashNearDups]]' banding
+    * discipline on the image sketch: 7 bands of 9 bits, so by
+    * pigeonhole any pair within Hamming ≤ 6 shares an untouched band
+    * (exact recall); candidates meet in a band equi-join carrying the
+    * 8-byte sketch so the Hamming verify runs inline, never all-pairs. */
+  def phashNearDups(media: Dataset[EncodedMedia], maxHamming: Int = 3): DataFrame = {
+    val bands = 7; val bandBits = 9
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be in [0, ${bands - 1}] for exact recall with $bands bands, got $maxHamming")
+    val ph = phashPng(media).toDF()
+      .select(col("doc_id"), col("phash")).localCheckpoint(false)
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask)).as("bval"))
+    }
+    val banded = ph.select(col("doc_id"), col("phash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

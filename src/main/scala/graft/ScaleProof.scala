@@ -380,6 +380,19 @@ object ScaleProof {
             Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("n_tokens").as("token_cnt")))
       }),
+    // pHash duplicate GROUPS over growing media: codec walk + hash are
+    // a narrow map, then ONE hash-keyed aggregation — output is the
+    // group count, bounded by hash diversity, never the pair count.
+    // (Pair ENUMERATION is deliberately NOT laddered: the testdata's
+    // cyclic-ramp rasters collapse pHash to few distinct values, so
+    // any pairing — banded or not — has a quadratic TRUE answer on
+    // this corpus; groups are the linear-output shape a 100 TB image
+    // dedup materializes, and drop decisions read the group row.)
+    ("media->phashDupGroups", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Multimodal.phashDupGroups(
+          graft.ext.Multimodal.encodePng(
+            s.range(500L * f).select(col("id").as("doc_id"))))),
     // Gopher repetition rules: three doc-keyed aggregations (word
     // counts, bigram min-struct argmax, trigram occurrence/distinct)
     // joined onto the doc spine — the gate proves the rule family

@@ -258,19 +258,6 @@ object ExtRegistry {
       graft.ext.Multimodal.phashPng(
         graft.ext.Multimodal.encodePng(Tables(s, dir).documents)).toDF()),
 
-    // near-duplicate image pairs over the same re-upload fixture:
-    // 7x9-bit banding (pigeonhole-exact recall at Hamming <= 6), the
-    // Hamming verify inline in the band join — never all-pairs; the
-    // oracle IS all-pairs (a different algorithm agreeing on the result)
-    "image_phash_near_dup" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val media = graft.ext.Multimodal.encodePng(docs)
-      val reupload = media.map(m =>
-        graft.ext.Multimodal.EncodedMedia(m.doc_id + 1000000L, m.fmt, m.bytes))(
-        org.apache.spark.sql.Encoders.product[graft.ext.Multimodal.EncodedMedia])
-      graft.ext.Multimodal.phashNearDups(media.unionByName(reupload), maxHamming = 3)
-    }),
-
     // duplicate-image detection by exact pHash over a RE-UPLOAD
     // fixture: every container also arrives under a second doc id
     // (bytes unchanged — the re-uploaded-copy case), so each raster's
@@ -4950,17 +4937,6 @@ object ExtRegistry {
         |SELECT m.doc_id, 'png' AS fmt, m.w AS width, m.h AS height,
         |       b.phash, b.n_bits
         |FROM m JOIN b USING (doc_id)""".stripMargin,
-
-    // near-dup twin: all-pairs Hamming over the recomputed hashes — a
-    // different algorithm (no banding) agreeing on the same pair set
-    "image_phash_near_dup" ->
-      s"""WITH $phashCtes,
-        |alldocs AS (SELECT doc_id, phash FROM b
-        |            UNION ALL SELECT doc_id + 1000000, phash FROM b)
-        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |       CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-        |FROM alldocs x JOIN alldocs y ON x.doc_id < y.doc_id
-        |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin,
 
     // duplicate-group twin: every hash recomputed, the re-upload ids
     // unioned in, groups of >= 2 with numerically sorted members

@@ -596,6 +596,14 @@ class PlanSpec extends SparkSpec {
       s"byte-id dictionary expected as a broadcast hash join in:\n$plan")
   }
 
+  test("phash near-dup: banded equi-join with inline verify, no cartesian") {
+    val df = graft.ext.Multimodal.phashNearDups(
+      graft.ext.Multimodal.encodePng(tables.documents), maxHamming = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+  }
+
   test("gopher repetition: no window, no self-join — three keyed aggs on the doc spine") {
     val df = graft.ext.Text.gopherRepetition(tables.documents)
     val plan = df.queryExecution.executedPlan.toString

@@ -982,42 +982,51 @@ object Multimodal {
     * (adjacent sign flips, the classic voiced/unvoiced signal). Narrow
     * mapPartitions like every decode stage; malformed containers
     * (truncated, non-PCM, missing chunks) fail loudly. */
+  /** RIFF/WAV chunk walk shared by the feature decoder and the quality
+    * screen: validates the container and PCM16 `fmt `, returns
+    * (channels, sampleRate, dataOff, nSamples). Unknown chunks are
+    * skipped with the spec's odd-size pad byte. */
+  private def wavPcm(id: Long, bs: Array[Byte]): (Int, Int, Int, Int) = {
+    def le32(off: Int): Int =
+      (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8) |
+      ((bs(off + 2) & 0xff) << 16) | ((bs(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8)
+    def tag(off: Int): String = new String(bs, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(bs.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $id: not a RIFF/WAVE container")
+    require(bs.length.toLong >= 8L + le32(4),
+      s"doc $id: truncated RIFF payload")
+    var pos = 12
+    var fmtOff = -1; var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bs.length && (fmtOff < 0 || dataOff < 0)) {
+      val cid = tag(pos); val clen = le32(pos + 4)
+      require(clen >= 0 && pos + 8 + clen.toLong <= bs.length,
+        s"doc $id: chunk '$cid' overruns the container")
+      if (cid == "fmt ") fmtOff = pos + 8
+      else if (cid == "data") { dataOff = pos + 8; dataLen = clen }
+      pos += 8 + clen + (clen % 2) // RIFF: odd chunks carry a pad byte
+    }
+    require(fmtOff >= 0, s"doc $id: no fmt chunk")
+    require(dataOff >= 0, s"doc $id: no data chunk")
+    val audioFormat = le16(fmtOff)
+    val channels = le16(fmtOff + 2)
+    val sampleRate = le32(fmtOff + 4)
+    val bits = le16(fmtOff + 14)
+    require(audioFormat == 1, s"doc $id: non-PCM format tag $audioFormat")
+    require(bits == 16, s"doc $id: unsupported bit depth $bits")
+    require(channels >= 1, s"doc $id: bad channel count $channels")
+    require(dataLen % 2 == 0, s"doc $id: odd PCM16 data length $dataLen")
+    (channels, sampleRate, dataOff, dataLen / 2)
+  }
+
   def decodeAudio(media: Dataset[EncodedMedia]): Dataset[DecodedAudio] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val bs = m.bytes
       val id = m.doc_id
-      def le32(off: Int): Int =
-        (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8) |
-        ((bs(off + 2) & 0xff) << 16) | ((bs(off + 3) & 0xff) << 24)
       def le16(off: Int): Int = (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8)
-      def tag(off: Int): String = new String(bs, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      require(bs.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
-        s"doc $id: not a RIFF/WAVE container")
-      require(bs.length.toLong >= 8L + le32(4),
-        s"doc $id: truncated RIFF payload")
-      var pos = 12
-      var fmtOff = -1; var dataOff = -1; var dataLen = -1
-      while (pos + 8 <= bs.length && (fmtOff < 0 || dataOff < 0)) {
-        val cid = tag(pos); val clen = le32(pos + 4)
-        require(clen >= 0 && pos + 8 + clen.toLong <= bs.length,
-          s"doc $id: chunk '$cid' overruns the container")
-        if (cid == "fmt ") fmtOff = pos + 8
-        else if (cid == "data") { dataOff = pos + 8; dataLen = clen }
-        pos += 8 + clen + (clen % 2) // RIFF: odd chunks carry a pad byte
-      }
-      require(fmtOff >= 0, s"doc $id: no fmt chunk")
-      require(dataOff >= 0, s"doc $id: no data chunk")
-      val audioFormat = le16(fmtOff)
-      val channels = le16(fmtOff + 2)
-      val sampleRate = le32(fmtOff + 4)
-      val bits = le16(fmtOff + 14)
-      require(audioFormat == 1, s"doc $id: non-PCM format tag $audioFormat")
-      require(bits == 16, s"doc $id: unsupported bit depth $bits")
-      require(channels >= 1, s"doc $id: bad channel count $channels")
-      require(dataLen % 2 == 0, s"doc $id: odd PCM16 data length $dataLen")
-      val n = dataLen / 2
+      val (channels, sampleRate, dataOff, n) = wavPcm(id, bs)
       var sum = 0L; var sumSq = 0L; var crossings = 0L
       var prevNeg = false
       var i = 0
@@ -1032,6 +1041,45 @@ object Multimodal {
       val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
       DecodedAudio(id, channels, sampleRate, n.toLong,
         n.toLong * 1000000L / sampleRate, sum, rms, crossings)
+    })
+  }
+
+  /** Audio quality screen row: rail-clipping and near-silence rates
+    * with the keep verdict. */
+  final case class AudioQuality(doc_id: Long, n_samples: Long,
+      clipped: Long, near_silent: Long, clipped_frac: Double,
+      silence_frac: Double, accepted: Int)
+
+  /** The audio member of the quality-rule family ([[graft.ext.Text
+    * .gopherRepetition]]'s discipline applied to the third modality):
+    * per clip, the count of RAIL-CLIPPED samples (±32767/−32768 — the
+    * classic corrupt-gain signal) and NEAR-SILENT samples
+    * (|s| ≤ 1024, ~3% of int16 range), fractions as single IEEE
+    * divides of exact ints, and the keep verdict — no clipping AND
+    * silence under 4% — compared in cross-multiplied INTEGERS
+    * (`near_silent · 25 ≤ n`), never on a float edge. Same narrow
+    * mapPartitions walk as [[decodeAudio]], one pass over the
+    * samples. */
+  def audioQuality(media: Dataset[EncodedMedia]): Dataset[AudioQuality] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      val id = m.doc_id
+      def le16(off: Int): Int = (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8)
+      val (_, _, dataOff, n) = wavPcm(id, bs)
+      var clipped = 0L; var silent = 0L
+      var i = 0
+      while (i < n) {
+        val s = le16(dataOff + 2 * i).toShort.toInt
+        if (s == 32767 || s == -32768) clipped += 1
+        if (s >= -1024 && s <= 1024) silent += 1
+        i += 1
+      }
+      val cf = if (n == 0) 0.0 else clipped.toDouble / n.toDouble
+      val sf = if (n == 0) 0.0 else silent.toDouble / n.toDouble
+      val ok = clipped == 0L && silent * 25L <= n.toLong
+      AudioQuality(id, n.toLong, clipped, silent, cf, sf, if (ok) 1 else 0)
     })
   }
 

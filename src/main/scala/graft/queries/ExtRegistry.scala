@@ -367,6 +367,13 @@ object ExtRegistry {
     "audio_features" -> ((s, dir) =>
       Multimodal.decodeAudio(Multimodal.encodeAudio(Tables(s, dir).documents)).toDF()),
 
+    // the audio member of the quality-rule family (gopher_repetition's
+    // discipline on the third modality): rail-clipping count + near-
+    // silence rate per clip, verdict compared in cross-multiplied
+    // integers (no clipping AND near_silent*25 <= n)
+    "audio_quality" -> ((s, dir) =>
+      Multimodal.audioQuality(Multimodal.encodeAudio(Tables(s, dir).documents)).toDF()),
+
     // Unicode NFC canonicalization (codegen NfcNormalize expression) over
     // a deterministically-dirtied corpus: decomposed sequences must
     // compose, precomposed ones must pass through — char counts prove it
@@ -5093,6 +5100,25 @@ object ExtRegistry {
     // Σs² as ONE double division then sqrt (both correctly-rounded
     // IEEE, the one transcendental-adjacent op the no-pow/exp/ln rule
     // admits), zero crossings via a lag window on the sign
+    // audio-quality twin: the same generator-sample replay, rail and
+    // near-silence counters, integer-compared verdict
+    "audio_quality" ->
+      """WITH m AS (SELECT doc_id, CAST(256 + (doc_id * 31) % 512 AS BIGINT) AS n FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM m),
+        |sv AS (SELECT doc_id, n,
+        |              ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS s
+        |       FROM sm),
+        |ag AS (
+        |  SELECT doc_id, max(n) AS n,
+        |         CAST(sum(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS clipped,
+        |         CAST(sum(CASE WHEN s BETWEEN -1024 AND 1024 THEN 1 ELSE 0 END) AS BIGINT) AS near_silent
+        |  FROM sv GROUP BY 1)
+        |SELECT doc_id, n AS n_samples, clipped, near_silent,
+        |       CAST(clipped AS DOUBLE) / CAST(n AS DOUBLE) AS clipped_frac,
+        |       CAST(near_silent AS DOUBLE) / CAST(n AS DOUBLE) AS silence_frac,
+        |       CASE WHEN clipped = 0 AND near_silent * 25 <= n THEN 1 ELSE 0 END AS accepted
+        |FROM ag""".stripMargin,
+
     "audio_features" ->
       """WITH m AS (SELECT doc_id, 256 + (doc_id * 31) % 512 AS n FROM documents),
         |sm AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM m),

@@ -374,6 +374,32 @@ object ExtRegistry {
     "audio_quality" -> ((s, dir) =>
       Multimodal.audioQuality(Multimodal.encodeAudio(Tables(s, dir).documents)).toDF()),
 
+    // the MULTIMODAL curation keep-list — all three modality screens
+    // joined on one doc spine: text repetition rules, image dedup
+    // survivorship (keep only the min-id member of each pHash group),
+    // audio quality. The decision table a mixed-modality training run
+    // materializes before packing
+    "multimodal_curation" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val text = graft.ext.Text.gopherRepetition(docs)
+        .select(col("doc_id"), col("accepted").as("text_ok"))
+      val ph = Multimodal.phashPng(Multimodal.encodePng(docs)).toDF()
+        .select(col("doc_id"), col("phash"))
+      val canon = ph.groupBy(col("phash")).agg(min(col("doc_id")).as("canon"))
+      val img = ph.join(canon, Seq("phash"))
+        .select(col("doc_id"),
+          (col("doc_id") === col("canon")).cast("int").as("image_keep"))
+      val audio = Multimodal.audioQuality(Multimodal.encodeAudio(docs)).toDF()
+        .select(col("doc_id"), col("accepted").as("audio_ok"))
+      docs.select(col("doc_id"))
+        .join(text, Seq("doc_id"))
+        .join(img, Seq("doc_id"))
+        .join(audio, Seq("doc_id"))
+        .select(col("doc_id"), col("text_ok"), col("image_keep"), col("audio_ok"),
+          (col("text_ok") === 1 && col("image_keep") === 1 && col("audio_ok") === 1)
+            .cast("int").as("keep"))
+    }),
+
     // Unicode NFC canonicalization (codegen NfcNormalize expression) over
     // a deterministically-dirtied corpus: decomposed sequences must
     // compose, precomposed ones must pass through — char counts prove it
@@ -1848,6 +1874,72 @@ object ExtRegistry {
        |            THEN 1 ELSE 0 END AS is_correct
        |FROM documents d
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
+
+  /** Gopher repetition twin (also embedded as a subquery by the
+    * multimodal_curation composition). */
+  private lazy val gopherRepetitionOracle: String =
+    """WITH w AS (
+        |  SELECT doc_id, u['j'] AS p, u['w'] AS word FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl FROM documents) d) e),
+        |wc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2),
+        |dw AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |              CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_words
+        |       FROM wc GROUP BY 1),
+        |bgc AS (SELECT doc_id, big, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |         SELECT a.doc_id, a.word || ' ' || b.word AS big
+        |         FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.p = a.p + 1) u
+        |        GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, cnt AS top_bigram_cnt FROM (
+        |        SELECT doc_id, cnt,
+        |               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, big) AS rn
+        |        FROM bgc) r WHERE rn = 1),
+        |tgc AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |         SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS tri
+        |         FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |                  JOIN w c ON a.doc_id = c.doc_id AND c.p = a.p + 2) u
+        |        GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tri_occ,
+        |              CAST(count(*) AS BIGINT) AS tri_distinct
+        |       FROM tgc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_words, 0) AS n_words,
+        |       CASE WHEN coalesce(n_words, 0) > 0
+        |            THEN CAST(coalesce(dup_words, 0) AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |            ELSE 0.0 END AS dup_word_frac,
+        |       CASE WHEN coalesce(n_words, 0) > 0
+        |            THEN CAST(coalesce(top_bigram_cnt, 0) * 2 AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |            ELSE 0.0 END AS top_bigram_frac,
+        |       CASE WHEN coalesce(tri_occ, 0) > 0
+        |            THEN CAST(coalesce(tri_occ, 0) - coalesce(tri_distinct, 0) AS DOUBLE)
+        |                   / CAST(tri_occ AS DOUBLE)
+        |            ELSE 0.0 END AS dup_trigram_frac,
+        |       CASE WHEN coalesce(dup_words, 0) * 10 <= coalesce(n_words, 0) * 9
+        |                 AND coalesce(top_bigram_cnt, 0) * 20 <= coalesce(n_words, 0)
+        |                 AND (coalesce(tri_occ, 0) - coalesce(tri_distinct, 0)) * 20 <= coalesce(tri_occ, 0)
+        |            THEN 1 ELSE 0 END AS accepted
+        |FROM documents d
+        |LEFT JOIN dw USING (doc_id)
+        |LEFT JOIN tb USING (doc_id)
+        |LEFT JOIN tg USING (doc_id)""".stripMargin
+
+  /** Audio-quality twin (also embedded by multimodal_curation). */
+  private lazy val audioQualityOracle: String =
+    """WITH m AS (SELECT doc_id, CAST(256 + (doc_id * 31) % 512 AS BIGINT) AS n FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM m),
+        |sv AS (SELECT doc_id, n,
+        |              ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS s
+        |       FROM sm),
+        |ag AS (
+        |  SELECT doc_id, max(n) AS n,
+        |         CAST(sum(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS clipped,
+        |         CAST(sum(CASE WHEN s BETWEEN -1024 AND 1024 THEN 1 ELSE 0 END) AS BIGINT) AS near_silent
+        |  FROM sv GROUP BY 1)
+        |SELECT doc_id, n AS n_samples, clipped, near_silent,
+        |       CAST(clipped AS DOUBLE) / CAST(n AS DOUBLE) AS clipped_frac,
+        |       CAST(near_silent AS DOUBLE) / CAST(n AS DOUBLE) AS silence_frac,
+        |       CASE WHEN clipped = 0 AND near_silent * 25 <= n THEN 1 ELSE 0 END AS accepted
+        |FROM ag""".stripMargin
 
   /** pHash CTE chain ending in `m` (dims) and `b` (phash, n_bits) —
     * shared by `image_phash` and the duplicate-group twin. */
@@ -3881,51 +3973,7 @@ object ExtRegistry {
     // repetition-rule twin: positional word stream, per-doc word
     // counts, bigram argmax by (cnt DESC, bigram), trigram
     // occurrence/distinct counts, integer-compared verdict
-    "gopher_repetition" ->
-      """WITH w AS (
-        |  SELECT doc_id, u['j'] AS p, u['w'] AS word FROM (
-        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
-        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl FROM documents) d) e),
-        |wc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2),
-        |dw AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
-        |              CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_words
-        |       FROM wc GROUP BY 1),
-        |bgc AS (SELECT doc_id, big, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |         SELECT a.doc_id, a.word || ' ' || b.word AS big
-        |         FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.p = a.p + 1) u
-        |        GROUP BY 1, 2),
-        |tb AS (SELECT doc_id, cnt AS top_bigram_cnt FROM (
-        |        SELECT doc_id, cnt,
-        |               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, big) AS rn
-        |        FROM bgc) r WHERE rn = 1),
-        |tgc AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |         SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS tri
-        |         FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-        |                  JOIN w c ON a.doc_id = c.doc_id AND c.p = a.p + 2) u
-        |        GROUP BY 1, 2),
-        |tg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tri_occ,
-        |              CAST(count(*) AS BIGINT) AS tri_distinct
-        |       FROM tgc GROUP BY 1)
-        |SELECT d.doc_id,
-        |       coalesce(n_words, 0) AS n_words,
-        |       CASE WHEN coalesce(n_words, 0) > 0
-        |            THEN CAST(coalesce(dup_words, 0) AS DOUBLE) / CAST(n_words AS DOUBLE)
-        |            ELSE 0.0 END AS dup_word_frac,
-        |       CASE WHEN coalesce(n_words, 0) > 0
-        |            THEN CAST(coalesce(top_bigram_cnt, 0) * 2 AS DOUBLE) / CAST(n_words AS DOUBLE)
-        |            ELSE 0.0 END AS top_bigram_frac,
-        |       CASE WHEN coalesce(tri_occ, 0) > 0
-        |            THEN CAST(coalesce(tri_occ, 0) - coalesce(tri_distinct, 0) AS DOUBLE)
-        |                   / CAST(tri_occ AS DOUBLE)
-        |            ELSE 0.0 END AS dup_trigram_frac,
-        |       CASE WHEN coalesce(dup_words, 0) * 10 <= coalesce(n_words, 0) * 9
-        |                 AND coalesce(top_bigram_cnt, 0) * 20 <= coalesce(n_words, 0)
-        |                 AND (coalesce(tri_occ, 0) - coalesce(tri_distinct, 0)) * 20 <= coalesce(tri_occ, 0)
-        |            THEN 1 ELSE 0 END AS accepted
-        |FROM documents d
-        |LEFT JOIN dw USING (doc_id)
-        |LEFT JOIN tb USING (doc_id)
-        |LEFT JOIN tg USING (doc_id)""".stripMargin,
+    "gopher_repetition" -> gopherRepetitionOracle,
 
     // unigram trainer twin: final E-step counts after two replayed
     // Viterbi-EM rounds (shared verbatim by the FromCounts stream twin
@@ -5102,22 +5150,30 @@ object ExtRegistry {
     // admits), zero crossings via a lag window on the sign
     // audio-quality twin: the same generator-sample replay, rail and
     // near-silence counters, integer-compared verdict
-    "audio_quality" ->
-      """WITH m AS (SELECT doc_id, CAST(256 + (doc_id * 31) % 512 AS BIGINT) AS n FROM documents),
-        |sm AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM m),
-        |sv AS (SELECT doc_id, n,
-        |              ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS s
-        |       FROM sm),
-        |ag AS (
-        |  SELECT doc_id, max(n) AS n,
-        |         CAST(sum(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS clipped,
-        |         CAST(sum(CASE WHEN s BETWEEN -1024 AND 1024 THEN 1 ELSE 0 END) AS BIGINT) AS near_silent
-        |  FROM sv GROUP BY 1)
-        |SELECT doc_id, n AS n_samples, clipped, near_silent,
-        |       CAST(clipped AS DOUBLE) / CAST(n AS DOUBLE) AS clipped_frac,
-        |       CAST(near_silent AS DOUBLE) / CAST(n AS DOUBLE) AS silence_frac,
-        |       CASE WHEN clipped = 0 AND near_silent * 25 <= n THEN 1 ELSE 0 END AS accepted
-        |FROM ag""".stripMargin,
+    "audio_quality" -> audioQualityOracle,
+
+    // multimodal keep-list twin: the three modality twins embedded as
+    // subqueries (each already independently hash-gated), image
+    // survivorship as a per-hash min window, conjunction verdict
+    "multimodal_curation" ->
+      s"""WITH gv AS (SELECT doc_id, accepted AS text_ok FROM (
+         |  ${gopherRepetitionOracle.replace("\n", "\n  ")}) g),
+         |iv AS (SELECT doc_id, phash FROM (
+         |  WITH ${phashCtes.replace("\n", "\n  ")}
+         |  SELECT m.doc_id, b.phash FROM m JOIN b USING (doc_id)) i),
+         |ik AS (SELECT doc_id,
+         |              CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY phash)
+         |                   THEN 1 ELSE 0 END AS image_keep
+         |       FROM iv),
+         |av AS (SELECT doc_id, accepted AS audio_ok FROM (
+         |  ${audioQualityOracle.replace("\n", "\n  ")}) a)
+         |SELECT d.doc_id, gv.text_ok, ik.image_keep, av.audio_ok,
+         |       CASE WHEN gv.text_ok = 1 AND ik.image_keep = 1 AND av.audio_ok = 1
+         |            THEN 1 ELSE 0 END AS keep
+         |FROM documents d
+         |JOIN gv USING (doc_id)
+         |JOIN ik USING (doc_id)
+         |JOIN av USING (doc_id)""".stripMargin,
 
     "audio_features" ->
       """WITH m AS (SELECT doc_id, 256 + (doc_id * 31) % 512 AS n FROM documents),

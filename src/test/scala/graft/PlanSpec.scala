@@ -596,6 +596,27 @@ class PlanSpec extends SparkSpec {
       s"byte-id dictionary expected as a broadcast hash join in:\n$plan")
   }
 
+  test("multimodal curation keep-list: spine joins only, no cartesian, no rank window") {
+    val docs = tables.documents
+    val text = graft.ext.Text.gopherRepetition(docs)
+      .select(col("doc_id"), col("accepted").as("text_ok"))
+    val ph = graft.ext.Multimodal.phashPng(graft.ext.Multimodal.encodePng(docs)).toDF()
+      .select(col("doc_id"), col("phash"))
+    val canon = ph.groupBy(col("phash")).agg(min(col("doc_id")).as("canon"))
+    val img = ph.join(canon, Seq("phash"))
+      .select(col("doc_id"), (col("doc_id") === col("canon")).cast("int").as("image_keep"))
+    val audio = graft.ext.Multimodal.audioQuality(
+        graft.ext.Multimodal.encodeAudio(docs)).toDF()
+      .select(col("doc_id"), col("accepted").as("audio_ok"))
+    val df = docs.select(col("doc_id"))
+      .join(text, Seq("doc_id")).join(img, Seq("doc_id")).join(audio, Seq("doc_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    // survivorship is the map-side-combinable min per hash, never a window
+    assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
+  }
+
   test("phash near-dup: banded equi-join with inline verify, no cartesian") {
     val df = graft.ext.Multimodal.phashNearDups(
       graft.ext.Multimodal.encodePng(tables.documents), maxHamming = 3)

@@ -345,6 +345,14 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Text.languageId(synthLangDocs(s, 500L * f),
           graft.ext.Text.langProfiles(synthLangDocs(s, 500L), k = 40), k = 40)),
+    // the abstain-rule classifier: languageId's shape plus the
+    // bounded-by-language-count candidate array in the second agg —
+    // the gate proves the margin rule adds no scaling term.
+    ("docs->languageIdConfident", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.languageIdConfident(synthLangDocs(s, 500L * f),
+          graft.ext.Text.langProfiles(synthLangDocs(s, 500L), k = 40),
+          k = 40, minMargin = 25L)),
     // WordPiece trainer off a maintained word-frequency state: the only
     // corpus-sized pass is the word count (linear); the 8 scored-argmax
     // barriers run on the bounded type vocabulary (constant work) —

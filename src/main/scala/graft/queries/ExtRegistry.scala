@@ -148,6 +148,22 @@ object ExtRegistry {
         graft.ext.Text.hashWeights(docs), k = 40, minMargin = 25L)
     }),
 
+    // the unlabeled-data pipeline off MERGED two-delta states for both
+    // screens — the same add/merge contracts as curation_pipeline_stream
+    // applied to the confident form; oracle shared verbatim
+    "curation_pipeline_confident_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val w = graft.ext.Text.hashWeights(docs)
+      val even = docs.filter(col("doc_id") % 2 <=> 0)
+      val odd = docs.filter(!(col("doc_id") % 2 <=> 0))
+      graft.ext.Corpus.curationPipelineConfidentFromStates(docs,
+        graft.ext.Text.mergeTrigrams(
+          graft.ext.Text.trigramAdd(even), graft.ext.Text.trigramAdd(odd)),
+        graft.ext.Text.mergeMargins(
+          graft.ext.Text.marginAdd(even, w), graft.ext.Text.marginAdd(odd, w)),
+        k = 40, minMargin = 25L)
+    }),
+
     // deterministic, partition-independent train/test assignment
     "corpus_split" -> ((s, dir) =>
       graft.ext.Corpus.hashSplit(Tables(s, dir).documents, "doc_id", 90)
@@ -861,6 +877,20 @@ object ExtRegistry {
         graft.ext.Text.wordFreqAdd(docs.filter(col("doc_id") % 2 <=> 0)),
         graft.ext.Text.wordFreqAdd(docs.filter(!(col("doc_id") % 2 <=> 0))))
       graft.ext.Text.byteBpeTrainMergesFromCounts(state, rounds = 3, batch = 8)
+    }),
+
+    // byte-level train → tokenize → pack: sequence packing by the
+    // REAL byte-BPE token counts — the training-batch assembly tail
+    // for the fourth tokenizer family
+    "byte_bpe_tokenize_pack" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val dd = graft.ext.Text.utf8Dirty(docs)
+      val toks = graft.ext.Text.byteBpeTokenize(
+        graft.ext.Text.byteBpeTrainMerges(dd, rounds = 3, batch = 8), dd)
+      graft.ext.Corpus.packSequencesCounted(
+        toks.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            col("n_tokens").as("token_cnt")))
     }),
 
     // the byte-level dictionary artifact: 256 corpus-FREE byte ids
@@ -4266,6 +4296,31 @@ object ExtRegistry {
 
     "bpe_train_merges_batched" -> bpeTrainMergesBatchedOracle,
 
+    // byte-level tokenize→pack twin: w3's per-word MAPPED-BYTE symbol
+    // counts onto per-doc tf over the dirtied corpus, then the
+    // pack window over those REAL byte-BPE counts
+    "byte_bpe_tokenize_pack" ->
+      s"""WITH $utf8DirtyCte,
+         |${bpeBatchChainCtesFrom(3, 8, byteBpeW0Cte)},
+         |sy AS (SELECT word, CAST(len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS BIGINT) AS syms
+         |       FROM w3),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM dd)
+         |       WHERE word <> '' GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, CAST(sum(tf * syms) AS BIGINT) AS token_cnt
+         |       FROM tf JOIN sy USING (word) GROUP BY 1),
+         |j AS (SELECT d.doc_id, d.source, ag.token_cnt FROM ag JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, shard, token_cnt,
+         |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, source,
+         |         CAST(doc_id // 10000 AS BIGINT) AS shard, token_cnt,
+         |         sum(token_cnt)
+         |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM j)""".stripMargin,
+
     // byte-level BPE trainer twin: the batched chain over the byte w0
     // (UTF-8 decomposition + GPT-2 map as arithmetic) on the dirtied
     // corpus
@@ -4641,6 +4696,7 @@ object ExtRegistry {
     // contractually bit-identical to the single pass — same oracle
     "curation_pipeline_stream" -> curationPipelineOracle,
     "curation_pipeline_confident" -> curationConfidentOracle,
+    "curation_pipeline_confident_stream" -> curationConfidentOracle,
 
     "corpus_split" ->
       """SELECT doc_id,

@@ -1,0 +1,347 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Web-curation operators: URL parsing / canonicalization / dedup /
+  * registered-domain extraction, and HTML boilerplate stripping with a
+  * link-density screen. The reference (dbt-SQL credit marts,
+  * `dbt/credit_mart/models/` SQL) has no web handling — this is the
+  * LLM-pipeline extension layer: every scraped-web corpus (C4,
+  * RefinedWeb, Dolma) dedups by canonical URL, aggregates and screens
+  * by registered domain, and strips markup before any text filter runs.
+  *
+  * Discipline mirrors the codec family: the fixtures are assembled by
+  * pinned arithmetic off `doc_id` (so a DuckDB oracle can state the
+  * EXPECTED components without parsing), while the operators do real
+  * work on the assembled strings — regexp structure extraction for
+  * URLs, a hand-written character state machine for HTML. A parse bug
+  * on either side hash-fails against the generator truth.
+  *
+  * Scale posture: everything here is a narrow per-row transform
+  * (codegen'd regexp / string expressions, or a mapPartitions state
+  * machine) except the dedup/count rollups, which are single
+  * hash-aggregations on the canonical key — no window, no self-join,
+  * no driver state. The blocklist screen is a broadcast join against a
+  * tiny dimension, exactly the shape a 100 TB run wants.
+  */
+object Web {
+
+  // ---------------------------------------------------------------------
+  // URL fixture: four crawl variants of one canonical page per key.
+  // ---------------------------------------------------------------------
+
+  /** Derive a deterministic `url` per document. Four consecutive
+    * doc_ids share a canonical page key `k = doc_id div 4` and carry
+    * four crawl variants of the same page (the real-world re-crawl
+    * mess a URL canonicalizer exists to merge):
+    *
+    *  - v0: the canonical form itself,
+    *  - v1: UPPERCASE scheme+host, an explicit default port (`:443` /
+    *    `:80` — or `:8080`, a REAL port that must survive, when
+    *    k % 7 == 0), and a `#sec<doc_id%7>` fragment,
+    *  - v2: `utm_*` tracking params (decorating the real query, or
+    *    standing alone so the whole query must vanish),
+    *  - v3: a trailing slash and a `#top` fragment.
+    *
+    * Page-key arithmetic (all replayable in SQL): sub = k%4 →
+    * {www., cdn., blog., ∅}; name = (k div 4)%5 → {alpha…echo};
+    * suffix = (k div 20)%6 → {com, org, co.uk, io, ac.uk, net};
+    * scheme = k%2 → {https, http}; path = /p/(k%40); query =
+    * ?ref=(k%3) when k%5 < 2 else none. */
+  def urlTable(documents: DataFrame): DataFrame = {
+    val k = expr("doc_id div 4")
+    val v = expr("doc_id % 4")
+    val sub = element_at(
+      array(lit("www."), lit("cdn."), lit("blog."), lit("")),
+      (k % 4 + 1).cast(IntegerType))
+    val name = element_at(
+      array(lit("alpha"), lit("bravo"), lit("charlie"), lit("delta"), lit("echo")),
+      (expr("(doc_id div 4) div 4") % 5 + 1).cast(IntegerType))
+    val suffix = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("ac.uk"), lit("net")),
+      (expr("(doc_id div 4) div 20") % 6 + 1).cast(IntegerType))
+    val host = concat(sub, name, lit("."), suffix)
+    val scheme = when(k % 2 === 0, lit("https")).otherwise(lit("http"))
+    val path = concat(lit("/p/"), (k % 40).cast(StringType))
+    val ref = (k % 3).cast(StringType)
+    val hasRef = k % 5 < 2
+    val canonQuery = when(hasRef, concat(lit("?ref="), ref)).otherwise(lit(""))
+    val v1Port = when(k % 7 === 0, lit(":8080"))
+      .otherwise(when(k % 2 === 0, lit(":443")).otherwise(lit(":80")))
+    val url = when(v === 0,
+        concat(scheme, lit("://"), host, path, canonQuery))
+      .when(v === 1,
+        concat(upper(scheme), lit("://"), upper(host), v1Port, path, canonQuery,
+          lit("#sec"), (col("doc_id") % 7).cast(StringType)))
+      .when(v === 2,
+        concat(scheme, lit("://"), host, path,
+          when(hasRef, concat(lit("?utm_source=feed&ref="), ref))
+            .otherwise(lit("?utm_campaign=x"))))
+      .otherwise(
+        concat(scheme, lit("://"), host, path, lit("/"), canonQuery, lit("#top")))
+    documents.select(col("doc_id"), url.as("url"))
+  }
+
+  // ---------------------------------------------------------------------
+  // URL structure extraction (RFC-3986 component split, regexp-driven).
+  // ---------------------------------------------------------------------
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Split `url` into scheme / host / port / path / query / fragment
+    * with codegen'd regexps (no UDF). Absent port is -1; absent
+    * query/fragment are empty strings. The oracle states each
+    * component from the GENERATOR arithmetic, so the regexps are under
+    * test, not shared with the oracle. */
+  def urlParse(urls: DataFrame): DataFrame =
+    urls.select(
+      col("doc_id"), col("url"),
+      regexp_extract(col("url"), SchemeRe, 1).as("scheme"),
+      regexp_extract(col("url"), SchemeRe + "([^/:?#]*)", 2).as("host"),
+      when(regexp_extract(col("url"), SchemeRe + "[^/:?#]*:([0-9]+)", 2) === "",
+        lit(-1L))
+        .otherwise(regexp_extract(col("url"), SchemeRe + "[^/:?#]*:([0-9]+)", 2)
+          .cast(LongType)).as("port"),
+      regexp_extract(col("url"), SchemeRe + "[^/?#]*([^?#]*)", 2).as("path"),
+      regexp_extract(col("url"), "\\?([^#]*)", 1).as("query"),
+      regexp_extract(col("url"), "#(.*)", 1).as("fragment"))
+
+  /** Canonicalize: lowercase scheme+host, drop the fragment, drop the
+    * scheme's default port (443/80) but KEEP real ones, drop `utm_*`
+    * query params (dropping `?` when the query empties), and strip one
+    * trailing slash from a non-root path. Normalization is total —
+    * every rule is a pure string/array expression, so the whole thing
+    * stays inside whole-stage codegen. */
+  def urlNormalize(urls: DataFrame): DataFrame = {
+    val parsed = urlParse(urls)
+    val schemeN = lower(col("scheme"))
+    val hostN = lower(col("host"))
+    val portPart = when(col("port") === -1L, lit(""))
+      .when(schemeN === "https" && col("port") === 443L, lit(""))
+      .when(schemeN === "http" && col("port") === 80L, lit(""))
+      .otherwise(concat(lit(":"), col("port").cast(StringType)))
+    val pathN = when(length(col("path")) > 1 && col("path").endsWith("/"),
+        expr("substring(path, 1, length(path) - 1)"))
+      .otherwise(col("path"))
+    val keptQuery = array_join(
+      filter(split(col("query"), "&"),
+        t => !t.startsWith("utm_") && t =!= ""), "&")
+    val queryPart = when(length(keptQuery) > 0, concat(lit("?"), keptQuery))
+      .otherwise(lit(""))
+    parsed.select(
+      col("doc_id"), col("url"),
+      concat(schemeN, lit("://"), hostN, portPart, pathN, queryPart)
+        .as("canon_url"))
+  }
+
+  /** URL-level dedup: group the corpus by canonical URL; survivorship
+    * is the house min-id rule. One hash-aggregation on the canonical
+    * key — map-side combinable, no window. */
+  def urlDupGroups(urls: DataFrame): DataFrame =
+    urlNormalize(urls)
+      .groupBy(col("canon_url"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("survivor"),
+        countDistinct(col("url")).as("n_variants"))
+
+  // ---------------------------------------------------------------------
+  // Registered-domain (eTLD+1) extraction over a pinned mini suffix list.
+  // ---------------------------------------------------------------------
+
+  /** Pinned public-suffix fragment the fixture exercises. A production
+    * run swaps in the full PSL — same longest-match rule. */
+  val MultiLabelSuffixes: Seq[String] = Seq("co.uk", "ac.uk")
+  val SingleLabelSuffixes: Seq[String] = Seq("com", "org", "net", "io", "uk")
+
+  /** eTLD+1 by longest-suffix match: a two-label public suffix claims
+    * the last THREE labels as the registered domain; otherwise the
+    * last two (also the fallback for an unknown TLD, the PSL's own
+    * convention). Pure array expressions over the lowered host. */
+  def registeredDomain(urls: DataFrame): DataFrame = {
+    val hostN = lower(regexp_extract(col("url"), SchemeRe + "([^/:?#]*)", 2))
+    val labels = split(hostN, "\\.")
+    val last1 = element_at(labels, -1)
+    val last2 = concat(element_at(labels, -2), lit("."), last1)
+    val isMulti = last2.isin(MultiLabelSuffixes: _*)
+    urls.select(
+      col("doc_id"),
+      hostN.as("host"),
+      when(isMulti, last2).otherwise(last1).as("suffix"),
+      when(isMulti, concat(element_at(labels, -3), lit("."), last2))
+        .otherwise(last2).as("reg_domain"))
+  }
+
+  /** Per-registered-domain rollup a crawl-health dashboard reads:
+    * documents, distinct canonical pages, distinct hosts. */
+  def domainDocCounts(urls: DataFrame): DataFrame = {
+    val canon = urlNormalize(urls).select(col("doc_id"), col("canon_url"))
+    registeredDomain(urls)
+      .join(canon, Seq("doc_id"))
+      .groupBy(col("reg_domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("canon_url")).as("n_pages"),
+        countDistinct(col("host")).as("n_hosts"))
+  }
+
+  /** Pinned blocklist the screen joins against (a real run feeds a
+    * curated table of spam/SEO domains — the plan shape is the point:
+    * a broadcast join against a tiny dimension, never a giant IN). */
+  val BlockedDomains: Seq[String] = Seq("delta.co.uk", "echo.io", "charlie.net")
+
+  /** Domain blocklist screen: broadcast-join the per-doc registered
+    * domain against the blocklist; `kept` is the keep verdict. */
+  def domainScreen(urls: DataFrame): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val block = broadcast(BlockedDomains.toDF("reg_domain")
+      .withColumn("blocked_flag", lit(1)))
+    registeredDomain(urls)
+      .join(block, Seq("reg_domain"), "left")
+      .select(
+        col("doc_id"), col("reg_domain"),
+        coalesce(col("blocked_flag"), lit(0)).as("blocked"),
+        (lit(1) - coalesce(col("blocked_flag"), lit(0))).as("kept"))
+  }
+
+  // ---------------------------------------------------------------------
+  // HTML fixture + extraction state machine + boilerplate screen.
+  // ---------------------------------------------------------------------
+
+  /** Wrap each document's text in a deterministic HTML page: head with
+    * a `<script>` (whose content a real extractor must DROP), nav
+    * boilerplate with two links, a link farm for doc_id % 7 == 0 (the
+    * SEO page the density screen exists to reject), and an
+    * entity-laden prefix exercising all five decoded entities plus an
+    * unknown one that must stay literal. Pure string concat —
+    * replayable in SQL. */
+  def htmlTable(documents: DataFrame): DataFrame = {
+    val nav = "<nav><a href=\"/\">home</a> " +
+      "<a href=\"/about\">about &amp; contact</a></nav>"
+    val farmItem = "<li><a href=\"/x\">x y z w</a></li>"
+    val farm = "<ul>" + (farmItem * 6) + "</ul>"
+    val ent = "&lt;tag&gt; &amp; &quot;q&quot; &#39;s &nope; "
+    val idStr = col("doc_id").cast(StringType)
+    documents.select(
+      col("doc_id"),
+      concat(
+        lit("<!DOCTYPE html><html><head><title>doc "), idStr,
+        lit("</title><script>var x = 1 < 2;</script></head><body>"),
+        lit(nav),
+        when(col("doc_id") % 7 === 0, lit(farm)).otherwise(lit("")),
+        lit("<h1>doc "), idStr, lit("</h1><p>"),
+        lit(ent), col("text"),
+        lit("</p></body></html>")).as("html"))
+  }
+
+  final case class HtmlDoc(doc_id: Long, html: String)
+  final case class ExtractedDoc(doc_id: Long, title: String, extracted: String,
+      content_chars: Long, anchor_chars: Long, n_links: Long)
+
+  /** Decode one entity reference starting at `&` (bounded lookahead to
+    * `;` within 8 chars); unknown references stay literal. Returns the
+    * decoded char (or 0 for "not an entity") and the consumed length. */
+  private def decodeEntity(s: String, i: Int): (Char, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 8) (' ', 0)
+    else s.substring(i + 1, semi) match {
+      case "lt" => ('<', semi - i + 1)
+      case "gt" => ('>', semi - i + 1)
+      case "quot" => ('"', semi - i + 1)
+      case "#39" => ('\'', semi - i + 1)
+      case "amp" => ('&', semi - i + 1)
+      case _ => (' ', 0)
+    }
+  }
+
+  /** REAL extraction: a single-pass character state machine (the
+    * independent implementation the DuckDB regexp-chain oracle checks
+    * against — the two sides share only the pinned semantics, not
+    * code). Rules: `<script>`/`<style>` elements vanish with their
+    * content; every other tag becomes one space; the five standard
+    * entities decode (unknown ones stay literal); whitespace runs
+    * collapse to single spaces and the result is trimmed. Alongside
+    * the text it counts non-space chars emitted inside `<a>` elements
+    * (`anchor_chars`) and `<a>` openings (`n_links`), and captures the
+    * `<title>` text — everything the boilerplate screen needs in one
+    * narrow pass, no shuffle. */
+  def htmlExtract(pages: Dataset[HtmlDoc]): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions(_.map { p =>
+      val s = p.html
+      val out = new StringBuilder
+      var title = ""
+      var i = 0
+      var anchorDepth = 0
+      var anchorChars = 0L
+      var nLinks = 0L
+      var pendingSpace = false
+      var contentChars = 0L
+
+      def emit(c: Char): Unit = {
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+          if (out.nonEmpty) pendingSpace = true
+        } else {
+          if (pendingSpace) { out.append(' '); pendingSpace = false }
+          out.append(c)
+          contentChars += 1
+          if (anchorDepth > 0) anchorChars += 1
+        }
+      }
+
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '<') {
+          val close = s.indexOf('>', i + 1)
+          require(close > i, s"doc ${p.doc_id}: unterminated tag at char $i")
+          val body = s.substring(i + 1, close)
+          val isClose = body.startsWith("/")
+          val name = (if (isClose) body.substring(1) else body)
+            .takeWhile(ch => ch != ' ' && ch != '/').toLowerCase
+          if (!isClose && (name == "script" || name == "style")) {
+            val end = s.indexOf(s"</$name>", close + 1)
+            require(end >= 0, s"doc ${p.doc_id}: unterminated <$name> element")
+            i = end + name.length + 3
+          } else {
+            if (name == "a") {
+              if (isClose) anchorDepth = math.max(0, anchorDepth - 1)
+              else { anchorDepth += 1; nLinks += 1 }
+            } else if (name == "title" && !isClose && title.isEmpty) {
+              // side read: raw inner text of the first <title> element
+              // (no decode, no collapse); scanning continues normally so
+              // the title text also flows through as page content
+              val end = s.indexOf("</title>", close + 1)
+              require(end >= 0, s"doc ${p.doc_id}: unterminated <title> element")
+              title = s.substring(close + 1, end)
+            }
+            emit(' ')
+            i = close + 1
+          }
+        } else if (c == '&') {
+          val (dec, len) = decodeEntity(s, i)
+          if (len > 0) { emit(dec); i += len }
+          else { emit(c); i += 1 }
+        } else { emit(c); i += 1 }
+      }
+      ExtractedDoc(p.doc_id, title, out.toString,
+        contentChars, anchorChars, nLinks)
+    })
+  }
+
+  /** Readability/jusText-style boilerplate screen over [[htmlExtract]]:
+    * reject link farms (anchor chars > 20% of content chars) and
+    * too-short pages (< 120 content chars). Fractions are one IEEE
+    * divide for display; the verdict compares cross-multiplied
+    * INTEGERS, the house no-float-edge rule. */
+  def boilerplateScreen(pages: Dataset[HtmlDoc]): DataFrame =
+    htmlExtract(pages).toDF().select(
+      col("doc_id"), col("content_chars"), col("anchor_chars"), col("n_links"),
+      (col("anchor_chars").cast(DoubleType) / col("content_chars").cast(DoubleType))
+        .as("link_density"),
+      (col("anchor_chars") * 5 <= col("content_chars") &&
+        col("content_chars") >= 120).cast(IntegerType).as("accepted"))
+}

@@ -1590,6 +1590,70 @@ object ExtRegistry {
       exact.join(broadcast(sk), Seq("event_type"))
         .select(col("event_type"), col("user_id"), col("exact_cnt"),
           CountMinSketch.estimate(col("sketch"), col("user_id"), d, w).as("cms_est"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Web-curation family (ext/Web.scala): URL canonicalization and
+    // HTML boilerplate stripping. Fixtures are pinned arithmetic off
+    // doc_id; the oracles state EXPECTED components from the generator,
+    // so the regexp parse / state machine is what's under test.
+    // ------------------------------------------------------------------
+
+    // RFC-3986 component split over the four-variant crawl fixture:
+    // uppercase scheme+host, explicit default and REAL ports, utm
+    // decorations, fragments, trailing slashes — all must land in the
+    // right component
+    "url_parse" -> ((s, dir) =>
+      graft.ext.Web.urlParse(graft.ext.Web.urlTable(Tables(s, dir).documents))),
+
+    // canonicalization: lowercase scheme/host, default-port and
+    // fragment drop, utm_* strip, trailing-slash strip — four crawl
+    // variants of a page must collapse to ONE canonical string (except
+    // the real :8080, which must survive)
+    "url_normalize" -> ((s, dir) =>
+      graft.ext.Web.urlNormalize(graft.ext.Web.urlTable(Tables(s, dir).documents))),
+
+    // URL-level dedup on the canonical key: min-id survivorship, group
+    // sizes, raw-variant counts — one map-side-combinable aggregation
+    "url_dup_groups" -> ((s, dir) =>
+      graft.ext.Web.urlDupGroups(graft.ext.Web.urlTable(Tables(s, dir).documents))),
+
+    // eTLD+1 via longest public-suffix match (two-label suffixes co.uk
+    // / ac.uk claim three host labels) — the key every domain-level
+    // curation decision groups by
+    "registered_domain" -> ((s, dir) =>
+      graft.ext.Web.registeredDomain(graft.ext.Web.urlTable(Tables(s, dir).documents))),
+
+    // crawl-health rollup: docs / distinct canonical pages / distinct
+    // hosts per registered domain
+    "domain_doc_counts" -> ((s, dir) =>
+      graft.ext.Web.domainDocCounts(graft.ext.Web.urlTable(Tables(s, dir).documents))),
+
+    // the blocklist screen: broadcast join against a tiny curated
+    // domain dimension, keep verdict per doc
+    "domain_screen" -> ((s, dir) =>
+      graft.ext.Web.domainScreen(graft.ext.Web.urlTable(Tables(s, dir).documents))),
+
+    // REAL HTML extraction (single-pass character state machine) vs a
+    // DuckDB regexp-chain oracle — independent implementations of the
+    // pinned semantics: script/style content dropped, tags → space,
+    // five entities decoded (unknown stays literal), whitespace
+    // collapsed, title captured raw
+    "html_extract" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Web.htmlExtract(
+        graft.ext.Web.htmlTable(Tables(s, dir).documents)
+          .as[graft.ext.Web.HtmlDoc]).toDF()
+    }),
+
+    // readability/jusText-style screen over the extraction: link farms
+    // (anchor chars > 20% of content) and too-short pages rejected;
+    // verdict in cross-multiplied integers
+    "boilerplate_screen" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Web.boilerplateScreen(
+        graft.ext.Web.htmlTable(Tables(s, dir).documents)
+          .as[graft.ext.Web.HtmlDoc])
     })
   )
 
@@ -5566,6 +5630,188 @@ object ExtRegistry {
         |  GROUP BY 1, 2)
         |SELECT e.event_type, e.user_id, e.exact_cnt, s.cms_est
         |FROM exact e JOIN est s
-        |  ON e.event_type = s.event_type AND e.user_id = s.user_id""".stripMargin
+        |  ON e.event_type = s.event_type AND e.user_id = s.user_id""".stripMargin,
+
+    // ------------------------------------------------------------------
+    // Web-curation oracles: components and canonical strings stated
+    // from the GENERATOR arithmetic (ext/Web.scala urlTable's pinned
+    // spec), never by re-parsing — a regexp bug on the Spark side
+    // hash-fails here.
+    // ------------------------------------------------------------------
+
+    "url_parse" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, url,
+         |       CASE WHEN v = 1 THEN upper(scheme) ELSE scheme END AS scheme,
+         |       CASE WHEN v = 1 THEN upper(host) ELSE host END AS host,
+         |       CASE WHEN v = 1 THEN CAST(CASE WHEN k % 7 = 0 THEN 8080
+         |                                      WHEN k % 2 = 0 THEN 443
+         |                                      ELSE 80 END AS BIGINT)
+         |            ELSE CAST(-1 AS BIGINT) END AS port,
+         |       CASE WHEN v = 3 THEN path || '/' ELSE path END AS path,
+         |       CASE WHEN v = 2 THEN (CASE WHEN k % 5 < 2
+         |                             THEN 'utm_source=feed&ref=' || CAST(k % 3 AS VARCHAR)
+         |                             ELSE 'utm_campaign=x' END)
+         |            ELSE substr(cq, 2) END AS query,
+         |       CASE WHEN v = 1 THEN 'sec' || CAST(doc_id % 7 AS VARCHAR)
+         |            WHEN v = 3 THEN 'top' ELSE '' END AS fragment
+         |FROM w""".stripMargin,
+
+    "url_normalize" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, url,
+         |       scheme || '://' || host ||
+         |       CASE WHEN v = 1 AND k % 7 = 0 THEN ':8080' ELSE '' END ||
+         |       path || cq AS canon_url
+         |FROM w""".stripMargin,
+
+    "url_dup_groups" ->
+      s"""WITH $urlCtes,
+         |c AS (SELECT doc_id, url,
+         |             scheme || '://' || host ||
+         |             CASE WHEN v = 1 AND k % 7 = 0 THEN ':8080' ELSE '' END ||
+         |             path || cq AS canon_url
+         |      FROM w)
+         |SELECT canon_url, count(*) AS n_docs, min(doc_id) AS survivor,
+         |       CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+         |FROM c GROUP BY 1""".stripMargin,
+
+    "registered_domain" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, host, suf AS suffix, nm || '.' || suf AS reg_domain
+         |FROM w""".stripMargin,
+
+    "domain_doc_counts" ->
+      s"""WITH $urlCtes
+         |SELECT nm || '.' || suf AS reg_domain, count(*) AS n_docs,
+         |       CAST(count(DISTINCT scheme || '://' || host ||
+         |            CASE WHEN v = 1 AND k % 7 = 0 THEN ':8080' ELSE '' END ||
+         |            path || cq) AS BIGINT) AS n_pages,
+         |       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+         |FROM w GROUP BY 1""".stripMargin,
+
+    "domain_screen" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, nm || '.' || suf AS reg_domain,
+         |       CASE WHEN nm || '.' || suf IN ('delta.co.uk', 'echo.io', 'charlie.net')
+         |            THEN 1 ELSE 0 END AS blocked,
+         |       CASE WHEN nm || '.' || suf IN ('delta.co.uk', 'echo.io', 'charlie.net')
+         |            THEN 0 ELSE 1 END AS kept
+         |FROM w""".stripMargin,
+
+    // independent implementation of the pinned extraction semantics:
+    // script elements vanish, tags -> one space, entity replace chain
+    // (amp LAST so nothing double-decodes), collapse + trim; anchor
+    // chars counted on the decoded de-spaced inner texts
+    "html_extract" ->
+      s"""WITH $htmlCte,
+         |x AS (
+         |  SELECT doc_id,
+         |         regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+         |         trim(regexp_replace($htmlDecodeChain, ' +', ' ', 'g')) AS extracted
+         |  FROM h),
+         |a AS (
+         |  SELECT doc_id,
+         |         CAST(sum(length(replace(${htmlEntityChain("t")}, ' ', ''))) AS BIGINT) AS anchor_chars,
+         |         CAST(count(*) AS BIGINT) AS n_links
+         |  FROM (SELECT doc_id,
+         |               unnest(regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1)) AS t
+         |        FROM h) s
+         |  GROUP BY doc_id)
+         |SELECT x.doc_id, x.title, x.extracted,
+         |       CAST(length(replace(x.extracted, ' ', '')) AS BIGINT) AS content_chars,
+         |       coalesce(a.anchor_chars, 0) AS anchor_chars,
+         |       coalesce(a.n_links, 0) AS n_links
+         |FROM x LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    "boilerplate_screen" ->
+      s"""WITH $htmlCte,
+         |x AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace($htmlDecodeChain, ' +', ' ', 'g')) AS extracted
+         |  FROM h),
+         |a AS (
+         |  SELECT doc_id,
+         |         CAST(sum(length(replace(${htmlEntityChain("t")}, ' ', ''))) AS BIGINT) AS anchor_chars,
+         |         CAST(count(*) AS BIGINT) AS n_links
+         |  FROM (SELECT doc_id,
+         |               unnest(regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1)) AS t
+         |        FROM h) s
+         |  GROUP BY doc_id),
+         |j AS (
+         |  SELECT x.doc_id,
+         |         CAST(length(replace(x.extracted, ' ', '')) AS BIGINT) AS content_chars,
+         |         coalesce(a.anchor_chars, 0) AS anchor_chars,
+         |         coalesce(a.n_links, 0) AS n_links
+         |  FROM x LEFT JOIN a USING (doc_id))
+         |SELECT doc_id, content_chars, anchor_chars, n_links,
+         |       CAST(anchor_chars AS DOUBLE) / CAST(content_chars AS DOUBLE) AS link_density,
+         |       CASE WHEN anchor_chars * 5 <= content_chars AND content_chars >= 120
+         |            THEN 1 ELSE 0 END AS accepted
+         |FROM j""".stripMargin
   )
+
+  /** URL-fixture generator replay (ext/Web.scala `urlTable`'s pinned
+    * arithmetic): CTE chain ending in `w` with per-doc page-key fields
+    * (k, v, sub/nm/suf, host, scheme, path, cq, v1port) and the
+    * assembled raw `url`. */
+  private lazy val urlCtes: String =
+    """u AS (
+      |  SELECT doc_id, doc_id // 4 AS k, doc_id % 4 AS v,
+      |         ['www.', 'cdn.', 'blog.', ''][CAST((doc_id // 4) % 4 + 1 AS INTEGER)] AS sub,
+      |         ['alpha', 'bravo', 'charlie', 'delta', 'echo']
+      |           [CAST(((doc_id // 4) // 4) % 5 + 1 AS INTEGER)] AS nm,
+      |         ['com', 'org', 'co.uk', 'io', 'ac.uk', 'net']
+      |           [CAST(((doc_id // 4) // 20) % 6 + 1 AS INTEGER)] AS suf
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, k, v, sub, nm, suf,
+      |         sub || nm || '.' || suf AS host,
+      |         CASE WHEN k % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+      |         '/p/' || CAST(k % 40 AS VARCHAR) AS path,
+      |         CASE WHEN k % 5 < 2 THEN '?ref=' || CAST(k % 3 AS VARCHAR) ELSE '' END AS cq,
+      |         CASE WHEN k % 7 = 0 THEN ':8080'
+      |              WHEN k % 2 = 0 THEN ':443' ELSE ':80' END AS v1port
+      |  FROM u),
+      |w AS (
+      |  SELECT doc_id, k, v, nm, suf, host, scheme, path, cq,
+      |         CASE v
+      |           WHEN 0 THEN scheme || '://' || host || path || cq
+      |           WHEN 1 THEN upper(scheme) || '://' || upper(host) || v1port || path ||
+      |                       cq || '#sec' || CAST(doc_id % 7 AS VARCHAR)
+      |           WHEN 2 THEN scheme || '://' || host || path ||
+      |                       CASE WHEN k % 5 < 2
+      |                            THEN '?utm_source=feed&ref=' || CAST(k % 3 AS VARCHAR)
+      |                            ELSE '?utm_campaign=x' END
+      |           ELSE scheme || '://' || host || path || '/' || cq || '#top'
+      |         END AS url
+      |  FROM b)""".stripMargin
+
+  /** HTML-fixture generator replay (ext/Web.scala `htmlTable`): CTE `h`
+    * with the assembled page per doc. */
+  private lazy val htmlCte: String =
+    """h AS (
+      |  SELECT doc_id,
+      |         '<!DOCTYPE html><html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+      |         '</title><script>var x = 1 < 2;</script></head><body>' ||
+      |         '<nav><a href="/">home</a> <a href="/about">about &amp; contact</a></nav>' ||
+      |         CASE WHEN doc_id % 7 = 0
+      |              THEN '<ul>' || repeat('<li><a href="/x">x y z w</a></li>', 6) || '</ul>'
+      |              ELSE '' END ||
+      |         '<h1>doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+      |         '&lt;tag&gt; &amp; &quot;q&quot; &#39;s &nope; ' || text ||
+      |         '</p></body></html>' AS html
+      |  FROM documents)""".stripMargin
+
+  /** Entity-decode replace chain over expression `e` — order pinned:
+    * lt, gt, quot, #39, then amp LAST (nothing double-decodes). */
+  private def htmlEntityChain(e: String): String =
+    s"replace(replace(replace(replace(replace($e," +
+      " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&')"
+
+  /** Script-drop + tag-strip + entity-decode over the raw page. */
+  private lazy val htmlDecodeChain: String =
+    htmlEntityChain(
+      "regexp_replace(regexp_replace(html, '<script[^>]*>.*?</script>', '', 'g')," +
+        " '<[^>]*>', ' ', 'g')")
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Corpus-assembly operators for a training-data pipeline: deterministic
   * splits and the composed "clean corpus" materialization. */
@@ -514,4 +515,60 @@ object Corpus {
       k: Int = 40, threshold: Long = 0L, trainPct: Int = 90): DataFrame =
     curationPipelineFromStates(documents, Text.trigramAdd(documents),
       Text.marginAdd(documents, weights), k, threshold, trainPct)
+
+  // ---------------------------------------------------------------------
+  // Distribution-drift monitoring (total-variation distance, exact ints).
+  // ---------------------------------------------------------------------
+
+  /** Ingest contract for the drift monitor: per (source, length-bucket),
+    * exact doc counts in the two comparison windows (doc_id parity
+    * stands in for yesterday/today — a production run keys the window
+    * on the partition date). Bucket = min(n_chars div 64, 7): eight
+    * fixed bins, so the state is at most sources·8 rows — bounded
+    * regardless of corpus size, and [[mergeDriftStates]] is plain
+    * integer addition, so deltas ingest in any order or grouping. */
+  def driftAdd(documents: DataFrame): DataFrame =
+    documents.select(col("source"),
+        least(expr("n_chars div 64"), lit(7L)).as("bucket"),
+        (col("doc_id") % 2).as("wnd"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        sum(when(col("wnd") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("wnd") === 1, 1L).otherwise(0L)).as("nb"))
+
+  /** Merge drift-state deltas: exact integer sums per (source, bucket). */
+  def mergeDriftStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+
+  /** Drift report off the maintained state: per source, the
+    * total-variation distance between the two windows' length
+    * distributions — TVD = Σ_b |na_b/NA − nb_b/NB| / 2, carried as the
+    * exact integer numerator Σ_b |na_b·NB − nb_b·NA| over denominator
+    * 2·NA·NB (one IEEE divide for display). The verdict compares
+    * cross-multiplied INTEGERS against the pinned 0.1 threshold
+    * (5·tvd_num > NA·NB), so it never rides a float edge; an empty
+    * window is drift by definition. The monitoring table a production
+    * pipeline materializes per ingest day to catch a source whose
+    * content shifted under it. */
+  def driftReport(state: DataFrame): DataFrame = {
+    val tot = state.groupBy(col("source"))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    state.join(tot, Seq("source"))
+      .groupBy(col("source"), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("na") * col("n_b") - col("nb") * col("n_a"))).as("tvd_num"))
+      .select(col("source"), col("n_a"), col("n_b"), col("tvd_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("tvd_num").cast(DoubleType)
+            / (lit(2L) * col("n_a") * col("n_b")).cast(DoubleType))
+          .otherwise(lit(null).cast(DoubleType)).as("tvd"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(1))
+          .otherwise((col("tvd_num") * 5 > col("n_a") * col("n_b"))
+            .cast(IntegerType)).as("drifted"))
+  }
+
+  /** One-delta composition: the batch drift monitor. */
+  def qualityDriftTvd(documents: DataFrame): DataFrame =
+    driftReport(driftAdd(documents))
 }

@@ -906,6 +906,137 @@ object Multimodal {
     })
   }
 
+  // ---------------------------------------------------------------------
+  // Scene-cut detection over a two-scene fixture.
+  // ---------------------------------------------------------------------
+
+  /** Two-scene Y4M fixture. The [[y4mBytes]] clips carry a CONSTANT
+    * frame-to-frame delta (131 per byte), which makes cut detection
+    * degenerate there (every boundary identical — the round-17 scoping
+    * note). This fixture varies the delta: frame f's byte j is
+    * (id + 3f + [f ≥ c]·101) % 256 with the cut frame c = 1 + id %
+    * (n−1), so within-scene motion is small (delta 3) and the scene
+    * boundary jumps (delta 104) — the shape a frame-difference
+    * detector exists to find. n = 4 + id%4 frames of W=4+id%4,
+    * H=2+id%3, C444. */
+  def encodeSceneVideo(documents: DataFrame): Dataset[EncodedMedia] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      EncodedMedia(id, "y4m", y4mSceneBytes(id))
+    })
+  }
+
+  private[graft] def sceneVideoDims(id: Long): (Int, Int, Int, Int) =
+    ((4 + id % 4).toInt, (2 + id % 3).toInt, (4 + id % 4).toInt,
+      (1 + id % (3 + id % 4)).toInt)
+
+  private[graft] def y4mSceneBytes(id: Long): Array[Byte] = {
+    val (w, h, n, c) = sceneVideoDims(id)
+    val frameBytes = 3 * w * h
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header, 0, header.length)
+    var f = 0
+    while (f < n) {
+      val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(marker, 0, marker.length)
+      val off = 3L * f + (if (f >= c) 101L else 0L)
+      var j = 0
+      while (j < frameBytes) {
+        out.write(((id + off + j) % 256L).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  final case class SceneCuts(doc_id: Long, width: Int, height: Int,
+      n_frames: Long, n_cuts: Long, first_cut: Long, sad_sum: Long)
+
+  /** REAL scene-cut detector: parse the Y4M stream ([[decodeVideo]]'s
+    * header/marker discipline), hold ONE previous-frame buffer, and
+    * score each consecutive frame pair by the sum of circular byte
+    * distances min(|a−b|, 256−|a−b|) — circular because the fixture's
+    * pixel values wrap mod 256, and a detector scoring wrapped deltas
+    * as near-255 jumps would false-cut on smooth gradients. A cut is
+    * declared when the pair's SAD ≥ `thr` per byte (exact integer
+    * compare: sad ≥ thr·frameBytes — never a float edge). Narrow
+    * mapPartitions, one frame of state, no shuffle: at 100 TB this
+    * runs wherever the bytes already live. */
+  def sceneCuts(media: Dataset[EncodedMedia], thr: Int = 20): Dataset[SceneCuts] = {
+    require(thr >= 1, s"per-byte SAD threshold must be positive, got $thr")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      val id = m.doc_id
+      val magic = "YUV4MPEG2"
+      require(bs.length > magic.length &&
+        new String(bs, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
+        s"doc $id: not a YUV4MPEG2 stream")
+      var pos = magic.length
+      var w = -1; var h = -1; var cs = "420"
+      while (pos < bs.length && bs(pos) != '\n') {
+        require(bs(pos) == ' ', s"doc $id: malformed stream header")
+        pos += 1
+        val tag = bs(pos).toChar
+        pos += 1
+        val sb = new StringBuilder
+        while (pos < bs.length && bs(pos) != ' ' && bs(pos) != '\n') {
+          sb.append(bs(pos).toChar); pos += 1
+        }
+        tag match {
+          case 'W' => w = sb.toString.toInt
+          case 'H' => h = sb.toString.toInt
+          case 'C' => cs = sb.toString
+          case _ => ()
+        }
+      }
+      require(pos < bs.length, s"doc $id: header never terminated")
+      pos += 1
+      require(w > 0 && h > 0, s"doc $id: missing or bad dimensions ${w}x$h")
+      require(cs == "444", s"doc $id: unsupported colorspace C$cs (only C444 ships)")
+      val frameBytes = 3 * w * h
+      val prev = new Array[Int](frameBytes)
+      var nFrames = 0L; var nCuts = 0L; var firstCut = -1L; var sadSum = 0L
+      while (pos < bs.length) {
+        val mk = "FRAME"
+        require(pos + mk.length <= bs.length &&
+          new String(bs, pos, mk.length, java.nio.charset.StandardCharsets.US_ASCII) == mk,
+          s"doc $id: expected FRAME marker at byte $pos")
+        pos += mk.length
+        while (pos < bs.length && bs(pos) != '\n') pos += 1
+        require(pos < bs.length, s"doc $id: FRAME marker never terminated")
+        pos += 1
+        require(pos + frameBytes <= bs.length, s"doc $id: truncated frame $nFrames")
+        var sad = 0L
+        var j = 0
+        while (j < frameBytes) {
+          val cur = bs(pos + j) & 0xff
+          if (nFrames > 0) {
+            val ad = math.abs(cur - prev(j))
+            sad += (if (ad > 128) 256 - ad else ad)
+          }
+          prev(j) = cur
+          j += 1
+        }
+        if (nFrames > 0) {
+          sadSum += sad
+          if (sad >= thr.toLong * frameBytes) {
+            nCuts += 1
+            if (firstCut < 0) firstCut = nFrames
+          }
+        }
+        nFrames += 1
+        pos += frameBytes
+      }
+      SceneCuts(id, w, h, nFrames, nCuts, firstCut, sadSum)
+    })
+  }
+
   final case class DecodedAudio(doc_id: Long, channels: Int, sample_rate: Int,
       n_samples: Long, duration_us: Long, sample_sum: Long, rms: Double,
       zero_crossings: Long)

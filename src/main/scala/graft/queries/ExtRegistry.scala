@@ -1654,6 +1654,34 @@ object ExtRegistry {
       graft.ext.Web.boilerplateScreen(
         graft.ext.Web.htmlTable(Tables(s, dir).documents)
           .as[graft.ext.Web.HtmlDoc])
+    }),
+
+    // REAL scene-cut detection: parse a two-scene Y4M fixture (small
+    // within-scene motion, one designed jump), score consecutive frame
+    // pairs by circular byte SAD, declare cuts on the pinned per-byte
+    // threshold. The oracle replays every frame byte from the generator
+    // arithmetic — a parser off-by-one or a wrap-handling bug
+    // hash-fails. Closes the round-17 scoping note (the original Y4M
+    // fixture's constant deltas made cut detection degenerate)
+    "video_scene_cuts" -> ((s, dir) =>
+      graft.ext.Multimodal.sceneCuts(
+        graft.ext.Multimodal.encodeSceneVideo(Tables(s, dir).documents)).toDF()),
+
+    // per-source distribution-drift monitor: total-variation distance
+    // between the two windows' length-bucket distributions, exact
+    // integer numerator, cross-multiplied verdict vs the pinned 0.1
+    "quality_drift_tvd" -> ((s, dir) =>
+      graft.ext.Corpus.qualityDriftTvd(Tables(s, dir).documents)),
+
+    // the drift monitor's ingest contract: three deltas added
+    // separately, merged, then reported — must be bit-identical to the
+    // one-delta batch twin (same oracle)
+    "quality_drift_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val deltas = (0 to 2).map(i =>
+        graft.ext.Corpus.driftAdd(docs.filter(col("doc_id") % 3 === i)))
+      graft.ext.Corpus.driftReport(
+        graft.ext.Corpus.mergeDriftStates(deltas: _*))
     })
   )
 
@@ -5748,8 +5776,72 @@ object ExtRegistry {
          |       CAST(anchor_chars AS DOUBLE) / CAST(content_chars AS DOUBLE) AS link_density,
          |       CASE WHEN anchor_chars * 5 <= content_chars AND content_chars >= 120
          |            THEN 1 ELSE 0 END AS accepted
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+
+    // frame-byte replay of the two-scene fixture (ext/Multimodal
+    // y4mSceneBytes): byte(f, j) = (id + 3f + [f >= c]*101) % 256,
+    // circular distance to frame f-1, cut when SAD >= 20 * frameBytes
+    "video_scene_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 4 AS INTEGER) AS w,
+        |         CAST(2 + doc_id % 3 AS INTEGER) AS h,
+        |         CAST(4 + doc_id % 4 AS BIGINT) AS n,
+        |         1 + doc_id % (3 + doc_id % 4) AS c
+        |  FROM documents),
+        |mm AS (SELECT doc_id, w, h, n, c, CAST(3 * w * h AS BIGINT) AS fb FROM m),
+        |fj AS (
+        |  SELECT doc_id, n, c, fb, f.f, j.j
+        |  FROM mm
+        |  JOIN (SELECT unnest(generate_series(1, 6)) AS f) f ON f.f < n
+        |  JOIN (SELECT unnest(generate_series(0, 83)) AS j) j ON j.j < fb),
+        |d AS (
+        |  SELECT doc_id, n, c, fb, f,
+        |         abs(CAST((doc_id + 3 * f + CASE WHEN f >= c THEN 101 ELSE 0 END + j)
+        |                  % 256 AS BIGINT)
+        |           - CAST((doc_id + 3 * (f - 1) + CASE WHEN f - 1 >= c THEN 101 ELSE 0 END + j)
+        |                  % 256 AS BIGINT)) AS ad
+        |  FROM fj),
+        |sads AS (
+        |  SELECT doc_id, f, fb,
+        |         sum(CASE WHEN ad > 128 THEN 256 - ad ELSE ad END) AS sad
+        |  FROM d GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN sad >= 20 * fb THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |         CAST(coalesce(min(CASE WHEN sad >= 20 * fb THEN f END), -1) AS BIGINT) AS first_cut,
+        |         CAST(sum(sad) AS BIGINT) AS sad_sum
+        |  FROM sads GROUP BY 1)
+        |SELECT m.doc_id, m.w AS width, m.h AS height, m.n AS n_frames,
+        |       a.n_cuts, a.first_cut, a.sad_sum
+        |FROM mm m JOIN agg a USING (doc_id)""".stripMargin,
+
+    "quality_drift_tvd" -> driftTvdOracle,
+    "quality_drift_stream" -> driftTvdOracle
   )
+
+  /** Drift-monitor oracle (shared by the batch and stream twins — the
+    * add/merge contract makes them bit-identical): exact per-(source,
+    * bucket, window) counts, TVD numerator as integer cross products,
+    * verdict by cross-multiplication vs the pinned 0.1 threshold. */
+  private lazy val driftTvdOracle: String =
+    """WITH b AS (
+      |  SELECT source, least(n_chars // 64, 7) AS bucket,
+      |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT source, sum(na) AS n_a, sum(nb) AS n_b FROM b GROUP BY 1),
+      |x AS (
+      |  SELECT b.source, t.n_a, t.n_b,
+      |         CAST(sum(abs(b.na * t.n_b - b.nb * t.n_a)) AS BIGINT) AS tvd_num
+      |  FROM b JOIN t USING (source) GROUP BY 1, 2, 3)
+      |SELECT source, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, tvd_num,
+      |       CASE WHEN n_a > 0 AND n_b > 0
+      |            THEN CAST(tvd_num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE)
+      |            ELSE NULL END AS tvd,
+      |       CASE WHEN n_a = 0 OR n_b = 0 THEN 1
+      |            WHEN tvd_num * 5 > n_a * n_b THEN 1 ELSE 0 END AS drifted
+      |FROM x""".stripMargin
 
   /** URL-fixture generator replay (ext/Web.scala `urlTable`'s pinned
     * arithmetic): CTE chain ending in `w` with per-doc page-key fields

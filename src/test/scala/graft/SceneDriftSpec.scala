@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Corpus, Multimodal}
+
+/** Specs for the scene-cut detector (two-scene Y4M fixture) and the
+  * TVD drift monitor's add/merge contract and verdict edges. */
+class SceneDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sceneCuts: exactly one cut, at the designed scene boundary") {
+    val ids = (0L until 24L).toDF("doc_id")
+    val out = Multimodal.sceneCuts(Multimodal.encodeSceneVideo(ids))
+      .collect().map(r => r.doc_id -> r).toMap
+    (0L until 24L).foreach { id =>
+      val (w, h, n, c) = Multimodal.sceneVideoDims(id)
+      val r = out(id)
+      assert(r.width == w && r.height == h && r.n_frames == n.toLong)
+      assert(r.n_cuts == 1L, s"doc $id: expected 1 cut, got ${r.n_cuts}")
+      assert(r.first_cut == c.toLong, s"doc $id: cut at ${r.first_cut}, designed $c")
+    }
+  }
+
+  test("sceneCuts: within-scene SAD stays under threshold even across byte wrap") {
+    // doc 252: first-frame bytes start at 252 and wrap mod 256 within
+    // the frame; circular distance keeps the within-scene step at 3
+    // per byte — a plain-abs scorer would see 253s and false-cut
+    val out = Multimodal.sceneCuts(Multimodal.encodeSceneVideo(
+      Seq(252L).toDF("doc_id"))).collect().head
+    assert(out.n_cuts == 1L)
+    val (w, h, n, _) = Multimodal.sceneVideoDims(252L)
+    val fb = 3L * w * h
+    // sad_sum = (n-2 within-scene pairs) * 3 * fb + one cut pair * 104 * fb
+    assert(out.sad_sum == (n - 2) * 3 * fb + 104 * fb)
+  }
+
+  test("sceneCuts: truncated frame fails loud by name") {
+    val bad = Multimodal.y4mSceneBytes(5L).dropRight(3)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sceneCuts(Seq(Multimodal.EncodedMedia(5L, "y4m", bad)).toDS())
+        .collect()
+    }
+    assert(e.getMessage.contains("truncated frame") ||
+      e.getCause != null && e.getCause.getMessage.contains("truncated frame"))
+  }
+
+  test("driftAdd/merge: three deltas merge to the one-delta state exactly") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"src${i % 4}", (i * 37 % 500 + 40).toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val whole = Corpus.driftAdd(docs)
+    val merged = Corpus.mergeDriftStates(
+      (0 to 2).map(k => Corpus.driftAdd(docs.filter(col("doc_id") % 3 === k))): _*)
+    assert(merged.unionByName(whole).distinct().count() == whole.count())
+  }
+
+  test("driftReport: identical windows score zero TVD, shifted windows drift") {
+    // same: every bucket has na == nb -> tvd_num 0, not drifted
+    val same = Seq(("s", 0L, 5L, 5L), ("s", 1L, 7L, 7L))
+      .toDF("source", "bucket", "na", "nb")
+    val r1 = Corpus.driftReport(same).collect().head
+    assert(r1.getAs[Long]("tvd_num") == 0L && r1.getAs[Int]("drifted") == 0)
+    assert(r1.getAs[Double]("tvd") == 0.0)
+    // disjoint buckets: TVD = 1, drifted
+    val disjoint = Seq(("s", 0L, 10L, 0L), ("s", 1L, 0L, 10L))
+      .toDF("source", "bucket", "na", "nb")
+    val r2 = Corpus.driftReport(disjoint).collect().head
+    assert(r2.getAs[Double]("tvd") == 1.0 && r2.getAs[Int]("drifted") == 1)
+  }
+
+  test("driftReport: an empty window is drift by definition, tvd null") {
+    val empty = Seq(("s", 0L, 10L, 0L), ("s", 1L, 4L, 0L))
+      .toDF("source", "bucket", "na", "nb")
+    val r = Corpus.driftReport(empty).collect().head
+    assert(r.getAs[Int]("drifted") == 1)
+    assert(r.isNullAt(r.fieldIndex("tvd")))
+  }
+
+  test("driftReport: verdict sits on the exact cross-multiplied threshold") {
+    // tvd = tvd_num / (2*NA*NB); threshold 0.1 <=> 5*tvd_num > NA*NB.
+    // NA=NB=10: tvd_num = 20 -> tvd exactly 0.1 -> NOT drifted (strict >)
+    val edge = Seq(("s", 0L, 10L, 0L), ("s", 1L, 0L, 10L))
+      .toDF("source", "bucket", "na", "nb")
+    // that's tvd 1.0; build the exact edge instead: na=(6,4), nb=(4,6)
+    val e2 = Seq(("s", 0L, 6L, 4L), ("s", 1L, 4L, 6L))
+      .toDF("source", "bucket", "na", "nb")
+    // tvd_num = |6*10-4*10| + |4*10-6*10| = 40; 5*40=200 > 100 -> drifted
+    val r = Corpus.driftReport(e2).collect().head
+    assert(r.getAs[Long]("tvd_num") == 40L && r.getAs[Int]("drifted") == 1)
+    val r0 = Corpus.driftReport(edge).collect().head
+    assert(r0.getAs[Int]("drifted") == 1)
+  }
+}

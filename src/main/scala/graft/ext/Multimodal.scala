@@ -1037,6 +1037,114 @@ object Multimodal {
     })
   }
 
+  // ---------------------------------------------------------------------
+  // Video-level dedup: frame-sampled fingerprints.
+  // ---------------------------------------------------------------------
+
+  /** Fingerprint moduli and frame-position weight. The frame hash is
+    * reduced mod 2^20 before combining, the combine runs mod 2^40, so
+    * every intermediate — (fh % 2^20) · (pow < 2^40) < 2^60, plus an
+    * accumulator < 2^40 — fits a signed 64-bit value for ANY input
+    * (production-size frames included), and the SQL oracle replays the
+    * arithmetic with no overflow on either engine. */
+  private[graft] val FpMod: Long = 1L << 40
+  private[graft] val FhMod: Long = 1L << 20
+  private[graft] val FpWeight: Long = 1000003L
+
+  /** W^idx % 2^40 for sampled-frame position idx (idx ≤ 3 at the
+    * fixture's ≤ 7 frames / stride 2). */
+  private[graft] def fpPow(idx: Int): Long = {
+    var p = 1L; var i = 0
+    while (i < idx) { p = (p * FpWeight) % FpMod; i += 1 }
+    p
+  }
+
+  final case class VideoFingerprint(doc_id: Long, width: Int, height: Int,
+      n_frames: Long, sampled_frames: Long, fingerprint: Long)
+
+  /** Frame-sampled video fingerprint: parse the Y4M stream, hash every
+    * `stride`-th frame by a position-weighted byte sum (order-sensitive
+    * inside the frame), and combine the sampled hashes
+    * position-weighted across frames — the clip-level signature a
+    * video dedup keys on, robust to how the clip is CONTAINERIZED
+    * (only pixel bytes feed the hash) while exact on content. Narrow
+    * mapPartitions, no shuffle; at production scale this is the only
+    * full read the dedup needs, and the downstream group-by carries
+    * 8-byte keys, never pixel data. */
+  def videoFingerprints(media: Dataset[EncodedMedia], stride: Int = 2): Dataset[VideoFingerprint] = {
+    require(stride >= 1, s"stride must be positive, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      val id = m.doc_id
+      val magic = "YUV4MPEG2"
+      require(bs.length > magic.length &&
+        new String(bs, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
+        s"doc $id: not a YUV4MPEG2 stream")
+      var pos = magic.length
+      var w = -1; var h = -1; var cs = "420"
+      while (pos < bs.length && bs(pos) != '\n') {
+        require(bs(pos) == ' ', s"doc $id: malformed stream header")
+        pos += 1
+        val tag = bs(pos).toChar
+        pos += 1
+        val sb = new StringBuilder
+        while (pos < bs.length && bs(pos) != ' ' && bs(pos) != '\n') {
+          sb.append(bs(pos).toChar); pos += 1
+        }
+        tag match {
+          case 'W' => w = sb.toString.toInt
+          case 'H' => h = sb.toString.toInt
+          case 'C' => cs = sb.toString
+          case _ => ()
+        }
+      }
+      require(pos < bs.length, s"doc $id: header never terminated")
+      pos += 1
+      require(w > 0 && h > 0, s"doc $id: missing or bad dimensions ${w}x$h")
+      require(cs == "444", s"doc $id: unsupported colorspace C$cs (only C444 ships)")
+      val frameBytes = 3 * w * h
+      var nFrames = 0L; var sampled = 0L; var fp = 0L
+      while (pos < bs.length) {
+        val mk = "FRAME"
+        require(pos + mk.length <= bs.length &&
+          new String(bs, pos, mk.length, java.nio.charset.StandardCharsets.US_ASCII) == mk,
+          s"doc $id: expected FRAME marker at byte $pos")
+        pos += mk.length
+        while (pos < bs.length && bs(pos) != '\n') pos += 1
+        require(pos < bs.length, s"doc $id: FRAME marker never terminated")
+        pos += 1
+        require(pos + frameBytes <= bs.length, s"doc $id: truncated frame $nFrames")
+        if (nFrames % stride == 0) {
+          var fh = 0L
+          var j = 0
+          while (j < frameBytes) {
+            fh = (fh + (bs(pos + j) & 0xff).toLong * (j + 1)) % FpMod
+            j += 1
+          }
+          fp = (fp + (fh % FhMod) * fpPow(sampled.toInt)) % FpMod
+          sampled += 1
+        }
+        nFrames += 1
+        pos += frameBytes
+      }
+      VideoFingerprint(id, w, h, nFrames, sampled, fp)
+    })
+  }
+
+  /** Duplicate-video groups by exact fingerprint — [[phashDupGroups]]'
+    * discipline on the video modality: one hash-keyed aggregation over
+    * 8-byte keys, members sorted for a deterministic group row, only
+    * groups with ≥ 2 members survive. */
+  def videoDupGroups(media: Dataset[EncodedMedia], stride: Int = 2): DataFrame =
+    videoFingerprints(media, stride).toDF()
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          d => d.cast("string")), ",").as("doc_ids"))
+      .filter(col("n_docs") >= 2)
+
   final case class DecodedAudio(doc_id: Long, channels: Int, sample_rate: Int,
       n_samples: Long, duration_us: Long, sample_sum: Long, rms: Double,
       zero_crossings: Long)

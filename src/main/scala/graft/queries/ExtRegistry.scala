@@ -1682,6 +1682,21 @@ object ExtRegistry {
         graft.ext.Corpus.driftAdd(docs.filter(col("doc_id") % 3 === i)))
       graft.ext.Corpus.driftReport(
         graft.ext.Corpus.mergeDriftStates(deltas: _*))
+    }),
+
+    // duplicate-VIDEO groups over a re-upload fixture (image_phash_dups'
+    // discipline on the third modality): every Y4M clip also arrives
+    // under a second doc id with bytes unchanged; the clip signature is
+    // a frame-sampled position-weighted hash computed from the REAL
+    // parsed frames, so each group must contain exactly its two ids
+    // plus any true formula collisions — the oracle recomputes every
+    // fingerprint from the generator arithmetic and groups
+    "video_dup_groups" -> ((s, dir) => {
+      val media = graft.ext.Multimodal.encodeVideo(Tables(s, dir).documents)
+      val reupload = media.map(m =>
+        graft.ext.Multimodal.EncodedMedia(m.doc_id + 1000000L, m.fmt, m.bytes))(
+        org.apache.spark.sql.Encoders.product[graft.ext.Multimodal.EncodedMedia])
+      graft.ext.Multimodal.videoDupGroups(media.unionByName(reupload))
     })
   )
 
@@ -5817,7 +5832,44 @@ object ExtRegistry {
         |FROM mm m JOIN agg a USING (doc_id)""".stripMargin,
 
     "quality_drift_tvd" -> driftTvdOracle,
-    "quality_drift_stream" -> driftTvdOracle
+    "quality_drift_stream" -> driftTvdOracle,
+
+    // fingerprint replay over the re-upload union: byte(f, j) =
+    // (base + 131f + j) % 256 (ext/Multimodal y4mBytes), frame hash =
+    // position-weighted byte sum mod 2^20, clip fingerprint = sampled
+    // frames combined by 1000003^idx mod 2^40 (powers inlined — the
+    // Spark side derives them from FpWeight/FpMod at runtime)
+    "video_dup_groups" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS base FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents),
+        |m AS (
+        |  SELECT doc_id, base,
+        |         CAST(4 + base % 4 AS BIGINT) AS w,
+        |         CAST(2 + base % 3 AS BIGINT) AS h,
+        |         CAST(3 + base % 5 AS BIGINT) AS n
+        |  FROM ids),
+        |fj AS (
+        |  SELECT doc_id, base, n, 3 * w * h AS fb, f.f, j.j
+        |  FROM m
+        |  JOIN (SELECT unnest(generate_series(0, 6, 2)) AS f) f ON f.f < n
+        |  JOIN (SELECT unnest(generate_series(0, 83)) AS j) j ON j.j < 3 * w * h),
+        |fh AS (
+        |  SELECT doc_id, f,
+        |         sum(((base + f * 131 + j) % 256) * (j + 1)) % 1048576 AS fh
+        |  FROM fj GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(fh * CASE f WHEN 0 THEN 1
+        |                              WHEN 2 THEN 1000003
+        |                              WHEN 4 THEN 1000006000009
+        |                              ELSE 975541472475 END)
+        |              % 1099511627776 AS BIGINT) AS fingerprint
+        |  FROM fh GROUP BY 1)
+        |SELECT fingerprint, count(*) AS n_docs,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM fp GROUP BY 1 HAVING count(*) >= 2""".stripMargin
   )
 
   /** Drift-monitor oracle (shared by the batch and stream twins — the

@@ -77,6 +77,30 @@ class SceneDriftSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("tvd")))
   }
 
+  test("videoFingerprints: byte-identical re-uploads share the fingerprint, distinct clips differ") {
+    val ids = (0L until 16L).toDF("doc_id")
+    val media = Multimodal.encodeVideo(ids)
+    val copies = media.map(m =>
+      Multimodal.EncodedMedia(m.doc_id + 100L, m.fmt, m.bytes))(
+      org.apache.spark.sql.Encoders.product[Multimodal.EncodedMedia])
+    val fp = Multimodal.videoFingerprints(media.unionByName(copies))
+      .collect().map(v => v.doc_id -> v.fingerprint).toMap
+    (0L until 16L).foreach { id =>
+      assert(fp(id) == fp(id + 100L), s"copy of $id diverged")
+    }
+    // ids 0 and 1 have different dims and bytes: fingerprints differ
+    assert(fp(0L) != fp(1L))
+  }
+
+  test("videoFingerprints: stride changes which frames feed the signature") {
+    val one = Multimodal.encodeVideo(Seq(9L).toDF("doc_id"))
+    val s1 = Multimodal.videoFingerprints(one, stride = 1).collect().head
+    val s2 = Multimodal.videoFingerprints(one, stride = 2).collect().head
+    assert(s1.sampled_frames == s1.n_frames)
+    assert(s2.sampled_frames == (s2.n_frames + 1) / 2)
+    assert(s1.fingerprint != s2.fingerprint)
+  }
+
   test("driftReport: verdict sits on the exact cross-multiplied threshold") {
     // tvd = tvd_num / (2*NA*NB); threshold 0.1 <=> 5*tvd_num > NA*NB.
     // NA=NB=10: tvd_num = 20 -> tvd exactly 0.1 -> NOT drifted (strict >)

@@ -465,7 +465,54 @@ object ScaleProof {
     ("embeddings->semanticDedup", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
       (s: SparkSession, f: Int) =>
         graft.ext.Cluster.semanticDedup(synthEmbeddings(s, 500L * f), k = 8, iters = 2,
-          threshold = 0.30, maxCluster = 1024)))
+          threshold = 0.30, maxCluster = 1024)),
+    // URL dedup: fixture assembly + parse + normalize are one codegen'd
+    // projection, then the pre-partitioned nested aggregation — the
+    // gate proves the whole canonicalize→group path holds ONE exchange
+    // and flat heap while the crawl grows 100×.
+    ("urls->urlDupGroups", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Web.urlDupGroups(graft.ext.Web.urlTable(
+          s.range(500L * f).select(col("id").as("doc_id"))))),
+    // HTML extraction + boilerplate screen: the state machine is a
+    // narrow object pipeline (zero exchanges by construction — the
+    // gate measures it), heavy pages never shuffle.
+    ("docs->boilerplateScreen", Map.empty[String, String],
+      (s: SparkSession, f: Int) => {
+        import s.implicits._
+        graft.ext.Web.boilerplateScreen(
+          graft.ext.Web.htmlTable(synthDocs(s, 500L * f))
+            .as[graft.ext.Web.HtmlDoc])
+      }),
+    // video dedup over a re-upload union: Y4M parse + frame-sampled
+    // fingerprint are a narrow map, then one hash-keyed group — the
+    // video analogue of phashDupGroups' one-exchange claim.
+    ("media->videoDupGroups", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) => {
+        val media = graft.ext.Multimodal.encodeVideo(
+          s.range(500L * f).select(col("id").as("doc_id")))
+        val re = media.map(m => graft.ext.Multimodal.EncodedMedia(
+          m.doc_id + 10000000L, m.fmt, m.bytes))(
+          org.apache.spark.sql.Encoders.product[graft.ext.Multimodal.EncodedMedia])
+        graft.ext.Multimodal.videoDupGroups(media.unionByName(re))
+      }),
+    // scene-cut detection: stream parse with ONE frame of state per
+    // clip, no shuffle anywhere — flat heap and zero exchanges while
+    // the video corpus grows 100×.
+    ("media->sceneCuts", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Multimodal.sceneCuts(graft.ext.Multimodal.encodeSceneVideo(
+          s.range(500L * f).select(col("id").as("doc_id")))).toDF()),
+    // drift monitor: the corpus-sized pass is the bucket count; the
+    // report folds the ≤ 8 cells per source inside the SAME
+    // aggregation (no join-back, no second scan — PlanSpec pins it),
+    // so state and output stay sources-bounded at any corpus size.
+    ("docs->qualityDrift", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Corpus.qualityDriftTvd(
+          s.range(500L * f).select(col("id").as("doc_id"),
+            concat(lit("s"), (col("id") % 20).cast("string")).as("source"),
+            (lit(40L) + col("id") * 37 % 500).as("n_chars")))))
 
   /** Successful tasks' (stageId, durationMs, shuffleReadRecords,
     * shuffleWriteBytes), drained from the async listener bus before

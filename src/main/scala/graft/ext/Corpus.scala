@@ -552,12 +552,21 @@ object Corpus {
     * window is drift by definition. The monitoring table a production
     * pipeline materializes per ingest day to catch a source whose
     * content shifted under it. */
-  def driftReport(state: DataFrame): DataFrame = {
-    val tot = state.groupBy(col("source"))
-      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
-    state.join(tot, Seq("source"))
-      .groupBy(col("source"), col("n_a"), col("n_b"))
-      .agg(sum(abs(col("na") * col("n_b") - col("nb") * col("n_a"))).as("tvd_num"))
+  def driftReport(state: DataFrame): DataFrame =
+    state.groupBy(col("source"))
+      .agg(
+        sum(col("na")).as("n_a"),
+        sum(col("nb")).as("n_b"),
+        collect_list(struct(col("na"), col("nb"))).as("cells"))
+      // the per-bucket |na·NB − nb·NA| needs the totals, so a join-back
+      // would re-scan the state (and, composed over raw docs, re-scan
+      // the CORPUS — the PlanSpec pin caught exactly that); instead the
+      // ≤ 8 bucket cells ride the single aggregation as a bounded list
+      // and fold here, order-independent exact integers
+      .select(col("source"), col("n_a"), col("n_b"),
+        aggregate(col("cells"), lit(0L),
+          (acc, c) => acc + abs(c.getField("na") * col("n_b")
+            - c.getField("nb") * col("n_a"))).as("tvd_num"))
       .select(col("source"), col("n_a"), col("n_b"), col("tvd_num"),
         when(col("n_a") > 0 && col("n_b") > 0,
           col("tvd_num").cast(DoubleType)
@@ -566,7 +575,6 @@ object Corpus {
         when(col("n_a") === 0 || col("n_b") === 0, lit(1))
           .otherwise((col("tvd_num") * 5 > col("n_a") * col("n_b"))
             .cast(IntegerType)).as("drifted"))
-  }
 
   /** One-delta composition: the batch drift monitor. */
   def qualityDriftTvd(documents: DataFrame): DataFrame =

@@ -137,15 +137,22 @@ object Web {
   }
 
   /** URL-level dedup: group the corpus by canonical URL; survivorship
-    * is the house min-id rule. One hash-aggregation on the canonical
-    * key — map-side combinable, no window. */
+    * is the house min-id rule. ONE shuffle: a naive
+    * `countDistinct(url)` plans the two-exchange distinct rewrite, so
+    * this pre-partitions on the canonical key and lets both nested
+    * aggregations (per-variant, then per-page) reuse that
+    * partitioning — the PlanSpec pin holds the plan to one exchange.
+    * Per-key variant counts are bounded by true duplication. */
   def urlDupGroups(urls: DataFrame): DataFrame =
     urlNormalize(urls)
+      .repartition(col("canon_url"))
+      .groupBy(col("canon_url"), col("url"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("m"))
       .groupBy(col("canon_url"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        min(col("doc_id")).as("survivor"),
-        countDistinct(col("url")).as("n_variants"))
+        sum(col("n")).as("n_docs"),
+        min(col("m")).as("survivor"),
+        count(lit(1)).as("n_variants"))
 
   // ---------------------------------------------------------------------
   // Registered-domain (eTLD+1) extraction over a pinned mini suffix list.

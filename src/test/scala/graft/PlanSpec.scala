@@ -650,4 +650,64 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"profile/weight probes expected as broadcast hash joins in:\n$plan")
   }
+
+  test("url normalize is pure codegen'd expressions — no exchange, no UDF, doc_id-only scan base") {
+    val df = graft.ext.Web.urlNormalize(graft.ext.Web.urlTable(tables.documents))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SerializeFromObject"),
+      s"normalization left whole-stage codegen:\n$plan")
+    val scan = scans(df).head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("url dedup groups in ONE hash exchange (map-side combinable agg, no window)") {
+    val df = graft.ext.Web.urlDupGroups(graft.ext.Web.urlTable(tables.documents))
+    val plan = df.queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 1, s"urlDupGroups planned $ex hash exchanges, want 1 in:\n$plan")
+    assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
+  }
+
+  test("domain blocklist screen probes as a broadcast hash join — never shuffles the corpus") {
+    val df = graft.ext.Web.domainScreen(graft.ext.Web.urlTable(tables.documents))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist expected as a broadcast hash join in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus-side shuffle for a tiny dimension in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("html extraction / scene cuts / video fingerprints are narrow object pipelines") {
+    import spark.implicits._
+    val docs = tables.documents
+    Seq(
+      graft.ext.Web.htmlExtract(
+        graft.ext.Web.htmlTable(docs).as[graft.ext.Web.HtmlDoc]).toDF(),
+      graft.ext.Multimodal.sceneCuts(
+        graft.ext.Multimodal.encodeSceneVideo(docs)).toDF(),
+      graft.ext.Multimodal.videoFingerprints(
+        graft.ext.Multimodal.encodeVideo(docs)).toDF()
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      // heavy payloads decode where they live: no exchange anywhere
+      assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+    }
+  }
+
+  test("drift monitor: two keyed aggs + a broadcastable total join, no window, bounded state") {
+    val df = graft.ext.Corpus.qualityDriftTvd(tables.documents)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the totals and the per-bucket cells come out of ONE aggregation
+    // (a totals join-back would recompute the state lineage and re-scan
+    // the CORPUS — the original shape of this operator, caught here):
+    // exactly one scan may feed the plan (string-counted: the scan sits
+    // under the AQE node, invisible to executedPlan.collect)
+    val nScans = "FileScan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"drift monitor re-scans the corpus ($nScans scans):\n$plan")
+  }
 }

@@ -154,6 +154,34 @@ object Web {
         min(col("m")).as("survivor"),
         count(lit(1)).as("n_variants"))
 
+  /** Ingest contract for URL dedup: one delta's per-(canonical, raw)
+    * counts and min-id. [[mergeUrlStates]] is plain (sum, min) — order-
+    * free and exact even when a page's crawls split across deltas —
+    * and [[urlDupGroupsFromState]] reads any merged ingest
+    * bit-identically to the batch [[urlDupGroups]]. State is one row
+    * per observed raw variant, bounded by true crawl diversity. */
+  def urlDedupAdd(urls: DataFrame): DataFrame =
+    urlNormalize(urls)
+      .groupBy(col("canon_url"), col("url"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("m"))
+
+  /** Exact merge of [[urlDedupAdd]] states: per-variant integer sums
+    * and min survivorship. */
+  def mergeUrlStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("canon_url"), col("url"))
+      .agg(sum(col("n")).as("n"), min(col("m")).as("m"))
+
+  /** Group read off a maintained state — the second level of
+    * [[urlDupGroups]]' nested aggregation, so batch ≡ FromState(Add)
+    * by construction. */
+  def urlDupGroupsFromState(state: DataFrame): DataFrame =
+    state.groupBy(col("canon_url"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        min(col("m")).as("survivor"),
+        count(lit(1)).as("n_variants"))
+
   // ---------------------------------------------------------------------
   // Registered-domain (eTLD+1) extraction over a pinned mini suffix list.
   // ---------------------------------------------------------------------
@@ -212,6 +240,32 @@ object Web {
         col("doc_id"), col("reg_domain"),
         coalesce(col("blocked_flag"), lit(0)).as("blocked"),
         (lit(1) - coalesce(col("blocked_flag"), lit(0))).as("kept"))
+  }
+
+  /** Domain-reputation screen: aggregate a per-doc quality margin to
+    * the registered domain and keep docs whose DOMAIN averages at or
+    * above the threshold (RefinedWeb's move — reputation is a domain
+    * property, so one spammy page taints its siblings and one good
+    * page on a content farm doesn't rescue it). The verdict compares
+    * cross-multiplied integers (domain_margin ≥ thr·domain_docs, both
+    * exact int64 sums); the per-doc rows are localCheckpointed so the
+    * rollup and the join-back read ONE materialization instead of
+    * recomputing the margin join twice (the drift monitor's lesson). */
+  def domainReputationScreen(urls: DataFrame, margins: DataFrame,
+      thr: Long = 0L): DataFrame = {
+    val scored = registeredDomain(urls)
+      .select(col("doc_id"), col("reg_domain"))
+      .join(margins.select(col("doc_id"), col("margin")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("reg_domain"),
+        coalesce(col("margin"), lit(0L)).as("margin"))
+      .localCheckpoint(false)
+    val rep = scored.groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("domain_docs"), sum(col("margin")).as("domain_margin"))
+    scored.join(broadcast(rep), Seq("reg_domain"))
+      .select(col("doc_id"), col("reg_domain"), col("margin"),
+        col("domain_docs"), col("domain_margin"),
+        (col("domain_margin") >= lit(thr) * col("domain_docs"))
+          .cast(IntegerType).as("kept"))
   }
 
   // ---------------------------------------------------------------------

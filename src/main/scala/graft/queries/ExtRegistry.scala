@@ -1684,6 +1684,29 @@ object ExtRegistry {
         graft.ext.Corpus.mergeDriftStates(deltas: _*))
     }),
 
+    // URL dedup off a MERGED three-delta ingest (urlDedupAdd per delta,
+    // exact (sum, min) merge) — the canonicalizer maintained
+    // incrementally as crawls arrive; bit-identical to the batch twin,
+    // so the oracle is url_dup_groups verbatim
+    "url_dedup_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val deltas = (0 to 2).map(i => graft.ext.Web.urlDedupAdd(
+        graft.ext.Web.urlTable(docs.filter(col("doc_id") % 3 === i))))
+      graft.ext.Web.urlDupGroupsFromState(
+        graft.ext.Web.mergeUrlStates(deltas: _*))
+    }),
+
+    // domain-reputation screen: the per-doc quality margin aggregated
+    // to the registered domain, keep verdict by cross-multiplied
+    // integer average — one spammy domain drops ALL its pages
+    "domain_reputation_screen" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Web.domainReputationScreen(
+        graft.ext.Web.urlTable(docs),
+        graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
+          .select(col("doc_id"), col("margin")))
+    }),
+
     // duplicate-VIDEO groups over a re-upload fixture (image_phash_dups'
     // discipline on the third modality): every Y4M clip also arrives
     // under a second doc id with bytes unchanged; the clip signature is
@@ -5708,16 +5731,39 @@ object ExtRegistry {
          |       path || cq AS canon_url
          |FROM w""".stripMargin,
 
-    "url_dup_groups" ->
+    "url_dup_groups" -> urlDupGroupsOracle,
+    "url_dedup_stream" -> urlDupGroupsOracle,
+
+    // per-doc margins (the quality_classifier arithmetic) rolled up to
+    // nm.suf, keep verdict by integer cross-multiplication
+    "domain_reputation_screen" ->
       s"""WITH $urlCtes,
-         |c AS (SELECT doc_id, url,
-         |             scheme || '://' || host ||
-         |             CASE WHEN v = 1 AND k % 7 = 0 THEN ':8080' ELSE '' END ||
-         |             path || cq AS canon_url
-         |      FROM w)
-         |SELECT canon_url, count(*) AS n_docs, min(doc_id) AS survivor,
-         |       CAST(count(DISTINCT url) AS BIGINT) AS n_variants
-         |FROM c GROUP BY 1""".stripMargin,
+         |ts AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> ''),
+         |wt AS (
+         |  SELECT term, weight FROM (
+         |    SELECT term,
+         |           CAST(((${graft.ext.MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
+         |    FROM (SELECT DISTINCT term FROM ts))
+         |  WHERE weight <> 0),
+         |mg AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS margin
+         |  FROM ts JOIN wt USING (term) GROUP BY 1),
+         |sc AS (
+         |  SELECT w.doc_id, nm || '.' || suf AS reg_domain,
+         |         CAST(coalesce(mg.margin, 0) AS BIGINT) AS margin
+         |  FROM w LEFT JOIN mg USING (doc_id)),
+         |rep AS (
+         |  SELECT reg_domain, CAST(count(*) AS BIGINT) AS domain_docs,
+         |         CAST(sum(margin) AS BIGINT) AS domain_margin
+         |  FROM sc GROUP BY 1)
+         |SELECT sc.doc_id, sc.reg_domain, sc.margin, rep.domain_docs,
+         |       rep.domain_margin,
+         |       CASE WHEN rep.domain_margin >= 0 * rep.domain_docs
+         |            THEN 1 ELSE 0 END AS kept
+         |FROM sc JOIN rep USING (reg_domain)""".stripMargin,
 
     "registered_domain" ->
       s"""WITH $urlCtes
@@ -5894,6 +5940,20 @@ object ExtRegistry {
       |       CASE WHEN n_a = 0 OR n_b = 0 THEN 1
       |            WHEN tvd_num * 5 > n_a * n_b THEN 1 ELSE 0 END AS drifted
       |FROM x""".stripMargin
+
+  /** URL-dedup group twin — shared verbatim by `url_dup_groups` and
+    * `url_dedup_stream` (the group read off a merged three-delta
+    * ingest is contractually bit-identical to the batch pass). */
+  private lazy val urlDupGroupsOracle: String =
+    s"""WITH $urlCtes,
+       |c AS (SELECT doc_id, url,
+       |             scheme || '://' || host ||
+       |             CASE WHEN v = 1 AND k % 7 = 0 THEN ':8080' ELSE '' END ||
+       |             path || cq AS canon_url
+       |      FROM w)
+       |SELECT canon_url, count(*) AS n_docs, min(doc_id) AS survivor,
+       |       CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+       |FROM c GROUP BY 1""".stripMargin
 
   /** URL-fixture generator replay (ext/Web.scala `urlTable`'s pinned
     * arithmetic): CTE chain ending in `w` with per-doc page-key fields

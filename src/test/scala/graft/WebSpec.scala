@@ -128,6 +128,30 @@ class WebSpec extends SparkSpec {
     assert(g.head.getAs[Long]("n_variants") == 4L)
   }
 
+  test("urlDedupAdd/merge: the group read off any delta split equals the batch") {
+    val docs = Seq.tabulate(120)(i => (i.toLong, "t")).toDF("doc_id", "text")
+    val raw = Web.urlTable(docs)
+    val batch = Web.urlDupGroups(raw).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val merged = Web.urlDupGroupsFromState(Web.mergeUrlStates(
+      (0 to 3).map(i => Web.urlDedupAdd(
+        Web.urlTable(docs.filter(col("doc_id") % 4 === i)))): _*)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(merged == batch)
+  }
+
+  test("domainReputationScreen: domain verdict applies to every page of the domain") {
+    val margins = Seq((1L, 10L), (2L, -30L), (3L, 5L)).toDF("doc_id", "margin")
+    val out = Web.domainReputationScreen(urls(
+      1L -> "https://a.alpha.com/p/1",   // alpha.com: margins 10 + (-30) = -20 -> blocked
+      2L -> "https://b.alpha.com/p/2",
+      3L -> "https://bravo.io/p/3",      // bravo.io: 5 -> kept
+      4L -> "https://bravo.io/p/4"),     // no margin row -> 0; domain still kept
+      margins).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("kept")).toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
   test("urlDupGroups: a real :8080 port splits its variant off the group") {
     // page key k=0 (k%7 == 0): v1 carries :8080 and must NOT merge
     val raw = Web.urlTable(Seq.tabulate(4)(i => (i.toLong, "t")).toDF("doc_id", "text"))

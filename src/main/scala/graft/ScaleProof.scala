@@ -503,6 +503,13 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Multimodal.sceneCuts(graft.ext.Multimodal.encodeSceneVideo(
           s.range(500L * f).select(col("id").as("doc_id")))).toDF()),
+    // Goertzel spectral probes: WAV parse + 4-bin fixed-point
+    // recurrence in one sample pass — the DSP analogue of the codec
+    // family's zero-exchange narrow-map claim, measured.
+    ("media->audioSpectral", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Multimodal.audioSpectral(graft.ext.Multimodal.encodeAudio(
+          s.range(500L * f).select(col("id").as("doc_id")))).toDF()),
     // drift monitor: the corpus-sized pass is the bucket count; the
     // report folds the ≤ 8 cells per source inside the SAME
     // aggregation (no join-back, no second scan — PlanSpec pins it),

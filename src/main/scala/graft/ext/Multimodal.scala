@@ -1283,6 +1283,65 @@ object Multimodal {
     })
   }
 
+  /** Pinned Goertzel probe bank for [[audioSpectral]]: (hz at the
+    * fixture's 8 kHz rate, Q14 coefficient round(2·cos(2π·f/fs)·2^14)).
+    * The coefficients are pinned INTEGERS — like the JPEG IDCT table,
+    * the fixed-point constants ARE the spec, so the recurrence is
+    * exact integer arithmetic both engines replay bit-for-bit. */
+  val SpectralProbes: Seq[(Int, Long)] =
+    Seq((250, 32138L), (500, 30274L), (1000, 23170L), (2000, 0L))
+
+  final case class AudioSpectral(doc_id: Long, n_samples: Long,
+      p250: Long, p500: Long, p1000: Long, p2000: Long, dominant_hz: Int)
+
+  /** Fixed-point Goertzel spectral probes over the REAL decoded WAV
+    * samples — actual DSP on the audio modality (the feature a
+    * music/speech screen thresholds), with the house exactness
+    * discipline: the recurrence is s0 = x + (c·s1)/2^14 − s2 where `/`
+    * is TRUNCATING 64-bit division (Java's `/` ≡ DuckDB's `//`, so no
+    * floor-vs-truncate drift), and the bin power is
+    * s1² + s2² − ((c·s1)/2^14)·s2 — all int64, every intermediate
+    * bounded (|s| ≤ n·2^15 ≈ 2^25, products ≤ 2^50). Dominant bin =
+    * max power, ties to the LOWER frequency. One pass over the samples
+    * updating all four probe states, inside the same narrow
+    * mapPartitions walk as [[decodeAudio]] — no shuffle, no driver
+    * state, runs where the bytes live. */
+  def audioSpectral(media: Dataset[EncodedMedia]): Dataset[AudioSpectral] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val probes = SpectralProbes
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      val id = m.doc_id
+      def le16(off: Int): Int = (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8)
+      val (_, _, dataOff, n) = wavPcm(id, bs)
+      val k = probes.length
+      val s1 = new Array[Long](k)
+      val s2 = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        val x = le16(dataOff + 2 * i).toShort.toLong
+        var b = 0
+        while (b < k) {
+          val c = probes(b)._2
+          val s0 = x + (c * s1(b)) / 16384L - s2(b)
+          s2(b) = s1(b)
+          s1(b) = s0
+          b += 1
+        }
+        i += 1
+      }
+      val p = Array.tabulate(k) { b =>
+        val c = probes(b)._2
+        s1(b) * s1(b) + s2(b) * s2(b) - ((c * s1(b)) / 16384L) * s2(b)
+      }
+      var best = 0
+      var b = 1
+      while (b < k) { if (p(b) > p(best)) best = b; b += 1 }
+      AudioSpectral(id, n.toLong, p(0), p(1), p(2), p(3), probes(best)._1)
+    })
+  }
+
   /** Audio quality screen row: rail-clipping and near-silence rates
     * with the keep verdict. */
   final case class AudioQuality(doc_id: Long, n_samples: Long,

@@ -1707,6 +1707,16 @@ object ExtRegistry {
           .select(col("doc_id"), col("margin")))
     }),
 
+    // fixed-point Goertzel spectral probes over the REAL decoded WAV
+    // samples — the JPEG pinned-IDCT discipline applied to DSP: Q14
+    // integer coefficients, truncating-division recurrence (Java `/`
+    // == DuckDB `//`), bin powers and the dominant-frequency argmax
+    // all exact int64; the oracle replays the 256-768-step recurrence
+    // per (clip, bin) as a recursive CTE over the generator samples
+    "audio_spectral" -> ((s, dir) =>
+      graft.ext.Multimodal.audioSpectral(
+        graft.ext.Multimodal.encodeAudio(Tables(s, dir).documents)).toDF()),
+
     // duplicate-VIDEO groups over a re-upload fixture (image_phash_dups'
     // discipline on the third modality): every Y4M clip also arrives
     // under a second doc id with bytes unchanged; the clip signature is
@@ -5879,6 +5889,46 @@ object ExtRegistry {
 
     "quality_drift_tvd" -> driftTvdOracle,
     "quality_drift_stream" -> driftTvdOracle,
+
+    // the Goertzel recurrence replayed per (clip, probe) as a recursive
+    // CTE over the generator samples: s0 = x + (c*s1)//2^14 - s2 (both
+    // engines truncate 64-bit division toward zero), powers pivoted,
+    // dominant bin by (power DESC, hz) rank
+    "audio_spectral" ->
+      """WITH RECURSIVE
+        |m AS (SELECT doc_id, CAST(256 + (doc_id * 31) % 512 AS BIGINT) AS n FROM documents),
+        |pr(hz, coef) AS (VALUES (250, CAST(32138 AS BIGINT)), (500, 30274),
+        |                        (1000, 23170), (2000, 0)),
+        |g(doc_id, n, hz, coef, i, s1, s2) AS (
+        |  SELECT doc_id, n, hz, coef, CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM m CROSS JOIN pr
+        |  UNION ALL
+        |  SELECT doc_id, n, hz, coef, i + 1,
+        |         ((doc_id * 2654435761 + i * 40503) % 65536 - 32768)
+        |           + (coef * s1) // 16384 - s2,
+        |         s1
+        |  FROM g WHERE i < n),
+        |fin AS (
+        |  SELECT doc_id, n, hz,
+        |         s1 * s1 + s2 * s2 - ((coef * s1) // 16384) * s2 AS p
+        |  FROM g WHERE i = n),
+        |pv AS (
+        |  SELECT doc_id, max(n) AS n_samples,
+        |         max(CASE WHEN hz = 250 THEN p END) AS p250,
+        |         max(CASE WHEN hz = 500 THEN p END) AS p500,
+        |         max(CASE WHEN hz = 1000 THEN p END) AS p1000,
+        |         max(CASE WHEN hz = 2000 THEN p END) AS p2000
+        |  FROM fin GROUP BY 1),
+        |dom AS (
+        |  SELECT doc_id, hz AS dominant_hz FROM (
+        |    SELECT doc_id, hz,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, hz) AS rk
+        |    FROM fin) r
+        |  WHERE rk = 1)
+        |SELECT pv.doc_id, pv.n_samples, pv.p250, pv.p500, pv.p1000, pv.p2000,
+        |       CAST(dom.dominant_hz AS INTEGER) AS dominant_hz
+        |FROM pv JOIN dom USING (doc_id)""".stripMargin,
 
     // fingerprint replay over the re-upload union: byte(f, j) =
     // (base + 131f + j) % 256 (ext/Multimodal y4mBytes), frame hash =

@@ -45,6 +45,42 @@ class SceneDriftSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("truncated frame"))
   }
 
+  private def toneWav(samples: Array[Int]): Array[Byte] = {
+    // canonical RIFF/WAVE: fmt (PCM mono 8 kHz 16-bit) + data
+    val dataBytes = samples.length * 2
+    val riffPayload = 4 + (8 + 16) + (8 + dataBytes)
+    val out = new Array[Byte](8 + riffPayload)
+    var p = 0
+    def put(s: String): Unit = s.foreach { c => out(p) = c.toByte; p += 1 }
+    def le32(v: Int): Unit = { (0 to 3).foreach(b => { out(p) = ((v >> (8 * b)) & 0xff).toByte; p += 1 }) }
+    def le16(v: Int): Unit = { out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte; p += 2 }
+    put("RIFF"); le32(riffPayload); put("WAVE")
+    put("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    put("data"); le32(dataBytes)
+    samples.foreach(s => le16(s & 0xffff))
+    out
+  }
+
+  test("audioSpectral: a pure tone dominates its own probe bin") {
+    // 1000 Hz at 8 kHz = period 8; 500 Hz = period 16 (quantized sine,
+    // amplitude 20000 — exact pinned integers)
+    val tone1000 = Array(0, 14142, 20000, 14142, 0, -14142, -20000, -14142)
+    val tone500 = Array(0, 7654, 14142, 18478, 20000, 18478, 14142, 7654,
+      0, -7654, -14142, -18478, -20000, -18478, -14142, -7654)
+    val media = Seq(
+      Multimodal.EncodedMedia(1L, "wav", toneWav(Array.fill(32)(tone1000).flatten)),
+      Multimodal.EncodedMedia(2L, "wav", toneWav(Array.fill(16)(tone500).flatten))).toDS()
+    val out = Multimodal.audioSpectral(media).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).dominant_hz == 1000,
+      s"1000 Hz tone scored ${out(1L)}")
+    assert(out(2L).dominant_hz == 500,
+      s"500 Hz tone scored ${out(2L)}")
+    // the tone's own bin must dwarf the other bins by an order of magnitude
+    assert(out(1L).p1000 > 10L * math.max(out(1L).p250, math.max(out(1L).p500, out(1L).p2000)))
+    assert(out(2L).p500 > 10L * math.max(out(2L).p250, math.max(out(2L).p1000, out(2L).p2000)))
+  }
+
   test("driftAdd/merge: three deltas merge to the one-delta state exactly") {
     val docs = Seq.tabulate(200)(i =>
       (i.toLong, s"src${i % 4}", (i * 37 % 500 + 40).toLong))

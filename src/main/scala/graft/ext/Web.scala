@@ -405,4 +405,43 @@ object Web {
         .as("link_density"),
       (col("anchor_chars") * 5 <= col("content_chars") &&
         col("content_chars") >= 120).cast(IntegerType).as("accepted"))
+
+  // ---------------------------------------------------------------------
+  // Composed web-curation keep-list (the C4/RefinedWeb decision table).
+  // ---------------------------------------------------------------------
+
+  /** The crawl-to-corpus decision table — every screen this module
+    * ships joined on ONE doc spine, the multimodal_curation discipline
+    * applied to the web stack: URL-dedup survivorship (doc is the
+    * min-id member of its canonical group), domain blocklist, domain
+    * reputation over the supplied per-doc quality margins, and the
+    * boilerplate screen; `keep` is their conjunction. Everything is a
+    * spine equi-join: dedup survivorship rides the one-exchange nested
+    * aggregation, both domain verdicts broadcast (blocklist is a tiny
+    * curated dim; the reputation rollup is domains-bounded), and the
+    * HTML pass is the zero-exchange state machine. */
+  def webCurationKeeplist(documents: DataFrame, margins: DataFrame,
+      repThr: Long = 0L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val urls = urlTable(documents)
+    val survivors = urlDupGroups(urls)
+      .select(col("survivor").as("doc_id"), lit(1).as("url_keep"))
+    val block = domainScreen(urls).select(col("doc_id"), col("kept").as("domain_keep"))
+    val rep = domainReputationScreen(urls, margins, repThr)
+      .select(col("doc_id"), col("kept").as("rep_keep"))
+    val boiler = boilerplateScreen(htmlTable(documents).as[HtmlDoc])
+      .select(col("doc_id"), col("accepted").as("boiler_keep"))
+    documents.select(col("doc_id"))
+      .join(survivors, Seq("doc_id"), "left")
+      .join(block, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(boiler, Seq("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("url_keep"), lit(0)).as("url_keep"),
+        col("domain_keep"), col("rep_keep"), col("boiler_keep"),
+        (coalesce(col("url_keep"), lit(0)) === 1 && col("domain_keep") === 1 &&
+          col("rep_keep") === 1 && col("boiler_keep") === 1)
+          .cast(IntegerType).as("keep"))
+  }
 }

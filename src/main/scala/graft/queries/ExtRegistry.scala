@@ -1704,7 +1704,19 @@ object ExtRegistry {
       graft.ext.Web.domainReputationScreen(
         graft.ext.Web.urlTable(docs),
         graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
-          .select(col("doc_id"), col("margin")))
+          .select(col("doc_id"), col("margin")), thr = -175L)
+    }),
+
+    // the composed crawl-to-corpus decision table: URL-dedup
+    // survivorship + domain blocklist + domain reputation + boilerplate
+    // screen joined on ONE doc spine (multimodal_curation's discipline
+    // on the web stack) — what a C4-style run materializes before
+    // handing survivors to the text pipeline
+    "web_curation_keeplist" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Web.webCurationKeeplist(docs,
+        graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
+          .select(col("doc_id"), col("margin")), repThr = -175L)
     }),
 
     // fixed-point Goertzel spectral probes over the REAL decoded WAV
@@ -5771,7 +5783,7 @@ object ExtRegistry {
          |  FROM sc GROUP BY 1)
          |SELECT sc.doc_id, sc.reg_domain, sc.margin, rep.domain_docs,
          |       rep.domain_margin,
-         |       CASE WHEN rep.domain_margin >= 0 * rep.domain_docs
+         |       CASE WHEN rep.domain_margin >= -175 * rep.domain_docs
          |            THEN 1 ELSE 0 END AS kept
          |FROM sc JOIN rep USING (reg_domain)""".stripMargin,
 
@@ -5889,6 +5901,76 @@ object ExtRegistry {
 
     "quality_drift_tvd" -> driftTvdOracle,
     "quality_drift_stream" -> driftTvdOracle,
+
+    // every screen's twin composed on the doc spine: survivorship by
+    // min-id per canonical group, blocklist + reputation off the
+    // generator domains, boilerplate off the regexp-chain extraction
+    "web_curation_keeplist" ->
+      s"""WITH $urlCtes,
+         |c AS (SELECT doc_id,
+         |             scheme || '://' || host ||
+         |             CASE WHEN v = 1 AND k % 7 = 0 THEN ':8080' ELSE '' END ||
+         |             path || cq AS canon_url
+         |      FROM w),
+         |sv AS (SELECT min(doc_id) AS doc_id, 1 AS url_keep FROM c GROUP BY canon_url),
+         |ts AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> ''),
+         |wt AS (
+         |  SELECT term, weight FROM (
+         |    SELECT term,
+         |           CAST(((${graft.ext.MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
+         |    FROM (SELECT DISTINCT term FROM ts))
+         |  WHERE weight <> 0),
+         |mg AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS margin
+         |  FROM ts JOIN wt USING (term) GROUP BY 1),
+         |sc AS (
+         |  SELECT w.doc_id, nm || '.' || suf AS reg_domain,
+         |         CAST(coalesce(mg.margin, 0) AS BIGINT) AS margin
+         |  FROM w LEFT JOIN mg USING (doc_id)),
+         |rep AS (
+         |  SELECT reg_domain, count(*) AS dd, sum(margin) AS dm
+         |  FROM sc GROUP BY 1),
+         |rk AS (
+         |  SELECT sc.doc_id,
+         |         CASE WHEN rep.dm >= -175 * rep.dd THEN 1 ELSE 0 END AS rep_keep
+         |  FROM sc JOIN rep USING (reg_domain)),
+         |bk AS (
+         |  SELECT doc_id,
+         |         CASE WHEN nm || '.' || suf IN ('delta.co.uk', 'echo.io', 'charlie.net')
+         |              THEN 0 ELSE 1 END AS domain_keep
+         |  FROM w),
+         |$htmlCte,
+         |x AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace($htmlDecodeChain, ' +', ' ', 'g')) AS extracted
+         |  FROM h),
+         |a AS (
+         |  SELECT doc_id,
+         |         CAST(sum(length(replace(${htmlEntityChain("t")}, ' ', ''))) AS BIGINT) AS anchor_chars
+         |  FROM (SELECT doc_id,
+         |               unnest(regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1)) AS t
+         |        FROM h) s
+         |  GROUP BY doc_id),
+         |bs AS (
+         |  SELECT x.doc_id,
+         |         CASE WHEN coalesce(a.anchor_chars, 0) * 5
+         |                     <= length(replace(x.extracted, ' ', ''))
+         |                AND length(replace(x.extracted, ' ', '')) >= 120
+         |              THEN 1 ELSE 0 END AS boiler_keep
+         |  FROM x LEFT JOIN a USING (doc_id))
+         |SELECT d.doc_id, coalesce(sv.url_keep, 0) AS url_keep, bk.domain_keep,
+         |       rk.rep_keep, bs.boiler_keep,
+         |       CASE WHEN coalesce(sv.url_keep, 0) = 1 AND bk.domain_keep = 1
+         |              AND rk.rep_keep = 1 AND bs.boiler_keep = 1
+         |            THEN 1 ELSE 0 END AS keep
+         |FROM documents d
+         |LEFT JOIN sv USING (doc_id)
+         |JOIN bk USING (doc_id)
+         |JOIN rk USING (doc_id)
+         |JOIN bs USING (doc_id)""".stripMargin,
 
     // the Goertzel recurrence replayed per (clip, probe) as a recursive
     // CTE over the generator samples: s0 = x + (c*s1)//2^14 - s2 (both

@@ -697,6 +697,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("web curation keep-list: spine equi-joins only, broadcast domain verdicts, no window") {
+    val docs = tables.documents
+    val df = graft.ext.Web.webCurationKeeplist(docs,
+      graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
+        .select(col("doc_id"), col("margin")), repThr = -175L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist/reputation verdicts expected as broadcast probes in:\n$plan")
+  }
+
   test("drift monitor: two keyed aggs + a broadcastable total join, no window, bounded state") {
     val df = graft.ext.Corpus.qualityDriftTvd(tables.documents)
     val plan = df.queryExecution.executedPlan.toString

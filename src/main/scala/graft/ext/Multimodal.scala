@@ -1051,14 +1051,6 @@ object Multimodal {
   private[graft] val FhMod: Long = 1L << 20
   private[graft] val FpWeight: Long = 1000003L
 
-  /** W^idx % 2^40 for sampled-frame position idx (idx ≤ 3 at the
-    * fixture's ≤ 7 frames / stride 2). */
-  private[graft] def fpPow(idx: Int): Long = {
-    var p = 1L; var i = 0
-    while (i < idx) { p = (p * FpWeight) % FpMod; i += 1 }
-    p
-  }
-
   final case class VideoFingerprint(doc_id: Long, width: Int, height: Int,
       n_frames: Long, sampled_frames: Long, fingerprint: Long)
 
@@ -1106,6 +1098,9 @@ object Multimodal {
       require(cs == "444", s"doc $id: unsupported colorspace C$cs (only C444 ships)")
       val frameBytes = 3 * w * h
       var nFrames = 0L; var sampled = 0L; var fp = 0L
+      // running W^idx % 2^40 — recomputing the power per sampled frame
+      // (fpPow) would cost O(frames²) on a production-length clip
+      var pw = 1L
       while (pos < bs.length) {
         val mk = "FRAME"
         require(pos + mk.length <= bs.length &&
@@ -1123,7 +1118,8 @@ object Multimodal {
             fh = (fh + (bs(pos + j) & 0xff).toLong * (j + 1)) % FpMod
             j += 1
           }
-          fp = (fp + (fh % FhMod) * fpPow(sampled.toInt)) % FpMod
+          fp = (fp + (fh % FhMod) * pw) % FpMod
+          pw = (pw * FpWeight) % FpMod
           sampled += 1
         }
         nFrames += 1

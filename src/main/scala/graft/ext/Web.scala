@@ -92,9 +92,14 @@ object Web {
 
   /** Split `url` into scheme / host / port / path / query / fragment
     * with codegen'd regexps (no UDF). Absent port is -1; absent
-    * query/fragment are empty strings. The oracle states each
-    * component from the GENERATOR arithmetic, so the regexps are under
-    * test, not shared with the oracle. */
+    * query/fragment are empty strings. A string with no `scheme://`
+    * prefix yields EMPTY scheme/host/path (pinned, spec-tested): this
+    * is a column expression, so malformed rows degrade to empties a
+    * downstream `filter(col("scheme") =!= "")` screens, rather than
+    * failing the batch — the row-level-parser fail-loud rule applies
+    * to decoders, not to per-row screens over untrusted crawl data.
+    * The oracle states each component from the GENERATOR arithmetic,
+    * so the regexps are under test, not shared with the oracle. */
   def urlParse(urls: DataFrame): DataFrame =
     urls.select(
       col("doc_id"), col("url"),

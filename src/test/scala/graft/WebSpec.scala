@@ -31,6 +31,19 @@ class WebSpec extends SparkSpec {
     assert(b.getAs[String]("fragment") == "")
   }
 
+  test("urlParse: a scheme-less string degrades to empty components, not a crash") {
+    val r = Web.urlParse(urls(1L -> "not a url at all")).collect().head
+    assert(r.getAs[String]("scheme") == "")
+    assert(r.getAs[String]("host") == "")
+    assert(r.getAs[String]("path") == "")
+    assert(r.getAs[Long]("port") == -1L)
+  }
+
+  test("htmlExtract: a bare ampersand and an unterminated entity stay literal") {
+    val e = extractOne("<p>a & b &unterminated</p>")
+    assert(e.extracted == "a & b &unterminated")
+  }
+
   test("urlNormalize: case, default ports, utm params, slash, fragment") {
     val canon = Web.urlNormalize(urls(
       1L -> "HTTPS://WWW.ALPHA.COM:443/p/7?utm_source=a&ref=1#x",

@@ -1719,6 +1719,17 @@ object ExtRegistry {
           .select(col("doc_id"), col("margin")), repThr = -175L)
     }),
 
+    // the crawl-to-batches tail: keep-list survivors semi-filtered into
+    // the capacity-packing window — what actually ships to a loader
+    "web_curation_pack" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val keep = graft.ext.Web.webCurationKeeplist(docs,
+        graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
+          .select(col("doc_id"), col("margin")), repThr = -175L)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      graft.ext.Corpus.packSequences(docs.join(keep, Seq("doc_id"), "left_semi"))
+    }),
+
     // fixed-point Goertzel spectral probes over the REAL decoded WAV
     // samples — the JPEG pinned-IDCT discipline applied to DSP: Q14
     // integer coefficients, truncating-division recurrence (Java `/`
@@ -5906,71 +5917,26 @@ object ExtRegistry {
     // min-id per canonical group, blocklist + reputation off the
     // generator domains, boilerplate off the regexp-chain extraction
     "web_curation_keeplist" ->
-      s"""WITH $urlCtes,
-         |c AS (SELECT doc_id,
-         |             scheme || '://' || host ||
-         |             CASE WHEN v = 1 AND k % 7 = 0 THEN ':8080' ELSE '' END ||
-         |             path || cq AS canon_url
-         |      FROM w),
-         |sv AS (SELECT min(doc_id) AS doc_id, 1 AS url_keep FROM c GROUP BY canon_url),
-         |ts AS (
-         |  SELECT doc_id, term FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-         |  WHERE term <> ''),
-         |wt AS (
-         |  SELECT term, weight FROM (
-         |    SELECT term,
-         |           CAST(((${graft.ext.MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
-         |    FROM (SELECT DISTINCT term FROM ts))
-         |  WHERE weight <> 0),
-         |mg AS (
-         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS margin
-         |  FROM ts JOIN wt USING (term) GROUP BY 1),
-         |sc AS (
-         |  SELECT w.doc_id, nm || '.' || suf AS reg_domain,
-         |         CAST(coalesce(mg.margin, 0) AS BIGINT) AS margin
-         |  FROM w LEFT JOIN mg USING (doc_id)),
-         |rep AS (
-         |  SELECT reg_domain, count(*) AS dd, sum(margin) AS dm
-         |  FROM sc GROUP BY 1),
-         |rk AS (
-         |  SELECT sc.doc_id,
-         |         CASE WHEN rep.dm >= -175 * rep.dd THEN 1 ELSE 0 END AS rep_keep
-         |  FROM sc JOIN rep USING (reg_domain)),
-         |bk AS (
-         |  SELECT doc_id,
-         |         CASE WHEN nm || '.' || suf IN ('delta.co.uk', 'echo.io', 'charlie.net')
-         |              THEN 0 ELSE 1 END AS domain_keep
-         |  FROM w),
-         |$htmlCte,
-         |x AS (
-         |  SELECT doc_id,
-         |         trim(regexp_replace($htmlDecodeChain, ' +', ' ', 'g')) AS extracted
-         |  FROM h),
-         |a AS (
-         |  SELECT doc_id,
-         |         CAST(sum(length(replace(${htmlEntityChain("t")}, ' ', ''))) AS BIGINT) AS anchor_chars
-         |  FROM (SELECT doc_id,
-         |               unnest(regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1)) AS t
-         |        FROM h) s
-         |  GROUP BY doc_id),
-         |bs AS (
-         |  SELECT x.doc_id,
-         |         CASE WHEN coalesce(a.anchor_chars, 0) * 5
-         |                     <= length(replace(x.extracted, ' ', ''))
-         |                AND length(replace(x.extracted, ' ', '')) >= 120
-         |              THEN 1 ELSE 0 END AS boiler_keep
-         |  FROM x LEFT JOIN a USING (doc_id))
-         |SELECT d.doc_id, coalesce(sv.url_keep, 0) AS url_keep, bk.domain_keep,
-         |       rk.rep_keep, bs.boiler_keep,
-         |       CASE WHEN coalesce(sv.url_keep, 0) = 1 AND bk.domain_keep = 1
-         |              AND rk.rep_keep = 1 AND bs.boiler_keep = 1
-         |            THEN 1 ELSE 0 END AS keep
-         |FROM documents d
-         |LEFT JOIN sv USING (doc_id)
-         |JOIN bk USING (doc_id)
-         |JOIN rk USING (doc_id)
-         |JOIN bs USING (doc_id)""".stripMargin,
+      s"""WITH $webKeepCtes
+         |SELECT * FROM kl""".stripMargin,
+
+    // pack the keep-list survivors: the end-to-end crawl-to-batches
+    // tail (keeplist twin -> semi-filter -> the pack window)
+    "web_curation_pack" ->
+      s"""WITH $webKeepCtes
+         |SELECT doc_id, source, shard, token_cnt,
+         |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, source,
+         |         CAST(doc_id // 10000 AS BIGINT) AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+         |         sum(len(string_split(text, ' ')))
+         |           OVER (PARTITION BY source, doc_id // 10000 ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM kl WHERE keep = 1))""".stripMargin,
+
 
     // the Goertzel recurrence replayed per (clip, probe) as a recursive
     // CTE over the generator samples: s0 = x + (c*s1)//2^14 - s2 (both
@@ -6072,6 +6038,77 @@ object ExtRegistry {
       |       CASE WHEN n_a = 0 OR n_b = 0 THEN 1
       |            WHEN tvd_num * 5 > n_a * n_b THEN 1 ELSE 0 END AS drifted
       |FROM x""".stripMargin
+
+  /** Shared keep-list CTE chain (ends in `kl` with the per-doc
+    * verdicts) — embedded by `web_curation_keeplist` and
+    * `web_curation_pack`. */
+  private lazy val webKeepCtes: String =
+    s"""$urlCtes,
+         |c AS (SELECT doc_id,
+         |             scheme || '://' || host ||
+         |             CASE WHEN v = 1 AND k % 7 = 0 THEN ':8080' ELSE '' END ||
+         |             path || cq AS canon_url
+         |      FROM w),
+         |sv AS (SELECT min(doc_id) AS doc_id, 1 AS url_keep FROM c GROUP BY canon_url),
+         |ts AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> ''),
+         |wt AS (
+         |  SELECT term, weight FROM (
+         |    SELECT term,
+         |           CAST(((${graft.ext.MinHash.stringHashSql("term")}) * 131 + 17) % 41 - 20 AS BIGINT) AS weight
+         |    FROM (SELECT DISTINCT term FROM ts))
+         |  WHERE weight <> 0),
+         |mg AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS margin
+         |  FROM ts JOIN wt USING (term) GROUP BY 1),
+         |sc AS (
+         |  SELECT w.doc_id, nm || '.' || suf AS reg_domain,
+         |         CAST(coalesce(mg.margin, 0) AS BIGINT) AS margin
+         |  FROM w LEFT JOIN mg USING (doc_id)),
+         |rep AS (
+         |  SELECT reg_domain, count(*) AS dd, sum(margin) AS dm
+         |  FROM sc GROUP BY 1),
+         |rk AS (
+         |  SELECT sc.doc_id,
+         |         CASE WHEN rep.dm >= -175 * rep.dd THEN 1 ELSE 0 END AS rep_keep
+         |  FROM sc JOIN rep USING (reg_domain)),
+         |bk AS (
+         |  SELECT doc_id,
+         |         CASE WHEN nm || '.' || suf IN ('delta.co.uk', 'echo.io', 'charlie.net')
+         |              THEN 0 ELSE 1 END AS domain_keep
+         |  FROM w),
+         |$htmlCte,
+         |x AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace($htmlDecodeChain, ' +', ' ', 'g')) AS extracted
+         |  FROM h),
+         |a AS (
+         |  SELECT doc_id,
+         |         CAST(sum(length(replace(${htmlEntityChain("t")}, ' ', ''))) AS BIGINT) AS anchor_chars
+         |  FROM (SELECT doc_id,
+         |               unnest(regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1)) AS t
+         |        FROM h) s
+         |  GROUP BY doc_id),
+         |bs AS (
+         |  SELECT x.doc_id,
+         |         CASE WHEN coalesce(a.anchor_chars, 0) * 5
+         |                     <= length(replace(x.extracted, ' ', ''))
+         |                AND length(replace(x.extracted, ' ', '')) >= 120
+         |              THEN 1 ELSE 0 END AS boiler_keep
+         |  FROM x LEFT JOIN a USING (doc_id)),
+         |kl AS (
+         |  SELECT d.doc_id, coalesce(sv.url_keep, 0) AS url_keep, bk.domain_keep,
+         |         rk.rep_keep, bs.boiler_keep,
+         |         CASE WHEN coalesce(sv.url_keep, 0) = 1 AND bk.domain_keep = 1
+         |                AND rk.rep_keep = 1 AND bs.boiler_keep = 1
+         |              THEN 1 ELSE 0 END AS keep
+         |  FROM documents d
+         |  LEFT JOIN sv USING (doc_id)
+         |  JOIN bk USING (doc_id)
+         |  JOIN rk USING (doc_id)
+         |  JOIN bs USING (doc_id))""".stripMargin
 
   /** URL-dedup group twin — shared verbatim by `url_dup_groups` and
     * `url_dedup_stream` (the group read off a merged three-delta

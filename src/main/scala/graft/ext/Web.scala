@@ -411,6 +411,30 @@ object Web {
       (col("anchor_chars") * 5 <= col("content_chars") &&
         col("content_chars") >= 120).cast(IntegerType).as("accepted"))
 
+  /** Mirror/syndication detection: identical-content documents spanning
+    * ≥ 2 registered domains (the C4 finding — news syndication and site
+    * mirrors inflate a crawl corpus with cross-domain exact dups that
+    * URL dedup cannot see). Content identity rides [[Text.textStats]]'
+    * arithmetic fingerprint (8-byte key — the corpus text never
+    * shuffles); the group carries the DISTINCT domain list sorted, the
+    * doc count, and min-id survivorship. Same one-shuffle nested-
+    * aggregation shape as [[urlDupGroups]]. */
+  def mirrorGroups(documents: DataFrame, urls: DataFrame): DataFrame = {
+    val fp = Text.textStats(documents).select(col("doc_id"), col("fingerprint"))
+    val rd = registeredDomain(urls).select(col("doc_id"), col("reg_domain"))
+    fp.join(rd, Seq("doc_id"))
+      .repartition(col("fingerprint"))
+      .groupBy(col("fingerprint"), col("reg_domain"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("m"))
+      .groupBy(col("fingerprint"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_domains"),
+        min(col("m")).as("survivor"),
+        array_join(array_sort(collect_list(col("reg_domain"))), ",").as("domains"))
+      .filter(col("n_domains") >= 2)
+  }
+
   // ---------------------------------------------------------------------
   // Composed web-curation keep-list (the C4/RefinedWeb decision table).
   // ---------------------------------------------------------------------

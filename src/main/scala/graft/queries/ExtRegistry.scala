@@ -1719,6 +1719,19 @@ object ExtRegistry {
           .select(col("doc_id"), col("margin")), repThr = -175L)
     }),
 
+    // mirror/syndication detection over a SYNDICATION fixture (every
+    // doc's text also appears under a second id, which urlTable maps to
+    // a different domain): identical-fingerprint groups spanning >= 2
+    // registered domains — the cross-domain exact dup URL dedup cannot
+    // see; the oracle recomputes fingerprints and domains from the
+    // generator arithmetic
+    "mirror_detection" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val all = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.ext.Web.mirrorGroups(all, graft.ext.Web.urlTable(all))
+    }),
+
     // the crawl-to-batches tail: keep-list survivors semi-filtered into
     // the capacity-packing window — what actually ships to a loader
     "web_curation_pack" -> ((s, dir) => {
@@ -5912,6 +5925,37 @@ object ExtRegistry {
 
     "quality_drift_tvd" -> driftTvdOracle,
     "quality_drift_stream" -> driftTvdOracle,
+
+    // fingerprints + domains replayed over the syndication union; the
+    // DISTINCT-domain rollup mirrors the Spark side's two-level shape
+    "mirror_detection" ->
+      """WITH ids AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(string_split(text, ' '),
+        |                (t, i) -> i * 1000003 + length(t) * 31 + ascii(t)))
+        |              % 2147483647 AS BIGINT) AS fingerprint
+        |  FROM ids),
+        |rd AS (
+        |  SELECT doc_id,
+        |         ['alpha', 'bravo', 'charlie', 'delta', 'echo']
+        |           [CAST(((doc_id // 4) // 4) % 5 + 1 AS INTEGER)] || '.' ||
+        |         ['com', 'org', 'co.uk', 'io', 'ac.uk', 'net']
+        |           [CAST(((doc_id // 4) // 20) % 6 + 1 AS INTEGER)] AS reg_domain
+        |  FROM ids),
+        |lvl1 AS (
+        |  SELECT f.fingerprint, r.reg_domain, count(*) AS n, min(f.doc_id) AS m
+        |  FROM fp f JOIN rd r USING (doc_id) GROUP BY 1, 2),
+        |g AS (
+        |  SELECT fingerprint, CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_domains, min(m) AS survivor,
+        |         string_agg(reg_domain, ',' ORDER BY reg_domain) AS domains
+        |  FROM lvl1 GROUP BY 1)
+        |SELECT fingerprint, n_docs, n_domains, survivor, domains
+        |FROM g WHERE n_domains >= 2""".stripMargin,
 
     // every screen's twin composed on the doc spine: survivorship by
     // min-id per canonical group, blocklist + reputation off the

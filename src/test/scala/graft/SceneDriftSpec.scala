@@ -91,6 +91,35 @@ class SceneDriftSpec extends SparkSpec {
     assert(merged.unionByName(whole).distinct().count() == whole.count())
   }
 
+  test("drift state ingests through Structured Streaming foreachBatch, report == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val docs = Seq.tabulate(150)(i =>
+      (i.toLong, s"src${i % 3}", (i * 53 % 400 + 50).toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val batchReport = Corpus.driftReport(Corpus.driftAdd(docs)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "source", "n_chars")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val d = Corpus.driftAdd(batch.toDF())
+        state = Some(state.fold(d)(s => Corpus.mergeDriftStates(s, d))
+          .localCheckpoint(true))
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val rows = docs.as[(Long, String, Long)].collect().toSeq
+      rows.grouped(40).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val streamed = Corpus.driftReport(state.get).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(streamed == batchReport, "streamed drift state != batch")
+    } finally q.stop()
+  }
+
   test("driftReport: identical windows score zero TVD, shifted windows drift") {
     // same: every bucket has na == nb -> tvd_num 0, not drifted
     val same = Seq(("s", 0L, 5L, 5L), ("s", 1L, 7L, 7L))

@@ -165,6 +165,25 @@ class WebSpec extends SparkSpec {
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("mirrorGroups: syndicated text found across domains, single-domain dups excluded") {
+    // docs 0 and 400 share text and live on different domains (k=0 vs
+    // k=100 -> alpha.com vs echo.net); docs 1 and 2 share text on the
+    // SAME page key family? no — use copies within one domain: 8 and 9
+    // share text and the same k=2 -> same domain -> excluded
+    val docs = Seq(
+      (0L, "shared syndicated words here", "en", "s", 28L),
+      (400L, "shared syndicated words here", "en", "s", 28L),
+      (8L, "same domain duplicate text", "en", "s", 26L),
+      (9L, "same domain duplicate text", "en", "s", 26L),
+      (5L, "unique content lives here", "en", "s", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val g = Web.mirrorGroups(docs, Web.urlTable(docs)).collect()
+    assert(g.length == 1, g.mkString(";"))
+    assert(g.head.getAs[Long]("n_docs") == 2L)
+    assert(g.head.getAs[Long]("n_domains") == 2L)
+    assert(g.head.getAs[Long]("survivor") == 0L)
+  }
+
   test("urlDupGroups: a real :8080 port splits its variant off the group") {
     // page key k=0 (k%7 == 0): v1 carries :8080 and must NOT merge
     val raw = Web.urlTable(Seq.tabulate(4)(i => (i.toLong, "t")).toDF("doc_id", "text"))

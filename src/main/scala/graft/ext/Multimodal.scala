@@ -832,15 +832,74 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** REAL Y4M decoder + frame sampler: parses the stream header's
-    * space-separated tagged fields (W/H/F/C — only C444's plane layout
-    * ships here; other colorspaces fail loudly like non-PCM WAV),
-    * walks `FRAME` markers tolerating per-frame parameters up to the
-    * newline, checksums every frame, and computes the every-`stride`-th
-    * frame-sampling checksum over the REAL bytes ([[frameSamplePlan]]
-    * is the metadata-only twin of this pass). Narrow mapPartitions;
-    * truncated frames, bad magic and unsupported colorspaces fail
-    * loudly. */
+  /** Shared YUV4MPEG2 stream-header parse (the [[wavPcm]] factoring
+    * applied to the video container — [[decodeVideo]], [[sceneCuts]]
+    * and [[videoFingerprints]] all walk the same header): validates
+    * magic and tag syntax, reads the space-separated W/H/F/C fields
+    * tolerating Ip/A/X params, and requires dims + C444 (the one plane
+    * layout that ships; others fail loudly like non-PCM WAV). Returns
+    * (w, h, fpsNum, fpsDen, posAfterHeader) — fps is -1 when the F tag
+    * is absent; callers that consume it must require it. */
+  private[graft] def y4mHeader(bs: Array[Byte], id: Long): (Int, Int, Int, Int, Int) = {
+    val magic = "YUV4MPEG2"
+    require(bs.length > magic.length &&
+      new String(bs, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
+      s"doc $id: not a YUV4MPEG2 stream")
+    var pos = magic.length
+    var w = -1; var h = -1; var fn = -1; var fd = -1; var cs = "420"
+    while (pos < bs.length && bs(pos) != '\n') {
+      require(bs(pos) == ' ', s"doc $id: malformed stream header")
+      pos += 1
+      val tag = bs(pos).toChar
+      pos += 1
+      val sb = new StringBuilder
+      while (pos < bs.length && bs(pos) != ' ' && bs(pos) != '\n') {
+        sb.append(bs(pos).toChar); pos += 1
+      }
+      val v = sb.toString
+      tag match {
+        case 'W' => w = v.toInt
+        case 'H' => h = v.toInt
+        case 'F' =>
+          val parts = v.split(":")
+          require(parts.length == 2 && parts.forall(_.nonEmpty),
+            s"doc $id: malformed frame-rate tag F$v")
+          fn = parts(0).toInt; fd = parts(1).toInt
+        case 'C' => cs = v
+        case _ => () // Ip / A1:1 / X params: valid, irrelevant here
+      }
+    }
+    require(pos < bs.length, s"doc $id: header never terminated")
+    pos += 1 // consume the newline
+    require(w > 0 && h > 0, s"doc $id: missing or bad dimensions ${w}x$h")
+    require(cs == "444", s"doc $id: unsupported colorspace C$cs (only C444 ships)")
+    (w, h, fn, fd, pos)
+  }
+
+  /** Shared FRAME-marker walk: validates the marker at `pos0`, skips
+    * per-frame parameters up to the newline, checks the payload fits,
+    * and returns the payload start. */
+  private[graft] def y4mFrameStart(bs: Array[Byte], pos0: Int, id: Long,
+      frameIdx: Long, frameBytes: Long): Int = {
+    val mk = "FRAME"
+    require(pos0 + mk.length <= bs.length &&
+      new String(bs, pos0, mk.length, java.nio.charset.StandardCharsets.US_ASCII) == mk,
+      s"doc $id: expected FRAME marker at byte $pos0")
+    var pos = pos0 + mk.length
+    while (pos < bs.length && bs(pos) != '\n') pos += 1 // per-frame params
+    require(pos < bs.length, s"doc $id: FRAME marker never terminated")
+    pos += 1
+    require(pos + frameBytes <= bs.length, s"doc $id: truncated frame $frameIdx")
+    pos
+  }
+
+  /** REAL Y4M decoder + frame sampler: parses the stream header
+    * ([[y4mHeader]]), walks `FRAME` markers tolerating per-frame
+    * parameters up to the newline, checksums every frame, and computes
+    * the every-`stride`-th frame-sampling checksum over the REAL bytes
+    * ([[frameSamplePlan]] is the metadata-only twin of this pass).
+    * Narrow mapPartitions; truncated frames, bad magic and unsupported
+    * colorspaces fail loudly. */
   def decodeVideo(media: Dataset[EncodedMedia], stride: Int = 2): Dataset[DecodedVideo] = {
     require(stride >= 1, s"stride must be positive, got $stride")
     val spark = media.sparkSession
@@ -848,51 +907,13 @@ object Multimodal {
     media.mapPartitions(_.map { m =>
       val bs = m.bytes
       val id = m.doc_id
-      val magic = "YUV4MPEG2"
-      require(bs.length > magic.length &&
-        new String(bs, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
-        s"doc $id: not a YUV4MPEG2 stream")
-      var pos = magic.length
-      var w = -1; var h = -1; var fn = -1; var fd = -1; var cs = "420"
-      while (pos < bs.length && bs(pos) != '\n') {
-        require(bs(pos) == ' ', s"doc $id: malformed stream header")
-        pos += 1
-        val tag = bs(pos).toChar
-        pos += 1
-        val sb = new StringBuilder
-        while (pos < bs.length && bs(pos) != ' ' && bs(pos) != '\n') {
-          sb.append(bs(pos).toChar); pos += 1
-        }
-        val v = sb.toString
-        tag match {
-          case 'W' => w = v.toInt
-          case 'H' => h = v.toInt
-          case 'F' =>
-            val parts = v.split(":")
-            require(parts.length == 2 && parts.forall(_.nonEmpty),
-              s"doc $id: malformed frame-rate tag F$v")
-            fn = parts(0).toInt; fd = parts(1).toInt
-          case 'C' => cs = v
-          case _ => () // Ip / A1:1 / X params: valid, irrelevant here
-        }
-      }
-      require(pos < bs.length, s"doc $id: header never terminated")
-      pos += 1 // consume the newline
-      require(w > 0 && h > 0, s"doc $id: missing or bad dimensions ${w}x$h")
+      val (w, h, fn, fd, headerEnd) = y4mHeader(bs, id)
       require(fn > 0 && fd > 0, s"doc $id: missing or bad frame rate $fn:$fd")
-      require(cs == "444", s"doc $id: unsupported colorspace C$cs (only C444 ships)")
+      var pos = headerEnd
       val frameBytes = 3L * w * h
       var nFrames = 0L; var sum = 0L; var sampledFrames = 0L; var sampledSum = 0L
       while (pos < bs.length) {
-        val mk = "FRAME"
-        require(pos + mk.length <= bs.length &&
-          new String(bs, pos, mk.length, java.nio.charset.StandardCharsets.US_ASCII) == mk,
-          s"doc $id: expected FRAME marker at byte $pos")
-        pos += mk.length
-        while (pos < bs.length && bs(pos) != '\n') pos += 1 // per-frame params
-        require(pos < bs.length, s"doc $id: FRAME marker never terminated")
-        pos += 1
-        require(pos + frameBytes <= bs.length, s"doc $id: truncated frame $nFrames")
+        pos = y4mFrameStart(bs, pos, id, nFrames, frameBytes)
         var fs = 0L
         var j = 0
         while (j < frameBytes) { fs += bs(pos + j) & 0xff; j += 1 }
@@ -973,45 +994,13 @@ object Multimodal {
     media.mapPartitions(_.map { m =>
       val bs = m.bytes
       val id = m.doc_id
-      val magic = "YUV4MPEG2"
-      require(bs.length > magic.length &&
-        new String(bs, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
-        s"doc $id: not a YUV4MPEG2 stream")
-      var pos = magic.length
-      var w = -1; var h = -1; var cs = "420"
-      while (pos < bs.length && bs(pos) != '\n') {
-        require(bs(pos) == ' ', s"doc $id: malformed stream header")
-        pos += 1
-        val tag = bs(pos).toChar
-        pos += 1
-        val sb = new StringBuilder
-        while (pos < bs.length && bs(pos) != ' ' && bs(pos) != '\n') {
-          sb.append(bs(pos).toChar); pos += 1
-        }
-        tag match {
-          case 'W' => w = sb.toString.toInt
-          case 'H' => h = sb.toString.toInt
-          case 'C' => cs = sb.toString
-          case _ => ()
-        }
-      }
-      require(pos < bs.length, s"doc $id: header never terminated")
-      pos += 1
-      require(w > 0 && h > 0, s"doc $id: missing or bad dimensions ${w}x$h")
-      require(cs == "444", s"doc $id: unsupported colorspace C$cs (only C444 ships)")
+      val (w, h, _, _, headerEnd) = y4mHeader(bs, id)
+      var pos = headerEnd
       val frameBytes = 3 * w * h
       val prev = new Array[Int](frameBytes)
       var nFrames = 0L; var nCuts = 0L; var firstCut = -1L; var sadSum = 0L
       while (pos < bs.length) {
-        val mk = "FRAME"
-        require(pos + mk.length <= bs.length &&
-          new String(bs, pos, mk.length, java.nio.charset.StandardCharsets.US_ASCII) == mk,
-          s"doc $id: expected FRAME marker at byte $pos")
-        pos += mk.length
-        while (pos < bs.length && bs(pos) != '\n') pos += 1
-        require(pos < bs.length, s"doc $id: FRAME marker never terminated")
-        pos += 1
-        require(pos + frameBytes <= bs.length, s"doc $id: truncated frame $nFrames")
+        pos = y4mFrameStart(bs, pos, id, nFrames, frameBytes)
         var sad = 0L
         var j = 0
         while (j < frameBytes) {
@@ -1070,47 +1059,15 @@ object Multimodal {
     media.mapPartitions(_.map { m =>
       val bs = m.bytes
       val id = m.doc_id
-      val magic = "YUV4MPEG2"
-      require(bs.length > magic.length &&
-        new String(bs, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
-        s"doc $id: not a YUV4MPEG2 stream")
-      var pos = magic.length
-      var w = -1; var h = -1; var cs = "420"
-      while (pos < bs.length && bs(pos) != '\n') {
-        require(bs(pos) == ' ', s"doc $id: malformed stream header")
-        pos += 1
-        val tag = bs(pos).toChar
-        pos += 1
-        val sb = new StringBuilder
-        while (pos < bs.length && bs(pos) != ' ' && bs(pos) != '\n') {
-          sb.append(bs(pos).toChar); pos += 1
-        }
-        tag match {
-          case 'W' => w = sb.toString.toInt
-          case 'H' => h = sb.toString.toInt
-          case 'C' => cs = sb.toString
-          case _ => ()
-        }
-      }
-      require(pos < bs.length, s"doc $id: header never terminated")
-      pos += 1
-      require(w > 0 && h > 0, s"doc $id: missing or bad dimensions ${w}x$h")
-      require(cs == "444", s"doc $id: unsupported colorspace C$cs (only C444 ships)")
+      val (w, h, _, _, headerEnd) = y4mHeader(bs, id)
+      var pos = headerEnd
       val frameBytes = 3 * w * h
       var nFrames = 0L; var sampled = 0L; var fp = 0L
       // running W^idx % 2^40 — recomputing the power per sampled frame
-      // (fpPow) would cost O(frames²) on a production-length clip
+      // would cost O(frames²) on a production-length clip
       var pw = 1L
       while (pos < bs.length) {
-        val mk = "FRAME"
-        require(pos + mk.length <= bs.length &&
-          new String(bs, pos, mk.length, java.nio.charset.StandardCharsets.US_ASCII) == mk,
-          s"doc $id: expected FRAME marker at byte $pos")
-        pos += mk.length
-        while (pos < bs.length && bs(pos) != '\n') pos += 1
-        require(pos < bs.length, s"doc $id: FRAME marker never terminated")
-        pos += 1
-        require(pos + frameBytes <= bs.length, s"doc $id: truncated frame $nFrames")
+        pos = y4mFrameStart(bs, pos, id, nFrames, frameBytes)
         if (nFrames % stride == 0) {
           var fh = 0L
           var j = 0
@@ -1310,7 +1267,13 @@ object Multimodal {
       val bs = m.bytes
       val id = m.doc_id
       def le16(off: Int): Int = (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8)
-      val (_, _, dataOff, n) = wavPcm(id, bs)
+      val (channels, sampleRate, dataOff, n) = wavPcm(id, bs)
+      // the probe coefficients are pinned to one 8 kHz mono stream: a
+      // stereo interleave or another rate would score the wrong bins
+      // SILENTLY (a 16 kHz tone lands one bin down) — refuse by name
+      require(channels == 1, s"doc $id: spectral probes need mono, got $channels channels")
+      require(sampleRate == 8000,
+        s"doc $id: probe bank pinned to 8000 Hz, got $sampleRate")
       val k = probes.length
       val s1 = new Array[Long](k)
       val s2 = new Array[Long](k)

@@ -312,14 +312,14 @@ object Web {
     * decoded char (or 0 for "not an entity") and the consumed length. */
   private def decodeEntity(s: String, i: Int): (Char, Int) = {
     val semi = s.indexOf(';', i + 1)
-    if (semi < 0 || semi - i > 8) (' ', 0)
+    if (semi < 0 || semi - i > 8) (' ', 0)
     else s.substring(i + 1, semi) match {
       case "lt" => ('<', semi - i + 1)
       case "gt" => ('>', semi - i + 1)
       case "quot" => ('"', semi - i + 1)
       case "#39" => ('\'', semi - i + 1)
       case "amp" => ('&', semi - i + 1)
-      case _ => (' ', 0)
+      case _ => (' ', 0)
     }
   }
 

@@ -85,10 +85,13 @@ class SceneDriftSpec extends SparkSpec {
     val docs = Seq.tabulate(200)(i =>
       (i.toLong, s"src${i % 4}", (i * 37 % 500 + 40).toLong))
       .toDF("doc_id", "source", "n_chars")
-    val whole = Corpus.driftAdd(docs)
-    val merged = Corpus.mergeDriftStates(
-      (0 to 2).map(k => Corpus.driftAdd(docs.filter(col("doc_id") % 3 === k))): _*)
-    assert(merged.unionByName(whole).distinct().count() == whole.count())
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val whole = rows(Corpus.driftAdd(docs))
+    val merged = rows(Corpus.mergeDriftStates(
+      (0 to 2).map(k => Corpus.driftAdd(docs.filter(col("doc_id") % 3 === k))): _*))
+    // symmetric equality: a merge that LOSES buckets must fail too
+    assert(merged == whole)
   }
 
   test("drift state ingests through Structured Streaming foreachBatch, report == batch") {

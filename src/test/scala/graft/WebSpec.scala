@@ -132,7 +132,9 @@ class WebSpec extends SparkSpec {
   }
 
   test("urlDupGroups: four crawl variants collapse to one canonical page") {
-    // page key k=8 (k%7 != 0, k%5 < 2): all four variants share the canon
+    // page key k=8 (k%7 != 0; k%5 = 3 so the page has NO ref query and
+    // v2 carries a lone utm_campaign that must vanish wholesale): all
+    // four variants share the canon
     val raw = Web.urlTable(Seq.tabulate(4)(i => (32L + i, "t")).toDF("doc_id", "text"))
     val g = Web.urlDupGroups(raw).collect()
     assert(g.length == 1)
@@ -166,10 +168,10 @@ class WebSpec extends SparkSpec {
   }
 
   test("mirrorGroups: syndicated text found across domains, single-domain dups excluded") {
-    // docs 0 and 400 share text and live on different domains (k=0 vs
-    // k=100 -> alpha.com vs echo.net); docs 1 and 2 share text on the
-    // SAME page key family? no — use copies within one domain: 8 and 9
-    // share text and the same k=2 -> same domain -> excluded
+    // docs 0 and 400 share text and live on different domains (k=0 ->
+    // alpha.com vs k=100 -> alpha.net: name (100/4)%5=0, suffix
+    // (100/20)%6=5); docs 8 and 9 share text on the SAME page key
+    // (k=2 -> alpha.com) -> single-domain group, excluded
     val docs = Seq(
       (0L, "shared syndicated words here", "en", "s", 28L),
       (400L, "shared syndicated words here", "en", "s", 28L),

@@ -411,6 +411,84 @@ object Web {
       (col("anchor_chars") * 5 <= col("content_chars") &&
         col("content_chars") >= 120).cast(IntegerType).as("accepted"))
 
+  // ---------------------------------------------------------------------
+  // robots.txt: fixture, parser, longest-match screen.
+  // ---------------------------------------------------------------------
+
+  /** One deterministic robots.txt per registered domain (rules are
+    * arithmetic off the domain's name/suffix indexes, so the oracle
+    * can state them without parsing): a `User-agent: *` group with two
+    * Disallow prefixes d1 = (ni·7+si)%40 and d2 = (ni·11+3·si)%40, and
+    * — when (ni+si)%2 == 0 — an `Allow:` for d1 that must WIN the
+    * equal-length tie (the Google-spec rule). A comment line and blank
+    * line exercise the parser's skipping. */
+  def robotsTable(documents: DataFrame): DataFrame = {
+    val ni = expr("((doc_id div 4) div 4) % 5")
+    val si = expr("((doc_id div 4) div 20) % 6")
+    val name = element_at(
+      array(lit("alpha"), lit("bravo"), lit("charlie"), lit("delta"), lit("echo")),
+      (ni + 1).cast(IntegerType))
+    val suffix = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("ac.uk"), lit("net")),
+      (si + 1).cast(IntegerType))
+    val d1 = (ni * 7 + si) % 40
+    val d2 = (ni * 11 + si * 3) % 40
+    documents.select(
+        concat(name, lit("."), suffix).as("reg_domain"),
+        concat(
+          lit("# synthetic robots fixture\n\nUser-agent: *\nDisallow: /p/"),
+          d1.cast(StringType), lit("\n"),
+          when((ni + si) % 2 === 0,
+            concat(lit("Allow: /p/"), d1.cast(StringType), lit("\n")))
+            .otherwise(lit("")),
+          lit("Disallow: /p/"), d2.cast(StringType), lit("\n")).as("robots_txt"))
+      .distinct()
+  }
+
+  /** Parse rule lines out of the robots.txt text (REAL parse — the
+    * oracle states the rules from arithmetic): split lines, keep
+    * `Allow:`/`Disallow:` verbs, trim the path prefix; comments and
+    * blanks drop. */
+  def robotsRules(robots: DataFrame): DataFrame =
+    robots
+      .select(col("reg_domain"),
+        explode(split(col("robots_txt"), "\n")).as("line"))
+      .select(col("reg_domain"),
+        regexp_extract(col("line"), "^(Allow|Disallow):", 1).as("verb"),
+        trim(regexp_extract(col("line"), "^(?:Allow|Disallow):\\s*(.*)$", 1))
+          .as("prefix"))
+      .filter(col("verb") =!= "" && col("prefix") =!= "")
+
+  /** robots screen: per URL, the longest-prefix-match verdict over its
+    * domain's rules — string prefix semantics (so `Disallow: /p/3`
+    * also blocks `/p/31`, the actual robots.txt behavior), longest
+    * prefix wins, equal length ties break to Allow (Google's rule),
+    * no match means allowed. The rules side is domains-bounded, so the
+    * join broadcasts; the verdict is a map-side-combinable min(struct),
+    * never a window. */
+  def robotsScreen(urls: DataFrame, robots: DataFrame): DataFrame = {
+    val rules = broadcast(robotsRules(robots))
+    val pages = urlParse(urls).select(col("doc_id"), col("path"))
+      .join(registeredDomain(urls).select(col("doc_id"), col("reg_domain")),
+        Seq("doc_id"))
+    val matched = pages.join(rules, Seq("reg_domain"))
+      .filter(col("path").startsWith(col("prefix")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("matched_rules"),
+        min(struct(
+          (-length(col("prefix"))).as("neg_len"),
+          when(col("verb") === "Allow", 0).otherwise(1).as("verb_rank"),
+          col("prefix").as("prefix"))).as("best"))
+      .select(col("doc_id"), col("matched_rules"),
+        (col("best.verb_rank") === 0).cast(IntegerType).as("match_allows"))
+    pages.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("reg_domain"), col("path"),
+        coalesce(col("matched_rules"), lit(0L)).as("matched_rules"),
+        coalesce(col("match_allows"),
+          lit(1)).as("allowed"))
+  }
+
   /** Mirror/syndication detection: identical-content documents spanning
     * ≥ 2 registered domains (the C4 finding — news syndication and site
     * mirrors inflate a crawl corpus with cross-domain exact dups that

@@ -1719,6 +1719,17 @@ object ExtRegistry {
           .select(col("doc_id"), col("margin")), repThr = -175L)
     }),
 
+    // robots.txt screen: REAL text parse of a per-domain fixture file
+    // (comments/blanks skipped), longest-prefix-match verdict with the
+    // Google tie rule (equal length -> Allow wins), string-prefix
+    // semantics (Disallow /p/3 also blocks /p/31 — actual robots
+    // behavior); the oracle states the rules from generator arithmetic
+    "robots_screen" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Web.robotsScreen(
+        graft.ext.Web.urlTable(docs), graft.ext.Web.robotsTable(docs))
+    }),
+
     // mirror/syndication detection over a SYNDICATION fixture (every
     // doc's text also appears under a second id, which urlTable maps to
     // a different domain): identical-fingerprint groups spanning >= 2
@@ -5925,6 +5936,55 @@ object ExtRegistry {
 
     "quality_drift_tvd" -> driftTvdOracle,
     "quality_drift_stream" -> driftTvdOracle,
+
+    // rules stated from the domain arithmetic (never parsed), matching
+    // replayed with starts_with + the pinned (length DESC, Allow-first)
+    // rank
+    "robots_screen" ->
+      s"""WITH $urlCtes,
+         |dm AS (SELECT DISTINCT ((doc_id // 4) // 4) % 5 AS ni,
+         |                       ((doc_id // 4) // 20) % 6 AS si
+         |       FROM documents),
+         |dmn AS (
+         |  SELECT ni, si,
+         |         ['alpha', 'bravo', 'charlie', 'delta', 'echo'][CAST(ni + 1 AS INTEGER)]
+         |           || '.' ||
+         |         ['com', 'org', 'co.uk', 'io', 'ac.uk', 'net'][CAST(si + 1 AS INTEGER)]
+         |           AS reg_domain
+         |  FROM dm),
+         |r AS (
+         |  SELECT reg_domain, 'Disallow' AS verb,
+         |         '/p/' || CAST((ni * 7 + si) % 40 AS VARCHAR) AS prefix FROM dmn
+         |  UNION ALL
+         |  SELECT reg_domain, 'Allow',
+         |         '/p/' || CAST((ni * 7 + si) % 40 AS VARCHAR) FROM dmn
+         |  WHERE (ni + si) % 2 = 0
+         |  UNION ALL
+         |  SELECT reg_domain, 'Disallow',
+         |         '/p/' || CAST((ni * 11 + si * 3) % 40 AS VARCHAR) FROM dmn),
+         |pg AS (SELECT doc_id, nm || '.' || suf AS reg_domain,
+         |              CASE WHEN v = 3 THEN path || '/' ELSE path END AS path
+         |       FROM w),
+         |mt AS (SELECT pg.doc_id, r.verb, r.prefix
+         |       FROM pg JOIN r USING (reg_domain)
+         |       WHERE starts_with(pg.path, r.prefix)),
+         |bst AS (
+         |  SELECT doc_id, verb FROM (
+         |    SELECT doc_id, verb,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY length(prefix) DESC,
+         |                      CASE verb WHEN 'Allow' THEN 0 ELSE 1 END,
+         |                      prefix) AS rk
+         |    FROM mt) q
+         |  WHERE rk = 1),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_rules
+         |        FROM mt GROUP BY 1)
+         |SELECT pg.doc_id, pg.reg_domain, pg.path,
+         |       coalesce(cnt.matched_rules, 0) AS matched_rules,
+         |       CASE WHEN bst.verb IS NULL OR bst.verb = 'Allow' THEN 1 ELSE 0 END AS allowed
+         |FROM pg
+         |LEFT JOIN cnt USING (doc_id)
+         |LEFT JOIN bst USING (doc_id)""".stripMargin,
 
     // fingerprints + domains replayed over the syndication union; the
     // DISTINCT-domain rollup mirrors the Spark side's two-level shape

@@ -167,6 +167,34 @@ class WebSpec extends SparkSpec {
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("robotsRules: comments and blanks drop, verbs and prefixes trim") {
+    val robots = Seq(("d.com",
+      "# comment\n\nUser-agent: *\nDisallow: /a\nAllow:   /a/b\nnoise line\n"))
+      .toDF("reg_domain", "robots_txt")
+    val rules = Web.robotsRules(robots).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(rules == Set(("Disallow", "/a"), ("Allow", "/a/b")))
+  }
+
+  test("robotsScreen: longest prefix wins, equal-length tie goes to Allow, no match allows") {
+    val robots = Seq(
+      ("alpha.com", "User-agent: *\nDisallow: /p/3\nAllow: /p/3\nDisallow: /p/31\n"))
+      .toDF("reg_domain", "robots_txt")
+    val out = Web.robotsScreen(urls(
+      // k=12 -> path /p/12 on alpha.com (no rule matches -> allowed)
+      48L -> "https://www.alpha.com/p/12",
+      // path /p/3: Disallow+Allow tie at length 4 -> Allow wins
+      49L -> "https://www.alpha.com/p/3",
+      // path /p/31: matched by /p/3 (len 4) AND /p/31 (len 5) -> longest
+      // is the Disallow -> blocked; the string-prefix hazard is REAL
+      50L -> "https://www.alpha.com/p/31"), robots).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("matched_rules"), r.getAs[Int]("allowed"))).toMap
+    assert(out(48L) == ((0L, 1)))
+    assert(out(49L) == ((2L, 1)))
+    assert(out(50L) == ((3L, 0)))
+  }
+
   test("mirrorGroups: syndicated text found across domains, single-domain dups excluded") {
     // docs 0 and 400 share text and live on different domains (k=0 ->
     // alpha.com vs k=100 -> alpha.net: name (100/4)%5=0, suffix

@@ -1301,6 +1301,91 @@ object Multimodal {
     })
   }
 
+  // ---------------------------------------------------------------------
+  // Format sniffing: magic-byte dispatch over mixed containers.
+  // ---------------------------------------------------------------------
+
+  /** A MIXED media column: doc_id % 7 routes each doc through one of
+    * the seven shipped encoders (0/1 → PPM-or-BMP by parity, 2 → PNG,
+    * 3 → GIF, 4 → WAV, 5 → Y4M, 6 → JPEG) — the "bucket of scraped
+    * files" a real ingest faces, where nothing guarantees the stated
+    * content type. */
+  def encodeMixed(documents: DataFrame): Dataset[EncodedMedia] = {
+    def r(i: Int) = documents.filter(col("doc_id") % 7 === i)
+    encodeMedia(r(0)).unionByName(encodeMedia(r(1)))
+      .unionByName(encodePng(r(2)))
+      .unionByName(encodeGif(r(3)))
+      .unionByName(encodeAudio(r(4)))
+      .unionByName(encodeVideo(r(5)))
+      .unionByName(Jpeg.encodeJpeg(r(6)))
+  }
+
+  final case class SniffedMedia(doc_id: Long, fmt: String, dim1: Long, dim2: Long)
+
+  /** Format sniffer/router: detect the container from MAGIC BYTES —
+    * the `fmt` label on the row is deliberately ignored, because a
+    * crawl's stated content type lies — and parse that format's own
+    * header for its primary dimensions (images/video: w×h; WAV:
+    * n_samples × sample rate). One narrow pass; an unrecognized
+    * magic fails loudly by name (a router that silently drops or
+    * mislabels corrupts every downstream modality split). */
+  def sniffMedia(media: Dataset[EncodedMedia]): Dataset[SniffedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      val id = m.doc_id
+      def ascii(off: Int, n: Int): String =
+        if (bs.length < off + n) ""
+        else new String(bs, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+      def le16(off: Int): Int = (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8)
+      def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+      def be16(off: Int): Int = ((bs(off) & 0xff) << 8) | (bs(off + 1) & 0xff)
+      def be32(off: Int): Long = (be16(off).toLong << 16) | be16(off + 2)
+      if (ascii(0, 2) == "P6") {
+        // "P6\n<w> <h>\n255\n": token scan over ASCII ints
+        var p = 2
+        def int(): Long = {
+          while (p < bs.length && (bs(p) == ' ' || bs(p) == '\n' || bs(p) == '\t')) p += 1
+          var v = 0L
+          while (p < bs.length && bs(p) >= '0' && bs(p) <= '9') { v = v * 10 + (bs(p) - '0'); p += 1 }
+          v
+        }
+        SniffedMedia(id, "ppm", int(), int())
+      } else if (ascii(0, 2) == "BM") {
+        SniffedMedia(id, "bmp", le32(18).toLong, math.abs(le32(22)).toLong)
+      } else if (bs.length > 8 && (bs(0) & 0xff) == 0x89 && ascii(1, 3) == "PNG") {
+        SniffedMedia(id, "png", be32(16), be32(20))
+      } else if (ascii(0, 4) == "GIF8") {
+        SniffedMedia(id, "gif", le16(6).toLong, le16(8).toLong)
+      } else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+        val (_, rate, _, n) = wavPcm(id, bs)
+        SniffedMedia(id, "wav", n.toLong, rate.toLong)
+      } else if (ascii(0, 9) == "YUV4MPEG2") {
+        val (w, h, _, _, _) = y4mHeader(bs, id)
+        SniffedMedia(id, "y4m", w.toLong, h.toLong)
+      } else if (bs.length > 2 && (bs(0) & 0xff) == 0xff && (bs(1) & 0xff) == 0xd8) {
+        // JPEG: walk markers to the first SOFn (C0-CF minus C4/C8/CC)
+        var p = 2
+        var w = -1L; var h = -1L
+        while (w < 0 && p + 4 <= bs.length) {
+          require((bs(p) & 0xff) == 0xff, s"doc $id: bad JPEG marker at byte $p")
+          val mk = bs(p + 1) & 0xff
+          val len = be16(p + 2)
+          if (mk >= 0xc0 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 && mk != 0xcc) {
+            h = be16(p + 5).toLong; w = be16(p + 7).toLong
+          } else p += 2 + len
+        }
+        require(w > 0 && h > 0, s"doc $id: JPEG with no SOF frame header")
+        SniffedMedia(id, "jpeg", w, h)
+      } else {
+        throw new IllegalArgumentException(
+          s"doc $id: unrecognized container magic " +
+            bs.take(4).map(b => f"${b & 0xff}%02x").mkString(" "))
+      }
+    })
+  }
+
   /** Audio quality screen row: rail-clipping and near-silence rates
     * with the keep verdict. */
   final case class AudioQuality(doc_id: Long, n_samples: Long,

@@ -1719,6 +1719,16 @@ object ExtRegistry {
           .select(col("doc_id"), col("margin")), repThr = -175L)
     }),
 
+    // format sniffer/router over a MIXED media column (doc_id % 7
+    // routes each doc through one of the seven shipped encoders): the
+    // fmt label is ignored, detection is magic-bytes only, and each
+    // format's own header yields its dims — the content-type-lies
+    // reality of a crawl ingest; oracle states fmt + dims from the
+    // per-encoder arithmetic
+    "media_sniff" -> ((s, dir) =>
+      graft.ext.Multimodal.sniffMedia(
+        graft.ext.Multimodal.encodeMixed(Tables(s, dir).documents)).toDF()),
+
     // robots.txt screen: REAL text parse of a per-domain fixture file
     // (comments/blanks skipped), longest-prefix-match verdict with the
     // Google tie rule (equal length -> Allow wins), string-prefix
@@ -1741,6 +1751,25 @@ object ExtRegistry {
       val all = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + 1000000L))
       graft.ext.Web.mirrorGroups(all, graft.ext.Web.urlTable(all))
+    }),
+
+    // the funnel report: per source, how many docs each screen drops
+    // and how many survive — the monitoring rollup a curation run
+    // publishes beside the keep-list itself
+    "web_curation_funnel" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val kl = graft.ext.Web.webCurationKeeplist(docs,
+        graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
+          .select(col("doc_id"), col("margin")), repThr = -175L)
+      kl.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(lit(1) - col("url_keep")).as("url_drops"),
+          sum(lit(1) - col("domain_keep")).as("domain_drops"),
+          sum(lit(1) - col("rep_keep")).as("rep_drops"),
+          sum(lit(1) - col("boiler_keep")).as("boiler_drops"),
+          sum(col("keep")).as("kept"))
     }),
 
     // the crawl-to-batches tail: keep-list survivors semi-filtered into
@@ -5937,6 +5966,36 @@ object ExtRegistry {
     "quality_drift_tvd" -> driftTvdOracle,
     "quality_drift_stream" -> driftTvdOracle,
 
+    // fmt and dims per residue class from each encoder's pinned
+    // arithmetic — a sniffer misroute or header misparse hash-fails
+    "media_sniff" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 7
+        |         WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END
+        |         WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END
+        |         WHEN 2 THEN 'png'
+        |         WHEN 3 THEN 'gif'
+        |         WHEN 4 THEN 'wav'
+        |         WHEN 5 THEN 'y4m'
+        |         ELSE 'jpeg' END AS fmt,
+        |       CAST(CASE doc_id % 7
+        |         WHEN 0 THEN 1 + (doc_id * 7) % 13
+        |         WHEN 1 THEN 1 + (doc_id * 7) % 13
+        |         WHEN 2 THEN 3 + (doc_id * 7) % 13
+        |         WHEN 3 THEN 16 + (doc_id * 5) % 17
+        |         WHEN 4 THEN 256 + (doc_id * 31) % 512
+        |         WHEN 5 THEN 4 + doc_id % 4
+        |         ELSE 8 * (1 + doc_id % 3) END AS BIGINT) AS dim1,
+        |       CAST(CASE doc_id % 7
+        |         WHEN 0 THEN 1 + (doc_id * 11) % 9
+        |         WHEN 1 THEN 1 + (doc_id * 11) % 9
+        |         WHEN 2 THEN 5 + (doc_id * 11) % 9
+        |         WHEN 3 THEN 16 + (doc_id * 13) % 11
+        |         WHEN 4 THEN 8000
+        |         WHEN 5 THEN 2 + doc_id % 3
+        |         ELSE 8 * (1 + doc_id % 2) END AS BIGINT) AS dim2
+        |FROM documents""".stripMargin,
+
     // rules stated from the domain arithmetic (never parsed), matching
     // replayed with starts_with + the pinned (length DESC, Allow-first)
     // rank
@@ -6023,6 +6082,17 @@ object ExtRegistry {
     "web_curation_keeplist" ->
       s"""WITH $webKeepCtes
          |SELECT * FROM kl""".stripMargin,
+
+    "web_curation_funnel" ->
+      s"""WITH $webKeepCtes
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(1 - kl.url_keep) AS BIGINT) AS url_drops,
+         |       CAST(sum(1 - kl.domain_keep) AS BIGINT) AS domain_drops,
+         |       CAST(sum(1 - kl.rep_keep) AS BIGINT) AS rep_drops,
+         |       CAST(sum(1 - kl.boiler_keep) AS BIGINT) AS boiler_drops,
+         |       CAST(sum(kl.keep) AS BIGINT) AS kept
+         |FROM kl JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // pack the keep-list survivors: the end-to-end crawl-to-batches
     // tail (keeplist twin -> semi-filter -> the pack window)

@@ -81,6 +81,22 @@ class SceneDriftSpec extends SparkSpec {
     assert(out(2L).p500 > 10L * math.max(out(2L).p250, math.max(out(2L).p1000, out(2L).p2000)))
   }
 
+  test("sniffMedia: detection is magic-bytes only — a lying fmt label is ignored") {
+    val wav = Multimodal.EncodedMedia(4L, "jpeg", // label lies
+      toneWav(Array(0, 100, -100, 50)))
+    val out = Multimodal.sniffMedia(Seq(wav).toDS()).collect().head
+    assert(out.fmt == "wav" && out.dim1 == 4L && out.dim2 == 8000L)
+  }
+
+  test("sniffMedia: unrecognized magic fails loud by name") {
+    val junk = Multimodal.EncodedMedia(9L, "png", Array[Byte](1, 2, 3, 4, 5))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sniffMedia(Seq(junk).toDS()).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("unrecognized container magic"))
+  }
+
   test("driftAdd/merge: three deltas merge to the one-delta state exactly") {
     val docs = Seq.tabulate(200)(i =>
       (i.toLong, s"src${i % 4}", (i * 37 % 500 + 40).toLong))

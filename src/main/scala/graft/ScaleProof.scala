@@ -510,6 +510,21 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Multimodal.audioSpectral(graft.ext.Multimodal.encodeAudio(
           s.range(500L * f).select(col("id").as("doc_id")))).toDF()),
+    // robots screen: URL parse + domain join + broadcast rules probe +
+    // min-struct argmax — constant exchange count while the crawl
+    // grows (the rules side is domains-bounded).
+    ("urls->robotsScreen", Map.empty[String, String],
+      (s: SparkSession, f: Int) => {
+        val docs = s.range(500L * f).select(col("id").as("doc_id"))
+        graft.ext.Web.robotsScreen(
+          graft.ext.Web.urlTable(docs), graft.ext.Web.robotsTable(docs))
+      }),
+    // format sniffer: magic dispatch + per-format header parse, a
+    // narrow map with zero exchanges at any corpus size.
+    ("media->sniffMedia", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Multimodal.sniffMedia(graft.ext.Multimodal.encodeMixed(
+          s.range(500L * f).select(col("id").as("doc_id")))).toDF()),
     // drift monitor: the corpus-sized pass is the bucket count; the
     // report folds the ≤ 8 cells per source inside the SAME
     // aggregation (no join-back, no second scan — PlanSpec pins it),

@@ -525,6 +525,25 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Multimodal.sniffMedia(graft.ext.Multimodal.encodeMixed(
           s.range(500L * f).select(col("id").as("doc_id")))).toDF()),
+    // mirror detection: fingerprint + domain are per-row arithmetic,
+    // then the one-shuffle nested aggregation on the 8-byte key — the
+    // corpus text never shuffles; groups bounded by true syndication.
+    ("docs->mirrorGroups", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) => {
+        // the arithmetic fingerprint is additive in token lengths, so
+        // docs must differ in token COUNT × length-SUM to hash apart:
+        // 32 counts × 211 tail lengths ≈ 6.7k classes keeps group
+        // growth near-linear over the ladder instead of collapsing
+        // into a few template classes
+        val docs = s.range(500L * f).select(
+          col("id").as("doc_id"), lit("en").as("lang"), lit("s").as("source"),
+          expr("repeat('a ', CAST(1 + id % 32 AS INT)) || " +
+            "repeat('b', CAST(1 + (id div 32) % 211 AS INT))").as("text"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        val all = docs.unionByName(
+          docs.withColumn("doc_id", col("doc_id") + 10000000L))
+        graft.ext.Web.mirrorGroups(all, graft.ext.Web.urlTable(all))
+      }),
     // drift monitor: the corpus-sized pass is the bucket count; the
     // report folds the ≤ 8 cells per source inside the SAME
     // aggregation (no join-back, no second scan — PlanSpec pins it),

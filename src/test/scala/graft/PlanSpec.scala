@@ -551,7 +551,14 @@ class PlanSpec extends SparkSpec {
       // round-12: the OPQ permutation is a narrow pre-projection + one
       // bounded driver stats collect — the SEARCH plan must stay
       // ivfPqTopK's exactly
-      "knn_cosine_ivfpq_opq" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
+      "knn_cosine_ivfpq_opq" -> ((1, 1, Map("BroadcastHashJoin" -> 1))),
+      // round-17b: the web-curation compositions are the newest
+      // top-of-bench queries — their screens must stay broadcast
+      // probes on the doc spine
+      "web_curation_keeplist" -> ((3, 6, Map("BroadcastHashJoin" -> 6))),
+      "web_curation_pack" ->
+        ((6, 6, Map("SortMergeJoin" -> 1, "BroadcastHashJoin" -> 6))),
+      "domain_reputation_screen" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
     val observed = golden.keys.toSeq.sorted.map { name =>
       name -> planShape(SparkEntry.queries(name)(spark, sfDir))
     }

@@ -50,6 +50,16 @@ object Bench {
     val calMaxRatio = 1.3
     val calRetries = envNum("SPARK_GRAFT_CAL_RETRIES", _.toInt, 3)
     val calWaitSec = envNum("SPARK_GRAFT_CAL_WAIT_SEC", _.toInt, 20)
+    // NOTE (r17, measured): a "settle the box first" warmup before the
+    // pre-probe was tried and REVERTED — 75 s of sustained load (the
+    // sentinel back-to-back, or a foreign join job; both measured)
+    // drives the probe DOWN to 0.10–0.18 s because the probe partly
+    // reads Spark-runtime warmth, not host speed, while the post-probe
+    // (taken in a JVM carrying 270+ queries' codegen classes and GC
+    // pressure) reads 0.66–0.78 regardless. Warming the pre-probe
+    // therefore GUARANTEES a ratio failure; the two probes necessarily
+    // bracket different JVM lifecycle phases, and the pinned band +
+    // ratio on the UNWARMED probe remain the honest instrument.
     var calPre = calibrate()
     var preAttempts = 1
     while (calPre > calMax && preAttempts <= calRetries) {

@@ -1719,6 +1719,36 @@ object ExtRegistry {
           .select(col("doc_id"), col("margin")), repThr = -175L)
     }),
 
+    // tokenizer fertility: tokens-per-word and chars-per-token per
+    // language under the shipped byte-BPE tokenizer — the metric a
+    // tokenizer eval publishes (a vocab trained on one language mix
+    // taxes the others with higher fertility); exact int64 sums, one
+    // IEEE divide each for display
+    "tokenizer_fertility" -> ((s, dir) => {
+      val raw = Tables(s, dir).documents
+      val docs = graft.ext.Text.utf8Dirty(raw)
+      val toks = graft.ext.Text.byteBpeTokenize(
+        graft.ext.Text.byteBpeTrainMerges(docs, rounds = 3, batch = 8), docs)
+        .select(col("doc_id"), col("n_tokens"))
+      docs.select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast(LongType).as("n_words"),
+          length(col("text")).cast(LongType).as("n_cps"))
+        .join(raw.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(toks, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(col("n_cps")).as("chars"))
+        .select(col("lang"), col("n_docs"), col("words"), col("tokens"), col("chars"),
+          (col("tokens").cast(DoubleType) / col("words").cast(DoubleType))
+            .as("fertility"),
+          (col("chars").cast(DoubleType) / col("tokens").cast(DoubleType))
+            .as("chars_per_token"))
+    }),
+
     // format sniffer/router over a MIXED media column (doc_id % 7
     // routes each doc through one of the seven shipped encoders): the
     // fmt label is ignored, detection is magic-bytes only, and each
@@ -5965,6 +5995,43 @@ object ExtRegistry {
 
     "quality_drift_tvd" -> driftTvdOracle,
     "quality_drift_stream" -> driftTvdOracle,
+
+    // per-doc token counts from the byte-BPE tokenize chain, word and
+    // codepoint counts from the dirtied corpus, rolled up per lang
+    "tokenizer_fertility" ->
+      s"""WITH $utf8DirtyCte,
+         |${bpeBatchChainCtesFrom(3, 8, byteBpeW0Cte)},
+         |base AS (SELECT chr(${byteMapCpSql("b")}) AS sym, CAST(b AS BIGINT) AS id
+         |         FROM (SELECT CAST(unnest(generate_series(0, 255)) AS INTEGER) AS b)),
+         |mg AS (SELECT l || r AS sym,
+         |              CAST(255 + row_number() OVER (ORDER BY i, j) AS BIGINT) AS id
+         |       FROM picks),
+         |dict AS (SELECT sym, min(id) AS id FROM (
+         |           SELECT sym, id FROM base UNION ALL SELECT sym, id FROM mg) u
+         |         GROUP BY 1),
+         |ws AS (SELECT word, u['p'] AS sym FROM (
+         |         SELECT word, unnest(list_transform(generate_series(1, len(ss)), j -> {'j': j, 'p': ss[j]})) AS u
+         |         FROM (SELECT word, list_filter(string_split(repr, chr(31)), s -> s <> '') AS ss FROM w3) v) e),
+         |tid AS (SELECT word, CAST(count(*) AS BIGINT) AS term_toks
+         |        FROM ws JOIN dict USING (sym) GROUP BY 1),
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+         |       FROM dd),
+         |tk AS (SELECT doc_id, CAST(sum(term_toks) AS BIGINT) AS n_tokens
+         |       FROM dw JOIN tid USING (word) GROUP BY 1),
+         |pp AS (SELECT doc_id,
+         |              CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+         |              CAST(length(text) AS BIGINT) AS n_cps
+         |       FROM dd)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(pp.n_words) AS BIGINT) AS words,
+         |       CAST(sum(tk.n_tokens) AS BIGINT) AS tokens,
+         |       CAST(sum(pp.n_cps) AS BIGINT) AS chars,
+         |       CAST(sum(tk.n_tokens) AS DOUBLE) / CAST(sum(pp.n_words) AS DOUBLE) AS fertility,
+         |       CAST(sum(pp.n_cps) AS DOUBLE) / CAST(sum(tk.n_tokens) AS DOUBLE) AS chars_per_token
+         |FROM documents d
+         |JOIN pp USING (doc_id)
+         |JOIN tk USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // fmt and dims per residue class from each encoder's pinned
     // arithmetic — a sniffer misroute or header misparse hash-fails

@@ -489,6 +489,32 @@ object Web {
           lit(1)).as("allowed"))
   }
 
+  /** Crawl-trap report: per (registered domain, path TEMPLATE — digit
+    * runs collapsed to `N`), how many distinct raw URLs, canonical
+    * pages, and crawls landed there. A template accumulating an
+    * outsized URL count is the calendar/pagination/session-id trap
+    * every crawler blocklists (infinite URL spaces under one path
+    * shape). Output is (domains × templates)-bounded — a REPORT
+    * aggregation, so the distinct counts are fine: the partial
+    * distinct shrinks the data before any exchange. */
+  def crawlTrapReport(urls: DataFrame, minUrls: Long = 60L): DataFrame = {
+    val canon = urlNormalize(urls).select(col("doc_id"), col("url"), col("canon_url"))
+    val parsed = urlParse(urls).select(col("doc_id"), col("path"))
+    val rd = registeredDomain(urls).select(col("doc_id"), col("reg_domain"))
+    canon.join(parsed, Seq("doc_id")).join(rd, Seq("doc_id"))
+      .select(col("reg_domain"),
+        regexp_replace(col("path"), "[0-9]+", "N").as("template"),
+        col("url"), col("canon_url"))
+      .groupBy(col("reg_domain"), col("template"))
+      .agg(
+        countDistinct(col("url")).as("n_urls"),
+        countDistinct(col("canon_url")).as("n_pages"),
+        count(lit(1)).as("n_crawls"))
+      .select(col("reg_domain"), col("template"), col("n_urls"), col("n_pages"),
+        col("n_crawls"),
+        (col("n_urls") >= minUrls).cast(IntegerType).as("trap_suspect"))
+  }
+
   /** Mirror/syndication detection: identical-content documents spanning
     * ≥ 2 registered domains (the C4 finding — news syndication and site
     * mirrors inflate a crawl corpus with cross-domain exact dups that

@@ -1770,6 +1770,13 @@ object ExtRegistry {
         graft.ext.Web.urlTable(docs), graft.ext.Web.robotsTable(docs))
     }),
 
+    // crawl-trap report: URL templates (digit runs -> N) accumulating
+    // outsized distinct-URL counts per domain — the calendar/
+    // pagination/session-id trap a crawler blocklists
+    "crawl_trap_report" -> ((s, dir) =>
+      graft.ext.Web.crawlTrapReport(
+        graft.ext.Web.urlTable(Tables(s, dir).documents), minUrls = 12L)),
+
     // mirror/syndication detection over a SYNDICATION fixture (every
     // doc's text also appears under a second id, which urlTable maps to
     // a different domain): identical-fingerprint groups spanning >= 2
@@ -6111,6 +6118,24 @@ object ExtRegistry {
          |FROM pg
          |LEFT JOIN cnt USING (doc_id)
          |LEFT JOIN bst USING (doc_id)""".stripMargin,
+
+    "crawl_trap_report" ->
+      s"""WITH $urlCtes,
+         |pt AS (
+         |  SELECT nm || '.' || suf AS reg_domain,
+         |         regexp_replace(CASE WHEN v = 3 THEN path || '/' ELSE path END,
+         |                        '[0-9]+', 'N', 'g') AS template,
+         |         url,
+         |         scheme || '://' || host ||
+         |         CASE WHEN v = 1 AND k % 7 = 0 THEN ':8080' ELSE '' END ||
+         |         path || cq AS canon_url
+         |  FROM w)
+         |SELECT reg_domain, template,
+         |       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+         |       CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages,
+         |       CAST(count(*) AS BIGINT) AS n_crawls,
+         |       CASE WHEN count(DISTINCT url) >= 12 THEN 1 ELSE 0 END AS trap_suspect
+         |FROM pt GROUP BY 1, 2""".stripMargin,
 
     // fingerprints + domains replayed over the syndication union; the
     // DISTINCT-domain rollup mirrors the Spark side's two-level shape

@@ -555,11 +555,29 @@ object Web {
     * HTML pass is the zero-exchange state machine. */
   def webCurationKeeplist(documents: DataFrame, margins: DataFrame,
       repThr: Long = 0L): DataFrame = {
+    val urls = urlTable(documents)
+    keeplistCore(documents, margins, repThr,
+      urlDupGroups(urls)
+        .select(col("survivor").as("doc_id"), lit(1).as("url_keep")))
+  }
+
+  /** [[webCurationKeeplist]] off MAINTAINED states — the deployment
+    * shape (the curationPipelineFromStates precedent applied to the
+    * web stack): URL survivorship reads a merged [[urlDedupAdd]]
+    * ingest instead of re-grouping the crawl; the quality margins
+    * arrive as the caller's maintained per-doc state. Bit-identical to
+    * the batch twin by the (sum, min) merge contract. */
+  def webCurationKeeplistFromState(documents: DataFrame, urlState: DataFrame,
+      margins: DataFrame, repThr: Long = 0L): DataFrame =
+    keeplistCore(documents, margins, repThr,
+      urlDupGroupsFromState(urlState)
+        .select(col("survivor").as("doc_id"), lit(1).as("url_keep")))
+
+  private def keeplistCore(documents: DataFrame, margins: DataFrame,
+      repThr: Long, survivors: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val urls = urlTable(documents)
-    val survivors = urlDupGroups(urls)
-      .select(col("survivor").as("doc_id"), lit(1).as("url_keep"))
     val block = domainScreen(urls).select(col("doc_id"), col("kept").as("domain_keep"))
     val rep = domainReputationScreen(urls, margins, repThr)
       .select(col("doc_id"), col("kept").as("rep_keep"))

@@ -1790,6 +1790,25 @@ object ExtRegistry {
       graft.ext.Web.mirrorGroups(all, graft.ext.Web.urlTable(all))
     }),
 
+    // the keep-list off MAINTAINED states: URL survivorship from a
+    // merged three-delta urlDedupAdd ingest, quality margins from a
+    // merged two-delta marginAdd state — bit-identical to the batch
+    // twin (same oracle), the deployment shape of the flagship
+    // composition
+    "web_curation_keeplist_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val urlState = graft.ext.Web.mergeUrlStates(
+        (0 to 2).map(i => graft.ext.Web.urlDedupAdd(
+          graft.ext.Web.urlTable(docs.filter(col("doc_id") % 3 === i)))): _*)
+      val w = graft.ext.Text.hashWeights(docs)
+      val marginState = graft.ext.Text.mergeMargins(
+        graft.ext.Text.marginAdd(docs.filter(col("doc_id") % 2 <=> 0), w),
+        graft.ext.Text.marginAdd(docs.filter(!(col("doc_id") % 2 <=> 0)), w))
+      graft.ext.Web.webCurationKeeplistFromState(docs, urlState,
+        graft.ext.Text.qualityMarginFromCounts(docs, marginState, 0L)
+          .select(col("doc_id"), col("margin")), repThr = -175L)
+    }),
+
     // the funnel report: per source, how many docs each screen drops
     // and how many survive — the monitoring rollup a curation run
     // publishes beside the keep-list itself
@@ -6172,6 +6191,9 @@ object ExtRegistry {
     // min-id per canonical group, blocklist + reputation off the
     // generator domains, boilerplate off the regexp-chain extraction
     "web_curation_keeplist" ->
+      s"""WITH $webKeepCtes
+         |SELECT * FROM kl""".stripMargin,
+    "web_curation_keeplist_stream" ->
       s"""WITH $webKeepCtes
          |SELECT * FROM kl""".stripMargin,
 

@@ -1,4 +1,43 @@
 package graft
+
+/** The calibration probe as its OWN tiny main, run in a FRESH forked
+  * JVM by [[Bench]] for BOTH the pre and the post probe. Rationale
+  * (r17, measured): an in-process post-probe reads the bench JVM's
+  * lifecycle phase — 275+ queries' codegen classes and GC pressure
+  * inflate it to 0.65–0.78 s regardless of host speed, while the
+  * in-process pre-probe (taken in a just-started JVM) reads 0.4–0.8 —
+  * so on a fast host the pre/post ratio rule fired intrinsically and
+  * no full-inventory sweep could ever be calibration-clean. Forking
+  * both probes makes them like-with-like: same flags (inherited from
+  * the parent JVM), no codegen/GC history, so pre≈post on an idle
+  * host and a genuine mid-sweep load burst still shows up as post ≫
+  * pre. The probe workload and the 0.9 s band are UNCHANGED. */
+object CalProbe {
+  /** Fixed CPU-bound probe workload (wide range-sum + a small hash
+    * aggregate — no disk, no data dependence): a property of the
+    * machine at run time, not of this repo's code. Shared by the
+    * forked probe and [[Bench]]'s in-process fallback. */
+  def work(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(50000000L).selectExpr("sum(id)").collect()
+    spark.range(2000000L).selectExpr("id % 1024 as k")
+      .groupBy("k").count().selectExpr("sum(count)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = LocalSession.fromEnv()
+    // absorb session init + the probe's own codegen/plan setup untimed,
+    // exactly as Bench's warmup + first untimed calibrate() always did
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    work(spark)
+    val t = work(spark)
+    // parseable marker line; Spark's own logging goes to stderr
+    println(f"CALPROBE $t%.4f")
+    spark.stop()
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,25 +46,63 @@ object Bench {
     // scheduler, codegen infra) so the first alphabetical query doesn't
     // carry ~5s of one-time setup. Query-specific work is still timed.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // Load-calibration sentinel: a FIXED CPU-bound op (wide range-sum +
-    // a small hash aggregate — no disk, no data dependence) timed before
-    // and after the query loop. Its cost is a property of the machine at
-    // run time, not of this repo's code, so a reader comparing two
-    // rounds' totals can normalize by calibration_sec first: the r7
-    // driver run measured every query 2-3.5x slower than an idle box —
-    // including plans untouched that round — and nothing in the emitted
-    // JSON could prove the inflation was box contention. Now it can.
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(50000000L).selectExpr("sum(id)").collect()
-      spark.range(2000000L).selectExpr("id % 1024 as k")
-        .groupBy("k").count().selectExpr("sum(count)").collect()
-      (System.nanoTime() - t0) / 1e9
+    // Load-calibration sentinel ([[CalProbe.work]]): a FIXED CPU-bound
+    // op timed before and after the query loop. Its cost is a property
+    // of the machine at run time, not of this repo's code, so a reader
+    // comparing two rounds' totals can normalize by calibration_sec
+    // first: the r7 driver run measured every query 2-3.5x slower than
+    // an idle box — including plans untouched that round — and nothing
+    // in the emitted JSON could prove the inflation was box contention.
+    // Now it can.
+    //
+    // SINCE r18 both probes run in a FRESH forked JVM (same binary,
+    // same JVM flags, same env — see [[CalProbe]]): the r17 rounds
+    // proved the in-process post-probe measures the bench JVM's
+    // codegen/GC phase, not host speed, so pre and post bracketed
+    // different lifecycle phases and the ratio rule fired intrinsically
+    // on fast hosts (7+ refused sweeps with mutually-consistent totals).
+    // Forked probes are like-with-like; the workload and the 0.9 s band
+    // are unchanged, so figures remain comparable with the r15-r17
+    // committed artifacts (whose PRE probes were fresh-JVM-equivalent).
+    def inProcCalibrate(): Double = CalProbe.work(spark)
+    var probeMode = "forked-jvm"
+    def forkedProbe(): Option[Double] = {
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.CalProbe")
+        val pb = new ProcessBuilder(cmd.asJava)
+        // child stderr (Spark logging) flows to ours — an unread pipe
+        // could fill and deadlock the child; stdout stays piped for the
+        // marker line
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { proc.destroyForcibly(); None }
+        else "CALPROBE ([0-9.]+)".r.findAllMatchIn(out).toSeq.lastOption
+          .map(_.group(1).toDouble)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] forked probe failed: ${e.getMessage}")
+        None
+      }
     }
-    // one untimed run first: the sentinel's own codegen/plan setup is
-    // one-time cost, and leaving it in calPre would make every run look
-    // like load "decreased" between pre and post
-    calibrate()
+    // in-process fallback keeps the artifact honest if forking is ever
+    // unavailable (mode is recorded in the JSON either way); the
+    // fallback's first run needs the sentinel's codegen absorbed
+    def probe(): Double = forkedProbe().getOrElse {
+      if (probeMode != "inproc-fallback") {
+        System.err.println("[bench] falling back to in-process calibration probes")
+        probeMode = "inproc-fallback"
+        inProcCalibrate() // untimed codegen/plan setup for the fallback path
+      }
+      inProcCalibrate()
+    }
     // CALIBRATION GATE (round-15 finding: the committed artifact was
     // captured in a degraded-host window — probe 1.37 s vs the 0.60–0.92 s
     // idle band — and nothing in the pipeline objected). The band is
@@ -51,22 +128,18 @@ object Bench {
     val calRetries = envNum("SPARK_GRAFT_CAL_RETRIES", _.toInt, 3)
     val calWaitSec = envNum("SPARK_GRAFT_CAL_WAIT_SEC", _.toInt, 20)
     // NOTE (r17, measured): a "settle the box first" warmup before the
-    // pre-probe was tried and REVERTED — 75 s of sustained load (the
-    // sentinel back-to-back, or a foreign join job; both measured)
-    // drives the probe DOWN to 0.10–0.18 s because the probe partly
-    // reads Spark-runtime warmth, not host speed, while the post-probe
-    // (taken in a JVM carrying 270+ queries' codegen classes and GC
-    // pressure) reads 0.66–0.78 regardless. Warming the pre-probe
-    // therefore GUARANTEES a ratio failure; the two probes necessarily
-    // bracket different JVM lifecycle phases, and the pinned band +
-    // ratio on the UNWARMED probe remain the honest instrument.
-    var calPre = calibrate()
+    // pre-probe was tried and REVERTED — 75 s of sustained load drives
+    // an IN-PROCESS probe DOWN to 0.10–0.18 s because it partly reads
+    // Spark-runtime warmth, not host speed. The r18 forked-JVM probes
+    // are immune to that failure mode by construction: every probe
+    // starts from the same cold-JVM phase.
+    var calPre = probe()
     var preAttempts = 1
     while (calPre > calMax && preAttempts <= calRetries) {
       System.err.println(f"[bench] calibration probe $calPre%.2fs above the " +
         f"$calMax%.2fs band (attempt $preAttempts/$calRetries); waiting ${calWaitSec}s")
       Thread.sleep(calWaitSec * 1000L)
-      calPre = calibrate()
+      calPre = probe()
       preAttempts += 1
     }
     // A failed query must NOT masquerade as a fast timing (judge flagged
@@ -112,7 +185,7 @@ object Bench {
       System.gc()
       (name, t.getOrElse(-1.0), t.isDefined)
     }
-    val calPost = calibrate()
+    val calPost = probe()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -128,7 +201,7 @@ object Bench {
       "totals in this artifact are NOT cross-round comparable")
     val cal = s""""calibration_sec":{"pre":${s2c(calPre)},"post":${s2c(calPost)},""" +
       s""""band_max":${s2c(calMax)},"band_max_ratio":$calMaxRatio,""" +
-      s""""pre_attempts":$preAttempts,"ok":$calOk}"""
+      s""""pre_attempts":$preAttempts,"probe_mode":"$probeMode","ok":$calOk}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$cal,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout FIRST — a file-write failure (read-only cwd, disk full)
     // must not cost the round its headline number

@@ -553,7 +553,16 @@ object Corpus {
     * pipeline materializes per ingest day to catch a source whose
     * content shifted under it. */
   def driftReport(state: DataFrame): DataFrame =
-    state.groupBy(col("source"))
+    // internal merge FIRST: the fold below treats every cell as a
+    // distinct bucket, so a state with duplicate (source, bucket) rows
+    // (e.g. an unmerged delta union passed directly) would silently
+    // split cells and overstate TVD (r17 advisor). Grouping here makes
+    // the [[mergeDriftStates]] precondition self-enforcing — idempotent
+    // on merged input (each group is one row), and exchange-free after
+    // [[driftAdd]]'s identical grouping (the partitioning is reused)
+    state.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+      .groupBy(col("source"))
       .agg(
         sum(col("na")).as("n_a"),
         sum(col("nb")).as("n_b"),

@@ -996,6 +996,13 @@ object Multimodal {
       val id = m.doc_id
       val (w, h, _, _, headerEnd) = y4mHeader(bs, id)
       var pos = headerEnd
+      // bound the frame size in LONG first: hostile header W/H whose
+      // 3*w*h overflows Int would otherwise turn frameBytes negative
+      // and bypass y4mFrameStart's truncation require with a
+      // NegativeArraySizeException (r17 advisor); a single frame can
+      // never legally exceed its own container
+      require(3L * w * h <= bs.length,
+        s"doc $id: Y4M frame size ${3L * w * h} exceeds container ${bs.length}")
       val frameBytes = 3 * w * h
       val prev = new Array[Int](frameBytes)
       var nFrames = 0L; var nCuts = 0L; var firstCut = -1L; var sadSum = 0L
@@ -1061,6 +1068,10 @@ object Multimodal {
       val id = m.doc_id
       val (w, h, _, _, headerEnd) = y4mHeader(bs, id)
       var pos = headerEnd
+      // same Long-first bound as sceneCuts: overflow-proof against
+      // hostile header dims before the Int frameBytes is formed
+      require(3L * w * h <= bs.length,
+        s"doc $id: Y4M frame size ${3L * w * h} exceeds container ${bs.length}")
       val frameBytes = 3 * w * h
       var nFrames = 0L; var sampled = 0L; var fp = 0L
       // running W^idx % 2^40 — recomputing the power per sampled frame
@@ -1365,14 +1376,32 @@ object Multimodal {
         val (w, h, _, _, _) = y4mHeader(bs, id)
         SniffedMedia(id, "y4m", w.toLong, h.toLong)
       } else if (bs.length > 2 && (bs(0) & 0xff) == 0xff && (bs(1) & 0xff) == 0xd8) {
-        // JPEG: walk markers to the first SOFn (C0-CF minus C4/C8/CC)
+        // JPEG: walk markers to the first SOFn (C0-CF minus C4/C8/CC).
+        // This runs on untrusted crawl bytes, so every read is bounded
+        // and every stream shape the walk can't interpret fails loudly
+        // BY NAME (r17 advisor: a truncated SOF or a standalone marker
+        // used to surface as ArrayIndexOutOfBounds / misparse):
+        //  - fill bytes: the spec allows any run of 0xFF padding before
+        //    a marker code — skip to the last 0xFF of the run;
+        //  - standalone markers (TEM 0x01, RST0-7 0xD0-D7, SOI 0xD8,
+        //    EOI 0xD9) carry NO length field — none may legally precede
+        //    the frame header, so hitting one before SOF is a named
+        //    failure, not a bogus length-field read;
+        //  - SOF dims live at p+5..p+8 — guarded before the reads.
         var p = 2
         var w = -1L; var h = -1L
-        while (w < 0 && p + 4 <= bs.length) {
+        while (w < 0) {
+          while (p + 1 < bs.length && (bs(p) & 0xff) == 0xff &&
+            (bs(p + 1) & 0xff) == 0xff) p += 1
+          require(p + 4 <= bs.length,
+            s"doc $id: truncated JPEG marker stream at byte $p before any SOF")
           require((bs(p) & 0xff) == 0xff, s"doc $id: bad JPEG marker at byte $p")
           val mk = bs(p + 1) & 0xff
+          require(mk != 0x01 && !(mk >= 0xd0 && mk <= 0xd9),
+            f"doc $id: standalone JPEG marker 0x$mk%02x at byte $p before any SOF frame header")
           val len = be16(p + 2)
           if (mk >= 0xc0 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 && mk != 0xcc) {
+            require(p + 9 <= bs.length, s"doc $id: truncated JPEG SOF header at byte $p")
             h = be16(p + 5).toLong; w = be16(p + 7).toLong
           } else p += 2 + len
         }

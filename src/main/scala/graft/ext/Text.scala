@@ -1254,14 +1254,21 @@ object Text {
     * trainer and its oracle genuinely decompose multi-byte chars into
     * mapped byte symbols. Narrow projection, no shuffle. */
   def utf8Dirty(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
-      when(pmod(col("doc_id"), lit(4)) === 1,
-          replace(col("text"), lit("e"), lit("é")))
-        .when(pmod(col("doc_id"), lit(4)) === 2,
-          replace(col("text"), lit("u"), lit("ü")))
-        .when(pmod(col("doc_id"), lit(4)) === 3,
-          replace(col("text"), lit("o"), lit("ø")))
-        .otherwise(col("text")).as("text"))
+    documents.select(col("doc_id"), utf8DirtyCol.as("text"))
+
+  /** The [[utf8Dirty]] mutation as a bare column expression (over
+    * `doc_id`/`text`), so a caller can compute the dirty text NEXT TO
+    * other per-row columns in one projection instead of joining the
+    * dirty frame back to its own spine (tokenizer_fertility's `lang`
+    * carry — Catalyst does not collapse self-joins). */
+  def utf8DirtyCol: Column =
+    when(pmod(col("doc_id"), lit(4)) === 1,
+        replace(col("text"), lit("e"), lit("é")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        replace(col("text"), lit("u"), lit("ü")))
+      .when(pmod(col("doc_id"), lit(4)) === 3,
+        replace(col("text"), lit("o"), lit("ø")))
+      .otherwise(col("text"))
 
   /** Byte-level initial vocabulary off a word-frequency state: the
     * wrapped-symbol convention of [[bpeVocabFromFreqs]], but each

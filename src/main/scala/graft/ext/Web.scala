@@ -119,8 +119,15 @@ object Web {
     * trailing slash from a non-root path. Normalization is total —
     * every rule is a pure string/array expression, so the whole thing
     * stays inside whole-stage codegen. */
-  def urlNormalize(urls: DataFrame): DataFrame = {
-    val parsed = urlParse(urls)
+  def urlNormalize(urls: DataFrame): DataFrame =
+    urlParse(urls).select(col("doc_id"), col("url"), canonUrlCol.as("canon_url"))
+
+  /** The canonical-URL rule as ONE column expression over [[urlParse]]'s
+    * output — shared by [[urlNormalize]] and the fused single-projection
+    * [[crawlTrapReport]] pass (Catalyst does not collapse self-joins, so
+    * every consumer that needs canon_url NEXT TO other per-row URL
+    * derivations must compose columns, not join frames). */
+  private def canonUrlCol: Column = {
     val schemeN = lower(col("scheme"))
     val hostN = lower(col("host"))
     val portPart = when(col("port") === -1L, lit(""))
@@ -135,10 +142,7 @@ object Web {
         t => !t.startsWith("utm_") && t =!= ""), "&")
     val queryPart = when(length(keptQuery) > 0, concat(lit("?"), keptQuery))
       .otherwise(lit(""))
-    parsed.select(
-      col("doc_id"), col("url"),
-      concat(schemeN, lit("://"), hostN, portPart, pathN, queryPart)
-        .as("canon_url"))
+    concat(schemeN, lit("://"), hostN, portPart, pathN, queryPart)
   }
 
   /** URL-level dedup: group the corpus by canonical URL; survivorship
@@ -191,27 +195,41 @@ object Web {
   // Registered-domain (eTLD+1) extraction over a pinned mini suffix list.
   // ---------------------------------------------------------------------
 
-  /** Pinned public-suffix fragment the fixture exercises. A production
-    * run swaps in the full PSL — same longest-match rule. */
+  /** Pinned MULTI-label public-suffix fragment the fixture exercises
+    * (a production run swaps in the full PSL — same longest-match
+    * rule). Single-label TLDs need no list here: the else-branch of
+    * [[suffixAndRegDomain]] is the PSL's own unknown-TLD convention —
+    * treat the last label as the suffix and the last TWO labels as the
+    * registered domain — which is also the correct answer for every
+    * known single-label TLD, so enumerating them would change nothing. */
   val MultiLabelSuffixes: Seq[String] = Seq("co.uk", "ac.uk")
-  val SingleLabelSuffixes: Seq[String] = Seq("com", "org", "net", "io", "uk")
 
-  /** eTLD+1 by longest-suffix match: a two-label public suffix claims
-    * the last THREE labels as the registered domain; otherwise the
-    * last two (also the fallback for an unknown TLD, the PSL's own
-    * convention). Pure array expressions over the lowered host. */
-  def registeredDomain(urls: DataFrame): DataFrame = {
-    val hostN = lower(regexp_extract(col("url"), SchemeRe + "([^/:?#]*)", 2))
+  /** (public suffix, registered domain) as column expressions over the
+    * lowered host — shared by [[registeredDomain]] and the fused
+    * one-projection [[crawlTrapReport]] pass. A multi-label public
+    * suffix claims the last THREE labels as the registered domain;
+    * otherwise (known single-label TLD and unknown TLD alike, see
+    * [[MultiLabelSuffixes]]) the last two. */
+  private def suffixAndRegDomain(hostN: Column): (Column, Column) = {
     val labels = split(hostN, "\\.")
     val last1 = element_at(labels, -1)
     val last2 = concat(element_at(labels, -2), lit("."), last1)
     val isMulti = last2.isin(MultiLabelSuffixes: _*)
+    (when(isMulti, last2).otherwise(last1),
+      when(isMulti, concat(element_at(labels, -3), lit("."), last2))
+        .otherwise(last2))
+  }
+
+  /** eTLD+1 by longest-suffix match over the pinned fragment. Pure
+    * array expressions over the lowered host. */
+  def registeredDomain(urls: DataFrame): DataFrame = {
+    val hostN = lower(regexp_extract(col("url"), SchemeRe + "([^/:?#]*)", 2))
+    val (suffix, regDomain) = suffixAndRegDomain(hostN)
     urls.select(
       col("doc_id"),
       hostN.as("host"),
-      when(isMulti, last2).otherwise(last1).as("suffix"),
-      when(isMulti, concat(element_at(labels, -3), lit("."), last2))
-        .otherwise(last2).as("reg_domain"))
+      suffix.as("suffix"),
+      regDomain.as("reg_domain"))
   }
 
   /** Per-registered-domain rollup a crawl-health dashboard reads:
@@ -366,8 +384,12 @@ object Web {
           require(close > i, s"doc ${p.doc_id}: unterminated tag at char $i")
           val body = s.substring(i + 1, close)
           val isClose = body.startsWith("/")
+          // the name scan stops at ANY whitespace (HTML allows tab/
+          // newline between the tag name and its attributes — r17
+          // advisor: a space-only stop missed '<a\nhref=..>' as an
+          // anchor while the oracle's regexp counted it)
           val name = (if (isClose) body.substring(1) else body)
-            .takeWhile(ch => ch != ' ' && ch != '/').toLowerCase
+            .takeWhile(ch => !Character.isWhitespace(ch) && ch != '/').toLowerCase
           if (!isClose && (name == "script" || name == "style")) {
             val end = s.indexOf(s"</$name>", close + 1)
             require(end >= 0, s"doc ${p.doc_id}: unterminated <$name> element")
@@ -495,25 +517,41 @@ object Web {
     * outsized URL count is the calendar/pagination/session-id trap
     * every crawler blocklists (infinite URL spaces under one path
     * shape). Output is (domains × templates)-bounded — a REPORT
-    * aggregation, so the distinct counts are fine: the partial
-    * distinct shrinks the data before any exchange. */
-  def crawlTrapReport(urls: DataFrame, minUrls: Long = 60L): DataFrame = {
-    val canon = urlNormalize(urls).select(col("doc_id"), col("url"), col("canon_url"))
-    val parsed = urlParse(urls).select(col("doc_id"), col("path"))
-    val rd = registeredDomain(urls).select(col("doc_id"), col("reg_domain"))
-    canon.join(parsed, Seq("doc_id")).join(rd, Seq("doc_id"))
-      .select(col("reg_domain"),
+    * aggregation.
+    *
+    * ONE projection pass, ONE exchange, ZERO joins: canon_url, the
+    * digit-collapsed template, and reg_domain are all pure per-row
+    * expressions over `url`, so they are computed side by side in a
+    * single `select` (the r17 shape joined three projections of the
+    * same frame on doc_id — at crawl scale the URL table IS the
+    * corpus, and Catalyst does not collapse self-joins, so that paid
+    * two corpus-sized shuffles for nothing). The two distinct counts
+    * ride [[urlDupGroups]]' pre-partitioned NESTED aggregation instead
+    * of the planner's multi-countDistinct Expand rewrite: one
+    * `repartition` on the report key, then three stacked groupBys
+    * ((key, canon, url) → (key, canon) → key) that all reuse that
+    * partitioning — `canon_url` is a function of `url`, so counting
+    * pair rows counts distinct urls exactly. */
+  def crawlTrapReport(urls: DataFrame, minUrls: Long = 60L): DataFrame =
+    urlParse(urls)
+      .select(
+        suffixAndRegDomain(lower(col("host")))._2.as("reg_domain"),
         regexp_replace(col("path"), "[0-9]+", "N").as("template"),
-        col("url"), col("canon_url"))
+        col("url"),
+        canonUrlCol.as("canon_url"))
+      .repartition(col("reg_domain"), col("template"))
+      .groupBy(col("reg_domain"), col("template"), col("canon_url"), col("url"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("reg_domain"), col("template"), col("canon_url"))
+      .agg(count(lit(1)).as("u"), sum(col("n")).as("n"))
       .groupBy(col("reg_domain"), col("template"))
       .agg(
-        countDistinct(col("url")).as("n_urls"),
-        countDistinct(col("canon_url")).as("n_pages"),
-        count(lit(1)).as("n_crawls"))
+        sum(col("u")).as("n_urls"),
+        count(lit(1)).as("n_pages"),
+        sum(col("n")).as("n_crawls"))
       .select(col("reg_domain"), col("template"), col("n_urls"), col("n_pages"),
         col("n_crawls"),
         (col("n_urls") >= minUrls).cast(IntegerType).as("trap_suspect"))
-  }
 
   /** Mirror/syndication detection: identical-content documents spanning
     * ≥ 2 registered domains (the C4 finding — news syndication and site

@@ -97,6 +97,72 @@ class SceneDriftSpec extends SparkSpec {
     assert(msg.contains("unrecognized container magic"))
   }
 
+  test("sniffMedia: JPEG fill bytes before a marker are skipped, SOF dims read") {
+    // FF D8, two 0xFF fill bytes, then SOF0 with h=5 w=7 (spec-legal
+    // padding the r17 walk misparsed as a marker with a length field)
+    val bytes = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00, 0x11,
+      0x08, 0x00, 0x05, 0x00, 0x07, 0x01).map(_.toByte)
+    val out = Multimodal.sniffMedia(
+      Seq(Multimodal.EncodedMedia(11L, "gif", bytes)).toDS()).collect().head
+    assert(out.fmt == "jpeg" && out.dim1 == 7L && out.dim2 == 5L)
+  }
+
+  test("sniffMedia: truncated JPEG SOF header fails loud by name") {
+    // SOF0 whose declared segment runs past the buffer — dims at p+5..p+8
+    // are unreadable; the r17 walk threw ArrayIndexOutOfBounds here
+    val bytes = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sniffMedia(
+        Seq(Multimodal.EncodedMedia(12L, "jpeg", bytes)).toDS()).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("truncated JPEG SOF header"))
+  }
+
+  test("sniffMedia: standalone marker (EOI) before SOF fails loud by name") {
+    // EOI carries no length field; the r17 walk read two payload bytes
+    // as one and misparsed the rest of the stream
+    val bytes = Array(0xff, 0xd8, 0xff, 0xd9, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sniffMedia(
+        Seq(Multimodal.EncodedMedia(13L, "jpeg", bytes)).toDS()).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("standalone JPEG marker 0xd9"))
+  }
+
+  test("sceneCuts/videoFingerprints: hostile Y4M dims whose frame size overflows Int fail by name") {
+    // 3*40000*40000 overflows Int to a negative size; the r17 code died
+    // with NegativeArraySizeException instead of a named error
+    val hostile = ("YUV4MPEG2 W40000 H40000 F25:1 Ip A1:1 C444\nFRAME\n" + "x" * 64)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    Seq(
+      () => Multimodal.sceneCuts(
+        Seq(Multimodal.EncodedMedia(14L, "y4m", hostile)).toDS()).collect(),
+      () => Multimodal.videoFingerprints(
+        Seq(Multimodal.EncodedMedia(15L, "y4m", hostile)).toDS()).collect()
+    ).foreach { run =>
+      val e = intercept[org.apache.spark.SparkException](run())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("exceeds container"), msg)
+    }
+  }
+
+  test("driftReport: an unmerged delta union reports identically to the merged state") {
+    // the report's in-agg fold treats each cell row as a bucket; the
+    // internal (source, bucket) merge must make an unmerged union safe
+    // (r17 advisor: split cells silently overstated TVD)
+    val docs = Seq.tabulate(120)(i =>
+      (i.toLong, s"src${i % 3}", (i * 41 % 450 + 30).toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val d1 = Corpus.driftAdd(docs.filter(col("doc_id") % 2 === 0))
+    val d2 = Corpus.driftAdd(docs.filter(col("doc_id") % 2 === 1))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(Corpus.driftReport(d1.unionByName(d2))) ==
+      rows(Corpus.driftReport(Corpus.mergeDriftStates(d1, d2))))
+  }
+
   test("driftAdd/merge: three deltas merge to the one-delta state exactly") {
     val docs = Seq.tabulate(200)(i =>
       (i.toLong, s"src${i % 4}", (i * 37 % 500 + 40).toLong))

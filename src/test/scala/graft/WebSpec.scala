@@ -117,6 +117,14 @@ class WebSpec extends SparkSpec {
     assert(e.content_chars == ("plain" + "one&two" + "tail").length.toLong)
   }
 
+  test("htmlExtract: newline/tab between tag name and attributes still parses the tag") {
+    // HTML allows any whitespace before attributes; the r17 name scan
+    // stopped only at ' ' so '<a\nhref=..>' went uncounted as an anchor
+    val e = extractOne("<p>plain</p><a\nhref=\"/x\">link text</a><p\ttitle=\"t\">tail</p>")
+    assert(e.n_links == 1L)
+    assert(e.anchor_chars == "linktext".length.toLong)
+  }
+
   test("htmlExtract: whitespace collapses, result trimmed") {
     val e = extractOne("<div>  a  \n b\t</div><div>c</div>  ")
     assert(e.extracted == "a b c")

@@ -553,7 +553,16 @@ object ScaleProof {
         graft.ext.Corpus.qualityDriftTvd(
           s.range(500L * f).select(col("id").as("doc_id"),
             concat(lit("s"), (col("id") % 20).cast("string")).as("source"),
-            (lit(40L) + col("id") * 37 % 500).as("n_chars")))))
+            (lit(40L) + col("id") * 37 % 500).as("n_chars")))),
+    // n-gram LM perplexity screen: the corpus-sized pass is one bigram
+    // projection + broadcast probes of a FIXED 1×-trained model state
+    // (the deployment shape — CCNet scores the crawl under a
+    // clean-reference LM) + a doc-keyed agg + the spine join; exchange
+    // count constant and heap flat while the scored corpus grows 100×.
+    ("docs->lmPerplexityFromCounts", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.lmPerplexityFromCounts(synthPhraseDocs(s, 500L * f),
+          graft.ext.Text.ngramAdd(synthPhraseDocs(s, 500L)))))
 
   /** Successful tasks' (stageId, durationMs, shuffleReadRecords,
     * shuffleWriteBytes), drained from the async listener bus before

@@ -2408,4 +2408,130 @@ object Text {
         coalesce(col("p_cnt"), lit(0L)).as("n_phrases"),
         (coalesce(col("m_cnt"), lit(0L)) > 0).cast(IntegerType).as("blocked"))
   }
+
+  // ---------------------------------------------------------------------
+  // N-gram LM perplexity screen (the CCNet quality signal, exact ints).
+  // ---------------------------------------------------------------------
+
+  /** One word-bigram row per token: `(doc_id, ctx, w)` where `ctx` is
+    * the previous whitespace token (`"<s>"` for the first — so every
+    * token is scored, and the per-doc bigram count equals the token
+    * count). Built with `zip_with` over the token array and its
+    * BOS-shifted twin — one narrow projection, never a window over
+    * token positions. Tokenization is the plain single-space split
+    * shared with [[gopherRepetition]], filtered of empties —
+    * replayable verbatim in DuckDB (`string_split` + `list_filter`). */
+  private def wordBigrams(documents: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    documents.select(col("doc_id"), toks.as("toks"))
+      // an EMPTY token list must yield zero bigrams: without this
+      // guard zip_with pads its shorter side with null and an
+      // all-whitespace doc would emit a spurious ("<s>", null) pair —
+      // one phantom scored token and a null-keyed state row
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(zip_with(
+          concat(array(lit("<s>")),
+            slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0)))),
+          col("toks"),
+          (c, w) => struct(c.as("ctx"), w.as("w")))).as("p"))
+      .select(col("doc_id"), col("p.ctx").as("ctx"), col("p.w").as("w"))
+  }
+
+  /** ONE delta's bigram-LM count state `(ctx, w, cnt)` — the add/merge
+    * ingest contract ([[trigramAdd]]'s discipline) applied to language
+    * modeling: a streamed ingest of the clean reference corpus
+    * maintains per-(context, word) occurrence counts, and
+    * [[lmPerplexityFromCounts]] scores ANY merged state. Pure
+    * per-occurrence counting, so `mergeNgrams(add(A), add(B)) ≡
+    * add(A ∪ B)` bit-for-bit. State is bigram-TYPE-bounded (Zipf), not
+    * corpus-bounded; a production run prunes it by count threshold
+    * exactly as CCNet prunes its KenLM. */
+  def ngramAdd(delta: DataFrame): DataFrame =
+    wordBigrams(delta).groupBy(col("ctx"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Exact merge of [[ngramAdd]] states: per-(ctx, w) int64 sums —
+    * associative and order-free. */
+  def mergeNgrams(states: DataFrame*): DataFrame =
+    states.map(_.select(col("ctx"), col("w"), col("cnt")))
+      .reduce(_ unionByName _)
+      .groupBy(col("ctx"), col("w")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-document n-gram LM perplexity screen off a maintained
+    * [[ngramAdd]] state — CCNet's head/tail quality signal (Wenzek et
+    * al. 2020: score web text under an LM trained on a clean reference
+    * corpus; keep the low-perplexity head), made EXACT so a DuckDB
+    * oracle can replay it bit-for-bit (the house no-float-edge rule —
+    * no `ln`, no IEEE accumulation ordering):
+    *
+    *  - model: add-one (Laplace) bigram probabilities
+    *    `p(w|c) = (cnt(c,w)+1) / (ctx_cnt(c)+V)` with
+    *    `V = (distinct next-words in the state) + 1` (the +1 reserves
+    *    the out-of-vocabulary event, so unseen words and unseen
+    *    contexts score finitely);
+    *  - per-token surprisal in INTEGER BITS:
+    *    `s = floor(log₂(a/b))` with `a = ctx_cnt+V, b = cnt+1`
+    *    (`a ≥ b ≥ 1` always), computed EXACTLY from bit lengths —
+    *    `k₀ = bitlen(a) − bitlen(b)`, minus one iff `a < b·2^k₀` —
+    *    both sides use `length(bin(x))` and a shift, no floating log
+    *    anywhere (exact for counts below 2⁶², far past any corpus);
+    *  - per-doc: `bits = Σ s`, `n_tokens`, display-only
+    *    `bits_per_token` (ONE IEEE divide), and the keep verdict in
+    *    cross-multiplied integers `bits·thrDen ≤ thrNum·n_tokens`
+    *    (i.e. bits/token ≤ thrNum/thrDen — a RATIONAL threshold,
+    *    because the corpus's integer-bits surprisal distribution is
+    *    tight and no integer cut splits it at every tier) — docs the
+    *    model finds predictable (the head) keep; empty docs drop.
+    *    The 13/3 default keeps both verdict branches live at sf0.001
+    *    (286/500), sf0.01 (311/500) and sf0.1 (4932/5000), measured.
+    *
+    * Scale: the corpus-sized work is one [[wordBigrams]] projection +
+    * two broadcast probes of the (pruned, type-bounded) model + one
+    * doc-keyed aggregation + the doc-spine left join —
+    * [[languageId]]'s exact shape; nothing corpus-sized shuffles on
+    * the model key. */
+  def lmPerplexityFromCounts(documents: DataFrame, state: DataFrame,
+      thrNum: Long = 13L, thrDen: Long = 3L): DataFrame = {
+    require(thrNum >= 1L && thrDen >= 1L,
+      s"bits-per-token threshold must be a positive rational, got $thrNum/$thrDen")
+    val cnts = state.select(col("ctx"), col("w"), col("cnt"))
+    val ctxTot = cnts.groupBy(col("ctx")).agg(sum(col("cnt")).as("ctx_cnt"))
+    val vocab = cnts.agg((countDistinct(col("w")) + 1L).as("v"))
+    val scored = wordBigrams(documents)
+      .join(broadcast(cnts), Seq("ctx", "w"), "left")
+      .join(broadcast(ctxTot), Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (coalesce(col("ctx_cnt"), lit(0L)) + col("v")).as("a"),
+        (coalesce(col("cnt"), lit(0L)) + lit(1L)).as("b"))
+      .select(col("doc_id"), col("a"), col("b"),
+        (length(bin(col("a"))) - length(bin(col("b")))).cast(LongType).as("k0"))
+      .select(col("doc_id"),
+        (col("k0") - when(col("a") < expr("shiftleft(b, cast(k0 as int))"), 1L)
+          .otherwise(0L)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("bits"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0L,
+          coalesce(col("bits"), lit(0L)).cast(DoubleType)
+            / col("n_tokens").cast(DoubleType))
+          .otherwise(lit(null).cast(DoubleType)).as("bits_per_token"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0))
+          .otherwise((coalesce(col("bits"), lit(0L)) * lit(thrDen)
+            <= lit(thrNum) * col("n_tokens")).cast(IntegerType)).as("keep"))
+  }
+
+  /** Self-training composition: the batch perplexity screen (model
+    * from the corpus itself in one delta). By the add/merge contract
+    * this is bit-identical to [[lmPerplexityFromCounts]] over any
+    * merged ingest of the same corpus — what the `_stream` twin
+    * asserts. */
+  def lmPerplexity(documents: DataFrame, thrNum: Long = 13L,
+      thrDen: Long = 3L): DataFrame =
+    lmPerplexityFromCounts(documents, ngramAdd(documents), thrNum, thrDen)
 }

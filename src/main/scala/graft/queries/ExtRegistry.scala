@@ -600,6 +600,26 @@ object ExtRegistry {
     "gopher_repetition" -> ((s, dir) =>
       graft.ext.Text.gopherRepetition(Tables(s, dir).documents)),
 
+    // CCNet-style n-gram LM perplexity screen: add-one bigram LM,
+    // per-token surprisal in EXACT integer bits (floor-log2 from bit
+    // lengths — no floating log anywhere), keep verdict on the
+    // low-perplexity head in cross-multiplied integers; self-training
+    // batch form (model = the corpus's own ngramAdd state)
+    "lm_perplexity" -> ((s, dir) =>
+      graft.ext.Text.lmPerplexity(Tables(s, dir).documents)),
+
+    // the perplexity screen off a MERGED three-delta ngramAdd state —
+    // the deployment shape (clean-reference LM maintained as deltas
+    // arrive, scoring paying broadcast probes only); bit-identical to
+    // the batch twin by the add/merge contract, same oracle verbatim
+    "lm_perplexity_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val state = graft.ext.Text.mergeNgrams(
+        (0 to 2).map(i =>
+          graft.ext.Text.ngramAdd(docs.filter(col("doc_id") % 3 === i))): _*)
+      graft.ext.Text.lmPerplexityFromCounts(docs, state)
+    }),
+
     // trained model artifact
     "quality_classifier" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -2238,6 +2258,48 @@ object ExtRegistry {
         |LEFT JOIN dw USING (doc_id)
         |LEFT JOIN tb USING (doc_id)
         |LEFT JOIN tg USING (doc_id)""".stripMargin
+
+  /** Perplexity-screen twin (shared by batch and stream forms): the
+    * same whitespace token stream as [[gopherRepetitionOracle]],
+    * BOS-context bigrams via a positional self-join, whole-corpus
+    * add-one counts, and the exact integer-bits surprisal
+    * `floor(log2(a/b)) = bitlen(a)-bitlen(b) - [a < b<<k0]` — DuckDB's
+    * `bin()`/`<<` mirror Spark's, so not one floating log exists on
+    * either side. */
+  private lazy val lmPerplexityOracle: String =
+    """WITH w AS (
+        |  SELECT doc_id, u['j'] AS p, u['w'] AS word FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl FROM documents) d) e),
+        |bg AS (
+        |  SELECT a.doc_id, coalesce(pv.word, '<s>') AS ctx, a.word AS w
+        |  FROM w a LEFT JOIN w pv ON a.doc_id = pv.doc_id AND pv.p = a.p - 1),
+        |cnt AS (SELECT ctx, w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+        |ct AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) + 1 AS BIGINT) AS v FROM cnt),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |         coalesce(ct.n, 0) + vv.v AS a,
+        |         coalesce(cnt.c, 0) + 1 AS b
+        |  FROM bg
+        |  LEFT JOIN cnt ON bg.ctx = cnt.ctx AND bg.w = cnt.w
+        |  LEFT JOIN ct ON bg.ctx = ct.ctx
+        |  CROSS JOIN vv),
+        |su AS (SELECT doc_id, a, b,
+        |              CAST(length(bin(a)) - length(bin(b)) AS BIGINT) AS k0 FROM sc),
+        |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |              CAST(sum(k0 - CASE WHEN a < (b << k0) THEN 1 ELSE 0 END) AS BIGINT) AS bits
+        |       FROM su GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_tokens, 0) AS n_tokens,
+        |       coalesce(bits, 0) AS bits,
+        |       CASE WHEN coalesce(n_tokens, 0) > 0
+        |            THEN CAST(coalesce(bits, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |            ELSE NULL END AS bits_per_token,
+        |       CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+        |            WHEN coalesce(bits, 0) * 3 <= 13 * n_tokens THEN 1 ELSE 0 END AS keep
+        |FROM documents d
+        |LEFT JOIN ds USING (doc_id)""".stripMargin
 
   /** Audio-quality twin (also embedded by multimodal_curation). */
   private lazy val audioQualityOracle: String =
@@ -4290,6 +4352,15 @@ object ExtRegistry {
     // counts, bigram argmax by (cnt DESC, bigram), trigram
     // occurrence/distinct counts, integer-compared verdict
     "gopher_repetition" -> gopherRepetitionOracle,
+
+    // perplexity-screen twin: same positional word stream, BOS-context
+    // bigrams, whole-corpus Laplace counts, EXACT integer-bits
+    // surprisal replayed from bit lengths (length(bin(x)) + a shift —
+    // no floating log), integer-compared keep verdict. The stream twin
+    // shares it verbatim (merged ngramAdd state is contractually
+    // bit-identical to the single pass)
+    "lm_perplexity" -> lmPerplexityOracle,
+    "lm_perplexity_stream" -> lmPerplexityOracle,
 
     // unigram trainer twin: final E-step counts after two replayed
     // Viterbi-EM rounds (shared verbatim by the FromCounts stream twin

@@ -2960,4 +2960,58 @@ class ExtSpec extends SparkSpec {
           s"exact audit drifted for ${r.getString(0)}/${r.getLong(1)}")
       }
   }
+
+  test("lmPerplexity: hand-traced integer-bits surprisals, power-of-two edges exact") {
+    import graft.ext.Text
+    // model: V = |{x, y, z}| + 1 = 4; ctx totals <s>->3, x->3
+    val state = Seq(("<s>", "x", 3L), ("x", "y", 1L), ("x", "z", 2L))
+      .toDF("ctx", "w", "cnt")
+    val docs = Seq(
+      (1L, "x y"), // (<s>,x): a=7,b=4 -> s=0; (x,y): a=7,b=2 -> s=1
+      (2L, "x z"), // (<s>,x): s=0;            (x,z): a=7,b=3 -> s=1
+      (3L, "q q")  // both ctx/word unseen: a=0+4=4, b=1 -> s=2 exactly
+    ).toDF("doc_id", "text")
+    val out = Text.lmPerplexityFromCounts(docs, state).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    assert(out(1L) == ((2L, 1L, 1)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 1)), s"doc 2: ${out(2L)}")
+    // a = b<<k EXACTLY (4 = 1<<2) must score k, not k-1 — the bit-length
+    // off-by-one the shift compare exists to prevent
+    assert(out(3L) == ((2L, 4L, 1)), s"doc 3: ${out(3L)}")
+  }
+
+  test("lmPerplexity: keep verdict splits on the 13/3 rational threshold, empty doc drops") {
+    import graft.ext.Text
+    // high-V model: every unseen token costs floor(log2(33)) = 5 bits
+    // > 13/3 -> keep 0; low-V model: 2 bits < 13/3 -> keep 1
+    val stateHi = (1 to 32).map(i => ("c", s"w$i", 1L)).toDF("ctx", "w", "cnt")
+    val stateLo = Seq(("c", "w1", 1L), ("c", "w2", 1L), ("c", "w3", 1L))
+      .toDF("ctx", "w", "cnt")
+    val docs = Seq((1L, "q r"), (2L, "")).toDF("doc_id", "text")
+    val hi = Text.lmPerplexityFromCounts(docs, stateHi).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(4))).toMap
+    val lo = Text.lmPerplexityFromCounts(docs, stateLo).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(4))).toMap
+    assert(hi(1L) == ((2L, 0)), s"high-V: ${hi(1L)}")
+    assert(lo(1L) == ((2L, 1)), s"low-V: ${lo(1L)}")
+    // empty docs score nothing and DROP (keep 0, null display ratio)
+    assert(hi(2L) == ((0L, 0)))
+    val emptyRow = Text.lmPerplexityFromCounts(docs, stateHi)
+      .filter(col("doc_id") === 2L).collect().head
+    assert(emptyRow.isNullAt(3), "empty doc must carry null bits_per_token")
+  }
+
+  test("lmPerplexity: merged ngramAdd deltas score bit-identically to the batch pass") {
+    import graft.ext.Text
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"tok${i % 7} tok${(i * 3) % 7} tok${(i * 5) % 7} tail$i"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    val batch = rows(Text.lmPerplexity(docs))
+    val merged = Text.mergeNgrams(
+      (0 to 2).map(k => Text.ngramAdd(docs.filter(col("doc_id") % 3 === k))): _*)
+    assert(rows(Text.lmPerplexityFromCounts(docs, merged)) == batch,
+      "merged LM state != batch")
+  }
 }

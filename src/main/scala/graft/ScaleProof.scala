@@ -554,6 +554,18 @@ object ScaleProof {
           s.range(500L * f).select(col("id").as("doc_id"),
             concat(lit("s"), (col("id") % 20).cast("string")).as("source"),
             (lit(40L) + col("id") * 37 % 500).as("n_chars")))),
+    // audio dedup over a re-upload union: WAV parse + Goertzel bins +
+    // fingerprint fold are one narrow map, then one hash-keyed group —
+    // the audio analogue of videoDupGroups' one-exchange claim.
+    ("media->audioDupGroups", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) => {
+        val media = graft.ext.Multimodal.encodeAudio(
+          s.range(500L * f).select(col("id").as("doc_id")))
+        val re = media.map(m => graft.ext.Multimodal.EncodedMedia(
+          m.doc_id + 10000000L, m.fmt, m.bytes))(
+          org.apache.spark.sql.Encoders.product[graft.ext.Multimodal.EncodedMedia])
+        graft.ext.Multimodal.audioDupGroups(media.unionByName(re))
+      }),
     // n-gram LM perplexity screen: the corpus-sized pass is one bigram
     // projection + broadcast probes of a FIXED 1×-trained model state
     // (the deployment shape — CCNet scores the crawl under a

@@ -1417,6 +1417,48 @@ object Multimodal {
 
   /** Audio quality screen row: rail-clipping and near-silence rates
     * with the keep verdict. */
+  final case class AudioFingerprint(doc_id: Long, n_samples: Long,
+      fingerprint: Long)
+
+  /** Clip fingerprint from the REAL decoded spectral content — the
+    * [[videoFingerprints]] discipline on the audio modality: the four
+    * Goertzel bin powers plus the sample count, combined positionally
+    * by the same `Σ (v mod 2²⁰)·W^idx mod 2⁴⁰` fold the video
+    * signature uses. Identical bytes (the re-encode-dup problem: one
+    * clip uploaded twice) produce identical fingerprints because the
+    * bins are computed from the SAMPLES, never from the row id; clips
+    * differing in content or length hash apart up to true formula
+    * collisions. Narrow map over [[audioSpectral]]'s one-pass walk —
+    * no shuffle. */
+  def audioFingerprints(media: Dataset[EncodedMedia]): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    audioSpectral(media).map { a =>
+      var fp = 0L
+      var pw = 1L
+      Seq(a.n_samples, a.p250, a.p500, a.p1000, a.p2000).foreach { v =>
+        fp = (fp + (v % FhMod) * pw) % FpMod
+        pw = (pw * FpWeight) % FpMod
+      }
+      AudioFingerprint(a.doc_id, a.n_samples, fp)
+    }
+  }
+
+  /** Duplicate-AUDIO groups by exact spectral fingerprint —
+    * [[videoDupGroups]]' one hash-keyed aggregation on the third
+    * modality's remaining gap (video and images had dup groups; audio
+    * only had features/quality/spectral): every group is ≥ 2 doc ids
+    * sharing a fingerprint, ids sorted into a deterministic list.
+    * Groups are bounded by true duplication; the clip bytes never
+    * shuffle (only the 8-byte fingerprint and the id do). */
+  def audioDupGroups(media: Dataset[EncodedMedia]): DataFrame =
+    audioFingerprints(media).toDF()
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          d => d.cast("string")), ",").as("doc_ids"))
+      .filter(col("n_docs") >= 2)
+
   final case class AudioQuality(doc_id: Long, n_samples: Long,
       clipped: Long, near_silent: Long, clipped_frac: Double,
       silence_frac: Double, accepted: Int)

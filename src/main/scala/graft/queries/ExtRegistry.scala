@@ -1896,6 +1896,20 @@ object ExtRegistry {
         graft.ext.Multimodal.EncodedMedia(m.doc_id + 1000000L, m.fmt, m.bytes))(
         org.apache.spark.sql.Encoders.product[graft.ext.Multimodal.EncodedMedia])
       graft.ext.Multimodal.videoDupGroups(media.unionByName(reupload))
+    }),
+
+    // duplicate-AUDIO groups over a re-upload union (the video_dup
+    // discipline on the remaining modality): the clip signature folds
+    // the REAL Goertzel bin powers + sample count, so byte-identical
+    // re-uploads group while distinct clips hash apart; the oracle
+    // replays the full fixed-point recurrence per (clip, bin) and the
+    // fingerprint fold from the generator arithmetic
+    "audio_dup_groups" -> ((s, dir) => {
+      val media = graft.ext.Multimodal.encodeAudio(Tables(s, dir).documents)
+      val reupload = media.map(m =>
+        graft.ext.Multimodal.EncodedMedia(m.doc_id + 1000000L, m.fmt, m.bytes))(
+        org.apache.spark.sql.Encoders.product[graft.ext.Multimodal.EncodedMedia])
+      graft.ext.Multimodal.audioDupGroups(media.unionByName(reupload))
     })
   )
 
@@ -6350,6 +6364,55 @@ object ExtRegistry {
         |SELECT pv.doc_id, pv.n_samples, pv.p250, pv.p500, pv.p1000, pv.p2000,
         |       CAST(dom.dominant_hz AS INTEGER) AS dominant_hz
         |FROM pv JOIN dom USING (doc_id)""".stripMargin,
+
+    // audio-dup twin: the audio_spectral recursive-CTE recurrence
+    // replayed over the re-upload union (base id drives the samples,
+    // so the +1000000 copy reproduces the same bins), then the
+    // positional fingerprint fold Σ (v % 2^20)·1000003^idx mod 2^40
+    // with the powers inlined; iterative-mod ≡ one final mod because
+    // modular addition distributes and every term stays below 2^60
+    "audio_dup_groups" ->
+      """WITH RECURSIVE
+        |ids AS (
+        |  SELECT doc_id, doc_id AS base FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents),
+        |m AS (SELECT doc_id, base, CAST(256 + (base * 31) % 512 AS BIGINT) AS n FROM ids),
+        |pr(hz, coef) AS (VALUES (250, CAST(32138 AS BIGINT)), (500, 30274),
+        |                        (1000, 23170), (2000, 0)),
+        |g(doc_id, base, n, hz, coef, i, s1, s2) AS (
+        |  SELECT doc_id, base, n, hz, coef, CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM m CROSS JOIN pr
+        |  UNION ALL
+        |  SELECT doc_id, base, n, hz, coef, i + 1,
+        |         ((base * 2654435761 + i * 40503) % 65536 - 32768)
+        |           + (coef * s1) // 16384 - s2,
+        |         s1
+        |  FROM g WHERE i < n),
+        |fin AS (
+        |  SELECT doc_id, n, hz,
+        |         s1 * s1 + s2 * s2 - ((coef * s1) // 16384) * s2 AS p
+        |  FROM g WHERE i = n),
+        |pv AS (
+        |  SELECT doc_id, max(n) AS n,
+        |         max(CASE WHEN hz = 250 THEN p END) AS p250,
+        |         max(CASE WHEN hz = 500 THEN p END) AS p500,
+        |         max(CASE WHEN hz = 1000 THEN p END) AS p1000,
+        |         max(CASE WHEN hz = 2000 THEN p END) AS p2000
+        |  FROM fin GROUP BY 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |         ((n % 1048576) * 1
+        |          + (p250 % 1048576) * 1000003
+        |          + (p500 % 1048576) * 1000006000009
+        |          + (p1000 % 1048576) * 975541472475
+        |          + (p2000 % 1048576) * 508331905873) % 1099511627776 AS fingerprint
+        |  FROM pv)
+        |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM fp
+        |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     // fingerprint replay over the re-upload union: byte(f, j) =
     // (base + 131f + j) % 256 (ext/Multimodal y4mBytes), frame hash =

@@ -163,6 +163,23 @@ class SceneDriftSpec extends SparkSpec {
       rows(Corpus.driftReport(Corpus.mergeDriftStates(d1, d2))))
   }
 
+  test("audioFingerprints/audioDupGroups: byte-identical re-uploads group, distinct clips hash apart") {
+    val media = Multimodal.encodeAudio((0L until 12L).toDF("doc_id"))
+    val re = media.map(m => Multimodal.EncodedMedia(
+      m.doc_id + 1000L, m.fmt, m.bytes))(
+      org.apache.spark.sql.Encoders.product[Multimodal.EncodedMedia])
+    val fps = Multimodal.audioFingerprints(media.unionByName(re)).collect()
+      .map(f => f.doc_id -> f.fingerprint).toMap
+    (0L until 12L).foreach { id =>
+      assert(fps(id) == fps(id + 1000L), s"re-upload of $id fingerprints apart")
+    }
+    // the 12 base clips are pairwise distinct content — all hash apart
+    assert((0L until 12L).map(fps).distinct.size == 12, "distinct clips collided")
+    val groups = Multimodal.audioDupGroups(media.unionByName(re)).collect()
+      .map(r => r.getAs[String]("doc_ids")).toSet
+    assert(groups == (0L until 12L).map(id => s"$id,${id + 1000L}").toSet)
+  }
+
   test("driftAdd/merge: three deltas merge to the one-delta state exactly") {
     val docs = Seq.tabulate(200)(i =>
       (i.toLong, s"src${i % 4}", (i * 37 % 500 + 40).toLong))

@@ -717,6 +717,22 @@ object Registry {
         .option("escape", "\"").option("nullValue", "\u0000")
         .csv(path)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+    }),
+
+    // WARC-shaped crawl-container round-trip: documents packed into
+    // record-framed WARC/1.0 containers (version line, headers,
+    // Content-Length framing, CRLF CRLF terminator) and parsed back by
+    // the real byte walker. The payload is made HOSTILE first — it
+    // embeds a complete fake record head — so only length-based
+    // framing round-trips it; a delimiter-scanning parser would split
+    // mid-payload and hash-fail (the CSV round-trip's adversarial
+    // discipline applied to the crawl container)
+    "source_warc_roundtrip" -> ((s, dir) => {
+      val hostile = concat(col("text"),
+        lit("\nWARC/1.0\nContent-Length: 0\n\n"))
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), hostile.as("text"))
+      graft.sources.Warc.parseWarc(graft.sources.Warc.encodeWarc(docs)).toDF()
     })
   )
 
@@ -1542,6 +1558,16 @@ object Registry {
     "source_csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars,
         |       text || ', "q"' || chr(10) || 'L2\end' AS text
+        |FROM documents""".stripMargin,
+
+    // identity through the WARC container: target URI from the
+    // encoder's pinned template, payload with the embedded fake record
+    // head the length framing must carry intact
+    "source_warc_roundtrip" ->
+      """SELECT doc_id,
+        |       'https://graft.test/' || doc_id AS target_uri,
+        |       text || chr(10) || 'WARC/1.0' || chr(10) ||
+        |         'Content-Length: 0' || chr(10) || chr(10) AS text
         |FROM documents""".stripMargin,
 
     // the sharded two-phase assignment must equal the one global

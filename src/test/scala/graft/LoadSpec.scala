@@ -244,4 +244,50 @@ class LoadSpec extends SparkSpec {
     assert(back.collect().map(_.toString).sorted.toSeq ==
       docs.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("WARC round-trip: length framing carries a payload embedding a fake record head") {
+    import graft.sources.Warc
+    val docs = Seq(
+      (0L, "plain text"),
+      // a complete fake record head INSIDE the payload: only
+      // Content-Length framing survives this; a delimiter scan splits here
+      (1L, "evil\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz\r\n\r\ntail"),
+      (2L, "unicode é ü payload"), // Content-Length counts BYTES, not chars
+      (51L, "second shard")).toDF("doc_id", "text")
+    val out = Warc.parseWarc(Warc.encodeWarc(docs)).collect()
+      .map(r => r.doc_id -> (r.target_uri, r.text)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 51L))
+    assert(out(1L)._2 == "evil\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz\r\n\r\ntail")
+    assert(out(2L) == (("https://graft.test/2", "unicode é ü payload")))
+  }
+
+  test("WARC parser: malformed containers fail loud by name") {
+    import graft.sources.Warc
+    def parse(bytes: Array[Byte]): Unit =
+      Warc.parseWarc(Seq(Warc.WarcContainer(7L, bytes)).toDS()).collect()
+    def msgOf(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    val good = Warc.encodeWarc(Seq((3L, "abc")).toDF("doc_id", "text"))
+      .collect().head.bytes
+    // truncated payload: chop the terminator
+    val trunc = good.dropRight(5)
+    val e1 = intercept[org.apache.spark.SparkException](parse(trunc))
+    assert(msgOf(e1).contains("truncated WARC payload") ||
+      msgOf(e1).contains("unterminated header line"), msgOf(e1))
+    // bad version line
+    val bad = good.clone(); bad(4) = 'X'.toByte
+    val e2 = intercept[org.apache.spark.SparkException](parse(bad))
+    assert(msgOf(e2).contains("bad WARC version line"), msgOf(e2))
+    // non-numeric Content-Length
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val nn = s.replace("Content-Length: 3", "Content-Length: 3x")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val e3 = intercept[org.apache.spark.SparkException](parse(nn))
+    assert(msgOf(e3).contains("non-numeric Content-Length"), msgOf(e3))
+    // missing mandatory header
+    val mh = s.replace("WARC-Target-URI", "X-WARC-Target-URI")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val e4 = intercept[org.apache.spark.SparkException](parse(mh))
+    assert(msgOf(e4).contains("missing mandatory WARC header WARC-Target-URI"), msgOf(e4))
+  }
 }

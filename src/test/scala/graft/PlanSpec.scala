@@ -501,7 +501,6 @@ class PlanSpec extends SparkSpec {
     (shuffles, broadcasts, joins)
   }
 
-  test("golden plans: the ten most expensive bench queries keep their executed shape") {
     // Pinned AQE-final shapes at sf0.001 for the most expensive bench
     // queries of bench_out_sf0.1.json — plan drift (a lost broadcast, a
     // new shuffle, a join strategy flip) fails HERE, in `sbt test`,
@@ -513,7 +512,7 @@ class PlanSpec extends SparkSpec {
     // whose components (brute kernel + the pinned knn_* searches) are
     // covered individually — pinning the union would re-assert the same
     // shapes with extra brittleness.
-    val golden: Map[String, (Int, Int, Map[String, Int])] = Map(
+  private lazy val golden: Map[String, (Int, Int, Map[String, Int])] = Map(
       "entity_canonical" ->
         ((4, 2, Map("SortMergeJoin" -> 1, "BroadcastHashJoin" -> 2))),
       "knn_cosine_lsh_multi" -> ((5, 1, Map("BroadcastHashJoin" -> 1))),
@@ -569,6 +568,8 @@ class PlanSpec extends SparkSpec {
       // (r17 judge flagged the previous three-way self-join)
       "crawl_trap_report" -> ((1, 0, Map.empty[String, Int])),
       "domain_reputation_screen" -> ((1, 1, Map("BroadcastHashJoin" -> 1))))
+
+  test("golden plans: the ten most expensive bench queries keep their executed shape") {
     val observed = golden.keys.toSeq.sorted.map { name =>
       name -> planShape(SparkEntry.queries(name)(spark, sfDir))
     }
@@ -576,6 +577,37 @@ class PlanSpec extends SparkSpec {
     assert(drifted.isEmpty, drifted.map { case (name, (sh, bc, j)) =>
       s"""$name: observed (shuffles=$sh, broadcasts=$bc, joins=$j), pinned ${golden(name)}"""
     }.mkString("\n"))
+  }
+
+  test("golden pins hold their shape across a ±20% broadcast-threshold band") {
+    // The r17 full-suite flake was a pin whose join sat EXACTLY on the
+    // AQE broadcast threshold: runtime byte counts wobble ~1% run to
+    // run, so a boundary join flips SMJ<->BHJ nondeterministically.
+    // This sweep re-plans every pinned query with BOTH thresholds
+    // (static + adaptive) at 0.8x and 1.2x the 10 MB default and
+    // asserts the pinned shape at both — any pin within 20% of the
+    // boundary fails HERE deterministically instead of flaking at
+    // whatever byte count a loaded suite run produces. Queries that
+    // need a specific strategy at a boundary must say so with a join
+    // hint (web_curation_pack's merge hint), which this sweep then
+    // proves immune to the band.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      Seq("8388608", "12582912").foreach { thr =>
+        keys.foreach(spark.conf.set(_, thr))
+        val drifted = golden.keys.toSeq.sorted.map { name =>
+          name -> planShape(SparkEntry.queries(name)(spark, sfDir))
+        }.filter { case (name, got) => golden(name) != got }
+        assert(drifted.isEmpty, s"at threshold $thr: " +
+          drifted.map { case (name, (sh, bc, j)) =>
+            s"$name: observed (shuffles=$sh, broadcasts=$bc, joins=$j), pinned ${golden(name)}"
+          }.mkString("\n"))
+      }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   test("multimodal decode is a narrow object pipeline over a doc_id-only scan") {

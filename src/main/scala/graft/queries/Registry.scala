@@ -733,6 +733,19 @@ object Registry {
       val docs = Tables(s, dir).documents
         .select(col("doc_id"), hostile.as("text"))
       graft.sources.Warc.parseWarc(graft.sources.Warc.encodeWarc(docs)).toDF()
+    }),
+
+    // the .warc.gz form CommonCrawl actually ships: each RECORD is its
+    // own gzip member (offset-seekable at archive scale), members
+    // concatenated per container; the multi-member inflate + the same
+    // length-framed walker must round-trip the identical hostile
+    // payload — same identity oracle as the plain form
+    "source_warc_gz_roundtrip" -> ((s, dir) => {
+      val hostile = concat(col("text"),
+        lit("\nWARC/1.0\nContent-Length: 0\n\n"))
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), hostile.as("text"))
+      graft.sources.Warc.parseWarcGz(graft.sources.Warc.encodeWarcGz(docs)).toDF()
     })
   )
 
@@ -1564,6 +1577,15 @@ object Registry {
     // encoder's pinned template, payload with the embedded fake record
     // head the length framing must carry intact
     "source_warc_roundtrip" ->
+      """SELECT doc_id,
+        |       'https://graft.test/' || doc_id AS target_uri,
+        |       text || chr(10) || 'WARC/1.0' || chr(10) ||
+        |         'Content-Length: 0' || chr(10) || chr(10) AS text
+        |FROM documents""".stripMargin,
+
+    // identity through the per-record-gzip-member container — the
+    // codec layer must be lossless over the same hostile payload
+    "source_warc_gz_roundtrip" ->
       """SELECT doc_id,
         |       'https://graft.test/' || doc_id AS target_uri,
         |       text || chr(10) || 'WARC/1.0' || chr(10) ||

@@ -261,6 +261,32 @@ class LoadSpec extends SparkSpec {
     assert(out(2L) == (("https://graft.test/2", "unicode é ü payload")))
   }
 
+  test("WARC gz: per-record gzip members round-trip; non-gzip bytes fail by name") {
+    import graft.sources.Warc
+    val docs = Seq(
+      (0L, "plain"),
+      (1L, "evil\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz"),
+      (2L, "unicode é ü")).toDF("doc_id", "text")
+    val gz = Warc.encodeWarcGz(docs).collect().head
+    // container starts with a gzip member magic, and a mid-container
+    // member boundary exists (per-record members, not one big stream)
+    assert((gz.bytes(0) & 0xff) == 0x1f && (gz.bytes(1) & 0xff) == 0x8b)
+    val boundaries = gz.bytes.sliding(2).zipWithIndex.count { case (w, i) =>
+      i > 0 && (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b }
+    assert(boundaries >= 2, s"expected per-record gzip members, found $boundaries")
+    val out = Warc.parseWarcGz(Warc.encodeWarcGz(docs)).collect()
+      .map(r => r.doc_id -> r.text).toMap
+    assert(out == Map(0L -> "plain",
+      1L -> "evil\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz",
+      2L -> "unicode é ü"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.parseWarcGz(Seq(Warc.WarcContainer(9L,
+        "WARC/1.0\r\n".getBytes("US-ASCII"))).toDS()).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("not a gzip container"), msg)
+  }
+
   test("WARC parser: malformed containers fail loud by name") {
     import graft.sources.Warc
     def parse(bytes: Array[Byte]): Unit =

@@ -1890,6 +1890,38 @@ object ExtRegistry {
           sum(col("keep")).as("kept"))
     }),
 
+    // the ingest end CLOSED: the same funnel report computed over
+    // documents RECONSTRUCTED from the .warc.gz crawl container
+    // (encode → per-record-gzip-member inflate → length-framed parse →
+    // the full keep-list stack), not over the parquet table — proving
+    // the container codec feeds the curation compositions end-to-end
+    // in one declarative plan. The parsed spine is localCheckpointed:
+    // three screens read the text, and at archive scale the inflate +
+    // walk must be paid ONCE, not once per screen (the
+    // domainReputationScreen one-materialization discipline). The
+    // source label joins back from the crawl manifest (the documents
+    // table), as a real ingest does. Bit-identical to the batch
+    // funnel, oracle shared verbatim.
+    "web_curation_ingest" -> ((s, dir) => {
+      val raw = Tables(s, dir).documents
+      val docs = graft.sources.Warc.parseWarcGz(graft.sources.Warc.encodeWarcGz(
+          raw.select(col("doc_id"), col("text")))).toDF()
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(false)
+      val kl = graft.ext.Web.webCurationKeeplist(docs,
+        graft.ext.Text.qualityMargin(docs, graft.ext.Text.hashWeights(docs))
+          .select(col("doc_id"), col("margin")), repThr = -175L)
+      kl.join(raw.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(lit(1) - col("url_keep")).as("url_drops"),
+          sum(lit(1) - col("domain_keep")).as("domain_drops"),
+          sum(lit(1) - col("rep_keep")).as("rep_drops"),
+          sum(lit(1) - col("boiler_keep")).as("boiler_drops"),
+          sum(col("keep")).as("kept"))
+    }),
+
     // the crawl-to-batches tail: keep-list survivors semi-filtered into
     // the capacity-packing window — what actually ships to a loader.
     // The semi-join carries an explicit merge hint: the keep-list side
@@ -6341,6 +6373,9 @@ object ExtRegistry {
     // compositions, so each pair shares one oracle verbatim
     "web_curation_funnel" -> webFunnelOracle,
     "web_curation_funnel_stream" -> webFunnelOracle,
+    // the WARC-ingest composition reconstructs the identical doc spine
+    // from the container, so the funnel twin holds verbatim
+    "web_curation_ingest" -> webFunnelOracle,
     "web_curation_pack" -> webPackOracle,
     "web_curation_pack_stream" -> webPackOracle,
 

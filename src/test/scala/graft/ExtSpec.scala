@@ -3001,6 +3001,35 @@ class ExtSpec extends SparkSpec {
     assert(emptyRow.isNullAt(3), "empty doc must carry null bits_per_token")
   }
 
+  test("lm state ingests through Structured Streaming foreachBatch, scores == batch") {
+    import graft.ext.Text
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val docs = Seq.tabulate(90)(i =>
+      (i.toLong, s"w${i % 5} w${(i * 2) % 5} w${(i * 3) % 5} u$i"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    val batch = rows(Text.lmPerplexity(docs))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val d = Text.ngramAdd(b.toDF())
+        state = Some(state.fold(d)(s => Text.mergeNgrams(s, d)).localCheckpoint(true))
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      docs.as[(Long, String)].collect().toSeq.grouped(25)
+        .foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(rows(Text.lmPerplexityFromCounts(docs, state.get)) == batch,
+        "streamed LM state != batch scores")
+    } finally q.stop()
+  }
+
   test("lmPerplexity: merged ngramAdd deltas score bit-identically to the batch pass") {
     import graft.ext.Text
     val docs = Seq.tabulate(60)(i =>

@@ -634,6 +634,25 @@ class PlanSpec extends SparkSpec {
       s"profile/weight probes expected as broadcast hash joins in:\n$plan")
   }
 
+  test("lm perplexity: model probes broadcast; corpus never shuffles on the model key") {
+    val docs = tables.documents
+    val df = graft.ext.Text.lmPerplexity(docs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // exactly ONE nested-loop join is expected and correct: the global
+    // vocabulary size V is a 1-row broadcast scalar crossed onto the
+    // bigram stream (attaching a scalar IS a broadcast nested-loop
+    // cross); anything beyond that one is a real plan defect
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"unexpected nested-loop joins in:\n$plan")
+    // the (ctx, w) count probe and the ctx-total probe must both ride
+    // broadcasts — a corpus-sized shuffle on the model key would make
+    // scoring cost the corpus twice at 100 TB
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"model probes expected as broadcast hash joins in:\n$plan")
+    assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
+  }
+
   test("byte-level BPE tokenize: dict probe broadcasts; no cartesian") {
     val docs = graft.ext.Text.utf8Dirty(tables.documents)
     val df = graft.ext.Text.byteBpeTokenize(

@@ -40,6 +40,29 @@ object ExtRegistry {
 
     "simhash_docs" -> ((s, dir) => MinHash.simHash(Tables(s, dir).documents)),
 
+    // the ann_recall_* audit discipline applied to the DEDUP family:
+    // MinHash-LSH's end-to-end pair recall (banding + signature screen)
+    // against the exact-Jaccard truth at the 0.5 dedup threshold, as a
+    // driver-hashed number — measured, not asserted. Truth = the
+    // rare-shingle-blocked exact-jaccard pairs (ngramJaccardPairs'
+    // semantics; the df prune is the truth side's own documented
+    // candidate bound), hits = banded pairs surviving the signature
+    // screen. One row: n_truth, n_hit, recall
+    "near_dup_recall" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val truth = Text.ngramJaccardPairs(docs, 3)
+        .filter(col("jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))
+      val cand = MinHash.nearDupPairs(docs, 3)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit"))
+        .select(col("n_truth"), col("n_hit"),
+          when(col("n_truth") > 0,
+            col("n_hit").cast(DoubleType) / col("n_truth").cast(DoubleType))
+            .otherwise(lit(null).cast(DoubleType)).as("recall"))
+    }),
+
     "simhash_near_dup" -> ((s, dir) =>
       MinHash.simHashNearDups(Tables(s, dir).documents)),
 
@@ -5005,6 +5028,29 @@ object ExtRegistry {
     "minhash_near_dup" ->
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, sig_similarity, jaccard FROM mh_pairs""".stripMargin,
+
+    // dedup-recall twin: both pipelines replayed off the SHARED shingle
+    // chain (h2) — the minhash side through mh_pairs, the truth side
+    // through the rare-shingle blocking + exact jaccard at 0.5
+    "near_dup_recall" ->
+      s"""WITH $minhashPairsCtes,
+         |ex AS (SELECT doc_id, unnest(hashes) AS s FROM h2),
+         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5),
+         |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+         |ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |tr AS (SELECT c.doc_a, c.doc_b
+         |       FROM ncand c JOIN h2 x ON c.doc_a = x.doc_id
+         |                    JOIN h2 y ON c.doc_b = y.doc_id
+         |       WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+         |               / CAST(len(list_distinct(x.hashes || y.hashes)) AS DOUBLE) >= 0.5),
+         |mh AS (SELECT doc_a, doc_b, 1 AS hit FROM mh_pairs)
+         |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |       CAST(sum(coalesce(mh.hit, 0)) AS BIGINT) AS n_hit,
+         |       CASE WHEN count(*) > 0
+         |            THEN CAST(sum(coalesce(mh.hit, 0)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |            ELSE NULL END AS recall
+         |FROM tr LEFT JOIN mh USING (doc_a, doc_b)""".stripMargin,
 
     "dedup_near_keep" ->
       s"""WITH $minhashPairsCtes

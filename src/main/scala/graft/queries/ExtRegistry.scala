@@ -6470,8 +6470,12 @@ object ExtRegistry {
     // replayed over the re-upload union (base id drives the samples,
     // so the +1000000 copy reproduces the same bins), then the
     // positional fingerprint fold Σ (v % 2^20)·1000003^idx mod 2^40
-    // with the powers inlined; iterative-mod ≡ one final mod because
-    // modular addition distributes and every term stays below 2^60
+    // with the powers inlined. The mod is applied AFTER EACH addition,
+    // mirroring the Spark fold step for step: a single final mod would
+    // be congruent but could differ in SIGN REPRESENTATIVE if a bin
+    // power ever went negative mid-fold (both engines' % follow the
+    // dividend's sign), and the twin must replay the representative,
+    // not the residue class. Every term stays below 2^60
     "audio_dup_groups" ->
       """WITH RECURSIVE
         |ids AS (
@@ -6504,10 +6508,10 @@ object ExtRegistry {
         |  FROM fin GROUP BY 1),
         |fp AS (
         |  SELECT doc_id,
-        |         ((n % 1048576) * 1
-        |          + (p250 % 1048576) * 1000003
-        |          + (p500 % 1048576) * 1000006000009
-        |          + (p1000 % 1048576) * 975541472475
+        |         (((((((((n % 1048576) * 1) % 1099511627776
+        |          + (p250 % 1048576) * 1000003) % 1099511627776)
+        |          + (p500 % 1048576) * 1000006000009) % 1099511627776)
+        |          + (p1000 % 1048576) * 975541472475) % 1099511627776)
         |          + (p2000 % 1048576) * 508331905873) % 1099511627776 AS fingerprint
         |  FROM pv)
         |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,

@@ -171,9 +171,13 @@ object Warc {
           s"shard $sid: record not CRLF CRLF terminated at byte $p")
         p += 4
         val rid = mandatory("WARC-Record-ID")
-        require(rid.startsWith("<urn:graft:doc-") && rid.endsWith(">"),
+        val digits =
+          if (rid.startsWith("<urn:graft:doc-") && rid.endsWith(">") &&
+            rid.length > 16) rid.substring(15, rid.length - 1)
+          else ""
+        require(digits.nonEmpty && digits.forall(_.isDigit),
           s"shard $sid: unrecognized record id '$rid'")
-        out += WarcRecord(rid.substring(15, rid.length - 1).toLong,
+        out += WarcRecord(digits.toLong,
           mandatory("WARC-Target-URI"), payload)
       }
       out.toSeq

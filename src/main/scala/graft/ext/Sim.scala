@@ -1028,6 +1028,52 @@ object Sim {
     topK(pairs, k)
   }
 
+  /** Brute all-pairs near-dup TRUTH: every unordered pair whose EXACT
+    * cosine clears `threshold` — the audit baseline
+    * [[embeddingNearDups]]' recall is measured against (the bucket
+    * join can only MISS pairs, never invent them: its candidates are
+    * exact-cosine verified, so hits/truth IS the recall). Same
+    * broadcast-index kernel and left-to-right double discipline as
+    * [[bruteTopK]] — the dot adds in index order, bit-matching the
+    * oracle's expression chain; zero-norm vectors are excluded by the
+    * same contract. Truth-kernel scale posture: n²·d FLOPs with the
+    * index broadcast — an AUDIT tool run at fixture scale (production
+    * audits sample), exactly like the ann_recall brute kernels. */
+  def bruteNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val index: Array[(Long, Array[Double])] = embeddings
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map { case (id, a) => (id, a.map(_.toDouble)) }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(index)
+    val probes = spread(embeddings.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .as[(Long, Array[Float])]
+    probes.mapPartitions { it =>
+      val idx = bc.value
+      val norms = idx.map { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      it.flatMap { case (qid, qf) =>
+        val q = qf.map(_.toDouble)
+        var nq = 0.0; var i = 0
+        while (i < q.length) { nq += q(i) * q(i); i += 1 }
+        val qn = math.sqrt(nq)
+        if (qn == 0.0) Iterator.empty
+        else idx.iterator.zipWithIndex.flatMap { case ((nid, nv), j) =>
+          if (nid <= qid || norms(j) == 0.0) None
+          else {
+            var dot = 0.0; var m = 0
+            while (m < q.length) { dot += q(m) * nv(m); m += 1 }
+            val cos = dot / (qn * norms(j))
+            if (cos >= threshold) Some((qid, nid, cos)) else None
+          }
+        }
+      }
+    }.toDF("vec_id", "neighbor_id", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate DEDUP view: unordered candidate
     * pairs from the LSH buckets whose cosine clears `threshold` — the
     * "drop one of each pair" input of an embedding-dedup pipeline.

@@ -407,6 +407,23 @@ object Registry {
 
     "embed_near_dup" -> ((s, dir) => Sim.embeddingNearDups(Tables(s, dir).embeddings, 6, 0.30)),
 
+    // the recall audit for the EMBEDDING near-dup family (near_dup_recall's
+    // discipline on the third similarity modality): LSH-bucketed pair
+    // count vs the brute all-pairs cosine truth at the same 0.30
+    // threshold — every bucketed pair is exact-cosine verified, so
+    // hits/truth IS the bucketing's recall, as a driver-hashed number
+    "embed_near_dup_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val truth = Sim.bruteNearDupPairs(emb, 0.30)
+        .agg(count(lit(1)).as("n_truth"))
+      val hits = Sim.embeddingNearDups(emb, 6, 0.30)
+        .agg(count(lit(1)).as("n_hit"))
+      truth.crossJoin(hits).select(col("n_truth"), col("n_hit"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast(DoubleType) / col("n_truth").cast(DoubleType))
+          .otherwise(lit(null).cast(DoubleType)).as("recall"))
+    }),
+
     // the IVF TUNING curve: recall + candidate volume at nProbe ∈
     // {1,2,4,8} over ONE trained routing and ONE candidate set (each
     // point is a probe-rank prefix) — coarseK/iters mirror the
@@ -1388,6 +1405,28 @@ object Registry {
          |         (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
          |WHERE cosine >= 0.30""".stripMargin
+    },
+
+    // recall twin: the bucketed count over the truth count, both sides
+    // the SAME dot/norm expression chains (the kernel adds in index
+    // order, bit-matching the chain — the bruteTopK determinism
+    // contract); truth is the bucket-free all-pairs join
+    "embed_near_dup_recall" -> {
+      val bucketExpr = lshBucketSql(6, 0)
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, ($nsqChain) AS nsq, ($bucketExpr) AS bucket FROM embeddings) t0 WHERE nsq > 0),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth
+         |       FROM (SELECT (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         |             FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+         |       WHERE cosine >= 0.30),
+         |hi AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM (SELECT (${dotChain("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         |             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+         |       WHERE cosine >= 0.30)
+         |SELECT tr.n_truth, hi.n_hit,
+         |       CASE WHEN tr.n_truth > 0
+         |            THEN CAST(hi.n_hit AS DOUBLE) / CAST(tr.n_truth AS DOUBLE)
+         |            ELSE NULL END AS recall
+         |FROM tr CROSS JOIN hi""".stripMargin
     },
 
     "streaming_dpd_batch" ->

@@ -32,8 +32,11 @@ object CalProbe {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     work(spark)
     val t = work(spark)
-    // parseable marker line; Spark's own logging goes to stderr
-    println(f"CALPROBE $t%.4f")
+    // parseable marker line; Spark's own logging goes to stderr.
+    // Locale.ROOT: a comma-decimal default locale would print
+    // `CALPROBE 0,4567` and the parent's [0-9.]+ regex would silently
+    // accept `0` (r18 advisor)
+    println(String.format(java.util.Locale.ROOT, "CALPROBE %.4f", Double.box(t)))
     spark.stop()
   }
 }
@@ -77,16 +80,32 @@ object Bench {
           Seq("-cp", System.getProperty("java.class.path"), "graft.CalProbe")
         val pb = new ProcessBuilder(cmd.asJava)
         // child stderr (Spark logging) flows to ours — an unread pipe
-        // could fill and deadlock the child; stdout stays piped for the
-        // marker line
+        // could fill and deadlock the child. Child stdout goes to a
+        // temp FILE, not a pipe: readAllBytes on a piped stdout would
+        // block forever if the child hangs without closing it, making
+        // the waitFor timeout/destroyForcibly path unreachable (r18
+        // advisor) — with a file sink, waitFor runs FIRST and the
+        // marker is read only after the child exits or is killed.
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val outFile = java.nio.file.Files.createTempFile("calprobe", ".out")
+        outFile.toFile.deleteOnExit()
+        pb.redirectOutput(outFile.toFile)
         val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
         val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-        if (!done) { proc.destroyForcibly(); None }
-        else "CALPROBE ([0-9.]+)".r.findAllMatchIn(out).toSeq.lastOption
-          .map(_.group(1).toDouble)
+        val res =
+          if (!done) { proc.destroyForcibly(); None }
+          else {
+            val out = new String(java.nio.file.Files.readAllBytes(outFile),
+              java.nio.charset.StandardCharsets.UTF_8)
+            "CALPROBE ([0-9.]+)".r.findAllMatchIn(out).toSeq.lastOption
+              .map(_.group(1).toDouble)
+              // a zero probe can only be a parse artifact (the probe
+              // does fixed nontrivial work); refuse it rather than
+              // corrupt the calibration gate
+              .filter(_ > 0.0)
+          }
+        java.nio.file.Files.deleteIfExists(outFile)
+        res
       } catch { case e: Throwable =>
         System.err.println(s"[bench] forked probe failed: ${e.getMessage}")
         None

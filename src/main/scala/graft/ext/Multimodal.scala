@@ -910,6 +910,11 @@ object Multimodal {
       val (w, h, fn, fd, headerEnd) = y4mHeader(bs, id)
       require(fn > 0 && fd > 0, s"doc $id: missing or bad frame rate $fn:$fd")
       var pos = headerEnd
+      // overflow-free container bound (w,h are validated positive, so
+      // w.toLong*h <= 2^62 cannot wrap; 3L*w*h for hostile ~1.75e9 dims
+      // WOULD wrap Long negative and send `pos` backwards)
+      require(w.toLong * h <= bs.length / 3,
+        s"doc $id: Y4M frame size 3*${w}x$h exceeds container ${bs.length}")
       val frameBytes = 3L * w * h
       var nFrames = 0L; var sum = 0L; var sampledFrames = 0L; var sampledSum = 0L
       while (pos < bs.length) {
@@ -996,13 +1001,14 @@ object Multimodal {
       val id = m.doc_id
       val (w, h, _, _, headerEnd) = y4mHeader(bs, id)
       var pos = headerEnd
-      // bound the frame size in LONG first: hostile header W/H whose
-      // 3*w*h overflows Int would otherwise turn frameBytes negative
-      // and bypass y4mFrameStart's truncation require with a
-      // NegativeArraySizeException (r17 advisor); a single frame can
-      // never legally exceed its own container
-      require(3L * w * h <= bs.length,
-        s"doc $id: Y4M frame size ${3L * w * h} exceeds container ${bs.length}")
+      // bound the frame size OVERFLOW-FREE first: hostile header W/H
+      // around 1.75e9 make even 3L*w*h wrap Long negative, so that
+      // guard passes vacuously and the Int frameBytes wraps — back to
+      // the NegativeArraySizeException it was meant to close (r18
+      // advisor). w,h are validated positive, so w.toLong*h <= 2^62
+      // can never wrap; a frame can never legally exceed its container
+      require(w.toLong * h <= bs.length / 3,
+        s"doc $id: Y4M frame size 3*${w}x$h exceeds container ${bs.length}")
       val frameBytes = 3 * w * h
       val prev = new Array[Int](frameBytes)
       var nFrames = 0L; var nCuts = 0L; var firstCut = -1L; var sadSum = 0L
@@ -1068,10 +1074,10 @@ object Multimodal {
       val id = m.doc_id
       val (w, h, _, _, headerEnd) = y4mHeader(bs, id)
       var pos = headerEnd
-      // same Long-first bound as sceneCuts: overflow-proof against
-      // hostile header dims before the Int frameBytes is formed
-      require(3L * w * h <= bs.length,
-        s"doc $id: Y4M frame size ${3L * w * h} exceeds container ${bs.length}")
+      // same overflow-free bound as sceneCuts: w.toLong*h <= 2^62
+      // cannot wrap, unlike 3L*w*h for hostile ~1.75e9 header dims
+      require(w.toLong * h <= bs.length / 3,
+        s"doc $id: Y4M frame size 3*${w}x$h exceeds container ${bs.length}")
       val frameBytes = 3 * w * h
       var nFrames = 0L; var sampled = 0L; var fp = 0L
       // running W^idx % 2^40 — recomputing the power per sampled frame

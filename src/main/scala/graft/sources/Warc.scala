@@ -92,7 +92,13 @@ object Warc {
           gz.write(header.getBytes(US_ASCII))
           gz.write(payload)
           gz.write("\r\n\r\n".getBytes(US_ASCII))
-          gz.finish() // close the MEMBER, keep the container stream open
+          gz.finish()
+          // close() releases the native Deflater NOW instead of at GC
+          // (one leaked deflater per record otherwise, at archive
+          // scale — r18 advisor); ByteArrayOutputStream.close() is a
+          // no-op, so the container stream stays open for the next
+          // member
+          gz.close()
         }
         WarcContainer(shard, out.toByteArray)
       }
@@ -159,8 +165,12 @@ object Warc {
           hdrs(k)
         }
         val lenStr = mandatory("Content-Length")
-        require(lenStr.nonEmpty && lenStr.forall(_.isDigit),
-          s"shard $sid: non-numeric Content-Length '$lenStr'")
+        // digit-count bound keeps toLong total: a 20+-digit all-numeric
+        // length would throw a raw NumberFormatException past the named
+        // requires (r18 advisor); 18 digits < Long.MaxValue always
+        require(lenStr.nonEmpty && lenStr.length <= 18 &&
+          lenStr.forall(_.isDigit),
+          s"shard $sid: non-numeric or oversized Content-Length '$lenStr'")
         val len = lenStr.toLong
         require(len <= Int.MaxValue.toLong && p + len + 4 <= bs.length,
           s"shard $sid: truncated WARC payload (declared $len at byte $p of ${bs.length})")
@@ -175,7 +185,8 @@ object Warc {
           if (rid.startsWith("<urn:graft:doc-") && rid.endsWith(">") &&
             rid.length > 16) rid.substring(15, rid.length - 1)
           else ""
-        require(digits.nonEmpty && digits.forall(_.isDigit),
+        require(digits.nonEmpty && digits.length <= 18 &&
+          digits.forall(_.isDigit),
           s"shard $sid: unrecognized record id '$rid'")
         out += WarcRecord(digits.toLong,
           mandatory("WARC-Target-URI"), payload)

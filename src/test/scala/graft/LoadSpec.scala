@@ -309,7 +309,21 @@ class LoadSpec extends SparkSpec {
     val nn = s.replace("Content-Length: 3", "Content-Length: 3x")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val e3 = intercept[org.apache.spark.SparkException](parse(nn))
-    assert(msgOf(e3).contains("non-numeric Content-Length"), msgOf(e3))
+    assert(msgOf(e3).contains("non-numeric or oversized Content-Length"), msgOf(e3))
+    // 20-digit all-numeric Content-Length: must fail by name, not with
+    // a raw NumberFormatException out of toLong (r18 advisor)
+    val big = s.replace("Content-Length: 3", "Content-Length: 99999999999999999999")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val e3b = intercept[org.apache.spark.SparkException](parse(big))
+    assert(msgOf(e3b).contains("non-numeric or oversized Content-Length"), msgOf(e3b))
+    // 20-digit all-numeric record id: same fail-loud-by-name contract
+    val hostileId = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:graft:doc-99999999999999999999>\r\n" +
+      "WARC-Target-URI: https://graft.test/x\r\n" +
+      "Content-Length: 3\r\n\r\nabc\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val e3c = intercept[org.apache.spark.SparkException](parse(hostileId))
+    assert(msgOf(e3c).contains("unrecognized record id"), msgOf(e3c))
     // missing mandatory header
     val mh = s.replace("WARC-Target-URI", "X-WARC-Target-URI")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)

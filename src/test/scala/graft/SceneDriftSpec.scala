@@ -146,6 +146,23 @@ class SceneDriftSpec extends SparkSpec {
       val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
       assert(msg.contains("exceeds container"), msg)
     }
+    // dims whose 3L*w*h wraps LONG negative (r18 advisor): the old
+    // Long-first guard passed vacuously and the Int frameBytes wrapped;
+    // the overflow-free w.toLong*h form must still fail by name
+    val wrapLong = ("YUV4MPEG2 W1754000000 H1754000000 F25:1 Ip A1:1 C444\nFRAME\n" + "x" * 64)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    Seq(
+      () => Multimodal.sceneCuts(
+        Seq(Multimodal.EncodedMedia(16L, "y4m", wrapLong)).toDS()).collect(),
+      () => Multimodal.videoFingerprints(
+        Seq(Multimodal.EncodedMedia(17L, "y4m", wrapLong)).toDS()).collect(),
+      () => Multimodal.decodeVideo(
+        Seq(Multimodal.EncodedMedia(18L, "y4m", wrapLong)).toDS()).collect()
+    ).foreach { run =>
+      val e = intercept[org.apache.spark.SparkException](run())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("exceeds container"), msg)
+    }
   }
 
   test("driftReport: an unmerged delta union reports identically to the merged state") {

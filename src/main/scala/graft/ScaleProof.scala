@@ -109,6 +109,18 @@ object ScaleProof {
         "u', id, 'a u', id, 'b u', id, 'c u', id, 'd " +
         "u', id, 'e u', id, 'f u', id, 'g u', id, 'h')").as("text"))
 
+  /** 5-doc groups of EXACT duplicates for the incremental-dedup ladder:
+    * doc i's text is a pure function of `i div 5`, so every group is 5
+    * identical 4-token docs (2 identical trigram shingles) — bounded
+    * band buckets (≤ the group size plus any delta overlay), linear
+    * group count. `idOffset` lets a delta overlay duplicate the FIRST
+    * groups of a state corpus under fresh doc_ids: range ids feed the
+    * group key, offset only the doc_id. */
+  private def synthGroupDupDocs(spark: SparkSession, n: Long, idOffset: Long): DataFrame =
+    spark.range(n).select((col("id") + idOffset).as("doc_id"),
+      expr("concat('g', id div 5, 'a g', id div 5, 'b g', id div 5, 'c g', id div 5, 'd')")
+        .as("text"))
+
   /** Docs with per-doc unique noise around two FIXED boilerplate
     * phrases, so blocklist matches grow linearly with the corpus (every
     * doc matches both listed phrases) while the phrase table stays
@@ -574,7 +586,20 @@ object ScaleProof {
     ("docs->lmPerplexityFromCounts", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
       (s: SparkSession, f: Int) =>
         graft.ext.Text.lmPerplexityFromCounts(synthPhraseDocs(s, 500L * f),
-          graft.ext.Text.ngramAdd(synthPhraseDocs(s, 500L)))))
+          graft.ext.Text.ngramAdd(synthPhraseDocs(s, 500L)))),
+    // incremental near-dup dedup: a FIXED 100-doc delta scored against a
+    // minhashAdd signature-index state growing 100× (the crawl-snapshot
+    // shape — yesterday's index + today's delta). The delta's band keys
+    // broadcast and the state is probed with one narrow scan, so pair
+    // output is constant (the delta only collides with its own 20
+    // groups) while state work is the unavoidable linear index scan —
+    // exchange count flat, heap flat. Broadcast left ON: the
+    // delta-broadcast IS the 100 TB plan shape under proof here.
+    ("state->nearDupDeltaPairs", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.MinHash.nearDupDeltaPairs(
+          graft.ext.MinHash.minhashAdd(synthGroupDupDocs(s, 500L * f, 0L), 3),
+          synthGroupDupDocs(s, 100L, 10000000L), 3)))
 
   /** Successful tasks' (stageId, durationMs, shuffleReadRecords,
     * shuffleWriteBytes), drained from the async listener bus before

@@ -107,25 +107,59 @@ object MinHash {
         array_min(transform(col("hashes"), h => (h * hashA(k) + hashB(k)) % P)))
     }
 
+  /** ONE delta's MinHash signature-index state: `(doc_id, hashes,
+    * sig0..sig{K-1})` — the add/merge ingest contract ([[graft.ext.Text.ngramAdd]]'s
+    * discipline) applied to near-dup dedup. Every state row is a PURE
+    * per-document function of that document's text (shingle set +
+    * 12-component signature), so deltas never interact at add time:
+    * `mergeMinhash(minhashAdd(A), minhashAdd(B)) ≡ minhashAdd(A ∪ B)`
+    * bit-for-bit for disjoint deltas, and value-identical rows under
+    * overlap (re-ingesting a doc reproduces its row exactly). At 100 TB
+    * this is the state a crawl-snapshot dedup maintains: yesterday's
+    * signature index persists; today's delta runs ONE add pass over the
+    * new documents only, never re-hashing the corpus. Rows whose docs
+    * are shorter than n tokens carry empty `hashes` (nothing to near-dup
+    * on); [[nearDupPairsFromState]] screens them after its checkpoint
+    * barrier — see the pushdown note on [[shingleHashes]]. */
+  def minhashAdd(delta: DataFrame, n: Int): DataFrame =
+    withSignature(shingleHashes(delta, n))
+
+  /** Exact merge of [[minhashAdd]] states: id-keyed first-wins union.
+    * Disjoint deltas make this a plain union; under overlap the
+    * duplicate rows are value-identical (the state is a pure function
+    * of the doc), so dropping by key is deterministic — the same
+    * first-wins idempotency [[graft.sources.Load.firstWins]] gives the
+    * exact-dedup path. One key-hash exchange over state-sized (not
+    * corpus-sized) rows. */
+  def mergeMinhash(states: DataFrame*): DataFrame = {
+    val cols = Seq(col("doc_id"), col("hashes")) ++
+      (0 until NumHashes).map(k => col(s"sig$k"))
+    states.map(_.select(cols: _*)).reduce(_ unionByName _)
+      .dropDuplicates("doc_id")
+  }
+
   /** Candidate pairs sharing at least one LSH band, screened by
     * signature similarity, then verified with exact Jaccard over the
-    * shingle-hash sets. */
-  def nearDupPairs(documents: DataFrame, n: Int): DataFrame = {
-    // computed once, reused by banding + both join sides (see object doc).
-    // localCheckpoint, not .cache(): the blocks are owned by the RDD (the
-    // ContextCleaner frees them when the result frame is GC'd) instead of
-    // the session CacheManager, so a long-lived session embedding this
-    // operator doesn't accumulate storage entries that only an explicit
-    // clearCache would release; it is also a harder optimizer barrier
-    // than cache (the empty-shingle screen below and the per-band
-    // projections can never be pushed into / inlined over the hash
-    // computation). The tradeoff is FAULT TOLERANCE, not just lineage:
-    // checkpoint blocks are unreplicated executor-local state, so on a
-    // cluster losing an executor mid-query fails the job (cache would
-    // recompute from lineage) — acceptable for these short-lived
+    * shingle-hash sets — off a maintained [[minhashAdd]]/[[mergeMinhash]]
+    * signature-index state, so an incremental deployment pays banding +
+    * joins over STATE rows and never re-hashes document text. */
+  def nearDupPairsFromState(state: DataFrame): DataFrame = {
+    // materialized once, reused by banding + both join sides (see object
+    // doc). localCheckpoint, not .cache(): the blocks are owned by the
+    // RDD (the ContextCleaner frees them when the result frame is GC'd)
+    // instead of the session CacheManager, so a long-lived session
+    // embedding this operator doesn't accumulate storage entries that
+    // only an explicit clearCache would release; it is also a harder
+    // optimizer barrier than cache (the empty-shingle screen below and
+    // the per-band projections can never be pushed into / inlined over
+    // the hash computation). The tradeoff is FAULT TOLERANCE, not just
+    // lineage: checkpoint blocks are unreplicated executor-local state,
+    // so on a cluster losing an executor mid-query fails the job (cache
+    // would recompute from lineage) — acceptable for these short-lived
     // intermediate frames; a deployment on preemptible nodes should
-    // swap in reliable checkpointing or persist(DISK_ONLY_2).
-    val sig = withSignature(shingleHashes(documents, n)).localCheckpoint(false)
+    // swap in reliable checkpointing or persist(DISK_ONLY_2) — or, in
+    // the maintained-state shape, reads the state straight off parquet.
+    val sig = state.localCheckpoint(false)
       .filter(size(col("hashes")) > 0)
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"), (col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}")).as("bval"))
@@ -145,6 +179,72 @@ object MinHash {
     // screen never pay the array_intersect
     val sigCols = (0 until NumHashes).map(k => col(s"sig$k"))
     val side = sig.select(col("doc_id"), array(sigCols: _*).as("sig"), col("hashes"))
+    cand
+      .join(side.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("hashes").as("h_a")), Seq("doc_a"))
+      .join(side.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("hashes").as("h_b")), Seq("doc_b"))
+      .withColumn("sig_matches",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(LongType)),
+          lit(0L), (a, x) => a + x))
+      .filter(col("sig_matches") >= MinSigMatches)
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("sig_matches").cast(DoubleType) / NumHashes).as("sig_similarity"),
+        (size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
+          size(array_union(col("h_a"), col("h_b"))).cast(DoubleType)).as("jaccard"))
+  }
+
+  /** Batch composition: signatures from the corpus itself in one delta.
+    * By the add/merge contract this is bit-identical to
+    * [[nearDupPairsFromState]] over any merged ingest of the same corpus
+    * — what the `minhash_near_dup_stream` twin asserts. */
+  def nearDupPairs(documents: DataFrame, n: Int): DataFrame =
+    nearDupPairsFromState(minhashAdd(documents, n))
+
+  /** Incremental near-dup pairs TOUCHING a delta: pairs `(doc_a <
+    * doc_b)` over `state ∪ delta` where at least one side is a delta
+    * doc — the query a snapshot-over-snapshot dedup actually runs
+    * (yesterday's index is already internally deduped; only
+    * delta-vs-all and delta-vs-delta pairs are new). Produces EXACTLY
+    * the full-corpus pairs restricted to delta-touching ones. Shape at
+    * 100 TB: the delta's band keys are tiny next to the state's, so the
+    * candidate join broadcasts the delta side and the state is probed
+    * with ONE narrow scan — no state-sized shuffle anywhere (the verify
+    * joins broadcast the small candidate set over the state the same
+    * way). PRECONDITION: `state` must not already contain the delta's
+    * doc_ids — id-dedup is [[mergeMinhash]]'s job at state-maintenance
+    * time, once per snapshot, NOT a per-delta-query cost; a plain union
+    * here keeps this query free of any state-keyed exchange (duplicate
+    * ids would fan the verify joins out into duplicate pair rows). */
+  def nearDupDeltaPairs(state: DataFrame, delta: DataFrame, n: Int): DataFrame = {
+    val deltaState = minhashAdd(delta, n).localCheckpoint(false)
+      .filter(size(col("hashes")) > 0)
+    val stateCols = Seq(col("doc_id"), col("hashes")) ++
+      (0 until NumHashes).map(k => col(s"sig$k"))
+    // localCheckpoint: `all` feeds banding + both verify sides — same
+    // reuse-and-barrier rationale as [[nearDupPairsFromState]] (a
+    // deployment reading the state off parquet gets the reuse for free)
+    val all = state.select(stateCols: _*).unionByName(deltaState.select(stateCols: _*))
+      .localCheckpoint(false)
+      .filter(size(col("hashes")) > 0)
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"), (col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}")).as("bval"))
+    }
+    def banded(df: DataFrame) =
+      df.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    // delta side banded SMALL and broadcast; the state∪delta side is
+    // probed in place. `=!=` (not `<`) so delta docs pair in BOTH
+    // directions against older and newer ids; least/greatest restores
+    // the canonical orientation before the distinct.
+    val cand = banded(all).as("a")
+      .join(broadcast(banded(deltaState)).as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val sigCols = (0 until NumHashes).map(k => col(s"sig$k"))
+    val side = all.select(col("doc_id"), array(sigCols: _*).as("sig"), col("hashes"))
     cand
       .join(side.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("hashes").as("h_a")), Seq("doc_a"))
       .join(side.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("hashes").as("h_b")), Seq("doc_b"))
@@ -202,19 +302,36 @@ object MinHash {
           lit(0L)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the sketch (see [[SimBandBits]] — the
-    * banding is pigeonhole-exact for the Hamming threshold, not
-    * probabilistic), equi-join on (band, value), verify with
-    * `bit_count(xor)`. Same never-n² shape as the MinHash pipeline but
-    * the verify is a single integer instruction per pair — the cheapest
-    * of the near-dup families at 100 TB. */
-  def simHashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** ONE delta's SimHash sketch state `(doc_id, simhash)` — the same
+    * add/merge discipline as [[minhashAdd]] applied to the SimHash
+    * family: the sketch is a pure per-document function, so
+    * `mergeSimhash(simhashAdd(A), simhashAdd(B)) ≡ simhashAdd(A ∪ B)`
+    * for disjoint deltas and is idempotent under overlap. 9 bytes of
+    * state per document — the cheapest signature index to maintain
+    * across crawl snapshots. */
+  def simhashAdd(delta: DataFrame): DataFrame = simHash(delta)
+
+  /** Exact merge of [[simhashAdd]] states: id-keyed first-wins union
+    * (duplicate rows are value-identical; see [[mergeMinhash]]). */
+  def mergeSimhash(states: DataFrame*): DataFrame =
+    states.map(_.select(col("doc_id"), col("simhash")))
+      .reduce(_ unionByName _)
+      .dropDuplicates("doc_id")
+
+  /** SimHash near-dup pairs off a maintained [[simhashAdd]] state: band
+    * the sketch (see [[SimBandBits]] — the banding is pigeonhole-exact
+    * for the Hamming threshold, not probabilistic), equi-join on
+    * (band, value), verify with `bit_count(xor)`. Same never-n² shape
+    * as the MinHash pipeline but the verify is a single integer
+    * instruction per pair — the cheapest of the near-dup families at
+    * 100 TB. */
+  def simHashNearDupsFromState(state: DataFrame, maxHamming: Int = 3): DataFrame = {
     // pigeonhole bound: <= maxHamming differing bits must leave at least
     // one UNTOUCHED band, which requires maxHamming < simBands — beyond
     // that the banding would silently miss qualifying pairs
     require(maxHamming >= 0 && maxHamming < simBands,
       s"maxHamming must be in [0, ${simBands - 1}] for exact recall with $simBands bands, got $maxHamming")
-    val sh = simHash(documents).localCheckpoint(false)
+    val sh = state.localCheckpoint(false)
     val mask = (1L << SimBandBits) - 1
     val bandCols = (0 until simBands).map { b =>
       struct(lit(b).as("band"),
@@ -240,4 +357,11 @@ object MinHash {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Batch composition: sketches from the corpus itself in one delta —
+    * bit-identical to [[simHashNearDupsFromState]] over any merged
+    * ingest of the same corpus (the `simhash_near_dup_stream` twin's
+    * assertion). */
+  def simHashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simHashNearDupsFromState(simhashAdd(documents), maxHamming)
 }

@@ -38,6 +38,31 @@ object ExtRegistry {
     "minhash_near_dup" -> ((s, dir) =>
       MinHash.nearDupPairs(Tables(s, dir).documents, 3)),
 
+    // the near-dup pipeline off a MERGED three-delta minhashAdd
+    // signature-index state — the crawl-snapshot deployment shape
+    // (yesterday's index persists; each delta is hashed once, never the
+    // corpus again); bit-identical to the batch twin by the add/merge
+    // contract, same oracle verbatim
+    "minhash_near_dup_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val state = MinHash.mergeMinhash(
+        (0 to 2).map(i =>
+          MinHash.minhashAdd(docs.filter(col("doc_id") % 3 === i), 3)): _*)
+      MinHash.nearDupPairsFromState(state)
+    }),
+
+    // incremental dedup of ONE delta against state ∪ delta: exactly the
+    // full-corpus near-dup pairs restricted to delta-touching ones
+    // (delta = doc_id % 7 = 0, state = the rest). The delta's band keys
+    // broadcast; the state is probed with one narrow scan — the query a
+    // snapshot-over-snapshot dedup actually runs
+    "minhash_delta_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      MinHash.nearDupDeltaPairs(
+        MinHash.minhashAdd(docs.filter(col("doc_id") % 7 =!= 0), 3),
+        docs.filter(col("doc_id") % 7 === 0), 3)
+    }),
+
     "simhash_docs" -> ((s, dir) => MinHash.simHash(Tables(s, dir).documents)),
 
     // the ann_recall_* audit discipline applied to the DEDUP family:
@@ -65,6 +90,17 @@ object ExtRegistry {
 
     "simhash_near_dup" -> ((s, dir) =>
       MinHash.simHashNearDups(Tables(s, dir).documents)),
+
+    // the SimHash pipeline off a MERGED two-delta simhashAdd sketch
+    // state (9 bytes/doc) — same maintained-state contract as the
+    // minhash twin, same oracle verbatim
+    "simhash_near_dup_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val state = MinHash.mergeSimhash(
+        MinHash.simhashAdd(docs.filter(col("doc_id") % 2 <=> 0)),
+        MinHash.simhashAdd(docs.filter(!(col("doc_id") % 2 <=> 0))))
+      MinHash.simHashNearDupsFromState(state)
+    }),
 
     // the dedup LOOP closed: near-dup pairs -> drop the higher-id side of
     // every pair above the jaccard threshold -> surviving corpus
@@ -5029,6 +5065,19 @@ object ExtRegistry {
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, sig_similarity, jaccard FROM mh_pairs""".stripMargin,
 
+    // stream twin: the add/merge contract makes the merged-state run
+    // bit-identical to the batch pass — the batch oracle verbatim
+    "minhash_near_dup_stream" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, sig_similarity, jaccard FROM mh_pairs""".stripMargin,
+
+    // delta-incremental twin: exactly the batch pairs restricted to
+    // delta-touching ones (delta = doc_id % 7 = 0 on either side)
+    "minhash_delta_pairs" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, sig_similarity, jaccard FROM mh_pairs
+         |WHERE doc_a % 7 = 0 OR doc_b % 7 = 0""".stripMargin,
+
     // dedup-recall twin: both pipelines replayed off the SHARED shingle
     // chain (h2) — the minhash side through mh_pairs, the truth side
     // through the rare-shingle blocking + exact jaccard at 0.5
@@ -5065,6 +5114,11 @@ object ExtRegistry {
          |SELECT doc_id, simhash FROM sh""".stripMargin,
 
     "simhash_near_dup" ->
+      s"""WITH $simhashPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM sh_pairs""".stripMargin,
+
+    // stream twin: merged sketch state ≡ batch pass — batch oracle verbatim
+    "simhash_near_dup_stream" ->
       s"""WITH $simhashPairsCtes
          |SELECT doc_a, doc_b, hamming FROM sh_pairs""".stripMargin,
 

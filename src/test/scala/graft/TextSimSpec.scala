@@ -411,4 +411,71 @@ class TextSimSpec extends SparkSpec {
     assert(p.getAs[Long]("shared") >= 2L)
     assert(p.getAs[Double]("containment") == 1.0)
   }
+
+  test("minhashAdd/mergeMinhash: merge(add(A), add(B)) == add(A ∪ B), idempotent under overlap") {
+    import graft.ext.MinHash
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // exact dups
+      (3L, "a b c d e f g q"),                           // near dup of 1/2
+      (4L, "totally different text body for the fourth document here"),
+      (5L, "x y")                                        // too short: empty hashes
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("hashes"),
+        array((0 until MinHash.NumHashes).map(k => col(s"sig$k")): _*).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+    val whole = rows(MinHash.minhashAdd(docs, 3))
+    val merged = rows(MinHash.mergeMinhash(
+      MinHash.minhashAdd(docs.filter(col("doc_id") <= 2), 3),
+      MinHash.minhashAdd(docs.filter(col("doc_id") > 2), 3)))
+    assert(merged == whole)
+    // overlap: doc 3 ingested in BOTH deltas — value-identical rows,
+    // first-wins merge keeps exactly one, still == the batch state
+    val overlapped = rows(MinHash.mergeMinhash(
+      MinHash.minhashAdd(docs.filter(col("doc_id") <= 3), 3),
+      MinHash.minhashAdd(docs.filter(col("doc_id") >= 3), 3)))
+    assert(overlapped == whole)
+  }
+
+  test("nearDupPairsFromState over a merged state == batch nearDupPairs; delta pairs == delta-touching restriction") {
+    import graft.ext.MinHash
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "a b c d e f g h i q"), (7L, "a b c d e f g h i j"),
+      (4L, "unrelated body of text with its own private tokens one"),
+      (5L, "another unrelated body of text with private tokens two")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("sig_similarity"), r.getAs[Double]("jaccard"))).toSet
+    val batch = pairs(MinHash.nearDupPairs(docs, 3))
+    assert(batch.nonEmpty)
+    val streamed = pairs(MinHash.nearDupPairsFromState(MinHash.mergeMinhash(
+      MinHash.minhashAdd(docs.filter(col("doc_id") % 2 === 0), 3),
+      MinHash.minhashAdd(docs.filter(col("doc_id") % 2 === 1), 3))))
+    assert(streamed == batch)
+    // delta = {7}: nearDupDeltaPairs must be the batch pairs touching 7
+    // — including (1,7)/(2,7) where the delta doc is the GREATER id,
+    // which a naive a.id < b.id delta join would drop
+    val delta = pairs(MinHash.nearDupDeltaPairs(
+      MinHash.minhashAdd(docs.filter(col("doc_id") =!= 7), 3),
+      docs.filter(col("doc_id") === 7), 3))
+    assert(delta == batch.filter(p => p._1 == 7L || p._2 == 7L))
+    assert(delta.exists(p => p._2 == 7L && p._1 < 7L))
+  }
+
+  test("simhashAdd/mergeSimhash: merged sketch state == batch, pairs identical") {
+    import graft.ext.MinHash
+    val docs = Seq(
+      (1L, "m n o p q r s t u v"), (2L, "m n o p q r s t u v"),
+      (3L, "entirely different words live inside this third document")
+    ).toDF("doc_id", "text")
+    val batch = MinHash.simHashNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = MinHash.simHashNearDupsFromState(MinHash.mergeSimhash(
+      MinHash.simhashAdd(docs.filter(col("doc_id") <= 1)),
+      MinHash.simhashAdd(docs.filter(col("doc_id") >= 2)))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.contains((1L, 2L, 0L)))
+  }
 }

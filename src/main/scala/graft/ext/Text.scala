@@ -2446,7 +2446,8 @@ object Text {
     * per-occurrence counting, so `mergeNgrams(add(A), add(B)) ≡
     * add(A ∪ B)` bit-for-bit. State is bigram-TYPE-bounded (Zipf), not
     * corpus-bounded; a production run prunes it by count threshold
-    * exactly as CCNet prunes its KenLM. */
+    * exactly as CCNet prunes its KenLM — [[ngramPrune]], applied AFTER
+    * the merge, closes the broadcast-bounded contract. */
   def ngramAdd(delta: DataFrame): DataFrame =
     wordBigrams(delta).groupBy(col("ctx"), col("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -2457,6 +2458,25 @@ object Text {
     states.map(_.select(col("ctx"), col("w"), col("cnt")))
       .reduce(_ unionByName _)
       .groupBy(col("ctx"), col("w")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Count-threshold pruning of an [[ngramAdd]]/[[mergeNgrams]] state —
+    * the KenLM/CCNet discipline that keeps the broadcast model BOUNDED
+    * at web scale: bigram TYPES grow with the corpus, but types seen
+    * `>= minCnt` times follow the Zipf head and flatten out, so the
+    * pruned state is what a production scorer actually broadcasts.
+    * Prune AFTER the final merge (pruning does not commute with
+    * merging: a bigram seen once per delta survives the merged-then-
+    * pruned state but not a pruned-then-merged one — the former is the
+    * correct corpus-level count semantics). One state-keyed filter, no
+    * exchange. Pruned bigrams score as unseen (`cnt -> 0` in
+    * [[lmPerplexityFromCounts]]'s left join) and the context totals /
+    * vocabulary are recomputed FROM the pruned state, so the pruned
+    * model is self-consistent — not a sum-mismatched hybrid. */
+  def ngramPrune(state: DataFrame, minCnt: Long): DataFrame = {
+    require(minCnt >= 1L, s"minCnt must be >= 1, got $minCnt")
+    state.select(col("ctx"), col("w"), col("cnt"))
+      .filter(col("cnt") >= minCnt)
+  }
 
   /** Per-document n-gram LM perplexity screen off a maintained
     * [[ngramAdd]] state — CCNet's head/tail quality signal (Wenzek et

@@ -699,6 +699,20 @@ object ExtRegistry {
       graft.ext.Text.lmPerplexityFromCounts(docs, state)
     }),
 
+    // the screen under a count-PRUNED state — the KenLM/CCNet discipline
+    // that closes the broadcast-bounded contract at web scale (bigram
+    // types grow with the corpus; types above the prune threshold follow
+    // the Zipf head). Prune AFTER the merge; context totals and vocab
+    // recompute from the pruned state, so the model stays
+    // self-consistent. minCnt=20 prunes real rows at every tier
+    // (63/76/31 types) while both verdict branches stay live
+    // (153/152/4887 keeps of 500/500/5000, measured)
+    "lm_perplexity_pruned" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.lmPerplexityFromCounts(docs,
+        graft.ext.Text.ngramPrune(graft.ext.Text.ngramAdd(docs), LmPruneMinCnt))
+    }),
+
     // trained model artifact
     "quality_classifier" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -2408,15 +2422,23 @@ object ExtRegistry {
     * `floor(log2(a/b)) = bitlen(a)-bitlen(b) - [a < b<<k0]` — DuckDB's
     * `bin()`/`<<` mirror Spark's, so not one floating log exists on
     * either side. */
-  private lazy val lmPerplexityOracle: String =
-    """WITH w AS (
+  private lazy val lmPerplexityOracle: String = lmPerplexityOracleMinCnt(1L)
+
+  /** The perplexity twin parameterized by [[graft.ext.Text.ngramPrune]]'s
+    * count threshold: `minCnt = 1` is the unpruned model (HAVING
+    * count >= 1 is a no-op on a grouped count); higher values replay
+    * the pruned-state scoring — context totals and vocabulary recomputed
+    * FROM the pruned counts, exactly as the Scala side does. */
+  private def lmPerplexityOracleMinCnt(minCnt: Long): String =
+    s"""WITH w AS (
         |  SELECT doc_id, u['j'] AS p, u['w'] AS word FROM (
         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
         |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl FROM documents) d) e),
         |bg AS (
         |  SELECT a.doc_id, coalesce(pv.word, '<s>') AS ctx, a.word AS w
         |  FROM w a LEFT JOIN w pv ON a.doc_id = pv.doc_id AND pv.p = a.p - 1),
-        |cnt AS (SELECT ctx, w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+        |cnt AS (SELECT ctx, w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+        |        HAVING count(*) >= $minCnt),
         |ct AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
         |vv AS (SELECT CAST(count(DISTINCT w) + 1 AS BIGINT) AS v FROM cnt),
         |sc AS (
@@ -3252,6 +3274,11 @@ object ExtRegistry {
   // chains — so the family's entries load the table through
   // [[embeddingsDimChecked]], which fails fast on a width change
   // instead of hash-failing obscurely.
+  // lm_perplexity_pruned's shared count threshold: the registry entry
+  // passes it to ngramPrune and the oracle embeds it in its HAVING —
+  // one constant, two sides, no silent desync
+  private val LmPruneMinCnt = 20L
+
   private val EmbDim = 64
   private val KmK = 8
   private val KmCentroidsK = 64
@@ -4503,6 +4530,7 @@ object ExtRegistry {
     // bit-identical to the single pass)
     "lm_perplexity" -> lmPerplexityOracle,
     "lm_perplexity_stream" -> lmPerplexityOracle,
+    "lm_perplexity_pruned" -> lmPerplexityOracleMinCnt(LmPruneMinCnt),
 
     // unigram trainer twin: final E-step counts after two replayed
     // Viterbi-EM rounds (shared verbatim by the FromCounts stream twin

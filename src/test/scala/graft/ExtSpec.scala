@@ -3043,4 +3043,42 @@ class ExtSpec extends SparkSpec {
     assert(rows(Text.lmPerplexityFromCounts(docs, merged)) == batch,
       "merged LM state != batch")
   }
+
+  test("ngramPrune: state shrinks, pruned scoring is deterministic with both verdicts live, prune-after-merge semantics") {
+    import graft.ext.Text
+    // 'common' bigrams repeat across docs (survive minCnt=3); each doc's
+    // taili token forms singleton bigrams (pruned)
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, if (i % 3 == 0) "common common common common common common"
+                 else s"common common tail$i tail${i}b"))
+      .toDF("doc_id", "text")
+    val full = Text.ngramAdd(docs)
+    val pruned = Text.ngramPrune(full, 3L)
+    val nFull = full.count(); val nPruned = pruned.count()
+    assert(nPruned > 0 && nPruned < nFull, s"prune must shrink: $nFull -> $nPruned")
+    assert(pruned.filter(col("cnt") < 3).count() == 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    // 3/2 bits/token: the fixture's vocabulary is tiny, so even pruned
+    // (unseen) bigrams cost only ~7 bits/doc — a tight rational
+    // threshold splits the all-common docs (0 bits) from the
+    // singleton-tailed ones (7 bits / 4 tokens)
+    val s1 = rows(Text.lmPerplexityFromCounts(docs, pruned, thrNum = 3L, thrDen = 2L))
+    val s2 = rows(Text.lmPerplexityFromCounts(docs, pruned, thrNum = 3L, thrDen = 2L))
+    assert(s1 == s2, "pruned scoring must be deterministic")
+    // the all-common docs stay predictable (keep=1); singleton-tailed
+    // docs score their pruned bigrams as unseen and drop — both verdict
+    // branches live under the pruned model
+    assert(s1.values.exists(_._3 == 1) && s1.values.exists(_._3 == 0),
+      s"degenerate verdict under pruned state: $s1")
+    // prune-after-merge == prune of the batch state (the documented
+    // order: pruning does NOT commute with merging, so the contract is
+    // prune the MERGED state)
+    val mergedPruned = Text.ngramPrune(Text.mergeNgrams(
+      Text.ngramAdd(docs.filter(col("doc_id") % 2 === 0)),
+      Text.ngramAdd(docs.filter(col("doc_id") % 2 === 1))), 3L)
+    def stateRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(stateRows(mergedPruned) == stateRows(pruned))
+  }
 }

@@ -121,6 +121,43 @@ object ScaleProof {
       expr("concat('g', id div 5, 'a g', id div 5, 'b g', id div 5, 'c g', id div 5, 'd')")
         .as("text"))
 
+  /** 5-doc groups of byte-identical PNG containers for the pHash
+    * near-dup ladder: group g's 12×8 raster is the group-keyed
+    * BINARY 0/255 pattern keyed by `(g, pixel)` through a
+    * splitmix64-style avalanche finalizer. The pattern choice is
+    * load-bearing three ways, all measured: an additive `g·K + i·L mod
+    * 256` stream makes groups differ by a constant brightness offset,
+    * invisible to the DC-excluded pHash (9.2M pairs at factor 100,
+    * quadratic); smooth pseudorandom NOISE truncation-averages to
+    * near-constant gray cells whose tiny DCT coefficients cluster the
+    * sign bits (520k); and the house MODULAR mix's parity stream has
+    * structured repeats (44 distinct patterns per 100 groups — parity
+    * of mod-M arithmetic progressions is not iid), so only a full
+    * avalanche mix yields one distinct pattern per group. Binary
+    * patterns aligned to the 8×8 resample grid drive every AC sign
+    * hard → sketches near-uniform 63-bit — cross-group Hamming ≤ 3
+    * collisions vanish at these n while the 5 group members stay exact
+    * dups: pair output grows linearly at constant group size. */
+  /** splitmix64 finalizer (public-domain constant set) — full-avalanche
+    * bit mixing for the ladder generator above. */
+  private def avalanche(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def synthGroupDupPngs(spark: SparkSession,
+      n: Long): org.apache.spark.sql.Dataset[graft.ext.Multimodal.EncodedMedia] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val g = id / 5
+      graft.ext.Multimodal.EncodedMedia(id, "png",
+        graft.ext.Multimodal.pngBytesWith(id, 8, 8,
+          i => if ((avalanche(g * 64L + i / 3) & 1L) == 1L) 255 else 0))
+    }
+  }
+
   /** Docs with per-doc unique noise around two FIXED boilerplate
     * phrases, so blocklist matches grow linearly with the corpus (every
     * doc matches both listed phrases) while the phrase table stays
@@ -595,6 +632,17 @@ object ScaleProof {
     // groups) while state work is the unavoidable linear index scan —
     // exchange count flat, heap flat. Broadcast left ON: the
     // delta-broadcast IS the 100 TB plan shape under proof here.
+    // Hamming-banded image near-dup: 5-doc groups of byte-identical
+    // PNGs with group-keyed PSEUDORANDOM rasters (decorrelated sketches
+    // — the ramp fixture's sketch space collapses, which is a fixture
+    // property, not the operator's). Pair output is 10 per group
+    // (linear); candidate traffic is the MIH bands·n²/2^16 term, whose
+    // constant keeps it below the codec work at every rung here — the
+    // documented re-split lever takes over when n outgrows the band
+    // width. Full PNG codec walk + pHash included in the measured cost.
+    ("media->phashNearDups", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Multimodal.phashNearDups(synthGroupDupPngs(s, 500L * f), 3)),
     ("state->nearDupDeltaPairs", Map.empty[String, String],
       (s: SparkSession, f: Int) =>
         graft.ext.MinHash.nearDupDeltaPairs(

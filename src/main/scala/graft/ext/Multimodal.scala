@@ -297,10 +297,20 @@ object Multimodal {
     case 4 => paeth(a, b, c)
   }
 
-  private[graft] def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def pngBytes(id: Long, w: Int, h: Int): Array[Byte] =
+    pngBytesWith(id, w, h, i => ((id + i) % 256).toInt)
+
+  /** [[pngBytes]] with the pixel formula injectable (`pix` maps the
+    * row-major byte index to a value in [0,256)): the ScaleProof
+    * near-dup ladder needs DECORRELATED rasters (the ramp formula's
+    * shifted copies resample to near-identical DCT signs, collapsing
+    * the sketch space) while the oracle-replayable fixture needs the
+    * ramp. Container layout (filter cycling, IDAT split) is shared. */
+  private[graft] def pngBytesWith(id: Long, w: Int, h: Int,
+      pix: Long => Int): Array[Byte] = {
     val rowBytes = w * 3
     val raw = Array.tabulate(h, rowBytes)((y, x) =>
-      ((id + y.toLong * rowBytes + x) % 256).toInt)
+      pix(y.toLong * rowBytes + x))
     val scan = new java.io.ByteArrayOutputStream()
     var y = 0
     while (y < h) {
@@ -1601,13 +1611,21 @@ object Multimodal {
       .filter(col("n_docs") >= 2)
 
   /** NEAR-duplicate image pairs at Hamming ≤ `maxHamming` over the
-    * 63-bit pHash — [[graft.ext.MinHash.simHashNearDups]]' banding
-    * discipline on the image sketch: 7 bands of 9 bits, so by
-    * pigeonhole any pair within Hamming ≤ 6 shares an untouched band
-    * (exact recall); candidates meet in a band equi-join carrying the
-    * 8-byte sketch so the Hamming verify runs inline, never all-pairs. */
+    * 63-bit pHash — multi-index Hamming banding (the LSH-for-Hamming
+    * trick) on the image sketch: 4 substring bands of 16/16/16/15 bits,
+    * so by pigeonhole any pair within Hamming ≤ 3 shares an untouched
+    * band (EXACT recall — measured, not asserted, by
+    * `phash_near_dup_recall`); candidates meet in a band equi-join
+    * carrying the 8-byte sketch so the Hamming verify runs inline,
+    * never all-pairs. WIDE bands matter at scale: candidate traffic on
+    * a near-uniform sketch population is ~bands·n²/2^bandBits, so
+    * 16-bit bands dilute buckets 128× more than the 8/9-bit layout the
+    * SimHash family uses — the standard MIH tradeoff of fewer, wider
+    * substrings per unit of Hamming tolerance; a corpus pushing n past
+    * the 2^bandBits dilution re-splits into more, wider-keyed bands and
+    * verifies more candidates, never loosening the pigeonhole bound. */
   def phashNearDups(media: Dataset[EncodedMedia], maxHamming: Int = 3): DataFrame = {
-    val bands = 7; val bandBits = 9
+    val bands = 4; val bandBits = 16 // top band carries the remaining 15 bits
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, ${bands - 1}] for exact recall with $bands bands, got $maxHamming")
     val ph = phashPng(media).toDF()
@@ -1629,5 +1647,32 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Brute ALL-PAIRS Hamming truth over a `(doc_id, phash)` frame —
+    * the AUDIT-ONLY truth kernel for [[phashNearDups]]' recall
+    * ([[graft.ext.Sim.bruteNearDupPairs]]' contract on the image
+    * sketch): the 16-byte/doc index is collected and broadcast, every
+    * probe scans it, so the cost is n² xor+popcount with NO candidate
+    * bound — run at fixture scale (production audits sample); never a
+    * production path. Emits canonical `doc_a < doc_b` pairs. */
+  def brutePhashPairs(ph: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = ph.sparkSession
+    import spark.implicits._
+    val index: Array[(Long, Long)] = ph
+      .select(col("doc_id"), col("phash")).as[(Long, Long)]
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(index)
+    ph.select(col("doc_id"), col("phash")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.flatMap { case (qid, qh) =>
+          idx.iterator.collect {
+            case (nid, nh) if nid > qid &&
+              java.lang.Long.bitCount(qh ^ nh) <= maxHamming =>
+              (qid, nid, java.lang.Long.bitCount(qh ^ nh).toLong)
+          }
+        }
+      }.toDF("doc_a", "doc_b", "hamming")
   }
 }

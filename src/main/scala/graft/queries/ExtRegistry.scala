@@ -368,6 +368,37 @@ object ExtRegistry {
       graft.ext.Multimodal.phashDupGroups(media.unionByName(reupload))
     }),
 
+    // NEAR-duplicate image pairs at Hamming <= 3 over the 63-bit pHash
+    // (re-encodes and slight crops differ in a few bits where exact
+    // grouping sees nothing): 7x9-bit banding — pigeonhole-exact recall
+    // up to Hamming 6 — with the bit_count(xor) verify inline in the
+    // band join, never all-pairs
+    "image_phash_near_dups" -> ((s, dir) =>
+      graft.ext.Multimodal.phashNearDups(
+        graft.ext.Multimodal.encodePng(Tables(s, dir).documents), 3)),
+
+    // the ann_recall discipline on the image sketch: banded-pair recall
+    // vs the brute all-pairs Hamming truth (audit-only broadcast-index
+    // kernel). Banding at Hamming <=3 under 7 bands is pigeonhole-exact,
+    // so the EXPECTED recall is 1.0 — the audit measures the theorem
+    // instead of asserting it; any banding bug hash-fails here
+    "phash_near_dup_recall" -> ((s, dir) => {
+      val media = graft.ext.Multimodal.encodePng(Tables(s, dir).documents)
+      val ph = graft.ext.Multimodal.phashPng(media).toDF()
+        .select(col("doc_id"), col("phash"))
+      val truth = graft.ext.Multimodal.brutePhashPairs(ph, 3)
+        .select(col("doc_a"), col("doc_b"))
+      val hits = graft.ext.Multimodal.phashNearDups(media, 3)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      truth.join(hits, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit"))
+        .select(col("n_truth"), col("n_hit"),
+          when(col("n_truth") > 0,
+            col("n_hit").cast(DoubleType) / col("n_truth").cast(DoubleType))
+            .otherwise(lit(null).cast(DoubleType)).as("recall"))
+    }),
+
     // progressive JPEG (SOF2) — spectral selection AND successive
     // approximation, transmitted as EIGHT real scans (DC first/refine
     // interleaved, per-component AC first/refine with EOBRUN and
@@ -5626,6 +5657,29 @@ object ExtRegistry {
         |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
         |FROM alldocs GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // near-dup twin: every hash recomputed, all-pairs Hamming in SQL
+    // (the oracle needs no banding — it states the SEMANTICS; the
+    // Spark side's banding must reproduce it exactly)
+    "image_phash_near_dups" ->
+      s"""WITH $phashCtes
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+        |FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.phash, b2.phash)) <= 3""".stripMargin,
+
+    // recall-audit twin: truth = the same all-pairs count; expected
+    // n_hit = n_truth and recall = 1.0 BY THE PIGEONHOLE THEOREM
+    // (<= 3 differing bits leave >= 4 of 7 bands untouched) — the
+    // Spark side MEASURES banded recall, so a banding bug hash-fails
+    "phash_near_dup_recall" ->
+      s"""WITH $phashCtes,
+        |tr AS (SELECT count(*) AS n
+        |       FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+        |       WHERE bit_count(xor(a.phash, b2.phash)) <= 3)
+        |SELECT CAST(n AS BIGINT) AS n_truth, CAST(n AS BIGINT) AS n_hit,
+        |       CASE WHEN n > 0 THEN CAST(1.0 AS DOUBLE) ELSE NULL END AS recall
+        |FROM tr""".stripMargin,
 
     // progressive twin: eight scans must reconstruct the SAME
     // coefficients, so the oracle is the baseline replay verbatim

@@ -763,6 +763,25 @@ object Registry {
       val docs = Tables(s, dir).documents
         .select(col("doc_id"), hostile.as("text"))
       graft.sources.Warc.parseWarcGz(graft.sources.Warc.encodeWarcGz(docs)).toDF()
+    }),
+
+    // the HTTP metadata screen a real CommonCrawl ingest applies BEFORE
+    // any text work: records carry a full HTTP response block inside
+    // the Content-Length framing (status line + headers + CRLF blank
+    // line + body — the block's own CRLFs sit inside the declared
+    // length); the parser recovers status / Content-Type / body and the
+    // funnel keeps 200 + text-like records. Total annotation over the
+    // record spine, keep verdict as a flag — both branches live by the
+    // fixture's status (mod 7) and content-type (mod 5) cycles
+    "warc_http_screen" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      graft.sources.Warc.parseWarcHttp(
+        graft.sources.Warc.parseWarc(graft.sources.Warc.encodeWarcHttp(docs)))
+        .toDF()
+        .select(col("doc_id"), col("target_uri"), col("status"),
+          col("content_type"), length(col("body")).cast("long").as("n_body_chars"),
+          (col("status") === 200 && col("content_type").startsWith("text/"))
+            .cast("int").as("keep"))
     })
   )
 
@@ -1629,6 +1648,25 @@ object Registry {
         |       'https://graft.test/' || doc_id AS target_uri,
         |       text || chr(10) || 'WARC/1.0' || chr(10) ||
         |         'Content-Length: 0' || chr(10) || chr(10) AS text
+        |FROM documents""".stripMargin,
+
+    // HTTP-screen twin: status / content-type replayed from the
+    // fixture's mod-7 / mod-5 cycles, body = the document text (the
+    // parser must hand back EVERYTHING after the header terminator),
+    // keep = 200 AND text-like
+    "warc_http_screen" ->
+      """SELECT doc_id,
+        |       'https://graft.test/' || doc_id AS target_uri,
+        |       CAST(CASE doc_id % 7 WHEN 3 THEN 404 WHEN 4 THEN 301
+        |                            WHEN 6 THEN 503 ELSE 200 END AS INTEGER) AS status,
+        |       CASE doc_id % 5 WHEN 0 THEN 'text/html; charset=UTF-8'
+        |                       WHEN 1 THEN 'text/plain'
+        |                       WHEN 2 THEN 'application/pdf'
+        |                       WHEN 3 THEN 'text/html'
+        |                       ELSE 'image/png' END AS content_type,
+        |       CAST(length(text) AS BIGINT) AS n_body_chars,
+        |       CAST(CASE WHEN doc_id % 7 NOT IN (3, 4, 6)
+        |                  AND doc_id % 5 IN (0, 1, 3) THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM documents""".stripMargin,
 
     // the sharded two-phase assignment must equal the one global

@@ -123,6 +123,106 @@ object Warc {
     }
   }
 
+  final case class WarcHttpRecord(doc_id: Long, target_uri: String,
+      status: Int, content_type: String, body: String)
+
+  /** Fixture-side HTTP status / Content-Type formulas — arithmetic off
+    * doc_id so the oracle replays them: real crawl statuses with 200
+    * dominant (ids ≡ 3 mod 7 → 404, ≡ 4 → 301, ≡ 6 → 503) and a
+    * content-type cycle where 3 of 5 values are text-like. */
+  private[graft] def httpStatus(id: Long): Int = (id % 7) match {
+    case 3 => 404
+    case 4 => 301
+    case 6 => 503
+    case _ => 200
+  }
+  private[graft] def httpReason(status: Int): String = status match {
+    case 200 => "OK"
+    case 301 => "Moved Permanently"
+    case 404 => "Not Found"
+    case 503 => "Service Unavailable"
+  }
+  private[graft] def httpContentType(id: Long): String = (id % 5) match {
+    case 0 => "text/html; charset=UTF-8"
+    case 1 => "text/plain"
+    case 2 => "application/pdf"
+    case 3 => "text/html"
+    case _ => "image/png"
+  }
+
+  /** [[encodeWarc]] with the REAL response-record payload layout: each
+    * record's Content-Length-framed payload is a full HTTP response
+    * block — status line, response headers, CRLF blank line, body —
+    * exactly what CommonCrawl `response` records carry and what an
+    * ingest funnel's FIRST screen (status / Content-Type) reads before
+    * any text work. Same shard groupBy, same length framing (the HTTP
+    * block's own CRLFs sit INSIDE the declared length, so a
+    * delimiter-framed reader would shear every record here). */
+  def encodeWarcHttp(documents: DataFrame, shardSize: Long = 50L): Dataset[WarcContainer] = {
+    require(shardSize >= 1L, s"shard size must be positive, got $shardSize")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / shardSize)
+      .mapGroups { (shard, it) =>
+        val out = new java.io.ByteArrayOutputStream()
+        it.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          val status = httpStatus(id)
+          val http =
+            (s"HTTP/1.1 $status ${httpReason(status)}\r\n" +
+              s"Content-Type: ${httpContentType(id)}\r\n" +
+              s"X-Crawl-Host: graft.test\r\n" +
+              "\r\n").getBytes(US_ASCII) ++ text.getBytes(UTF_8)
+          val header =
+            "WARC/1.0\r\n" +
+              "WARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:graft:doc-$id>\r\n" +
+              s"WARC-Target-URI: https://graft.test/$id\r\n" +
+              s"Content-Length: ${http.length}\r\n" +
+              "\r\n"
+          out.write(header.getBytes(US_ASCII))
+          out.write(http, 0, http.length)
+          out.write("\r\n\r\n".getBytes(US_ASCII))
+        }
+        WarcContainer(shard, out.toByteArray)
+      }
+  }
+
+  /** Parse the HTTP response block out of WARC `response` records:
+    * status line (`HTTP/1.x NNN reason`), headers to the blank line,
+    * body = EVERYTHING after the terminator (never re-split — a body
+    * containing CRLF CRLF stays intact; the WARC layer already framed
+    * it by length). Malformed blocks fail loudly by name: missing
+    * version prefix, non-3-digit status, unterminated header block,
+    * missing Content-Type. Narrow map — records never shuffle. */
+  def parseWarcHttp(records: Dataset[WarcRecord]): Dataset[WarcHttpRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.map { r =>
+      val s = r.text
+      val hdrEnd = s.indexOf("\r\n\r\n")
+      require(hdrEnd >= 0,
+        s"doc ${r.doc_id}: unterminated HTTP header block")
+      val lines = s.substring(0, hdrEnd).split("\r\n", -1)
+      val statusLine = lines.head
+      require(statusLine.startsWith("HTTP/1.0 ") || statusLine.startsWith("HTTP/1.1 "),
+        s"doc ${r.doc_id}: bad HTTP status line '$statusLine'")
+      val rest = statusLine.substring(9)
+      val code = rest.takeWhile(_ != ' ')
+      require(code.length == 3 && code.forall(_.isDigit),
+        s"doc ${r.doc_id}: non-3-digit HTTP status '$code'")
+      val hdrs = lines.tail.map { l =>
+        val i = l.indexOf(": ")
+        require(i > 0, s"doc ${r.doc_id}: malformed HTTP header '$l'")
+        (l.substring(0, i).toLowerCase(java.util.Locale.ROOT), l.substring(i + 2))
+      }.toMap
+      require(hdrs.contains("content-type"),
+        s"doc ${r.doc_id}: missing Content-Type header")
+      WarcHttpRecord(r.doc_id, r.target_uri, code.toInt,
+        hdrs("content-type"), s.substring(hdrEnd + 4))
+    }
+  }
+
   /** Parse WARC containers back to records: walk each container's
     * bytes record by record — version line, headers to the blank line,
     * a `Content-Length`-sized byte slice (decoded UTF-8), the CRLF CRLF

@@ -330,4 +330,42 @@ class LoadSpec extends SparkSpec {
     val e4 = intercept[org.apache.spark.SparkException](parse(mh))
     assert(msgOf(e4).contains("missing mandatory WARC header WARC-Target-URI"), msgOf(e4))
   }
+
+  test("parseWarcHttp: recovers status/type/body; body CRLFCRLF intact; malformed blocks fail by name") {
+    import graft.sources.Warc
+    def msgOf(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    def rec(id: Long, payload: String) = Warc.WarcRecord(id, s"u$id", payload)
+    def parse(r: Warc.WarcRecord) =
+      Warc.parseWarcHttp(Seq(r).toDS()).collect().head
+    // happy path with a body CONTAINING a CRLF CRLF — the parser must
+    // hand back everything after the FIRST terminator, never re-split
+    val ok = parse(rec(1L,
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\nX-N: v\r\n\r\nbody\r\n\r\ntail"))
+    assert(ok.status == 200 && ok.content_type == "text/plain"
+      && ok.body == "body\r\n\r\ntail")
+    // the full encode->parse->http composition keeps BOTH verdict
+    // branches live under the fixture cycles
+    val docs = Seq.tabulate(35L.toInt)(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+    val screened = Warc.parseWarcHttp(
+      Warc.parseWarc(Warc.encodeWarcHttp(docs))).collect()
+    assert(screened.length == 35)
+    assert(screened.exists(r => r.status == 200 && r.content_type.startsWith("text/")))
+    assert(screened.exists(r => r.status != 200))
+    assert(screened.exists(r => !r.content_type.startsWith("text/")))
+    assert(screened.forall(r => r.body == s"text ${r.doc_id}"))
+    // malformed blocks, each by name
+    Seq(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\nno terminator",
+        "unterminated HTTP header block"),
+      ("FTP/1.1 200 OK\r\n\r\nx", "bad HTTP status line"),
+      ("HTTP/1.1 20 OK\r\n\r\nx", "non-3-digit HTTP status"),
+      ("HTTP/1.1 200 OK\r\nContent-Length: 1\r\n\r\nx", "missing Content-Type"),
+      ("HTTP/1.1 200 OK\r\nBadHeaderNoColon\r\n\r\nx", "malformed HTTP header")
+    ).foreach { case (payload, name) =>
+      val e = intercept[org.apache.spark.SparkException](parse(rec(9L, payload)))
+      assert(msgOf(e).contains(name), s"for '$payload': ${msgOf(e)}")
+    }
+  }
 }

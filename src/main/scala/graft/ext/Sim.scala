@@ -419,10 +419,18 @@ object Sim {
     * Scale: candidate volume is the cell-join bound ivfTopKTrained
     * carries (never n²); the curve adds |nProbes| bounded aggregates
     * over one materialized pair set — at 100 TB you run it on a sampled
-    * probe slice, and the candidate_pairs column IS the cost axis the
-    * tuner trades against recall. */
+    * probe slice (`probeMod = Some((mod, res))`: probe AND truth sides
+    * restricted to the deterministic residue class `vec_id % mod =
+    * res`, the FULL corpus still indexed — so the sampled recall
+    * estimates the full curve at 1/mod of the probe cost; registered
+    * and measured as `ivf_nprobe_curve_sampled`), and the
+    * candidate_pairs column IS the cost axis the tuner trades against
+    * recall. */
   def ivfNprobeCurve(embeddings: DataFrame, k: Int, coarseK: Int, iters: Int,
-      nProbes: Seq[Int]): DataFrame = {
+      nProbes: Seq[Int], probeMod: Option[(Long, Long)] = None): DataFrame = {
+    probeMod.foreach { case (m, r) =>
+      require(m >= 1L && r >= 0L && r < m,
+        s"probe sample must be a residue class: 0 <= res < mod, got ($m, $r)") }
     import graft.ext.Cluster
     require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
       s"nProbes must be non-empty positive, got $nProbes")
@@ -439,7 +447,10 @@ object Sim {
     val state = Cluster.centroidState(Cluster.kmeansCentroids(embeddings, coarseK, iters))
     val gridOpt = Cluster.grid(embeddings)
     if (state.isEmpty || gridOpt.isEmpty) return emptyOut
-    val truth = bruteTopK(embeddings, k).select(col("vec_id"), col("neighbor_id"))
+    val sampled: DataFrame => DataFrame = df =>
+      probeMod.fold(df) { case (m, r) => df.filter(col("vec_id") % m === r) }
+    val truth = sampled(bruteTopK(embeddings, k))
+      .select(col("vec_id"), col("neighbor_id"))
       .localCheckpoint(false)
     val truthCnt = truth.count()
     if (truthCnt == 0L) return emptyOut // empty-corpus short-circuit, as ann_recall
@@ -452,7 +463,8 @@ object Sim {
           Cluster.qCol(scale), Cluster.exprState(state), maxNp).as("cells"))
       .filter(col("nsq") > 0)
       .localCheckpoint(false)
-    val probes = scored.select(col("vec_id"), col("embedding").as("emb_a"),
+    val probes = sampled(scored)
+      .select(col("vec_id"), col("embedding").as("emb_a"),
         col("nsq").as("nsq_a"), posexplode(col("cells")).as(Seq("pos", "cell")))
       .select(col("vec_id"), col("emb_a"), col("nsq_a"),
         (col("pos") + 1).as("pr"), col("cell"))

@@ -3855,10 +3855,14 @@ object ExtRegistry {
     * the same one-candidate-set/many-prefixes shape as
     * Sim.ivfNprobeCurve. `bruteSql` (the registered brute oracle)
     * splices in VERBATIM after stripMargin, the annRecallOracles
-    * no-stripMargin-over-embedded-SQL discipline. */
+    * no-stripMargin-over-embedded-SQL discipline. `probeMod` mirrors
+    * the Scala side's sampled-probe form: probe and truth rows
+    * restricted to the residue class, full corpus indexed. */
   private[queries] def ivfNprobeCurveOracle(bruteSql: String, coarseK: Int,
-      kNeighbors: Int, nProbes: Seq[Int]): String = {
+      kNeighbors: Int, nProbes: Seq[Int],
+      probeMod: Option[(Long, Long)] = None): String = {
     val maxNp = nProbes.max
+    val probeSample = probeMod.fold("")({ case (m, r) => s" AND vec_id % $m = $r" })
     val blocks = nProbes.map { np =>
       s"""np${np}_s AS (
          |  SELECT CAST(count(*) AS BIGINT) AS candidate_pairs,
@@ -3881,7 +3885,7 @@ object ExtRegistry {
        |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
        |truth AS MATERIALIZED (SELECT vec_id, neighbor_id FROM (
        |__BRUTE__
-       |) t),
+       |) t WHERE 1 = 1$probeSample),
        |e0 AS (
        |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
        |  FROM embeddings m JOIN q v USING (vec_id)),
@@ -3891,7 +3895,7 @@ object ExtRegistry {
        |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
        |  FROM e0 v CROSS JOIN g2 c),
        |probes AS (SELECT vec_id, embedding, nsq, cell, rk FROM ranked
-       |           WHERE rk <= $maxNp AND nsq > 0),
+       |           WHERE rk <= $maxNp AND nsq > 0$probeSample),
        |own AS (SELECT vec_id AS neighbor_id, embedding, nsq AS nsq_b, cell
        |        FROM ranked WHERE rk = 1 AND nsq > 0),
        |pairs AS MATERIALIZED (

@@ -433,6 +433,16 @@ object Registry {
       Sim.ivfNprobeCurve(Tables(s, dir).embeddings, k = 5, coarseK = 8, iters = 2,
         nProbes = Seq(1, 2, 4, 8))),
 
+    // the 100 TB form of the curve the scaladoc promises: the probe
+    // side a deterministic residue class (vec_id % 3 = 1 — a third of
+    // the probes), the FULL corpus indexed, truth restricted to the
+    // same slice — the sampled recall estimates the full curve at 1/3
+    // of the probe cost, and the estimate's accuracy is itself a
+    // hashed number (compare against ivf_nprobe_curve's rows)
+    "ivf_nprobe_curve_sampled" -> ((s, dir) =>
+      Sim.ivfNprobeCurve(Tables(s, dir).embeddings, k = 5, coarseK = 8, iters = 2,
+        nProbes = Seq(1, 2, 4, 8), probeMod = Some((3L, 1L)))),
+
     "dq_suite" -> ((s, dir) =>
       Checks.suite(arrears(s, dir), loans(s, dir), Analog.payments(Tables(s, dir)))),
 
@@ -1815,5 +1825,9 @@ object Registry {
       // parameters in lockstep with the registered query above
       ("ivf_nprobe_curve" -> ExtRegistry.ivfNprobeCurveOracle(
         coreOracles("knn_cosine_brute"), coarseK = 8, kNeighbors = 5,
-        nProbes = Seq(1, 2, 4, 8)))
+        nProbes = Seq(1, 2, 4, 8))) +
+      // sampled-probe twin: residue class in lockstep with the query
+      ("ivf_nprobe_curve_sampled" -> ExtRegistry.ivfNprobeCurveOracle(
+        coreOracles("knn_cosine_brute"), coarseK = 8, kNeighbors = 5,
+        nProbes = Seq(1, 2, 4, 8), probeMod = Some((3L, 1L))))
 }

@@ -2149,6 +2149,66 @@ object Text {
           least(col("cnt_a"), col("cnt_b")).cast(DoubleType)).as("containment"))
   }
 
+  /** EXACT duplicated-span verification — the Lee et al. 2021
+    * exact-substring discipline closing the span-dedup story: the
+    * shingle-hash span family ([[fingerprintNearDups]], `dup_spans*`)
+    * finds candidates by hash; this operator computes, for every
+    * candidate pair, the EXACT longest common contiguous TOKEN run
+    * over a bounded window (the first `window` tokens of each side) —
+    * length, 1-based start positions, and the run text itself. Ties
+    * (several runs at the maximum length) break to the smallest
+    * `start_a`, then smallest `start_b`, so the row is deterministic
+    * and the oracle can enumerate runs declaratively.
+    *
+    * Shape at 100 TB: candidates come from the winnow-postings join
+    * (never all-pairs), the token window bounds the per-pair DP at
+    * `window²` integer cells (a flat array, no per-cell allocation),
+    * and the pair rows carry only two bounded token arrays — a narrow
+    * map after two spine joins. Exactness needs no hashing at all, so
+    * there is nothing to collide: a hash-candidate pair with NO real
+    * common run reports run_len 0 (the false-positive cut Lee et al.
+    * run suffix arrays for, here bounded-window exact). */
+  def exactDupSpans(documents: DataFrame, n: Int = 3, w: Int = 4,
+      window: Int = 32): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cand = fingerprintNearDups(documents, n, w)
+      .select(col("doc_a"), col("doc_b"))
+    val toks = documents.select(col("doc_id"),
+      slice(filter(split(col("text"), " "), t => t =!= ""), 1, window).as("toks"))
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("toks_a"), col("toks_b"))
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .map { case (a, b, ta, tb) =>
+        val taA = ta.toArray; val tbA = tb.toArray
+        val la = taA.length; val lb = tbA.length
+        // rolling-row DP: cur(j) = longest common run ending at
+        // a-token i, b-token j (both 1-based). First-encountered
+        // maximum in the (i, j) scan IS the (min start_a, min start_b)
+        // tie-break: for a fixed length, smaller end ⇔ smaller start.
+        var prev = new Array[Int](lb + 1); var cur = new Array[Int](lb + 1)
+        var best = 0; var bi = 0; var bj = 0
+        var i = 1
+        while (i <= la) {
+          var j = 1
+          while (j <= lb) {
+            cur(j) = if (taA(i - 1) == tbA(j - 1)) prev(j - 1) + 1 else 0
+            if (cur(j) > best) { best = cur(j); bi = i - best + 1; bj = j - best + 1 }
+            j += 1
+          }
+          val t = prev; prev = cur; cur = t
+          java.util.Arrays.fill(cur, 0)
+          i += 1
+        }
+        val runText = if (best > 0) taA.slice(bi - 1, bi - 1 + best).mkString(" ") else ""
+        (a, b, best.toLong, bi.toLong, bj.toLong, runText)
+      }
+      .toDF("doc_a", "doc_b", "run_len", "start_a", "start_b", "run_text")
+  }
+
   /** Modulus of the per-chunk content fingerprint fold — the largest
     * prime below 2³¹, so `acc·P + sh < 2³¹·2²⁰ + 2²⁰ ≪ 2⁶³` keeps every
     * fold step exact BIGINT in both engines. */

@@ -651,6 +651,17 @@ object ExtRegistry {
     "near_dup_winnow" -> ((s, dir) =>
       graft.ext.Text.fingerprintNearDups(Tables(s, dir).documents, n = 3, w = 4)),
 
+    // EXACT duplicated-span verification (Lee et al. 2021 discipline):
+    // for every winnow-candidate pair, the exact longest common
+    // contiguous token run over a 32-token window — length, 1-based
+    // starts (min start_a then min start_b on length ties), and the
+    // run text; a hash-candidate pair with no real common run reports
+    // run_len 0. The bounded-window DP is window² integer cells per
+    // pair; candidates never all-pairs
+    "dup_spans_exact" -> ((s, dir) =>
+      graft.ext.Text.exactDupSpans(Tables(s, dir).documents, n = 3, w = 4,
+        window = 32)),
+
     // content-defined chunking (Rabin/FastCDC on the token stream):
     // chunk boundaries where the 3-gram rolling hash ≡ 0 mod 32, each
     // chunk fingerprinted by an exact integer fold — the dedup-storage
@@ -4508,6 +4519,50 @@ object ExtRegistry {
          |       CAST(p.shared AS DOUBLE) / CAST(least(ca.fp_cnt, cb.fp_cnt) AS DOUBLE) AS containment
          |FROM fpair p JOIN fcnt ca ON p.doc_a = ca.doc_id
          |             JOIN fcnt cb ON p.doc_b = cb.doc_id""".stripMargin,
+
+    // exact-span twin: the oracle ENUMERATES every (length, start_a,
+    // start_b) whose token slices are equal within the 32-token window
+    // and picks max length, then min starts — declarative semantics the
+    // Spark DP must reproduce exactly, run text re-sliced from the
+    // winning coordinates; pairs with no common token fall back to
+    // (0, 0, 0, '')
+    "dup_spans_exact" ->
+      s"""WITH $winnowCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM wfp),
+         |frare AS (SELECT sh FROM fps GROUP BY sh HAVING count(*) <= 5),
+         |fpost AS MATERIALIZED (SELECT fps.doc_id, fps.sh FROM fps JOIN frare USING (sh)),
+         |fpair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM fpost a JOIN fpost b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 32) AS toks
+         |  FROM documents),
+         |runs AS (
+         |  SELECT f.doc_a, f.doc_b, g.n, ga.i, gb.j, ta.toks AS toks_a
+         |  FROM fpair f
+         |  JOIN tok ta ON ta.doc_id = f.doc_a
+         |  JOIN tok tb ON tb.doc_id = f.doc_b
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS n) g
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) ga
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS j) gb
+         |  WHERE ga.i + g.n - 1 <= len(ta.toks) AND gb.j + g.n - 1 <= len(tb.toks)
+         |    AND list_slice(ta.toks, ga.i, ga.i + g.n - 1)
+         |          = list_slice(tb.toks, gb.j, gb.j + g.n - 1)),
+         |best AS (
+         |  SELECT doc_a, doc_b, n, i, j, toks_a FROM (
+         |    SELECT doc_a, doc_b, n, i, j, toks_a,
+         |           row_number() OVER (PARTITION BY doc_a, doc_b
+         |             ORDER BY n DESC, i, j) AS rk
+         |    FROM runs) r WHERE rk = 1)
+         |SELECT f.doc_a, f.doc_b,
+         |       CAST(coalesce(b.n, 0) AS BIGINT) AS run_len,
+         |       CAST(coalesce(b.i, 0) AS BIGINT) AS start_a,
+         |       CAST(coalesce(b.j, 0) AS BIGINT) AS start_b,
+         |       CASE WHEN b.n IS NULL THEN ''
+         |            ELSE array_to_string(list_slice(b.toks_a, b.i, b.i + b.n - 1), ' ')
+         |       END AS run_text
+         |FROM fpair f LEFT JOIN best b USING (doc_a, doc_b)""".stripMargin,
 
     // CDC chunking twin: the shared chunk CTEs emit the rows directly
     "cdc_chunks" ->

@@ -412,6 +412,39 @@ class TextSimSpec extends SparkSpec {
     assert(p.getAs[Double]("containment") == 1.0)
   }
 
+  test("exactDupSpans: longest common token run exact, tie breaks to min start_a then start_b, window bounds") {
+    // docs 1/2 share the 5-token run "p q r s t" (doc 2 shifted by one
+    // token) plus a shorter 3-token run "x y z" — the DP must report
+    // the 5-run with 1-based starts (1, 2); winnowing (n=3, w=4)
+    // selects fingerprints inside the long run so the pair is a
+    // candidate
+    val docs = Seq(
+      (1L, "p q r s t u1 a x y z b c d e f"),
+      (2L, "w p q r s t u2 g x y z h i j k"),
+      (3L, "completely unrelated filler tokens one two three four five six")
+    ).toDF("doc_id", "text")
+    val rows = graft.ext.Text.exactDupSpans(docs, n = 3, w = 4, window = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toList
+    assert(rows == List((1L, 2L, 5L, 1L, 2L, "p q r s t")), rows.toString)
+    // tie case: the same 3-run appears twice in doc 5; min start_a,
+    // then min start_b must win
+    val tie = Seq(
+      (4L, "m n o f1 f2 f3 f4 m n o f5 f6 f7 f8"),
+      (5L, "z1 m n o z2 z3 m n o z4 z5 z6 z7 z8")
+    ).toDF("doc_id", "text")
+    val t = graft.ext.Text.exactDupSpans(tie, n = 3, w = 4, window = 32)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(t.forall(_ == ((3L, 1L, 2L, "m n o"))), t.mkString(","))
+    // window bound: a run extending past the window is cut at it
+    val long = Seq(
+      (6L, Seq.tabulate(40)(i => s"c$i").mkString(" ")),
+      (7L, Seq.tabulate(40)(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val l = graft.ext.Text.exactDupSpans(long, n = 3, w = 4, window = 32).collect()
+    assert(l.length == 1 && l.head.getLong(2) == 32L && l.head.getLong(3) == 1L)
+  }
+
   test("minhashAdd/mergeMinhash: merge(add(A), add(B)) == add(A ∪ B), idempotent under overlap") {
     import graft.ext.MinHash
     val docs = Seq(

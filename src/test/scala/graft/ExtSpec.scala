@@ -3044,6 +3044,37 @@ class ExtSpec extends SparkSpec {
       "merged LM state != batch")
   }
 
+  test("minhash signature state ingests through Structured Streaming foreachBatch, pairs == batch") {
+    import graft.ext.MinHash
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, if (i % 4 == 0) "shared near dup body of text one two three"
+                 else s"unique body $i with tokens t${i}a t${i}b t${i}c t${i}d"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    val batch = pairs(MinHash.nearDupPairs(docs, 3))
+    assert(batch.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val d = MinHash.minhashAdd(b.toDF(), 3)
+        state = Some(state.fold(d)(s => MinHash.mergeMinhash(s, d)).localCheckpoint(true))
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      docs.as[(Long, String)].collect().toSeq.grouped(20)
+        .foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(pairs(MinHash.nearDupPairsFromState(state.get)) == batch,
+        "streamed signature state != batch pairs")
+    } finally q.stop()
+  }
+
   test("ngramPrune: state shrinks, pruned scoring is deterministic with both verdicts live, prune-after-merge semantics") {
     import graft.ext.Text
     // 'common' bigrams repeat across docs (survive minCnt=3); each doc's

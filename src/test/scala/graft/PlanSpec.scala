@@ -693,6 +693,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
   }
 
+  test("nearDupDeltaPairs: the delta side broadcasts into the candidate join, no state-keyed exchange on the probe path") {
+    val docs = tables.documents
+    val df = graft.ext.MinHash.nearDupDeltaPairs(
+      graft.ext.MinHash.minhashAdd(docs.filter(col("doc_id") % 7 =!= 0), 3),
+      docs.filter(col("doc_id") % 7 === 0), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    // the 100 TB-correct candidate shape: the banded DELTA broadcasts,
+    // the state ∪ delta side is probed in place — a SortMergeJoin here
+    // would shuffle the whole signature index per delta
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast candidate join in:\n$plan")
+  }
+
   test("gopher repetition: no window, no self-join — three keyed aggs on the doc spine") {
     val df = graft.ext.Text.gopherRepetition(tables.documents)
     val plan = df.queryExecution.executedPlan.toString

@@ -1624,12 +1624,30 @@ object Multimodal {
     * substrings per unit of Hamming tolerance; a corpus pushing n past
     * the 2^bandBits dilution re-splits into more, wider-keyed bands and
     * verifies more candidates, never loosening the pigeonhole bound. */
-  def phashNearDups(media: Dataset[EncodedMedia], maxHamming: Int = 3): DataFrame = {
+  /** ONE delta's pHash sketch state `(doc_id, phash)` — the
+    * [[graft.ext.MinHash.minhashAdd]] add/merge discipline on the image
+    * family: the full PNG codec walk + DCT runs ONCE per image at
+    * ingest, the 8-byte sketch is what persists across crawl
+    * snapshots; `mergePhash(phashAdd(A), phashAdd(B)) ≡ phashAdd(A∪B)`
+    * exactly (the sketch is a pure per-image function), idempotent
+    * under overlap. */
+  def phashAdd(delta: Dataset[EncodedMedia]): DataFrame =
+    phashPng(delta).toDF().select(col("doc_id"), col("phash"))
+
+  /** Exact merge of [[phashAdd]] states: id-keyed first-wins union
+    * (duplicate rows are value-identical). */
+  def mergePhash(states: DataFrame*): DataFrame =
+    states.map(_.select(col("doc_id"), col("phash")))
+      .reduce(_ unionByName _)
+      .dropDuplicates("doc_id")
+
+  /** [[phashNearDups]] off a maintained [[phashAdd]] state — banding
+    * and verify over STATE rows, never re-decoding image bytes. */
+  def phashNearDupsFromState(state: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = 4; val bandBits = 16 // top band carries the remaining 15 bits
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, ${bands - 1}] for exact recall with $bands bands, got $maxHamming")
-    val ph = phashPng(media).toDF()
-      .select(col("doc_id"), col("phash")).localCheckpoint(false)
+    val ph = state.select(col("doc_id"), col("phash")).localCheckpoint(false)
     val mask = (1L << bandBits) - 1
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -1648,6 +1666,13 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Batch composition: sketches from the media themselves in one
+    * delta — bit-identical to [[phashNearDupsFromState]] over any
+    * merged ingest (the `image_phash_near_dups_stream` twin's
+    * assertion). */
+  def phashNearDups(media: Dataset[EncodedMedia], maxHamming: Int = 3): DataFrame =
+    phashNearDupsFromState(phashAdd(media), maxHamming)
 
   /** Brute ALL-PAIRS Hamming truth over a `(doc_id, phash)` frame —
     * the AUDIT-ONLY truth kernel for [[phashNearDups]]' recall

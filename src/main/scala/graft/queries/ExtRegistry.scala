@@ -377,6 +377,20 @@ object ExtRegistry {
       graft.ext.Multimodal.phashNearDups(
         graft.ext.Multimodal.encodePng(Tables(s, dir).documents), 3)),
 
+    // the image near-dup pipeline off a MERGED two-delta phashAdd
+    // sketch state — the codec walk runs once per image at ingest, the
+    // 8-byte sketch is what persists across crawl snapshots;
+    // bit-identical to the batch twin by the add/merge contract, same
+    // oracle verbatim
+    "image_phash_near_dups_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      def m(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        graft.ext.Multimodal.phashAdd(
+          graft.ext.Multimodal.encodePng(docs.filter(p(col("doc_id")))))
+      graft.ext.Multimodal.phashNearDupsFromState(
+        graft.ext.Multimodal.mergePhash(m(_ % 2 === 0), m(_ % 2 === 1)), 3)
+    }),
+
     // the ann_recall discipline on the image sketch: banded-pair recall
     // vs the brute all-pairs Hamming truth (audit-only broadcast-index
     // kernel). Banding at Hamming <=3 under 7 bands is pigeonhole-exact,
@@ -5721,6 +5735,14 @@ object ExtRegistry {
     // (the oracle needs no banding — it states the SEMANTICS; the
     // Spark side's banding must reproduce it exactly)
     "image_phash_near_dups" ->
+      s"""WITH $phashCtes
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+        |FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.phash, b2.phash)) <= 3""".stripMargin,
+
+    // stream twin: merged sketch state ≡ batch pass — batch oracle verbatim
+    "image_phash_near_dups_stream" ->
       s"""WITH $phashCtes
         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         |       CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming

@@ -3044,6 +3044,27 @@ class ExtSpec extends SparkSpec {
       "merged LM state != batch")
   }
 
+  test("phashAdd/mergePhash: merged sketch state == batch pairs, idempotent under overlap") {
+    import graft.ext.Multimodal
+    val media = spark.range(12L).as[Long].map(id =>
+      Multimodal.EncodedMedia(id, "png",
+        // groups of 3 share a raster (id div 3 keys the pixel ramp)
+        Multimodal.pngBytesWith(id, 6, 6, i => (((id / 3) * 37 + i) % 256).toInt)))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = pairs(Multimodal.phashNearDups(media, 3))
+    assert(batch.nonEmpty)
+    val evens = media.filter(_.doc_id % 2 == 0); val odds = media.filter(_.doc_id % 2 == 1)
+    val merged = Multimodal.mergePhash(
+      Multimodal.phashAdd(evens), Multimodal.phashAdd(odds))
+    assert(pairs(Multimodal.phashNearDupsFromState(merged, 3)) == batch)
+    // overlap: docs 0-5 ingested twice — first-wins merge, still == batch
+    val overlapped = Multimodal.mergePhash(
+      Multimodal.phashAdd(media.filter(_.doc_id <= 5)),
+      Multimodal.phashAdd(media))
+    assert(pairs(Multimodal.phashNearDupsFromState(overlapped, 3)) == batch)
+  }
+
   test("minhash signature state ingests through Structured Streaming foreachBatch, pairs == batch") {
     import graft.ext.MinHash
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -71,14 +71,28 @@ object Sim {
     * Scale: the index side is collected and broadcast (dim-table scale —
     * same contract as any broadcast join); the probe side streams
     * partition-parallel. For two large sides, use [[lshTopK]]. */
-  def bruteTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+  def bruteTopK(embeddings: DataFrame, k: Int): DataFrame =
+    bruteTopK(embeddings, embeddings, k)
+
+  /** Two-frame form: `probes0` scored against a separately-supplied
+    * `corpus` index. This signature exists so a sampled audit can
+    * restrict the probe side RELATIONALLY: Catalyst cannot push a filter
+    * below `DeserializeToObject`/`MapPartitions`, so filtering the
+    * OUTPUT of the one-frame form still runs the n·|index| kernel over
+    * every probe and discards most of the work. Passing the pre-filtered
+    * probe frame here puts the filter below the typed boundary, and the
+    * kernel's cost scales with the sample. Per-probe computation is
+    * independent and self-pairs are excluded by `vec_id`, so
+    * `bruteTopK(f(E), E, k) ≡ f(bruteTopK(E, E, k))` row-for-row for any
+    * probe restriction `f` — the sampled audit keeps its exact hash. */
+  def bruteTopK(probes0: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = probes0.sparkSession
     import spark.implicits._
-    val index: Array[(Long, Array[Double])] = embeddings
+    val index: Array[(Long, Array[Double])] = corpus
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().map { case (id, a) => (id, a.map(_.toDouble)) }.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(index)
-    val probes = spread(embeddings.select(col("vec_id"), col("embedding")), col("vec_id"))
+    val probes = spread(probes0.select(col("vec_id"), col("embedding")), col("vec_id"))
       .as[(Long, Array[Float])]
     probes.mapPartitions { it =>
       val idx = bc.value
@@ -422,8 +436,11 @@ object Sim {
     * probe slice (`probeMod = Some((mod, res))`: probe AND truth sides
     * restricted to the deterministic residue class `vec_id % mod =
     * res`, the FULL corpus still indexed — so the sampled recall
-    * estimates the full curve at 1/mod of the probe cost; registered
-    * and measured as `ivf_nprobe_curve_sampled`), and the
+    * estimates the full curve at 1/mod of the probe cost; the truth
+    * side's sample is applied BELOW the brute kernel's typed boundary
+    * via the two-frame [[bruteTopK]], so the dominant n·|index| scan
+    * genuinely shrinks; registered and measured as
+    * `ivf_nprobe_curve_sampled`), and the
     * candidate_pairs column IS the cost axis the tuner trades against
     * recall. */
   def ivfNprobeCurve(embeddings: DataFrame, k: Int, coarseK: Int, iters: Int,
@@ -449,7 +466,12 @@ object Sim {
     if (state.isEmpty || gridOpt.isEmpty) return emptyOut
     val sampled: DataFrame => DataFrame = df =>
       probeMod.fold(df) { case (m, r) => df.filter(col("vec_id") % m === r) }
-    val truth = sampled(bruteTopK(embeddings, k))
+    // probe side pre-filtered BELOW bruteTopK's typed boundary: the brute
+    // kernel scans only the sampled residue class (1/mod of the probes),
+    // not all probes with 1-1/mod of the output discarded — identical
+    // rows either way (see the two-frame bruteTopK contract), but only
+    // this form realizes the 1/mod cost the sampled audit exists for
+    val truth = bruteTopK(sampled(embeddings), embeddings, k)
       .select(col("vec_id"), col("neighbor_id"))
       .localCheckpoint(false)
     val truthCnt = truth.count()

@@ -436,9 +436,13 @@ object Registry {
     // the 100 TB form of the curve the scaladoc promises: the probe
     // side a deterministic residue class (vec_id % 3 = 1 — a third of
     // the probes), the FULL corpus indexed, truth restricted to the
-    // same slice — the sampled recall estimates the full curve at 1/3
-    // of the probe cost, and the estimate's accuracy is itself a
-    // hashed number (compare against ivf_nprobe_curve's rows)
+    // same slice — and both the IVF probe list and the brute-truth
+    // kernel see the filter BEFORE their expensive work (the truth side
+    // via the two-frame bruteTopK, since Catalyst can't push a filter
+    // below the typed MapPartitions), so the sampled recall genuinely
+    // costs ~1/3 of the full twin (measured in COVERAGE.md) and the
+    // estimate's accuracy is itself a hashed number (compare against
+    // ivf_nprobe_curve's rows)
     "ivf_nprobe_curve_sampled" -> ((s, dir) =>
       Sim.ivfNprobeCurve(Tables(s, dir).embeddings, k = 5, coarseK = 8, iters = 2,
         nProbes = Seq(1, 2, 4, 8), probeMod = Some((3L, 1L)))),

@@ -805,4 +805,29 @@ class PlanSpec extends SparkSpec {
     val nScans = "FileScan parquet".r.findAllIn(plan).length
     assert(nScans == 1, s"drift monitor re-scans the corpus ($nScans scans):\n$plan")
   }
+
+  test("sampled brute truth: the residue filter sits BELOW the typed kernel boundary") {
+    // the r19 defect: sampled(bruteTopK(E, k)) put the filter ABOVE the
+    // typed MapPartitions, where Catalyst cannot push it — the n·|index|
+    // kernel ran in full and discarded 2/3 of its rows. The two-frame
+    // form must plan the filter as a descendant of the MapPartitions
+    // node so the kernel's input genuinely shrinks to the sample.
+    // asserted on the OPTIMIZED LOGICAL plan (the physical kernel hides
+    // under the AQE wrapper, invisible to executedPlan.collect — same
+    // caveat as the drift-monitor scan count)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
+    val emb = tables.embeddings
+    val df = Sim.bruteTopK(emb.filter(col("vec_id") % 3 === 1), emb, 5)
+    val plan = df.queryExecution.optimizedPlan
+    val mps = plan.collect { case m: MapPartitions => m }
+    assert(mps.nonEmpty, s"brute kernel must be a typed MapPartitions:\n$plan")
+    val below = mps.flatMap(_.collect {
+      case f: Filter if f.condition.toString.contains("% 3") => f })
+    assert(below.nonEmpty, s"residue filter not below the typed kernel:\n$plan")
+    // and no copy of it above the kernel (the r19 shape)
+    val above = plan.collect {
+      case f: Filter if f.condition.toString.contains("% 3") &&
+          f.collect { case m: MapPartitions => m }.nonEmpty => f }
+    assert(above.isEmpty, s"residue filter ABOVE the typed kernel:\n$plan")
+  }
 }

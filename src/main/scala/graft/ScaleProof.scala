@@ -121,10 +121,19 @@ object ScaleProof {
       expr("concat('g', id div 5, 'a g', id div 5, 'b g', id div 5, 'c g', id div 5, 'd')")
         .as("text"))
 
+  /** splitmix64 finalizer (public-domain constant set) — full-avalanche
+    * bit mixing for [[synthGroupDupPngs]]' pixel patterns. */
+  private def avalanche(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** 5-doc groups of byte-identical PNG containers for the pHash
-    * near-dup ladder: group g's 12×8 raster is the group-keyed
-    * BINARY 0/255 pattern keyed by `(g, pixel)` through a
-    * splitmix64-style avalanche finalizer. The pattern choice is
+    * near-dup ladder: group g's 8×8 raster is the group-keyed
+    * BINARY 0/255 pattern keyed by `(g, pixel)` through the
+    * splitmix64-style [[avalanche]] finalizer. The pattern choice is
     * load-bearing three ways, all measured: an additive `g·K + i·L mod
     * 256` stream makes groups differ by a constant brightness offset,
     * invisible to the DC-excluded pHash (9.2M pairs at factor 100,
@@ -138,15 +147,6 @@ object ScaleProof {
     * hard → sketches near-uniform 63-bit — cross-group Hamming ≤ 3
     * collisions vanish at these n while the 5 group members stay exact
     * dups: pair output grows linearly at constant group size. */
-  /** splitmix64 finalizer (public-domain constant set) — full-avalanche
-    * bit mixing for the ladder generator above. */
-  private def avalanche(x0: Long): Long = {
-    var z = x0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   private def synthGroupDupPngs(spark: SparkSession,
       n: Long): org.apache.spark.sql.Dataset[graft.ext.Multimodal.EncodedMedia] = {
     import spark.implicits._

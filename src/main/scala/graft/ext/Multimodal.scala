@@ -1610,20 +1610,6 @@ object Multimodal {
           d => d.cast("string")), ",").as("doc_ids"))
       .filter(col("n_docs") >= 2)
 
-  /** NEAR-duplicate image pairs at Hamming ≤ `maxHamming` over the
-    * 63-bit pHash — multi-index Hamming banding (the LSH-for-Hamming
-    * trick) on the image sketch: 4 substring bands of 16/16/16/15 bits,
-    * so by pigeonhole any pair within Hamming ≤ 3 shares an untouched
-    * band (EXACT recall — measured, not asserted, by
-    * `phash_near_dup_recall`); candidates meet in a band equi-join
-    * carrying the 8-byte sketch so the Hamming verify runs inline,
-    * never all-pairs. WIDE bands matter at scale: candidate traffic on
-    * a near-uniform sketch population is ~bands·n²/2^bandBits, so
-    * 16-bit bands dilute buckets 128× more than the 8/9-bit layout the
-    * SimHash family uses — the standard MIH tradeoff of fewer, wider
-    * substrings per unit of Hamming tolerance; a corpus pushing n past
-    * the 2^bandBits dilution re-splits into more, wider-keyed bands and
-    * verifies more candidates, never loosening the pigeonhole bound. */
   /** ONE delta's pHash sketch state `(doc_id, phash)` — the
     * [[graft.ext.MinHash.minhashAdd]] add/merge discipline on the image
     * family: the full PNG codec walk + DCT runs ONCE per image at
@@ -1641,8 +1627,22 @@ object Multimodal {
       .reduce(_ unionByName _)
       .dropDuplicates("doc_id")
 
-  /** [[phashNearDups]] off a maintained [[phashAdd]] state — banding
-    * and verify over STATE rows, never re-decoding image bytes. */
+  /** NEAR-duplicate image pairs at Hamming ≤ `maxHamming` off a
+    * maintained [[phashAdd]] state — banding and verify over STATE
+    * rows, never re-decoding image bytes. Multi-index Hamming banding
+    * (the LSH-for-Hamming trick) on the 63-bit sketch: 4 substring
+    * bands of 16/16/16/15 bits, so by pigeonhole any pair within
+    * Hamming ≤ 3 shares an untouched band (EXACT recall — measured,
+    * not asserted, by `phash_near_dup_recall`); candidates meet in a
+    * band equi-join carrying the 8-byte sketch so the Hamming verify
+    * runs inline, never all-pairs. WIDE bands matter at scale:
+    * candidate traffic on a near-uniform sketch population is
+    * ~bands·n²/2^bandBits, so 16-bit bands dilute buckets 128× more
+    * than the 8/9-bit layout the SimHash family uses — the standard
+    * MIH tradeoff of fewer, wider substrings per unit of Hamming
+    * tolerance; a corpus pushing n past the 2^bandBits dilution
+    * re-splits into more, wider-keyed bands and verifies more
+    * candidates, never loosening the pigeonhole bound. */
   def phashNearDupsFromState(state: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = 4; val bandBits = 16 // top band carries the remaining 15 bits
     require(maxHamming >= 0 && maxHamming < bands,

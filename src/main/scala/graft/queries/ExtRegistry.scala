@@ -370,9 +370,9 @@ object ExtRegistry {
 
     // NEAR-duplicate image pairs at Hamming <= 3 over the 63-bit pHash
     // (re-encodes and slight crops differ in a few bits where exact
-    // grouping sees nothing): 7x9-bit banding — pigeonhole-exact recall
-    // up to Hamming 6 — with the bit_count(xor) verify inline in the
-    // band join, never all-pairs
+    // grouping sees nothing): 4x16-bit MIH banding (top band 15 bits) —
+    // pigeonhole-exact recall up to Hamming 3 — with the bit_count(xor)
+    // verify inline in the band join, never all-pairs
     "image_phash_near_dups" -> ((s, dir) =>
       graft.ext.Multimodal.phashNearDups(
         graft.ext.Multimodal.encodePng(Tables(s, dir).documents), 3)),
@@ -393,9 +393,10 @@ object ExtRegistry {
 
     // the ann_recall discipline on the image sketch: banded-pair recall
     // vs the brute all-pairs Hamming truth (audit-only broadcast-index
-    // kernel). Banding at Hamming <=3 under 7 bands is pigeonhole-exact,
-    // so the EXPECTED recall is 1.0 — the audit measures the theorem
-    // instead of asserting it; any banding bug hash-fails here
+    // kernel). Banding at Hamming <=3 under 4x16-bit MIH bands is
+    // pigeonhole-exact (3 flipped bits can't touch all 4 bands), so the
+    // EXPECTED recall is 1.0 — the audit measures the theorem instead
+    // of asserting it; any banding bug hash-fails here
     "phash_near_dup_recall" -> ((s, dir) => {
       val media = graft.ext.Multimodal.encodePng(Tables(s, dir).documents)
       val ph = graft.ext.Multimodal.phashPng(media).toDF()
@@ -405,8 +406,12 @@ object ExtRegistry {
       val hits = graft.ext.Multimodal.phashNearDups(media, 3)
         .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
       truth.join(hits, Seq("doc_a", "doc_b"), "left")
+        // coalesce OUTSIDE the sum too: over an empty truth set sum()
+        // is NULL while the oracle emits 0 — a latent hash divergence
+        // if a fixture tier ever produced no Hamming<=3 pairs
         .agg(count(lit(1)).as("n_truth"),
-          sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit"))
+          coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L))
+            .cast(LongType).as("n_hit"))
         .select(col("n_truth"), col("n_hit"),
           when(col("n_truth") > 0,
             col("n_hit").cast(DoubleType) / col("n_truth").cast(DoubleType))
@@ -5751,8 +5756,8 @@ object ExtRegistry {
 
     // recall-audit twin: truth = the same all-pairs count; expected
     // n_hit = n_truth and recall = 1.0 BY THE PIGEONHOLE THEOREM
-    // (<= 3 differing bits leave >= 4 of 7 bands untouched) — the
-    // Spark side MEASURES banded recall, so a banding bug hash-fails
+    // (<= 3 differing bits leave >= 1 of the 4 MIH bands untouched) —
+    // the Spark side MEASURES banded recall, so a banding bug hash-fails
     "phash_near_dup_recall" ->
       s"""WITH $phashCtes,
         |tr AS (SELECT count(*) AS n

@@ -141,6 +141,9 @@ object Warc {
     case 301 => "Moved Permanently"
     case 404 => "Not Found"
     case 503 => "Service Unavailable"
+    // fail by name, not scala.MatchError, if httpStatus's cycle ever
+    // grows a code without a phrase here (r19 advisor)
+    case s => throw new IllegalArgumentException(s"no reason phrase for HTTP status $s")
   }
   private[graft] def httpContentType(id: Long): String = (id % 5) match {
     case 0 => "text/html; charset=UTF-8"

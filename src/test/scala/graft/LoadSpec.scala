@@ -287,6 +287,12 @@ class LoadSpec extends SparkSpec {
     assert(msg.contains("not a gzip container"), msg)
   }
 
+  test("httpReason: unknown status fails by name, not MatchError") {
+    import graft.sources.Warc
+    val e = intercept[IllegalArgumentException](Warc.httpReason(418))
+    assert(e.getMessage.contains("no reason phrase for HTTP status 418"), e.getMessage)
+  }
+
   test("WARC parser: malformed containers fail loud by name") {
     import graft.sources.Warc
     def parse(bytes: Array[Byte]): Unit =

@@ -481,6 +481,16 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Jpeg.decodeJpeg(graft.ext.Jpeg.encodeJpeg(
           s.range(500L * f).select(col("id").as("doc_id")))).toDF()),
+    // the encoded-HTTP WARC funnel end to end: container assembly is
+    // the ONE shard-keyed exchange (the WARC-file size knob), then
+    // record walk + chunked/gzip/deflate body recovery are narrow maps
+    // — per-record inflate work rides where the container bytes live,
+    // so wall is ~linear and heap flat while the crawl grows 100×. The
+    // doc_id range cycles all five framing modes at every factor.
+    ("docs->warcHttpBody", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.sources.Warc.parseWarcHttpBody(graft.sources.Warc.parseWarcRaw(
+          graft.sources.Warc.encodeWarcHttpEnc(synthDocs(s, 500L * f)))).toDF()),
     // the composed curation pipeline off MAINTAINED states — the
     // deployment shape: profiles ranked from a FIXED 1×-trained trigram
     // state (constant broadcast model), margin state maintained over

@@ -796,6 +796,26 @@ object Registry {
           col("content_type"), length(col("body")).cast("long").as("n_body_chars"),
           (col("status") === 200 && col("content_type").startsWith("text/"))
             .cast("int").as("keep"))
+    }),
+
+    // the screen's missing half (r19 VERDICT "What's missing #1"): real
+    // response bodies arrive FRAMED — gzip/deflate Content-Encoding
+    // (what CommonCrawl overwhelmingly carries), chunked
+    // Transfer-Encoding, or chunked-over-gzip — and a funnel that skips
+    // the decode step screens compressed bytes. The fixture cycles all
+    // five framings off doc_id (mod 5); the decoder de-chunks, then
+    // inflates, over RAW payload bytes (a String round-trip would
+    // corrupt gzip bytes), and the oracle states body = the ORIGINAL
+    // text for every mode — a passthrough bug on any framing hash-fails
+    "warc_http_body" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      graft.sources.Warc.parseWarcHttpBody(
+        graft.sources.Warc.parseWarcRaw(graft.sources.Warc.encodeWarcHttpEnc(docs)))
+        .toDF()
+        .select(col("doc_id"), col("target_uri"), col("status"),
+          col("content_type"), col("body"),
+          (col("status") === 200 && col("content_type").startsWith("text/"))
+            .cast("int").as("keep"))
     })
   )
 
@@ -1679,6 +1699,25 @@ object Registry {
         |                       WHEN 3 THEN 'text/html'
         |                       ELSE 'image/png' END AS content_type,
         |       CAST(length(text) AS BIGINT) AS n_body_chars,
+        |       CAST(CASE WHEN doc_id % 7 NOT IN (3, 4, 6)
+        |                  AND doc_id % 5 IN (0, 1, 3) THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM documents""".stripMargin,
+
+    // body-decode twin: whatever framing the fixture applied (identity /
+    // gzip / deflate / chunked / chunked-over-gzip by doc_id mod 5), the
+    // decoder must hand back the ORIGINAL text verbatim — the oracle
+    // never mentions the framing because a correct decode erases it
+    "warc_http_body" ->
+      """SELECT doc_id,
+        |       'https://graft.test/' || doc_id AS target_uri,
+        |       CAST(CASE doc_id % 7 WHEN 3 THEN 404 WHEN 4 THEN 301
+        |                            WHEN 6 THEN 503 ELSE 200 END AS INTEGER) AS status,
+        |       CASE doc_id % 5 WHEN 0 THEN 'text/html; charset=UTF-8'
+        |                       WHEN 1 THEN 'text/plain'
+        |                       WHEN 2 THEN 'application/pdf'
+        |                       WHEN 3 THEN 'text/html'
+        |                       ELSE 'image/png' END AS content_type,
+        |       text AS body,
         |       CAST(CASE WHEN doc_id % 7 NOT IN (3, 4, 6)
         |                  AND doc_id % 5 IN (0, 1, 3) THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM documents""".stripMargin,

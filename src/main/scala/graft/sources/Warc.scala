@@ -35,6 +35,12 @@ object Warc {
   final case class WarcContainer(shard_id: Long, bytes: Array[Byte])
   final case class WarcRecord(doc_id: Long, target_uri: String, text: String)
 
+  /** Raw-payload record — the form an HTTP BODY decode needs: a
+    * Content-Encoding:gzip body is arbitrary bytes, and a UTF-8 String
+    * round-trip silently replaces invalid sequences, so the encoded-body
+    * path must never transit [[WarcRecord]].text. */
+  final case class WarcByteRecord(doc_id: Long, target_uri: String, payload: Array[Byte])
+
   /** Assemble one WARC/1.0 container per `doc_id div shardSize` shard:
     * records in doc_id order, each `WARC/1.0` + four headers + CRLF
     * blank line + the UTF-8 payload + the CRLF CRLF record terminator
@@ -226,6 +232,221 @@ object Warc {
     }
   }
 
+  /** Fixture-side body-framing mode, arithmetic off doc_id so the
+    * oracle replays the cycle: 0 = identity (Content-Length), 1 =
+    * Content-Encoding: gzip, 2 = Content-Encoding: deflate (zlib), 3 =
+    * Transfer-Encoding: chunked, 4 = chunked OVER gzip (the layered
+    * case — sender compresses, then chunks; receiver de-chunks, then
+    * inflates). All five modes are live at every fixture tier. */
+  private[graft] def bodyMode(id: Long): Int = (id % 5).toInt
+
+  private[graft] def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(raw); gz.finish(); gz.close()
+    out.toByteArray
+  }
+
+  private[graft] def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater() // zlib-wrapped, = HTTP 'deflate'
+    try {
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** HTTP/1.1 chunked framing: lowercase-hex size line + CRLF + data +
+    * CRLF per chunk, last chunk `0` + CRLF + CRLF (no trailers). Fixed
+    * 7-byte chunks so every non-trivial body is multi-chunk with an
+    * unaligned tail. */
+  private[graft] def chunkBytes(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (p < raw.length) {
+      val n = math.min(7, raw.length - p)
+      out.write(s"${n.toHexString}\r\n".getBytes(US_ASCII))
+      out.write(raw, p, n)
+      out.write("\r\n".getBytes(US_ASCII))
+      p += n
+    }
+    out.write("0\r\n\r\n".getBytes(US_ASCII))
+    out.toByteArray
+  }
+
+  /** [[encodeWarcHttp]] with REAL body framing: each response body is
+    * carried per its doc's [[bodyMode]] — plain with Content-Length,
+    * gzip or deflate Content-Encoding (what actual CommonCrawl response
+    * records overwhelmingly carry — a screen reading the raw payload
+    * sees compressed bytes, not text), chunked Transfer-Encoding, or
+    * chunked-over-gzip. Chunked responses carry no Content-Length (the
+    * chunk frames delimit); non-chunked ones declare the ENCODED byte
+    * count, which the decoder cross-checks. */
+  def encodeWarcHttpEnc(documents: DataFrame, shardSize: Long = 50L): Dataset[WarcContainer] = {
+    require(shardSize >= 1L, s"shard size must be positive, got $shardSize")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / shardSize)
+      .mapGroups { (shard, it) =>
+        val out = new java.io.ByteArrayOutputStream()
+        it.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          val status = httpStatus(id)
+          val raw = text.getBytes(UTF_8)
+          val (frameHdrs, body) = bodyMode(id) match {
+            case 0 => (Seq(s"Content-Length: ${raw.length}"), raw)
+            case 1 =>
+              val g = gzipBytes(raw)
+              (Seq("Content-Encoding: gzip", s"Content-Length: ${g.length}"), g)
+            case 2 =>
+              val d = deflateBytes(raw)
+              (Seq("Content-Encoding: deflate", s"Content-Length: ${d.length}"), d)
+            case 3 => (Seq("Transfer-Encoding: chunked"), chunkBytes(raw))
+            case _ => (Seq("Content-Encoding: gzip", "Transfer-Encoding: chunked"),
+              chunkBytes(gzipBytes(raw)))
+          }
+          val http =
+            (s"HTTP/1.1 $status ${httpReason(status)}\r\n" +
+              s"Content-Type: ${httpContentType(id)}\r\n" +
+              frameHdrs.map(_ + "\r\n").mkString +
+              s"X-Crawl-Host: graft.test\r\n" +
+              "\r\n").getBytes(US_ASCII) ++ body
+          val header =
+            "WARC/1.0\r\n" +
+              "WARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:graft:doc-$id>\r\n" +
+              s"WARC-Target-URI: https://graft.test/$id\r\n" +
+              s"Content-Length: ${http.length}\r\n" +
+              "\r\n"
+          out.write(header.getBytes(US_ASCII))
+          out.write(http, 0, http.length)
+          out.write("\r\n\r\n".getBytes(US_ASCII))
+        }
+        WarcContainer(shard, out.toByteArray)
+      }
+  }
+
+  /** De-chunk an HTTP/1.1 chunked body: hex size line (bounded at 6
+    * hex digits = 16 MB per chunk), CRLF-delimited data, `0`-chunk
+    * terminator, nothing after. Every malformed shape fails by name. */
+  private[graft] def dechunk(id: Long, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    def crlfAt(q: Int): Boolean =
+      q + 1 < body.length && body(q) == '\r' && body(q + 1) == '\n'
+    var done = false
+    while (!done) {
+      var e = p
+      while (e < body.length && body(e) != '\r') e += 1
+      require(crlfAt(e), s"doc $id: unterminated chunk-size line at byte $p")
+      val sizeStr = new String(body, p, e - p, US_ASCII)
+      require(sizeStr.nonEmpty && sizeStr.length <= 6 &&
+        sizeStr.forall(c => c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')),
+        s"doc $id: bad chunk size '$sizeStr'")
+      val n = Integer.parseInt(sizeStr, 16)
+      p = e + 2
+      if (n == 0) {
+        require(crlfAt(p), s"doc $id: missing terminator after last chunk")
+        p += 2
+        require(p == body.length, s"doc $id: ${body.length - p} trailing bytes after final chunk")
+        done = true
+      } else {
+        require(p + n + 2 <= body.length,
+          s"doc $id: truncated chunk (declared $n at byte $p of ${body.length})")
+        out.write(body, p, n)
+        require(crlfAt(p + n), s"doc $id: chunk data not CRLF-terminated")
+        p += n + 2
+      }
+    }
+    out.toByteArray
+  }
+
+  private[graft] def gunzipBody(id: Long, body: Array[Byte]): Array[Byte] = {
+    require(body.length >= 2 && (body(0) & 0xff) == 0x1f && (body(1) & 0xff) == 0x8b,
+      s"doc $id: Content-Encoding gzip but body lacks gzip magic")
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+    try in.readAllBytes()
+    catch { case e: java.io.IOException =>
+      throw new IllegalArgumentException(s"doc $id: corrupt gzip body (${e.getMessage})")
+    } finally in.close()
+  }
+
+  private[graft] def inflateBody(id: Long, body: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(body))
+    try in.readAllBytes()
+    catch { case e: java.io.IOException =>
+      throw new IllegalArgumentException(s"doc $id: corrupt deflate body (${e.getMessage})")
+    } finally in.close()
+  }
+
+  /** Full HTTP response-body recovery over RAW record payloads: status
+    * line + headers as [[parseWarcHttp]], then the body is UN-FRAMED in
+    * receiver order — Transfer-Encoding: chunked de-chunked first, then
+    * Content-Encoding (gzip / deflate / identity) inflated — and only
+    * the recovered PLAIN bytes are UTF-8-decoded. This is the step that
+    * makes the funnel's text screens read text instead of compressed
+    * bytes on a real crawl. A declared Content-Length must match the
+    * payload's actual body span; unknown encodings and every truncated/
+    * garbage stream fail loudly by name. Narrow map — records never
+    * shuffle, decode runs where the container bytes live. */
+  def parseWarcHttpBody(records: Dataset[WarcByteRecord]): Dataset[WarcHttpRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.map { r =>
+      val bs = r.payload
+      var hdrEnd = -1
+      var q = 0
+      while (hdrEnd < 0 && q + 3 < bs.length) {
+        if (bs(q) == '\r' && bs(q + 1) == '\n' && bs(q + 2) == '\r' && bs(q + 3) == '\n')
+          hdrEnd = q
+        q += 1
+      }
+      require(hdrEnd >= 0, s"doc ${r.doc_id}: unterminated HTTP header block")
+      val lines = new String(bs, 0, hdrEnd, US_ASCII).split("\r\n", -1)
+      val statusLine = lines.head
+      require(statusLine.startsWith("HTTP/1.0 ") || statusLine.startsWith("HTTP/1.1 "),
+        s"doc ${r.doc_id}: bad HTTP status line '$statusLine'")
+      val code = statusLine.substring(9).takeWhile(_ != ' ')
+      require(code.length == 3 && code.forall(_.isDigit),
+        s"doc ${r.doc_id}: non-3-digit HTTP status '$code'")
+      val hdrs = lines.tail.map { l =>
+        val i = l.indexOf(": ")
+        require(i > 0, s"doc ${r.doc_id}: malformed HTTP header '$l'")
+        (l.substring(0, i).toLowerCase(java.util.Locale.ROOT), l.substring(i + 2))
+      }.toMap
+      require(hdrs.contains("content-type"),
+        s"doc ${r.doc_id}: missing Content-Type header")
+      var body = java.util.Arrays.copyOfRange(bs, hdrEnd + 4, bs.length)
+      hdrs.get("transfer-encoding") match {
+        case Some(te) =>
+          require(te.equalsIgnoreCase("chunked"),
+            s"doc ${r.doc_id}: unsupported Transfer-Encoding '$te'")
+          body = dechunk(r.doc_id, body)
+        case None =>
+          // Content-Length only frames a NON-chunked body (RFC 9112
+          // §6.3: chunked wins and any Content-Length is ignored)
+          hdrs.get("content-length").foreach { cl =>
+            require(cl.nonEmpty && cl.length <= 9 && cl.forall(_.isDigit) &&
+              cl.toInt == body.length,
+              s"doc ${r.doc_id}: Content-Length $cl does not match body span ${body.length}")
+          }
+      }
+      hdrs.get("content-encoding") match {
+        case None => ()
+        case Some(ce) if ce.equalsIgnoreCase("identity") => ()
+        case Some(ce) if ce.equalsIgnoreCase("gzip") => body = gunzipBody(r.doc_id, body)
+        case Some(ce) if ce.equalsIgnoreCase("deflate") => body = inflateBody(r.doc_id, body)
+        case Some(ce) => throw new IllegalArgumentException(
+          s"doc ${r.doc_id}: unsupported Content-Encoding '$ce'")
+      }
+      WarcHttpRecord(r.doc_id, r.target_uri, code.toInt,
+        hdrs("content-type"), new String(body, UTF_8))
+    }
+  }
+
   /** Parse WARC containers back to records: walk each container's
     * bytes record by record — version line, headers to the blank line,
     * a `Content-Length`-sized byte slice (decoded UTF-8), the CRLF CRLF
@@ -239,7 +460,21 @@ object Warc {
     containers.flatMap(c => parseContainer(c.shard_id, c.bytes))
   }
 
-  private def parseContainer(sid: Long, bs: Array[Byte]): Seq[WarcRecord] = {
+  /** [[parseWarc]] keeping each record's payload as RAW BYTES — the
+    * entry point for HTTP-body decoding ([[parseWarcHttpBody]]), where
+    * the payload may carry gzip/deflate bytes that a String decode
+    * would corrupt. Same walker, same named failures. */
+  def parseWarcRaw(containers: Dataset[WarcContainer]): Dataset[WarcByteRecord] = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.flatMap(c => parseContainerRaw(c.shard_id, c.bytes))
+  }
+
+  private def parseContainer(sid: Long, bs: Array[Byte]): Seq[WarcRecord] =
+    parseContainerRaw(sid, bs).map(r =>
+      WarcRecord(r.doc_id, r.target_uri, new String(r.payload, UTF_8)))
+
+  private def parseContainerRaw(sid: Long, bs: Array[Byte]): Seq[WarcByteRecord] = {
       var p = 0
       def line(): String = {
         var e = p
@@ -250,7 +485,7 @@ object Warc {
         p = e + 2
         s
       }
-      val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+      val out = scala.collection.mutable.ArrayBuffer[WarcByteRecord]()
       while (p < bs.length) {
         val version = line()
         require(version == "WARC/1.0",
@@ -277,7 +512,7 @@ object Warc {
         val len = lenStr.toLong
         require(len <= Int.MaxValue.toLong && p + len + 4 <= bs.length,
           s"shard $sid: truncated WARC payload (declared $len at byte $p of ${bs.length})")
-        val payload = new String(bs, p, len.toInt, UTF_8)
+        val payload = java.util.Arrays.copyOfRange(bs, p, p + len.toInt)
         p += len.toInt
         require(bs(p) == '\r' && bs(p + 1) == '\n' &&
           bs(p + 2) == '\r' && bs(p + 3) == '\n',
@@ -291,7 +526,7 @@ object Warc {
         require(digits.nonEmpty && digits.length <= 18 &&
           digits.forall(_.isDigit),
           s"shard $sid: unrecognized record id '$rid'")
-        out += WarcRecord(digits.toLong,
+        out += WarcByteRecord(digits.toLong,
           mandatory("WARC-Target-URI"), payload)
       }
       out.toSeq

@@ -374,4 +374,73 @@ class LoadSpec extends SparkSpec {
       assert(msgOf(e).contains(name), s"for '$payload': ${msgOf(e)}")
     }
   }
+
+  test("parseWarcHttpBody: every framing mode recovers the original text; UTF-8 survives gzip") {
+    import graft.sources.Warc
+    // one doc per mode (mod 5), multi-byte text so a String round-trip
+    // of the gzip bytes would visibly corrupt
+    val docs = Seq.tabulate(10)(i => (i.toLong, s"těxt №$i with a body long enough to chunk"))
+      .toDF("doc_id", "text")
+    val out = Warc.parseWarcHttpBody(
+      Warc.parseWarcRaw(Warc.encodeWarcHttpEnc(docs))).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.body == s"těxt №${r.doc_id} with a body long enough to chunk"),
+      out.map(r => (r.doc_id, r.body)).mkString("; "))
+    // the status/content-type screen fields survive the framing layer
+    assert(out.exists(_.status != 200) && out.exists(_.status == 200))
+  }
+
+  test("parseWarcHttpBody: framing failures each by name") {
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+    def msgOf(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    def rec(payload: Array[Byte]) = Warc.WarcByteRecord(9L, "u9", payload)
+    def parse(payload: Array[Byte]) =
+      Warc.parseWarcHttpBody(Seq(rec(payload)).toDS()).collect().head
+    def block(hdrs: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$hdrs\r\n").getBytes(US_ASCII) ++ body
+    val raw = "hello body".getBytes(UTF_8)
+    // happy paths per framing, byte-exact
+    assert(parse(block(s"Content-Length: ${raw.length}\r\n", raw)).body == "hello body")
+    val gz = Warc.gzipBytes(raw)
+    assert(parse(block("Content-Encoding: gzip\r\n", gz)).body == "hello body")
+    assert(parse(block("Content-Encoding: deflate\r\n", Warc.deflateBytes(raw))).body == "hello body")
+    assert(parse(block("Transfer-Encoding: chunked\r\n", Warc.chunkBytes(raw))).body == "hello body")
+    assert(parse(block("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+      Warc.chunkBytes(gz))).body == "hello body")
+    // failure modes, each by name
+    Seq[(Array[Byte], String)](
+      (block(s"Content-Length: ${raw.length + 2}\r\n", raw),
+        "does not match body span"),
+      (block("Content-Encoding: gzip\r\n", raw),
+        "body lacks gzip magic"),
+      (block("Content-Encoding: gzip\r\n", gz.dropRight(5)),
+        "corrupt gzip body"),
+      (block("Content-Encoding: deflate\r\n", Array[Byte](0x78, -1, 1, 2, 3)),
+        "corrupt deflate body"),
+      (block("Content-Encoding: br\r\n", raw),
+        "unsupported Content-Encoding 'br'"),
+      (block("Transfer-Encoding: gzip\r\n", raw),
+        "unsupported Transfer-Encoding 'gzip'"),
+      (block("Transfer-Encoding: chunked\r\n",
+        "zz\r\nhello\r\n0\r\n\r\n".getBytes(US_ASCII)),
+        "bad chunk size"),
+      (block("Transfer-Encoding: chunked\r\n",
+        "ff\r\nhello\r\n0\r\n\r\n".getBytes(US_ASCII)),
+        "truncated chunk"),
+      (block("Transfer-Encoding: chunked\r\n",
+        Warc.chunkBytes(raw) ++ "junk".getBytes(US_ASCII)),
+        "trailing bytes after final chunk"),
+      (block("Transfer-Encoding: chunked\r\n",
+        Warc.chunkBytes(raw).dropRight(2)),
+        "missing terminator after last chunk"),
+      (block("Transfer-Encoding: chunked\r\n",
+        "5\r\nhelloXX".getBytes(US_ASCII)),
+        "chunk data not CRLF-terminated")
+    ).foreach { case (payload, name) =>
+      val e = intercept[org.apache.spark.SparkException](parse(payload))
+      assert(msgOf(e).contains(name), s"for '$name': ${msgOf(e)}")
+    }
+  }
 }

@@ -491,6 +491,18 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.sources.Warc.parseWarcHttpBody(graft.sources.Warc.parseWarcRaw(
           graft.sources.Warc.encodeWarcHttpEnc(synthDocs(s, 500L * f)))).toDF()),
+    // audio near-dups: WAV walk + segment Goertzel + 4×16 MIH banding;
+    // the avalanche tone mix keeps base sketches pairwise far apart, so
+    // pair output is exactly the planted base↔variant pairs (linear,
+    // 2 of every 3 bases) while the banded join stays the ONE exchange
+    // family shape the pHash ladder pinned
+    ("media->audioNearDups", Map.empty[String, String],
+      (s: SparkSession, f: Int) => {
+        val docs = s.range(500L * f).select(col("id").as("doc_id"))
+        graft.ext.Multimodal.audioNearDups(
+          graft.ext.Multimodal.encodeAudioTones(docs)
+            .unionByName(graft.ext.Multimodal.encodeAudioTones(docs, variant = true)), 3)
+      }),
     // the composed curation pipeline off MAINTAINED states — the
     // deployment shape: profiles ranked from a FIXED 1×-trained trigram
     // state (constant broadcast model), margin state maintained over

@@ -1475,6 +1475,192 @@ object Multimodal {
           d => d.cast("string")), ",").as("doc_ids"))
       .filter(col("n_docs") >= 2)
 
+  /** splitmix64 finalizer (public-domain constant set) — the full-
+    * avalanche mixer the tone fixture needs: mod-p-then-mod-4 and
+    * LCG-product mixes both leave tone SEQUENCES correlated under
+    * additive id shifts (measured: 3.7k full 16-segment collisions per
+    * 5k clips for the LCG; the same trap as [[graft.ScaleProof]]'s
+    * raster generator), which turns linear planted pairs into
+    * quadratic collision growth. The oracle replays this exactly in
+    * DuckDB via UBIGINT xors and a 32-bit-split wrapping multiply. */
+  private[graft] def avalanche64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Tone index per (base clip, segment) for the NEAR-dup audio
+    * fixture — low 2 avalanche bits of key `base·16 + s`, so no two
+    * base clips share the whole 16-segment tone sequence (0 collisions
+    * measured at 5k clips). Segment s of the VARIANT copy shifts the
+    * tone by one bin for s < base % 3, so base↔variant sketch Hamming
+    * is exactly 0, 2 or 4 — on either side of the ≤ 3 near-dup cut. */
+  private[graft] def toneIdx(base: Long, s: Int, variant: Boolean): Int = {
+    val raw = (avalanche64(base * 16L + s) & 3L).toInt
+    if (variant && s < (base % 3L)) (raw + 1) % 4 else raw
+  }
+
+  /** Id offset under which [[encodeAudioTones]] emits variant copies. */
+  val AudioVariantOffset: Long = 10000000L
+
+  /** 16-segment square-tone WAV fixture for the audio NEAR-dup family:
+    * 512 samples = 16 segments × 32, segment s playing the
+    * [[toneIdx]]-selected probe tone (250/500/1000/2000 Hz are EXACT
+    * 32-point DFT bins at 8 kHz, so each segment's power concentrates
+    * in its own Goertzel probe; square-wave harmonics are odd
+    * multiples, never another probe). Amplitude varies per clip but
+    * never enters the sketch. `variant = true` emits each clip again
+    * under doc_id + [[AudioVariantOffset]] with the tone shift — the
+    * re-encoded/level-shifted twin an exact fingerprint can't see. */
+  def encodeAudioTones(documents: DataFrame, variant: Boolean = false): Dataset[EncodedMedia] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { base =>
+      val amp = (8000L + (base % 17L) * 500L).toInt
+      val samples = new Array[Int](512)
+      var s = 0
+      while (s < 16) {
+        val period = 32 >> toneIdx(base, s, variant)
+        var i = 0
+        while (i < 32) {
+          samples(s * 32 + i) = if (i % period < period / 2) amp else -amp
+          i += 1
+        }
+        s += 1
+      }
+      val id = if (variant) base + AudioVariantOffset else base
+      EncodedMedia(id, "wav", wavBytesOf(samples))
+    })
+  }
+
+  /** Minimal RIFF/WAVE container (fmt + data, PCM16 mono 8 kHz) around
+    * an explicit sample array — the tone fixture's builder; the noise
+    * fixture's [[wavBytes]] keeps its junk-chunk layout for the chunk
+    * walker's coverage. */
+  private[graft] def wavBytesOf(samples: Array[Int]): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val riffPayload = 4 + (8 + 16) + (8 + dataBytes)
+    val out = new Array[Byte](8 + riffPayload)
+    var p = 0
+    def put(s: String): Unit = { s.foreach { c => out(p) = c.toByte; p += 1 } }
+    def le32(v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
+      out(p + 2) = ((v >> 16) & 0xff).toByte; out(p + 3) = ((v >> 24) & 0xff).toByte
+      p += 4
+    }
+    def le16(v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte; p += 2
+    }
+    put("RIFF"); le32(riffPayload); put("WAVE")
+    put("fmt "); le32(16)
+    le16(1); le16(1)
+    le32(8000); le32(8000 * 2)
+    le16(2); le16(16)
+    put("data"); le32(dataBytes)
+    samples.foreach(v => le16(v & 0xffff))
+    out
+  }
+
+  final case class AudioSketch(doc_id: Long, n_samples: Long, sketch: Long)
+
+  /** Locality-preserving 64-bit audio sketch — the pHash discipline on
+    * the audio modality: the clip is split into 16 equal segments, the
+    * Goertzel probe bank runs PER SEGMENT (same exact Q14 fixed-point
+    * recurrence as [[audioSpectral]], restarted at each boundary), and
+    * each segment contributes a one-hot nibble at bit `4·seg + argmax
+    * bin` (power ties to the lower frequency). A re-encode or level
+    * shift rescales all bin powers together, so the per-segment argmax
+    * — and the sketch — moves only where the CONTENT moved: sketch
+    * Hamming counts changed segments ×2, exactly what a near-dup cut
+    * thresholds. The exact-fingerprint fold ([[audioFingerprints]])
+    * avalanches on any change and cannot rank distance; this sketch is
+    * the Hamming-meaningful form. Narrow one-pass walk, no shuffle. */
+  def audioSketch(media: Dataset[EncodedMedia]): Dataset[AudioSketch] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val probes = SpectralProbes
+    media.mapPartitions(_.map { m =>
+      val bs = m.bytes
+      val id = m.doc_id
+      def le16(off: Int): Int = (bs(off) & 0xff) | ((bs(off + 1) & 0xff) << 8)
+      val (channels, sampleRate, dataOff, n) = wavPcm(id, bs)
+      require(channels == 1, s"doc $id: audio sketch needs mono, got $channels channels")
+      require(sampleRate == 8000,
+        s"doc $id: probe bank pinned to 8000 Hz, got $sampleRate")
+      require(n >= 16 && n % 16 == 0,
+        s"doc $id: audio sketch needs 16 equal segments, got $n samples")
+      val segLen = n / 16
+      val k = probes.length
+      var sk = 0L
+      var seg = 0
+      while (seg < 16) {
+        val s1 = new Array[Long](k)
+        val s2 = new Array[Long](k)
+        var i = 0
+        while (i < segLen) {
+          val x = le16(dataOff + 2 * (seg * segLen + i)).toShort.toLong
+          var b = 0
+          while (b < k) {
+            val c = probes(b)._2
+            val s0 = x + (c * s1(b)) / 16384L - s2(b)
+            s2(b) = s1(b)
+            s1(b) = s0
+            b += 1
+          }
+          i += 1
+        }
+        var best = 0
+        var bestP = Long.MinValue
+        var b = 0
+        while (b < k) {
+          val c = probes(b)._2
+          val p = s1(b) * s1(b) + s2(b) * s2(b) - ((c * s1(b)) / 16384L) * s2(b)
+          if (p > bestP) { bestP = p; best = b }
+          b += 1
+        }
+        sk |= 1L << (4 * seg + best)
+        seg += 1
+      }
+      AudioSketch(id, n.toLong, sk)
+    })
+  }
+
+  /** ONE delta's audio sketch state `(doc_id, sketch)` — the add/merge
+    * maintained-state discipline ([[phashAdd]]'s contract) on the audio
+    * family: the WAV walk + segment Goertzel runs ONCE per clip at
+    * ingest, the 8-byte sketch persists across crawl snapshots;
+    * `mergeAudioSketch(add(A), add(B)) ≡ add(A∪B)` exactly (pure
+    * per-clip function), idempotent under overlap. */
+  def audioSketchAdd(delta: Dataset[EncodedMedia]): DataFrame =
+    audioSketch(delta).toDF().select(col("doc_id"), col("sketch"))
+
+  /** Exact merge of [[audioSketchAdd]] states: id-keyed first-wins
+    * union (duplicate rows are value-identical). */
+  def mergeAudioSketch(states: DataFrame*): DataFrame =
+    states.map(_.select(col("doc_id"), col("sketch")))
+      .reduce(_ unionByName _)
+      .dropDuplicates("doc_id")
+
+  /** NEAR-duplicate audio pairs at Hamming ≤ `maxHamming` off a
+    * maintained [[audioSketchAdd]] state — the same 4×16-bit MIH
+    * banding as [[phashNearDupsFromState]] (pigeonhole-exact at
+    * Hamming ≤ 3; recall measured by `audio_near_dup_recall`), banding
+    * and verify over STATE rows, never re-decoding clip bytes. */
+  def audioNearDupsFromState(state: DataFrame, maxHamming: Int = 3): DataFrame =
+    mihPairs(state.select(col("doc_id"), col("sketch").as("h64")), maxHamming)
+
+  /** Batch composition: sketches from the clips themselves in one
+    * delta — bit-identical to [[audioNearDupsFromState]] over any
+    * merged ingest (the `audio_near_dups_stream` twin's assertion). */
+  def audioNearDups(media: Dataset[EncodedMedia], maxHamming: Int = 3): DataFrame =
+    audioNearDupsFromState(audioSketchAdd(media), maxHamming)
+
+  /** Brute ALL-PAIRS Hamming truth over a `(doc_id, sketch)` frame —
+    * [[brutePhashPairs]]' audit-only contract on the audio sketch. */
+  def bruteAudioPairs(sk: DataFrame, maxHamming: Int): DataFrame =
+    bruteHamming64Pairs(sk.select(col("doc_id"), col("sketch").as("h64")), maxHamming)
+
   final case class AudioQuality(doc_id: Long, n_samples: Long,
       clipped: Long, near_silent: Long, clipped_frac: Double,
       silence_frac: Double, accepted: Int)
@@ -1643,26 +1829,33 @@ object Multimodal {
     * tolerance; a corpus pushing n past the 2^bandBits dilution
     * re-splits into more, wider-keyed bands and verifies more
     * candidates, never loosening the pigeonhole bound. */
-  def phashNearDupsFromState(state: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = 4; val bandBits = 16 // top band carries the remaining 15 bits
+  def phashNearDupsFromState(state: DataFrame, maxHamming: Int = 3): DataFrame =
+    mihPairs(state.select(col("doc_id"), col("phash").as("h64")), maxHamming)
+
+  /** The shared MIH banding kernel over any `(doc_id, h64)` 64-bit
+    * sketch frame — the pHash and audio near-dup families run the
+    * IDENTICAL candidate structure, so the pigeonhole bound, the
+    * banded equi-join shape and the plan pins are proven once. */
+  private[graft] def mihPairs(state: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = 4; val bandBits = 16
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, ${bands - 1}] for exact recall with $bands bands, got $maxHamming")
-    val ph = state.select(col("doc_id"), col("phash")).localCheckpoint(false)
+    val ph = state.select(col("doc_id"), col("h64")).localCheckpoint(false)
     val mask = (1L << bandBits) - 1
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask)).as("bval"))
+        shiftright(col("h64"), b * bandBits).bitwiseAND(lit(mask)).as("bval"))
     }
-    val banded = ph.select(col("doc_id"), col("phash"),
+    val banded = ph.select(col("doc_id"), col("h64"),
         explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("phash"),
+      .select(col("doc_id"), col("h64"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast(LongType).as("hamming"))
+        bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -1681,14 +1874,18 @@ object Multimodal {
     * probe scans it, so the cost is n² xor+popcount with NO candidate
     * bound — run at fixture scale (production audits sample); never a
     * production path. Emits canonical `doc_a < doc_b` pairs. */
-  def brutePhashPairs(ph: DataFrame, maxHamming: Int): DataFrame = {
+  def brutePhashPairs(ph: DataFrame, maxHamming: Int): DataFrame =
+    bruteHamming64Pairs(ph.select(col("doc_id"), col("phash").as("h64")), maxHamming)
+
+  /** The shared brute-truth kernel over any `(doc_id, h64)` frame. */
+  private[graft] def bruteHamming64Pairs(ph: DataFrame, maxHamming: Int): DataFrame = {
     val spark = ph.sparkSession
     import spark.implicits._
     val index: Array[(Long, Long)] = ph
-      .select(col("doc_id"), col("phash")).as[(Long, Long)]
+      .select(col("doc_id"), col("h64")).as[(Long, Long)]
       .collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(index)
-    ph.select(col("doc_id"), col("phash")).as[(Long, Long)]
+    ph.select(col("doc_id"), col("h64")).as[(Long, Long)]
       .mapPartitions { it =>
         val idx = bc.value
         it.flatMap { case (qid, qh) =>

@@ -2113,12 +2113,147 @@ object ExtRegistry {
         graft.ext.Multimodal.EncodedMedia(m.doc_id + 1000000L, m.fmt, m.bytes))(
         org.apache.spark.sql.Encoders.product[graft.ext.Multimodal.EncodedMedia])
       graft.ext.Multimodal.audioDupGroups(media.unionByName(reupload))
+    }),
+
+    // NEAR-duplicate audio pairs at Hamming <= 3 over the 64-bit
+    // segment-argmax sketch (phashNearDups' discipline on the audio
+    // modality — r19 "What's missing #2"): a re-encoded/level-shifted
+    // clip moves a few sketch bits where the exact spectral fingerprint
+    // avalanches. The tone fixture pairs every clip with a variant
+    // whose tones shift in base % 3 segments, so base↔variant Hamming
+    // is exactly 0/2/4 — both sides of the <= 3 cut live at every
+    // tier; 4x16-bit MIH banding with the bit_count(xor) verify inline
+    // in the band join, never all-pairs
+    "audio_near_dups" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"))
+      val media = graft.ext.Multimodal.encodeAudioTones(docs)
+        .unionByName(graft.ext.Multimodal.encodeAudioTones(docs, variant = true))
+      graft.ext.Multimodal.audioNearDups(media, 3)
+    }),
+
+    // stream twin off a MERGED two-delta audioSketchAdd state — the
+    // WAV walk + segment Goertzel runs once per clip at ingest, the
+    // 8-byte sketch is what persists across snapshots; bit-identical
+    // to the batch twin by the add/merge contract, same oracle verbatim
+    "audio_near_dups_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"))
+      val media = graft.ext.Multimodal.encodeAudioTones(docs)
+        .unionByName(graft.ext.Multimodal.encodeAudioTones(docs, variant = true))
+      def add(k: Long) = graft.ext.Multimodal.audioSketchAdd(
+        media.filter(m => m.doc_id % 2 == k))
+      graft.ext.Multimodal.audioNearDupsFromState(
+        graft.ext.Multimodal.mergeAudioSketch(add(0L), add(1L)), 3)
+    }),
+
+    // the ann_recall discipline on the audio sketch: banded-pair recall
+    // vs the brute all-pairs Hamming truth (audit-only broadcast-index
+    // kernel). Banding at Hamming <= 3 under 4x16-bit MIH bands is
+    // pigeonhole-exact, so the EXPECTED recall is 1.0 — the audit
+    // measures the theorem; any banding bug hash-fails here
+    "audio_near_dup_recall" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"))
+      val media = graft.ext.Multimodal.encodeAudioTones(docs)
+        .unionByName(graft.ext.Multimodal.encodeAudioTones(docs, variant = true))
+      val sk = graft.ext.Multimodal.audioSketchAdd(media).localCheckpoint(false)
+      val truth = graft.ext.Multimodal.bruteAudioPairs(sk, 3)
+        .select(col("doc_a"), col("doc_b"))
+      val hits = graft.ext.Multimodal.audioNearDupsFromState(sk, 3)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      truth.join(hits, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L))
+            .cast(LongType).as("n_hit"))
+        .select(col("n_truth"), col("n_hit"),
+          when(col("n_truth") > 0,
+            col("n_hit").cast(DoubleType) / col("n_truth").cast(DoubleType))
+            .otherwise(lit(null).cast(DoubleType)).as("recall"))
     })
   )
 
   // --------------------------------------------------------------- SQL
 
   private val P = MinHash.P
+
+  /** Shared oracle CTE chain for the audio near-dup family: replay the
+    * square-tone fixture samples from the generator arithmetic
+    * ([[graft.ext.Multimodal.toneIdx]] — low 2 splitmix64-avalanche
+    * bits of key base·16+s; variant copies under doc_id + 10000000
+    * shift tones in base % 3 segments), run the segment-restarted
+    * Goertzel recurrence per (clip, segment, bin), take the
+    * per-segment argmax bin (ties to the lower bin index, the house
+    * tie rule), and assemble the 64-bit one-hot sketch. The avalanche
+    * replays exactly in DuckDB: xors on UBIGINT bit patterns, the two
+    * wrapping 64-bit multiplies split at 32 bits so every HUGEINT
+    * intermediate stays under 2^97, logical shifts as unsigned `//`.
+    * Bit 63 of the sketch is summed as the explicit Long.MinValue term
+    * because DuckDB's `1 << 63` raises where Java wraps. */
+  private val audioSketchCtes =
+    """ids AS (
+      |  SELECT doc_id, doc_id AS b, 0 AS var FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 1 FROM documents),
+      |segs AS (SELECT unnest(generate_series(0, 15)) AS s),
+      |a0 AS (SELECT d.doc_id, d.b, d.var, sg.s,
+      |              (CAST(d.b * 16 + sg.s AS HUGEINT) + 11400714819323198485)
+      |                % 18446744073709551616 AS z0
+      |       FROM ids d CROSS JOIN segs sg),
+      |a1 AS (SELECT doc_id, b, var, s,
+      |              CAST(xor(CAST(z0 AS UBIGINT),
+      |                       CAST(z0 // 1073741824 AS UBIGINT)) AS HUGEINT) AS za
+      |       FROM a0),
+      |a2 AS (SELECT doc_id, b, var, s,
+      |              (((za // 4294967296) * 13787848793156543929 % 4294967296)
+      |                 * 4294967296
+      |               + (za % 4294967296) * 13787848793156543929)
+      |                % 18446744073709551616 AS z1
+      |       FROM a1),
+      |a3 AS (SELECT doc_id, b, var, s,
+      |              CAST(xor(CAST(z1 AS UBIGINT),
+      |                       CAST(z1 // 134217728 AS UBIGINT)) AS HUGEINT) AS zb
+      |       FROM a2),
+      |a4 AS (SELECT doc_id, b, var, s,
+      |              (((zb // 4294967296) * 10723151780598845931 % 4294967296)
+      |                 * 4294967296
+      |               + (zb % 4294967296) * 10723151780598845931)
+      |                % 18446744073709551616 AS z2
+      |       FROM a3),
+      |a5 AS (SELECT doc_id, b, var, s,
+      |              CAST(xor(CAST(z2 AS UBIGINT),
+      |                       CAST(z2 // 2147483648 AS UBIGINT)) % 4 AS BIGINT) AS raw
+      |       FROM a4),
+      |tone AS (
+      |  SELECT doc_id, s,
+      |         CAST(CASE WHEN var = 1 AND s < b % 3
+      |              THEN (raw + 1) % 4 ELSE raw END AS BIGINT) AS t,
+      |         CAST(8000 + (b % 17) * 500 AS BIGINT) AS amp
+      |  FROM a5),
+      |pr(bin, coef) AS (VALUES (CAST(0 AS BIGINT), CAST(32138 AS BIGINT)),
+      |                         (1, 30274), (2, 23170), (3, 0)),
+      |g(doc_id, s, bin, t, amp, coef, i, s1, s2) AS (
+      |  SELECT doc_id, s, bin, t, amp, coef, CAST(0 AS BIGINT),
+      |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM tone CROSS JOIN pr
+      |  UNION ALL
+      |  SELECT doc_id, s, bin, t, amp, coef, i + 1,
+      |         (CASE WHEN i % (32 >> CAST(t AS INTEGER))
+      |                    < (32 >> CAST(t AS INTEGER)) // 2
+      |               THEN amp ELSE -amp END)
+      |           + (coef * s1) // 16384 - s2,
+      |         s1
+      |  FROM g WHERE i < 32),
+      |fin AS (SELECT doc_id, s, bin,
+      |               s1 * s1 + s2 * s2 - ((coef * s1) // 16384) * s2 AS p
+      |        FROM g WHERE i = 32),
+      |best AS (SELECT doc_id, s, bin FROM (
+      |    SELECT doc_id, s, bin,
+      |           row_number() OVER (PARTITION BY doc_id, s ORDER BY p DESC, bin) AS rk
+      |    FROM fin) q WHERE rk = 1),
+      |sk AS (SELECT doc_id,
+      |              CAST(sum(CASE WHEN 4 * s + bin = 63
+      |                   THEN CAST(-9223372036854775807 AS BIGINT) - 1
+      |                   ELSE CAST(1 AS BIGINT) << CAST(4 * s + bin AS INTEGER)
+      |                   END) AS BIGINT) AS sketch
+      |       FROM best GROUP BY 1)""".stripMargin
 
   /** Doc-length histogram grid shared by the `profile_documents` query
     * and its oracle twin: 8×100-char buckets from 0 (out-of-range values
@@ -6740,6 +6875,41 @@ object ExtRegistry {
         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
         |FROM fp
         |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // audio near-dup twin: the 16-segment square-tone samples replayed
+    // from the generator arithmetic (tone = quadratic mix mod 4, the
+    // variant copy shifts tones in base % 3 segments), the segment
+    // Goertzel recurrence per (clip, segment, bin) as a recursive CTE,
+    // per-segment argmax (ties to the lower bin), the one-hot sketch
+    // summed (bit 63 as the explicit Long.MinValue term — DuckDB's <<
+    // overflows at 63 where Java wraps), then the all-pairs Hamming cut
+    "audio_near_dups" ->
+      s"""WITH RECURSIVE $audioSketchCtes
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sketch, b2.sketch)) AS BIGINT) AS hamming
+        |FROM sk a JOIN sk b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.sketch, b2.sketch)) <= 3""".stripMargin,
+
+    // stream twin: merged sketch state ≡ batch pass — batch oracle verbatim
+    "audio_near_dups_stream" ->
+      s"""WITH RECURSIVE $audioSketchCtes
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sketch, b2.sketch)) AS BIGINT) AS hamming
+        |FROM sk a JOIN sk b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.sketch, b2.sketch)) <= 3""".stripMargin,
+
+    // recall-audit twin: truth = the same all-pairs count; expected
+    // n_hit = n_truth and recall = 1.0 BY THE PIGEONHOLE THEOREM
+    // (<= 3 differing bits leave >= 1 of the 4 MIH bands untouched) —
+    // the Spark side MEASURES banded recall, so a banding bug hash-fails
+    "audio_near_dup_recall" ->
+      s"""WITH RECURSIVE $audioSketchCtes,
+        |tr AS (SELECT count(*) AS n
+        |       FROM sk a JOIN sk b2 ON a.doc_id < b2.doc_id
+        |       WHERE bit_count(xor(a.sketch, b2.sketch)) <= 3)
+        |SELECT CAST(n AS BIGINT) AS n_truth, CAST(n AS BIGINT) AS n_hit,
+        |       CASE WHEN n > 0 THEN CAST(1.0 AS DOUBLE) ELSE NULL END AS recall
+        |FROM tr""".stripMargin,
 
     // fingerprint replay over the re-upload union: byte(f, j) =
     // (base + 131f + j) % 256 (ext/Multimodal y4mBytes), frame hash =

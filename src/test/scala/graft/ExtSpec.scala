@@ -3133,4 +3133,70 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(stateRows(mergedPruned) == stateRows(pruned))
   }
+
+  test("audioSketch: one-hot per segment; tone variants land at Hamming 0/2/4 exactly") {
+    import graft.ext.Multimodal
+    val docs = spark.range(60L).select(col("id").as("doc_id"))
+    val media = Multimodal.encodeAudioTones(docs)
+      .unionByName(Multimodal.encodeAudioTones(docs, variant = true))
+    val sk = Multimodal.audioSketch(media).collect().map(a => a.doc_id -> a.sketch).toMap
+    assert(sk.size == 120)
+    // exactly one bit per segment nibble
+    assert(sk.values.forall(s => java.lang.Long.bitCount(s) == 16), "not one-hot per segment")
+    // base vs variant Hamming is exactly 2 * (base % 3)
+    (0L until 60L).foreach { b =>
+      val h = java.lang.Long.bitCount(sk(b) ^ sk(b + Multimodal.AudioVariantOffset))
+      assert(h == 2 * (b % 3), s"base $b: hamming $h != ${2 * (b % 3)}")
+    }
+    // no cross-base sketch near-collisions at <= 3 (the quadratic tone
+    // mix must keep unrelated clips apart)
+    val ids = sk.keys.toSeq.sorted
+    for (i <- ids.indices; j <- (i + 1) until ids.size) {
+      val (a, b2) = (ids(i), ids(j))
+      if (b2 - a != Multimodal.AudioVariantOffset)
+        assert(java.lang.Long.bitCount(sk(a) ^ sk(b2)) > 3,
+          s"cross pair ($a,$b2) collides")
+    }
+    // banded pairs == expected set == brute truth (recall 1.0 by pigeonhole)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = pairs(Multimodal.audioNearDups(media, 3))
+    val expected = (0L until 60L).filter(_ % 3 <= 1)
+      .map(b => (b, b + Multimodal.AudioVariantOffset, 2 * (b % 3))).toSet
+    assert(banded == expected, s"banded=${banded.size} expected=${expected.size}")
+    val skDf = Multimodal.audioSketchAdd(media)
+    assert(pairs(Multimodal.bruteAudioPairs(skDf, 3)) == banded)
+  }
+
+  test("audioSketchAdd/mergeAudioSketch: merged state == batch pairs, idempotent under overlap") {
+    import graft.ext.Multimodal
+    val docs = spark.range(30L).select(col("id").as("doc_id"))
+    val media = Multimodal.encodeAudioTones(docs)
+      .unionByName(Multimodal.encodeAudioTones(docs, variant = true))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = pairs(Multimodal.audioNearDups(media, 3))
+    assert(batch.nonEmpty)
+    val evens = media.filter(_.doc_id % 2 == 0); val odds = media.filter(_.doc_id % 2 == 1)
+    val merged = Multimodal.mergeAudioSketch(
+      Multimodal.audioSketchAdd(evens), Multimodal.audioSketchAdd(odds))
+    assert(pairs(Multimodal.audioNearDupsFromState(merged, 3)) == batch)
+    val overlapped = Multimodal.mergeAudioSketch(
+      Multimodal.audioSketchAdd(media.filter(_.doc_id <= 5)),
+      Multimodal.audioSketchAdd(media))
+    assert(pairs(Multimodal.audioNearDupsFromState(overlapped, 3)) == batch)
+  }
+
+  test("audioSketch: refuses non-16-segment clips and wrong stream shapes by name") {
+    import graft.ext.Multimodal
+    def msgOf(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    // the noise fixture's id=1 clip has 287 samples (not 16-divisible)
+    val bad = spark.createDataset(Seq(
+      Multimodal.EncodedMedia(1L, "wav", Multimodal.wavBytes(1L))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.EncodedMedia])
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.audioSketch(bad).collect())
+    assert(msgOf(e).contains("needs 16 equal segments"), msgOf(e))
+  }
 }

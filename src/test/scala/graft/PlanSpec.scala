@@ -685,6 +685,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
   }
 
+  test("audio near-dup: banded equi-join with inline verify, no cartesian") {
+    val docs = tables.documents.select(col("doc_id"))
+    val media = graft.ext.Multimodal.encodeAudioTones(docs)
+      .unionByName(graft.ext.Multimodal.encodeAudioTones(docs, variant = true))
+    val df = graft.ext.Multimodal.audioNearDups(media, maxHamming = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+  }
+
   test("phash near-dup: banded equi-join with inline verify, no cartesian") {
     val df = graft.ext.Multimodal.phashNearDups(
       graft.ext.Multimodal.encodePng(tables.documents), maxHamming = 3)

@@ -646,6 +646,16 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Text.lmPerplexityFromCounts(synthPhraseDocs(s, 500L * f),
           graft.ext.Text.ngramAdd(synthPhraseDocs(s, 500L)))),
+    // the trigram stupid-backoff screen on the same deployment shape:
+    // five broadcast probes of the per-order tables (all marginalized
+    // from one FIXED 1×-trained trigram state) instead of two — the
+    // gate proves the extra orders add no exchanges and the corpus
+    // still shuffles only on doc_id.
+    ("docs->lmPerplexityBackoffFromCounts", Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.lmPerplexityBackoffFromCounts(synthPhraseDocs(s, 500L * f),
+          graft.ext.Text.trigramLmAdd(synthPhraseDocs(s, 500L)),
+          min3 = 2L, min2 = 2L)),
     // incremental near-dup dedup: a FIXED 100-doc delta scored against a
     // minhashAdd signature-index state growing 100× (the crawl-snapshot
     // shape — yesterday's index + today's delta). The delta's band keys

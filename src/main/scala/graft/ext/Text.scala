@@ -2578,13 +2578,68 @@ object Text {
     val cnts = state.select(col("ctx"), col("w"), col("cnt"))
     val ctxTot = cnts.groupBy(col("ctx")).agg(sum(col("cnt")).as("ctx_cnt"))
     val vocab = cnts.agg((countDistinct(col("w")) + 1L).as("v"))
-    val scored = wordBigrams(documents)
+    val ab = wordBigrams(documents)
       .join(broadcast(cnts), Seq("ctx", "w"), "left")
       .join(broadcast(ctxTot), Seq("ctx"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         (coalesce(col("ctx_cnt"), lit(0L)) + col("v")).as("a"),
         (coalesce(col("cnt"), lit(0L)) + lit(1L)).as("b"))
+    bitsScreen(documents, ab, thrNum, thrDen)
+  }
+
+  /** Self-training composition: the batch perplexity screen (model
+    * from the corpus itself in one delta). By the add/merge contract
+    * this is bit-identical to [[lmPerplexityFromCounts]] over any
+    * merged ingest of the same corpus — what the `_stream` twin
+    * asserts. */
+  def lmPerplexity(documents: DataFrame, thrNum: Long = 13L,
+      thrDen: Long = 3L): DataFrame =
+    lmPerplexityFromCounts(documents, ngramAdd(documents), thrNum, thrDen)
+
+  /** Word TRIGRAM event stream with double-BOS contexts: token t is
+    * scored in context `(w_{t-2}, w_{t-1})`, `<s>`-padded at the doc
+    * head — every token emits exactly one event, so lower-order
+    * bigram/unigram counts marginalize EXACTLY from the trigram state
+    * (each bigram/unigram occurrence appears in exactly one trigram
+    * event). Same whitespace token stream as [[wordBigrams]], same
+    * empty-doc guard, one narrow projection. */
+  private def wordTrigrams(documents: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    documents.select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks)), j -> struct(" +
+          "IF(j >= 3, toks[j-3], '<s>') AS c2, " +
+          "IF(j >= 2, toks[j-2], '<s>') AS c1, toks[j-1] AS w))")).as("p"))
+      .select(col("doc_id"), col("p.c2").as("c2"), col("p.c1").as("c1"),
+        col("p.w").as("w"))
+  }
+
+  /** ONE delta's trigram-LM count state `(c2, c1, w, cnt)` — the
+    * [[ngramAdd]] contract one order up: a streamed clean-corpus
+    * ingest maintains per-(context₂, word) occurrence counts, and
+    * [[lmPerplexityBackoffFromCounts]] scores ANY merged state. Lower
+    * orders are NOT stored: they marginalize exactly from this one
+    * table, so the maintained state is a single count frame. */
+  def trigramLmAdd(delta: DataFrame): DataFrame =
+    wordTrigrams(delta).groupBy(col("c2"), col("c1"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Exact merge of [[trigramLmAdd]] states: per-key int64 sums. */
+  def mergeTrigramLm(states: DataFrame*): DataFrame =
+    states.map(_.select(col("c2"), col("c1"), col("w"), col("cnt")))
+      .reduce(_ unionByName _)
+      .groupBy(col("c2"), col("c1"), col("w")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Shared surprisal tail: per-event exact-rational odds `(a, b)` with
+    * `a ≥ b ≥ 1` → integer bits `floor(log2(a/b))` via the bit-length
+    * trick, per-doc totals, the doc-spine join and the cross-multiplied
+    * keep verdict — the arithmetic [[lmPerplexityFromCounts]] pinned,
+    * reused verbatim by the backoff scorer. */
+  private def bitsScreen(documents: DataFrame, ab: DataFrame,
+      thrNum: Long, thrDen: Long): DataFrame = {
+    val scored = ab
       .select(col("doc_id"), col("a"), col("b"),
         (length(bin(col("a"))) - length(bin(col("b")))).cast(LongType).as("k0"))
       .select(col("doc_id"),
@@ -2606,12 +2661,78 @@ object Text {
             <= lit(thrNum) * col("n_tokens")).cast(IntegerType)).as("keep"))
   }
 
-  /** Self-training composition: the batch perplexity screen (model
-    * from the corpus itself in one delta). By the add/merge contract
-    * this is bit-identical to [[lmPerplexityFromCounts]] over any
-    * merged ingest of the same corpus — what the `_stream` twin
-    * asserts. */
-  def lmPerplexity(documents: DataFrame, thrNum: Long = 13L,
-      thrDen: Long = 3L): DataFrame =
-    lmPerplexityFromCounts(documents, ngramAdd(documents), thrNum, thrDen)
+  /** Trigram STUPID-BACKOFF perplexity screen off a maintained
+    * [[trigramLmAdd]] state — the CCNet-realism step past the add-one
+    * bigram ([[lmPerplexityFromCounts]]): score token w in context
+    * (c₂, c₁) at the deepest order that has evidence, discounting each
+    * backoff level by α = 2/5 (Brants et al. 2007's 0.4, as an exact
+    * rational so the house no-float rule holds):
+    *
+    *  - trigram seen:  S = cnt₃(c₂,c₁,w) / tot₃(c₂,c₁)
+    *  - else bigram:   S = (2/5) · cnt₂(c₁,w) / tot₂(c₁)
+    *  - else unigram:  S = (4/25) · (cnt₁(w)+1) / (N+V)   (Laplace
+    *    floor, so OOV words score finitely — stupid backoff needs a
+    *    terminal smoother and add-one at order 1 is the house one)
+    *
+    * 1/S is a single exact int64 ratio per event (a = tot₃ | 5·tot₂ |
+    * 25·(N+V); b = cnt₃ | 2·cnt₂ | 4·(cnt₁+1); a ≥ b ≥ 1 at every
+    * level since cnt ≤ tot and 5 > 2, 25 > 4), so the integer-bits
+    * surprisal generalizes unchanged. [[ngramPrune]]'s discipline
+    * applies PER ORDER: each order's table marginalizes from the FULL
+    * state first (pruning does not commute with marginalizing), then
+    * prunes at its own threshold, and each order's totals/vocabulary
+    * recompute from its own pruned table — pruned n-grams genuinely
+    * back off. The 13/3 threshold with (2, 2, 1) pruning keeps both
+    * verdict branches live at sf0.001 (487/500), sf0.01 (483/500) and
+    * sf0.1 (2817/5000), measured.
+    *
+    * Scale: the model is Zipf-type-bounded per order and broadcast
+    * (the KenLM deployment shape); corpus-sized work is one
+    * [[wordTrigrams]] projection + five broadcast probes + one
+    * doc-keyed aggregation — [[lmPerplexityFromCounts]]'s exact plan
+    * family, nothing corpus-sized shuffles on a model key. */
+  def lmPerplexityBackoffFromCounts(documents: DataFrame, state: DataFrame,
+      min3: Long = 1L, min2: Long = 1L, min1: Long = 1L,
+      thrNum: Long = 13L, thrDen: Long = 3L): DataFrame = {
+    require(min3 >= 1L && min2 >= 1L && min1 >= 1L,
+      s"per-order prune thresholds must be >= 1, got ($min3, $min2, $min1)")
+    require(thrNum >= 1L && thrDen >= 1L,
+      s"bits-per-token threshold must be a positive rational, got $thrNum/$thrDen")
+    val full = state.select(col("c2"), col("c1"), col("w"), col("cnt"))
+    val t3 = full.filter(col("cnt") >= min3)
+      .select(col("c2"), col("c1"), col("w"), col("cnt").as("c3"))
+    val t2 = full.groupBy(col("c1"), col("w")).agg(sum(col("cnt")).as("cnt2"))
+      .filter(col("cnt2") >= min2)
+    val t1 = full.groupBy(col("w")).agg(sum(col("cnt")).as("cnt1"))
+      .filter(col("cnt1") >= min1)
+    val tot3 = t3.groupBy(col("c2"), col("c1")).agg(sum(col("c3")).as("tot3"))
+    val tot2 = t2.groupBy(col("c1")).agg(sum(col("cnt2")).as("tot2"))
+    val nv = t1.agg(sum(col("cnt1")).as("nn"),
+      (countDistinct(col("w")) + 1L).as("v"))
+    val ab = wordTrigrams(documents)
+      .join(broadcast(t3), Seq("c2", "c1", "w"), "left")
+      .join(broadcast(tot3), Seq("c2", "c1"), "left")
+      .join(broadcast(t2), Seq("c1", "w"), "left")
+      .join(broadcast(tot2), Seq("c1"), "left")
+      .join(broadcast(t1), Seq("w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, col("tot3"))
+          .when(col("cnt2").isNotNull, lit(5L) * col("tot2"))
+          .otherwise(lit(25L) * (col("nn") + col("v"))).as("a"),
+        when(col("c3").isNotNull, col("c3"))
+          .when(col("cnt2").isNotNull, lit(2L) * col("cnt2"))
+          .otherwise(lit(4L) * (coalesce(col("cnt1"), lit(0L)) + 1L)).as("b"))
+    bitsScreen(documents, ab, thrNum, thrDen)
+  }
+
+  /** Self-training composition of the backoff screen (model from the
+    * corpus itself in one delta) — bit-identical to
+    * [[lmPerplexityBackoffFromCounts]] over any merged ingest by the
+    * add/merge contract, which the `_stream` twin asserts. */
+  def lmPerplexityBackoff(documents: DataFrame,
+      min3: Long = 1L, min2: Long = 1L, min1: Long = 1L,
+      thrNum: Long = 13L, thrDen: Long = 3L): DataFrame =
+    lmPerplexityBackoffFromCounts(documents, trigramLmAdd(documents),
+      min3, min2, min1, thrNum, thrDen)
 }

@@ -745,6 +745,28 @@ object ExtRegistry {
     // lengths — no floating log anywhere), keep verdict on the
     // low-perplexity head in cross-multiplied integers; self-training
     // batch form (model = the corpus's own ngramAdd state)
+    // trigram STUPID-BACKOFF screen (lm_perplexity's realism step —
+    // r19 "What's missing #3"): score at the deepest order with
+    // evidence, alpha = 2/5 per backoff level as an exact rational,
+    // Laplace floor at order 1, per-order ngramPrune (singleton
+    // trigrams AND bigrams pruned so a self-trained model doesn't
+    // memorize the corpus — pruned events genuinely back off and the
+    // keep verdict splits)
+    "lm_perplexity_backoff" -> ((s, dir) =>
+      graft.ext.Text.lmPerplexityBackoff(Tables(s, dir).documents,
+        min3 = 2L, min2 = 2L, min1 = 1L)),
+
+    // stream twin off a merged three-delta trigramLmAdd state — same
+    // oracle verbatim by the add/merge contract
+    "lm_perplexity_backoff_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val st = graft.ext.Text.mergeTrigramLm(
+        (0 to 2).map(k => graft.ext.Text.trigramLmAdd(
+          docs.filter(col("doc_id") % 3 === k))): _*)
+      graft.ext.Text.lmPerplexityBackoffFromCounts(docs, st,
+        min3 = 2L, min2 = 2L, min1 = 1L)
+    }),
+
     "lm_perplexity" -> ((s, dir) =>
       graft.ext.Text.lmPerplexity(Tables(s, dir).documents)),
 
@@ -2645,6 +2667,64 @@ object ExtRegistry {
         |  LEFT JOIN cnt ON bg.ctx = cnt.ctx AND bg.w = cnt.w
         |  LEFT JOIN ct ON bg.ctx = ct.ctx
         |  CROSS JOIN vv),
+        |su AS (SELECT doc_id, a, b,
+        |              CAST(length(bin(a)) - length(bin(b)) AS BIGINT) AS k0 FROM sc),
+        |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |              CAST(sum(k0 - CASE WHEN a < (b << k0) THEN 1 ELSE 0 END) AS BIGINT) AS bits
+        |       FROM su GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_tokens, 0) AS n_tokens,
+        |       coalesce(bits, 0) AS bits,
+        |       CASE WHEN coalesce(n_tokens, 0) > 0
+        |            THEN CAST(coalesce(bits, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |            ELSE NULL END AS bits_per_token,
+        |       CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+        |            WHEN coalesce(bits, 0) * 3 <= 13 * n_tokens THEN 1 ELSE 0 END AS keep
+        |FROM documents d
+        |LEFT JOIN ds USING (doc_id)""".stripMargin
+
+  /** Stupid-backoff perplexity twin: [[lmPerplexityOracleMinCnt]]'s
+    * token stream one order up (double-BOS trigram contexts from two
+    * positional self-joins), per-order pruned counts with
+    * self-consistent totals, the three-level backoff as a single exact
+    * int64 ratio per event, and the identical bit-length surprisal
+    * tail — not one floating log on either side. */
+  private lazy val lmPerplexityBackoffOracle: String =
+    """WITH w AS (
+        |  SELECT doc_id, u['j'] AS p, u['w'] AS word FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(wl)), j -> {'j': j, 'w': wl[j]})) AS u
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl FROM documents) d) e),
+        |tg AS (
+        |  SELECT a.doc_id, coalesce(p2.word, '<s>') AS c2,
+        |         coalesce(p1.word, '<s>') AS c1, a.word AS w
+        |  FROM w a
+        |  LEFT JOIN w p1 ON a.doc_id = p1.doc_id AND p1.p = a.p - 1
+        |  LEFT JOIN w p2 ON a.doc_id = p2.doc_id AND p2.p = a.p - 2),
+        |t3 AS (SELECT c2, c1, w, CAST(count(*) AS BIGINT) AS c3
+        |       FROM tg GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |t2 AS (SELECT c1, w, CAST(count(*) AS BIGINT) AS c2n
+        |       FROM tg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |t1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1n
+        |       FROM tg GROUP BY 1 HAVING count(*) >= 1),
+        |tt3 AS (SELECT c2, c1, CAST(sum(c3) AS BIGINT) AS tot3 FROM t3 GROUP BY 1, 2),
+        |tt2 AS (SELECT c1, CAST(sum(c2n) AS BIGINT) AS tot2 FROM t2 GROUP BY 1),
+        |nv AS (SELECT CAST(sum(c1n) AS BIGINT) AS nn,
+        |              CAST(count(DISTINCT w) + 1 AS BIGINT) AS v FROM t1),
+        |sc AS (
+        |  SELECT tg.doc_id,
+        |         CASE WHEN t3.c3 IS NOT NULL THEN tt3.tot3
+        |              WHEN t2.c2n IS NOT NULL THEN 5 * tt2.tot2
+        |              ELSE 25 * (nv.nn + nv.v) END AS a,
+        |         CASE WHEN t3.c3 IS NOT NULL THEN t3.c3
+        |              WHEN t2.c2n IS NOT NULL THEN 2 * t2.c2n
+        |              ELSE 4 * (coalesce(t1.c1n, 0) + 1) END AS b
+        |  FROM tg
+        |  LEFT JOIN t3 ON tg.c2 = t3.c2 AND tg.c1 = t3.c1 AND tg.w = t3.w
+        |  LEFT JOIN tt3 ON tg.c2 = tt3.c2 AND tg.c1 = tt3.c1
+        |  LEFT JOIN t2 ON tg.c1 = t2.c1 AND tg.w = t2.w
+        |  LEFT JOIN tt2 ON tg.c1 = tt2.c1
+        |  LEFT JOIN t1 ON tg.w = t1.w
+        |  CROSS JOIN nv),
         |su AS (SELECT doc_id, a, b,
         |              CAST(length(bin(a)) - length(bin(b)) AS BIGINT) AS k0 FROM sc),
         |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -4775,6 +4855,16 @@ object ExtRegistry {
     "lm_perplexity" -> lmPerplexityOracle,
     "lm_perplexity_stream" -> lmPerplexityOracle,
     "lm_perplexity_pruned" -> lmPerplexityOracleMinCnt(LmPruneMinCnt),
+
+    // stupid-backoff twin: double-BOS trigram events via two positional
+    // self-joins, per-order counts pruned at (2, 2, 1) with totals and
+    // vocabulary recomputed from each PRUNED order, the backoff CASE as
+    // one exact int64 ratio per event (a = tot3 | 5*tot2 | 25*(N+V);
+    // b = c3 | 2*c2 | 4*(c1+1)), then the shared integer-bits surprisal
+    // tail. The stream twin shares it verbatim (merged trigramLmAdd
+    // state is contractually bit-identical to the single pass)
+    "lm_perplexity_backoff" -> lmPerplexityBackoffOracle,
+    "lm_perplexity_backoff_stream" -> lmPerplexityBackoffOracle,
 
     // unigram trainer twin: final E-step counts after two replayed
     // Viterbi-EM rounds (shared verbatim by the FromCounts stream twin

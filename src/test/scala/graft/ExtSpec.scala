@@ -3199,4 +3199,51 @@ class ExtSpec extends SparkSpec {
       Multimodal.audioSketch(bad).collect())
     assert(msgOf(e).contains("needs 16 equal segments"), msgOf(e))
   }
+
+  test("lmPerplexityBackoff: hand-traced three-level backoff, per-order prune changes the level") {
+    import graft.ext.Text
+    // state corpus: "x y z x y z" -> trigram (x,y,z) seen twice, all
+    // others once; bigrams (x,y) and (y,z) twice; N=6, V=4
+    val corpus = Seq((100L, "x y z x y z")).toDF("doc_id", "text")
+    val state = Text.trigramLmAdd(corpus)
+    def bitsOf(text: String, min3: Long = 1L, min2: Long = 1L): Long =
+      Text.lmPerplexityBackoffFromCounts(
+        Seq((1L, text)).toDF("doc_id", "text"), state, min3, min2, 1L)
+        .collect().head.getLong(2)
+    // "x y z w": three trigram hits (surprisal 0 each: cnt == tot in
+    // this corpus) + one OOV unigram event: a=25*(6+4)=250, b=4*1=4,
+    // floor(log2(62.5)) = 5
+    assert(bitsOf("x y z w") == 5L, "trigram hits + OOV floor")
+    // "z x w": unigram z (a=250, b=4*(2+1)=12 -> 4) + bigram (z,x)
+    // (a=5*1, b=2*1 -> 1) + OOV (5) = 10
+    assert(bitsOf("z x w") == 10L, "unigram + bigram + OOV levels")
+    // pruning trigram singletons forces (<s>,<s>,x) down to the
+    // bigram level: was 0 bits (cnt==tot at order 3), now
+    // a=5*tot2(<s>)=5, b=2*cnt2(<s>,x)=2 -> 1 bit
+    assert(bitsOf("x", min3 = 1L) == 0L)
+    assert(bitsOf("x", min3 = 2L) == 1L, "pruned trigram must back off")
+    // empty doc: zero tokens, keep = 0
+    val empty = Text.lmPerplexityBackoffFromCounts(
+      Seq((1L, "   ")).toDF("doc_id", "text"), state).collect().head
+    assert(empty.getLong(1) == 0L && empty.getInt(4) == 0)
+  }
+
+  test("lmPerplexityBackoff: merged trigramLmAdd deltas score bit-identically to the batch pass") {
+    import graft.ext.Text
+    val docs = Seq.tabulate(60)(i =>
+      // every 5th doc is all-unique tokens (pure OOV tail -> high
+      // bits/token, drops); the rest repeat a 7-token vocabulary
+      (i.toLong, if (i % 5 == 0) s"u${i}a u${i}b u${i}c u${i}d u${i}e"
+                 else s"tok${i % 7} tok${(i * 3) % 7} tok${(i * 5) % 7} tok${i % 7}"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    val batch = rows(Text.lmPerplexityBackoff(docs, min3 = 2L, min2 = 2L))
+    val kept = batch.values.map(_._3).toSet
+    assert(kept == Set(0, 1), s"both verdict branches must be live, got $kept")
+    val merged = Text.mergeTrigramLm(
+      (0 to 2).map(k => Text.trigramLmAdd(docs.filter(col("doc_id") % 3 === k))): _*)
+    assert(rows(Text.lmPerplexityBackoffFromCounts(docs, merged,
+      min3 = 2L, min2 = 2L)) == batch, "merged trigram LM state != batch")
+  }
 }

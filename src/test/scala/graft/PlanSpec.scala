@@ -653,6 +653,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
   }
 
+  test("backoff lm: per-order model probes broadcast; corpus never shuffles on a model key") {
+    val docs = tables.documents
+    val df = graft.ext.Text.lmPerplexityBackoff(docs, min3 = 2L, min2 = 2L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // one nested-loop cross is the (N, V) scalar attach — same contract
+    // as the bigram screen's vocabulary scalar
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"unexpected nested-loop joins in:\n$plan")
+    // five model probes (t3, tot3, t2, tot2, t1) must all ride
+    // broadcasts — any corpus-sized shuffle on a model key re-costs
+    // the corpus per order at 100 TB
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 5,
+      s"per-order probes expected as broadcast hash joins in:\n$plan")
+    assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
+  }
+
   test("byte-level BPE tokenize: dict probe broadcasts; no cartesian") {
     val docs = graft.ext.Text.utf8Dirty(tables.documents)
     val df = graft.ext.Text.byteBpeTokenize(

@@ -2123,13 +2123,39 @@ object Text {
     * the hash (one shuffle) → pair count agg. The n² pair space is
     * never built. */
   def fingerprintNearDups(documents: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDocFreq: Long = 5L): DataFrame =
+    fingerprintNearDupsFromState(fingerprintAdd(documents, n, w),
+      minShared, maxDocFreq)
+
+  /** ONE delta's winnow-postings state `(doc_id, sh)` — the add/merge
+    * ingest contract on the LAST dedup sub-family that lacked it: the
+    * shingle walk + window-min selection runs ONCE per document at
+    * ingest, the distinct selected hashes are what persists across
+    * crawl snapshots, and [[fingerprintNearDupsFromState]] /
+    * [[exactDupSpansFromState]] pair ANY merged state. The posting set
+    * is a pure per-document function of the text, so
+    * `mergeFingerprints(add(A), add(B)) ≡ add(A∪B)` exactly and the
+    * merge is idempotent under overlapping ingests. */
+  def fingerprintAdd(delta: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprints(delta, n, w)
+      .select(col("doc_id"), col("sh")).distinct()
+
+  /** Exact merge of [[fingerprintAdd]] states: posting-set union
+    * (duplicate rows are value-identical — first-wins by distinct). */
+  def mergeFingerprints(states: DataFrame*): DataFrame =
+    states.map(_.select(col("doc_id"), col("sh")))
+      .reduce(_ unionByName _).distinct()
+
+  /** [[fingerprintNearDups]] off a maintained [[fingerprintAdd]] state
+    * — df-prune, pair join and containment over STATE rows, never
+    * re-shingling text. */
+  def fingerprintNearDupsFromState(state: DataFrame,
       minShared: Long = 2L, maxDocFreq: Long = 5L): DataFrame = {
     require(minShared >= 1, s"minShared must be positive, got $minShared")
     require(maxDocFreq >= 1, s"maxDocFreq must be positive, got $maxDocFreq")
     // distinct hash per doc: a doc can select the same hash at several
     // positions (repeated content); postings are per (doc, hash)
-    val fp = winnowFingerprints(documents, n, w)
-      .select(col("doc_id"), col("sh")).distinct()
+    val fp = state.select(col("doc_id"), col("sh"))
       .localCheckpoint(false) // feeds per-doc counts AND the pair join
     val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("fp_cnt"))
     val rare = fp.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -2169,11 +2195,20 @@ object Text {
     * common run reports run_len 0 (the false-positive cut Lee et al.
     * run suffix arrays for, here bounded-window exact). */
   def exactDupSpans(documents: DataFrame, n: Int = 3, w: Int = 4,
+      window: Int = 32): DataFrame =
+    exactDupSpansFromState(documents, fingerprintAdd(documents, n, w), window)
+
+  /** [[exactDupSpans]] off a maintained [[fingerprintAdd]] state:
+    * candidates from the STATE postings (no re-shingling); the bounded
+    * token windows still slice from `documents` — exact verification
+    * reads the text by definition (that is the operator), but only for
+    * the candidate pairs the state join surfaces. */
+  def exactDupSpansFromState(documents: DataFrame, state: DataFrame,
       window: Int = 32): DataFrame = {
     require(window >= 1, s"window must be positive, got $window")
     val spark = documents.sparkSession
     import spark.implicits._
-    val cand = fingerprintNearDups(documents, n, w)
+    val cand = fingerprintNearDupsFromState(state)
       .select(col("doc_a"), col("doc_b"))
     val toks = documents.select(col("doc_id"),
       slice(filter(split(col("text"), " "), t => t =!= ""), 1, window).as("toks"))

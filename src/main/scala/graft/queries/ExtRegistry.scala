@@ -681,6 +681,33 @@ object ExtRegistry {
       graft.ext.Text.exactDupSpans(Tables(s, dir).documents, n = 3, w = 4,
         window = 32)),
 
+    // the winnow-postings family off a MERGED three-delta
+    // fingerprintAdd state (the last dedup sub-family without
+    // add/merge — r19 "What's missing #4"): the shingle walk +
+    // window-min selection ran once per doc at ingest, pairing probes
+    // STATE rows only; bit-identical by the add/merge contract, batch
+    // oracles verbatim
+    "near_dup_winnow_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.fingerprintNearDupsFromState(
+        graft.ext.Text.mergeFingerprints(
+          (0 to 2).map(k => graft.ext.Text.fingerprintAdd(
+            docs.filter(col("doc_id") % 3 === k), n = 3, w = 4)): _*))
+    }),
+
+    // exact-span verification off the same merged state: candidates
+    // from state postings, token windows sliced from the docs (exact
+    // verification reads text by definition — but only for candidate
+    // pairs)
+    "dup_spans_exact_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.exactDupSpansFromState(docs,
+        graft.ext.Text.mergeFingerprints(
+          (0 to 2).map(k => graft.ext.Text.fingerprintAdd(
+            docs.filter(col("doc_id") % 3 === k), n = 3, w = 4)): _*),
+        window = 32)
+    }),
+
     // content-defined chunking (Rabin/FastCDC on the token stream):
     // chunk boundaries where the 3-gram rolling hash ≡ 0 mod 32, each
     // chunk fingerprinted by an exact integer fold — the dedup-storage
@@ -2682,6 +2709,64 @@ object ExtRegistry {
         |            WHEN coalesce(bits, 0) * 3 <= 13 * n_tokens THEN 1 ELSE 0 END AS keep
         |FROM documents d
         |LEFT JOIN ds USING (doc_id)""".stripMargin
+
+  /** Fingerprint-overlap twin (shared verbatim by the stream twin off
+    * a merged fingerprintAdd state — the posting set is a pure
+    * per-document function, so merge ≡ batch). */
+  private lazy val nearDupWinnowOracle: String =
+    s"""WITH $winnowCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM wfp),
+         |fcnt AS (SELECT doc_id, count(*) AS fp_cnt FROM fps GROUP BY doc_id),
+         |frare AS (SELECT sh FROM fps GROUP BY sh HAVING count(*) <= 5),
+         |fpost AS MATERIALIZED (SELECT fps.doc_id, fps.sh FROM fps JOIN frare USING (sh)),
+         |fpair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 CAST(count(*) AS BIGINT) AS shared
+         |          FROM fpost a JOIN fpost b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.doc_a, p.doc_b, p.shared,
+         |       CAST(p.shared AS DOUBLE) / CAST(least(ca.fp_cnt, cb.fp_cnt) AS DOUBLE) AS containment
+         |FROM fpair p JOIN fcnt ca ON p.doc_a = ca.doc_id
+         |             JOIN fcnt cb ON p.doc_b = cb.doc_id""".stripMargin
+
+  /** Exact-span twin (shared verbatim by the stream twin — state
+    * candidates are contractually identical to the batch pass). */
+  private lazy val dupSpansExactOracle: String =
+    s"""WITH $winnowCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM wfp),
+         |frare AS (SELECT sh FROM fps GROUP BY sh HAVING count(*) <= 5),
+         |fpost AS MATERIALIZED (SELECT fps.doc_id, fps.sh FROM fps JOIN frare USING (sh)),
+         |fpair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM fpost a JOIN fpost b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 32) AS toks
+         |  FROM documents),
+         |runs AS (
+         |  SELECT f.doc_a, f.doc_b, g.n, ga.i, gb.j, ta.toks AS toks_a
+         |  FROM fpair f
+         |  JOIN tok ta ON ta.doc_id = f.doc_a
+         |  JOIN tok tb ON tb.doc_id = f.doc_b
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS n) g
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) ga
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS j) gb
+         |  WHERE ga.i + g.n - 1 <= len(ta.toks) AND gb.j + g.n - 1 <= len(tb.toks)
+         |    AND list_slice(ta.toks, ga.i, ga.i + g.n - 1)
+         |          = list_slice(tb.toks, gb.j, gb.j + g.n - 1)),
+         |best AS (
+         |  SELECT doc_a, doc_b, n, i, j, toks_a FROM (
+         |    SELECT doc_a, doc_b, n, i, j, toks_a,
+         |           row_number() OVER (PARTITION BY doc_a, doc_b
+         |             ORDER BY n DESC, i, j) AS rk
+         |    FROM runs) r WHERE rk = 1)
+         |SELECT f.doc_a, f.doc_b,
+         |       CAST(coalesce(b.n, 0) AS BIGINT) AS run_len,
+         |       CAST(coalesce(b.i, 0) AS BIGINT) AS start_a,
+         |       CAST(coalesce(b.j, 0) AS BIGINT) AS start_b,
+         |       CASE WHEN b.n IS NULL THEN ''
+         |            ELSE array_to_string(list_slice(b.toks_a, b.i, b.i + b.n - 1), ' ')
+         |       END AS run_text
+         |FROM fpair f LEFT JOIN best b USING (doc_a, doc_b)""".stripMargin
 
   /** Stupid-backoff perplexity twin: [[lmPerplexityOracleMinCnt]]'s
     * token stream one order up (double-BOS trigram contexts from two
@@ -4739,20 +4824,8 @@ object ExtRegistry {
     // fingerprint-overlap twin: distinct per-doc hashes, df <= 5
     // pruning, the pair join on the hash, containment =
     // shared / min(|fpA|, |fpB|) as one IEEE division of exact ints
-    "near_dup_winnow" ->
-      s"""WITH $winnowCtes,
-         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM wfp),
-         |fcnt AS (SELECT doc_id, count(*) AS fp_cnt FROM fps GROUP BY doc_id),
-         |frare AS (SELECT sh FROM fps GROUP BY sh HAVING count(*) <= 5),
-         |fpost AS MATERIALIZED (SELECT fps.doc_id, fps.sh FROM fps JOIN frare USING (sh)),
-         |fpair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                 CAST(count(*) AS BIGINT) AS shared
-         |          FROM fpost a JOIN fpost b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2 HAVING count(*) >= 2)
-         |SELECT p.doc_a, p.doc_b, p.shared,
-         |       CAST(p.shared AS DOUBLE) / CAST(least(ca.fp_cnt, cb.fp_cnt) AS DOUBLE) AS containment
-         |FROM fpair p JOIN fcnt ca ON p.doc_a = ca.doc_id
-         |             JOIN fcnt cb ON p.doc_b = cb.doc_id""".stripMargin,
+    "near_dup_winnow" -> nearDupWinnowOracle,
+    "near_dup_winnow_stream" -> nearDupWinnowOracle,
 
     // exact-span twin: the oracle ENUMERATES every (length, start_a,
     // start_b) whose token slices are equal within the 32-token window
@@ -4760,43 +4833,8 @@ object ExtRegistry {
     // Spark DP must reproduce exactly, run text re-sliced from the
     // winning coordinates; pairs with no common token fall back to
     // (0, 0, 0, '')
-    "dup_spans_exact" ->
-      s"""WITH $winnowCtes,
-         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM wfp),
-         |frare AS (SELECT sh FROM fps GROUP BY sh HAVING count(*) <= 5),
-         |fpost AS MATERIALIZED (SELECT fps.doc_id, fps.sh FROM fps JOIN frare USING (sh)),
-         |fpair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM fpost a JOIN fpost b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2 HAVING count(*) >= 2),
-         |tok AS MATERIALIZED (
-         |  SELECT doc_id,
-         |         list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 32) AS toks
-         |  FROM documents),
-         |runs AS (
-         |  SELECT f.doc_a, f.doc_b, g.n, ga.i, gb.j, ta.toks AS toks_a
-         |  FROM fpair f
-         |  JOIN tok ta ON ta.doc_id = f.doc_a
-         |  JOIN tok tb ON tb.doc_id = f.doc_b
-         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS n) g
-         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) ga
-         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS j) gb
-         |  WHERE ga.i + g.n - 1 <= len(ta.toks) AND gb.j + g.n - 1 <= len(tb.toks)
-         |    AND list_slice(ta.toks, ga.i, ga.i + g.n - 1)
-         |          = list_slice(tb.toks, gb.j, gb.j + g.n - 1)),
-         |best AS (
-         |  SELECT doc_a, doc_b, n, i, j, toks_a FROM (
-         |    SELECT doc_a, doc_b, n, i, j, toks_a,
-         |           row_number() OVER (PARTITION BY doc_a, doc_b
-         |             ORDER BY n DESC, i, j) AS rk
-         |    FROM runs) r WHERE rk = 1)
-         |SELECT f.doc_a, f.doc_b,
-         |       CAST(coalesce(b.n, 0) AS BIGINT) AS run_len,
-         |       CAST(coalesce(b.i, 0) AS BIGINT) AS start_a,
-         |       CAST(coalesce(b.j, 0) AS BIGINT) AS start_b,
-         |       CASE WHEN b.n IS NULL THEN ''
-         |            ELSE array_to_string(list_slice(b.toks_a, b.i, b.i + b.n - 1), ' ')
-         |       END AS run_text
-         |FROM fpair f LEFT JOIN best b USING (doc_a, doc_b)""".stripMargin,
+    "dup_spans_exact" -> dupSpansExactOracle,
+    "dup_spans_exact_stream" -> dupSpansExactOracle,
 
     // CDC chunking twin: the shared chunk CTEs emit the rows directly
     "cdc_chunks" ->

@@ -3246,4 +3246,33 @@ class ExtSpec extends SparkSpec {
     assert(rows(Text.lmPerplexityBackoffFromCounts(docs, merged,
       min3 = 2L, min2 = 2L)) == batch, "merged trigram LM state != batch")
   }
+
+  test("fingerprintAdd/mergeFingerprints: merged postings == batch pairs and spans, idempotent") {
+    import graft.ext.Text
+    // 5-doc groups share a 12-token prefix (winnow candidates); unique tails
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"c${i / 5}t1 c${i / 5}t2 c${i / 5}t3 c${i / 5}t4 c${i / 5}t5 " +
+        s"c${i / 5}t6 c${i / 5}t7 c${i / 5}t8 c${i / 5}t9 c${i / 5}t10 " +
+        s"c${i / 5}t11 c${i / 5}t12 u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5))).toSet
+    val batchPairs = pairs(Text.fingerprintNearDups(docs))
+    val batchSpans = spans(Text.exactDupSpans(docs))
+    assert(batchPairs.nonEmpty && batchSpans.nonEmpty)
+    val merged = Text.mergeFingerprints(
+      (0 to 2).map(k => Text.fingerprintAdd(docs.filter(col("doc_id") % 3 === k))): _*)
+    assert(pairs(Text.fingerprintNearDupsFromState(merged)) == batchPairs,
+      "merged postings != batch pairs")
+    assert(spans(Text.exactDupSpansFromState(docs, merged)) == batchSpans,
+      "merged postings != batch spans")
+    // overlap: docs 0-9 ingested twice — distinct-merge, still == batch
+    val overlapped = Text.mergeFingerprints(
+      Text.fingerprintAdd(docs.filter(col("doc_id") <= 9)),
+      Text.fingerprintAdd(docs))
+    assert(pairs(Text.fingerprintNearDupsFromState(overlapped)) == batchPairs)
+  }
 }

@@ -679,7 +679,22 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.MinHash.nearDupDeltaPairs(
           graft.ext.MinHash.minhashAdd(synthGroupDupDocs(s, 500L * f, 0L), 3),
-          synthGroupDupDocs(s, 100L, 10000000L), 3)))
+          synthGroupDupDocs(s, 100L, 10000000L), 3)),
+    // delta-vs-state ANN: a FIXED 100-vector delta routed + broadcast
+    // against an ivfIndexAdd per-vector index state growing 100× under
+    // a FIXED 1×-trained quantizer — the per-snapshot embedding-store
+    // query. The state side is the one unavoidable linear scan;
+    // exchange count and heap must stay flat (no state-keyed shuffle).
+    ("state->knnDeltaVsState", Map.empty[String, String],
+      (s: SparkSession, f: Int) => {
+        val train = synthEmbeddings(s, 500L)
+        val cen = graft.ext.Cluster.kmeansCentroids(train, k = 8, iters = 2)
+        val scale = graft.ext.Cluster.sampledGridScale(train, 1).get
+        val state = graft.ext.Sim.ivfIndexAdd(synthEmbeddings(s, 500L * f), cen, scale)
+        val delta = synthEmbeddings(s, 100L)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        graft.ext.Sim.knnDeltaVsState(state, delta, cen, scale, k = 5, nProbe = 2)
+      }))
 
   /** Successful tasks' (stageId, durationMs, shuffleReadRecords,
     * shuffleWriteBytes), drained from the async listener bus before

@@ -415,6 +415,97 @@ object Sim {
     topK(pairs, k)
   }
 
+  /** ONE delta's PER-VECTOR IVF index rows under a FIXED shipped
+    * quantizer: `(vec_id, embedding, nsq, cell)` — each vector
+    * quantizes onto the trainer's grid and is assigned its argmin cell
+    * ONCE at ingest ([[Cluster.indexAdd]] keeps the occupancy
+    * statistics; this keeps the searchable rows). Assignment is a pure
+    * per-vector function of the fixed quantizer, so
+    * `mergeIvfIndex(add(A), add(B)) ≡ add(A∪B)` exactly, idempotent
+    * under overlap. Zero-norm vectors are excluded by the usual cosine
+    * contract. */
+  def ivfIndexAdd(delta: DataFrame, centroids: DataFrame, gridScale: Double): DataFrame = {
+    import graft.ext.Cluster
+    val state = Cluster.centroidState(centroids)
+    val spark = delta.sparkSession
+    if (state.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(FloatType)),
+          org.apache.spark.sql.types.StructField("nsq", DoubleType),
+          org.apache.spark.sql.types.StructField("cell", IntegerType))))
+    delta.select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"),
+        element_at(org.apache.spark.sql.graft.KMeansCells.probe(
+          Cluster.qCol(gridScale), Cluster.exprState(state), 1), 1).as("cell"))
+      .filter(col("nsq") > 0)
+  }
+
+  /** Exact merge of [[ivfIndexAdd]] states: id-keyed first-wins union
+    * (duplicate rows are value-identical under one quantizer). */
+  def mergeIvfIndex(states: DataFrame*): DataFrame =
+    states.map(_.select(col("vec_id"), col("embedding"), col("nsq"), col("cell")))
+      .reduce(_ unionByName _)
+      .dropDuplicates("vec_id")
+
+  /** Delta-vs-state ANN — [[graft.ext.MinHash.nearDupDeltaPairs]]'
+    * incremental discipline on the vector stack: a DELTA of new
+    * vectors is searched against a maintained [[ivfIndexAdd]] state
+    * (plus the delta itself, so new vectors can be each other's
+    * neighbors) with NO state-sized exchange — the routed delta probes
+    * are the SMALL side, broadcast into the cell join, and the state
+    * is scanned once in place. Emits [[ivfTopKTrained]]'s exact rows
+    * restricted to delta probes: per-probe equivalence makes
+    * `knnDeltaVsState(state(E∖Δ), Δ) ≡ ivfTopKTrained(E) where vec_id
+    * ∈ Δ` when the quantizer and grid are the trainer's — the oracle
+    * states exactly that.
+    *
+    * This is the query a 100 TB embedding store actually runs per
+    * snapshot: yesterday's index is data-at-rest, today's delta routes
+    * + broadcasts, and candidate volume is the delta's cell-join bound
+    * — never a re-search of the corpus and never a shuffle keyed on
+    * the state.
+    *
+    * PRECONDITION: `state` must not already contain the delta's
+    * vec_ids — id-dedup is [[mergeIvfIndex]]'s job at state-maintenance
+    * time, not a per-query cost (duplicate ids would emit duplicate
+    * candidate rows). */
+  def knnDeltaVsState(state: DataFrame, delta: DataFrame, centroids: DataFrame,
+      gridScale: Double, k: Int, nProbe: Int): DataFrame = {
+    import graft.ext.Cluster
+    val cState = Cluster.centroidState(centroids)
+    val spark = delta.sparkSession
+    if (cState.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id", LongType),
+          org.apache.spark.sql.types.StructField("cosine", DoubleType),
+          org.apache.spark.sql.types.StructField("rank", IntegerType))))
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val np = math.min(nProbe, cState.size)
+    val deltaIdx = ivfIndexAdd(delta, centroids, gridScale).localCheckpoint(false)
+    val all = state.select(col("vec_id"), col("embedding"), col("nsq"), col("cell"))
+      .unionByName(deltaIdx)
+    val probes = deltaIdx
+      .select(col("vec_id"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"),
+        explode(org.apache.spark.sql.graft.KMeansCells.probe(
+          Cluster.qCol(gridScale), Cluster.exprState(cState), np)).as("cell"))
+    // the state∪delta side probed IN PLACE; the routed delta broadcasts
+    // (aliases, not frame-column refs: `all` shares deltaIdx's lineage
+    // with `probes`, so unaliased attributes would be ambiguous)
+    val pairs = all.as("s")
+      .join(broadcast(probes.as("p")),
+        col("s.cell") === col("p.cell") && col("s.vec_id") =!= col("p.vec_id"))
+      .select(col("p.vec_id").as("vec_id"),
+        col("s.vec_id").as("neighbor_id"),
+        (dot(col("p.emb_a"), col("s.embedding")) /
+          (sqrt(col("p.nsq_a")) * sqrt(col("s.nsq")))).as("cosine"))
+    topK(pairs, k)
+  }
+
   /** IVF tuning curve — the production `nProbe` knob as a measured
     * (nprobe, candidate_pairs, truth_pairs, hit_pairs, recall) table: a
     * recall-targeted deployment reads the row meeting its budget instead

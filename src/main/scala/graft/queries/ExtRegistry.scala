@@ -1295,6 +1295,26 @@ object ExtRegistry {
         k = 5, nProbe = 2)
     }),
 
+    // delta-vs-state ANN (nearDupDeltaPairs' incremental discipline on
+    // the vector stack — r19 stretch): vec_id % 3 = 1 is TODAY'S delta,
+    // the rest yesterday's maintained per-vector index rows
+    // (ivfIndexAdd under the once-trained quantizer, assignment paid at
+    // ingest); the routed delta broadcasts into the cell join and the
+    // state scans ONCE in place — no state-keyed exchange (pinned in
+    // PlanSpec). Per-probe equivalence makes the oracle the full
+    // trained-IVF search restricted to delta probes
+    "knn_delta_vs_state" -> ((s, dir) => {
+      val emb = embeddingsDimChecked(s, dir)
+      val cen = graft.ext.Cluster.kmeansCentroids(emb, k = KmK, iters = KmIters)
+      // empty corpus: grid absent, but both halves return empty frames
+      // (sampleMod 1 = the full corpus — the trainer's own grid)
+      val scale = graft.ext.Cluster.sampledGridScale(emb, 1).getOrElse(1.0)
+      val state = graft.ext.Sim.ivfIndexAdd(
+        emb.filter(col("vec_id") % 3 =!= 1), cen, scale)
+      graft.ext.Sim.knnDeltaVsState(state,
+        emb.filter(col("vec_id") % 3 === 1), cen, scale, k = 5, nProbe = 2)
+    }),
+
     // product-quantization codes — the FAISS compression half next to
     // the coarse quantizer: m=4 independent 16-dim exact-Lloyd codebooks
     // on the shared int8 grid, code = per-subspace argmin cell
@@ -2709,6 +2729,37 @@ object ExtRegistry {
         |            WHEN coalesce(bits, 0) * 3 <= 13 * n_tokens THEN 1 ELSE 0 END AS keep
         |FROM documents d
         |LEFT JOIN ds USING (doc_id)""".stripMargin
+
+  /** Trained-IVF search twin, parameterized by a final-row filter:
+    * the bare form is `knn_cosine_ivf_trained`; the delta-vs-state
+    * twin appends the delta residue-class cut (per-probe equivalence:
+    * restricting the probe side commutes with the whole search). */
+  private def ivfTrainedOracle(extraWhere: String = ""): String =
+    s"""WITH ${kmCtes(KmK)},
+         |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+         |e0 AS (
+         |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
+         |  FROM embeddings m JOIN q v USING (vec_id)),
+         |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
+         |ranked AS MATERIALIZED (
+         |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+         |  FROM e1 v CROSS JOIN g2 c),
+         |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE rk <= 2),
+         |indexed AS (SELECT vec_id AS neighbor_id, embedding, nsq, cell
+         |            FROM ranked WHERE rk = 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT p.vec_id, i.neighbor_id,
+         |         (${kmEmbDot("p", "i")}) / (sqrt(p.nsq) * sqrt(i.nsq)) AS cosine
+         |  FROM probes p JOIN indexed i
+         |    ON p.cell = i.cell AND p.vec_id <> i.neighbor_id)
+         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM pairs) t
+         |WHERE rank <= 5$extraWhere""".stripMargin
 
   /** Fingerprint-overlap twin (shared verbatim by the stream twin off
     * a merged fingerprintAdd state — the posting set is a pure
@@ -4563,32 +4614,12 @@ object ExtRegistry {
     // cells per vector by the exact int64 score (ties to the lowest
     // cell), index at rk=1, probe rk<=2, cosine on the original floats,
     // top-5. k/nProbe mirror the knn_cosine_ivf_trained registry call.
-    "knn_cosine_ivf_trained" ->
-      s"""WITH ${kmCtes(KmK)},
-         |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
-         |e0 AS (
-         |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
-         |  FROM embeddings m JOIN q v USING (vec_id)),
-         |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
-         |ranked AS MATERIALIZED (
-         |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
-         |         row_number() OVER (PARTITION BY v.vec_id
-         |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
-         |  FROM e1 v CROSS JOIN g2 c),
-         |probes AS (SELECT vec_id, embedding, nsq, cell FROM ranked WHERE rk <= 2),
-         |indexed AS (SELECT vec_id AS neighbor_id, embedding, nsq, cell
-         |            FROM ranked WHERE rk = 1),
-         |pairs AS MATERIALIZED (
-         |  SELECT p.vec_id, i.neighbor_id,
-         |         (${kmEmbDot("p", "i")}) / (sqrt(p.nsq) * sqrt(i.nsq)) AS cosine
-         |  FROM probes p JOIN indexed i
-         |    ON p.cell = i.cell AND p.vec_id <> i.neighbor_id)
-         |SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT vec_id, neighbor_id, cosine,
-         |         row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM pairs) t
-         |WHERE rank <= 5""".stripMargin,
+    "knn_cosine_ivf_trained" -> ivfTrainedOracle(),
+
+    // delta-vs-state twin: per-probe equivalence — the maintained
+    // index + broadcast-delta search must equal the full trained-IVF
+    // search restricted to the delta residue class
+    "knn_delta_vs_state" -> ivfTrainedOracle(" AND vec_id % 3 = 1"),
 
     // sampled-training search twin: kmCtes' WHERE trains on the residue
     // class, the FULL corpus quantizes on the sample grid (qf), assigns

@@ -3275,4 +3275,33 @@ class ExtSpec extends SparkSpec {
       Text.fingerprintAdd(docs))
     assert(pairs(Text.fingerprintNearDupsFromState(overlapped)) == batchPairs)
   }
+
+  test("ivfIndexAdd/mergeIvfIndex: delta-vs-state search == full trained search on the delta slice") {
+    import graft.ext.{Cluster, Sim}
+    val emb = spark.range(120L).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 8), i -> " +
+        "CAST(pmod(id * 2654435761 + i * 40503, 1000003) / 1000003.0 - 0.5 AS FLOAT))")
+        .as("embedding"))
+    val cen = Cluster.kmeansCentroids(emb, k = 4, iters = 2)
+    val scale = Cluster.sampledGridScale(emb, 1).get
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the contract directly: delta search over the maintained state ==
+    // the full trained search restricted to delta probes
+    val full = rows(Sim.ivfTopKTrained(emb, cen, k = 3, nProbe = 2)
+      .filter(col("vec_id") % 3 === 1))
+    val state = Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 =!= 1), cen, scale)
+    val delta = emb.filter(col("vec_id") % 3 === 1)
+    assert(rows(Sim.knnDeltaVsState(state, delta, cen, scale, k = 3, nProbe = 2)) == full)
+    assert(full.nonEmpty)
+    // merge: two-delta ingest == one-shot state, idempotent under overlap
+    val merged = Sim.mergeIvfIndex(
+      Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 === 0), cen, scale),
+      Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 === 2), cen, scale))
+    assert(rows(Sim.knnDeltaVsState(merged, delta, cen, scale, k = 3, nProbe = 2)) == full)
+    val overlapped = Sim.mergeIvfIndex(
+      Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 === 0), cen, scale),
+      Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 =!= 1), cen, scale))
+    assert(rows(Sim.knnDeltaVsState(overlapped, delta, cen, scale, k = 3, nProbe = 2)) == full)
+  }
 }

@@ -734,6 +734,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast candidate join in:\n$plan")
   }
 
+  test("knnDeltaVsState: the routed delta broadcasts into the cell join, no state-keyed exchange") {
+    val emb = tables.embeddings
+    val cen = graft.ext.Cluster.kmeansCentroids(emb, k = 8, iters = 2)
+    val scale = graft.ext.Cluster.sampledGridScale(emb, 1).get
+    val state = graft.ext.Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 =!= 1), cen, scale)
+    val df = graft.ext.Sim.knnDeltaVsState(state,
+      emb.filter(col("vec_id") % 3 === 1), cen, scale, k = 5, nProbe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    // the 100 TB-correct candidate shape: the routed DELTA broadcasts,
+    // the state ∪ delta side is probed in place — a SortMergeJoin here
+    // would shuffle the whole vector index per delta
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast candidate join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"state-keyed shuffle join in:\n$plan")
+  }
+
   test("gopher repetition: no window, no self-join — three keyed aggs on the doc spine") {
     val df = graft.ext.Text.gopherRepetition(tables.documents)
     val plan = df.queryExecution.executedPlan.toString

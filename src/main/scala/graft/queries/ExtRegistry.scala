@@ -2214,6 +2214,18 @@ object ExtRegistry {
         graft.ext.Multimodal.mergeAudioSketch(add(0L), add(1L)), 3)
     }),
 
+    // near-dup families as CONNECTED COMPONENTS over the banded pair
+    // graph (near_dup_components' discipline on the audio modality):
+    // min-label propagation on the Spark side vs the oracle's native
+    // transitive closure — two fixpoint algorithms hash-agreeing
+    "audio_near_dup_groups" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"))
+      val media = graft.ext.Multimodal.encodeAudioTones(docs)
+        .unionByName(graft.ext.Multimodal.encodeAudioTones(docs, variant = true))
+      graft.ext.Dedup.connectedComponents(
+        graft.ext.Multimodal.audioNearDups(media, 3), "doc_a", "doc_b")
+    }),
+
     // the ann_recall discipline on the audio sketch: banded-pair recall
     // vs the brute all-pairs Hamming truth (audit-only broadcast-index
     // kernel). Banding at Hamming <= 3 under 4x16-bit MIH bands is
@@ -7056,6 +7068,24 @@ object ExtRegistry {
         |       CAST(bit_count(xor(a.sketch, b2.sketch)) AS BIGINT) AS hamming
         |FROM sk a JOIN sk b2 ON a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.sketch, b2.sketch)) <= 3""".stripMargin,
+
+    // component twin: native transitive closure over the same sketch
+    // pair graph (the componentsCtes discipline on the audio family)
+    "audio_near_dup_groups" ->
+      s"""WITH RECURSIVE $audioSketchCtes,
+        |apairs AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM sk a JOIN sk b2 ON a.doc_id < b2.doc_id
+        |  WHERE bit_count(xor(a.sketch, b2.sketch)) <= 3),
+        |cedges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM apairs
+        |  UNION SELECT doc_b, doc_a FROM apairs),
+        |reach AS (
+        |  SELECT a AS v, a AS r FROM cedges
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN cedges e ON e.a = r.v),
+        |comps AS (SELECT v AS doc_id, min(r) AS component_id FROM reach GROUP BY v)
+        |SELECT doc_id, component_id FROM comps""".stripMargin,
 
     // recall-audit twin: truth = the same all-pairs count; expected
     // n_hit = n_truth and recall = 1.0 BY THE PIGEONHOLE THEOREM

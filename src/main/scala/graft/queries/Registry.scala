@@ -816,6 +816,22 @@ object Registry {
           col("content_type"), col("body"),
           (col("status") === 200 && col("content_type").startsWith("text/"))
             .cast("int").as("keep"))
+    }),
+
+    // the FULL CommonCrawl read path in one query: `.warc.gz` container
+    // (per-record gzip members) on the outside, encoded HTTP framing
+    // inside — member inflate, length-framed record walk, de-chunk,
+    // body inflate, all on raw bytes; records are byte-identical to the
+    // plain form's, so the oracle holds verbatim
+    "warc_http_body_gz" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      graft.sources.Warc.parseWarcHttpBody(
+        graft.sources.Warc.parseWarcGzRaw(graft.sources.Warc.encodeWarcHttpEncGz(docs)))
+        .toDF()
+        .select(col("doc_id"), col("target_uri"), col("status"),
+          col("content_type"), col("body"),
+          (col("status") === 200 && col("content_type").startsWith("text/"))
+            .cast("int").as("keep"))
     })
   )
 
@@ -981,6 +997,23 @@ object Registry {
       .map(i => s"${ivfCenSql(c, i)} * ${ivfCenSql(c, i)}").mkString(" + ")
     s"($dotC) * -2.0 + ($nsqC)"
   }
+
+  /** Body-decode twin (shared verbatim by the `.warc.gz` form — the
+    * member codec is lossless over byte-identical records). */
+  private lazy val warcHttpBodyOracle: String =
+    """SELECT doc_id,
+      |       'https://graft.test/' || doc_id AS target_uri,
+      |       CAST(CASE doc_id % 7 WHEN 3 THEN 404 WHEN 4 THEN 301
+      |                            WHEN 6 THEN 503 ELSE 200 END AS INTEGER) AS status,
+      |       CASE doc_id % 5 WHEN 0 THEN 'text/html; charset=UTF-8'
+      |                       WHEN 1 THEN 'text/plain'
+      |                       WHEN 2 THEN 'application/pdf'
+      |                       WHEN 3 THEN 'text/html'
+      |                       ELSE 'image/png' END AS content_type,
+      |       text AS body,
+      |       CAST(CASE WHEN doc_id % 7 NOT IN (3, 4, 6)
+      |                  AND doc_id % 5 IN (0, 1, 3) THEN 1 ELSE 0 END AS INTEGER) AS keep
+      |FROM documents""".stripMargin
 
   private val coreOracles: Map[String, String] = Map(
     "stg_arrears" ->
@@ -1707,20 +1740,11 @@ object Registry {
     // gzip / deflate / chunked / chunked-over-gzip by doc_id mod 5), the
     // decoder must hand back the ORIGINAL text verbatim — the oracle
     // never mentions the framing because a correct decode erases it
-    "warc_http_body" ->
-      """SELECT doc_id,
-        |       'https://graft.test/' || doc_id AS target_uri,
-        |       CAST(CASE doc_id % 7 WHEN 3 THEN 404 WHEN 4 THEN 301
-        |                            WHEN 6 THEN 503 ELSE 200 END AS INTEGER) AS status,
-        |       CASE doc_id % 5 WHEN 0 THEN 'text/html; charset=UTF-8'
-        |                       WHEN 1 THEN 'text/plain'
-        |                       WHEN 2 THEN 'application/pdf'
-        |                       WHEN 3 THEN 'text/html'
-        |                       ELSE 'image/png' END AS content_type,
-        |       text AS body,
-        |       CAST(CASE WHEN doc_id % 7 NOT IN (3, 4, 6)
-        |                  AND doc_id % 5 IN (0, 1, 3) THEN 1 ELSE 0 END AS INTEGER) AS keep
-        |FROM documents""".stripMargin,
+    "warc_http_body" -> warcHttpBodyOracle,
+
+    // gz-container twin: the codec layer is lossless over byte-identical
+    // records, so the decode contract holds verbatim
+    "warc_http_body_gz" -> warcHttpBodyOracle,
 
     // the sharded two-phase assignment must equal the one global
     // row_number — the oracle IS the semantic contract

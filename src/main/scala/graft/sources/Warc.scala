@@ -284,6 +284,41 @@ object Warc {
     * chunked-over-gzip. Chunked responses carry no Content-Length (the
     * chunk frames delimit); non-chunked ones declare the ENCODED byte
     * count, which the decoder cross-checks. */
+  /** One complete HTTP-framed WARC record (headers + payload +
+    * terminator) for doc `id` — shared by the plain and `.warc.gz`
+    * encoded-HTTP fixtures so both containers carry byte-identical
+    * records. */
+  private def httpEncRecordBytes(id: Long, text: String): Array[Byte] = {
+    val status = httpStatus(id)
+    val raw = text.getBytes(UTF_8)
+    val (frameHdrs, body) = bodyMode(id) match {
+      case 0 => (Seq(s"Content-Length: ${raw.length}"), raw)
+      case 1 =>
+        val g = gzipBytes(raw)
+        (Seq("Content-Encoding: gzip", s"Content-Length: ${g.length}"), g)
+      case 2 =>
+        val d = deflateBytes(raw)
+        (Seq("Content-Encoding: deflate", s"Content-Length: ${d.length}"), d)
+      case 3 => (Seq("Transfer-Encoding: chunked"), chunkBytes(raw))
+      case _ => (Seq("Content-Encoding: gzip", "Transfer-Encoding: chunked"),
+        chunkBytes(gzipBytes(raw)))
+    }
+    val http =
+      (s"HTTP/1.1 $status ${httpReason(status)}\r\n" +
+        s"Content-Type: ${httpContentType(id)}\r\n" +
+        frameHdrs.map(_ + "\r\n").mkString +
+        s"X-Crawl-Host: graft.test\r\n" +
+        "\r\n").getBytes(US_ASCII) ++ body
+    val header =
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:doc-$id>\r\n" +
+        s"WARC-Target-URI: https://graft.test/$id\r\n" +
+        s"Content-Length: ${http.length}\r\n" +
+        "\r\n"
+    header.getBytes(US_ASCII) ++ http ++ "\r\n\r\n".getBytes(US_ASCII)
+  }
+
   def encodeWarcHttpEnc(documents: DataFrame, shardSize: Long = 50L): Dataset[WarcContainer] = {
     require(shardSize >= 1L, s"shard size must be positive, got $shardSize")
     val spark = documents.sparkSession
@@ -293,36 +328,31 @@ object Warc {
       .mapGroups { (shard, it) =>
         val out = new java.io.ByteArrayOutputStream()
         it.toSeq.sortBy(_._1).foreach { case (id, text) =>
-          val status = httpStatus(id)
-          val raw = text.getBytes(UTF_8)
-          val (frameHdrs, body) = bodyMode(id) match {
-            case 0 => (Seq(s"Content-Length: ${raw.length}"), raw)
-            case 1 =>
-              val g = gzipBytes(raw)
-              (Seq("Content-Encoding: gzip", s"Content-Length: ${g.length}"), g)
-            case 2 =>
-              val d = deflateBytes(raw)
-              (Seq("Content-Encoding: deflate", s"Content-Length: ${d.length}"), d)
-            case 3 => (Seq("Transfer-Encoding: chunked"), chunkBytes(raw))
-            case _ => (Seq("Content-Encoding: gzip", "Transfer-Encoding: chunked"),
-              chunkBytes(gzipBytes(raw)))
-          }
-          val http =
-            (s"HTTP/1.1 $status ${httpReason(status)}\r\n" +
-              s"Content-Type: ${httpContentType(id)}\r\n" +
-              frameHdrs.map(_ + "\r\n").mkString +
-              s"X-Crawl-Host: graft.test\r\n" +
-              "\r\n").getBytes(US_ASCII) ++ body
-          val header =
-            "WARC/1.0\r\n" +
-              "WARC-Type: response\r\n" +
-              s"WARC-Record-ID: <urn:graft:doc-$id>\r\n" +
-              s"WARC-Target-URI: https://graft.test/$id\r\n" +
-              s"Content-Length: ${http.length}\r\n" +
-              "\r\n"
-          out.write(header.getBytes(US_ASCII))
-          out.write(http, 0, http.length)
-          out.write("\r\n\r\n".getBytes(US_ASCII))
+          val rec = httpEncRecordBytes(id, text)
+          out.write(rec, 0, rec.length)
+        }
+        WarcContainer(shard, out.toByteArray)
+      }
+  }
+
+  /** [[encodeWarcHttpEnc]] with each record as its OWN gzip member
+    * ([[encodeWarcGz]]'s seekable layout) — the full CommonCrawl
+    * container: `.warc.gz` on the outside, framed HTTP responses
+    * inside. Records are byte-identical to the plain form's. */
+  def encodeWarcHttpEncGz(documents: DataFrame, shardSize: Long = 50L): Dataset[WarcContainer] = {
+    require(shardSize >= 1L, s"shard size must be positive, got $shardSize")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / shardSize)
+      .mapGroups { (shard, it) =>
+        val out = new java.io.ByteArrayOutputStream()
+        it.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          val rec = httpEncRecordBytes(id, text)
+          gz.write(rec, 0, rec.length)
+          gz.finish()
+          gz.close() // release the Deflater now (see encodeWarcGz)
         }
         WarcContainer(shard, out.toByteArray)
       }
@@ -468,6 +498,24 @@ object Warc {
     val spark = containers.sparkSession
     import spark.implicits._
     containers.flatMap(c => parseContainerRaw(c.shard_id, c.bytes))
+  }
+
+  /** [[parseWarcGz]]'s raw-payload twin: inflate the member chain,
+    * keep record payloads as bytes — the full CommonCrawl read path
+    * (`.warc.gz` container, HTTP framing inside) feeds
+    * [[parseWarcHttpBody]] through this. */
+  def parseWarcGzRaw(containers: Dataset[WarcContainer]): Dataset[WarcByteRecord] = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    containers.flatMap { c =>
+      require(c.bytes.length >= 2 &&
+        (c.bytes(0) & 0xff) == 0x1f && (c.bytes(1) & 0xff) == 0x8b,
+        s"shard ${c.shard_id}: not a gzip container (bad magic)")
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(c.bytes))
+      val inflated = try in.readAllBytes() finally in.close()
+      parseContainerRaw(c.shard_id, inflated)
+    }
   }
 
   private def parseContainer(sid: Long, bs: Array[Byte]): Seq[WarcRecord] =

@@ -388,6 +388,12 @@ class LoadSpec extends SparkSpec {
       out.map(r => (r.doc_id, r.body)).mkString("; "))
     // the status/content-type screen fields survive the framing layer
     assert(out.exists(_.status != 200) && out.exists(_.status == 200))
+    // the .warc.gz container path carries byte-identical records, so
+    // the decoded rows must be identical
+    val gzOut = Warc.parseWarcHttpBody(
+      Warc.parseWarcGzRaw(Warc.encodeWarcHttpEncGz(docs))).collect()
+    assert(gzOut.map(r => (r.doc_id, r.status, r.content_type, r.body)).toSet ==
+      out.map(r => (r.doc_id, r.status, r.content_type, r.body)).toSet)
   }
 
   test("parseWarcHttpBody: framing failures each by name") {

@@ -147,10 +147,11 @@ object ScaleProof {
     * hard → sketches near-uniform 63-bit — cross-group Hamming ≤ 3
     * collisions vanish at these n while the 5 group members stay exact
     * dups: pair output grows linearly at constant group size. */
-  private def synthGroupDupPngs(spark: SparkSession,
-      n: Long): org.apache.spark.sql.Dataset[graft.ext.Multimodal.EncodedMedia] = {
+  private def synthGroupDupPngs(spark: SparkSession, n: Long,
+      idOffset: Long = 0L): org.apache.spark.sql.Dataset[graft.ext.Multimodal.EncodedMedia] = {
     import spark.implicits._
-    spark.range(n).as[Long].map { id =>
+    spark.range(n).as[Long].map { id0 =>
+      val id = id0 + idOffset
       val g = id / 5
       graft.ext.Multimodal.EncodedMedia(id, "png",
         graft.ext.Multimodal.pngBytesWith(id, 8, 8,
@@ -680,6 +681,30 @@ object ScaleProof {
         graft.ext.MinHash.nearDupDeltaPairs(
           graft.ext.MinHash.minhashAdd(synthGroupDupDocs(s, 500L * f, 0L), 3),
           synthGroupDupDocs(s, 100L, 10000000L), 3)),
+    // the same snapshot shape on the pHash sketch family: a FIXED
+    // 100-image delta (its own 20 raster groups, disjoint from the
+    // state's) banded + broadcast against a phashAdd sketch state
+    // growing 100×. Pair output constant at 200; candidate traffic is
+    // the MIH bands·n·|delta|/2^16 cross term plus the delta's own
+    // groups — the state scan is the one unavoidable linear pass,
+    // exchange count and heap must stay flat (no state-keyed shuffle).
+    ("state->phashDeltaPairs", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Multimodal.phashNearDupDeltaPairs(
+          graft.ext.Multimodal.phashAdd(synthGroupDupPngs(s, 500L * f)),
+          synthGroupDupPngs(s, 100L, 10000000L), 3)),
+    // bounded edit-distance verify: candidates (10 per 5-doc group,
+    // linear in the corpus — the shared 12-token prefix gives every
+    // group ≥ minShared common fingerprints; the 8-token unique tails
+    // put each pair ~48 bytes apart, the NULL branch) from the
+    // winnow-postings join, each scored by the k-band byte DP —
+    // per-pair cost is O(maxDist·len) constant, so wall tracks the
+    // linear candidate count; no all-pairs stage to blow up
+    // quadratically.
+    ("docs->editDistancePairs", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.editDistancePairs(synthDupDocs(s, 500L * f),
+          n = 3, w = 4, maxDist = 16)),
     // delta-vs-state ANN: a FIXED 100-vector delta routed + broadcast
     // against an ivfIndexAdd per-vector index state growing 100× under
     // a FIXED 1×-trained quantizer — the per-snapshot embedding-store
@@ -694,6 +719,22 @@ object ScaleProof {
         val delta = synthEmbeddings(s, 100L)
           .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
         graft.ext.Sim.knnDeltaVsState(state, delta, cen, scale, k = 5, nProbe = 2)
+      }),
+    // delta-vs-state SemDeDup on the same fixed-quantizer state: a
+    // FIXED 100-vector delta's SAME-CELL threshold pairs against a
+    // state growing 100×. Unlike top-k, pair output scales with the
+    // delta's cell populations (linear in state, by construction of
+    // the blocking), so the gate proves the exchange count and heap
+    // stay flat while only the one in-place state scan grows.
+    ("state->semDedupDeltaPairs", Map.empty[String, String],
+      (s: SparkSession, f: Int) => {
+        val train = synthEmbeddings(s, 500L)
+        val cen = graft.ext.Cluster.kmeansCentroids(train, k = 8, iters = 2)
+        val scale = graft.ext.Cluster.sampledGridScale(train, 1).get
+        val state = graft.ext.Sim.ivfIndexAdd(synthEmbeddings(s, 500L * f), cen, scale)
+        val delta = synthEmbeddings(s, 100L)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        graft.ext.Sim.semDedupDeltaPairs(state, delta, cen, scale, threshold = 0.95)
       }))
 
   /** Successful tasks' (stageId, durationMs, shuffleReadRecords,

@@ -1867,6 +1867,63 @@ object Multimodal {
   def phashNearDups(media: Dataset[EncodedMedia], maxHamming: Int = 3): DataFrame =
     phashNearDupsFromState(phashAdd(media), maxHamming)
 
+  /** Incremental near-dup of ONE image delta against state ∪ delta —
+    * [[graft.ext.MinHash.nearDupDeltaPairs]]' snapshot-over-snapshot
+    * shape on the pHash family: the delta's band keys broadcast into
+    * the MIH join, the maintained [[phashAdd]] state is probed with ONE
+    * narrow scan and never shuffles on a band key. By the pigeonhole
+    * bound the result is EXACTLY the full-corpus Hamming ≤ `maxHamming`
+    * pairs restricted to delta-touching ones. */
+  def phashNearDupDeltaPairs(state: DataFrame, delta: Dataset[EncodedMedia],
+      maxHamming: Int = 3): DataFrame =
+    mihDeltaPairs(state.select(col("doc_id"), col("phash").as("h64")),
+      phashAdd(delta).select(col("doc_id"), col("phash").as("h64")), maxHamming)
+
+  /** [[phashNearDupDeltaPairs]]' contract on the audio sketch family:
+    * one clip delta (WAV walk + Goertzel paid once, at ingest) probes a
+    * maintained [[audioSketchAdd]] state in place. */
+  def audioNearDupDeltaPairs(state: DataFrame, delta: Dataset[EncodedMedia],
+      maxHamming: Int = 3): DataFrame =
+    mihDeltaPairs(state.select(col("doc_id"), col("sketch").as("h64")),
+      audioSketchAdd(delta).select(col("doc_id"), col("sketch").as("h64")), maxHamming)
+
+  /** The shared DELTA-probe kernel over `(doc_id, h64)` sketch frames —
+    * [[mihPairs]]' banding with the delta side banded SMALL and
+    * broadcast, the state ∪ delta side scanned once in place (no
+    * state-sized exchange; the plan pin asserts the broadcast). `=!=`
+    * (not `<`) so delta rows pair in BOTH directions against older and
+    * newer ids; least/greatest restores the canonical orientation
+    * before the distinct. The 8-byte sketch rides the band rows, so the
+    * Hamming verify runs inline in the join — same pigeonhole-exact
+    * recall as the batch kernel, restricted to delta-touching pairs. */
+  private[graft] def mihDeltaPairs(state: DataFrame, delta: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bands = 4; val bandBits = 16
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be in [0, ${bands - 1}] for exact recall with $bands bands, got $maxHamming")
+    val deltaSk = delta.select(col("doc_id"), col("h64")).localCheckpoint(false)
+    val all = state.select(col("doc_id"), col("h64"))
+      .unionByName(deltaSk)
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("h64"), b * bandBits).bitwiseAND(lit(mask)).as("bval"))
+    }
+    def banded(df: DataFrame) =
+      df.select(col("doc_id"), col("h64"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("h64"),
+          col("bk.band").as("band"), col("bk.bval").as("bval"))
+    banded(all).as("a")
+      .join(broadcast(banded(deltaSk)).as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Brute ALL-PAIRS Hamming truth over a `(doc_id, phash)` frame —
     * the AUDIT-ONLY truth kernel for [[phashNearDups]]' recall
     * ([[graft.ext.Sim.bruteNearDupPairs]]' contract on the image

@@ -506,6 +506,54 @@ object Sim {
     topK(pairs, k)
   }
 
+  /** Delta-vs-state SemDeDup — [[knnDeltaVsState]]'s incremental
+    * discipline on the SEMANTIC-dedup family: near-duplicate pairs at
+    * cosine ≥ `threshold` between a DELTA of new vectors and a
+    * maintained [[ivfIndexAdd]] state (plus the delta itself), blocked
+    * by the FIXED quantizer's argmin cell on BOTH sides —
+    * [[graft.ext.Cluster.semanticDedup]]'s cluster blocking with
+    * training amortized into state maintenance instead of re-run per
+    * snapshot (the hard cell-size bound is likewise maintenance
+    * policy: a production index bounds cell population by the
+    * quantizer's k, re-training when cells outgrow it). The delta's
+    * index rows broadcast into the cell join and the state scans once
+    * in place — no state-keyed exchange.
+    *
+    * Emits canonical `(keep_id, dup_id, cosine)` with keep_id <
+    * dup_id: delta-delta pairs meet twice under the `=!=` join, but
+    * the cosine chain is exactly symmetric (per-term products and the
+    * norm product commute in IEEE; the dot accumulates in ascending
+    * index order on both), so the doubled rows are bit-identical and
+    * one `distinct` collapses them.
+    *
+    * PRECONDITION (as [[knnDeltaVsState]]): `state` must not already
+    * contain the delta's vec_ids. */
+  def semDedupDeltaPairs(state: DataFrame, delta: DataFrame, centroids: DataFrame,
+      gridScale: Double, threshold: Double): DataFrame = {
+    import graft.ext.Cluster
+    val cState = Cluster.centroidState(centroids)
+    val spark = delta.sparkSession
+    if (cState.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("keep_id", LongType),
+          org.apache.spark.sql.types.StructField("dup_id", LongType),
+          org.apache.spark.sql.types.StructField("cosine", DoubleType))))
+    val deltaIdx = ivfIndexAdd(delta, centroids, gridScale).localCheckpoint(false)
+    val all = state.select(col("vec_id"), col("embedding"), col("nsq"), col("cell"))
+      .unionByName(deltaIdx)
+    all.as("s")
+      .join(broadcast(deltaIdx.as("p")),
+        col("s.cell") === col("p.cell") && col("s.vec_id") =!= col("p.vec_id"))
+      .select(
+        least(col("s.vec_id"), col("p.vec_id")).as("keep_id"),
+        greatest(col("s.vec_id"), col("p.vec_id")).as("dup_id"),
+        (dot(col("p.embedding"), col("s.embedding")) /
+          (sqrt(col("p.nsq")) * sqrt(col("s.nsq")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** IVF tuning curve — the production `nProbe` knob as a measured
     * (nprobe, candidate_pairs, truth_pairs, hit_pairs, recall) table: a
     * recall-targeted deployment reads the row meeting its budget instead

@@ -2244,6 +2244,89 @@ object Text {
       .toDF("doc_a", "doc_b", "run_len", "start_a", "start_b", "run_text")
   }
 
+  /** EXACT bounded edit-distance verification over the winnow
+    * candidates — the second exact verifier on the fingerprint family
+    * ([[exactDupSpans]] measures the longest COMMON run; this measures
+    * the total DIFFERENCE): for every candidate pair, the byte-level
+    * Levenshtein distance between the two documents' full texts,
+    * reported exactly when ≤ `maxDist` and as NULL above it. Byte-level
+    * (UTF-8) because that is the semantics the oracle engine's
+    * `levenshtein` computes — on ASCII corpora it coincides with
+    * character distance.
+    *
+    * Shape at 100 TB: candidates come from the winnow-postings join
+    * (never all-pairs), and the per-pair DP is the Ukkonen k-BAND —
+    * only cells with |i−j| ≤ `maxDist` are computed, O(maxDist·len)
+    * per pair instead of O(len²), with the length-gap pre-reject
+    * (|len_a − len_b| > maxDist ⇒ distance > maxDist) skipping the DP
+    * entirely for most far pairs. Any cost path of total ≤ maxDist
+    * stays inside the band, so in-band answers are EXACT; the NULL
+    * branch is the candidate-killing verdict a dedup funnel acts on.
+    * Same typed-`.map` justification as [[exactDupSpansFromState]]:
+    * a flat-int-array DP has no Catalyst fit. */
+  def editDistancePairs(documents: DataFrame, n: Int = 3, w: Int = 4,
+      maxDist: Int = 16): DataFrame =
+    editDistancePairsFromState(documents, fingerprintAdd(documents, n, w), maxDist)
+
+  /** [[editDistancePairs]] off a maintained [[fingerprintAdd]] state —
+    * candidates from STATE postings (no re-shingling); the texts still
+    * slice from `documents`, exactly [[exactDupSpansFromState]]'s
+    * exact-verification-reads-text contract. */
+  def editDistancePairsFromState(documents: DataFrame, state: DataFrame,
+      maxDist: Int = 16): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cand = fingerprintNearDupsFromState(state)
+      .select(col("doc_a"), col("doc_b"))
+    val txt = documents.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        val ba = ta.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = tb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = bandedEditDistance(ba, bb, maxDist)
+        (a, b, ba.length.toLong, bb.length.toLong,
+          if (d < 0) None else Some(d.toLong))
+      }
+      .toDF("doc_a", "doc_b", "len_a", "len_b", "dist")
+  }
+
+  /** Ukkonen k-band Levenshtein over byte arrays: the exact distance
+    * when ≤ `k`, −1 when it exceeds `k`. Cells outside the |i−j| ≤ k
+    * band are pinned at a saturating sentinel — any edit path of total
+    * cost ≤ k never leaves the band (each off-diagonal step costs ≥ 1),
+    * so in-band propagation is exact. Two rolling int rows, no per-cell
+    * allocation. */
+  private[graft] def bandedEditDistance(a: Array[Byte], b: Array[Byte], k: Int): Int = {
+    val la = a.length; val lb = b.length
+    if (math.abs(la - lb) > k) return -1
+    val Inf = Int.MaxValue / 2 // saturating: Inf + 1 can't overflow
+    var prev = new Array[Int](lb + 1); var cur = new Array[Int](lb + 1)
+    var j = 0
+    while (j <= lb) { prev(j) = if (j <= k) j else Inf; j += 1 }
+    var i = 1
+    while (i <= la) {
+      java.util.Arrays.fill(cur, Inf)
+      cur(0) = if (i <= k) i else Inf
+      val lo = math.max(1, i - k); val hi = math.min(lb, i + k)
+      var jj = lo
+      while (jj <= hi) {
+        val sub = prev(jj - 1) + (if (a(i - 1) == b(jj - 1)) 0 else 1)
+        val dl = prev(jj) + 1
+        val in = cur(jj - 1) + 1
+        cur(jj) = math.min(sub, math.min(dl, in))
+        jj += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(lb) <= k) prev(lb) else -1
+  }
+
   /** Modulus of the per-chunk content fingerprint fold — the largest
     * prime below 2³¹, so `acc·P + sh < 2³¹·2²⁰ + 2²⁰ ≪ 2⁶³` keeps every
     * fold step exact BIGINT in both engines. */

@@ -391,6 +391,20 @@ object ExtRegistry {
         graft.ext.Multimodal.mergePhash(m(_ % 2 === 0), m(_ % 2 === 1)), 3)
     }),
 
+    // incremental image dedup of ONE delta against state ∪ delta
+    // (minhash_delta_pairs' snapshot shape on the pHash family): the
+    // delta's band keys broadcast into the MIH join, the maintained
+    // sketch state is probed with one narrow scan — by pigeonhole,
+    // exactly the full-corpus Hamming <= 3 pairs restricted to
+    // delta-touching ones (delta = doc_id % 7 = 0, state = the rest)
+    "phash_delta_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      def m(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        graft.ext.Multimodal.encodePng(docs.filter(p(col("doc_id"))))
+      graft.ext.Multimodal.phashNearDupDeltaPairs(
+        graft.ext.Multimodal.phashAdd(m(_ % 7 =!= 0)), m(_ % 7 === 0), 3)
+    }),
+
     // the ann_recall discipline on the image sketch: banded-pair recall
     // vs the brute all-pairs Hamming truth (audit-only broadcast-index
     // kernel). Banding at Hamming <=3 under 4x16-bit MIH bands is
@@ -706,6 +720,44 @@ object ExtRegistry {
           (0 to 2).map(k => graft.ext.Text.fingerprintAdd(
             docs.filter(col("doc_id") % 3 === k), n = 3, w = 4)): _*),
         window = 32)
+    }),
+
+    // EXACT bounded edit-distance verification (the RETSim/dedup-funnel
+    // verify step): for every winnow-candidate pair, the byte-level
+    // Levenshtein distance between the full texts — exact when <= 16,
+    // NULL above (the Ukkonen k-band computes only |i-j| <= 16 cells,
+    // O(k·len) per pair, with the |len_a-len_b| > k pre-reject). The
+    // fixture is bimodal (planted near-dups at dist <= ~8, unrelated
+    // candidates >= ~96), so both verdict branches are live at every
+    // tier
+    "near_dup_edit" -> ((s, dir) =>
+      graft.ext.Text.editDistancePairs(Tables(s, dir).documents, n = 3, w = 4,
+        maxDist = 16)),
+
+    // the edit-distance dedup LOOP closed (dedup_near_keep's shape on
+    // the verified-distance family): drop the higher-id side of every
+    // pair the band CONFIRMED (dist non-NULL ⇔ ≤ 16), keep the rest —
+    // an anti-join, so doc content never rides the pair rows
+    "dedup_edit_keep" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val drops = graft.ext.Text.editDistancePairs(docs, n = 3, w = 4, maxDist = 16)
+        .filter(col("dist").isNotNull)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // edit-distance verify off the same merged three-delta
+    // fingerprintAdd state: candidates from state postings, texts read
+    // only for candidate pairs; bit-identical by the add/merge
+    // contract, batch oracle verbatim
+    "near_dup_edit_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.ext.Text.editDistancePairsFromState(docs,
+        graft.ext.Text.mergeFingerprints(
+          (0 to 2).map(k => graft.ext.Text.fingerprintAdd(
+            docs.filter(col("doc_id") % 3 === k), n = 3, w = 4)): _*),
+        maxDist = 16)
     }),
 
     // content-defined chunking (Rabin/FastCDC on the token stream):
@@ -1313,6 +1365,22 @@ object ExtRegistry {
         emb.filter(col("vec_id") % 3 =!= 1), cen, scale)
       graft.ext.Sim.knnDeltaVsState(state,
         emb.filter(col("vec_id") % 3 === 1), cen, scale, k = 5, nProbe = 2)
+    }),
+
+    // delta-vs-state SemDeDup (the incremental discipline on the
+    // semantic-dedup family): the delta's index rows broadcast into the
+    // fixed-quantizer cell join, the maintained per-vector state scans
+    // once in place; emits exactly the full-corpus same-cell cosine >=
+    // 0.30 pairs restricted to delta-touching ones — training amortized
+    // into state maintenance, never re-run per snapshot
+    "semdedup_delta_pairs" -> ((s, dir) => {
+      val emb = embeddingsDimChecked(s, dir)
+      val cen = graft.ext.Cluster.kmeansCentroids(emb, k = KmK, iters = KmIters)
+      val scale = graft.ext.Cluster.sampledGridScale(emb, 1).getOrElse(1.0)
+      val state = graft.ext.Sim.ivfIndexAdd(
+        emb.filter(col("vec_id") % 3 =!= 1), cen, scale)
+      graft.ext.Sim.semDedupDeltaPairs(state,
+        emb.filter(col("vec_id") % 3 === 1), cen, scale, threshold = 0.30)
     }),
 
     // product-quantization codes — the FAISS compression half next to
@@ -2214,6 +2282,21 @@ object ExtRegistry {
         graft.ext.Multimodal.mergeAudioSketch(add(0L), add(1L)), 3)
     }),
 
+    // incremental clip dedup of ONE delta against state ∪ delta
+    // (minhash_delta_pairs' snapshot shape on the audio family): the
+    // delta's band keys broadcast, the maintained sketch state probed
+    // in one narrow scan — exactly the full-corpus Hamming <= 3 pairs
+    // restricted to delta-touching ones (delta = clip id % 7 = 0 over
+    // BOTH base and variant ids, state = the rest)
+    "audio_delta_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"))
+      val media = graft.ext.Multimodal.encodeAudioTones(docs)
+        .unionByName(graft.ext.Multimodal.encodeAudioTones(docs, variant = true))
+      graft.ext.Multimodal.audioNearDupDeltaPairs(
+        graft.ext.Multimodal.audioSketchAdd(media.filter(m => m.doc_id % 7 != 0)),
+        media.filter(m => m.doc_id % 7 == 0), 3)
+    }),
+
     // near-dup families as CONNECTED COMPONENTS over the banded pair
     // graph (near_dup_components' discipline on the audio modality):
     // min-label propagation on the Spark side vs the oracle's native
@@ -2790,6 +2873,26 @@ object ExtRegistry {
          |       CAST(p.shared AS DOUBLE) / CAST(least(ca.fp_cnt, cb.fp_cnt) AS DOUBLE) AS containment
          |FROM fpair p JOIN fcnt ca ON p.doc_a = ca.doc_id
          |             JOIN fcnt cb ON p.doc_b = cb.doc_id""".stripMargin
+
+  /** Edit-distance twin (shared verbatim by the stream twin): the
+    * winnow-candidate pairs scored by byte-level Levenshtein, exact
+    * when ≤ 16 and NULL above — the Ukkonen band's contract stated
+    * declaratively. */
+  private lazy val nearDupEditOracle: String =
+    s"""WITH $winnowCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM wfp),
+         |frare AS (SELECT sh FROM fps GROUP BY sh HAVING count(*) <= 5),
+         |fpost AS MATERIALIZED (SELECT fps.doc_id, fps.sh FROM fps JOIN frare USING (sh)),
+         |fpair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM fpost a JOIN fpost b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT f.doc_a, f.doc_b,
+         |       CAST(octet_length(encode(da.text)) AS BIGINT) AS len_a,
+         |       CAST(octet_length(encode(db.text)) AS BIGINT) AS len_b,
+         |       CASE WHEN levenshtein(da.text, db.text) <= 16
+         |            THEN CAST(levenshtein(da.text, db.text) AS BIGINT) END AS dist
+         |FROM fpair f JOIN documents da ON f.doc_a = da.doc_id
+         |             JOIN documents db ON f.doc_b = db.doc_id""".stripMargin
 
   /** Exact-span twin (shared verbatim by the stream twin — state
     * candidates are contractually identical to the batch pass). */
@@ -4633,6 +4736,33 @@ object ExtRegistry {
     // search restricted to the delta residue class
     "knn_delta_vs_state" -> ivfTrainedOracle(" AND vec_id % 3 = 1"),
 
+    // delta-vs-state SemDeDup twin: the full-corpus fixed-quantizer
+    // assignment (rk = 1 — ivfIndexAdd's argmin cell), same-cell pairs
+    // at cosine >= 0.30, restricted to delta-touching ones (vec_id
+    // % 3 = 1 on either side) — training-in-maintenance means the
+    // oracle replays ONE training pass and assigns everything under it
+    "semdedup_delta_pairs" ->
+      s"""WITH ${kmCtes(KmK)},
+         |g2 AS (SELECT cell, count(*) AS n, [$kmSums] AS s FROM a2 GROUP BY cell),
+         |e0 AS (
+         |  SELECT m.vec_id, m.embedding, v.q, ($kmEmbNsq) AS nsq
+         |  FROM embeddings m JOIN q v USING (vec_id)),
+         |e1 AS (SELECT * FROM e0 WHERE nsq > 0),
+         |ranked AS MATERIALIZED (
+         |  SELECT v.vec_id, v.embedding, v.nsq, c.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${kmScore("v", "c")}, c.cell) AS rk
+         |  FROM e1 v CROSS JOIN g2 c),
+         |asg AS MATERIALIZED (SELECT vec_id, embedding, nsq, cell
+         |                     FROM ranked WHERE rk = 1),
+         |cpairs AS (
+         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |         (${kmEmbDot("a", "b")}) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         |  FROM asg a JOIN asg b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id % 3 = 1 OR b.vec_id % 3 = 1)
+         |SELECT keep_id, dup_id, cosine FROM cpairs WHERE cosine >= 0.30""".stripMargin,
+
     // sampled-training search twin: kmCtes' WHERE trains on the residue
     // class, the FULL corpus quantizes on the sample grid (qf), assigns
     // once (af) to build the occupancy table gf, and BOTH the probe and
@@ -4878,6 +5008,33 @@ object ExtRegistry {
     // (0, 0, 0, '')
     "dup_spans_exact" -> dupSpansExactOracle,
     "dup_spans_exact_stream" -> dupSpansExactOracle,
+
+    // edit-distance twin: DuckDB's levenshtein IS byte-level (an
+    // accented char costs 2 against its plain form), which is why the
+    // Spark DP runs over UTF-8 bytes; the CASE realizes the
+    // exact-when-within-band / NULL-above contract declaratively
+    // (shared verbatim by the stream twin — state candidates are
+    // contractually identical to the batch pass)
+    "near_dup_edit" -> nearDupEditOracle,
+    "near_dup_edit_stream" -> nearDupEditOracle,
+
+    // edit-keep twin: the same candidate chain, dropped docs = the
+    // doc_b side of band-confirmed pairs, survivors by NOT EXISTS
+    "dedup_edit_keep" ->
+      s"""WITH $winnowCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM wfp),
+         |frare AS (SELECT sh FROM fps GROUP BY sh HAVING count(*) <= 5),
+         |fpost AS MATERIALIZED (SELECT fps.doc_id, fps.sh FROM fps JOIN frare USING (sh)),
+         |fpair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM fpost a JOIN fpost b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |epair AS (SELECT f.doc_a, f.doc_b
+         |          FROM fpair f JOIN documents da ON f.doc_a = da.doc_id
+         |                       JOIN documents db ON f.doc_b = db.doc_id
+         |          WHERE levenshtein(da.text, db.text) <= 16)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM epair p WHERE p.doc_b = d.doc_id)""".stripMargin,
 
     // CDC chunking twin: the shared chunk CTEs emit the rows directly
     "cdc_chunks" ->
@@ -6060,6 +6217,17 @@ object ExtRegistry {
         |FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.phash, b2.phash)) <= 3""".stripMargin,
 
+    // delta-incremental twin: exactly the batch pairs restricted to
+    // delta-touching ones (delta = doc_id % 7 = 0 on either side) —
+    // recall of the restriction is the same pigeonhole theorem
+    "phash_delta_pairs" ->
+      s"""WITH $phashCtes
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+        |FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
+        |  AND (a.doc_id % 7 = 0 OR b2.doc_id % 7 = 0)""".stripMargin,
+
     // recall-audit twin: truth = the same all-pairs count; expected
     // n_hit = n_truth and recall = 1.0 BY THE PIGEONHOLE THEOREM
     // (<= 3 differing bits leave >= 1 of the 4 MIH bands untouched) —
@@ -7068,6 +7236,16 @@ object ExtRegistry {
         |       CAST(bit_count(xor(a.sketch, b2.sketch)) AS BIGINT) AS hamming
         |FROM sk a JOIN sk b2 ON a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.sketch, b2.sketch)) <= 3""".stripMargin,
+
+    // delta-incremental twin: exactly the batch pairs restricted to
+    // delta-touching ones (delta = clip id % 7 = 0 on either side)
+    "audio_delta_pairs" ->
+      s"""WITH RECURSIVE $audioSketchCtes
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sketch, b2.sketch)) AS BIGINT) AS hamming
+        |FROM sk a JOIN sk b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.sketch, b2.sketch)) <= 3
+        |  AND (a.doc_id % 7 = 0 OR b2.doc_id % 7 = 0)""".stripMargin,
 
     // component twin: native transitive closure over the same sketch
     // pair graph (the componentsCtes discipline on the audio family)

@@ -3065,6 +3065,24 @@ class ExtSpec extends SparkSpec {
     assert(pairs(Multimodal.phashNearDupsFromState(overlapped, 3)) == batch)
   }
 
+  test("phashNearDupDeltaPairs == batch pairs restricted to delta-touching, both orientations") {
+    import graft.ext.Multimodal
+    val media = spark.range(12L).as[Long].map(id =>
+      Multimodal.EncodedMedia(id, "png",
+        Multimodal.pngBytesWith(id, 6, 6, i => (((id / 3) * 37 + i) % 256).toInt)))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = pairs(Multimodal.phashNearDups(media, 3))
+    // delta = {4}: its raster group is (3, 4, 5), so the delta doc is the
+    // GREATER id in (3,4) and the SMALLER in (4,5) — a naive a.id < b.id
+    // delta join would drop one orientation
+    val delta = pairs(Multimodal.phashNearDupDeltaPairs(
+      Multimodal.phashAdd(media.filter(_.doc_id != 4L)),
+      media.filter(_.doc_id == 4L), 3))
+    assert(delta == batch.filter(p => p._1 == 4L || p._2 == 4L), delta.toString)
+    assert(delta.exists(_._2 == 4L) && delta.exists(_._1 == 4L), delta.toString)
+  }
+
   test("minhash signature state ingests through Structured Streaming foreachBatch, pairs == batch") {
     import graft.ext.MinHash
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -3187,6 +3205,27 @@ class ExtSpec extends SparkSpec {
     assert(pairs(Multimodal.audioNearDupsFromState(overlapped, 3)) == batch)
   }
 
+  test("audioNearDupDeltaPairs == batch pairs restricted to delta-touching, both orientations") {
+    import graft.ext.Multimodal
+    val docs = spark.range(30L).select(col("id").as("doc_id"))
+    val media = Multimodal.encodeAudioTones(docs)
+      .unionByName(Multimodal.encodeAudioTones(docs, variant = true))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = pairs(Multimodal.audioNearDups(media, 3))
+    // delta = clip id % 7 = 0 over BOTH base and variant ids: bases
+    // 0/7/21/28 put the delta doc on the SMALLER side of its pair;
+    // variant ids ≡ base + offset can land it on the GREATER side
+    val delta = pairs(Multimodal.audioNearDupDeltaPairs(
+      Multimodal.audioSketchAdd(media.filter(_.doc_id % 7 != 0)),
+      media.filter(_.doc_id % 7 == 0), 3))
+    assert(delta == batch.filter(p => p._1 % 7 == 0 || p._2 % 7 == 0), delta.toString)
+    // offset ≡ 3 (mod 7): base 0/7/21/28 pairs carry the delta doc as
+    // the SMALLER id, base-≡-4 pairs (variant id ≡ 0) as the GREATER
+    assert(delta.exists(p => p._1 % 7 == 0 && p._2 % 7 != 0), delta.toString)
+    assert(delta.exists(p => p._1 % 7 != 0 && p._2 % 7 == 0), delta.toString)
+  }
+
   test("audioSketch: refuses non-16-segment clips and wrong stream shapes by name") {
     import graft.ext.Multimodal
     def msgOf(e: Throwable): String =
@@ -3303,5 +3342,36 @@ class ExtSpec extends SparkSpec {
       Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 === 0), cen, scale),
       Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 =!= 1), cen, scale))
     assert(rows(Sim.knnDeltaVsState(overlapped, delta, cen, scale, k = 3, nProbe = 2)) == full)
+  }
+
+  test("semDedupDeltaPairs == full-corpus same-cell threshold pairs restricted to delta-touching") {
+    import graft.ext.{Cluster, Sim}
+    import org.apache.spark.sql.graft.DotProduct.dot
+    val emb = spark.range(120L).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 8), i -> " +
+        "CAST(pmod(id div 6 * 2654435761 + i * 40503, 1000003) / 1000003.0 - 0.5 AS FLOAT))")
+        .as("embedding")) // groups of 6 share a vector: same-cell dups exist
+    val cen = Cluster.kmeansCentroids(emb, k = 4, iters = 2)
+    val scale = Cluster.sampledGridScale(emb, 1).get
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the batch reference: everything assigned under the SAME fixed
+    // quantizer, same-cell pairs above threshold
+    val idx = Sim.ivfIndexAdd(emb, cen, scale)
+    val ref = rows(idx.as("a")
+      .join(idx.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(col("a.nsq")) * sqrt(col("b.nsq")))).as("cosine"))
+      .filter(col("cosine") >= 0.30))
+      .filter(p => p._1 % 3 == 1 || p._2 % 3 == 1)
+    assert(ref.nonEmpty)
+    val got = rows(Sim.semDedupDeltaPairs(
+      Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 =!= 1), cen, scale),
+      emb.filter(col("vec_id") % 3 === 1), cen, scale, threshold = 0.30))
+    assert(got == ref, s"got ${got.size} ref ${ref.size}")
+    // both orientations live: delta docs appear as keep AND as dup ids
+    assert(got.exists(_._1 % 3 == 1) && got.exists(_._2 % 3 == 1))
   }
 }

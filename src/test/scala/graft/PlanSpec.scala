@@ -734,6 +734,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast candidate join in:\n$plan")
   }
 
+  test("mihDeltaPairs (phash/audio delta): the banded delta broadcasts, state probed in place") {
+    val docs = tables.documents
+    def m(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      graft.ext.Multimodal.encodePng(docs.filter(p(col("doc_id"))))
+    val df = graft.ext.Multimodal.phashNearDupDeltaPairs(
+      graft.ext.Multimodal.phashAdd(m(_ % 7 =!= 0)), m(_ % 7 === 0), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    // the 100 TB-correct candidate shape: the banded DELTA broadcasts,
+    // the state ∪ delta side is probed in place — a SortMergeJoin here
+    // would shuffle the whole sketch state per delta
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast candidate join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"state-keyed shuffle join in:\n$plan")
+  }
+
   test("knnDeltaVsState: the routed delta broadcasts into the cell join, no state-keyed exchange") {
     val emb = tables.embeddings
     val cen = graft.ext.Cluster.kmeansCentroids(emb, k = 8, iters = 2)
@@ -747,6 +763,20 @@ class PlanSpec extends SparkSpec {
     // the 100 TB-correct candidate shape: the routed DELTA broadcasts,
     // the state ∪ delta side is probed in place — a SortMergeJoin here
     // would shuffle the whole vector index per delta
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast candidate join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"state-keyed shuffle join in:\n$plan")
+  }
+
+  test("semDedupDeltaPairs: the delta index broadcasts into the cell join, no state-keyed exchange") {
+    val emb = tables.embeddings
+    val cen = graft.ext.Cluster.kmeansCentroids(emb, k = 8, iters = 2)
+    val scale = graft.ext.Cluster.sampledGridScale(emb, 1).get
+    val state = graft.ext.Sim.ivfIndexAdd(emb.filter(col("vec_id") % 3 =!= 1), cen, scale)
+    val df = graft.ext.Sim.semDedupDeltaPairs(state,
+      emb.filter(col("vec_id") % 3 === 1), cen, scale, threshold = 0.30)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast candidate join in:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"state-keyed shuffle join in:\n$plan")
   }

@@ -445,6 +445,48 @@ class TextSimSpec extends SparkSpec {
     assert(l.length == 1 && l.head.getLong(2) == 32L && l.head.getLong(3) == 1L)
   }
 
+  test("bandedEditDistance: exact within the band, -1 above, byte-level like the oracle") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def d(a: String, b: String, k: Int) =
+      graft.ext.Text.bandedEditDistance(a.getBytes(UTF_8), b.getBytes(UTF_8), k)
+    assert(d("kitten", "sitting", 16) == 3) // the classic: 2 subs + 1 insert
+    assert(d("abc", "abc", 0) == 0)
+    assert(d("", "abc", 3) == 3 && d("", "abc", 2) == -1)
+    // é is TWO UTF-8 bytes: byte distance 2 where char distance is 1 —
+    // DuckDB levenshtein's semantics, which is why the DP runs on bytes
+    assert(d("héllo", "hello", 16) == 2)
+    // length-gap pre-reject: |la - lb| > k can never fit the band
+    assert(d("a" * 40, "a", 16) == -1)
+    // band-edge exactness: distance exactly k is still exact at k
+    assert(d("a" * 20, "b" * 20, 20) == 20 && d("a" * 20, "b" * 20, 19) == -1)
+  }
+
+  test("editDistancePairs: near pair exact, far candidate NULL, fromState merged == batch") {
+    // docs 1/2 differ by two byte substitutions; doc 3 shares the first
+    // 12 tokens (so winnowing surfaces it as a candidate) but diverges
+    // into a long unique tail — the length gap alone exceeds the band
+    val docs = Seq(
+      (1L, "p q r s t u v w x y z0 z1 tail one cc"),
+      (2L, "p q r s t u v w x y z0 z1 tail one dd"),
+      (3L, "p q r s t u v w x y z0 z1 " +
+        Seq.tabulate(20)(i => s"junk$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    val batch = rows(graft.ext.Text.editDistancePairs(docs, n = 3, w = 4, maxDist = 16))
+    val near = batch.find(p => p._1 == 1L && p._2 == 2L)
+    assert(near.exists(_._5.contains(2L)), batch.toString) // "cc" -> "dd": 2 byte subs
+    assert(batch.filter(p => p._2 == 3L).nonEmpty, batch.toString)
+    assert(batch.filter(p => p._2 == 3L).forall(_._5.isEmpty), batch.toString)
+    // len columns are byte lengths of the full texts
+    assert(near.exists(p => p._3 == 37L && p._4 == 37L), near.toString)
+    val merged = graft.ext.Text.mergeFingerprints(
+      graft.ext.Text.fingerprintAdd(docs.filter(col("doc_id") % 2 === 0), 3, 4),
+      graft.ext.Text.fingerprintAdd(docs.filter(col("doc_id") % 2 === 1), 3, 4))
+    assert(rows(graft.ext.Text.editDistancePairsFromState(docs, merged, 16)) == batch)
+  }
+
   test("minhashAdd/mergeMinhash: merge(add(A), add(B)) == add(A ∪ B), idempotent under overlap") {
     import graft.ext.MinHash
     val docs = Seq(

@@ -2262,8 +2262,11 @@ object Text {
     * entirely for most far pairs. Any cost path of total ≤ maxDist
     * stays inside the band, so in-band answers are EXACT; the NULL
     * branch is the candidate-killing verdict a dedup funnel acts on.
-    * Same typed-`.map` justification as [[exactDupSpansFromState]]:
-    * a flat-int-array DP has no Catalyst fit. */
+    * The DP runs as the native codegen expression
+    * [[org.apache.spark.sql.graft.EditDistanceBand]], so the whole
+    * pair path — candidate join, length projections, verdict — stays
+    * inside ONE whole-stage-codegen span with no typed boundary
+    * (plan-pinned: no DeserializeToObject on this path). */
   def editDistancePairs(documents: DataFrame, n: Int = 3, w: Int = 4,
       maxDist: Int = 16): DataFrame =
     editDistancePairsFromState(documents, fingerprintAdd(documents, n, w), maxDist)
@@ -2275,57 +2278,23 @@ object Text {
   def editDistancePairsFromState(documents: DataFrame, state: DataFrame,
       maxDist: Int = 16): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    val spark = documents.sparkSession
-    import spark.implicits._
     val cand = fingerprintNearDupsFromState(state)
       .select(col("doc_a"), col("doc_b"))
     val txt = documents.select(col("doc_id"), col("text"))
     cand
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
-      .as[(Long, Long, String, String)]
-      .map { case (a, b, ta, tb) =>
-        val ba = ta.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val bb = tb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val d = bandedEditDistance(ba, bb, maxDist)
-        (a, b, ba.length.toLong, bb.length.toLong,
-          if (d < 0) None else Some(d.toLong))
-      }
-      .toDF("doc_a", "doc_b", "len_a", "len_b", "dist")
+      .select(col("doc_a"), col("doc_b"),
+        octet_length(col("text_a")).cast(LongType).as("len_a"),
+        octet_length(col("text_b")).cast(LongType).as("len_b"),
+        org.apache.spark.sql.graft.EditDistanceBand
+          .editDistance(col("text_a"), col("text_b"), maxDist).as("dist"))
   }
 
-  /** Ukkonen k-band Levenshtein over byte arrays: the exact distance
-    * when ≤ `k`, −1 when it exceeds `k`. Cells outside the |i−j| ≤ k
-    * band are pinned at a saturating sentinel — any edit path of total
-    * cost ≤ k never leaves the band (each off-diagonal step costs ≥ 1),
-    * so in-band propagation is exact. Two rolling int rows, no per-cell
-    * allocation. */
-  private[graft] def bandedEditDistance(a: Array[Byte], b: Array[Byte], k: Int): Int = {
-    val la = a.length; val lb = b.length
-    if (math.abs(la - lb) > k) return -1
-    val Inf = Int.MaxValue / 2 // saturating: Inf + 1 can't overflow
-    var prev = new Array[Int](lb + 1); var cur = new Array[Int](lb + 1)
-    var j = 0
-    while (j <= lb) { prev(j) = if (j <= k) j else Inf; j += 1 }
-    var i = 1
-    while (i <= la) {
-      java.util.Arrays.fill(cur, Inf)
-      cur(0) = if (i <= k) i else Inf
-      val lo = math.max(1, i - k); val hi = math.min(lb, i + k)
-      var jj = lo
-      while (jj <= hi) {
-        val sub = prev(jj - 1) + (if (a(i - 1) == b(jj - 1)) 0 else 1)
-        val dl = prev(jj) + 1
-        val in = cur(jj - 1) + 1
-        cur(jj) = math.min(sub, math.min(dl, in))
-        jj += 1
-      }
-      val t = prev; prev = cur; cur = t
-      i += 1
-    }
-    if (prev(lb) <= k) prev(lb) else -1
-  }
+  /** [[org.apache.spark.sql.graft.EditDistanceBand.dist]] under the
+    * historical local name (the spec exercises the kernel here). */
+  private[graft] def bandedEditDistance(a: Array[Byte], b: Array[Byte], k: Int): Int =
+    org.apache.spark.sql.graft.EditDistanceBand.dist(a, b, k)
 
   /** Modulus of the per-chunk content fingerprint fold — the largest
     * prime below 2³¹, so `acc·P + sh < 2³¹·2²⁰ + 2²⁰ ≪ 2⁶³` keeps every

@@ -767,6 +767,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"state-keyed shuffle join in:\n$plan")
   }
 
+  test("editDistancePairs: native codegen DP — no typed boundary, no cartesian on the pair path") {
+    val df = graft.ext.Text.editDistancePairs(tables.documents, n = 3, w = 4, maxDist = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the EditDistanceBand expression: the verdict
+    // is a plain column, so the pair path never leaves codegen
+    assert(!plan.contains("DeserializeToObject"), s"typed boundary in:\n$plan")
+    assert(!plan.contains("SerializeFromObject"), s"typed boundary in:\n$plan")
+    assert(!plan.contains("MapPartitions"), s"typed map in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+  }
+
   test("semDedupDeltaPairs: the delta index broadcasts into the cell join, no state-keyed exchange") {
     val emb = tables.embeddings
     val cen = graft.ext.Cluster.kmeansCentroids(emb, k = 8, iters = 2)

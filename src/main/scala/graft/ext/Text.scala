@@ -2206,42 +2206,22 @@ object Text {
   def exactDupSpansFromState(documents: DataFrame, state: DataFrame,
       window: Int = 32): DataFrame = {
     require(window >= 1, s"window must be positive, got $window")
-    val spark = documents.sparkSession
-    import spark.implicits._
     val cand = fingerprintNearDupsFromState(state)
       .select(col("doc_a"), col("doc_b"))
     val toks = documents.select(col("doc_id"),
       slice(filter(split(col("text"), " "), t => t =!= ""), 1, window).as("toks"))
+    // the rolling-row LCS DP rides the native codegen expression
+    // (first-encountered maximum ⇔ min start_a then min start_b on
+    // length ties) — the pair path never leaves whole-stage codegen
     cand
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("toks_a"), col("toks_b"))
-      .as[(Long, Long, Seq[String], Seq[String])]
-      .map { case (a, b, ta, tb) =>
-        val taA = ta.toArray; val tbA = tb.toArray
-        val la = taA.length; val lb = tbA.length
-        // rolling-row DP: cur(j) = longest common run ending at
-        // a-token i, b-token j (both 1-based). First-encountered
-        // maximum in the (i, j) scan IS the (min start_a, min start_b)
-        // tie-break: for a fixed length, smaller end ⇔ smaller start.
-        var prev = new Array[Int](lb + 1); var cur = new Array[Int](lb + 1)
-        var best = 0; var bi = 0; var bj = 0
-        var i = 1
-        while (i <= la) {
-          var j = 1
-          while (j <= lb) {
-            cur(j) = if (taA(i - 1) == tbA(j - 1)) prev(j - 1) + 1 else 0
-            if (cur(j) > best) { best = cur(j); bi = i - best + 1; bj = j - best + 1 }
-            j += 1
-          }
-          val t = prev; prev = cur; cur = t
-          java.util.Arrays.fill(cur, 0)
-          i += 1
-        }
-        val runText = if (best > 0) taA.slice(bi - 1, bi - 1 + best).mkString(" ") else ""
-        (a, b, best.toLong, bi.toLong, bj.toLong, runText)
-      }
-      .toDF("doc_a", "doc_b", "run_len", "start_a", "start_b", "run_text")
+      .select(col("doc_a"), col("doc_b"),
+        org.apache.spark.sql.graft.LcsTokenRun
+          .lcsRun(col("toks_a"), col("toks_b")).as("r"))
+      .select(col("doc_a"), col("doc_b"),
+        col("r.run_len").as("run_len"), col("r.start_a").as("start_a"),
+        col("r.start_b").as("start_b"), col("r.run_text").as("run_text"))
   }
 
   /** EXACT bounded edit-distance verification over the winnow

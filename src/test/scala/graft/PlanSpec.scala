@@ -779,6 +779,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
   }
 
+  test("exactDupSpans: native codegen LCS — no typed boundary on the span path") {
+    val df = graft.ext.Text.exactDupSpans(tables.documents, n = 3, w = 4, window = 32)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), s"typed boundary in:\n$plan")
+    assert(!plan.contains("SerializeFromObject"), s"typed boundary in:\n$plan")
+    assert(!plan.contains("MapPartitions"), s"typed map in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("semDedupDeltaPairs: the delta index broadcasts into the cell join, no state-keyed exchange") {
     val emb = tables.embeddings
     val cen = graft.ext.Cluster.kmeansCentroids(emb, k = 8, iters = 2)

@@ -705,6 +705,14 @@ object ScaleProof {
       (s: SparkSession, f: Int) =>
         graft.ext.Text.editDistancePairs(synthDupDocs(s, 500L * f),
           n = 3, w = 4, maxDist = 16)),
+    // exact-span verification over the same candidates: the LCS DP is
+    // window² per pair but rides the native expression — the gate
+    // proves the span path scales exactly like the candidate count
+    // (same generator as the two ladders above), no typed boundary.
+    ("docs->exactDupSpans", Map.empty[String, String],
+      (s: SparkSession, f: Int) =>
+        graft.ext.Text.exactDupSpans(synthDupDocs(s, 500L * f),
+          n = 3, w = 4, window = 32)),
     // delta-vs-state ANN: a FIXED 100-vector delta routed + broadcast
     // against an ivfIndexAdd per-vector index state growing 100× under
     // a FIXED 1×-trained quantizer — the per-snapshot embedding-store

@@ -364,4 +364,42 @@ object MinHash {
     * assertion). */
   def simHashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame =
     simHashNearDupsFromState(simhashAdd(documents), maxHamming)
+
+  /** Incremental SimHash near-dup of ONE delta against state ∪ delta —
+    * [[nearDupDeltaPairs]]' snapshot-over-snapshot shape on the SimHash
+    * family (the last signature family without the delta-probe form):
+    * the delta's band keys broadcast into the band join, the maintained
+    * [[simhashAdd]] state scans once in place — no state-keyed
+    * exchange. `=!=` (not `<`) so delta docs pair in BOTH directions;
+    * least/greatest restores the canonical orientation and `hamming` is
+    * deterministic per pair, so the distinct collapses the doubled
+    * delta-delta rows. By the pigeonhole bound the result is EXACTLY
+    * the full-corpus Hamming ≤ `maxHamming` pairs restricted to
+    * delta-touching ones. */
+  def simHashNearDupDeltaPairs(state: DataFrame, delta: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < simBands,
+      s"maxHamming must be in [0, ${simBands - 1}] for exact recall with $simBands bands, got $maxHamming")
+    val deltaSk = simhashAdd(delta).select(col("doc_id"), col("simhash"))
+      .localCheckpoint(false)
+    val all = state.select(col("doc_id"), col("simhash")).unionByName(deltaSk)
+    val mask = (1L << SimBandBits) - 1
+    val bandCols = (0 until simBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(mask)).as("bval"))
+    }
+    def banded(df: DataFrame) =
+      df.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.bval").as("bval"))
+    banded(all).as("a")
+      .join(broadcast(banded(deltaSk)).as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

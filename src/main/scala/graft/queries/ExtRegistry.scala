@@ -102,6 +102,19 @@ object ExtRegistry {
       MinHash.simHashNearDupsFromState(state)
     }),
 
+    // incremental SimHash dedup of ONE delta against state ∪ delta
+    // (minhash_delta_pairs' snapshot shape on the 9-byte sketch — the
+    // last signature family without the delta-probe form): the delta's
+    // band keys broadcast, the sketch state probed in one narrow scan;
+    // by pigeonhole, exactly the full-corpus Hamming <= 3 pairs
+    // restricted to delta-touching ones (delta = doc_id % 7 = 0)
+    "simhash_delta_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      MinHash.simHashNearDupDeltaPairs(
+        MinHash.simhashAdd(docs.filter(col("doc_id") % 7 =!= 0)),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
+
     // the dedup LOOP closed: near-dup pairs -> drop the higher-id side of
     // every pair above the jaccard threshold -> surviving corpus
     // (greedy pairwise representative choice; an anti-join, so the keep
@@ -5721,6 +5734,13 @@ object ExtRegistry {
     "simhash_near_dup_stream" ->
       s"""WITH $simhashPairsCtes
          |SELECT doc_a, doc_b, hamming FROM sh_pairs""".stripMargin,
+
+    // delta-incremental twin: exactly the batch pairs restricted to
+    // delta-touching ones (delta = doc_id % 7 = 0 on either side)
+    "simhash_delta_pairs" ->
+      s"""WITH $simhashPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM sh_pairs
+         |WHERE doc_a % 7 = 0 OR doc_b % 7 = 0""".stripMargin,
 
     "near_dup_components" ->
       s"""WITH RECURSIVE $componentsCtes

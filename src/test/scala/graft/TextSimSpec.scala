@@ -553,4 +553,25 @@ class TextSimSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch && batch.contains((1L, 2L, 0L)))
   }
+
+  test("simHashNearDupDeltaPairs == batch pairs restricted to delta-touching, both orientations") {
+    import graft.ext.MinHash
+    val docs = Seq(
+      (1L, "m n o p q r s t u v"), (2L, "m n o p q r s t u v"),
+      (7L, "m n o p q r s t u v"), // the delta doc dups both 1 and 2
+      (3L, "entirely different words live inside this third document"),
+      (14L, "another unrelated body with its very own private tokens")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = pairs(MinHash.simHashNearDups(docs))
+    // delta = {7, 14}: (1,7)/(2,7) carry the delta doc as the GREATER
+    // id — a naive a.id < b.id delta join would drop them
+    val delta = pairs(MinHash.simHashNearDupDeltaPairs(
+      MinHash.simhashAdd(docs.filter(col("doc_id") % 7 =!= 0)),
+      docs.filter(col("doc_id") % 7 === 0)))
+    assert(delta == batch.filter(p => p._1 % 7 == 0 || p._2 % 7 == 0), delta.toString)
+    assert(delta.exists(p => p._2 == 7L && p._1 < 7L), delta.toString)
+    assert(delta.nonEmpty)
+  }
 }

@@ -832,6 +832,21 @@ object Registry {
           col("content_type"), col("body"),
           (col("status") === 200 && col("content_type").startsWith("text/"))
             .cast("int").as("keep"))
+    }),
+
+    // the charset step after body recovery: the web is not uniformly
+    // UTF-8, so the funnel decodes each body per its Content-Type's
+    // DECLARED charset — the fixture carries the SAME logical text
+    // (doc text + a 3-char accented suffix) as 2-byte UTF-8 sequences,
+    // raw Latin-1 high bytes, and under a quoted upper-case parameter
+    // spelling; one oracle states the logical text, so a decode bug in
+    // ANY branch (or a blind UTF-8 read of the Latin-1 wire bytes —
+    // mojibake) hash-fails
+    "warc_charset_text" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      graft.sources.Warc.parseWarcHttpText(
+        graft.sources.Warc.parseWarcRaw(graft.sources.Warc.encodeWarcCharset(docs)))
+        .toDF()
     })
   )
 
@@ -1745,6 +1760,29 @@ object Registry {
     // gz-container twin: the codec layer is lossless over byte-identical
     // records, so the decode contract holds verbatim
     "warc_http_body_gz" -> warcHttpBodyOracle,
+
+    // charset twin: the oracle states the LOGICAL text (doc text + the
+    // chr()-replayed accented suffix) for every mode — it never
+    // mentions the wire encoding because a correct charset decode
+    // erases it; charset column = the normalized declared value
+    "warc_charset_text" ->
+      """WITH lt AS (
+        |  SELECT doc_id,
+        |         text || ' ' || chr(CAST(161 + (doc_id % 94) AS INTEGER))
+        |              || chr(CAST(161 + ((doc_id + 7) % 94) AS INTEGER))
+        |              || chr(CAST(161 + ((doc_id + 14) % 94) AS INTEGER)) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       'https://graft.test/' || doc_id AS target_uri,
+        |       CAST(200 AS INTEGER) AS http_status,
+        |       CASE doc_id % 3 WHEN 0 THEN 'text/html; charset=utf-8'
+        |                       WHEN 1 THEN 'text/html; charset=iso-8859-1'
+        |                       ELSE 'text/plain; charset="ISO-8859-1"' END AS content_type,
+        |       CASE doc_id % 3 WHEN 0 THEN 'utf-8'
+        |                       ELSE 'iso-8859-1' END AS charset,
+        |       t AS text,
+        |       CAST(length(t) AS BIGINT) AS n_chars
+        |FROM lt""".stripMargin,
 
     // the sharded two-phase assignment must equal the one global
     // row_number — the oracle IS the semantic contract

@@ -426,55 +426,194 @@ object Warc {
     val spark = records.sparkSession
     import spark.implicits._
     records.map { r =>
-      val bs = r.payload
-      var hdrEnd = -1
-      var q = 0
-      while (hdrEnd < 0 && q + 3 < bs.length) {
-        if (bs(q) == '\r' && bs(q + 1) == '\n' && bs(q + 2) == '\r' && bs(q + 3) == '\n')
-          hdrEnd = q
-        q += 1
-      }
-      require(hdrEnd >= 0, s"doc ${r.doc_id}: unterminated HTTP header block")
-      val lines = new String(bs, 0, hdrEnd, US_ASCII).split("\r\n", -1)
-      val statusLine = lines.head
-      require(statusLine.startsWith("HTTP/1.0 ") || statusLine.startsWith("HTTP/1.1 "),
-        s"doc ${r.doc_id}: bad HTTP status line '$statusLine'")
-      val code = statusLine.substring(9).takeWhile(_ != ' ')
-      require(code.length == 3 && code.forall(_.isDigit),
-        s"doc ${r.doc_id}: non-3-digit HTTP status '$code'")
-      val hdrs = lines.tail.map { l =>
-        val i = l.indexOf(": ")
-        require(i > 0, s"doc ${r.doc_id}: malformed HTTP header '$l'")
-        (l.substring(0, i).toLowerCase(java.util.Locale.ROOT), l.substring(i + 2))
-      }.toMap
-      require(hdrs.contains("content-type"),
-        s"doc ${r.doc_id}: missing Content-Type header")
-      var body = java.util.Arrays.copyOfRange(bs, hdrEnd + 4, bs.length)
-      hdrs.get("transfer-encoding") match {
-        case Some(te) =>
-          require(te.equalsIgnoreCase("chunked"),
-            s"doc ${r.doc_id}: unsupported Transfer-Encoding '$te'")
-          body = dechunk(r.doc_id, body)
-        case None =>
-          // Content-Length only frames a NON-chunked body (RFC 9112
-          // §6.3: chunked wins and any Content-Length is ignored)
-          hdrs.get("content-length").foreach { cl =>
-            require(cl.nonEmpty && cl.length <= 9 && cl.forall(_.isDigit) &&
-              cl.toInt == body.length,
-              s"doc ${r.doc_id}: Content-Length $cl does not match body span ${body.length}")
-          }
-      }
-      hdrs.get("content-encoding") match {
-        case None => ()
-        case Some(ce) if ce.equalsIgnoreCase("identity") => ()
-        case Some(ce) if ce.equalsIgnoreCase("gzip") => body = gunzipBody(r.doc_id, body)
-        case Some(ce) if ce.equalsIgnoreCase("deflate") => body = inflateBody(r.doc_id, body)
-        case Some(ce) => throw new IllegalArgumentException(
-          s"doc ${r.doc_id}: unsupported Content-Encoding '$ce'")
-      }
-      WarcHttpRecord(r.doc_id, r.target_uri, code.toInt,
+      val (code, hdrs, body) = httpParts(r.doc_id, r.payload)
+      WarcHttpRecord(r.doc_id, r.target_uri, code,
         hdrs("content-type"), new String(body, UTF_8))
     }
+  }
+
+  /** The shared HTTP response parse behind [[parseWarcHttpBody]] and
+    * [[parseWarcHttpText]]: status line + headers, then the body
+    * un-framed in receiver order (de-chunk first, then
+    * Content-Encoding) — `(status, lower-cased headers, PLAIN body
+    * bytes)`. Every malformed shape fails by name. */
+  private def httpParts(id: Long, bs: Array[Byte]): (Int, Map[String, String], Array[Byte]) = {
+    var hdrEnd = -1
+    var q = 0
+    while (hdrEnd < 0 && q + 3 < bs.length) {
+      if (bs(q) == '\r' && bs(q + 1) == '\n' && bs(q + 2) == '\r' && bs(q + 3) == '\n')
+        hdrEnd = q
+      q += 1
+    }
+    require(hdrEnd >= 0, s"doc $id: unterminated HTTP header block")
+    val lines = new String(bs, 0, hdrEnd, US_ASCII).split("\r\n", -1)
+    val statusLine = lines.head
+    require(statusLine.startsWith("HTTP/1.0 ") || statusLine.startsWith("HTTP/1.1 "),
+      s"doc $id: bad HTTP status line '$statusLine'")
+    val code = statusLine.substring(9).takeWhile(_ != ' ')
+    require(code.length == 3 && code.forall(_.isDigit),
+      s"doc $id: non-3-digit HTTP status '$code'")
+    val hdrs = lines.tail.map { l =>
+      val i = l.indexOf(": ")
+      require(i > 0, s"doc $id: malformed HTTP header '$l'")
+      (l.substring(0, i).toLowerCase(java.util.Locale.ROOT), l.substring(i + 2))
+    }.toMap
+    require(hdrs.contains("content-type"),
+      s"doc $id: missing Content-Type header")
+    var body = java.util.Arrays.copyOfRange(bs, hdrEnd + 4, bs.length)
+    hdrs.get("transfer-encoding") match {
+      case Some(te) =>
+        require(te.equalsIgnoreCase("chunked"),
+          s"doc $id: unsupported Transfer-Encoding '$te'")
+        body = dechunk(id, body)
+      case None =>
+        // Content-Length only frames a NON-chunked body (RFC 9112
+        // §6.3: chunked wins and any Content-Length is ignored)
+        hdrs.get("content-length").foreach { cl =>
+          require(cl.nonEmpty && cl.length <= 9 && cl.forall(_.isDigit) &&
+            cl.toInt == body.length,
+            s"doc $id: Content-Length $cl does not match body span ${body.length}")
+        }
+    }
+    hdrs.get("content-encoding") match {
+      case None => ()
+      case Some(ce) if ce.equalsIgnoreCase("identity") => ()
+      case Some(ce) if ce.equalsIgnoreCase("gzip") => body = gunzipBody(id, body)
+      case Some(ce) if ce.equalsIgnoreCase("deflate") => body = inflateBody(id, body)
+      case Some(ce) => throw new IllegalArgumentException(
+        s"doc $id: unsupported Content-Encoding '$ce'")
+    }
+    (code.toInt, hdrs, body)
+  }
+
+  final case class WarcHttpTextRecord(doc_id: Long, target_uri: String,
+      http_status: Int, content_type: String, charset: String,
+      text: String, n_chars: Long)
+
+  /** The declared charset of a Content-Type value, RFC-9110-style:
+    * parameters split on `;`, `charset=` matched case-insensitively,
+    * optional double quotes stripped, value lower-cased. Absent
+    * parameter defaults to utf-8 (the modern-web overwhelming
+    * majority; a deployment screening legacy corpora plugs its
+    * sniffer upstream of this default). */
+  private[graft] def charsetOf(contentType: String): String =
+    contentType.split(";").iterator.drop(1).map(_.trim).collectFirst {
+      case p if p.length > 8 &&
+        p.substring(0, 8).equalsIgnoreCase("charset=") =>
+        val v = p.substring(8).trim
+        val unq = if (v.length >= 2 && v.head == '"' && v.last == '"')
+          v.substring(1, v.length - 1) else v
+        unq.toLowerCase(java.util.Locale.ROOT)
+    }.getOrElse("utf-8")
+
+  /** Decode recovered PLAIN body bytes per the DECLARED charset — the
+    * step after [[parseWarcHttpBody]]'s un-framing that makes a real
+    * crawl's text readable: UTF-8 is decoded STRICTLY (a malformed
+    * sequence fails by name instead of silently becoming U+FFFD —
+    * mojibake poisoning downstream hashes is exactly the failure this
+    * guards), ISO-8859-1/Latin-1 is the 1:1 byte→codepoint transcode,
+    * US-ASCII validates the high bit. Any other declared charset
+    * fails loudly by name (the house boundary discipline: a silent
+    * wrong-charset decode would corrupt every downstream screen). */
+  private[graft] def decodeCharset(id: Long, charset: String, body: Array[Byte]): String =
+    charset match {
+      case "utf-8" | "utf8" =>
+        val dec = UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        try dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+        catch { case e: java.nio.charset.CharacterCodingException =>
+          throw new IllegalArgumentException(
+            s"doc $id: malformed UTF-8 body under declared charset '$charset' (${e.getClass.getSimpleName})")
+        }
+      case "iso-8859-1" | "latin-1" | "latin1" =>
+        new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+      case "us-ascii" | "ascii" =>
+        var i = 0
+        while (i < body.length) {
+          require((body(i) & 0x80) == 0,
+            s"doc $id: non-ASCII byte 0x${(body(i) & 0xff).toHexString} at offset $i under declared charset '$charset'")
+          i += 1
+        }
+        new String(body, US_ASCII)
+      case other => throw new IllegalArgumentException(
+        s"doc $id: unsupported charset '$other'")
+    }
+
+  /** [[parseWarcHttpBody]] completed into TEXT: the recovered plain
+    * bytes are decoded per the Content-Type's DECLARED charset
+    * ([[charsetOf]] / [[decodeCharset]]) — the step a CommonCrawl
+    * funnel needs because the web is not uniformly UTF-8 (Latin-1
+    * responses read as mojibake under a blind UTF-8 decode, silently
+    * corrupting every downstream hash/shingle/screen). Same narrow
+    * map as the body form — records never shuffle. */
+  def parseWarcHttpText(records: Dataset[WarcByteRecord]): Dataset[WarcHttpTextRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.map { r =>
+      val (code, hdrs, body) = httpParts(r.doc_id, r.payload)
+      val ct = hdrs("content-type")
+      val cs = charsetOf(ct)
+      val text = decodeCharset(r.doc_id, cs, body)
+      WarcHttpTextRecord(r.doc_id, r.target_uri, code, ct, cs, text, text.length.toLong)
+    }
+  }
+
+  /** Suffix codepoint `k` of the charset fixture's logical text —
+    * arithmetic off doc_id so the oracle replays it via `chr()`:
+    * `161 + (id + 7k) mod 94` spans 0xA1..0xFE, the printable
+    * Latin-1 high range (every value is BOTH a valid Latin-1 byte
+    * and a 2-byte UTF-8 sequence, so the two encodings genuinely
+    * differ on the wire). */
+  private[graft] def charsetSuffixCp(id: Long, k: Int): Int =
+    161 + ((id + 7L * k) % 94L).toInt
+
+  /** Charset-dimension WARC fixture: 200-status responses whose
+    * Content-Type declares the body encoding — ids ≡ 0 mod 3 are
+    * `text/html; charset=utf-8` (2-byte sequences on the wire for the
+    * accented suffix), ≡ 1 `text/html; charset=iso-8859-1` (high-bit
+    * single bytes), ≡ 2 `text/plain; charset="ISO-8859-1"` (QUOTED,
+    * upper-case parameter — the value spelling realistic headers
+    * carry). The logical text is the document text plus a 3-char
+    * accented suffix ([[charsetSuffixCp]]), identical across modes, so
+    * a decoder bug in ANY branch hash-fails against the one oracle.
+    * Framing is plain Content-Length — the encoding dimension is
+    * [[encodeWarcHttpEnc]]'s, orthogonal to this one. */
+  def encodeWarcCharset(documents: DataFrame, shardSize: Long = 50L): Dataset[WarcContainer] = {
+    require(shardSize >= 1L, s"shard size must be positive, got $shardSize")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / shardSize)
+      .mapGroups { (shard, it) =>
+        val out = new java.io.ByteArrayOutputStream()
+        it.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          val logical = text + " " +
+            (0 until 3).map(k => charsetSuffixCp(id, k).toChar).mkString
+          val (ctype, body) = (id % 3) match {
+            case 0 => ("text/html; charset=utf-8", logical.getBytes(UTF_8))
+            case 1 => ("text/html; charset=iso-8859-1",
+              logical.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            case _ => ("text/plain; charset=\"ISO-8859-1\"",
+              logical.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          }
+          val http =
+            (s"HTTP/1.1 200 ${httpReason(200)}\r\n" +
+              s"Content-Type: $ctype\r\n" +
+              s"Content-Length: ${body.length}\r\n" +
+              "\r\n").getBytes(US_ASCII) ++ body
+          val header =
+            "WARC/1.0\r\n" +
+              "WARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:graft:doc-$id>\r\n" +
+              s"WARC-Target-URI: https://graft.test/$id\r\n" +
+              s"Content-Length: ${http.length}\r\n" +
+              "\r\n"
+          val rec = header.getBytes(US_ASCII) ++ http ++ "\r\n\r\n".getBytes(US_ASCII)
+          out.write(rec, 0, rec.length)
+        }
+        WarcContainer(shard, out.toByteArray)
+      }
   }
 
   /** Parse WARC containers back to records: walk each container's

@@ -449,4 +449,44 @@ class LoadSpec extends SparkSpec {
       assert(msgOf(e).contains(name), s"for '$name': ${msgOf(e)}")
     }
   }
+
+  test("charsetOf/decodeCharset: declared-charset decode exact, every bad shape by name") {
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    // parameter parsing: case, quoting, extra params, absent default
+    assert(Warc.charsetOf("text/html; charset=utf-8") == "utf-8")
+    assert(Warc.charsetOf("text/plain; charset=\"ISO-8859-1\"") == "iso-8859-1")
+    assert(Warc.charsetOf("text/html; boundary=x; CHARSET=Latin-1") == "latin-1")
+    assert(Warc.charsetOf("text/html") == "utf-8")
+    // the SAME logical text decodes identically from both wire forms
+    val logical = "café über ¡hola!"
+    assert(Warc.decodeCharset(1L, "utf-8", logical.getBytes(UTF_8)) == logical)
+    assert(Warc.decodeCharset(1L, "iso-8859-1", logical.getBytes(ISO_8859_1)) == logical)
+    // a blind UTF-8 read of Latin-1 wire bytes is exactly what the
+    // strict decoder must REFUSE (silent mojibake otherwise)
+    val e1 = intercept[IllegalArgumentException](
+      Warc.decodeCharset(2L, "utf-8", logical.getBytes(ISO_8859_1)))
+    assert(e1.getMessage.contains("malformed UTF-8 body"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Warc.decodeCharset(3L, "us-ascii", logical.getBytes(ISO_8859_1)))
+    assert(e2.getMessage.contains("non-ASCII byte"), e2.getMessage)
+    assert(Warc.decodeCharset(4L, "ascii", "plain".getBytes(UTF_8)) == "plain")
+    val e3 = intercept[IllegalArgumentException](
+      Warc.decodeCharset(5L, "shift_jis", "x".getBytes(UTF_8)))
+    assert(e3.getMessage.contains("unsupported charset 'shift_jis'"), e3.getMessage)
+    // end-to-end: all three fixture modes recover the identical
+    // logical text (suffix arithmetic replayed independently)
+    val docs = Seq.tabulate(9)(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    val out = Warc.parseWarcHttpText(
+      Warc.parseWarcRaw(Warc.encodeWarcCharset(docs))).collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      val suffix = (0 until 3)
+        .map(k => (161 + ((r.doc_id + 7 * k) % 94)).toChar).mkString
+      assert(r.text == s"doc body ${r.doc_id} $suffix", s"doc ${r.doc_id}: '${r.text}'")
+      assert(r.n_chars == r.text.length.toLong)
+      assert(r.charset == (if (r.doc_id % 3 == 0) "utf-8" else "iso-8859-1"))
+      assert(r.http_status == 200)
+    }
+  }
 }

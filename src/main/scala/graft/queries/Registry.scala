@@ -1762,23 +1762,29 @@ object Registry {
     "warc_http_body_gz" -> warcHttpBodyOracle,
 
     // charset twin: the oracle states the LOGICAL text (doc text + the
-    // chr()-replayed accented suffix) for every mode — it never
-    // mentions the wire encoding because a correct charset decode
-    // erases it; charset column = the normalized declared value
+    // chr()-replayed accented suffix; the cp1252 mode prepends the
+    // euro sign, chr(8364) — wire byte 0x80, remap-block-only) for
+    // every mode — it never mentions the wire encoding because a
+    // correct charset decode erases it; charset column = the
+    // normalized declared value
     "warc_charset_text" ->
       """WITH lt AS (
         |  SELECT doc_id,
-        |         text || ' ' || chr(CAST(161 + (doc_id % 94) AS INTEGER))
+        |         text ||
+        |         CASE WHEN doc_id % 4 = 3 THEN ' ' || chr(8364) ELSE ' ' END
+        |              || chr(CAST(161 + (doc_id % 94) AS INTEGER))
         |              || chr(CAST(161 + ((doc_id + 7) % 94) AS INTEGER))
         |              || chr(CAST(161 + ((doc_id + 14) % 94) AS INTEGER)) AS t
         |  FROM documents)
         |SELECT doc_id,
         |       'https://graft.test/' || doc_id AS target_uri,
         |       CAST(200 AS INTEGER) AS http_status,
-        |       CASE doc_id % 3 WHEN 0 THEN 'text/html; charset=utf-8'
+        |       CASE doc_id % 4 WHEN 0 THEN 'text/html; charset=utf-8'
         |                       WHEN 1 THEN 'text/html; charset=iso-8859-1'
-        |                       ELSE 'text/plain; charset="ISO-8859-1"' END AS content_type,
-        |       CASE doc_id % 3 WHEN 0 THEN 'utf-8'
+        |                       WHEN 2 THEN 'text/plain; charset="ISO-8859-1"'
+        |                       ELSE 'text/html; charset=windows-1252' END AS content_type,
+        |       CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+        |                       WHEN 3 THEN 'windows-1252'
         |                       ELSE 'iso-8859-1' END AS charset,
         |       t AS text,
         |       CAST(length(t) AS BIGINT) AS n_chars

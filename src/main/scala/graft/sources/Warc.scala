@@ -526,8 +526,14 @@ object Warc {
           throw new IllegalArgumentException(
             s"doc $id: malformed UTF-8 body under declared charset '$charset' (${e.getClass.getSimpleName})")
         }
-      case "iso-8859-1" | "latin-1" | "latin1" =>
-        new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+      case "iso-8859-1" | "latin-1" | "latin1" | "windows-1252" | "cp1252" =>
+        // the WHATWG encoding rule real browsers (and so real crawls)
+        // live by: an iso-8859-1 LABEL decodes as windows-1252 — the
+        // two differ only on 0x80-0x9F, where Latin-1's C1 controls
+        // are garbage in text and cp1252's symbols (€ " " – —) are
+        // what the page meant. The five bytes cp1252 leaves undefined
+        // fail by name instead of passing as controls.
+        decodeCp1252(id, charset, body)
       case "us-ascii" | "ascii" =>
         var i = 0
         while (i < body.length) {
@@ -539,6 +545,34 @@ object Warc {
       case other => throw new IllegalArgumentException(
         s"doc $id: unsupported charset '$other'")
     }
+
+  /** Windows-1252's 0x80-0x9F block (the only range where it differs
+    * from Latin-1); −1 marks the five bytes the codepage leaves
+    * undefined (0x81, 0x8D, 0x8F, 0x90, 0x9D). */
+  private val Cp1252High: Array[Int] = Array(
+    0x20AC, -1, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, -1, 0x017D, -1,
+    -1, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, -1, 0x017E, 0x0178)
+
+  private def decodeCp1252(id: Long, label: String, body: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(body.length)
+    var i = 0
+    while (i < body.length) {
+      val b = body(i) & 0xff
+      val cp =
+        if (b < 0x80 || b >= 0xA0) b
+        else {
+          val m = Cp1252High(b - 0x80)
+          require(m >= 0,
+            s"doc $id: byte 0x${b.toHexString} at offset $i is undefined in windows-1252 (declared charset '$label')")
+          m
+        }
+      sb.append(cp.toChar)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** [[parseWarcHttpBody]] completed into TEXT: the recovered plain
     * bytes are decoded per the Content-Type's DECLARED charset
@@ -569,15 +603,19 @@ object Warc {
     161 + ((id + 7L * k) % 94L).toInt
 
   /** Charset-dimension WARC fixture: 200-status responses whose
-    * Content-Type declares the body encoding — ids ≡ 0 mod 3 are
+    * Content-Type declares the body encoding — ids ≡ 0 mod 4 are
     * `text/html; charset=utf-8` (2-byte sequences on the wire for the
     * accented suffix), ≡ 1 `text/html; charset=iso-8859-1` (high-bit
     * single bytes), ≡ 2 `text/plain; charset="ISO-8859-1"` (QUOTED,
     * upper-case parameter — the value spelling realistic headers
-    * carry). The logical text is the document text plus a 3-char
-    * accented suffix ([[charsetSuffixCp]]), identical across modes, so
-    * a decoder bug in ANY branch hash-fails against the one oracle.
-    * Framing is plain Content-Length — the encoding dimension is
+    * carry), ≡ 3 `text/html; charset=windows-1252` with a EURO SIGN
+    * in the text — € is wire byte 0x80, which only the cp1252 remap
+    * block produces, so this mode exercises the table where the
+    * Latin-1 modes (suffix bytes all ≥ 0xA1) cannot. The logical text
+    * is the document text plus a 3-char accented suffix
+    * ([[charsetSuffixCp]]; mode 3 prepends €), so a decoder bug in
+    * ANY branch hash-fails against the one oracle. Framing is plain
+    * Content-Length — the encoding dimension is
     * [[encodeWarcHttpEnc]]'s, orthogonal to this one. */
   def encodeWarcCharset(documents: DataFrame, shardSize: Long = 50L): Dataset[WarcContainer] = {
     require(shardSize >= 1L, s"shard size must be positive, got $shardSize")
@@ -588,14 +626,26 @@ object Warc {
       .mapGroups { (shard, it) =>
         val out = new java.io.ByteArrayOutputStream()
         it.toSeq.sortBy(_._1).foreach { case (id, text) =>
-          val logical = text + " " +
-            (0 until 3).map(k => charsetSuffixCp(id, k).toChar).mkString
-          val (ctype, body) = (id % 3) match {
+          val suffix = (0 until 3).map(k => charsetSuffixCp(id, k).toChar).mkString
+          val logical = text + " " + suffix
+          val (ctype, body) = (id % 4) match {
             case 0 => ("text/html; charset=utf-8", logical.getBytes(UTF_8))
             case 1 => ("text/html; charset=iso-8859-1",
               logical.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-            case _ => ("text/plain; charset=\"ISO-8859-1\"",
+            case 2 => ("text/plain; charset=\"ISO-8859-1\"",
               logical.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            case _ =>
+              // € (U+20AC) is cp1252 byte 0x80; the suffix bytes pass
+              // through the identity ranges
+              val raw = (text + " €" + suffix)
+              val bs = new Array[Byte](raw.length)
+              var i = 0
+              while (i < raw.length) {
+                bs(i) = if (raw.charAt(i) == '€') 0x80.toByte
+                        else raw.charAt(i).toByte
+                i += 1
+              }
+              ("text/html; charset=windows-1252", bs)
           }
           val http =
             (s"HTTP/1.1 200 ${httpReason(200)}\r\n" +

@@ -462,6 +462,16 @@ class LoadSpec extends SparkSpec {
     val logical = "café über ¡hola!"
     assert(Warc.decodeCharset(1L, "utf-8", logical.getBytes(UTF_8)) == logical)
     assert(Warc.decodeCharset(1L, "iso-8859-1", logical.getBytes(ISO_8859_1)) == logical)
+    // the WHATWG rule: an iso-8859-1 LABEL decodes as windows-1252 —
+    // byte 0x91 is the curly quote, not the C1 control
+    assert(Warc.decodeCharset(1L, "iso-8859-1",
+      Array[Byte]('a', 0x91.toByte, 0x80.toByte)) == "a‘€")
+    assert(Warc.decodeCharset(1L, "windows-1252",
+      Array[Byte](0x93.toByte, 'q', 0x94.toByte)) == "“q”")
+    // the five bytes cp1252 leaves undefined fail by name
+    val e0 = intercept[IllegalArgumentException](
+      Warc.decodeCharset(6L, "windows-1252", Array[Byte]('x', 0x8D.toByte)))
+    assert(e0.getMessage.contains("undefined in windows-1252"), e0.getMessage)
     // a blind UTF-8 read of Latin-1 wire bytes is exactly what the
     // strict decoder must REFUSE (silent mojibake otherwise)
     val e1 = intercept[IllegalArgumentException](
@@ -474,18 +484,22 @@ class LoadSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       Warc.decodeCharset(5L, "shift_jis", "x".getBytes(UTF_8)))
     assert(e3.getMessage.contains("unsupported charset 'shift_jis'"), e3.getMessage)
-    // end-to-end: all three fixture modes recover the identical
-    // logical text (suffix arithmetic replayed independently)
-    val docs = Seq.tabulate(9)(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    // end-to-end: all four fixture modes recover the identical logical
+    // text (suffix arithmetic replayed independently; the cp1252 mode
+    // prepends the euro — wire byte 0x80, remap-block-only)
+    val docs = Seq.tabulate(12)(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
     val out = Warc.parseWarcHttpText(
       Warc.parseWarcRaw(Warc.encodeWarcCharset(docs))).collect()
-    assert(out.length == 9)
+    assert(out.length == 12)
     out.foreach { r =>
       val suffix = (0 until 3)
         .map(k => (161 + ((r.doc_id + 7 * k) % 94)).toChar).mkString
-      assert(r.text == s"doc body ${r.doc_id} $suffix", s"doc ${r.doc_id}: '${r.text}'")
+      val eu = if (r.doc_id % 4 == 3) "€" else ""
+      assert(r.text == s"doc body ${r.doc_id} $eu$suffix", s"doc ${r.doc_id}: '${r.text}'")
       assert(r.n_chars == r.text.length.toLong)
-      assert(r.charset == (if (r.doc_id % 3 == 0) "utf-8" else "iso-8859-1"))
+      assert(r.charset == (r.doc_id % 4 match {
+        case 0 => "utf-8"; case 3 => "windows-1252"; case _ => "iso-8859-1"
+      }))
       assert(r.http_status == 200)
     }
   }

@@ -208,19 +208,25 @@ object Cluster {
     * caller's aggregation, and a lineage re-read would re-quantize per
     * use (see MinHash.nearDupPairs for the cache-vs-checkpoint note). */
   private def lloydAssign(qf0: DataFrame, k: Int, iters: Int, d: Int,
-      maximin: Boolean = true): DataFrame = {
+      maximin: Boolean = true, materialize: Boolean = true): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val qf = qf0.localCheckpoint(false)
+    // materialize = false lets a caller that ALREADY checkpointed the
+    // q-frame (to share it across several trainers — see
+    // Sim.ivfPqAdcPairs) skip a second full block copy here
+    val qf = if (materialize) qf0.localCheckpoint(false) else qf0
     val poolN = if (maximin) math.max(k, SeedPool) else k
-    val poolDf =
+    def collectPool(df: DataFrame): IndexedSeq[(Long, Array[Long])] =
+      df.orderBy(col("vec_id")).limit(poolN).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toIndexedSeq
+    val pool =
       if (maximin) {
         // corpus-spread pool: ceil-stride residue class anchored at the
         // minimum id (exact integer arithmetic, replayed by the
         // oracle's ps CTE); the count/min pass is over the checkpointed
         // q-frame, so it costs one bounded agg, not a re-quantization
         val fr = qf.agg(count(lit(1)), min(col("vec_id"))).head()
-        if (fr.getLong(0) == 0L) qf
+        if (fr.getLong(0) == 0L) IndexedSeq.empty[(Long, Array[Long])]
         else {
           val stride = math.max(1L, (fr.getLong(0) + poolN - 1) / poolN)
           val res = qf.filter((col("vec_id") - lit(fr.getLong(1))) % lit(stride) === lit(0L))
@@ -228,13 +234,14 @@ object Cluster {
           // collapse the residue class to far fewer members than poolN
           // (only the minimum id is guaranteed) — below k members the
           // maximin pass cannot even produce k seeds, so fall back to
-          // the lowest-id pool (the limit(k) probe is bounded: it never
-          // counts the class, just checks k rows exist)
-          if (res.limit(k).count() < k) qf else res
+          // the lowest-id pool. The k-member probe rides the pool
+          // collect itself: poolN ≥ k, so a short residue-class collect
+          // IS the collapse proof — one bounded driver action here
+          // instead of a separate limit(k).count() round-trip
+          val p = collectPool(res)
+          if (p.size < k) collectPool(qf) else p
         }
-      } else qf
-    val pool = poolDf.orderBy(col("vec_id")).limit(poolN).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toIndexedSeq
+      } else collectPool(qf)
     val seeds =
       if (maximin) maximinSeeds(pool, k)
       else pool.take(k).zipWithIndex.map { case ((_, q), i) => Centroid(i, 1L, q) }.toSeq
@@ -497,14 +504,15 @@ object Cluster {
     * ([[pqAssignedFrames]]) and the residual path ([[residualPqState]]),
     * which feed it q-grid and residual-grid integers respectively. */
   private def pqAssignedFromQ(qf0: DataFrame, d: Int, m: Int, k: Int,
-      iters: Int): (Seq[DataFrame], Int) = {
+      iters: Int, materialize: Boolean = true): (Seq[DataFrame], Int) = {
     require(m >= 1, s"m must be positive, got $m")
     require(k >= 2, s"k must be >= 2, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     locally {
       require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
       val dsub = d / m
-      val qf = qf0.localCheckpoint(false)
+      // materialize = false: caller already checkpointed (see lloydAssign)
+      val qf = if (materialize) qf0.localCheckpoint(false) else qf0
       // ONE seeds collect: the k lowest-vec_id vectors, sliced per
       // subspace driver-side
       val seedRows = qf.orderBy(col("vec_id")).limit(k).collect()
@@ -937,6 +945,29 @@ object Cluster {
           StructType(Seq(StructField("vec_id", LongType), StructField("eval_id", LongType),
             StructField("cosine", DoubleType))))
     }
+  }
+
+  /** Coarse-quantizer training off an ALREADY-MATERIALIZED shared
+    * q-frame — [[kmeansCentroids]]+[[centroidState]] without the
+    * long-form frame round-trip, the second grid scan or a second
+    * quantize/checkpoint of the corpus: the one grid scan and the one
+    * q-frame checkpoint are paid by the CALLER and shared with every
+    * other trainer on the same frame (a searcher that also trains a PQ
+    * codebook was quantizing and checkpointing the corpus twice and
+    * scanning for the grid three times). Bit-identical state: the same
+    * [[lloydAssign]] recursion and the same final k-row aggregation,
+    * collected directly. */
+  private[ext] def coarseStateFromQ(qf: DataFrame, d: Int, k: Int,
+      iters: Int): Seq[Centroid] =
+    centroidStateOf(lloydAssign(qf, k, iters, d, materialize = false), d)
+
+  /** Per-subspace PQ codebook states off the same shared q-frame —
+    * [[pqCodebook]] + the searcher's collect/rebuild without the long
+    * form or a second checkpoint (the [[coarseStateFromQ]] contract). */
+  private[ext] def pqSubStatesFromQ(qf: DataFrame, d: Int, m: Int, k: Int,
+      iters: Int): Seq[Seq[Centroid]] = {
+    val (subs, dsub) = pqAssignedFromQ(qf, d, m, k, iters, materialize = false)
+    pqSubStates(subs, dsub)
   }
 
   /** Final NON-EMPTY centroid state of an assigned frame (the g2 the

@@ -600,9 +600,14 @@ object Sim {
         org.apache.spark.sql.types.StructField("truth_pairs", LongType),
         org.apache.spark.sql.types.StructField("hit_pairs", LongType),
         org.apache.spark.sql.types.StructField("recall", DoubleType))))
-    val state = Cluster.centroidState(Cluster.kmeansCentroids(embeddings, coarseK, iters))
+    // one grid scan, one quantize+checkpoint (the ivfPqAdcPairs shared-
+    // q-frame discipline); state bit-identical to the long-form path
     val gridOpt = Cluster.grid(embeddings)
-    if (state.isEmpty || gridOpt.isEmpty) return emptyOut
+    if (gridOpt.isEmpty) return emptyOut
+    val state = Cluster.coarseStateFromQ(
+      embeddings.select(col("vec_id"), Cluster.qCol(gridOpt.get._1).as("q"))
+        .localCheckpoint(false), gridOpt.get._2, coarseK, iters)
+    if (state.isEmpty) return emptyOut
     val sampled: DataFrame => DataFrame = df =>
       probeMod.fold(df) { case (m, r) => df.filter(col("vec_id") % m === r) }
     // probe side pre-filtered BELOW bruteTopK's typed boundary: the brute
@@ -701,32 +706,30 @@ object Sim {
     import graft.ext.Cluster
     import org.apache.spark.sql.graft.{KMeansCells, PqAdcDot}
     val gridOpt = Cluster.grid(embeddings)
-    val coarse =
-      if (gridOpt.isEmpty) Nil
-      else Cluster.centroidState(Cluster.kmeansCentroids(embeddings, coarseK, 2))
-    val cbRows =
-      if (coarse.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else Cluster.pqCodebook(embeddings, m, kSub, 2)
-        .select(col("subspace"), col("cell"), col("dim"), col("s"), col("n")).collect()
-    if (gridOpt.isEmpty || coarse.isEmpty || cbRows.isEmpty) return None
-    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
-    val np = math.min(nProbe, coarse.size) // clamp, as in ivfTopKTrained
+    if (gridOpt.isEmpty) return None
     val (scale, d) = gridOpt.get
     require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
+    // ONE grid scan and ONE quantize+checkpoint shared by BOTH trainers
+    // (coarse Lloyd + per-subspace PQ Lloyd): the previous shape paid
+    // the grid scan three times and quantized/checkpointed the corpus
+    // once per trainer — identical training state either way (same
+    // scale, same q integers, same seeded recursions)
+    val qf = embeddings.select(col("vec_id"), Cluster.qCol(scale).as("q"))
+      .localCheckpoint(false)
+    val coarse = Cluster.coarseStateFromQ(qf, d, coarseK, 2)
+    val subCens =
+      if (coarse.isEmpty) Nil
+      else Cluster.pqSubStatesFromQ(qf, d, m, kSub, 2)
+    if (coarse.isEmpty || subCens.isEmpty || subCens.exists(_.isEmpty)) return None
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val np = math.min(nProbe, coarse.size) // clamp, as in ivfTopKTrained
     val dsub = d / m
     // per-subspace encoder state (cell, n, |s|²/n², sums) + mean/|mean|²
-    // tables, all rebuilt from the bounded codebook collect
-    val bySub = cbRows.groupBy(_.getInt(0))
+    // tables, all from the bounded collected training state.
     // via Cluster.exprStateOf so the |s|² < 2⁵³ fail-loud guard covers
     // this scorer path too (r10 ADVICE: every table build shares it)
-    val subStates: Seq[Seq[(Int, Double, Double, Seq[Long])]] = (0 until m).map { s =>
-      Cluster.exprStateOf(
-        bySub(s).groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (cell, rows) =>
-          val sums = new Array[Long](dsub)
-          rows.foreach(r => sums(r.getInt(2) - 1) = r.getLong(3))
-          Cluster.Centroid(cell, rows.head.getLong(4), sums)
-        })
-    }
+    val subStates: Seq[Seq[(Int, Double, Double, Seq[Long])]] =
+      subCens.map(Cluster.exprStateOf)
     val maxCell = subStates.map(_.map(_._1).max).max
     // means indexed by raw cell id; cells the encoder cannot emit are
     // zero-filled (never looked up)
@@ -943,13 +946,16 @@ object Sim {
     import graft.ext.Cluster
     import org.apache.spark.sql.graft.{KMeansCells, PqAdcDot}
     val gridOpt = Cluster.grid(embeddings)
-    val coarse =
-      if (gridOpt.isEmpty) Nil
-      else Cluster.centroidState(Cluster.kmeansCentroids(embeddings, coarseK, 2))
-    if (gridOpt.isEmpty || coarse.isEmpty) return emptyNeighbors(embeddings)
+    if (gridOpt.isEmpty) return emptyNeighbors(embeddings)
+    val (scale, d) = gridOpt.get
+    // one grid scan, one quantize+checkpoint (the ivfPqAdcPairs shared-
+    // q-frame discipline); state bit-identical to the long-form path
+    val coarse = Cluster.coarseStateFromQ(
+      embeddings.select(col("vec_id"), Cluster.qCol(scale).as("q"))
+        .localCheckpoint(false), d, coarseK, 2)
+    if (coarse.isEmpty) return emptyNeighbors(embeddings)
     require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
     val np = math.min(nProbe, coarse.size)
-    val (scale, d) = gridOpt.get
     // per-dim [min, max] over the corpus: one aggregate, 2·d doubles
     val mmRow = embeddings.select(
       (1 to d).flatMap(i =>
@@ -1030,13 +1036,16 @@ object Sim {
     import org.apache.spark.sql.graft.KMeansCells
     require(refineR >= k, s"refineR must be >= k ($k), got $refineR")
     val gridOpt = Cluster.grid(embeddings)
-    val coarse =
-      if (gridOpt.isEmpty) Nil
-      else Cluster.centroidState(Cluster.kmeansCentroids(embeddings, coarseK, 2))
-    if (gridOpt.isEmpty || coarse.isEmpty) return emptyNeighbors(embeddings)
+    if (gridOpt.isEmpty) return emptyNeighbors(embeddings)
+    val (scale, d) = gridOpt.get
+    // one grid scan, one quantize+checkpoint (the ivfPqAdcPairs shared-
+    // q-frame discipline); state bit-identical to the long-form path
+    val coarse = Cluster.coarseStateFromQ(
+      embeddings.select(col("vec_id"), Cluster.qCol(scale).as("q"))
+        .localCheckpoint(false), d, coarseK, 2)
+    if (coarse.isEmpty) return emptyNeighbors(embeddings)
     require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
     val np = math.min(nProbe, coarse.size)
-    val (scale, d) = gridOpt.get
     val nw = (d + 31) / 32
     // sign-bit packing: 32 dims per word (32, not 64 — DuckDB's BIGINT
     // `<<` refuses bit 63, and 32-bit words keep every literal and OR

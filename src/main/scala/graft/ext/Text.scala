@@ -203,7 +203,11 @@ object Text {
   /** (doc_id, term) token stream — the ONE whitespace-tokenization
     * spelling every term-level operator shares (tf-idf, inverted index,
     * BPE prep), so a tokenization change cannot silently diverge them
-    * from each other or their oracles' `string_split(text, ' ')`. */
+    * from each other or their oracles' `string_split(text, ' ')`.
+    * NOT spread: measured at sf0.1 (r20 A/B), a pre-explode exchange of
+    * the text payload costs the tokenizer family +0.4-1.4 s/query —
+    * every consumer aggregates or joins right after the explode, so the
+    * shuffle that follows already spreads the work. */
   private[ext] def termStream(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -1877,9 +1881,14 @@ object Text {
     * spaces, the Cavnar–Trenkle convention (spaces carry word-boundary
     * signal). Docs shorter than 3 chars contribute nothing — the
     * `when` guard matters because Spark's `sequence(1, 0)` would step
-    * DOWNWARD, not return empty. */
+    * DOWNWARD, not return empty. Spread first (the
+    * [[graft.ext.MinHash.shingleHashes]] discipline): the length·3-char
+    * explode is the heavy pass of every consumer (langId scores it per
+    * trigram) and must not ride a one-task scan stage — measured at
+    * sf0.1 (r20): lang_profiles 2.24 → 0.56 s, and the curation family
+    * (which screens through langId) dropped 1.2-3.0 s per query. */
   private def charTrigrams(documents: DataFrame): DataFrame =
-    documents
+    graft.operators.Partitioning.spread(documents, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(when(length(col("text")) >= 3,
             transform(sequence(lit(1), length(col("text")) - 2),

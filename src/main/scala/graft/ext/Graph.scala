@@ -39,23 +39,41 @@ object Graph {
       df.sparkSession.sparkContext.emptyRDD[Row], RankSchema)
 
   /** The shared per-round state: vertex frame, edge frame with riding
-    * out-degrees, vertex count, and the damped-update constants. */
-  private case class PrState(v: DataFrame, eo: DataFrame, nV: Long,
-      init: Long, base: Long)
+    * out-degrees, the distinct non-dangling (has-out-edges) vertex set,
+    * vertex count, and the damped-update constants. */
+  private case class PrState(v: DataFrame, eo: DataFrame, outV: DataFrame,
+      nV: Long, init: Long, base: Long)
 
-  private def prState(edges: DataFrame, mass: Long): Option[PrState] = {
+  private def prState(edges: DataFrame, mass: Long,
+      redistribute: Boolean): Option[PrState] = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    // vertex set pre-partitioned on its key: the per-round damped
+    // update joins `v` on vertex against an aggregation that is ALREADY
+    // hash(vertex)-partitioned, so materializing v in that layout makes
+    // every round's update join exchange-free on the v side (guide
+    // §2.4: two operations keyed the same way share one exchange)
     val v = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
-      .distinct().localCheckpoint(false)
+      .distinct().repartition(col("vertex")).localCheckpoint(false)
     val nV = v.count()
     if (nV == 0) None
     else {
       val init = mass / nV
-      // out-degrees ride WITH the edges so each round joins once on src
+      // out-degrees ride WITH the edges so each round joins once on
+      // src; pre-partitioned on src so the per-round contribution join
+      // never re-exchanges the E-row side (the rank side arrives
+      // hash(vertex)-partitioned from the previous round's update)
       val eo = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .join(e, Seq("src")).localCheckpoint(false)
-      Some(PrState(v, eo, nV, init, (15L * init) / 100L))
+        .join(e, Seq("src")).repartition(col("src")).localCheckpoint(false)
+      // the non-dangling vertex set is ROUND-INVARIANT: computed and
+      // materialized once here instead of a distinct over E strings
+      // inside every round's dangling-mass anti-join
+      val outV =
+        if (redistribute)
+          eo.select(col("src").as("vertex")).distinct()
+            .repartition(col("vertex")).localCheckpoint(false)
+        else e.limit(0).select(col("src").as("vertex"))
+      Some(PrState(v, eo, outV, nV, init, (15L * init) / 100L))
     }
   }
 
@@ -75,8 +93,7 @@ object Graph {
     val upd = st.v.join(in, Seq("vertex"), "left")
     val next =
       if (redistribute) {
-        val dsum = r.join(st.eo.select(col("src").as("vertex")).distinct(),
-            Seq("vertex"), "left_anti")
+        val dsum = r.join(st.outV, Seq("vertex"), "left_anti")
           .agg(coalesce(sum(col("rank_units")), lit(0L)).as("dsum"))
         upd.crossJoin(broadcast(dsum))
           .select(col("vertex"),
@@ -102,7 +119,7 @@ object Graph {
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(mass > 0, s"mass must be positive, got $mass")
-    prState(edges, mass) match {
+    prState(edges, mass, redistributeDangling) match {
       case None => emptyRanks(edges)
       case Some(st) =>
         var r = st.v.select(col("vertex"), lit(st.init).as("rank_units"))
@@ -129,7 +146,7 @@ object Graph {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(epsPct >= 1, s"epsPct must be >= 1, got $epsPct")
     require(mass > 0, s"mass must be positive, got $mass")
-    prState(edges, mass) match {
+    prState(edges, mass, redistributeDangling) match {
       case None => emptyRanks(edges)
       case Some(st) =>
         val eps = (st.init * epsPct) / 100L
@@ -205,7 +222,14 @@ object Graph {
       Seq("s"))
     val docV = concat(lit("d:"), col("doc_id").cast(StringType))
     val termV = concat(lit("t:"), col("s").cast(StringType))
-    kept.select(docV.as("src"), termV.as("dst"))
-      .union(kept.select(termV.as("src"), docV.as("dst")))
+    // both directions from ONE pass over `kept`: a union of two selects
+    // re-evaluates the explode + df-count join once PER BRANCH (Catalyst
+    // does not CSE across union branches, and materializing `kept` costs
+    // more than it saves — measured r20); a 2-element array explode
+    // emits the same row multiset in a single evaluation
+    kept.select(explode(array(
+        struct(docV.as("src"), termV.as("dst")),
+        struct(termV.as("src"), docV.as("dst")))).as("edge"))
+      .select(col("edge.src").as("src"), col("edge.dst").as("dst"))
   }
 }

@@ -42,10 +42,21 @@ object Sim {
   private def el(c: Column, i: Int): Column = element_at(c, i).cast(DoubleType)
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    // per-probe top-k via the map-side bounded heap: the window spelling
+    // shuffles EVERY candidate pair to its probe's reducer (the pair set
+    // is |probes|·cell-occupancy — the dominant exchange of every cell-
+    // join searcher); TopKPerGroup prunes each map partition to ≤ k rows
+    // per probe BEFORE the exchange (guide §2.3 "aggregate before you
+    // shuffle"), and the rank window then runs over ≤ k rows per probe
+    // on the SAME hash(vec_id) partitioning — no extra exchange. Rows
+    // are identical: (cosine desc, neighbor_id asc) is a total order per
+    // probe (neighbor ids unique), and the global top-k of a group is
+    // contained in the union of per-partition top-k's.
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs
+    org.apache.spark.sql.graft.TopKPerGroup.topK(
+        pairs.select(col("vec_id"), col("neighbor_id"), col("cosine")),
+        Seq(col("vec_id")), Seq(col("cosine").desc, col("neighbor_id")), k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
@@ -644,13 +655,21 @@ object Sim {
       .select(col("vec_id"), col("neighbor_id"), col("pr"), col("cosine"))
       .join(truth.withColumn("is_truth", lit(1)), Seq("vec_id", "neighbor_id"), "left")
       .localCheckpoint(false)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     nProbes.map { np =>
-      pairs.filter(col("pr") <= np)
-        .withColumn("rank", row_number().over(w))
-        .agg(count(lit(1)).as("candidate_pairs"),
-          coalesce(sum(when(col("rank") <= k && col("is_truth").isNotNull, 1L)), lit(0L))
-            .as("hit_pairs"))
+      val f = pairs.filter(col("pr") <= np)
+      // hit count over the per-probe top-k via the map-side bounded heap
+      // (the rank-window spelling shuffled + sorted the FULL candidate
+      // pair set once per curve point); candidate_pairs still counts the
+      // unpruned set — a partial-agg count with no exchange, so the two
+      // scans of the checkpointed pair frame together move fewer bytes
+      // than the one windowed pass did
+      val hits = org.apache.spark.sql.graft.TopKPerGroup.topK(
+          f.select(col("vec_id"), col("neighbor_id"), col("cosine"), col("is_truth")),
+          Seq(col("vec_id")), Seq(col("cosine").desc, col("neighbor_id")), k)
+        .agg(coalesce(sum(when(col("is_truth").isNotNull, 1L)), lit(0L))
+          .as("hit_pairs"))
+      f.agg(count(lit(1)).as("candidate_pairs"))
+        .crossJoin(hits)
         .select(lit(np).as("nprobe"), col("candidate_pairs"),
           lit(truthCnt).as("truth_pairs"), col("hit_pairs"),
           (col("hit_pairs").cast(DoubleType) / lit(truthCnt.toDouble)).as("recall"))
@@ -797,10 +816,11 @@ object Sim {
     ivfPqAdcPairs(embeddings, m, kSub, coarseK, nProbe) match {
       case None => emptyNeighbors(embeddings)
       case Some(adc) =>
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        val cand = adc.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= refineR)
+        // refineR-per-probe pruning via the map-side bounded heap (the
+        // Sim.topK rationale: never shuffle the full ADC pair set)
+        val cand = org.apache.spark.sql.graft.TopKPerGroup.topK(
+            adc.select(col("vec_id"), col("neighbor_id"), col("cosine")),
+            Seq(col("vec_id")), Seq(col("cosine").desc, col("neighbor_id")), refineR)
           .select(col("vec_id"), col("neighbor_id"))
         exactRescoreTopK(embeddings, cand, k)
     }
@@ -1073,12 +1093,14 @@ object Sim {
     val ham = (0 until nw)
       .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))))
       .reduceLeft(_ + _)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ham"), col("neighbor_id"))
-    val cand = probes.join(indexed, Seq("cell"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("ham", ham)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= refineR)
+    // refineR-per-probe pruning via the map-side bounded heap (the
+    // Sim.topK rationale: the Hamming pair set never shuffles in full)
+    val cand = org.apache.spark.sql.graft.TopKPerGroup.topK(
+        probes.join(indexed, Seq("cell"))
+          .filter(col("vec_id") =!= col("neighbor_id"))
+          .withColumn("ham", ham)
+          .select(col("vec_id"), col("neighbor_id"), col("ham")),
+        Seq(col("vec_id")), Seq(col("ham"), col("neighbor_id")), refineR)
       .select(col("vec_id"), col("neighbor_id"))
     exactRescoreTopK(embeddings, cand, k)
   }

@@ -215,7 +215,10 @@ object Text {
 
   def tfIdfTopTerms(documents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = termStream(documents)
+    // spread at THIS call site (not inside termStream — the r20 A/B):
+    // the one-shot tf explode otherwise rides the single-file scan task
+    val toks = termStream(
+      graft.operators.Partitioning.spread(documents, col("doc_id")))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // tf is already distinct per (doc, term), so df is a plain count
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1757,7 +1760,12 @@ object Text {
   def marginAdd(delta: DataFrame, weights: DataFrame): DataFrame = {
     val w = broadcast(weights
       .select(col("term"), col("weight").cast(LongType).as("weight")))
-    termStream(delta)
+    // spread at THIS call site (not inside termStream — the r20 A/B):
+    // the explode + broadcast probe + map-side partial agg all run in
+    // the scan stage, which a single-file source serializes to one task
+    // (this screen sits under web_curation_keeplist/pack and the whole
+    // curation_pipeline family)
+    termStream(graft.operators.Partitioning.spread(delta, col("doc_id")))
       .join(w, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"), sum(col("weight")).as("margin"))

@@ -355,7 +355,11 @@ object Web {
   def htmlExtract(pages: Dataset[HtmlDoc]): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.mapPartitions(_.map { p =>
+    // spread first (the charTrigrams discipline, r20): the per-char
+    // state machine is the heaviest narrow pass of the web stack and
+    // otherwise rides the single-file scan stage as ONE task
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    pages.repartition(nPart, col("doc_id")).mapPartitions(_.map { p =>
       val s = p.html
       val out = new StringBuilder
       var title = ""

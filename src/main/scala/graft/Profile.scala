@@ -53,12 +53,18 @@ object Profile {
         org.apache.spark.sql.graft.ListenerDrain.drain(spark.sparkContext)
         spark.sparkContext.removeSparkListener(listener)
         val js = listener.jobs.values.toSeq
-        val jobSum = js.map(j => (j.t1 - j.t0) / 1e3).sum
+        // a job with t1 == 0 never saw its end event (still running, or
+        // the event was lost): including it would add a large NEGATIVE
+        // duration, corrupting jobSum and inflating the reported gap —
+        // the exact signal this tool measures (r20 advisor)
+        val (ended, unended) = js.partition(_.t1 > 0L)
+        val jobSum = ended.map(j => (j.t1 - j.t0) / 1e3).sum
+        val unendedNote = if (unended.isEmpty) "" else s", ${unended.size} unended"
         println(f"== $name run $run: wall $wall%.3f s, rows $n, " +
-          f"${js.size} jobs (sum ${jobSum}%.3f s, gap ${wall - jobSum}%.3f s)")
+          f"${js.size} jobs (sum ${jobSum}%.3f s, gap ${wall - jobSum}%.3f s$unendedNote)")
         js.foreach { j =>
-          println(f"   job ${j.id}%4d  ${(j.t1 - j.t0) / 1e3}%7.3f s  " +
-            f"${j.nTasks}%5d tasks  ${j.site}")
+          val dur = if (j.t1 > 0L) f"${(j.t1 - j.t0) / 1e3}%7.3f s" else "running "
+          println(f"   job ${j.id}%4d  $dur  ${j.nTasks}%5d tasks  ${j.site}")
         }
         spark.catalog.clearCache(); System.gc()
       }

@@ -503,7 +503,11 @@ object Corpus {
       k: Int = 40, minMargin: Long = 25L, threshold: Long = 0L,
       trainPct: Int = 90): DataFrame =
     curationPipelineConfidentFromStates(documents, Text.trigramAdd(documents),
-      Text.marginAdd(documents, weights), k, minMargin, threshold, trainPct)
+      // batch entry point: spread the one-shot margin build off the
+      // single-file scan task (scan-aware — identity at scale); the
+      // stream twin builds its margin state per delta, unspread
+      Text.marginAdd(graft.operators.Partitioning.spreadIfNarrow(
+        documents, col("doc_id")), weights), k, minMargin, threshold, trainPct)
 
   /** Self-training form of [[curationPipelineFromStates]]: both states
     * built from the corpus itself in one delta (profiles from the
@@ -514,7 +518,8 @@ object Corpus {
   def curationPipeline(documents: DataFrame, weights: DataFrame,
       k: Int = 40, threshold: Long = 0L, trainPct: Int = 90): DataFrame =
     curationPipelineFromStates(documents, Text.trigramAdd(documents),
-      Text.marginAdd(documents, weights), k, threshold, trainPct)
+      Text.marginAdd(graft.operators.Partitioning.spreadIfNarrow(
+        documents, col("doc_id")), weights), k, threshold, trainPct)
 
   // ---------------------------------------------------------------------
   // Distribution-drift monitoring (total-variation distance, exact ints).

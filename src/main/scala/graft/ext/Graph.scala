@@ -52,9 +52,15 @@ object Graph {
     // hash(vertex)-partitioned, so materializing v in that layout makes
     // every round's update join exchange-free on the v side (guide
     // §2.4: two operations keyed the same way share one exchange)
-    val v = e.select(col("src").as("vertex"))
-      .union(e.select(col("dst").as("vertex")))
-      .distinct().repartition(col("vertex")).localCheckpoint(false)
+    // explicit-N spread, NOT an N-less repartition(col): AQE coalesces
+    // the latter back to one partition on small data, and the three
+    // frames must agree on partition COUNT for hashpartitioning(vertex,
+    // n) / hashpartitioning(src, n) to be compatible per-round (r20
+    // advisor)
+    val v = graft.operators.Partitioning.spread(
+      e.select(col("src").as("vertex"))
+        .union(e.select(col("dst").as("vertex")))
+        .distinct(), col("vertex")).localCheckpoint(false)
     val nV = v.count()
     if (nV == 0) None
     else {
@@ -63,15 +69,17 @@ object Graph {
       // src; pre-partitioned on src so the per-round contribution join
       // never re-exchanges the E-row side (the rank side arrives
       // hash(vertex)-partitioned from the previous round's update)
-      val eo = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .join(e, Seq("src")).repartition(col("src")).localCheckpoint(false)
+      val eo = graft.operators.Partitioning.spread(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+          .join(e, Seq("src")), col("src")).localCheckpoint(false)
       // the non-dangling vertex set is ROUND-INVARIANT: computed and
       // materialized once here instead of a distinct over E strings
       // inside every round's dangling-mass anti-join
       val outV =
         if (redistribute)
-          eo.select(col("src").as("vertex")).distinct()
-            .repartition(col("vertex")).localCheckpoint(false)
+          graft.operators.Partitioning.spread(
+            eo.select(col("src").as("vertex")).distinct(), col("vertex"))
+            .localCheckpoint(false)
         else e.limit(0).select(col("src").as("vertex"))
       Some(PrState(v, eo, outV, nV, init, (15L * init) / 100L))
     }

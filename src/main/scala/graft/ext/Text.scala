@@ -215,10 +215,12 @@ object Text {
 
   def tfIdfTopTerms(documents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // spread at THIS call site (not inside termStream — the r20 A/B):
-    // the one-shot tf explode otherwise rides the single-file scan task
+    // spread at THIS batch call site (not inside termStream — the r20
+    // A/B rejected spreading termStream for the tokenizer family): the
+    // one-shot tf explode otherwise rides the single-file scan task.
+    // Scan-aware: identity once the source has >= cores splits.
     val toks = termStream(
-      graft.operators.Partitioning.spread(documents, col("doc_id")))
+      graft.operators.Partitioning.spreadIfNarrow(documents, col("doc_id")))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // tf is already distinct per (doc, term), so df is a plain count
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1747,7 +1749,14 @@ object Text {
     * doc-keyed agg. */
   def qualityMargin(documents: DataFrame, weights: DataFrame,
       threshold: Long = 0L): DataFrame =
-    qualityMarginFromCounts(documents, marginAdd(documents, weights), threshold)
+    // spread at the BATCH entry point, never inside marginAdd itself:
+    // the stream twins call marginAdd per delta, where an unconditional
+    // full-text exchange regressed them 0.80–0.84× (driver PERF_r20);
+    // here the one-shot explode otherwise rides the single-file scan
+    // task. Scan-aware: identity once the source has >= cores splits.
+    qualityMarginFromCounts(documents,
+      marginAdd(graft.operators.Partitioning.spreadIfNarrow(
+        documents, col("doc_id")), weights), threshold)
 
   /** ONE delta's quality-margin state `(doc_id, n_scored, margin)` —
     * the [[postingsAdd]] contract applied to the linear classifier: a
@@ -1760,12 +1769,13 @@ object Text {
   def marginAdd(delta: DataFrame, weights: DataFrame): DataFrame = {
     val w = broadcast(weights
       .select(col("term"), col("weight").cast(LongType).as("weight")))
-    // spread at THIS call site (not inside termStream — the r20 A/B):
-    // the explode + broadcast probe + map-side partial agg all run in
-    // the scan stage, which a single-file source serializes to one task
-    // (this screen sits under web_curation_keeplist/pack and the whole
-    // curation_pipeline family)
-    termStream(graft.operators.Partitioning.spread(delta, col("doc_id")))
+    // NO spread here: this is a state-builder path shared by the stream
+    // twins, where a full-text-payload exchange runs per DELTA — the
+    // r20 snapshot's unconditional spread regressed
+    // curation_pipeline_stream / web_curation_{funnel,keeplist}_stream
+    // to 0.80–0.84× (driver PERF_r20). Batch entry points (qualityMargin,
+    // curationPipeline*) spread their one-shot input before calling in.
+    termStream(delta)
       .join(w, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"), sum(col("weight")).as("margin"))
@@ -1894,9 +1904,12 @@ object Text {
     * explode is the heavy pass of every consumer (langId scores it per
     * trigram) and must not ride a one-task scan stage — measured at
     * sf0.1 (r20): lang_profiles 2.24 → 0.56 s, and the curation family
-    * (which screens through langId) dropped 1.2-3.0 s per query. */
+    * (which screens through langId) dropped 1.2-3.0 s per query.
+    * Scan-aware since r21: identity once the source arrives with >=
+    * cores splits, so the payload exchange is a local-skew fix only,
+    * never a cost at 100 TB. */
   private def charTrigrams(documents: DataFrame): DataFrame =
-    graft.operators.Partitioning.spread(documents, col("doc_id"))
+    graft.operators.Partitioning.spreadIfNarrow(documents, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(when(length(col("text")) >= 3,
             transform(sequence(lit(1), length(col("text")) - 2),

@@ -355,11 +355,18 @@ object Web {
   def htmlExtract(pages: Dataset[HtmlDoc]): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    // spread first (the charTrigrams discipline, r20): the per-char
-    // state machine is the heaviest narrow pass of the web stack and
-    // otherwise rides the single-file scan stage as ONE task
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    pages.repartition(nPart, col("doc_id")).mapPartitions(_.map { p =>
+    // Scan-aware spread (the charTrigrams discipline, gated since r21):
+    // the per-char state machine is the heaviest narrow pass of the web
+    // stack and must not ride a ONE-task single-file scan stage — but
+    // exchanging the full html payload "for parallelism" the source
+    // already has would be pure cost at 100 TB, so the repartition only
+    // fires when the input arrives with fewer partitions than the
+    // session's parallelism. N comes from the shared accessor so this
+    // Dataset site cannot drift from Partitioning.spread (r20 advisor).
+    val nPart = graft.operators.Partitioning.numPartitions(spark)
+    val src = if (pages.rdd.getNumPartitions < nPart)
+      pages.repartition(nPart, col("doc_id")) else pages
+    src.mapPartitions(_.map { p =>
       val s = p.html
       val out = new StringBuilder
       var title = ""

@@ -523,7 +523,11 @@ class PlanSpec extends SparkSpec {
       "synth_bucket_transitions" -> ((3, 0, Map.empty)),
       "synth_cure_rate_monthly" -> ((4, 0, Map.empty)),
       "synth_roll_rate_monthly" -> ((4, 0, Map.empty)),
-      "tfidf_top_terms" -> ((4, 1, Map("BroadcastHashJoin" -> 1))),
+      // r21: scan-aware spread before the tf explode — the hash(doc_id)
+      // spread exchange is REUSED by the (doc_id, term) tf groupBy
+      // (hash(doc_id) clusters (doc_id, term)), so the shape drops from
+      // 4 exchanges to 3 while the explode runs 32-wide
+      "tfidf_top_terms" -> ((3, 1, Map("BroadcastHashJoin" -> 1))),
       "synth_npl_monthly" -> ((1, 1, Map("BroadcastHashJoin" -> 1))),
       // round-8 additions: the trained-k-means pair lands in the top-10
       // by sf0.1 cost, so their shapes are pinned alongside. Centroid
@@ -554,15 +558,20 @@ class PlanSpec extends SparkSpec {
       // round-17b: the web-curation compositions are the newest
       // top-of-bench queries — their screens must stay broadcast
       // probes on the doc spine
-      "web_curation_keeplist" -> ((3, 6, Map("BroadcastHashJoin" -> 6))),
+      // r21: +1 exchange — htmlExtract's scan-aware spread (the per-char
+      // state machine must not ride the one-task single-file scan; the
+      // gate is identity once the source has >= cores splits)
+      "web_curation_keeplist" -> ((4, 6, Map("BroadcastHashJoin" -> 6))),
       // the pack's keep-list semi-join carries an explicit merge hint
       // (ExtRegistry): its keep side is corpus-sized at 100 TB but sat
       // exactly on the AQE broadcast threshold at this tier, so the
       // un-hinted shape flipped SMJ<->BHJ per run (r17 judge: 2-of-3
       // full-suite failures on this very pin). The hint makes the
       // pinned SMJ deterministic.
+      // (+1 exchange in r21: htmlExtract's scan-aware spread, as
+      // web_curation_keeplist)
       "web_curation_pack" ->
-        ((6, 6, Map("SortMergeJoin" -> 1, "BroadcastHashJoin" -> 6))),
+        ((7, 6, Map("SortMergeJoin" -> 1, "BroadcastHashJoin" -> 6))),
       // r18: fused one-projection crawl-trap pass — one repartition
       // exchange reused by all three nested aggregations, zero joins
       // (r17 judge flagged the previous three-way self-join)
@@ -861,8 +870,6 @@ class PlanSpec extends SparkSpec {
     import spark.implicits._
     val docs = tables.documents
     Seq(
-      graft.ext.Web.htmlExtract(
-        graft.ext.Web.htmlTable(docs).as[graft.ext.Web.HtmlDoc]).toDF(),
       graft.ext.Multimodal.sceneCuts(
         graft.ext.Multimodal.encodeSceneVideo(docs)).toDF(),
       graft.ext.Multimodal.videoFingerprints(
@@ -872,6 +879,16 @@ class PlanSpec extends SparkSpec {
       // heavy payloads decode where they live: no exchange anywhere
       assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
     }
+    // htmlExtract (r21): the per-char state machine carries a SCAN-AWARE
+    // spread — at this tier the single-file source arrives as one task,
+    // so exactly ONE repartition exchange fires below the state machine
+    // (at >= cores splits the gate is identity and the pipeline is as
+    // narrow as the other two). Pin exactly one, not "any".
+    val htmlPlan = graft.ext.Web.htmlExtract(
+      graft.ext.Web.htmlTable(docs).as[graft.ext.Web.HtmlDoc])
+      .toDF().queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(htmlPlan).size == 1,
+      s"expected exactly the one gated spread exchange in:\n$htmlPlan")
   }
 
   test("web curation keep-list: spine equi-joins only, broadcast domain verdicts, no window") {

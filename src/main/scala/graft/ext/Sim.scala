@@ -615,21 +615,28 @@ object Sim {
     // q-frame discipline); state bit-identical to the long-form path
     val gridOpt = Cluster.grid(embeddings)
     if (gridOpt.isEmpty) return emptyOut
-    val state = Cluster.coarseStateFromQ(
-      embeddings.select(col("vec_id"), Cluster.qCol(gridOpt.get._1).as("q"))
-        .localCheckpoint(false), gridOpt.get._2, coarseK, iters)
-    if (state.isEmpty) return emptyOut
     val sampled: DataFrame => DataFrame = df =>
       probeMod.fold(df) { case (m, r) => df.filter(col("vec_id") % m === r) }
+    // coarse training and the brute truth are independent until the
+    // curve's final join — overlap their driver-blocking chains (guide
+    // §2.6; same states/rows as the sequential spelling).
+    //
     // probe side pre-filtered BELOW bruteTopK's typed boundary: the brute
     // kernel scans only the sampled residue class (1/mod of the probes),
     // not all probes with 1-1/mod of the output discarded — identical
     // rows either way (see the two-frame bruteTopK contract), but only
     // this form realizes the 1/mod cost the sampled audit exists for
-    val truth = bruteTopK(sampled(embeddings), embeddings, k)
-      .select(col("vec_id"), col("neighbor_id"))
-      .localCheckpoint(false)
-    val truthCnt = truth.count()
+    val (state, truthAndCnt) = graft.operators.DriverPar.par2(
+      Cluster.coarseStateFromQ(
+        embeddings.select(col("vec_id"), Cluster.qCol(gridOpt.get._1).as("q"))
+          .localCheckpoint(false), gridOpt.get._2, coarseK, iters), {
+        val t = bruteTopK(sampled(embeddings), embeddings, k)
+          .select(col("vec_id"), col("neighbor_id"))
+          .localCheckpoint(false)
+        (t, t.count())
+      })
+    if (state.isEmpty) return emptyOut
+    val (truth, truthCnt) = truthAndCnt
     if (truthCnt == 0L) return emptyOut // empty-corpus short-circuit, as ann_recall
     val (scale, _) = gridOpt.get
     val maxNp = math.min(nProbes.max, state.size) // clamp, as in ivfTopKTrained
@@ -655,21 +662,20 @@ object Sim {
       .select(col("vec_id"), col("neighbor_id"), col("pr"), col("cosine"))
       .join(truth.withColumn("is_truth", lit(1)), Seq("vec_id", "neighbor_id"), "left")
       .localCheckpoint(false)
+    // ONE windowed pass per curve point: hit counting and candidate
+    // counting share a single scan+exchange of the checkpointed pair
+    // frame. The r20 snapshot split this into a TopKPerGroup agg
+    // cross-joined with a separate count agg — two scans per point,
+    // 8 jobs where there were 4 — and the driver measured 0.59×
+    // (PERF_r20 ivf_nprobe_curve 2.04→3.45 s). Reverted per VERDICT
+    // r20 "Next round" #1a.
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     nProbes.map { np =>
-      val f = pairs.filter(col("pr") <= np)
-      // hit count over the per-probe top-k via the map-side bounded heap
-      // (the rank-window spelling shuffled + sorted the FULL candidate
-      // pair set once per curve point); candidate_pairs still counts the
-      // unpruned set — a partial-agg count with no exchange, so the two
-      // scans of the checkpointed pair frame together move fewer bytes
-      // than the one windowed pass did
-      val hits = org.apache.spark.sql.graft.TopKPerGroup.topK(
-          f.select(col("vec_id"), col("neighbor_id"), col("cosine"), col("is_truth")),
-          Seq(col("vec_id")), Seq(col("cosine").desc, col("neighbor_id")), k)
-        .agg(coalesce(sum(when(col("is_truth").isNotNull, 1L)), lit(0L))
-          .as("hit_pairs"))
-      f.agg(count(lit(1)).as("candidate_pairs"))
-        .crossJoin(hits)
+      pairs.filter(col("pr") <= np)
+        .withColumn("rank", row_number().over(w))
+        .agg(count(lit(1)).as("candidate_pairs"),
+          coalesce(sum(when(col("rank") <= k && col("is_truth").isNotNull, 1L)), lit(0L))
+            .as("hit_pairs"))
         .select(lit(np).as("nprobe"), col("candidate_pairs"),
           lit(truthCnt).as("truth_pairs"), col("hit_pairs"),
           (col("hit_pairs").cast(DoubleType) / lit(truthCnt.toDouble)).as("recall"))
@@ -735,10 +741,17 @@ object Sim {
     // scale, same q integers, same seeded recursions)
     val qf = embeddings.select(col("vec_id"), Cluster.qCol(scale).as("q"))
       .localCheckpoint(false)
-    val coarse = Cluster.coarseStateFromQ(qf, d, coarseK, 2)
-    val subCens =
-      if (coarse.isEmpty) Nil
-      else Cluster.pqSubStatesFromQ(qf, d, m, kSub, 2)
+    // the two trainers are INDEPENDENT given the shared checkpointed
+    // q-frame, and each is a chain of small driver-blocking collects —
+    // overlap them (guide §2.6) so one chain's tasks and planning fill
+    // the other's driver round-trips. States are bit-identical to the
+    // sequential spelling (same recursions, same collects). coarse is
+    // empty only for an empty q-frame (grid() already returned None on
+    // empty/all-zero), where the PQ trainer degrades to empty states
+    // the same way — the guard below is unchanged.
+    val (coarse, subCens) = graft.operators.DriverPar.par2(
+      Cluster.coarseStateFromQ(qf, d, coarseK, 2),
+      Cluster.pqSubStatesFromQ(qf, d, m, kSub, 2))
     if (coarse.isEmpty || subCens.isEmpty || subCens.exists(_.isEmpty)) return None
     require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
     val np = math.min(nProbe, coarse.size) // clamp, as in ivfTopKTrained

@@ -877,9 +877,20 @@ object Registry {
   private def annRecallQuery(variant: String, underlying: String): (SparkSession, String) => DataFrame =
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
-      val truth = Sim.bruteTopK(emb, 5)
-        .select(col("vec_id"), col("neighbor_id")).localCheckpoint(false)
-      val truthCnt = truth.count()
+      // truth (brute index collect + checkpoint + count) and the
+      // searcher's training chain are independent until the final
+      // semi-join — build them CONCURRENTLY (guide §2.6). The searcher
+      // is wrapped in Try so the empty-corpus short-circuit keeps the
+      // sequential contract: its result (or failure) is only consumed
+      // when truth_pairs > 0, exactly when the sequential code invoked
+      // it at all.
+      val (search, truthAndCnt) = graft.operators.DriverPar.par2(
+        scala.util.Try((coreQueries ++ ExtRegistry.queries)(underlying)(s, dir)), {
+          val t = Sim.bruteTopK(emb, 5)
+            .select(col("vec_id"), col("neighbor_id")).localCheckpoint(false)
+          (t, t.count())
+        })
+      val (truth, truthCnt) = truthAndCnt
       if (truthCnt == 0L) {
         // an empty/all-zero corpus degrades to an empty result (as the
         // ANN operators themselves do), never a 0/0 NaN recall row —
@@ -888,7 +899,7 @@ object Registry {
         Seq.empty[(String, Long, Long, Double)]
           .toDF("variant", "truth_pairs", "hit_pairs", "recall")
       } else
-        (coreQueries ++ ExtRegistry.queries)(underlying)(s, dir)
+        search.get
           .select(col("vec_id"), col("neighbor_id"))
           .join(truth, Seq("vec_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("hit_pairs"))

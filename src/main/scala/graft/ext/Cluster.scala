@@ -581,9 +581,17 @@ object Cluster {
     * search's neighbor ids compare directly against the unpermuted
     * brute-force truth. Empty/all-zero corpora pass through
     * unchanged. */
-  def opqPermute(embeddings: DataFrame, m: Int): DataFrame = {
+  def opqPermute(embeddings: DataFrame, m: Int): DataFrame =
+    opqPermuteWithGrid(embeddings, m, grid(embeddings))
+
+  /** [[opqPermute]] with the grid supplied by a caller that already
+    * derived it (the grid is permutation-invariant, so the OPQ searcher
+    * shares ONE derivation between the permutation stats and its own
+    * trainers instead of scanning the corpus for it twice more). */
+  private[ext] def opqPermuteWithGrid(embeddings: DataFrame, m: Int,
+      gridOpt: Option[(Double, Int)]): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
-    grid(embeddings) match {
+    gridOpt match {
       case None => embeddings
       case Some((scale, d)) =>
         require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")

@@ -41,23 +41,49 @@ object Sim {
 
   private def el(c: Column, i: Int): Column = element_at(c, i).cast(DoubleType)
 
+  /** A/B switch (r20 VERDICT item 6): the r20 snapshot adopted the
+    * TopKPerGroup heap for the searcher top-k/refine pruning without a
+    * measurement, and Spark 3.5+'s WindowGroupLimit(Partial) ALREADY
+    * prunes rank-filter windows map-side — so the claimed shuffle
+    * saving was partly realized either way. The two spellings differ in
+    * the map-side mechanism only: hash-of-heaps (no sort) vs per-
+    * partition sort; rows are identical (total order per probe). */
+  private lazy val useHeapTopK = !sys.env.contains("SPARK_GRAFT_WINDOW_TOPK")
+
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
-    // per-probe top-k via the map-side bounded heap: the window spelling
-    // shuffles EVERY candidate pair to its probe's reducer (the pair set
-    // is |probes|·cell-occupancy — the dominant exchange of every cell-
-    // join searcher); TopKPerGroup prunes each map partition to ≤ k rows
-    // per probe BEFORE the exchange (guide §2.3 "aggregate before you
-    // shuffle"), and the rank window then runs over ≤ k rows per probe
-    // on the SAME hash(vec_id) partitioning — no extra exchange. Rows
-    // are identical: (cosine desc, neighbor_id asc) is a total order per
-    // probe (neighbor ids unique), and the global top-k of a group is
-    // contained in the union of per-partition top-k's.
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    org.apache.spark.sql.graft.TopKPerGroup.topK(
-        pairs.select(col("vec_id"), col("neighbor_id"), col("cosine")),
-        Seq(col("vec_id")), Seq(col("cosine").desc, col("neighbor_id")), k)
-      .withColumn("rank", row_number().over(w))
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    if (useHeapTopK)
+      // map-side bounded heap prunes each partition to ≤ k rows per
+      // probe before the exchange; the rank window then runs over ≤ k
+      // rows per probe on the SAME hash(vec_id) partitioning — no
+      // extra exchange
+      org.apache.spark.sql.graft.TopKPerGroup.topK(
+          pairs.select(col("vec_id"), col("neighbor_id"), col("cosine")),
+          Seq(col("vec_id")), Seq(col("cosine").desc, col("neighbor_id")), k)
+        .withColumn("rank", row_number().over(w))
+        .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    else
+      pairs
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Per-probe candidate pruning to the best `r` rows under `order`
+    * (a TOTAL order at every call site — ids are unique per pair), used
+    * by the refine stages. Emits narrow `(vec_id, neighbor_id)` only.
+    * Same heap-vs-window switch as [[topK]]. */
+  private def topKPrune(pairs: DataFrame, order: Seq[Column], r: Int): DataFrame = {
+    if (useHeapTopK)
+      org.apache.spark.sql.graft.TopKPerGroup.topK(
+          pairs, Seq(col("vec_id")), order, r)
+        .select(col("vec_id"), col("neighbor_id"))
+    else {
+      val w = Window.partitionBy(col("vec_id")).orderBy(order: _*)
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= r)
+        .select(col("vec_id"), col("neighbor_id"))
+    }
   }
 
   final case class Neighbor(vec_id: Long, neighbor_id: Long, cosine: Double, rank: Int)
@@ -717,7 +743,12 @@ object Sim {
 
   def ivfPqTopK(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
       coarseK: Int = 8, nProbe: Int = 2, k: Int = 5): DataFrame =
-    ivfPqAdcPairs(embeddings, m, kSub, coarseK, nProbe)
+    ivfPqTopKWithGrid(embeddings, m, kSub, coarseK, nProbe, k, None)
+
+  private def ivfPqTopKWithGrid(embeddings: DataFrame, m: Int, kSub: Int,
+      coarseK: Int, nProbe: Int, k: Int,
+      gridIn: Option[(Double, Int)]): DataFrame =
+    ivfPqAdcPairs(embeddings, m, kSub, coarseK, nProbe, gridIn)
       .map(pairs => topK(pairs, k))
       .getOrElse(emptyNeighbors(embeddings))
 
@@ -727,10 +758,15 @@ object Sim {
     * stage ([[ivfPqRefinedTopK]]) can re-rank a wider prefix of it.
     * None when the corpus is empty/all-zero (no training state). */
   private def ivfPqAdcPairs(embeddings: DataFrame, m: Int, kSub: Int,
-      coarseK: Int, nProbe: Int): Option[DataFrame] = {
+      coarseK: Int, nProbe: Int,
+      gridIn: Option[(Double, Int)] = None): Option[DataFrame] = {
     import graft.ext.Cluster
     import org.apache.spark.sql.graft.{KMeansCells, PqAdcDot}
-    val gridOpt = Cluster.grid(embeddings)
+    // gridIn lets the OPQ caller skip a redundant corpus scan: the grid
+    // (max |component|, width) is PERMUTATION-INVARIANT, so the value
+    // derived once on the unpermuted frame is bit-identical to what a
+    // re-derivation over the permuted projection would collect
+    val gridOpt = gridIn.orElse(Cluster.grid(embeddings))
     if (gridOpt.isEmpty) return None
     val (scale, d) = gridOpt.get
     require(d % m == 0, s"embedding width $d is not divisible into $m subspaces")
@@ -829,12 +865,9 @@ object Sim {
     ivfPqAdcPairs(embeddings, m, kSub, coarseK, nProbe) match {
       case None => emptyNeighbors(embeddings)
       case Some(adc) =>
-        // refineR-per-probe pruning via the map-side bounded heap (the
-        // Sim.topK rationale: never shuffle the full ADC pair set)
-        val cand = org.apache.spark.sql.graft.TopKPerGroup.topK(
-            adc.select(col("vec_id"), col("neighbor_id"), col("cosine")),
-            Seq(col("vec_id")), Seq(col("cosine").desc, col("neighbor_id")), refineR)
-          .select(col("vec_id"), col("neighbor_id"))
+        // refineR-per-probe pruning (heap vs window: the topK A/B switch)
+        val cand = topKPrune(adc.select(col("vec_id"), col("neighbor_id"), col("cosine")),
+          Seq(col("cosine").desc, col("neighbor_id")), refineR)
         exactRescoreTopK(embeddings, cand, k)
     }
   }
@@ -946,7 +979,16 @@ object Sim {
     * bounded 2d-sum stats row and a narrow projection. */
   def ivfPqOpqTopK(embeddings: DataFrame, m: Int = 4, kSub: Int = 8,
       coarseK: Int = 8, nProbe: Int = 2, k: Int = 5): DataFrame =
-    ivfPqTopK(Cluster.opqPermute(embeddings, m), m, kSub, coarseK, nProbe, k)
+  {
+    // ONE grid scan shared by the permutation's variance stats and the
+    // downstream searcher (the shared-q-frame discipline): the grid is
+    // permutation-invariant, so re-deriving it over the permuted
+    // projection would collect the identical (scale, d) from one more
+    // full corpus agg
+    val g = Cluster.grid(embeddings)
+    ivfPqTopKWithGrid(Cluster.opqPermuteWithGrid(embeddings, m, g),
+      m, kSub, coarseK, nProbe, k, g)
+  }
 
   /** IVF-SQ8 search — FAISS's `IVF,SQ8` index: trained coarse routing
     * (identical to [[ivfPqTopK]]'s), with the candidate payload
@@ -1106,15 +1148,13 @@ object Sim {
     val ham = (0 until nw)
       .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))))
       .reduceLeft(_ + _)
-    // refineR-per-probe pruning via the map-side bounded heap (the
-    // Sim.topK rationale: the Hamming pair set never shuffles in full)
-    val cand = org.apache.spark.sql.graft.TopKPerGroup.topK(
-        probes.join(indexed, Seq("cell"))
-          .filter(col("vec_id") =!= col("neighbor_id"))
-          .withColumn("ham", ham)
-          .select(col("vec_id"), col("neighbor_id"), col("ham")),
-        Seq(col("vec_id")), Seq(col("ham"), col("neighbor_id")), refineR)
-      .select(col("vec_id"), col("neighbor_id"))
+    // refineR-per-probe pruning (heap vs window: the topK A/B switch)
+    val cand = topKPrune(
+      probes.join(indexed, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("ham", ham)
+        .select(col("vec_id"), col("neighbor_id"), col("ham")),
+      Seq(col("ham"), col("neighbor_id")), refineR)
     exactRescoreTopK(embeddings, cand, k)
   }
 

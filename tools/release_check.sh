@@ -79,7 +79,22 @@ if 'ok' not in cal:
     print(f"{p} predates the calibration gate — re-run graft.Bench at sf0.1")
     raise SystemExit(1)
 assert cal['ok'] is True, f"committed artifact is NOT calibration-clean: {cal}"
-print(f"committed artifact calibration OK: {cal}")
+# r20/r21 finding (twice now): a SPARK_GRAFT_BENCH_ONLY subset run
+# clobbered the canonical full-sweep artifact and the gate passed
+# silently because it only checked calibration. The committed artifact
+# must cover the FULL registered inventory.
+import subprocess
+logdir = os.environ.get('RELCHECK_LOGDIR', '/tmp/relcheck_logs')
+n_reg = int(subprocess.run(
+    ['grep', '-c', 'verify-manifest] {"query"',
+     os.path.join(logdir, 'verify_sf0.001.log')],
+    capture_output=True, text=True).stdout.strip() or 0)
+n_art = len(d.get('queries', {}))
+assert n_reg > 0, "could not derive the registered inventory size"
+assert n_art == n_reg, (
+    f"committed artifact covers {n_art} queries but the registry has "
+    f"{n_reg} — a subset/stale run must not ship as the round artifact")
+print(f"committed artifact calibration OK and full-inventory ({n_art}): {cal}")
 EOF
 
 echo "== 5/5 scale proof =="

@@ -47,20 +47,28 @@ object Graph {
   private def prState(edges: DataFrame, mass: Long,
       redistribute: Boolean): Option[PrState] = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    // SCALE-ADAPTIVE partition count for the round-invariant frames,
+    // derived from the edge count (one cheap count over the checkpointed
+    // edge frame): ~1M edge rows per partition, capped at the session
+    // parallelism. All three frames use the SAME explicit N — an N-less
+    // repartition(col) is coalesced per-frame by AQE on small data, and
+    // hashpartitioning(vertex, n1) vs hashpartitioning(src, n2) with
+    // n1 != n2 silently re-exchanges every round (r20 advisor). A
+    // CONSTANT N was measured worse locally (+0.2-2 s/query: 3 joins x
+    // iters x 32 near-empty tasks of fixed scheduling overhead at
+    // sf0.1) and would under-partition a 100 TB graph anyway.
+    val nE = e.count()
+    val nPart = math.max(1L, math.min(
+      graft.operators.Partitioning.numPartitions(e.sparkSession).toLong,
+      nE / 100000L + 1L)).toInt
     // vertex set pre-partitioned on its key: the per-round damped
     // update joins `v` on vertex against an aggregation that is ALREADY
     // hash(vertex)-partitioned, so materializing v in that layout makes
     // every round's update join exchange-free on the v side (guide
     // §2.4: two operations keyed the same way share one exchange)
-    // explicit-N spread, NOT an N-less repartition(col): AQE coalesces
-    // the latter back to one partition on small data, and the three
-    // frames must agree on partition COUNT for hashpartitioning(vertex,
-    // n) / hashpartitioning(src, n) to be compatible per-round (r20
-    // advisor)
-    val v = graft.operators.Partitioning.spread(
-      e.select(col("src").as("vertex"))
-        .union(e.select(col("dst").as("vertex")))
-        .distinct(), col("vertex")).localCheckpoint(false)
+    val v = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
+      .distinct().repartition(nPart, col("vertex")).localCheckpoint(false)
     val nV = v.count()
     if (nV == 0) None
     else {
@@ -69,17 +77,15 @@ object Graph {
       // src; pre-partitioned on src so the per-round contribution join
       // never re-exchanges the E-row side (the rank side arrives
       // hash(vertex)-partitioned from the previous round's update)
-      val eo = graft.operators.Partitioning.spread(
-        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-          .join(e, Seq("src")), col("src")).localCheckpoint(false)
+      val eo = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .join(e, Seq("src")).repartition(nPart, col("src")).localCheckpoint(false)
       // the non-dangling vertex set is ROUND-INVARIANT: computed and
       // materialized once here instead of a distinct over E strings
       // inside every round's dangling-mass anti-join
       val outV =
         if (redistribute)
-          graft.operators.Partitioning.spread(
-            eo.select(col("src").as("vertex")).distinct(), col("vertex"))
-            .localCheckpoint(false)
+          eo.select(col("src").as("vertex")).distinct()
+            .repartition(nPart, col("vertex")).localCheckpoint(false)
         else e.limit(0).select(col("src").as("vertex"))
       Some(PrState(v, eo, outV, nV, init, (15L * init) / 100L))
     }

@@ -17,12 +17,22 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * `LogicalPlan` + `SparkStrategy` + `SparkPlan`, injected via
   * `SparkSessionExtensions.injectPlannerStrategy`): top-k rows per group.
   *
-  * The DataFrame/SQL spelling — `row_number() OVER (PARTITION BY g
-  * ORDER BY o) <= k` — shuffles EVERY row to its group's reducer and
-  * sorts the full group there, even though all but k rows per group are
-  * then discarded. Spark's optimizer has no per-group limit pushdown
-  * (TakeOrderedAndProject covers only the global-limit case). This
-  * operator plans as two physical stages mirroring partial aggregation:
+  * Honest rationale vs the DataFrame/SQL spelling (re-measured r21 —
+  * the r20 claim that the window "shuffles EVERY row" was overstated):
+  * since Spark 3.5, `row_number() OVER (PARTITION BY g ORDER BY o) <= k`
+  * gets a map-side `WindowGroupLimit(Partial)` that already prunes each
+  * partition to k rows per group BEFORE the exchange, so the shuffled
+  * byte count is the same for both spellings. The remaining difference
+  * is the map-side mechanism: WindowGroupLimit SORTS each input
+  * partition (O(n log n) per partition), this operator keeps a
+  * hash-of-bounded-heaps (O(n log k), no sort). A 2×2 idle-box A/B on
+  * the ten knn_cosine searchers at sf0.1 measured PARITY within noise
+  * (heap totals 24.36/26.39 s vs window 24.71/26.97 s) — the heap is
+  * kept as default for the asymptotic no-sort argument at 100 TB
+  * partition sizes, and `SPARK_GRAFT_WINDOW_TOPK=1` switches the
+  * searchers back to the window spelling (identical rows: every call
+  * site supplies a total order). This operator plans as two physical
+  * stages mirroring partial aggregation:
   *
   *   TopKPerGroupExec(final)      — per-group bounded heap, post-shuffle
   *     +- Exchange hashpartitioning(groupExprs)   [inserted by
